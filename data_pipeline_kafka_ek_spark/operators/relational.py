@@ -1,0 +1,93 @@
+"""Core relational operators (SURVEY.md §2.3/§2.4, P1-P4, F1-F9, J1, S2).
+
+Every function is ``DataFrame -> DataFrame`` and purely declarative, so the
+same transform runs in batch and inside a Structured Streaming query, and
+Catalyst applies pushdown/pruning/broadcast automatically. The reference
+expresses these as ksqlDB CSAS statements; here they are reusable plan
+fragments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_kafka_ek_spark.functions.scalars import concat_strict
+
+
+def split_by_pattern(
+    df: DataFrame, col: str, pattern: str = "%test%"
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint predicate partition of one stream — the reference's
+    RATINGS_LIVE / RATINGS_TEST pair built from ``LCASE(col) [NOT] LIKE``
+    (reference: ksqldb-statements.sql:13-17; README.md:122-126).
+
+    Returns ``(live, test)``; ``live UNION test == df`` by construction
+    (NULLs in ``col`` land in neither side, matching ksqlDB LIKE semantics
+    where NULL LIKE ... is NULL — the fixture columns are non-null).
+    """
+    matches = F.lower(F.col(col)).like(pattern)
+    return df.filter(~matches), df.filter(matches)
+
+
+def latest_per_key(df: DataFrame, key: str | list[str], order_by: list[Column]) -> DataFrame:
+    """Changelog -> table semantics: latest value per primary key
+    (reference: ksqldb-statements.sql:42-43 — ``CREATE TABLE ... PRIMARY KEY``
+    over a CDC topic; README.md:204-210 demonstrates updates superseding).
+
+    Spark-native: ``row_number()`` over a per-key descending-recency window.
+    At 100 TB this is one shuffle on the key; if the upstream is bucketed by
+    the key the exchange is elided. ``order_by`` must be a total order
+    (include a unique tiebreaker) for deterministic results.
+    """
+    keys = [key] if isinstance(key, str) else key
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def enrich_stream_with_table(
+    stream: DataFrame,
+    table: DataFrame,
+    on: Column,
+    how: str = "left",
+    broadcast_table: bool = True,
+) -> DataFrame:
+    """The reference's single join: stream-table LEFT OUTER equi-join
+    enriching each event with the current dimension row
+    (reference: ksqldb-statements.sql:50-60; README.md:220-231).
+
+    The dimension is broadcast by default — the reference's CUSTOMERS table
+    is 20 rows (customers.sql:26-45) and real dimension tables stay MBs-GBs
+    while the fact side is the 100 TB stream; broadcasting avoids shuffling
+    the fact table entirely. Set ``broadcast_table=False`` for a
+    dimension too large to broadcast (Catalyst then picks sort-merge and
+    AQE can still convert back at runtime).
+    """
+    dim = F.broadcast(table) if broadcast_table else table
+    return stream.join(dim, on, how)
+
+
+def full_name(first: str = "first_name", last: str = "last_name") -> Column:
+    """``FIRST_NAME + ' ' + LAST_NAME AS FULL_NAME``
+    (reference: ksqldb-statements.sql:54) with NULL-propagating concat."""
+    return concat_strict(F.col(first), F.lit(" "), F.col(last)).alias("full_name")
+
+
+def top_k_terms(df: DataFrame, col: str, k: int = 5) -> DataFrame:
+    """Kibana ``terms`` aggregation: top-k values by frequency
+    (reference: docker-compose.yml:326-328 — size:5, order desc).
+
+    Deterministic tiebreak on the term itself. groupBy+count is
+    map-side-combined by Spark, so the shuffle carries one row per distinct
+    term per partition — safe at any scale when cardinality is bounded.
+    """
+    return (
+        df.groupBy(F.col(col).alias("term"))
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .orderBy(F.desc("term_count"), F.asc("term"))
+        .limit(k)
+    )

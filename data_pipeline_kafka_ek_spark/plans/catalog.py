@@ -1,0 +1,726 @@
+"""Query catalog: one named entry per operator in SURVEY.md §2.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+ANSI-SQL oracle DuckDB runs over the same parquet fixtures. Conventions
+that make the cross-engine hash comparison deterministic:
+
+* every computed/aggregate column is aliased identically on both sides;
+* floating-point aggregates are ``round()``-ed (2dp for money-scale sums,
+  4dp for unit-scale stats) — partial-aggregation order differs between
+  engines, so raw double sums differ in the last bits;
+* counts/sums of integers are cast to BIGINT on the DuckDB side (DuckDB
+  sums integers into HUGEINT, Spark into LONG);
+* timestamps that are derived (window starts, histogram buckets) are
+  formatted to strings so timezone/precision semantics can't diverge;
+* LIMIT always follows a total ORDER BY with a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_kafka_ek_spark.functions.scalars import (
+    concat_strict,
+    json_get,
+    timestamp_to_string,
+)
+from data_pipeline_kafka_ek_spark.operators.relational import (
+    enrich_stream_with_table,
+    latest_per_key,
+    top_k_terms,
+)
+from data_pipeline_kafka_ek_spark.plans import reference as ref
+from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    """One catalog entry. ``oracle`` is None for ops that ANSI SQL can't
+    express (the driver then records a weaker rows-only check)."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ids: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    survey_ids: tuple[str, ...] = (),
+    bench: bool = False,
+    doc: str = "",
+):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, survey_ids=survey_ids, bench=bench, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Projections / filters  (P1-P4, F1-F9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_project_columns",
+    "SELECT user_id, value, event_type, props FROM events",
+    survey_ids=("P1",),
+    doc="column projection (reference: README.md:110) — pruned parquet scan",
+)
+def p1(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("user_id", "value", "event_type", "props")
+
+
+@register(
+    "p2_star_filter",
+    # ts cast µs-side: DuckDB sees the raw TIMESTAMP_NS parquet column,
+    # Spark's TimestampType is µs — truncate on the oracle side to match
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+    "FROM events WHERE value < 50.0",
+    survey_ids=("P2", "F3"),
+    doc="star projection + numeric predicate (reference: README.md:123)",
+)
+def p2(spark, sf_dir):
+    return _t(spark, sf_dir, "events").filter(F.col("value") < 50.0).select("*")
+
+
+@register(
+    "p3_computed_projection",
+    "SELECT c_custkey, c_name || ' ' || c_mktsegment AS customer_label FROM customer",
+    survey_ids=("P3", "X3"),
+    doc="computed concat projection with NULL-propagating semantics "
+    "(reference: ksqldb-statements.sql:54)",
+)
+def p3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        concat_strict(F.col("c_name"), F.lit(" "), F.col("c_mktsegment")).alias("customer_label"),
+    )
+
+
+@register(
+    "p4_time_format_projection",
+    "SELECT event_id, strftime(ts, '%H:%M:%S') AS event_ts FROM events",
+    survey_ids=("P4", "X5"),
+    doc="TIMESTAMPTOSTRING(ROWTIME,'HH:mm:ss') twin (reference: README.md:238)",
+)
+def p4(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        "event_id", timestamp_to_string("ts", "HH:mm:ss").alias("event_ts")
+    )
+
+
+@register(
+    "f1_pattern_filter_negated",
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+    "FROM events WHERE lower(event_type) NOT LIKE '%err%'",
+    survey_ids=("F1", "X1", "X2"),
+    doc="LCASE(col) NOT LIKE — the RATINGS_LIVE split "
+    "(reference: ksqldb-statements.sql:14)",
+)
+def f1(spark, sf_dir):
+    return ref.events_live(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "f2_pattern_filter_positive",
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+    "FROM events WHERE lower(event_type) LIKE '%err%'",
+    survey_ids=("F2",),
+    doc="LCASE(col) LIKE — the RATINGS_TEST split (reference: ksqldb-statements.sql:17)",
+)
+def f2(spark, sf_dir):
+    return ref.events_test(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "f5_conjunctive_filter",
+    "SELECT event_id, user_id, value FROM events WHERE value < 50.0 AND event_type = 'click'",
+    survey_ids=("F3", "F4", "F5", "X6"),
+    doc="numeric + string-equality conjunction (reference: ksqldb-statements.sql:66-67)",
+)
+def f5(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.filter((F.col("value") < 50.0) & (F.col("event_type") == "click")).select(
+        "event_id", "user_id", "value"
+    )
+
+
+@register(
+    "f6_left_join_null_reject",
+    """
+    SELECT e.event_id, e.user_id, s.s_name
+    FROM events e LEFT JOIN supplier s ON e.user_id = s.s_suppkey
+    WHERE s.s_name IS NOT NULL
+    """,
+    survey_ids=("F6", "J1"),
+    doc="post-join IS NOT NULL making LEFT effectively INNER "
+    "(reference: ksqldb-statements.sql:59); supplier keys cover only part of "
+    "user_id's range so the NULL path is genuinely exercised",
+)
+def f6(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        enrich_stream_with_table(e, s, on=e["user_id"] == s["s_suppkey"], how="left")
+        .filter(F.col("s_name").isNotNull())
+        .select("event_id", "user_id", "s_name")
+    )
+
+
+@register(
+    "f7_cast_then_compare",
+    "SELECT event_id, user_id FROM events WHERE CAST(user_id AS VARCHAR) = '7'",
+    survey_ids=("F7", "X4"),
+    doc="cast-then-compare on a key (reference: README.md:241)",
+)
+def f7(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("user_id").cast("string") == "7").select("event_id", "user_id")
+
+
+@register(
+    "f8_dimension_equality",
+    """
+    SELECT e.event_id, e.value, c.c_name
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_name = 'Customer#000000002'
+    """,
+    survey_ids=("F8",),
+    doc="equality probe on a joined dimension attribute "
+    "(reference: ksqldb-statements.sql:101,109 — WHERE FULL_NAME='Rica Blaisdell')",
+)
+def f8(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        enrich_stream_with_table(e, c, on=e["user_id"] == c["c_custkey"], how="inner")
+        .filter(F.col("c_name") == "Customer#000000002")
+        .select("event_id", "value", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Join  (J1) + §7.1 flagship lineage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_enrichment_join",
+    f"""
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.event_type, e.value,
+           c.c_name, c.c_mktsegment,
+           c.c_name || ' ' || c.c_mktsegment AS customer_label
+    FROM events e
+    LEFT JOIN customer c ON CAST(e.user_id AS BIGINT) = c.c_custkey
+    WHERE lower(e.event_type) NOT LIKE '{ref.LIVE_PATTERN}'
+      AND c.c_name IS NOT NULL
+    """,
+    survey_ids=("J1", "S1", "S2", "P3", "F1", "F6"),
+    bench=True,
+    doc="RATINGS_WITH_CUSTOMER_DATA: the reference's stream-table enrichment "
+    "join (reference: ksqldb-statements.sql:50-60); dimension broadcast so the "
+    "fact side never shuffles",
+)
+def j1(spark, sf_dir):
+    return ref.enriched_events(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer"))
+
+
+@register(
+    "j1a_join_unfiltered_variant",
+    """
+    SELECT e.event_id, e.user_id, e.value, c.c_name
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_name IS NOT NULL
+    """,
+    survey_ids=("J1a",),
+    doc="the ksqldb-statements.sql:56 variant joining the RAW stream (the "
+    "README joins the pre-filtered one; both preserved per SURVEY.md §2.4)",
+)
+def j1a(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        enrich_stream_with_table(e, c, on=e["user_id"] == c["c_custkey"], how="left")
+        .filter(F.col("c_name").isNotNull())
+        .select("event_id", "user_id", "value", "c_name")
+    )
+
+
+@register(
+    "unhappy_vip_customers",
+    f"""
+    SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.event_type, e.value,
+           c.c_name, c.c_mktsegment,
+           c.c_name || ' ' || c.c_mktsegment AS customer_label
+    FROM events e
+    LEFT JOIN customer c ON CAST(e.user_id AS BIGINT) = c.c_custkey
+    WHERE lower(e.event_type) NOT LIKE '{ref.LIVE_PATTERN}'
+      AND c.c_name IS NOT NULL
+      AND e.value < {ref.UNHAPPY_VALUE_THRESHOLD}
+      AND c.c_mktsegment = '{ref.VIP_SEGMENT}'
+    """,
+    survey_ids=("J1", "F3", "F4", "F5"),
+    bench=True,
+    doc="UNHAPPY_PLATINUM_CUSTOMERS — the flagship end-to-end slice "
+    "(reference: ksqldb-statements.sql:63-68; SURVEY.md §7.1)",
+)
+def unhappy(spark, sf_dir):
+    return ref.unhappy_vip_customers(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 S2 latest-per-key (changelog -> table) and §2.8 set partition
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s2_latest_per_key",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+      ) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    survey_ids=("S2", "S5"),
+    doc="changelog latest-per-key table semantics: orders as a per-customer "
+    "changelog, newest row wins (reference: ksqldb-statements.sql:42-43; "
+    "update supersedes demo at README.md:204-210)",
+)
+def s2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    latest = latest_per_key(
+        o, "o_custkey", [F.desc("o_orderdate"), F.desc("o_orderkey")]
+    )
+    return latest.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+@register(
+    "set_union_roundtrip",
+    "SELECT event_id, event_type FROM events",
+    survey_ids=("§2.8",),
+    doc="live ∪ test == source: the complementary-split round-trip check "
+    "(reference: ksqldb-statements.sql:13-17; SURVEY.md §2.8)",
+)
+def set_union(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    live = ref.events_live(e).select("event_id", "event_type")
+    test = ref.events_test(e).select("event_id", "event_type")
+    return live.unionByName(test)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Aggregations  (A1-A8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_count_by_group",
+    """
+    SELECT c.c_mktsegment AS club_status, CAST(COUNT(*) AS BIGINT) AS rating_count
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ids=("A1",),
+    doc="COUNT(*) GROUP BY over the enriched stream "
+    "(reference: README.md:333-338 — ratings per club status)",
+)
+def a1(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        enrich_stream_with_table(e, c, on=e["user_id"] == c["c_custkey"], how="inner")
+        .groupBy(F.col("c_mktsegment").alias("club_status"))
+        .agg(F.count(F.lit(1)).alias("rating_count"))
+    )
+
+
+@register(
+    "a2_a3_windowed_collect",
+    """
+    SELECT strftime(to_timestamp(CAST(floor(epoch(e.ts) / 900) * 900 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           c.c_name || ' ' || c.c_mktsegment AS customer_label,
+           CAST(COUNT(*) AS BIGINT) AS rating_count,
+           list_sort(list(e.event_id)) AS event_ids
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE lower(e.event_type) NOT LIKE '%err%' AND c.c_name IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey_ids=("A2", "A3", "A4", "T2"),
+    bench=True,
+    doc="RATINGS_PER_CUSTOMER_PER_15MINUTE: tumbling 15-min window + "
+    "COLLECT_LIST (reference: ksqldb-statements.sql:88-93); list sorted for "
+    "determinism; window start emitted as string (TIMESTAMPTOSTRING twin, "
+    "reference: ksqldb-statements.sql:96)",
+)
+def a2a3(spark, sf_dir):
+    return ref.events_per_customer_per_15min(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "a3_tumbling_1min_counts",
+    """
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 60) * 60 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM events GROUP BY 1, 2
+    """,
+    survey_ids=("A3", "T2"),
+    doc="1-minute tumbling count per group (reference: README.md:336)",
+)
+def a3_1min(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+@register(
+    "a5_median_by_group",
+    """
+    SELECT c.c_mktsegment AS club_status,
+           round(median(e.value), 4) AS median_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_ids=("A5",),
+    doc="Kibana 'Median rating by club status' (reference: docker-compose.yml:326) "
+    "— exact percentile_50; at 100 TB swap to percentile_approx",
+)
+def a5(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        enrich_stream_with_table(e, c, on=e["user_id"] == c["c_custkey"], how="inner")
+        .groupBy(F.col("c_mktsegment").alias("club_status"))
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"))
+    )
+
+
+@register(
+    "a6_date_histogram",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS doc_count
+    FROM events GROUP BY 1
+    """,
+    survey_ids=("A6",),
+    doc="Kibana date_histogram on the event-time column "
+    "(reference: docker-compose.yml:326-327)",
+)
+def a6(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("doc_count"))
+
+
+@register(
+    "a7_top_terms",
+    """
+    SELECT event_type AS term, CAST(COUNT(*) AS BIGINT) AS term_count
+    FROM events GROUP BY event_type
+    ORDER BY term_count DESC, term ASC LIMIT 5
+    """,
+    survey_ids=("A7", "L4"),
+    doc="Kibana terms top-5 aggregation (reference: docker-compose.yml:326-328)",
+)
+def a7(spark, sf_dir):
+    return top_k_terms(_t(spark, sf_dir, "events"), "event_type", 5)
+
+
+@register(
+    "a8_count_metric",
+    f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS unhappy_count
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE lower(e.event_type) NOT LIKE '{ref.LIVE_PATTERN}'
+      AND c.c_name IS NOT NULL
+      AND e.value < {ref.UNHAPPY_VALUE_THRESHOLD}
+      AND c.c_mktsegment = '{ref.VIP_SEGMENT}'
+    """,
+    survey_ids=("A8",),
+    doc="Kibana count-metric tile over the alert stream "
+    "(reference: docker-compose.yml:325)",
+)
+def a8(spark, sf_dir):
+    return ref.unhappy_vip_customers(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer")
+    ).agg(F.count(F.lit(1)).alias("unhappy_count"))
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sorts / limits / top-k  (L1-L4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l2_limit_probe",
+    "SELECT * FROM customer ORDER BY c_custkey LIMIT 5",
+    survey_ids=("L1", "L2"),
+    doc="LIMIT-5 inspection probe (reference: README.md:128-129,148); ordered "
+    "by key so the probe is deterministic",
+)
+def l2(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").orderBy("c_custkey").limit(5)
+
+
+@register(
+    "l3_l4_sorted_topk",
+    """
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS extract_ts, value,
+           CAST(row_number() OVER (ORDER BY ts DESC, event_id DESC) AS BIGINT) AS pos
+    FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 20
+    """,
+    survey_ids=("L3", "L4"),
+    doc="Kibana saved-search sort by EXTRACT_TS desc + top-k "
+    "(reference: docker-compose.yml:323,329); rank materialized so order is "
+    "hash-checkable. Global row_number is single-partition — inspection-probe "
+    "only, never in a scale path (top_k_terms is the scalable top-k)",
+)
+def l3(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("pos", F.row_number().over(w).cast("long"))
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(20)
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("extract_ts"),
+            "value",
+            "pos",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 scalar functions  (X7, X8 — the consumer-side surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x7_json_extract",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    survey_ids=("X7",),
+    doc="consumer-side json.loads twin, JVM-side "
+    "(reference: python_kafka_notify.py:37-39)",
+)
+def x7(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", json_get("props", "k").cast("long").alias("k"))
+
+
+@register(
+    "x8_alert_template",
+    f"""
+    SELECT e.event_id,
+           c.c_name || ' just left a bad review (segment ' || c.c_mktsegment || ')'
+             AS alert_text
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    WHERE lower(e.event_type) NOT LIKE '{ref.LIVE_PATTERN}'
+      AND c.c_name IS NOT NULL
+      AND e.value < {ref.UNHAPPY_VALUE_THRESHOLD}
+      AND c.c_mktsegment = '{ref.VIP_SEGMENT}'
+    """,
+    survey_ids=("X8", "K5", "K6"),
+    doc="Slack/Pushbullet alert message formatting, computed engine-side "
+    "(reference: python_kafka_notify.py:44)",
+)
+def x8(spark, sf_dir):
+    df = ref.unhappy_vip_customers(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer"))
+    return df.select(
+        "event_id",
+        concat_strict(
+            F.col("c_name"),
+            F.lit(" just left a bad review (segment "),
+            F.col("c_mktsegment"),
+            F.lit(")"),
+        ).alias("alert_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped heavies: exercise the scale paths (partial agg, broadcast vs
+# shuffle join, AQE) and serve as bench headliners. Not reference operators —
+# they are the engine's scale-proof for the same operator classes (A1/J1/L4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2) AS sum_qty,
+           round(SUM(l_extendedprice), 2) AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(AVG(l_quantity), 4) AS avg_qty,
+           round(AVG(l_extendedprice), 4) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_ids=("A1",),
+    bench=True,
+    doc="TPC-H Q1-shaped pricing summary: wide partial aggregation, "
+    "map-side combine, 6k->4 row reduction — the canonical 100 TB agg shape",
+)
+def h1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "h3_top_revenue_orders",
+    """
+    SELECT l.l_orderkey,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+    survey_ids=("J1", "A1", "L4"),
+    bench=True,
+    doc="TPC-H Q3-shaped: selective dim filter -> join -> agg -> top-k; "
+    "customer/orders broadcast-able relative to lineitem at bench SFs",
+)
+def h3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "h5_nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    survey_ids=("J1", "A1"),
+    bench=True,
+    doc="TPC-H Q5-shaped star join: all three dims broadcast, zero fact "
+    "shuffles before the final small agg",
+)
+def h5(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# public accessors used by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle.strip()
+        for name, spec in QUERIES.items()
+        if spec.oracle is not None
+    }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in QUERIES.items() if spec.bench}

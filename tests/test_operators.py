@@ -1,0 +1,70 @@
+"""Semantic unit tests for the core operator library (SURVEY.md §5.2
+layer 3): NULL concat parity, latest-per-key supersede semantics, the
+live/test split round trip."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from data_pipeline_kafka_ek_spark.functions.scalars import concat_strict
+from data_pipeline_kafka_ek_spark.operators.relational import (
+    latest_per_key,
+    split_by_pattern,
+    top_k_terms,
+)
+from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+
+def test_concat_strict_null_propagates(spark):
+    """ksqlDB '+' yields NULL on NULL operand (SURVEY.md §7.3) — concat_ws
+    would silently skip; verify we kept the strict contract."""
+    df = spark.createDataFrame(
+        [("Rica", "Blaisdell"), (None, "Astley")], ["first_name", "last_name"]
+    )
+    out = df.select(
+        concat_strict(F.col("first_name"), F.lit(" "), F.col("last_name")).alias("fn")
+    ).collect()
+    assert out[0].fn == "Rica Blaisdell"
+    assert out[1].fn is None
+
+
+def test_latest_per_key_supersedes(spark):
+    """The reference's UPDATE-then-read experiment (README.md:204-210): the
+    newest change per key wins."""
+    rows = [
+        (42, "bronze", datetime.datetime(2024, 1, 1)),
+        (42, "platinum", datetime.datetime(2024, 1, 2)),
+        (1, "silver", datetime.datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, ["id", "club_status", "update_ts"])
+    latest = latest_per_key(df, "id", [F.desc("update_ts")])
+    got = {r.id: r.club_status for r in latest.collect()}
+    assert got == {42: "platinum", 1: "silver"}
+
+
+def test_split_roundtrip(spark, sf_dir):
+    """live ∪ test == source and live ∩ test == ∅ (SURVEY.md §2.8)."""
+    events = load_table(spark, sf_dir, "events")
+    live, test = split_by_pattern(events, "event_type", "%err%")
+    assert live.count() + test.count() == events.count()
+    assert live.join(test, "event_id", "inner").count() == 0
+
+
+def test_top_k_terms_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("b",), ("b",), ("a",), ("a",), ("c",)], ["term_col"]
+    )
+    got = top_k_terms(df, "term_col", 2).collect()
+    assert [(r.term, r.term_count) for r in got] == [("a", 2), ("b", 2)]
+
+
+def test_broadcast_join_in_plan(spark, sf_dir):
+    """The enrichment join must broadcast the dimension side — at 100 TB the
+    fact stream must not shuffle for this join."""
+    from data_pipeline_kafka_ek_spark.plans.reference import enriched_events
+
+    df = enriched_events(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -1,0 +1,133 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet fixtures, then compares row count, sorted
+column names, and an order-insensitive value hash (rows stringified,
+columns sorted by name, rows sorted). Usage:
+
+    python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from data_pipeline_kafka_ek_spark.session import get_spark
+from data_pipeline_kafka_ek_spark.sources.tables import TABLES
+
+
+def _normalize_cell(v) -> str:
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(round(v, 9))
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_normalize_cell(x) for x in v) + "]"
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "|".join(_normalize_cell(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark("check_correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = list(sdf.columns)
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:35s} rows-only: {len(srows):7d} rows  ({spark_s:.1f}s)")
+            continue
+        t0 = time.time()
+        rel = con.sql(oracles[name])
+        ocols = list(rel.columns)
+        orows = rel.fetchall()
+        duck_s = time.time() - t0
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+        if not problems:
+            sh, oh = value_hash(scols, srows), value_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash spark={sh} duck={oh}")
+                # show a diff sample
+                sset = {
+                    "|".join(
+                        _normalize_cell(r[i])
+                        for i in sorted(range(len(scols)), key=lambda i: scols[i])
+                    )
+                    for r in srows
+                }
+                oset = {
+                    "|".join(
+                        _normalize_cell(r[i])
+                        for i in sorted(range(len(ocols)), key=lambda i: ocols[i])
+                    )
+                    for r in orows
+                }
+                for x in list(sset - oset)[:2]:
+                    print(f"      spark-only: {x[:160]}")
+                for x in list(oset - sset)[:2]:
+                    print(f"      duck-only:  {x[:160]}")
+        status = "OK " if not problems else "FAIL"
+        print(
+            f"  {name:35s} {status} {len(srows):7d} rows  "
+            f"(spark {spark_s:.1f}s, duck {duck_s:.1f}s)"
+            + ("  " + "; ".join(problems) if problems else "")
+        )
+        if problems:
+            failures.append(name)
+
+    print()
+    total = len([n for n in qs if not only or n in only])
+    print(f"{total - len(failures)}/{total} queries match")
+    if failures:
+        print("FAILURES:", ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
