@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_pipeline_kafka_ek_spark.plans import catalog
+from data_pipeline_kafka_ek_spark.plans import extensions as _extensions  # noqa: F401  (registers extension queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

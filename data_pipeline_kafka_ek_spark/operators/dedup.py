@@ -1,0 +1,265 @@
+"""Deduplication operators for training-data pipelines.
+
+Five variants, each a scalable Spark-first design (no driver-side loops,
+no O(n^2) cross joins except where the algorithm's verify step is bounded
+by candidate generation):
+
+* exact         — hash-groupBy on the content key; one shuffle.
+* n-gram Jaccard — posting-list (inverted-index) candidate join + exact
+                   set-Jaccard verify; the join is on shared tokens so only
+                   pairs with non-zero overlap are ever materialized.
+* MinHash + LSH — md5-based minhash signatures, banded; candidates are
+                   pairs agreeing on >=1 band; exact-Jaccard verified.
+                   Deterministic across engines (md5, lexicographic min),
+                   so it is fully oracle-checkable.
+* SimHash       — 64-bit vectorized signature via a Pandas UDF; near-dups
+                   are pairs within a Hamming radius, blocked by 16-bit
+                   chunks (pigeonhole: radius<=3 => some chunk matches).
+* embedding     — cosine-threshold pairs over an embedding column (see
+                   similarity.py for the dot-product machinery).
+
+The reference has no dedup surface (it is a streaming demo); these are the
+north-star extension operators (BASELINE.json) built on the same engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest id per distinct content tuple.
+
+    groupBy on content = one shuffle keyed by the (hashed) content columns;
+    at 100 TB prefer ``md5(content)`` as the group key so the shuffle rows
+    carry a 32-byte digest instead of full documents — done here.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    return (
+        df.withColumn("__k", digest)
+        .groupBy("__k")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# token-set Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+
+def _token_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with token-set Jaccard >= threshold.
+
+    Candidates come from an inverted-index self-join (explode tokens, join
+    on token) — complete for any threshold > 0 because J(a,b) > 0 implies a
+    shared token. The verify step computes exact Jaccard on the candidate
+    pairs only. At scale, add prefix filtering (join only on each doc's k
+    rarest tokens) to bound posting-list skew; AQE's skew-join split also
+    applies since hot tokens are exactly skewed join keys.
+    """
+    sets = _token_sets(docs, id_col, text_col)
+    posts = sets.select("doc_id", F.explode("toks").alias("tok"))
+    a, b = posts.alias("a"), posts.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_sim", jac)
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (md5-based, engine-portable, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 8
+NUM_BANDS = 4  # 2 rows per band
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc minhash signature: h_i = min over tokens of md5(f"{i}:{tok}").
+
+    md5 + lexicographic min is deterministic and identical in any engine —
+    the property that makes the whole LSH pipeline oracle-verifiable.
+    One explode + one groupBy; signature rows are tiny (8 x 32 hex chars).
+    """
+    toks = _token_sets(docs, id_col, text_col).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash banding: docs agreeing on any band are candidates; candidates
+    are verified with exact token-set Jaccard >= threshold.
+
+    Scale shape: the band join is an equi-join on (band_idx, band_val) — a
+    plain shuffle join whose fan-out is bounded by bucket sizes, the
+    standard web-scale near-dup architecture (shingle -> minhash -> band ->
+    bucket-join -> verify).
+    """
+    sig = minhash_signatures(docs, id_col, text_col)
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    band_cols = []
+    for bidx in range(NUM_BANDS):
+        hs = [F.col(f"h{bidx * rows_per_band + j}") for j in range(rows_per_band)]
+        # concat with '|' separator, md5'd — mirrors the oracle SQL exactly
+        val = hs[0]
+        for h in hs[1:]:
+            val = F.concat(val, F.lit("|"), h)
+        band_cols.append(
+            F.struct(F.lit(bidx).alias("band_idx"), F.md5(val).alias("band_val"))
+        )
+    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
+        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = _token_sets(docs, id_col, text_col)
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (vectorized Pandas UDF; near-dup = small Hamming distance)
+# ---------------------------------------------------------------------------
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens using md5-derived token hashes
+    (deterministic; no external deps)."""
+    acc = [0] * 64
+    for tok in set(text.split()):
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for j in range(64):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    out = 0
+    for j in range(64):
+        if acc[j] > 0:
+            out |= 1 << j
+    return out - (1 << 64) if out >= (1 << 63) else out  # to signed for LongType
+
+
+def simhash_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append a ``simhash`` LongType column (Arrow-batched Pandas UDF —
+    the slow-path escape hatch; everything downstream is JVM-side)."""
+    from data_pipeline_kafka_ek_spark.functions.udfs import make_series_udf
+
+    _sh = make_series_udf(_simhash64, "long")
+    return docs.withColumn("simhash", _sh(F.col(text_col)))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Blocking by the pigeonhole principle: split the 64-bit signature into 4
+    16-bit chunks; distance <= 3 implies at least one chunk is identical, so
+    the candidate join is an equi-join on (chunk_idx, chunk_value) — never a
+    cross join. Hamming verify is a JVM-side bit_count(xor).
+    """
+    sh = simhash_column(docs, text_col).select(
+        F.col(id_col).alias("doc_id"), "simhash"
+    )
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Design (the part that must be right at 100 TB even though codecs are
+stubbed here):
+
+* a multimodal asset is a row ``(asset_id, modality, payload binary,
+  meta struct<mime,width,height,duration_ms>)`` — payloads stay opaque
+  bytes end-to-end; Spark never interprets them, so predicate pushdown and
+  column pruning still apply to the metadata columns and the payload column
+  is only read by stages that need it;
+* decode / feature-extract runs as ``mapInPandas`` over Arrow batches —
+  one Python worker call per batch, not per row; batch size is bounded via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a partition of 100 MB
+  images can't blow worker memory;
+* the actual codec (PIL/librosa/ffmpeg) is NOT in this container, so
+  ``decode_payload`` raises ``NotImplementedError`` unless the caller
+  passes a decoder; ``fake_features`` is the deterministic stand-in used
+  by tests and the catalog (byte-length, digest, first-byte statistics).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_FIELDS = "mime string, width int, height int, duration_ms long"
+ASSET_SCHEMA = f"asset_id long, modality string, payload binary, meta struct<{META_FIELDS}>"
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Adapter used by tests/fixtures: treat each document's UTF-8 bytes as
+    an opaque payload (the fixture set has no real image/audio bytes)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("text").alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload(
+    assets: DataFrame,
+    decoder: Callable[[bytes, str], dict] | None = None,
+) -> DataFrame:
+    """Decode payloads into per-asset feature rows via Arrow-batched
+    ``mapInPandas``.
+
+    ``decoder(payload_bytes, modality) -> {"width": ..., ...}`` supplies
+    the real codec. Without one this raises ``NotImplementedError`` at plan
+    *build* time (not mid-job on an executor) — the image/audio libraries
+    are not available in this environment; the Spark-side plumbing (schema,
+    batching, partitioning) is real and tested via ``fake_features``.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "no media codecs in this environment — pass decoder=, or use "
+            "fake_features() for the deterministic test stand-in"
+        )
+
+    out_schema = "asset_id long, modality string, feature_json string"
+
+    def run(batches: Iterator) -> Iterator:
+        import json
+
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [
+                json.dumps(decoder(bytes(p), m))
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "feature_json": feats,
+                }
+            )
+
+    return assets.mapInPandas(run, schema=out_schema)
+
+
+def fake_features(assets: DataFrame) -> DataFrame:
+    """Deterministic feature extraction over the opaque payload, exercising
+    the exact batch shape a real decoder would use: byte length, md5 digest,
+    and a fake 4-dim embedding from evenly-spaced payload bytes.
+
+    Runs in ``mapInPandas`` (the real decode path) — correctness of the
+    values is still oracle-checkable because every feature is a pure
+    function of the bytes.
+    """
+    out_schema = (
+        "asset_id long, modality string, byte_len long, digest string, "
+        "fake_embedding array<double>"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, mod, payload in zip(
+                pdf["asset_id"], pdf["modality"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                n = len(b)
+                # 4 evenly-spaced sample bytes, scaled to [0,1]
+                emb = [b[(i * n) // 4] / 255.0 if n else 0.0 for i in range(4)]
+                rows.append(
+                    (int(aid), mod, n, hashlib.md5(b).hexdigest(), emb)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "modality",
+                    "byte_len",
+                    "digest",
+                    "fake_embedding",
+                ],
+            )
+
+    return assets.mapInPandas(run, schema=out_schema)
+
+
+def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: the transform signature, partitioning and
+    output schema of a real resize stage, with the pixel work stubbed to a
+    deterministic passthrough (no image libs in this container). Swap the
+    body for PIL in production; nothing else changes."""
+    return assets.withColumn(
+        "meta",
+        F.struct(
+            F.col("meta.mime").alias("mime"),
+            F.lit(width).alias("width"),
+            F.lit(height).alias("height"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        ),
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators over the ``documents`` table.
+
+All four are pure built-in-function pipelines (JVM-side, codegen'd) — the
+shapes a 100 TB corpus-prep pipeline runs on every document, so the hot
+path must never drop into per-row Python:
+
+* token stats    — counts/length features from a whitespace+regex split
+* quality score  — length / stopword-ratio / repetition heuristics
+* language ID    — marker-word n-gram heuristic (argmax over languages)
+* fingerprint    — normalized sorted-token digest (OpenRefine-style
+                   collision key) + a polynomial rolling hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# a small English stopword set (public-domain list prefix)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# marker words per language for the heuristic language-ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "los", "que"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-romanized markers
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, char lengths, and
+    a BPE-ish subword estimate (ceil(chars/4) — the standard ~4 chars/token
+    heuristic used for LLM corpus accounting)."""
+    toks = _tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_computed"),
+        F.ceil(F.length(text_col) / 4).cast("long").alias("n_subword_est"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: distinct-token ratio (repetition), stopword
+    ratio, mean token length, and a composite [0,1] score. Thresholds are
+    the usual corpus-filtering shape (e.g. drop if repetition is extreme or
+    tokens are degenerate)."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop_arr)) / F.size(
+        F.array_distinct(toks)
+    )
+    mean_tok_len = (F.length(F.col(text_col)) - (n - 1)) / n  # chars minus spaces
+    score = F.least(
+        F.lit(1.0),
+        (distinct_ratio * 0.5 + stop_ratio * 0.2 + F.least(mean_tok_len / 8, F.lit(1.0)) * 0.3),
+    )
+    return docs.select(
+        "doc_id",
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-word hits per language over the
+    distinct token set; argmax with deterministic (alphabetical) tiebreak,
+    'und' (undetermined) when nothing matches."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    scores = [
+        (
+            lang,
+            F.size(F.array_intersect(toks, F.array(*[F.lit(m) for m in markers]))),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # reversed so the alphabetically-first language wins ties
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        pred.alias("lang_predicted"),
+        best.cast("long").alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting:
+
+    * ``fp_key``  — OpenRefine-style collision key: md5 of the sorted
+      distinct lowercase tokens (order/dup-insensitive content identity);
+    * ``fp_roll`` — polynomial rolling hash over the raw bytes,
+      base 31 mod 2^31-1 (positional content identity), computed JVM-side
+      with ``aggregate`` over the char codepoints.
+    """
+    toks = F.array_sort(F.array_distinct(_tokens(F.lower(F.col(text_col)))))
+    key = F.md5(F.array_join(toks, " "))
+    codes = F.transform(
+        F.split(F.col(text_col), ""), lambda c: F.ascii(c).cast("long")
+    )
+    roll = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(2147483647).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        key.alias("fp_key"),
+        roll.alias("fp_roll"),
+    )

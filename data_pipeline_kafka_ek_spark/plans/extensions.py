@@ -1,0 +1,341 @@
+"""Catalog entries for the large-scale extension operators (BASELINE.json
+north star): dedup, similarity search, text analysis, multimodal plumbing.
+
+Registered into the same QUERIES dict as the reference-parity set; oracle
+conventions identical (see catalog.py header). Ops that are approximate or
+Pandas-UDF-randomized by design (SimHash pairs, LSH-ANN) have no SQL
+oracle — they get rows-only driver checks plus recall tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_kafka_ek_spark.operators import dedup, multimodal, similarity, text
+from data_pipeline_kafka_ek_spark.plans.catalog import _t, register
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY text
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="exact dedup via content-digest groupBy: one shuffle keyed on "
+    "md5(text), keep lowest doc_id per group",
+)
+def x_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@register(
+    "x_dedup_jaccard",
+    """
+    WITH sets AS (
+      SELECT doc_id, list_distinct(string_split(text,' ')) s FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s,b.s))*1.0
+                 / len(list_distinct(list_concat(a.s,b.s))), 4) AS jaccard_sim
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s,b.s))*1.0
+          / len(list_distinct(list_concat(a.s,b.s))) >= 0.9
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="token-set Jaccard >= 0.9 near-dup pairs; Spark side is an "
+    "inverted-index join (complete for J>0), oracle is brute-force O(n^2)",
+)
+def x_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+@register(
+    "x_dedup_minhash_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents
+    ),
+    hmin AS (
+      SELECT doc_id,
+        min(md5('0:'||tok)) h0, min(md5('1:'||tok)) h1,
+        min(md5('2:'||tok)) h2, min(md5('3:'||tok)) h3,
+        min(md5('4:'||tok)) h4, min(md5('5:'||tok)) h5,
+        min(md5('6:'||tok)) h6, min(md5('7:'||tok)) h7
+      FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, md5(h0||'|'||h1) AS band_val FROM hmin
+      UNION ALL SELECT doc_id, 1, md5(h2||'|'||h3) FROM hmin
+      UNION ALL SELECT doc_id, 2, md5(h4||'|'||h5) FROM hmin
+      UNION ALL SELECT doc_id, 3, md5(h6||'|'||h7) FROM hmin
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(string_split(text,' ')) s FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(x.s,y.s))*1.0
+                 / len(list_distinct(list_concat(x.s,y.s))), 4) AS jaccard_sim
+    FROM cand c JOIN sets x ON c.doc_a = x.doc_id JOIN sets y ON c.doc_b = y.doc_id
+    WHERE len(list_intersect(x.s,y.s))*1.0
+          / len(list_distinct(list_concat(x.s,y.s))) >= 0.8
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="MinHash(8 hashes) + LSH(4 bands of 2): md5-minhash signatures -> "
+    "band bucket-join candidates -> exact-Jaccard verify >= 0.8; fully "
+    "deterministic so both engines reproduce the identical candidate set",
+)
+def x_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "x_dedup_simhash",
+    None,  # Pandas-UDF signature; verified by unit tests (hamming metamorphic)
+    survey_ids=("EXT-dedup",),
+    doc="SimHash64 near-dup pairs (hamming<=3) with 16-bit-chunk pigeonhole "
+    "blocking; signature via Arrow-batched Pandas UDF — no SQL oracle, "
+    "rows-only driver check + metamorphic tests in tests/test_extensions.py",
+)
+def x_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "x_dedup_embedding",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    """,
+    survey_ids=("EXT-dedup", "EXT-similarity"),
+    doc="embedding-cosine near-dup pairs (>= 0.4; fixture vectors are "
+    "near-orthogonal so higher thresholds are empty); float64 math over the "
+    "original element order on both engines",
+)
+def x_dedup_embedding(spark, sf_dir):
+    return similarity.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, c.e) AS sim
+      FROM v c, q WHERE c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "x_ann_cosine_topk",
+    _ANN_ORACLE,
+    survey_ids=("EXT-similarity",),
+    doc="brute-force exact cosine top-10 per query vector (query set "
+    "broadcast, dot product in whole-stage codegen, per-query window rank)",
+)
+def x_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "x_ann_topk_blocked",
+    _ANN_ORACLE,
+    survey_ids=("EXT-similarity",),
+    bench=True,
+    doc="same exact top-k via mapInPandas numpy matmul with per-partition "
+    "local top-k (the fast exact path for huge corpora: shuffle carries "
+    "k rows per partition per query, not the corpus); identical oracle",
+)
+def x_ann_blocked(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    return similarity.cosine_topk_blocked(emb, qrows, k=10)
+
+
+@register(
+    "x_ann_lsh_bucketed",
+    None,  # approximate by construction; recall tested vs brute force
+    survey_ids=("EXT-similarity",),
+    doc="sign-random-projection LSH buckets + exact re-rank within bucket "
+    "(the corpus-pruning scale path); approximate -> rows-only driver "
+    "check, recall>=threshold asserted in tests/test_extensions.py",
+)
+def x_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_text_token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+             AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(ceil(length(text)/4.0) AS BIGINT) AS n_subword_est
+    FROM documents
+    """,
+    survey_ids=("EXT-text",),
+    doc="token counting: whitespace tokens, distinct tokens, chars, "
+    "~4-chars-per-token subword estimate",
+)
+def x_text_tokens(spark, sf_dir):
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             len(string_split(text,' ')) AS n,
+             list_distinct(string_split(text,' ')) AS d
+      FROM documents
+    )
+    SELECT doc_id,
+           round(len(d)*1.0/n, 4) AS distinct_ratio,
+           round(len(list_intersect(d,
+                 ['the','a','an','and','or','of','to','in','is','it']))*1.0
+                 / len(d), 4) AS stopword_ratio,
+           round((length(text) - (n-1))*1.0/n, 4) AS mean_token_len,
+           round(least(1.0,
+                 (len(d)*1.0/n)*0.5
+                 + (len(list_intersect(d,
+                    ['the','a','an','and','or','of','to','in','is','it']))*1.0
+                    / len(d))*0.2
+                 + least((length(text)-(n-1))*1.0/n/8, 1.0)*0.3), 4)
+             AS quality_score
+    FROM t
+    """,
+    survey_ids=("EXT-text",),
+    doc="document quality heuristics: repetition (distinct ratio), stopword "
+    "ratio, mean token length, composite [0,1] score",
+)
+def x_text_quality(spark, sf_dir):
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_text_langid",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS d
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             len(list_intersect(d, ['der','die','und','das','ist'])) AS h_de,
+             len(list_intersect(d, ['the','and','of','to','is'])) AS h_en,
+             len(list_intersect(d, ['el','la','de','los','que'])) AS h_es,
+             len(list_intersect(d, ['le','la','et','les','des'])) AS h_fr,
+             len(list_intersect(d, ['de5','shi4','le5','zai4','he2'])) AS h_zh
+      FROM t
+    )
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_predicted,
+           CAST(greatest(h_de,h_en,h_es,h_fr,h_zh) AS BIGINT) AS marker_hits
+    FROM h
+    """,
+    survey_ids=("EXT-text",),
+    doc="heuristic language ID: marker-word hits per language, argmax with "
+    "alphabetical tiebreak, 'und' when no markers hit",
+)
+def x_text_langid(spark, sf_dir):
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(list_aggregate(list_sort(list_distinct(
+               string_split(lower(text),' '))), 'string_agg', ' ')) AS fp_key,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(generate_series(1, length(text)),
+                              i -> ascii(substr(text, i, 1))::BIGINT)),
+             (a, b) -> (a * 31 + b) % 2147483647) AS fp_roll
+    FROM documents
+    """,
+    survey_ids=("EXT-text",),
+    doc="document fingerprinting: OpenRefine-style sorted-distinct-token "
+    "md5 collision key + base-31 polynomial rolling hash over the chars",
+)
+def x_text_fingerprint(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_multimodal_features",
+    """
+    SELECT doc_id AS asset_id, 'text' AS modality,
+           CAST(length(text) AS BIGINT) AS byte_len,
+           md5(text) AS digest,
+           [ascii(substr(text, (0*length(text))//4 + 1, 1))/255.0,
+            ascii(substr(text, (1*length(text))//4 + 1, 1))/255.0,
+            ascii(substr(text, (2*length(text))//4 + 1, 1))/255.0,
+            ascii(substr(text, (3*length(text))//4 + 1, 1))/255.0]
+             AS fake_embedding
+    FROM documents
+    """,
+    survey_ids=("EXT-multimodal",),
+    doc="multimodal plumbing: opaque binary payload column + typed metadata, "
+    "feature extraction via Arrow-batched mapInPandas (byte length, digest, "
+    "sampled-byte fake embedding standing in for the absent codecs); oracle "
+    "valid because fixture text is pure ASCII (byte == char)",
+)
+def x_multimodal(spark, sf_dir):
+    assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.fake_features(assets)

@@ -1,0 +1,94 @@
+"""Tests for the non-oracle extension operators: SimHash metamorphic
+properties, LSH-ANN recall vs brute force, multimodal decode plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_kafka_ek_spark.operators import dedup, multimodal, similarity
+from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+
+def test_simhash_identical_texts_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "completely different words here entirely")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_deterministic():
+    a = dedup._simhash64("spark window join")
+    b = dedup._simhash64("spark window join")
+    assert a == b
+    assert a != dedup._simhash64("spark window scan")
+
+
+def test_simhash_small_edit_small_distance():
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    edited = base.replace("lazy", "idle", 1)
+    h1, h2 = dedup._simhash64(base), dedup._simhash64(edited)
+    assert bin((h1 ^ h2) & ((1 << 64) - 1)).count("1") <= 16
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.lsh_bucket_topk(emb, queries, k=10, n_planes=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # 4 planes ~ 1/16 of the corpus per bucket on random data; recall of the
+    # true top-10 is necessarily partial — assert it's meaningfully > random
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.05, f"LSH recall {recall} not better than nothing"
+    # and every returned neighbor must be real (ids exist, no self-matches)
+    assert all(q != n for q, n in approx_set)
+
+
+def test_blocked_topk_equals_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    qrows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in queries.collect()
+    ]
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    blocked = similarity.cosine_topk_blocked(emb, qrows, k=10)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, blocked.collect()))
+
+
+def test_decode_payload_requires_decoder(spark, sf_dir):
+    assets = multimodal.documents_as_assets(load_table(spark, sf_dir, "documents"))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(assets)
+
+
+def test_decode_payload_with_custom_decoder(spark, sf_dir):
+    assets = multimodal.documents_as_assets(load_table(spark, sf_dir, "documents")).limit(10)
+    out = multimodal.decode_payload(
+        assets, decoder=lambda b, m: {"n": len(b), "modality": m}
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.feature_json.startswith('{"n":') for r in rows)
+
+
+def test_resize_stub_sets_dimensions(spark, sf_dir):
+    assets = multimodal.documents_as_assets(load_table(spark, sf_dir, "documents")).limit(5)
+    out = multimodal.resize_stub(assets, 224, 224).select("meta.width", "meta.height").collect()
+    assert all((r.width, r.height) == (224, 224) for r in out)
+
+
+def test_minhash_lsh_finds_exact_dups(spark):
+    """Identical token sets must always share all bands -> candidate ->
+    jaccard 1.0."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.minhash_lsh_pairs(df, threshold=0.8).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+    assert pairs[0].jaccard_sim == 1.0
