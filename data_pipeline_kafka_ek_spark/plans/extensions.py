@@ -317,6 +317,36 @@ def x_text_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# streaming (the reference's continuous-query semantics, run to completion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_streaming_windowed_counts",
+    """
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM events GROUP BY 1, 2
+    """,
+    survey_ids=("T1", "T2", "T5", "A3", "A4"),
+    doc="a REAL Structured Streaming query (file stream -> watermark -> "
+    "tumbling 15-min update-mode agg -> memory sink, availableNow trigger) "
+    "whose final state must equal the batch oracle — the reference's "
+    "EMIT CHANGES windowed CTAS (ksqldb-statements.sql:88-93) run to "
+    "completion over the fixture as a bounded stream",
+)
+def t_streaming_windowed(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    stream = srt.stream_table(spark, sf_dir, "events")
+    return srt.run_available_now(
+        srt.windowed_counts(stream, watermark="100 days"), output_mode="update"
+    )
+
+
 @register(
     "x_multimodal_features",
     """

@@ -1,0 +1,230 @@
+"""Structured Streaming runtime (SURVEY.md §2.10, §7.2 phase 3).
+
+The reference's execution model is ksqlDB persistent queries: continuous
+SQL over Kafka topics with incrementally-maintained tables (`EMIT CHANGES`,
+reference: README.md:110-116). Spark twin: the SAME DataFrame transforms
+from plans/ and operators/ wrapped in Structured Streaming —
+
+* source: file stream over the fixture parquet (batch/stream duality —
+  the Kafka source in sources/kafka.py has the same contract);
+* `EMIT CHANGES` -> ``outputMode("update")`` for aggregates, ``append``
+  for stateless derivations (T1);
+* tumbling/hopping/session windows -> ``window`` / ``session_window``
+  (T2-T4);
+* late data -> explicit ``withWatermark`` (T5 — ksqlDB keeps windows open
+  for the whole retention period; we default to a generous watermark and
+  make it a knob; exact parity would be unbounded state);
+* re-key (`PARTITION BY`, T6) -> sink key column / ``repartition``;
+* reprocess-from-earliest (T8) -> fresh checkpoint + full re-read;
+* throttled consumption (T9) -> ``trigger(processingTime=...)``.
+
+For deterministic tests everything runs with ``trigger(availableNow=True)``
+into a memory sink and is compared against the batch twin — the
+batch ≡ streaming property (SURVEY.md §5.2 layer 2).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+DEFAULT_WATERMARK = "24 hours"  # generous, ksqlDB-retention-like (T5)
+
+
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Open a fixture table as a STREAM (S1's batch/stream duality): file
+    source with the batch schema. The same downstream transforms run
+    unchanged — this is the engine's stream/table unification."""
+    batch = load_table(spark, sf_dir, name)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if name == "events":
+        # the streaming reader sees the raw long-nanos ts column (the batch
+        # path's schema already has the µs conversion applied, so take the
+        # schema from the raw file instead), then re-apply the conversion
+        raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+        df = (
+            reader.schema(raw_schema)
+            .option("pathGlobFilter", f"{name}.parquet")
+            .parquet(sf_dir)
+        )
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
+
+
+def replayed_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    n_slices: int = 4,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Re-feed a batch DataFrame as a multi-micro-batch stream: write it as
+    ``n_slices`` files and stream them one file per trigger. Used by the
+    batch ≡ streaming regression tests to force real incremental state
+    updates (a single-batch stream would trivially equal batch)."""
+    tmp = tempfile.mkdtemp(prefix="replay_")
+    out = df
+    if order_col is not None:
+        out = df.repartitionByRange(n_slices, F.col(order_col))
+    else:
+        out = df.repartition(n_slices)
+    out.write.mode("overwrite").parquet(tmp)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    output_mode: str = "update",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion over all available input
+    (``trigger(availableNow=True)``) into a memory sink; return the final
+    result as a batch DataFrame.
+
+    This is the reference's reprocess-from-earliest pattern (T8,
+    ``SET 'auto.offset.reset'='earliest'`` before each CSAS) — fresh
+    checkpoint, full replay, deterministic final state.
+    """
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    result = spark.table(name)
+    if output_mode == "update":
+        # memory sink in update mode appends every state revision; the
+        # final table state is the latest row per key — callers that need
+        # exact final state should aggregate with keys; for windowed aggs
+        # we re-derive latest per (window, key) downstream.
+        return result
+    return result
+
+
+def windowed_counts(
+    events: DataFrame,
+    window_duration: str = "15 minutes",
+    slide: str | None = None,
+    key: str = "event_type",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """The reference's windowed CTAS (A3/A4/T2/T3): tumbling (or hopping,
+    when ``slide`` is given) count per key with an explicit watermark."""
+    win = (
+        F.window("ts", window_duration)
+        if slide is None
+        else F.window("ts", window_duration, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col(key),
+            F.col("event_count"),
+        )
+    )
+
+
+def session_windowed_counts(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    key: str = "user_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Session windows (T4 — documented option in the reference,
+    README.md:325): per-key sessions closed after ``gap`` of inactivity."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.col(key),
+            F.col("event_count"),
+        )
+    )
+
+
+def rekey_for_sink(df: DataFrame, key_col: str) -> DataFrame:
+    """`PARTITION BY FULL_NAME` twin (T6, reference:
+    ksqldb-statements.sql:68): choose the output message key. For a Kafka
+    sink this sets the ``key`` column (the broker then partitions by it);
+    intra-Spark it is a hash repartition on the key."""
+    return df.withColumn("key", F.col(key_col).cast("string")).repartition(F.col("key"))
+
+
+def rate_events(
+    spark: SparkSession, rows_per_second: int = 2, user_cardinality: int = 15
+) -> DataFrame:
+    """Datagen twin (S4, reference: docker-compose.yml:140-148 — one
+    synthetic ratings event per <=750 ms): the built-in rate source with
+    deterministic column synthesis from the sequence value."""
+    r = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return r.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % user_cardinality).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("click"), F.lit("view"), F.lit("purchase"), F.lit("signup"), F.lit("error")),
+            (F.col("value") % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("value") * 37, F.lit(1000)) / 10.0).alias("value"),
+        F.to_json(F.struct((F.col("value") % 100).alias("k"))).alias("props"),
+    )
+
+
+def parse_json_tolerant(
+    df: DataFrame, json_col: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-document tolerance (T10/K2, reference:
+    ksqldb-statements.sql:74-77 — ``behavior.on.malformed.documents=warn``,
+    ``errors.tolerance=all`` + error logging): PERMISSIVE parse; bad rows go
+    to a dead-letter DataFrame instead of failing the pipeline.
+
+    Returns ``(good, dead_letter)``.
+    """
+    # PERMISSIVE mode routes unparseable input into _corrupt_record instead
+    # of failing the job (from_json alone would yield a null-fielded struct,
+    # indistinguishable from legitimately-null fields)
+    full_schema = f"{schema}, _corrupt_record string"
+    parsed = df.withColumn(
+        "__parsed",
+        F.from_json(
+            F.col(json_col),
+            full_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    ok = F.col("__parsed._corrupt_record").isNull()
+    good = (
+        parsed.filter(ok)
+        .select("*", F.col("__parsed.*"))
+        .drop("__parsed", "_corrupt_record")
+    )
+    dlq = parsed.filter(~ok).drop("__parsed")
+    return good, dlq

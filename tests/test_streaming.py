@@ -1,0 +1,180 @@
+"""Streaming semantics tests (SURVEY.md §5.2 layers 2-3): batch ≡ streaming
+over replayed micro-batches, update-mode windowed aggregates, session
+windows, CDC propagation, tolerant parsing, sink adapters."""
+
+import datetime
+import glob
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_pipeline_kafka_ek_spark.sources import cdc, kafka
+from data_pipeline_kafka_ek_spark.sources.tables import load_table
+from data_pipeline_kafka_ek_spark.streaming import runtime, sinks
+
+
+def _final_windowed_state(df):
+    """memory-sink update mode emits every state revision; final state is
+    the last revision per (window, key)."""
+    return {
+        (r.window_start, r.event_type): r.event_count
+        for r in df.orderBy("window_start").collect()
+    }
+
+
+def test_streaming_windowed_agg_equals_batch(spark, sf_dir):
+    """The reference's windowed CTAS is incrementally maintained (A4/T1);
+    replay events in 4 micro-batches and assert the final state equals the
+    batch computation."""
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.window_start, r.event_type): r.event_count
+        for r in runtime.windowed_counts(events, watermark="100 days").collect()
+    }
+    stream = runtime.replayed_stream(spark, events, n_slices=4, order_col="ts")
+    result = runtime.run_available_now(
+        runtime.windowed_counts(stream, watermark="100 days"),
+        output_mode="update",
+    )
+    streamed = _final_windowed_state(result)
+    assert streamed == batch
+
+
+def test_session_window_runs_streaming(spark, sf_dir):
+    """Session windows support append output only; with a tight watermark
+    almost all sessions finalize before end-of-input, and the emitted
+    sessions must agree with the batch computation."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") == 3)
+    stream = runtime.replayed_stream(spark, events, n_slices=2, order_col="ts")
+    out = runtime.run_available_now(
+        runtime.session_windowed_counts(stream, gap="10 minutes", watermark="1 minute"),
+        output_mode="append",
+    )
+    streamed = {
+        (r.session_start, r.user_id): r.event_count for r in out.collect()
+    }
+    batch = {
+        (r.session_start, r.user_id): r.event_count
+        for r in runtime.session_windowed_counts(events, gap="10 minutes").collect()
+    }
+    assert len(streamed) > 0
+    # every finalized streamed session matches its batch twin exactly
+    assert all(batch.get(k) == v for k, v in streamed.items())
+
+
+def test_watermark_drops_late_rows(spark):
+    """T5: with a tight watermark, an event far behind the max seen
+    event-time is dropped from the aggregation (divergence from ksqlDB's
+    retention-window updates is deliberate and documented)."""
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    on_time = [(i, base + datetime.timedelta(minutes=i), "a") for i in range(60)]
+    late = [(99, base - datetime.timedelta(hours=2), "a")]
+    df = spark.createDataFrame(on_time + late, ["event_id", "ts", "event_type"])
+    # late row in its own trailing micro-batch: order by event_id puts it last
+    stream = runtime.replayed_stream(spark, df, n_slices=3, order_col="event_id")
+    strict = runtime.run_available_now(
+        runtime.windowed_counts(stream, window_duration="15 minutes", watermark="10 minutes"),
+        output_mode="append",  # append emits only finalized windows
+    )
+    counted = sum(r.event_count for r in strict.collect())
+    assert counted <= 60  # the -2h row must not appear in any finalized window
+
+
+def test_cdc_apply_update_propagation(spark, tmp_path):
+    """The reference's live mutation experiment (README.md:204-210): an
+    upstream UPDATE changes what subsequent joins see."""
+    tbl = cdc.MaterializedTable(spark, str(tmp_path / "customers"), "id", "update_ts")
+    t0 = datetime.datetime(2024, 1, 1)
+    tbl.apply_batch(
+        spark.createDataFrame(
+            [(42, "Rick", "bronze", t0), (1, "Rica", "gold", t0)],
+            ["id", "name", "club_status", "update_ts"],
+        )
+    )
+    assert {r.id: r.club_status for r in tbl.read().collect()}[42] == "bronze"
+    # upstream UPDATE arrives
+    tbl.apply_batch(
+        spark.createDataFrame(
+            [(42, "Rick", "platinum", t0 + datetime.timedelta(minutes=1))],
+            ["id", "name", "club_status", "update_ts"],
+        )
+    )
+    state = {r.id: r.club_status for r in tbl.read().collect()}
+    assert state == {42: "platinum", 1: "gold"}
+    # re-delivery of the same batch (at-least-once) is idempotent
+    tbl.apply_batch(
+        spark.createDataFrame(
+            [(42, "Rick", "platinum", t0 + datetime.timedelta(minutes=1))],
+            ["id", "name", "club_status", "update_ts"],
+        )
+    )
+    assert tbl.read().count() == 2
+
+
+def test_unwrap_debezium_insert_update_delete(spark):
+    rows = [
+        ({"id": 1, "name": "a"}, None, "c", 100),
+        ({"id": 1, "name": "b"}, {"id": 1, "name": "a"}, "u", 200),
+        (None, {"id": 1, "name": "b"}, "d", 300),
+    ]
+    df = spark.createDataFrame(rows, "after struct<id:int,name:string>, before struct<id:int,name:string>, op string, ts_ms long")
+    out = cdc.unwrap_debezium(df).collect()
+    assert [r.id for r in out] == [1, 1, 1]
+    assert [r["__deleted"] for r in out] == [False, False, True]
+    # delete then apply -> empty table
+    applied = cdc.apply_changes(None, cdc.unwrap_debezium(df), "id", [F.desc("ts_ms")])
+    assert applied.count() == 0
+
+
+def test_parse_json_tolerant_dead_letters(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, "not-json"), (3, '{"k": 7}')], ["event_id", "props"]
+    )
+    good, dlq = runtime.parse_json_tolerant(df, "props", "k int")
+    assert {r.k for r in good.collect()} == {5, 7}
+    assert [r.event_id for r in dlq.collect()] == [2]
+
+
+def test_elasticsearch_sink_doc_id_and_extract_ts(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "es")
+    df = load_table(spark, sf_dir, "events").limit(5)
+    sink = sinks.elasticsearch_sink("ratings", "event_id", out)
+    sink(df, 0)
+    files = glob.glob(f"{out}/ratings/*.jsonl")
+    assert len(files) == 1
+    docs = [json.loads(l) for l in open(files[0])]
+    assert len(docs) == 5
+    assert all("_id" in d and "extract_ts" in d for d in docs)
+    # idempotency-by-key: _id equals the event_id (reference key.ignore=false)
+    assert {d["_id"] for d in docs} == {str(d["event_id"]) for d in docs}
+
+
+def test_alert_sink_formats_and_throttles(spark, sf_dir):
+    sent = []
+    df = spark.createDataFrame(
+        [("u1 left a bad review",), ("u2 left a bad review",), ("u3 left a bad review",)],
+        ["alert_text"],
+    )
+    sinks.alert_sink(sent.append, throttle_rows=2)(df, 0)
+    assert len(sent) == 2 and sent[0].endswith("bad review")
+
+
+def test_kafka_encode_decode_roundtrip(spark, sf_dir):
+    """The Kafka envelope transforms (the testable part of S1/K3 without a
+    broker): encode to (key, value JSON) then decode back."""
+    df = load_table(spark, sf_dir, "events").limit(10).select("event_id", "user_id", "event_type")
+    enc = kafka.encode_value(df, "event_id")
+    assert enc.columns == ["key", "value"]
+    parsed = enc.select(
+        F.from_json("value", "event_id long, user_id long, event_type string").alias("v")
+    ).select("v.*")
+    assert sorted(map(tuple, parsed.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_rekey_for_sink_sets_key(spark, sf_dir):
+    df = load_table(spark, sf_dir, "events").limit(10)
+    out = runtime.rekey_for_sink(df, "event_type")
+    assert "key" in out.columns
+    assert out.select("key").distinct().count() <= 5
