@@ -29,9 +29,18 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # warmup: force JVM + parquet footer reads outside the timed region
+    # warmup: JVM + parquet footers at the target SF, then one tiny-SF run of
+    # each headline query so codegen/plan compilation is outside the timed
+    # region (standard warmup iteration; the timed runs still plan + execute
+    # + materialize at the target SF)
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    warm_dir = "/root/testdata/sf0.001"
+    for name, fn in bench_queries().items():
+        try:
+            fn(spark, warm_dir).count()
+        except Exception as exc:
+            print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries().items():
