@@ -137,6 +137,28 @@ def cosine_topk_blocked(
     )
 
 
+def srp_planes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic sign-random-projection hyperplanes (seeded numpy),
+    shared by the Spark operators and the generated DuckDB oracle SQL so
+    both engines bucket identically."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in row] for row in rng.randn(n_planes, dim)]
+
+
+def _bucket_expr(vec_col_expr, planes_rows: list[list[float]]):
+    """'0101...' sign-bit string of a vector against literal hyperplanes —
+    pure built-in expressions, fused into codegen (no UDF)."""
+    planes_lit = F.array(*[F.array(*[F.lit(x) for x in row]) for row in planes_rows])
+    v = F.transform(vec_col_expr, lambda x: x.cast("double"))
+    bits = F.transform(
+        planes_lit,
+        lambda plane: F.when(_dot(plane, v) >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
+
+
 def cosine_pairs(
     vectors: DataFrame,
     threshold: float,
@@ -162,6 +184,71 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    n_bands: int = 4,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup at scale: banded sign-random-projection LSH.
+
+    Each vector gets ``n_bands`` bucket keys (one per band of
+    ``planes_per_band`` hyperplanes); candidate pairs agree on at least one
+    band's bucket (equi-join on (band_idx, band_val) — never a cross join);
+    candidates are verified with exact float64 cosine >= threshold. The
+    candidate join's fan-out is sum of squared bucket sizes with ~2^planes
+    buckets per band, vs n^2 for ``cosine_pairs`` — this is the 100 TB
+    path, trading recall (more bands => higher recall, more candidates)
+    for never materializing the full pair matrix. Precision is exact (the
+    verify step); recall vs brute force is asserted in tests. Deterministic
+    planes => deterministic output, so the generated DuckDB oracle
+    reproduces it exactly.
+    """
+    all_planes = srp_planes(n_bands * planes_per_band, dim, seed)
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            _bucket_expr(
+                F.col(vec_col),
+                all_planes[i * planes_per_band : (i + 1) * planes_per_band],
+            ).alias("band_val"),
+        )
+        for i in range(n_bands)
+    ]
+    banded = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("__v"),
+        F.explode(F.array(*band_structs)).alias("b"),
+    ).select("vid", "__v", "b.band_idx", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    av = F.transform("__va", lambda x: x.cast("double"))
+    bv = F.transform("__vb", lambda x: x.cast("double"))
+    return (
+        cand.withColumn("cosine_sim", _dot(av, bv) / (_norm(av) * _norm(bv)))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim"))
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -175,26 +262,15 @@ def lsh_bucket_topk(
     """Approximate top-k: sign-random-projection (SimHash-for-vectors)
     buckets, exact cosine re-rank within the query's bucket.
 
-    Deterministic planes from a seeded RNG. Candidates per query shrink by
-    ~2^n_planes; recall is tested against ``cosine_topk`` in tests (this is
-    an approximation — it has no SQL oracle by design).
+    Deterministic planes from a seeded RNG (``srp_planes``) — so although
+    the result is approximate relative to exact top-k, it is reproducible,
+    and the generated DuckDB oracle (same plane literals) checks it
+    exactly; recall vs ``cosine_topk`` is additionally tested in tests.
     """
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim).astype(np.float64)
-    planes_rows = [[float(x) for x in row] for row in planes]
-    planes_lit = F.array(
-        *[F.array(*[F.lit(x) for x in row]) for row in planes_rows]
-    )
+    planes_rows = srp_planes(n_planes, dim, seed)
 
     def bucket_of(vec_col_expr):
-        v = F.transform(vec_col_expr, lambda x: x.cast("double"))
-        bits = F.transform(
-            planes_lit,
-            lambda plane: F.when(_dot(plane, v) >= 0, F.lit("1")).otherwise(F.lit("0")),
-        )
-        return F.array_join(bits, "")
+        return _bucket_expr(vec_col_expr, planes_rows)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -2,9 +2,12 @@
 north star): dedup, similarity search, text analysis, multimodal plumbing.
 
 Registered into the same QUERIES dict as the reference-parity set; oracle
-conventions identical (see catalog.py header). Ops that are approximate or
-Pandas-UDF-randomized by design (SimHash pairs, LSH-ANN) have no SQL
-oracle — they get rows-only driver checks plus recall tests in tests/.
+conventions identical (see catalog.py header). The LSH/SimHash operators
+are *approximate relative to brute force* but *deterministic* (seeded
+hyperplanes / md5 token hashes), so their oracles are generated SQL that
+replays the identical bucketing in DuckDB — every catalog entry is fully
+value-hash-checked; recall vs brute force is additionally asserted in
+tests/test_extensions.py.
 """
 
 from __future__ import annotations
@@ -13,6 +16,17 @@ from pyspark.sql import functions as F
 
 from data_pipeline_kafka_ek_spark.operators import dedup, multimodal, similarity, text
 from data_pipeline_kafka_ek_spark.plans.catalog import _t, register
+
+
+def _sql_bucket(planes: list[list[float]], vec: str = "e") -> str:
+    """DuckDB expression for the sign-bit bucket string of ``vec`` against
+    literal hyperplanes — textual twin of similarity._bucket_expr."""
+    bits = [
+        f"(CASE WHEN list_dot_product([{', '.join(repr(x) for x in row)}], {vec})"
+        f" >= 0 THEN '1' ELSE '0' END)"
+        for row in planes
+    ]
+    return " || ".join(bits)
 
 # ---------------------------------------------------------------------------
 # deduplication
@@ -47,8 +61,10 @@ def x_dedup_exact(spark, sf_dir):
           / len(list_distinct(list_concat(a.s,b.s))) >= 0.9
     """,
     survey_ids=("EXT-dedup",),
-    doc="token-set Jaccard >= 0.9 near-dup pairs; Spark side is an "
-    "inverted-index join (complete for J>0), oracle is brute-force O(n^2)",
+    doc="token-set Jaccard >= 0.9 near-dup pairs; Spark side is a "
+    "prefix-filtered inverted-index join (each doc posts only its "
+    "n-ceil(t*n)+1 rarest tokens — exact, no recall loss), oracle is "
+    "brute-force O(n^2)",
 )
 def x_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
@@ -97,13 +113,60 @@ def x_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _simhash_oracle_sql() -> str:
+    """DuckDB replay of the 64-bit SimHash pipeline: md5-derived token
+    hashes (('0x'||hex16)::UBIGINT == Python int.from_bytes(digest[:8],
+    'big')), per-bit majority vote, 16-bit-chunk pigeonhole blocking,
+    bit_count(xor) Hamming verify — bit-identical to dedup._simhash64."""
+    acc = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS a{j}"
+        for j in range(64)
+    )
+    # 2**j as literals: DuckDB's << overflow-checks (1::UBIGINT << 63 errors)
+    sig = " + ".join(
+        f"(CASE WHEN a{j} > 0 THEN {2**j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+    ),
+    acc AS (
+      SELECT doc_id,
+        {acc}
+      FROM th GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, ({sig}) AS u FROM acc),
+    chunks AS (
+      SELECT doc_id, u, i.i AS chunk_idx,
+             (u >> (16 * i.i)) & 65535::UBIGINT AS chunk_val
+      FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) i
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.u AS ua, b.u AS ub
+      FROM chunks a
+      JOIN chunks b ON a.chunk_idx = b.chunk_idx
+                   AND a.chunk_val = b.chunk_val
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ua, ub)) <= 3
+    """
+
+
 @register(
     "x_dedup_simhash",
-    None,  # Pandas-UDF signature; verified by unit tests (hamming metamorphic)
+    _simhash_oracle_sql(),
     survey_ids=("EXT-dedup",),
     doc="SimHash64 near-dup pairs (hamming<=3) with 16-bit-chunk pigeonhole "
-    "blocking; signature via Arrow-batched Pandas UDF — no SQL oracle, "
-    "rows-only driver check + metamorphic tests in tests/test_extensions.py",
+    "blocking; signature via Arrow-batched Pandas UDF; md5 token hashes "
+    "make it deterministic, so the oracle replays the identical pipeline "
+    "in DuckDB bit-for-bit (plus metamorphic tests in tests/)",
 )
 def x_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
@@ -128,6 +191,48 @@ def x_dedup_simhash(spark, sf_dir):
 )
 def x_dedup_embedding(spark, sf_dir):
     return similarity.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _embedding_lsh_oracle_sql(n_bands: int = 4, planes_per_band: int = 4) -> str:
+    planes = similarity.srp_planes(n_bands * planes_per_band, 64, 42)
+    bands = "\n      UNION ALL ".join(
+        f"SELECT vec_id, e, {i} AS band_idx, "
+        f"{_sql_bucket(planes[i * planes_per_band:(i + 1) * planes_per_band])}"
+        f" AS band_val FROM v"
+        for i in range(n_bands)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    bands AS (
+      {bands}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b,
+           round(list_cosine_similarity(x.e, y.e), 4) AS cosine_sim
+    FROM cand c JOIN v x ON c.vec_a = x.vec_id JOIN v y ON c.vec_b = y.vec_id
+    WHERE list_cosine_similarity(x.e, y.e) >= 0.4
+    """
+
+
+@register(
+    "x_dedup_embedding_lsh",
+    _embedding_lsh_oracle_sql(),
+    survey_ids=("EXT-dedup", "EXT-similarity"),
+    doc="embedding near-dup at scale: banded sign-random-projection LSH "
+    "(4 bands x 4 planes) candidate equi-join + exact float64 cosine "
+    "verify >= 0.4 — the 100 TB path that never materializes the n^2 pair "
+    "matrix; deterministic seeded planes, so the oracle replays the same "
+    "bucketing with plane literals; recall vs brute force tested in tests/",
+)
+def x_dedup_embedding_lsh(spark, sf_dir):
+    return similarity.cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -186,13 +291,39 @@ def x_ann_blocked(spark, sf_dir):
     return similarity.cosine_topk_blocked(emb, qrows, k=10)
 
 
+def _ann_lsh_oracle_sql(n_planes: int = 4) -> str:
+    planes = similarity.srp_planes(n_planes, 64, 42)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, {_sql_bucket(planes)} AS bucket FROM v),
+    q AS (SELECT * FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.e, c.e) AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
 @register(
     "x_ann_lsh_bucketed",
-    None,  # approximate by construction; recall tested vs brute force
+    _ann_lsh_oracle_sql(),
     survey_ids=("EXT-similarity",),
     doc="sign-random-projection LSH buckets + exact re-rank within bucket "
-    "(the corpus-pruning scale path); approximate -> rows-only driver "
-    "check, recall>=threshold asserted in tests/test_extensions.py",
+    "(the corpus-pruning scale path); deterministic seeded planes, so the "
+    "oracle replays the identical bucketing with plane literals; recall vs "
+    "exact top-k additionally asserted in tests/test_extensions.py",
 )
 def x_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")

@@ -92,3 +92,47 @@ def test_minhash_lsh_finds_exact_dups(spark):
     pairs = dedup.minhash_lsh_pairs(df, threshold=0.8).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
     assert pairs[0].jaccard_sim == 1.0
+
+
+def test_embedding_lsh_pairs_subset_with_recall(spark, sf_dir):
+    """Banded-LSH near-dup pairs: precision is exact (verify step), so the
+    result must be a subset of brute force; banding (4x4) must recover a
+    meaningful share of the true pairs at threshold 0.4."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in similarity.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in similarity.cosine_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert set(approx) <= set(exact), "LSH produced a pair brute force did not"
+    for pair, sim in approx.items():
+        assert sim == exact[pair]
+    if exact:
+        recall = len(approx) / len(exact)
+        assert recall >= 0.3, f"banded-LSH recall {recall} too low"
+
+
+def test_jaccard_prefix_filter_is_exact(spark):
+    """Prefix filtering must not change the result set (it is a pruning
+    of the candidate join only — the exact-Jaccard verify is identical)."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h i j"),
+        Row(doc_id=2, text="a b c d e f g h i k"),   # J=9/11 with doc 1
+        Row(doc_id=3, text="a b c d e f g h i j"),   # J=1.0 with doc 1
+        Row(doc_id=4, text="z y x w v u t s r q"),
+        Row(doc_id=5, text="z y x w v u t s r j"),   # J=9/11 with doc 4
+    ]
+    df = spark.createDataFrame(rows)
+    with_pf = sorted(
+        map(tuple, dedup.jaccard_pairs(df, threshold=0.8, prefix_filter=True).collect())
+    )
+    without = sorted(
+        map(tuple, dedup.jaccard_pairs(df, threshold=0.8, prefix_filter=False).collect())
+    )
+    assert with_pf == without
+    assert (1, 3, 1.0) in [(a, b, j) for a, b, j in with_pf]
