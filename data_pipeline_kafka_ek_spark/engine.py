@@ -1,0 +1,126 @@
+"""Engine facade: the reference's control/metadata surface (SURVEY.md §2.12)
+and its CREATE-STREAM-AS-SELECT vocabulary (§3.5), on Spark.
+
+The reference's interactive surface is the ksqlDB CLI/REST statement set:
+``CREATE STREAM/TABLE ... AS SELECT`` registers a named, continuously
+maintained derivation; ``SHOW TOPICS / TABLES / CONNECTORS / QUERIES``
+enumerate the live topology (reference: README.md:71,146,181,297);
+``DESCRIBE [EXTENDED]`` prints schema and runtime stats (README.md:101,131);
+``PRINT 'topic'`` tails raw rows (README.md:73,185). Spark twin: a thin
+registry over temp views + ``spark.streams`` — every registered object is
+simultaneously a DataFrame (Python API) and a SQL-addressable view
+(``spark.sql`` — Catalyst is the single planner either way), which is the
+engine's version of ksqlDB's "every derived object is also a topic".
+
+Scale note: the registry is names-only driver state (no data lives here);
+registering a derivation is lazy — nothing executes until a sink/action —
+so the facade adds zero distributed work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Engine:
+    """Registry of named streams, tables, and connectors over one session."""
+
+    spark: SparkSession
+    _streams: dict[str, DataFrame] = field(default_factory=dict)
+    _tables: dict[str, DataFrame] = field(default_factory=dict)
+    _connectors: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    # -- CREATE ... AS SELECT vocabulary (reference: ksqldb-statements.sql) --
+
+    def create_stream(self, name: str, df: DataFrame) -> DataFrame:
+        """CSAS twin: register an append-semantics derivation under a name
+        (also as a temp view, so ``spark.sql`` sees it)."""
+        self._streams[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def create_table(self, name: str, df: DataFrame) -> DataFrame:
+        """CTAS twin: register a latest-per-key/changelog-semantics
+        derivation (the caller supplies the latest-per-key plan — see
+        operators.relational.latest_per_key)."""
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def create_connector(
+        self, name: str, kind: str, config: dict[str, Any], fn: Callable | None = None
+    ) -> None:
+        """CREATE SOURCE/SINK CONNECTOR twin (reference:
+        ksqldb-statements.sql:19-38,70-85): record a named source/sink
+        adapter binding. ``fn`` is the adapter callable (e.g. a
+        foreachBatch writer from streaming.sinks)."""
+        if kind not in ("source", "sink"):
+            raise ValueError(f"connector kind must be source|sink, got {kind!r}")
+        self._connectors[name] = {"kind": kind, "config": dict(config), "fn": fn}
+
+    def sql(self, statement: str) -> DataFrame:
+        """REST/CLI SQL entry point twin (reference: rest_example.sh:6-16) —
+        one planner for both APIs."""
+        return self.spark.sql(statement)
+
+    # -- SHOW ... (reference: README.md:71,146,181,297) ----------------------
+
+    def show_streams(self) -> list[str]:
+        return sorted(self._streams)
+
+    def show_tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    def show_connectors(self) -> list[dict[str, Any]]:
+        return [
+            {"name": n, "kind": c["kind"], "config": c["config"]}
+            for n, c in sorted(self._connectors.items())
+        ]
+
+    def show_queries(self) -> list[dict[str, Any]]:
+        """SHOW QUERIES twin: the session's active streaming queries."""
+        return [
+            {"id": str(q.id), "name": q.name, "isActive": q.isActive}
+            for q in self.spark.streams.active
+        ]
+
+    # -- DESCRIBE [EXTENDED] (reference: README.md:101,131) ------------------
+
+    def describe(self, name: str) -> list[dict[str, str]]:
+        df = self._streams.get(name) or self._tables.get(name)
+        if df is None:
+            raise KeyError(f"unknown stream/table {name!r}")
+        return [
+            {"column": f.name, "type": f.dataType.simpleString()}
+            for f in df.schema.fields
+        ]
+
+    def describe_extended(self, name: str) -> dict[str, Any]:
+        """Schema + kind + last progress of any active query with this name
+        (the DESCRIBE EXTENDED runtime stats, README.md:131)."""
+        kind = "stream" if name in self._streams else "table"
+        progress = next(
+            (
+                q.lastProgress
+                for q in self.spark.streams.active
+                if q.name == name and q.lastProgress
+            ),
+            None,
+        )
+        return {"name": name, "kind": kind, "schema": self.describe(name),
+                "lastProgress": progress}
+
+    # -- PRINT 'topic' probe (reference: README.md:73,185) -------------------
+
+    def print_rows(self, name: str, n: int = 5) -> list[dict[str, Any]]:
+        """Raw-row inspection twin of ``PRINT 'topic' FROM BEGINNING`` /
+        ``SELECT ... LIMIT 5`` (L1/L2): first n rows as dicts. Driver-side
+        by design — it is a probe, not a pipeline operator."""
+        df = self._streams.get(name) or self._tables.get(name)
+        if df is None:
+            raise KeyError(f"unknown stream/table {name!r}")
+        return [r.asDict() for r in df.limit(n).collect()]

@@ -1,0 +1,107 @@
+"""Engine facade tests (SURVEY.md §2.12 control/metadata surface + §3.5
+CREATE-...-AS-SELECT vocabulary): registry, SHOW/DESCRIBE, SQL entry
+point, connector registry, active-query listing, PRINT probe."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_kafka_ek_spark.engine import Engine
+from data_pipeline_kafka_ek_spark.operators.relational import latest_per_key
+from data_pipeline_kafka_ek_spark.plans import reference as ref
+from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def engine(spark):
+    return Engine(spark)
+
+
+def test_csas_registry_and_sql_duality(engine, spark, sf_dir):
+    """A registered stream is addressable from both APIs and both agree —
+    the ksqlDB 'derived object is also a topic' property (README.md:99)."""
+    events = load_table(spark, sf_dir, "events")
+    engine.create_stream("events_live", ref.events_live(events))
+    api_count = engine._streams["events_live"].count()
+    sql_count = engine.sql("SELECT count(*) AS n FROM events_live").first()["n"]
+    assert api_count == sql_count > 0
+    assert engine.show_streams() == ["events_live"]
+
+
+def test_ctas_latest_per_key_table(engine, spark, sf_dir):
+    """CREATE TABLE twin: latest-per-key over a changelog
+    (reference: ksqldb-statements.sql:42-43)."""
+    customer = load_table(spark, sf_dir, "customer")
+    engine.create_table(
+        "customers_t",
+        latest_per_key(customer, "c_custkey", [F.desc("c_custkey")]),
+    )
+    assert engine.show_tables() == ["customers_t"]
+    assert "customers_t" not in engine.show_streams()
+    cols = {c["column"] for c in engine.describe("customers_t")}
+    assert "c_custkey" in cols
+
+
+def test_describe_matches_schema(engine, spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    engine.create_stream("ev", events)
+    d = {c["column"]: c["type"] for c in engine.describe("ev")}
+    assert d["ts"] == "timestamp"
+    assert d["user_id"] == "bigint"
+    with pytest.raises(KeyError):
+        engine.describe("nope")
+
+
+def test_connector_registry(engine):
+    engine.create_connector(
+        "sink-es-01", "sink", {"topics": "events_live", "key.ignore": "false"}
+    )
+    engine.create_connector("source-datagen-01", "source", {"quickstart": "ratings"})
+    names = [c["name"] for c in engine.show_connectors()]
+    assert names == ["sink-es-01", "source-datagen-01"]
+    with pytest.raises(ValueError):
+        engine.create_connector("bad", "transform", {})
+
+
+def test_show_queries_sees_active_stream(engine, spark, sf_dir):
+    """SHOW QUERIES twin (README.md:297): an active streaming query is
+    listed while running, gone after stop."""
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    stream = srt.stream_table(spark, sf_dir, "events")
+    counts = srt.windowed_counts(stream)
+    import tempfile
+
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("engine_q1")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_engine_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert any(e["name"] == "engine_q1" for e in engine.show_queries())
+    finally:
+        q.awaitTermination()
+    assert not any(e["name"] == "engine_q1" for e in engine.show_queries())
+
+
+def test_print_rows_probe(engine, spark, sf_dir):
+    """PRINT 'topic' / LIMIT probe twin (README.md:73; L1/L2)."""
+    engine.create_stream("ev", load_table(spark, sf_dir, "events"))
+    rows = engine.print_rows("ev", n=5)
+    assert len(rows) == 5
+    assert {"event_id", "ts", "user_id"} <= set(rows[0])
+
+
+def test_describe_extended_kind_and_schema(engine, spark, sf_dir):
+    engine.create_table(
+        "cust",
+        latest_per_key(
+            load_table(spark, sf_dir, "customer"), "c_custkey", [F.desc("c_custkey")]
+        ),
+    )
+    ext = engine.describe_extended("cust")
+    assert ext["kind"] == "table"
+    assert ext["lastProgress"] is None
+    assert any(c["column"] == "c_custkey" for c in ext["schema"])
