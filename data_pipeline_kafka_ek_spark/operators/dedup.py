@@ -29,6 +29,8 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_kafka_ek_spark.operators.parallelism import spread
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -115,8 +117,11 @@ def jaccard_pairs(
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
         F.array_union("toks_a", "toks_b")
     )
+    # the verify stage is CPU-bound on slim rows — pin its partition count
+    # so AQE's byte-based coalescing can't serialize it (see parallelism.py)
     return (
-        cand.join(sa, "doc_a")
+        spread(cand, "doc_a")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard_sim", jac)
         .filter(F.col("jaccard_sim") >= threshold)
@@ -198,8 +203,10 @@ def minhash_lsh_pairs(
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
         F.array_union("toks_a", "toks_b")
     )
+    # pin the CPU-bound verify stage's partition count (see parallelism.py)
     return (
-        cand.join(sa, "doc_a")
+        spread(cand, "doc_a")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard_sim"))

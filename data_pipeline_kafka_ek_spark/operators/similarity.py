@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_kafka_ek_spark.operators.parallelism import spread, spread_if_narrow
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
@@ -54,7 +56,11 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    # single-file corpora serialize the narrow broadcast-cross-join stage —
+    # spread them; cluster-scale scans pass through (see parallelism.py)
+    c = spread_if_narrow(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -171,12 +177,14 @@ def cosine_pairs(
     through ``lsh_bucket_topk``-style bucketing first (the threshold
     variant buckets both sides and only compares within buckets).
     """
-    a = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
+    a = spread_if_narrow(
+        vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
+    )
     b = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))
     av = F.transform("__va", lambda x: x.cast("double"))
     bv = F.transform("__vb", lambda x: x.cast("double"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .withColumn("cosine_sim", _dot(av, bv) / (_norm(av) * _norm(bv)))
         .filter(F.col("cosine_sim") >= threshold)
@@ -240,6 +248,8 @@ def cosine_pairs_lsh(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    # pin the CPU-bound cosine-verify stage (see parallelism.py)
+    cand = spread(cand, "vec_a")
     av = F.transform("__va", lambda x: x.cast("double"))
     bv = F.transform("__vb", lambda x: x.cast("double"))
     return (
@@ -272,10 +282,12 @@ def lsh_bucket_topk(
     def bucket_of(vec_col_expr):
         return _bucket_expr(vec_col_expr, planes_rows)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        bucket_of(F.col(vec_col)).alias("bucket"),
+    c = spread_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            bucket_of(F.col(vec_col)).alias("bucket"),
+        )
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

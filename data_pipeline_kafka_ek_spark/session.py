@@ -38,6 +38,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing equates bytes with cost; the near-dup verify stages
+        # carry slim rows (pair ids) with quadratic-ish CPU per row, and the
+        # default 1 MB floor collapses them to one task. parallelismFirst
+        # already refuses to coalesce below cluster parallelism EXCEPT under
+        # this floor — lower it so compute-dense small-bytes shuffles keep
+        # their parallelism; genuinely big shuffles are unaffected (their
+        # per-partition bytes dwarf 16 KB at any scale).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
