@@ -415,6 +415,116 @@ def a3_1min(spark, sf_dir):
 
 
 @register(
+    "t3_hopping_30m15m_counts",
+    """
+    WITH w AS (
+      SELECT event_type,
+             unnest([CAST(floor(epoch(ts) / 900) * 900 AS BIGINT),
+                     CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) - 900]) AS ws
+      FROM events
+    )
+    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM w GROUP BY 1, 2
+    """,
+    survey_ids=("T3",),
+    doc="hopping window (30-minute size, 15-minute slide — the reference "
+    "documents the option at README.md:324): each event lands in "
+    "size/slide = 2 windows; oracle unnests the two slide-aligned starts",
+)
+def t3_hopping(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "event_count",
+        )
+    )
+
+
+@register(
+    "t4_session_5m_counts",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts)) >= 300
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 5 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS event_count
+    FROM s GROUP BY user_id, sess_id
+    """,
+    survey_ids=("T4",),
+    doc="session window (5-minute inactivity gap — reference option at "
+    "README.md:325): batch session_window; Spark merges events with "
+    "gap < 5 min, window end = last event + gap, which the oracle "
+    "replays as a gaps-and-islands window (new session when diff >= gap)",
+)
+def t4_session(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "event_count",
+        )
+    )
+
+
+@register(
+    "f9_window_time_predicate",
+    """
+    WITH w AS (
+      SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS ws, user_id
+      FROM events
+    )
+    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id,
+           CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM w
+    WHERE to_timestamp(ws) > TIMESTAMP '2024-01-15 12:00:00'
+    GROUP BY 1, 2
+    """,
+    survey_ids=("F9",),
+    doc="predicate on the window-start pseudocolumn (reference: "
+    "ksqldb-statements.sql:110 — WINDOWSTART > 'ts'): filter over the "
+    "windowed aggregate's window.start; Catalyst pushes it below the agg "
+    "onto ts itself (window_start > T implies ts >= T), so the scan prunes",
+)
+def f9_window_pred(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_count"))
+        .filter(F.col("w.start") > F.lit("2024-01-15 12:00:00").cast("timestamp"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+            "event_count",
+        )
+    )
+
+
+@register(
     "a5_median_by_group",
     """
     SELECT c.c_mktsegment AS club_status,
