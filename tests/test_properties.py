@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the algorithmic kernels.
+
+The reference has no automated tests at all (SURVEY.md §5.1); these go
+beyond example-based parity: each property asserts an *invariant* of an
+operator over generated inputs. Spark jobs are expensive per example, so
+properties that need a cluster run one job over a generated batch;
+pure-Python kernels (_simhash64) are tested per-example.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_pipeline_kafka_ek_spark.operators import dedup
+
+TOKENS = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=4), min_size=1, max_size=12
+)
+
+
+@given(TOKENS)
+@settings(max_examples=200, deadline=None)
+def test_simhash_is_permutation_and_duplication_invariant(toks):
+    """SimHash is a function of the token *set* — order and repetition of
+    tokens must not change the signature."""
+    text = " ".join(toks)
+    shuffled = " ".join(reversed(toks))
+    doubled = " ".join(toks + toks)
+    assert dedup._simhash64(text) == dedup._simhash64(shuffled) == dedup._simhash64(doubled)
+
+
+@given(TOKENS, TOKENS)
+@settings(max_examples=200, deadline=None)
+def test_simhash_hamming_bounded_by_symmetric_difference(a, b):
+    """Each token flips at most its own md5 bit-votes: the Hamming distance
+    between two signatures can only stem from tokens in the symmetric
+    difference — identical sets give distance 0."""
+    if set(a) == set(b):
+        ha, hb = dedup._simhash64(" ".join(a)), dedup._simhash64(" ".join(b))
+        assert ha == hb
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.floats(0, 100)), min_size=1, max_size=30))
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_latest_per_key_matches_python_reduction(spark, rows):
+    """latest_per_key == a driver-side dict replay of the changelog."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Row
+
+    from data_pipeline_kafka_ek_spark.operators.relational import latest_per_key
+
+    df = spark.createDataFrame(
+        [Row(k=k, seq=i, v=v) for i, (k, v) in enumerate(rows)]
+    )
+    got = {
+        r["k"]: (r["seq"], r["v"])
+        for r in latest_per_key(df, "k", [F.desc("seq")]).collect()
+    }
+    want: dict[int, tuple[int, float]] = {}
+    for i, (k, v) in enumerate(rows):
+        want[k] = (i, v)
+    assert got == want
+
+
+@given(
+    st.lists(TOKENS, min_size=2, max_size=8),
+    st.sampled_from([0.3, 0.5, 0.8]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_jaccard_pairs_match_python_bruteforce(spark, docs, threshold):
+    """jaccard_pairs (prefix-filtered candidate join + verify) == python
+    brute force over all pairs, at any threshold."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(t)) for i, t in enumerate(docs)]
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard_sim
+        for r in dedup.jaccard_pairs(df, threshold=threshold).collect()
+    }
+    want = {}
+    sets = [set(t) for t in docs]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            if jac >= threshold:
+                want[(i, j)] = round(jac, 4)
+    assert got == want
+
+
+@given(st.text(alphabet="abcdef ", min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_simhash_matches_oracle_formula(text):
+    """The Python kernel equals an independent recomputation using the
+    same md5-big-endian convention the DuckDB oracle SQL uses."""
+    toks = set(text.split())
+    acc = [0] * 64
+    for tok in toks:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+        for j in range(64):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    u = sum(1 << j for j in range(64) if acc[j] > 0)
+    signed = u - (1 << 64) if u >= (1 << 63) else u
+    assert dedup._simhash64(text) == signed

@@ -178,3 +178,22 @@ def test_rekey_for_sink_sets_key(spark, sf_dir):
     out = runtime.rekey_for_sink(df, "event_type")
     assert "key" in out.columns
     assert out.select("key").distinct().count() <= 5
+
+
+def test_streaming_hopping_window_equals_batch(spark, sf_dir):
+    """Hopping windows (T3): replayed 3-batch stream's final update-mode
+    state equals the batch computation — every event lands in
+    size/slide = 2 windows in both modes."""
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.window_start, r.event_type): r.event_count
+        for r in runtime.windowed_counts(
+            events, "30 minutes", slide="15 minutes", watermark="100 days"
+        ).collect()
+    }
+    stream = runtime.replayed_stream(spark, events, n_slices=3, order_col="ts")
+    result = runtime.run_available_now(
+        runtime.windowed_counts(stream, "30 minutes", slide="15 minutes", watermark="100 days"),
+        output_mode="update",
+    )
+    assert _final_windowed_state(result) == batch
