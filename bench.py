@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from data_pipeline_kafka_ek_spark.plans import extensions  # noqa: F401  (registers bench-flagged extension queries)
 from data_pipeline_kafka_ek_spark.plans.catalog import bench_queries
 from data_pipeline_kafka_ek_spark.session import get_spark
 from data_pipeline_kafka_ek_spark.sources.tables import TABLES, load_table

@@ -17,3 +17,14 @@ def make_series_udf(fn, return_type: str):
         return s.map(fn)
 
     return _udf
+
+
+def make_batch_udf(fn, return_type: str, dtype=None):
+    """Wrap a batch fn (sequence -> sequence, e.g. numpy-vectorized) into an
+    Arrow-batched Series->Series UDF — one call per Arrow batch."""
+
+    @pandas_udf(return_type)
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series(fn(s), dtype=dtype)
+
+    return _udf

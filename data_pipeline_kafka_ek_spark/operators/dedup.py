@@ -233,12 +233,39 @@ def _simhash64(text: str) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out  # to signed for LongType
 
 
+def _simhash64_batch(texts) -> "list[int]":
+    """Vectorized batch twin of ``_simhash64``: one numpy bit-vote matrix
+    per document instead of a 64-iteration Python loop per token.
+    Bit-identical to the scalar kernel (property-tested)."""
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    out = []
+    for text in texts:
+        toks = {t for t in text.split()}
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.array(
+            [
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_toks, 64)
+        votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+        u = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+        out.append(u - (1 << 64) if u >= (1 << 63) else u)
+    return out
+
+
 def simhash_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Append a ``simhash`` LongType column (Arrow-batched Pandas UDF —
     the slow-path escape hatch; everything downstream is JVM-side)."""
-    from data_pipeline_kafka_ek_spark.functions.udfs import make_series_udf
+    from data_pipeline_kafka_ek_spark.functions.udfs import make_batch_udf
 
-    _sh = make_series_udf(_simhash64, "long")
+    _sh = make_batch_udf(_simhash64_batch, "long", dtype="int64")
     return docs.withColumn("simhash", _sh(F.col(text_col)))
 
 

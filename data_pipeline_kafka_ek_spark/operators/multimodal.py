@@ -132,6 +132,47 @@ def fake_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema=out_schema)
 
 
+def frame_sample(
+    assets: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    frame_decoder: Callable[[bytes, int], bytes] | None = None,
+) -> DataFrame:
+    """Video frame sampling plumbing: the 1→N explode shape
+    (one asset row → up to ``max_frames`` frame rows) via ``mapInPandas``.
+
+    This shape is the scale-critical part of video pipelines: the explode
+    happens *inside* the Arrow batch iterator, so peak memory is one input
+    batch plus one output frame batch — a 10 GB video partition never
+    materializes all frames at once, and downstream stages see ordinary
+    rows they can repartition/filter. ``frame_decoder(payload, frame_idx)
+    -> frame_bytes`` plugs in the real codec (ffmpeg etc., absent in this
+    container); the default deterministically slices the payload every
+    ``every_n_bytes`` bytes — a stand-in with the same row geometry.
+    """
+    out_schema = "asset_id long, frame_idx int, frame_payload binary"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = min(max_frames, max(1, len(b) // every_n_bytes))
+                for i in range(n_frames):
+                    if frame_decoder is not None:
+                        fb = frame_decoder(b, i)
+                    else:
+                        fb = b[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    rows.append((int(aid), i, fb))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "frame_idx", "frame_payload"]
+            )
+
+    return assets.mapInPandas(run, schema=out_schema)
+
+
 def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
     """Image-resize plumbing: the transform signature, partitioning and
     output schema of a real resize stage, with the pixel work stubbed to a

@@ -470,6 +470,7 @@ def t3_hopping(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS event_count
     FROM s GROUP BY user_id, sess_id
     """,
+    bench=True,
     survey_ids=("T4",),
     doc="session window (5-minute inactivity gap — reference option at "
     "README.md:325): batch session_window; Spark merges events with "

@@ -39,6 +39,7 @@ def _sql_bucket(planes: list[list[float]], vec: str = "e") -> str:
     SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS dup_count
     FROM documents GROUP BY text
     """,
+    bench=True,
     survey_ids=("EXT-dedup",),
     doc="exact dedup via content-digest groupBy: one shuffle keyed on "
     "md5(text), keep lowest doc_id per group",
@@ -162,6 +163,7 @@ def _simhash_oracle_sql() -> str:
 @register(
     "x_dedup_simhash",
     _simhash_oracle_sql(),
+    bench=True,
     survey_ids=("EXT-dedup",),
     doc="SimHash64 near-dup pairs (hamming<=3) with 16-bit-chunk pigeonhole "
     "blocking; signature via Arrow-batched Pandas UDF; md5 token hashes "
@@ -224,6 +226,7 @@ def _embedding_lsh_oracle_sql(n_bands: int = 4, planes_per_band: int = 4) -> str
 @register(
     "x_dedup_embedding_lsh",
     _embedding_lsh_oracle_sql(),
+    bench=True,
     survey_ids=("EXT-dedup", "EXT-similarity"),
     doc="embedding near-dup at scale: banded sign-random-projection LSH "
     "(4 bands x 4 planes) candidate equi-join + exact float64 cosine "
@@ -380,6 +383,7 @@ def x_text_tokens(spark, sf_dir):
              AS quality_score
     FROM t
     """,
+    bench=True,
     survey_ids=("EXT-text",),
     doc="document quality heuristics: repetition (distinct ratio), stopword "
     "ratio, mean token length, composite [0,1] score",

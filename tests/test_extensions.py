@@ -136,3 +136,72 @@ def test_jaccard_prefix_filter_is_exact(spark):
     )
     assert with_pf == without
     assert (1, 3, 1.0) in [(a, b, j) for a, b, j in with_pf]
+
+
+def test_frame_sample_explode_shape(spark, sf_dir):
+    """Video-style 1->N frame sampling: row geometry, determinism, bounds."""
+    from data_pipeline_kafka_ek_spark.operators import multimodal
+
+    assets = multimodal.documents_as_assets(load_table(spark, sf_dir, "documents"))
+    frames = multimodal.frame_sample(assets, every_n_bytes=32, max_frames=4)
+    rows = frames.collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    n_assets = assets.count()
+    assert len(by_asset) == n_assets
+    for aid, fr in by_asset.items():
+        assert 1 <= len(fr) <= 4
+        assert sorted(f.frame_idx for f in fr) == list(range(len(fr)))
+        assert all(len(bytes(f.frame_payload)) <= 32 for f in fr)
+    # deterministic
+    again = multimodal.frame_sample(assets, every_n_bytes=32, max_frames=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type): (r.n, round(r.total, 4), r.mx)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, round(r.total, 4), r.mx)
+        for r in salted_agg(
+            e,
+            "event_type",
+            {"n": "count(event_id)", "total": "sum(value)", "mx": "max(value)"},
+            unique_col="event_id",
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    )
+    plain = sorted(
+        map(tuple, e.join(c, "user_id", "inner").select("event_id", "c_name").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(e, c, key="user_id", unique_col="event_id", n_salts=4)
+            .select("event_id", "c_name")
+            .collect(),
+        )
+    )
+    assert salted == plain

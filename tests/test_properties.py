@@ -106,3 +106,9 @@ def test_simhash_matches_oracle_formula(text):
     u = sum(1 << j for j in range(64) if acc[j] > 0)
     signed = u - (1 << 64) if u >= (1 << 63) else u
     assert dedup._simhash64(text) == signed
+
+
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=30), min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_simhash_batch_equals_scalar(texts):
+    assert dedup._simhash64_batch(texts) == [dedup._simhash64(t) for t in texts]
