@@ -228,3 +228,70 @@ def parse_json_tolerant(
     )
     dlq = parsed.filter(~ok).drop("__parsed")
     return good, dlq
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each key across
+    micro-batches (the LLM-pipeline streaming twin of
+    operators/dedup.py::exact_dedup).
+
+    Built on ``dropDuplicatesWithinWatermark`` so the dedup state is
+    *bounded*: a key's fingerprint is held only until the watermark passes
+    its event time, then evicted — at 100 TB/day the state store holds one
+    slim row per key per watermark horizon instead of forever (plain
+    ``dropDuplicates`` on a stream would grow without bound). RocksDB
+    state (session.py) keeps it off-heap.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def running_counts_stateful(
+    stream_df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a per-key
+    running event counter with value total — the escape hatch shown for
+    operators Spark's built-in aggregates can't express (arbitrary Python
+    state transitions, e.g. CUSUM alerting, pattern automata).
+
+    State per key is two numbers; each micro-batch updates the state from
+    its Arrow batches and emits one row per touched key (update-mode
+    semantics, like the reference's EMIT CHANGES aggregates).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key} long, event_count long, value_total double"
+    state_schema = "count long, total double"
+
+    def update(key_tuple, pdfs, state):
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((count, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "event_count": [count], "value_total": [total]}
+        )
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

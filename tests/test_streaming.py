@@ -197,3 +197,45 @@ def test_streaming_hopping_window_equals_batch(spark, sf_dir):
         output_mode="update",
     )
     assert _final_windowed_state(result) == batch
+
+
+def test_stream_dedup_first_occurrence_kept(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): duplicated
+    events across micro-batches collapse to one row per key."""
+    events = load_table(spark, sf_dir, "events").limit(200)
+    doubled = events.union(events)  # every event appears twice
+    stream = runtime.replayed_stream(spark, doubled, n_slices=4)
+    result = runtime.run_available_now(
+        runtime.stream_dedup(stream, ["event_id"], watermark="100 days"),
+        output_mode="append",
+    )
+    got = sorted(r.event_id for r in result.select("event_id").collect())
+    want = sorted(r.event_id for r in events.select("event_id").collect())
+    assert got == want
+
+
+def test_running_counts_stateful_final_state_equals_batch(spark, sf_dir):
+    """applyInPandasWithState custom operator: final per-key state across
+    replayed micro-batches equals the batch aggregate."""
+    events = load_table(spark, sf_dir, "events").limit(500)
+    batch = {
+        r.user_id: (r.event_count, round(r.value_total, 4))
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("value").alias("value_total"),
+        )
+        .collect()
+    }
+    stream = runtime.replayed_stream(spark, events, n_slices=3, order_col="ts")
+    result = runtime.run_available_now(
+        runtime.running_counts_stateful(stream, watermark="100 days"),
+        output_mode="update",
+    )
+    # update mode: last emission per key is the final state
+    final = {}
+    for r in result.collect():
+        cur = final.get(r.user_id, (0, 0.0))
+        if r.event_count >= cur[0]:
+            final[r.user_id] = (r.event_count, round(r.value_total, 4))
+    assert final == batch
