@@ -227,11 +227,14 @@ def cosine_pairs_lsh(
         )
         for i in range(n_bands)
     ]
+    # candidates stay SLIM (id pairs only): the band self-join and the
+    # dedup shuffle never carry the vectors — payloads re-join after dedup.
+    # At scale this is the difference between shuffling id pairs (~16 B)
+    # and shuffling two embeddings (~0.5 KB) per candidate.
     banded = vectors.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("__v"),
         F.explode(F.array(*band_structs)).alias("b"),
-    ).select("vid", "__v", "b.band_idx", "b.band_val")
+    ).select("vid", "b.band_idx", "b.band_val")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -240,20 +243,19 @@ def cosine_pairs_lsh(
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.vid") < F.col("b.vid")),
         )
-        .select(
-            F.col("a.vid").alias("vec_a"),
-            F.col("b.vid").alias("vec_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
-        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    # pin the CPU-bound cosine-verify stage (see parallelism.py)
-    cand = spread(cand, "vec_a")
+    va = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))
     av = F.transform("__va", lambda x: x.cast("double"))
     bv = F.transform("__vb", lambda x: x.cast("double"))
+    # pin the CPU-bound cosine-verify stage (see parallelism.py)
     return (
-        cand.withColumn("cosine_sim", _dot(av, bv) / (_norm(av) * _norm(bv)))
+        spread(cand, "vec_a")
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cosine_sim", _dot(av, bv) / (_norm(av) * _norm(bv)))
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
