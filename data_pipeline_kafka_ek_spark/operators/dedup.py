@@ -110,8 +110,10 @@ def jaccard_pairs(
     cand = (
         a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    # candidate dedup is another CPU-dense slim-row stage: pin its exchange
+    # (repartition-by-num satisfies dropDuplicates' clustering; AQE keeps it)
+    cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
@@ -195,8 +197,8 @@ def minhash_lsh_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
     sets = _token_sets(docs, id_col, text_col)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
