@@ -309,3 +309,83 @@ def lsh_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: inverted-file cells + probe + re-rank.
+
+    Coarse quantizer: the ``n_cells`` lowest-id vectors serve as fixed
+    pivots (deterministic, so the DuckDB oracle reproduces the identical
+    cell structure with a plain self-join — no literals needed); in
+    production you swap in trained centroids (KMeans) and every other part
+    of the plumbing is unchanged. Each corpus vector is assigned to its
+    max-cosine pivot; a query probes its ``n_probe`` nearest cells; exact
+    float64 re-rank within the probed cells.
+
+    Scale shape: assignment is one broadcast join against n_cells pivots +
+    a per-vector argmax (window over n_cells rows); the probe join is an
+    equi-join on cell id, so candidates per query ~ corpus * n_probe /
+    n_cells. Cells are the unit you'd co-partition/bucket the corpus by on
+    disk, which turns the probe into a pruned scan.
+    """
+    piv = F.broadcast(
+        corpus.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("pid"), F.col(vec_col).alias("__pv")
+        )
+    )
+
+    def ranked_cells(side: DataFrame, out_id: str) -> DataFrame:
+        sim = _dot(
+            F.transform("__pv", lambda x: x.cast("double")),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        ) / (
+            _norm(F.transform("__pv", lambda x: x.cast("double")))
+            * _norm(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("__psim"), F.asc("pid"))
+        return (
+            side.select(F.col(id_col).alias(out_id), vec_col)
+            .join(piv)
+            .withColumn("__psim", sim)
+            .withColumn("__rn", F.row_number().over(w))
+        )
+
+    assign = ranked_cells(corpus, "neighbor_id").filter(F.col("__rn") == 1).select(
+        "neighbor_id", F.col("pid").alias("cell")
+    )
+    probes = ranked_cells(queries, "query_id").filter(F.col("__rn") <= n_probe).select(
+        "query_id", F.col("pid").alias("cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    vq = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    vn = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    sim = _dot(
+        F.transform("__qv", lambda x: x.cast("double")),
+        F.transform("__cv", lambda x: x.cast("double")),
+    ) / (
+        _norm(F.transform("__qv", lambda x: x.cast("double")))
+        * _norm(F.transform("__cv", lambda x: x.cast("double")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        spread(cand, "query_id")
+        .join(vq, "query_id")
+        .join(vn, "neighbor_id")
+        .withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )

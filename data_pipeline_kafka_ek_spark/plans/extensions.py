@@ -504,3 +504,61 @@ def t_streaming_windowed(spark, sf_dir):
 def x_multimodal(spark, sf_dir):
     assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
     return multimodal.fake_features(assets)
+
+
+_IVF_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    piv AS (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id < 8),
+    ca AS (
+      SELECT v.vec_id, piv.pid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.e, piv.pe) DESC, piv.pid ASC
+             ) AS rn
+      FROM v CROSS JOIN piv
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, pid AS cell FROM ca WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, pid AS cell FROM ca
+               WHERE vec_id < 5 AND rn <= 2),
+    cand AS (
+      SELECT DISTINCT p.query_id, a.neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.neighbor_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(q.e, n.e) AS sim
+      FROM cand c
+      JOIN v q ON c.query_id = q.vec_id
+      JOIN v n ON c.neighbor_id = n.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+"""
+
+
+@register(
+    "x_ann_ivf_topk",
+    _IVF_ORACLE,
+    survey_ids=("EXT-similarity",),
+    doc="IVF-flat ANN: fixed deterministic pivots as the coarse quantizer "
+    "(production swaps in trained centroids; plumbing identical), corpus "
+    "assigned to max-cosine cells, queries probe their 2 nearest of 8 "
+    "cells, exact float64 re-rank within probed cells — candidates per "
+    "query ~ corpus * n_probe/n_cells; the oracle replays the identical "
+    "cell structure in plain SQL",
+)
+def x_ann_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=2
+    )

@@ -205,3 +205,24 @@ def test_salted_join_matches_plain(spark, sf_dir):
         )
     )
     assert salted == plain
+
+
+def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
+    """IVF-flat ANN: returned scores must equal brute-force cosine for the
+    same pairs (re-rank is exact), and probing 2/8 cells must beat the
+    random-subset recall floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    ivf_rows = similarity.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2).collect()
+    all_sims = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in similarity.cosine_topk(emb, queries, k=10**9).collect()
+    }
+    for r in ivf_rows:
+        assert all_sims[(r.query_id, r.neighbor_id)] == r.cosine_sim
+    recall = len(set(exact) & {(r.query_id, r.neighbor_id) for r in ivf_rows}) / len(exact)
+    assert recall >= 0.2, f"IVF recall {recall} below floor"
