@@ -1,6 +1,7 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Three tiers, trading exactness for scale:
+Four top-k tiers, trading exactness for scale, plus the pair (near-dup)
+variants ``cosine_pairs`` / ``cosine_pairs_lsh``:
 
 * ``cosine_topk``        — exact brute force, pure DataFrame ops (zip_with
                            dot product in whole-stage codegen). The oracle
@@ -10,9 +11,14 @@ Three tiers, trading exactness for scale:
                            path when queries are few and the corpus is huge
                            (each executor scans its partitions once).
 * ``lsh_bucket_topk``    — approximate: sign-random-projection buckets
-                           prune the corpus before exact re-ranking; the
-                           100 TB path (candidates per query ~ corpus /
-                           2^bits instead of the full corpus).
+                           prune the corpus before exact re-ranking
+                           (candidates per query ~ corpus / 2^bits).
+* ``ivf_topk``           — approximate: inverted-file cells + n_probe
+                           probing + exact re-rank; cells are the natural
+                           on-disk bucketing key for pruned scans.
+
+Every tier is deterministic (seeded planes / fixed pivots), so each has a
+DuckDB oracle replaying the identical structure.
 
 All cosine math is in float64 over the original element order so results
 are reproducible across engines.
