@@ -15,7 +15,8 @@ idiomatically on Apache Spark:
   multimodal plumbing) designed for 100 TB-class inputs.
 """
 
+from data_pipeline_kafka_ek_spark.engine import Engine
 from data_pipeline_kafka_ek_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["Engine", "get_spark"]
 __version__ = "0.1.0"
