@@ -60,10 +60,29 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def _token_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _token_sets(
+    docs: DataFrame, id_col: str, text_col: str, ngram: int = 1
+) -> DataFrame:
+    """Distinct token set per doc; with ``ngram > 1``, distinct word
+    n-gram (shingle) set — the unit the near-dup literature minhashes.
+    Shingling is pure built-in expressions (sequence + slice + concat_ws)
+    fused into codegen; a doc shorter than n contributes its whole text
+    as one shingle so no document silently vanishes."""
+    toks = F.split(F.col(text_col), " ")
+    if ngram > 1:
+        shingles = F.when(
+            F.size(toks) < ngram, F.array(F.concat_ws(" ", toks))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - ngram + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)),
+            )
+        )
+        return docs.select(
+            F.col(id_col).alias("doc_id"), F.array_distinct(shingles).alias("toks")
+        )
     return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(F.split(F.col(text_col), " ")).alias("toks"),
+        F.col(id_col).alias("doc_id"), F.array_distinct(toks).alias("toks")
     )
 
 
@@ -73,8 +92,10 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     prefix_filter: bool = True,
+    ngram: int = 1,
 ) -> DataFrame:
-    """All pairs with token-set Jaccard >= threshold.
+    """All pairs with token-set Jaccard >= threshold (``ngram > 1``:
+    Jaccard over distinct word n-gram/shingle sets).
 
     Candidates come from an inverted-index self-join (explode tokens, join
     on token); the verify step computes exact Jaccard on candidate pairs
@@ -88,7 +109,7 @@ def jaccard_pairs(
     dominate candidate fan-out at scale. Residual skew is an equi-join
     skew problem that AQE's skew-join split handles.
     """
-    sets = _token_sets(docs, id_col, text_col)
+    sets = _token_sets(docs, id_col, text_col, ngram)
     posts = sets.select(
         "doc_id", F.size("toks").alias("__n"), F.explode("toks").alias("tok")
     )
@@ -140,7 +161,7 @@ NUM_BANDS = 4  # 2 rows per band
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 1
 ) -> DataFrame:
     """Per-doc minhash signature: h_i = min over tokens of md5(f"{i}:{tok}").
 
@@ -148,7 +169,7 @@ def minhash_signatures(
     the property that makes the whole LSH pipeline oracle-verifiable.
     One explode + one groupBy; signature rows are tiny (8 x 32 hex chars).
     """
-    toks = _token_sets(docs, id_col, text_col).select(
+    toks = _token_sets(docs, id_col, text_col, ngram).select(
         "doc_id", F.explode("toks").alias("tok")
     )
     return toks.groupBy("doc_id").agg(
@@ -164,6 +185,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram: int = 1,
 ) -> DataFrame:
     """MinHash banding: docs agreeing on any band are candidates; candidates
     are verified with exact token-set Jaccard >= threshold.
@@ -173,7 +195,7 @@ def minhash_lsh_pairs(
     standard web-scale near-dup architecture (shingle -> minhash -> band ->
     bucket-join -> verify).
     """
-    sig = minhash_signatures(docs, id_col, text_col)
+    sig = minhash_signatures(docs, id_col, text_col, ngram)
     rows_per_band = NUM_HASHES // NUM_BANDS
     band_cols = []
     for bidx in range(NUM_BANDS):
@@ -199,7 +221,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
-    sets = _token_sets(docs, id_col, text_col)
+    sets = _token_sets(docs, id_col, text_col, ngram)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(

@@ -562,3 +562,36 @@ def x_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=2
     )
+
+
+@register(
+    "x_dedup_jaccard_3gram",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text,' ') AS w FROM documents
+    ),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+               END) AS s
+      FROM base
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s,b.s))*1.0
+                 / len(list_distinct(list_concat(a.s,b.s))), 4) AS jaccard_sim
+    FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s,b.s))*1.0
+          / len(list_distinct(list_concat(a.s,b.s))) >= 0.8
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="word-3-gram (shingle) Jaccard >= 0.8 near-dup pairs: the shingled "
+    "variant the near-dup literature minhashes — order-sensitive where "
+    "token-set Jaccard is not; same prefix-filtered inverted-index "
+    "architecture, shingling fused into codegen; oracle is brute-force "
+    "O(n^2) over the identical shingle sets",
+)
+def x_dedup_jaccard_3gram(spark, sf_dir):
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8, ngram=3)
