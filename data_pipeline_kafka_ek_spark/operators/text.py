@@ -122,3 +122,56 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         key.alias("fp_key"),
         roll.alias("fp_roll"),
     )
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: the fraction of word 2-grams taken
+    by the single most frequent 2-gram, and the duplicate fraction of word
+    3-grams (1 - distinct/total). High values flag boilerplate/degenerate
+    text — the standard pre-training repetition filters.
+
+    The 3-gram duplicate fraction is pure array expressions (no shuffle);
+    the top-2-gram mode needs a (doc, gram) count -> per-doc max: two
+    partial-aggregated shuffles on slim rows. Docs with < 2 tokens have no
+    2-grams and report 0.0 for both signals.
+    """
+    w = F.split(F.col(text_col), " ")
+
+    def grams(n: int):
+        return F.when(F.size(w) < n, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        )
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        grams(2).alias("g2"),
+        grams(3).alias("g3"),
+    )
+    dup3 = base.select(
+        "doc_id",
+        F.when(
+            F.size("g3") > 0,
+            F.round(1 - F.size(F.array_distinct("g3")) / F.size("g3"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("g2").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .select("doc_id", F.round(F.col("mx") / F.col("tot"), 4).alias("top_2gram_frac"))
+    )
+    return (
+        dup3.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+            "dup_3gram_frac",
+        )
+    )

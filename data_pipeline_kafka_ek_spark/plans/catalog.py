@@ -835,3 +835,96 @@ def oracle_sql() -> dict[str, str]:
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items() if spec.bench}
+
+
+# ---------------------------------------------------------------------------
+# Aggregation/analytic breadth beyond the reference (SURVEY.md §2.5 notes the
+# reference lacks DISTINCT aggregation, rollup and OVER-clause analytics —
+# all Catalyst built-ins; exposed here so the engine's SQL surface is whole)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a_rollup_revenue",
+    """
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP(c.c_mktsegment, o.o_orderpriority)
+    """,
+    survey_ids=("A1",),
+    doc="hierarchical ROLLUP totals (segment, priority) -> subtotals -> "
+    "grand total; Spark plans rollup as one Expand + one partial+final "
+    "aggregation — a single shuffle for all grouping sets",
+)
+def a_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .rollup(F.col("c_mktsegment").alias("segment"),
+                F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+@register(
+    "a_count_distinct",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS distinct_customers,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    survey_ids=("A1",),
+    doc="exact DISTINCT aggregation (Spark plans it as a two-phase "
+    "dedup-then-count — partial distinct map-side, one shuffle keyed on "
+    "(group, value), then the final count; approx_count_distinct is the "
+    "sketch alternative when exactness isn't required)",
+)
+def a_count_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count_distinct("o_custkey").alias("distinct_customers"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+@register(
+    "x_window_running_total",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 4) AS running_total
+    FROM events
+    """,
+    survey_ids=("A1",),
+    doc="OVER-clause analytic (running sum per key in event-time order) — "
+    "absent from ksqlDB 0.20 entirely (SURVEY.md §2.6); one shuffle on the "
+    "partition key, sort within partitions, single pass",
+)
+def x_window_running(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_total")
+    )

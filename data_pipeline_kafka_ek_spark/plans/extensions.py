@@ -595,3 +595,51 @@ def x_ann_ivf(spark, sf_dir):
 )
 def x_dedup_jaccard_3gram(spark, sf_dir):
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8, ngram=3)
+
+
+@register(
+    "x_text_repetition",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text,' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN []
+                  ELSE list_transform(range(1, len(w)),
+                                      i -> array_to_string(w[i:i+1], ' '))
+             END AS g2,
+             CASE WHEN len(w) < 3 THEN []
+                  ELSE list_transform(range(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+2], ' '))
+             END AS g3
+      FROM base
+    ),
+    dup3 AS (
+      SELECT doc_id,
+             CASE WHEN len(g3) > 0
+                  THEN round(1 - len(list_distinct(g3))*1.0/len(g3), 4)
+                  ELSE 0.0 END AS dup_3gram_frac
+      FROM g
+    ),
+    cnt AS (
+      SELECT doc_id, gram, count(*) AS c
+      FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+      GROUP BY doc_id, gram
+    ),
+    top2 AS (
+      SELECT doc_id, round(max(c)*1.0/sum(c), 4) AS top_2gram_frac
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(t.top_2gram_frac, 0.0) AS top_2gram_frac,
+           d.dup_3gram_frac
+    FROM dup3 d LEFT JOIN top2 t ON d.doc_id = t.doc_id
+    """,
+    survey_ids=("EXT-text",),
+    doc="Gopher-style repetition filters: most-frequent-2-gram fraction + "
+    "duplicate-3-gram fraction per document — the standard pre-training "
+    "boilerplate/degeneracy signals; 3-gram part is shuffle-free array "
+    "expressions, 2-gram mode is two slim partial-aggregated shuffles",
+)
+def x_text_repetition(spark, sf_dir):
+    return text.repetition_stats(_t(spark, sf_dir, "documents"))
