@@ -928,3 +928,34 @@ def x_window_running(spark, sf_dir):
     return e.select(
         "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("running_total")
     )
+
+
+@register(
+    "set_except_intersect",
+    """
+    WITH live_users AS (
+      SELECT DISTINCT user_id FROM events WHERE lower(event_type) NOT LIKE '%err%'
+    ),
+    err_users AS (
+      SELECT DISTINCT user_id FROM events WHERE lower(event_type) LIKE '%err%'
+    )
+    SELECT user_id, 'clean' AS cohort FROM (
+      SELECT user_id FROM live_users EXCEPT SELECT user_id FROM err_users
+    )
+    UNION ALL
+    SELECT user_id, 'mixed' AS cohort FROM (
+      SELECT user_id FROM live_users INTERSECT SELECT user_id FROM err_users
+    )
+    """,
+    survey_ids=("§2.8",),
+    doc="EXCEPT + INTERSECT over the live/test split (SURVEY.md §2.8 notes "
+    "the reference has no set ops; Spark plans both as aggregate/join "
+    "shapes): users with only clean traffic vs users with both",
+)
+def set_except_intersect(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    live = e.filter(~F.lower("event_type").like("%err%")).select("user_id").distinct()
+    err = e.filter(F.lower("event_type").like("%err%")).select("user_id").distinct()
+    clean = live.exceptAll(err).withColumn("cohort", F.lit("clean"))
+    mixed = live.intersectAll(err).withColumn("cohort", F.lit("mixed"))
+    return clean.unionByName(mixed)

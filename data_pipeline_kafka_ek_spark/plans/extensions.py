@@ -643,3 +643,67 @@ def x_dedup_jaccard_3gram(spark, sf_dir):
 )
 def x_text_repetition(spark, sf_dir):
     return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_pipeline_corpus_prep",
+    """
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text,' ')) AS n,
+             list_distinct(string_split(text,' ')) AS d
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, lang,
+             round(least(1.0,
+                   (len(d)*1.0/n)*0.5
+                   + (len(list_intersect(d,
+                      ['the','a','an','and','or','of','to','in','is','it']))*1.0
+                      / len(d))*0.2
+                   + least((length(text)-(n-1))*1.0/n/8, 1.0)*0.3), 4)
+               AS quality_score,
+             CAST(n AS BIGINT) AS n_tokens
+      FROM t
+    ),
+    filtered AS (
+      SELECT * FROM scored
+      WHERE quality_score >= 0.5 AND lang = 'en' AND n_tokens >= 10
+    )
+    SELECT min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count,
+           round(min(quality_score), 4) AS quality_score,
+           min(n_tokens) AS n_tokens
+    FROM filtered GROUP BY text
+    """,
+    survey_ids=("EXT-text", "EXT-dedup"),
+    doc="composite corpus-prep pipeline (the realistic LLM pre-training "
+    "chain): quality-score filter >= 0.5 -> declared-language filter "
+    "'en' -> min-length filter -> exact dedup keeping the lowest doc_id "
+    "per distinct text; one scan, narrow filters, one dedup shuffle — "
+    "composition of the engine's text + dedup operators in a single plan",
+)
+def x_pipeline_corpus_prep(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select("doc_id", "quality_score")
+    stats = text.token_stats(docs).select("doc_id", "n_tokens")
+    enriched = (
+        docs.join(scored, "doc_id")
+        .join(stats, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.5)
+            & (F.col("lang") == "en")
+            & (F.col("n_tokens") >= 10)
+        )
+    )
+    return (
+        enriched.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.round(F.min("quality_score"), 4).alias("quality_score"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .drop("text")
+        .select("doc_id", "dup_count", "quality_score", "n_tokens")
+    )

@@ -239,3 +239,26 @@ def test_running_counts_stateful_final_state_equals_batch(spark, sf_dir):
         if r.event_count >= cur[0]:
             final[r.user_id] = (r.event_count, round(r.value_total, 4))
     assert final == batch
+
+
+def test_streaming_enrichment_join_equals_batch(spark, sf_dir):
+    """The reference's flagship stream-table join (J1) as a real streaming
+    query: replayed event stream joined against the static customer
+    dimension (Spark re-reads the static side per micro-batch — the
+    'current table state' semantics); final output equals the batch plan."""
+    from data_pipeline_kafka_ek_spark.plans import reference as ref
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    batch = sorted(
+        (r.event_id, r.customer_label)
+        for r in ref.unhappy_vip_customers(events, customer).collect()
+    )
+    stream = runtime.replayed_stream(spark, events, n_slices=3, order_col="ts")
+    streamed_df = runtime.run_available_now(
+        ref.unhappy_vip_customers(stream, customer), output_mode="append"
+    )
+    streamed = sorted(
+        (r.event_id, r.customer_label) for r in streamed_df.collect()
+    )
+    assert streamed == batch
