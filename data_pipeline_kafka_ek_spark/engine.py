@@ -67,6 +67,40 @@ class Engine:
         one planner for both APIs."""
         return self.spark.sql(statement)
 
+    def start_stream(
+        self,
+        name: str,
+        stream_df: DataFrame,
+        sink_format: str = "memory",
+        output_mode: str = "append",
+        checkpoint_dir: str | None = None,
+        trigger_available_now: bool = False,
+        **sink_options: str,
+    ):
+        """The running half of CSAS: deploy a streaming derivation as a
+        named persistent query (reference: every ``CREATE ... AS SELECT
+        EMIT CHANGES`` registers a continuously running query the server
+        tracks; here it lands in ``spark.streams`` and ``show_queries``).
+        Returns the ``StreamingQuery``; stop via ``.stop()`` or track it
+        until ``awaitTermination``."""
+        import tempfile
+
+        writer = (
+            stream_df.writeStream.format(sink_format)
+            .queryName(name)
+            .outputMode(output_mode)
+            .option(
+                "checkpointLocation",
+                checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+            )
+        )
+        for k, v in sink_options.items():
+            writer = writer.option(k, v)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        self._streams.setdefault(name, stream_df)
+        return writer.start()
+
     # -- SHOW ... (reference: README.md:71,146,181,297) ----------------------
 
     def show_streams(self) -> list[str]:

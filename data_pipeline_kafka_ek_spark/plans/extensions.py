@@ -707,3 +707,74 @@ def x_pipeline_corpus_prep(spark, sf_dir):
         .drop("text")
         .select("doc_id", "dup_count", "quality_score", "n_tokens")
     )
+
+
+@register(
+    "x_embedding_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS q8_scale
+      FROM v
+    )
+    SELECT vec_id, round(q8_scale, 6) AS q8_scale,
+           CASE WHEN q8_scale = 0
+                THEN list_transform(e, x -> CAST(x AS TINYINT))
+                ELSE list_transform(e, x -> CAST(round(x / q8_scale) AS TINYINT))
+           END AS embedding_q8
+    FROM s
+    """,
+    survey_ids=("EXT-similarity",),
+    doc="symmetric per-vector int8 quantization (scale = max|x|/127, kept "
+    "for dequantization): 4x embedding storage reduction, pure "
+    "expressions; oracle replays the same arithmetic",
+)
+def x_embedding_quantize(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select("vec_id", F.round("q8_scale", 6).alias("q8_scale"), "embedding_q8")
+
+
+@register(
+    "x_corpus_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text,' ')) AS n_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t GROUP BY lang
+    """,
+    survey_ids=("EXT-text", "A1"),
+    doc="corpus-level reporting rollup per language: doc/token/char "
+    "totals and token-length stats — the dataset-card numbers every "
+    "training-data pipeline publishes; one partial-aggregated shuffle",
+)
+def x_corpus_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        d.select(
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+    )

@@ -105,3 +105,30 @@ def test_describe_extended_kind_and_schema(engine, spark, sf_dir):
     assert ext["kind"] == "table"
     assert ext["lastProgress"] is None
     assert any(c["column"] == "c_custkey" for c in ext["schema"])
+
+
+def test_start_stream_persistent_query_lifecycle(engine, spark, sf_dir):
+    """CSAS deploy twin: start_stream registers a named running query
+    visible in SHOW QUERIES; its memory-sink output matches the batch
+    twin after availableNow completion."""
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    stream = srt.stream_table(spark, sf_dir, "events")
+    q = engine.start_stream(
+        "events_live_q",
+        stream.filter(~F.lower("event_type").like("%err%")),
+        trigger_available_now=True,
+    )
+    try:
+        assert any(e["name"] == "events_live_q" for e in engine.show_queries())
+    finally:
+        q.awaitTermination()
+    from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+    batch_n = (
+        load_table(spark, sf_dir, "events")
+        .filter(~F.lower("event_type").like("%err%"))
+        .count()
+    )
+    assert spark.table("events_live_q").count() == batch_n
+    assert "events_live_q" in engine.show_streams()

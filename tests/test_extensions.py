@@ -226,3 +226,23 @@ def test_ivf_topk_recall_and_exact_scores(spark, sf_dir):
         assert all_sims[(r.query_id, r.neighbor_id)] == r.cosine_sim
     recall = len(set(exact) & {(r.query_id, r.neighbor_id) for r in ivf_rows}) / len(exact)
     assert recall >= 0.2, f"IVF recall {recall} below floor"
+
+
+def test_normalize_embeddings_unit_norm(spark, sf_dir):
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = similarity.normalize_embeddings(emb).collect()
+    for r in rows:
+        n = math.sqrt(sum(x * x for x in r.embedding_unit))
+        assert abs(n - 1.0) < 1e-9 or n == 0.0
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = similarity.quantize_int8(emb).collect()
+    for r in rows:
+        scale = r.q8_scale
+        for orig, q in zip(r.embedding, r.embedding_q8):
+            assert -127 <= q <= 127
+            assert abs(float(orig) - q * scale) <= scale / 2 + 1e-9
