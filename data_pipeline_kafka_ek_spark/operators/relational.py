@@ -91,3 +91,66 @@ def top_k_terms(df: DataFrame, col: str, k: int = 5) -> DataFrame:
         .orderBy(F.desc("term_count"), F.asc("term"))
         .limit(k)
     )
+
+
+def cascade_rollup(
+    events: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    resolutions_s: tuple[int, ...] = (60, 900, 3600),
+) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    pattern): aggregate once at the finest resolution, then derive every
+    coarser level by re-aggregating the finest level's partials — at
+    100 TB that is ONE scan of the raw events plus re-aggregations over
+    the (tiny) finest rollup, instead of one full scan per resolution.
+    Resolutions must nest (each must divide the next) so window starts
+    align exactly.
+
+    Returns the union of all levels tagged with ``resolution_s``, with
+    mergeable partials (count + sum) so downstream can keep cascading.
+    """
+    for fine, coarse in zip(resolutions_s, resolutions_s[1:]):
+        if coarse % fine != 0:
+            raise ValueError(f"resolutions must nest: {coarse} % {fine} != 0")
+    finest = resolutions_s[0]
+    base = (
+        events.groupBy(
+            (F.floor(F.unix_timestamp(ts_col) / finest) * finest)
+            .cast("long")
+            .alias("bucket"),
+            F.col(key),
+        )
+        .agg(F.count(F.lit(1)).alias("event_count"), F.sum("value").alias("value_sum"))
+    )
+    levels = [
+        base.select(
+            F.lit(finest).alias("resolution_s"), "bucket", key, "event_count", "value_sum"
+        )
+    ]
+    prev = base.withColumn("res", F.lit(finest))
+    for res in resolutions_s[1:]:
+        prev = (
+            prev.groupBy(
+                (F.floor(F.col("bucket") / res) * res).cast("long").alias("bucket"),
+                F.col(key),
+            )
+            .agg(F.sum("event_count").alias("event_count"), F.sum("value_sum").alias("value_sum"))
+        )
+        levels.append(
+            prev.select(
+                F.lit(res).alias("resolution_s"), "bucket", key, "event_count", "value_sum"
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "resolution_s",
+        F.date_format(F.timestamp_seconds("bucket"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        key,
+        "event_count",
+        F.round("value_sum", 4).alias("value_sum"),
+    )

@@ -959,3 +959,33 @@ def set_except_intersect(spark, sf_dir):
     clean = live.exceptAll(err).withColumn("cohort", F.lit("clean"))
     mixed = live.intersectAll(err).withColumn("cohort", F.lit("mixed"))
     return clean.unionByName(mixed)
+
+
+@register(
+    "a_cascade_rollup",
+    """
+    WITH lv AS (
+      SELECT r.res AS resolution_s,
+             CAST(floor(epoch(e.ts) / r.res) * r.res AS BIGINT) AS bucket,
+             e.event_type,
+             CAST(count(*) AS BIGINT) AS event_count,
+             round(sum(e.value), 4) AS value_sum
+      FROM events e CROSS JOIN (SELECT unnest([60, 900, 3600]) AS res) r
+      GROUP BY 1, 2, 3
+    )
+    SELECT resolution_s,
+           strftime(to_timestamp(bucket), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, event_count, value_sum
+    FROM lv
+    """,
+    survey_ids=("A3", "A6"),
+    doc="hypertable-style cascading rollup: 1min/15min/1h levels where "
+    "each coarser level re-aggregates the finest level's mergeable "
+    "partials (count+sum) — one raw scan total vs one per resolution; "
+    "the oracle computes each level directly from raw events, proving "
+    "the cascade is lossless",
+)
+def a_cascade(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators.relational import cascade_rollup
+
+    return cascade_rollup(_t(spark, sf_dir, "events"), "event_type")
