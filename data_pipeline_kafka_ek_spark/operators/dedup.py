@@ -6,8 +6,10 @@ by candidate generation):
 
 * exact         — hash-groupBy on the content key; one shuffle.
 * n-gram Jaccard — posting-list (inverted-index) candidate join + exact
-                   set-Jaccard verify; the join is on shared tokens so only
-                   pairs with non-zero overlap are ever materialized.
+                   set-Jaccard verify, over word tokens or word n-gram
+                   shingles (``ngram=``); prefix filtering (on by default)
+                   posts only each doc's rarest tokens — exact, no recall
+                   loss — so hot-token fan-out never materializes.
 * MinHash + LSH — md5-based minhash signatures, banded; candidates are
                    pairs agreeing on >=1 band; exact-Jaccard verified.
                    Deterministic across engines (md5, lexicographic min),
