@@ -1,0 +1,93 @@
+"""Empty-input robustness: every operator family must return an empty
+(schema-correct) result on empty tables rather than crash — empty Arrow
+batches, empty windows, and empty candidate sets are routine at scale
+(empty partitions, all-filtered micro-batches)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_pipeline_kafka_ek_spark.operators import dedup, multimodal, similarity, text
+from data_pipeline_kafka_ek_spark.operators.relational import cascade_rollup, latest_per_key
+from data_pipeline_kafka_ek_spark.operators.skew import salted_agg, salted_join
+from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return spark.createDataFrame([], d.schema)
+
+
+@pytest.fixture(scope="module")
+def empty_emb(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return spark.createDataFrame([], e.schema)
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return spark.createDataFrame([], e.schema)
+
+
+def test_dedup_family_empty(empty_docs):
+    assert dedup.exact_dedup(empty_docs, ["text"], "doc_id").count() == 0
+    assert dedup.jaccard_pairs(empty_docs, threshold=0.9).count() == 0
+    assert dedup.jaccard_pairs(empty_docs, threshold=0.8, ngram=3).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs, threshold=0.8).count() == 0
+    assert dedup.simhash_pairs(empty_docs, max_hamming=3).count() == 0
+
+
+def test_similarity_family_empty(empty_emb):
+    assert similarity.cosine_pairs(empty_emb, threshold=0.4).count() == 0
+    assert similarity.cosine_pairs_lsh(empty_emb, threshold=0.4).count() == 0
+    assert similarity.cosine_topk(empty_emb, empty_emb, k=5).count() == 0
+    assert (
+        similarity.cosine_topk_blocked(empty_emb, [(0, [0.0] * 64)], k=5).count() == 0
+    )
+    assert similarity.lsh_bucket_topk(empty_emb, empty_emb, k=5, n_planes=4).count() == 0
+    assert similarity.ivf_topk(empty_emb, empty_emb, k=5).count() == 0
+    assert similarity.normalize_embeddings(empty_emb).count() == 0
+    assert similarity.quantize_int8(empty_emb).count() == 0
+
+
+def test_text_family_empty(empty_docs):
+    assert text.token_stats(empty_docs).count() == 0
+    assert text.quality_score(empty_docs).count() == 0
+    assert text.language_id(empty_docs).count() == 0
+    assert text.fingerprint(empty_docs).count() == 0
+    assert text.repetition_stats(empty_docs).count() == 0
+
+
+def test_multimodal_empty(empty_docs):
+    assets = multimodal.documents_as_assets(empty_docs)
+    assert multimodal.fake_features(assets).count() == 0
+    assert multimodal.frame_sample(assets).count() == 0
+
+
+def test_relational_and_skew_empty(spark, empty_events):
+    assert latest_per_key(empty_events, "user_id", [F.desc("ts")]).count() == 0
+    assert cascade_rollup(empty_events, "event_type").count() == 0
+    assert (
+        salted_agg(
+            empty_events, "event_type", {"n": "count(event_id)"}, unique_col="event_id"
+        ).count()
+        == 0
+    )
+    other = empty_events.select(F.col("user_id"), F.lit("x").alias("tag"))
+    assert (
+        salted_join(
+            empty_events.select("event_id", "user_id"),
+            other,
+            key="user_id",
+            unique_col="event_id",
+        ).count()
+        == 0
+    )
+
+
+def test_streaming_windowed_empty(spark, empty_events):
+    from data_pipeline_kafka_ek_spark.streaming import runtime
+
+    assert runtime.windowed_counts(empty_events).count() == 0
+    assert runtime.session_windowed_counts(empty_events).count() == 0
