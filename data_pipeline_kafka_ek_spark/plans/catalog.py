@@ -989,3 +989,65 @@ def a_cascade(spark, sf_dir):
     from data_pipeline_kafka_ek_spark.operators.relational import cascade_rollup
 
     return cascade_rollup(_t(spark, sf_dir, "events"), "event_type")
+
+
+@register(
+    "a_pivot_lang_quality",
+    """
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN len(list_distinct(string_split(text,' ')))*1.0
+                       / len(string_split(text,' ')) >= 0.8
+                  THEN 'high' ELSE 'low' END AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (bucket = 'high') AS BIGINT) AS high,
+           CAST(count(*) FILTER (bucket = 'low') AS BIGINT) AS low
+    FROM t GROUP BY lang
+    """,
+    survey_ids=("A1", "EXT-text"),
+    doc="pivot (long->wide conditional aggregation): per-language doc "
+    "counts by distinct-token-ratio bucket; Spark's pivot plans as one "
+    "partial+final aggregation with per-bucket conditional counts — "
+    "same single shuffle as a plain groupBy",
+)
+def a_pivot(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bucket = F.when(
+        F.size(F.array_distinct(toks)) / F.size(toks) >= 0.8, "high"
+    ).otherwise("low")
+    return (
+        d.select("lang", bucket.alias("bucket"))
+        .groupBy("lang")
+        .pivot("bucket", ["high", "low"])
+        .count()
+        .na.fill(0, ["high", "low"])
+        .select("lang", F.col("high").cast("long"), F.col("low").cast("long"))
+    )
+
+
+@register(
+    "x_deterministic_sample",
+    """
+    SELECT doc_id, text
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+    """,
+    survey_ids=("EXT-text", "L1"),
+    doc="deterministic ~10% sample via md5-hash-mod on the id — the "
+    "reproducible sampling primitive for training-data pipelines "
+    "(engine-independent, re-runnable, joinable across tables; unlike "
+    "df.sample it is stable across partitioning/retries); pure "
+    "expressions, pushable into the scan",
+)
+def x_det_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    return d.filter(bucket < 10).select("doc_id", "text")
