@@ -1051,3 +1051,53 @@ def x_det_sample(spark, sf_dir):
         F.lit(100),
     )
     return d.filter(bucket < 10).select("doc_id", "text")
+
+
+@register(
+    "j_semi_join",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    """,
+    survey_ids=("J1",),
+    doc="LEFT SEMI join (EXISTS): orders having at least one high-quantity "
+    "line item — the semi join shuffles only the key column of the probe "
+    "side and emits each left row at most once (no fan-out, no dedup "
+    "needed); join types absent from ksqlDB but free from Catalyst",
+)
+def j_semi(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return o.join(
+        l.filter(F.col("l_quantity") > 45),
+        o["o_orderkey"] == l["l_orderkey"],
+        "left_semi",
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "j_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    survey_ids=("J1",),
+    doc="LEFT ANTI join (NOT EXISTS): customers who never placed an "
+    "URGENT-priority order (~10% of customers at fixture order rates, so "
+    "the anti path is genuinely exercised) — orphan/holdout detection; "
+    "the build side is pre-filtered so only urgent order keys shuffle",
+)
+def j_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )

@@ -262,3 +262,58 @@ def test_streaming_enrichment_join_equals_batch(spark, sf_dir):
         (r.event_id, r.customer_label) for r in streamed_df.collect()
     )
     assert streamed == batch
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream event-time interval join (a Spark capability beyond
+    the reference's stream-table join; NOT a J1 substitute — SURVEY §7.3):
+    error events joined to the same user's clean events within the
+    following 10 minutes. Both sides watermarked; streamed result over
+    replayed micro-batches equals the batch join."""
+    events = load_table(spark, sf_dir, "events")
+    err_b = events.filter(F.lower("event_type").like("%err%")).select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    ok_b = events.filter(~F.lower("event_type").like("%err%")).select(
+        F.col("event_id").alias("ok_id"),
+        F.col("user_id").alias("ok_user"),
+        F.col("ts").alias("ok_ts"),
+    )
+    cond_b = (
+        (F.col("err_user") == F.col("ok_user"))
+        & (F.col("ok_ts") >= F.col("err_ts"))
+        & (F.col("ok_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    batch = sorted(
+        (r.err_id, r.ok_id) for r in err_b.join(ok_b, cond_b).collect()
+    )
+
+    stream = runtime.replayed_stream(spark, events, n_slices=3, order_col="ts")
+    err_s = (
+        stream.filter(F.lower("event_type").like("%err%"))
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "100 days")
+    )
+    ok_s = (
+        stream.filter(~F.lower("event_type").like("%err%"))
+        .select(
+            F.col("event_id").alias("ok_id"),
+            F.col("user_id").alias("ok_user"),
+            F.col("ts").alias("ok_ts"),
+        )
+        .withWatermark("ok_ts", "100 days")
+    )
+    cond_s = (
+        (F.col("err_user") == F.col("ok_user"))
+        & (F.col("ok_ts") >= F.col("err_ts"))
+        & (F.col("ok_ts") <= F.col("err_ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    joined = runtime.run_available_now(err_s.join(ok_s, cond_s), output_mode="append")
+    streamed = sorted((r.err_id, r.ok_id) for r in joined.collect())
+    assert streamed == batch
