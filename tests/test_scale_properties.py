@@ -1,0 +1,116 @@
+"""Executable evidence for the SCALE.md claims: bucketing elides the
+join exchange, date-partitioned layout prunes at the scan, and streaming
+checkpoints make restarts exactly-once. These are plan/recovery
+assertions, not timings — they hold at any scale factor."""
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+
+from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
+def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key => zero-shuffle sort-merge join
+    (the recurring-join layout SCALE.md prescribes for 100 TB facts)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        customer = load_table(spark, sf_dir, "customer")
+        events.write.bucketBy(8, "user_id").sortBy("user_id").mode(
+            "overwrite"
+        ).saveAsTable("ev_bkt")
+        customer.select(
+            F.col("c_custkey").alias("user_id"), "c_name"
+        ).write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable(
+            "cust_bkt"
+        )
+        joined = spark.table("ev_bkt").join(spark.table("cust_bkt"), "user_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and it computes the same rows as the unbucketed join
+        plain = events.join(
+            customer.select(F.col("c_custkey").alias("user_id"), "c_name"), "user_id"
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS ev_bkt")
+        spark.sql("DROP TABLE IF EXISTS cust_bkt")
+
+
+def test_date_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
+    """Writing the fact table date-partitioned => a date predicate becomes
+    a PartitionFilter (directories never read), not a row filter."""
+    out = str(tmp_path / "events_by_day")
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    events.write.partitionBy("event_date").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-05")
+    plan = _plan(df)
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    n_dirs = len(glob.glob(os.path.join(out, "event_date=*")))
+    assert n_dirs > 1  # layout really is partitioned
+    expected = events.filter(F.col("event_date") == "2024-01-05").count()
+    assert df.count() == expected > 0
+
+
+def test_streaming_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Stop a file-sink streaming query after the first micro-batch and
+    restart with the SAME checkpoint: the restart resumes from the
+    recorded offsets — output has every input row exactly once."""
+    from data_pipeline_kafka_ek_spark.streaming import runtime
+
+    events = load_table(spark, sf_dir, "events").limit(400)
+    src = str(tmp_path / "src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    q = start()
+    # wait for at least one committed batch, then stop mid-stream
+    import time
+
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    q2 = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = spark.read.parquet(out).count() >= 400
+        if done:
+            break
+        time.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination()
+
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    want = sorted(r.event_id for r in events.collect())
+    assert got == want, "restart lost or duplicated rows"
