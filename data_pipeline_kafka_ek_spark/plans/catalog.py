@@ -1101,3 +1101,57 @@ def j_anti(spark, sf_dir):
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )
+
+
+@register(
+    "q_sql_scalar_subquery",
+    """
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events
+    WHERE value > (SELECT avg(value) FROM events)
+    """,
+    survey_ids=("F3",),
+    doc="scalar subquery through the engine's SQL entry point (the "
+    "reference's primary interface is SQL text, SURVEY.md §3.1): Catalyst "
+    "plans the subquery once as a broadcast scalar, not per-row",
+)
+def q_sql_scalar(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, user_id, round(value, 4) AS value
+        FROM events
+        WHERE value > (SELECT avg(value) FROM events)
+        """
+    )
+
+
+@register(
+    "x_explode_top_tokens",
+    """
+    SELECT tok, CAST(count(*) AS BIGINT) AS docs
+    FROM (
+      SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY docs DESC, tok ASC
+    LIMIT 20
+    """,
+    survey_ids=("A7", "EXT-text"),
+    doc="corpus vocabulary head: explode (lateral view) distinct tokens -> "
+    "document-frequency count -> deterministic top-20; the shuffle carries "
+    "one (token, partial-count) row per partition, the top-k is "
+    "TakeOrdered — the df table every prefix-filter/idf computation needs",
+)
+def x_explode_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy(F.desc("docs"), F.asc("tok"))
+        .limit(20)
+    )
