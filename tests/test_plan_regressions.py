@@ -1,0 +1,75 @@
+"""Physical-plan regression guards: the headline queries' scale
+properties (broadcast joins, pushdown, bounded shuffle counts, no
+accidental row-Python) are asserted so a future refactor can't silently
+trade them away. Counts are upper bounds — fewer is always fine."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as em
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange", plan)) - len(
+        re.findall(r"BroadcastExchange", plan)
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = em.queries()
+    return {name: _plan(qs[name](spark, sf_dir)) for name in [
+        "j1_enrichment_join",
+        "unhappy_vip_customers",
+        "h1_pricing_summary",
+        "h3_top_revenue_orders",
+        "h5_nation_revenue",
+        "a2_a3_windowed_collect",
+        "p1_project_columns",
+    ]}
+
+
+def test_enrichment_join_broadcasts_and_never_shuffles(plans):
+    for q in ("j1_enrichment_join", "unhappy_vip_customers"):
+        assert "BroadcastHashJoin" in plans[q]
+        assert _shuffles(plans[q]) == 0, plans[q]
+
+
+def test_flagship_filters_reach_the_scan(plans):
+    p = plans["unhappy_vip_customers"]
+    pushed = "".join(re.findall(r"PushedFilters: \[[^\]]*\]", p))
+    assert "LessThan(value,50.0)" in pushed
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
+
+
+def test_projection_prunes_columns(plans):
+    # p1 selects 4 of events' 6 columns; the scan schema must not widen
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plans["p1_project_columns"])
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "ts" not in cols and "event_id" not in cols
+
+
+def test_aggregates_shuffle_at_most_once_per_grouping(plans):
+    assert _shuffles(plans["h1_pricing_summary"]) <= 1
+    assert _shuffles(plans["a2_a3_windowed_collect"]) <= 1
+    # h3: one shuffle for the groupBy; top-k must be TakeOrdered, not sort
+    assert _shuffles(plans["h3_top_revenue_orders"]) <= 1
+    assert "TakeOrdered" in plans["h3_top_revenue_orders"]
+    # h5: fact shuffles once, every dimension broadcasts
+    assert _shuffles(plans["h5_nation_revenue"]) <= 1
+    assert plans["h5_nation_revenue"].count("BroadcastHashJoin") >= 3
+
+
+def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
+    """Arrow-batched Python (ArrowEvalPython/MapInPandas) is allowed on
+    the designated slow paths; row-at-a-time BatchEvalPython is banned
+    engine-wide."""
+    for name, fn in em.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses row-Python:\n{plan}"
