@@ -43,9 +43,14 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 
     groupBy on content = one shuffle keyed by the (hashed) content columns;
     at 100 TB prefer ``md5(content)`` as the group key so the shuffle rows
-    carry a 32-byte digest instead of full documents — done here.
+    carry a 32-byte digest instead of full documents — done here. The
+    digest is over the JSON of the content struct with nulls kept, so
+    ('x', NULL), (NULL, 'x') and ('x', '') are distinct tuples (concat_ws
+    would silently drop the NULLs and conflate them).
     """
-    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    digest = F.md5(
+        F.to_json(F.struct(*content_cols), {"ignoreNullFields": "false"})
+    )
     return (
         df.withColumn("__k", digest)
         .groupBy("__k")

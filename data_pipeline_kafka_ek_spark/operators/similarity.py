@@ -328,9 +328,10 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat approximate top-k: inverted-file cells + probe + re-rank.
 
-    Coarse quantizer: the ``n_cells`` lowest-id vectors serve as fixed
-    pivots (deterministic, so the DuckDB oracle reproduces the identical
-    cell structure with a plain self-join — no literals needed); in
+    Coarse quantizer: the ``n_cells`` lowest-id corpus vectors serve as
+    fixed pivots — selected by ordering on the id (works for any id
+    space, sparse or offset), deterministic, so the DuckDB oracle
+    reproduces the identical cell structure with a plain self-join; in
     production you swap in trained centroids (KMeans) and every other part
     of the plumbing is unchanged. Each corpus vector is assigned to its
     max-cosine pivot; a query probes its ``n_probe`` nearest cells; exact
@@ -343,9 +344,9 @@ def ivf_topk(
     disk, which turns the probe into a pruned scan.
     """
     piv = F.broadcast(
-        corpus.filter(F.col(id_col) < n_cells).select(
-            F.col(id_col).alias("pid"), F.col(vec_col).alias("__pv")
-        )
+        corpus.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("__pv"))
+        .orderBy("pid")
+        .limit(n_cells)
     )
 
     def ranked_cells(side: DataFrame, out_id: str) -> DataFrame:
@@ -376,7 +377,9 @@ def ivf_topk(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    vq = corpus.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    # re-rank joins: query vectors come from the QUERY side (queries need
+    # not be a subset of the corpus), neighbor vectors from the corpus
+    vq = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     vn = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     sim = _dot(
         F.transform("__qv", lambda x: x.cast("double")),

@@ -52,8 +52,14 @@ def salted_agg(
             raise ValueError(f"non-mergeable aggregate {agg!r}")
         parsed[out] = (rest.rstrip(")"), agg)
 
+    # count(col) keeps SQL semantics (NULLs excluded); count(*) / count()
+    # counts rows
     p1 = [
-        (F.count(F.lit(1)) if agg == "count" else getattr(F, agg)(col)).alias(out)
+        (
+            F.count(F.lit(1))
+            if agg == "count" and col in ("", "*")
+            else getattr(F, agg)(col)
+        ).alias(out)
         for out, (col, agg) in parsed.items()
     ]
     p2 = [getattr(F, mergers[agg])(out).alias(out) for out, (_, agg) in parsed.items()]
@@ -78,7 +84,16 @@ def salted_join(
     ``other`` is too big to broadcast. The skewed side gets a deterministic
     salt; ``other`` is exploded across all ``n_salts`` salt values, so the
     shuffle key (key, salt) splits each hot key into n_salts partitions.
+
+    Only ``inner`` and ``left`` are valid: an outer ``other`` side would
+    emit up to n_salts null-padded copies of every unmatched row (the
+    explode fabricates rows that exist only for salting).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} — outer "
+            "'other' sides would duplicate unmatched rows across salts"
+        )
     s = skewed.withColumn("__salt", _salt(unique_col, n_salts))
     o = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -73,10 +73,14 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
     """Heuristic language ID: count marker-word hits per language over the
     distinct token set; argmax with deterministic (alphabetical) tiebreak,
-    'und' (undetermined) when nothing matches."""
+    'und' (undetermined) when nothing matches. ``lang_declared`` echoes
+    the corpus's declared-language column when present, NULL otherwise
+    (the operator works on any schema, not just the fixture's)."""
     toks = F.array_distinct(_tokens(F.col(text_col)))
     scores = [
         (
@@ -90,9 +94,12 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # reversed so the alphabetically-first language wins ties
     for lang, s in reversed(scores):
         pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    declared = (
+        F.col(lang_col) if lang_col in docs.columns else F.lit(None).cast("string")
+    )
     return docs.select(
         "doc_id",
-        F.col("lang").alias("lang_declared"),
+        declared.alias("lang_declared"),
         pred.alias("lang_predicted"),
         best.cast("long").alias("marker_hits"),
     )

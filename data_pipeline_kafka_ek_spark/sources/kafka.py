@@ -45,18 +45,19 @@ def decode_value(df: DataFrame, schema: str, fmt: str = "json") -> DataFrame:
     (SURVEY.md §7.3) — that variant is `fmt="avro"`. JSON needs neither.
     Keeps Kafka metadata (key, topic, partition, offset, timestamp).
     """
-    key = F.col("key").cast("string").alias("kafka_key")
     meta = [
-        key,
+        F.col("key").cast("string").alias("kafka_key"),
         F.col("topic").alias("kafka_topic"),
         F.col("partition").alias("kafka_partition"),
         F.col("offset").alias("kafka_offset"),
         F.col("timestamp").alias("kafka_ts"),
     ]
+    meta_names = ["kafka_key", "kafka_topic", "kafka_partition", "kafka_offset", "kafka_ts"]
     if fmt == "json":
-        return df.select(
+        parsed = df.select(
             *meta, F.from_json(F.col("value").cast("string"), schema).alias("v")
-        ).select(*[c.split(" ")[-1] if isinstance(c, str) else c for c in meta], "v.*")
+        )
+        return parsed.select(*meta_names, "v.*")
     if fmt == "avro":
         try:
             from pyspark.sql.avro.functions import from_avro
@@ -66,9 +67,8 @@ def decode_value(df: DataFrame, schema: str, fmt: str = "json") -> DataFrame:
             ) from exc
         # strip the Confluent wire format header: magic byte + 4-byte schema id
         payload = F.expr("substring(value, 6, length(value) - 5)")
-        return df.select(*meta, from_avro(payload, schema).alias("v")).select(
-            *meta, "v.*"
-        )
+        parsed = df.select(*meta, from_avro(payload, schema).alias("v"))
+        return parsed.select(*meta_names, "v.*")
     raise ValueError(f"unsupported format {fmt!r}")
 
 

@@ -56,9 +56,14 @@ def elasticsearch_sink(
         for raw in rows:
             try:
                 d = json.loads(raw)
+                # toJSON drops null-valued fields: a NULL key is a missing
+                # field, not a parse error — dead-letter it with its own
+                # reason (a doc without an id can't be idempotently upserted)
+                if d.get(key_col) is None:
+                    raise ValueError(f"null doc id ({key_col})")
                 d["_id"] = str(d[key_col])
                 docs.append(d)
-            except Exception as exc:  # malformed doc
+            except Exception as exc:  # malformed doc or null id
                 if not tolerant:
                     raise
                 bad.append({"error": str(exc), "raw": raw})
@@ -91,10 +96,9 @@ def kafka_topic_sink(
     (key, value-JSON) parquet per topic so tests can assert the payload."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        keyed = batch_df.select(
-            F.col(key_col).cast("string").alias("key"),
-            F.to_json(F.struct(*batch_df.columns)).alias("value"),
-        )
+        from data_pipeline_kafka_ek_spark.sources.kafka import encode_value
+
+        keyed = encode_value(batch_df, key_col)
         if bootstrap_servers is not None:
             (
                 keyed.write.format("kafka")
@@ -108,17 +112,32 @@ def kafka_topic_sink(
     return sink
 
 
-def mongo_sink(collection: str, key_col: str, out_dir: str):
+def mongo_sink(collection: str, key_col: str, out_dir: str, tolerant: bool = True):
     """Mongo sink twin (K4, reference: README.md:358-370): upsert-by-id
-    document write; local twin is JSON-lines per collection."""
+    document write; local twin is JSON-lines per collection. Rows with a
+    NULL upsert key (toJSON drops null fields) are dead-lettered when
+    ``tolerant`` — one bad row must not kill the streaming query."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         docs = [json.loads(r) for r in batch_df.toJSON().collect()]
+        good, bad = [], []
+        for d in docs:
+            if d.get(key_col) is None:
+                if not tolerant:
+                    raise ValueError(f"null upsert key ({key_col}): {d}")
+                bad.append({"error": f"null upsert key ({key_col})", "doc": d})
+                continue
+            d["_id"] = str(d[key_col])
+            good.append(d)
         os.makedirs(f"{out_dir}/{collection}", exist_ok=True)
         with open(f"{out_dir}/{collection}/batch_{batch_id}.jsonl", "a") as f:
-            for d in docs:
-                d["_id"] = str(d[key_col])
+            for d in good:
                 f.write(json.dumps(d, default=str) + "\n")
+        if bad:
+            os.makedirs(f"{out_dir}/{collection}__dlq", exist_ok=True)
+            with open(f"{out_dir}/{collection}__dlq/batch_{batch_id}.jsonl", "a") as f:
+                for d in bad:
+                    f.write(json.dumps(d, default=str) + "\n")
 
     return sink
 

@@ -246,3 +246,65 @@ def test_quantize_int8_roundtrip_error_bounded(spark, sf_dir):
         for orig, q in zip(r.embedding, r.embedding_q8):
             assert -127 <= q <= 127
             assert abs(float(orig) - q * scale) <= scale / 2 + 1e-9
+
+
+def test_ivf_topk_external_queries(spark, sf_dir):
+    """IVF must serve query vectors that are NOT in the corpus
+    (regression: re-rank vectors were taken from the corpus side)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    queries = emb.filter(F.col("vec_id") < 3)  # disjoint from corpus
+    got = similarity.ivf_topk(corpus, queries, k=5, n_cells=8, n_probe=2).collect()
+    assert len({r.query_id for r in got}) == 3
+    assert all(r.neighbor_id >= 100 for r in got)
+
+
+def test_exact_dedup_null_vs_empty_distinct(spark):
+    from pyspark.sql import Row
+
+    schema = "doc_id long, a string, b string"
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "x", ""), (4, "x", None)], schema
+    )
+    got = dedup.exact_dedup(df, ["a", "b"], "doc_id").collect()
+    # (x,NULL) appears twice -> one group of 2; (NULL,x) and (x,'') distinct
+    counts = sorted(r.dup_count for r in got)
+    assert counts == [1, 1, 2]
+
+
+def test_salted_agg_count_excludes_nulls(spark):
+    from pyspark.sql import Row
+
+    from data_pipeline_kafka_ek_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [Row(k="a", i=1, v=1.0), Row(k="a", i=2, v=None), Row(k="b", i=3, v=2.0)],
+        "k string, i long, v double",
+    )
+    got = {
+        r.k: (r.n_rows, r.n_vals)
+        for r in salted_agg(
+            df, "k", {"n_rows": "count(*)", "n_vals": "count(v)"}, unique_col="i"
+        ).collect()
+    }
+    assert got == {"a": (2, 1), "b": (1, 1)}
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    import pytest as _pytest
+
+    from data_pipeline_kafka_ek_spark.operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").limit(5)
+    with _pytest.raises(ValueError, match="inner"):
+        salted_join(e, e, key="user_id", unique_col="event_id", how="full")
+
+
+def test_language_id_without_lang_column(spark):
+    from pyspark.sql import Row
+
+    from data_pipeline_kafka_ek_spark.operators import text as t
+
+    df = spark.createDataFrame([Row(doc_id=1, text="the cat and the dog is here")])
+    r = t.language_id(df).collect()[0]
+    assert r.lang_declared is None and r.lang_predicted == "en"

@@ -317,3 +317,52 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     joined = runtime.run_available_now(err_s.join(ok_s, cond_s), output_mode="append")
     streamed = sorted((r.err_id, r.ok_id) for r in joined.collect())
     assert streamed == batch
+
+
+def test_decode_value_json_roundtrip(spark, sf_dir):
+    """decode_value on a Kafka-shaped frame: metadata kept, payload typed
+    (regression: the meta columns were re-selected after renaming)."""
+    events = load_table(spark, sf_dir, "events").limit(20)
+    shaped = kafka.encode_value(events, "user_id").select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    decoded = kafka.decode_value(
+        shaped, "event_id long, user_id long, value double"
+    )
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert {"kafka_key", "kafka_topic", "kafka_offset", "event_id", "user_id"} <= set(
+        decoded.columns
+    )
+    want = {(r.event_id, r.user_id) for r in events.select("event_id", "user_id").collect()}
+    assert {(r.event_id, r.user_id) for r in rows} == want
+
+
+def test_es_and_mongo_sinks_dead_letter_null_keys(spark, tmp_path):
+    """A NULL doc/upsert key must dead-letter the row, not kill the batch
+    or mislabel it a parse failure."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=None, v="b"), Row(k=3, v="c")]
+    )
+    es = sinks.elasticsearch_sink("idx", "k", str(tmp_path / "es"))
+    es(df, 0)
+    import glob as g
+
+    good = [json.loads(l) for f in g.glob(str(tmp_path / "es/idx/*.jsonl")) for l in open(f)]
+    dlq = [json.loads(l) for f in g.glob(str(tmp_path / "es/idx__dlq/*.jsonl")) for l in open(f)]
+    assert {d["_id"] for d in good} == {"1", "3"}
+    assert len(dlq) == 1 and "null doc id" in dlq[0]["error"]
+
+    mg = sinks.mongo_sink("coll", "k", str(tmp_path / "mg"))
+    mg(df, 0)
+    mgood = [json.loads(l) for f in g.glob(str(tmp_path / "mg/coll/*.jsonl")) for l in open(f)]
+    mdlq = [json.loads(l) for f in g.glob(str(tmp_path / "mg/coll__dlq/*.jsonl")) for l in open(f)]
+    assert {d["_id"] for d in mgood} == {"1", "3"}
+    assert len(mdlq) == 1
