@@ -70,28 +70,75 @@ class MaterializedTable:
     target for a change stream; ``read`` serves the current state to
     stream-static enrichment joins (J1) — Spark re-reads the static side
     every micro-batch, matching ksqlDB's current-table-state join
-    semantics (SURVEY.md §7.3)."""
+    semantics (SURVEY.md §7.3).
 
-    def __init__(self, spark: SparkSession, path: str, key: str, order_col: str):
+    Scale shape: the table is laid out in ``n_buckets`` hash-bucket
+    partitions on the key, and a micro-batch rewrites ONLY the buckets its
+    change keys hash into (dynamic partition overwrite) — merge cost is
+    proportional to the touched fraction of the table, not its size (the
+    incremental-MERGE pattern; with Delta/Iceberg in the stack the same
+    interface maps to a real MERGE statement)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        order_col: str,
+        n_buckets: int = 16,
+    ):
         self.spark = spark
         self.path = path
         self.key = key
         self.order_col = order_col
+        self.n_buckets = n_buckets
 
     def exists(self) -> bool:
-        return os.path.exists(f"{self.path}/_SUCCESS")
+        # dynamic-partition-overwrite commits don't write a root _SUCCESS
+        # marker — presence of any bucket partition directory is the signal
+        return os.path.isdir(self.path) and any(
+            e.startswith("__bucket=") for e in os.listdir(self.path)
+        )
+
+    def _bucket(self) -> Column:
+        return F.pmod(F.hash(self.key), F.lit(self.n_buckets)).cast("int")
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        return self.spark.read.parquet(self.path).drop("__bucket")
 
     def apply_batch(self, changes: DataFrame, batch_id: int | None = None) -> None:
-        current = self.read() if self.exists() else None
-        updated = apply_changes(
-            current, changes, self.key, [F.desc(self.order_col)]
-        )
+        changes = changes.localCheckpoint(eager=True)
+        touched = [
+            r[0] for r in changes.select(self._bucket().alias("b")).distinct().collect()
+        ]
+        current = None
+        if self.exists():
+            # partition pruning: only the touched buckets are read
+            current = (
+                self.spark.read.parquet(self.path)
+                .filter(F.col("__bucket").isin(touched))
+                .drop("__bucket")
+            )
+        updated = apply_changes(current, changes, self.key, [F.desc(self.order_col)])
+        out = updated.withColumn("__bucket", self._bucket())
         # write-then-swap via localCheckpoint: materialize the merge result
-        # before overwriting the directory it reads from
-        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(self.path)
+        # before overwriting the partitions it reads from; dynamic mode
+        # rewrites only the partitions present in the output
+        out = out.localCheckpoint(eager=True)
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(conf_key, "STATIC")
+        self.spark.conf.set(conf_key, "dynamic")
+        try:
+            out.write.partitionBy("__bucket").mode("overwrite").parquet(self.path)
+        finally:
+            self.spark.conf.set(conf_key, prev)
+        # a bucket whose keys were all deleted produces no output partition,
+        # which dynamic overwrite leaves stale — clear it explicitly
+        remaining = {r[0] for r in out.select("__bucket").distinct().collect()}
+        for b in set(touched) - remaining:
+            import shutil
+
+            shutil.rmtree(f"{self.path}/__bucket={b}", ignore_errors=True)
 
 
 def jdbc_snapshot(

@@ -366,3 +366,61 @@ def test_es_and_mongo_sinks_dead_letter_null_keys(spark, tmp_path):
     mdlq = [json.loads(l) for f in g.glob(str(tmp_path / "mg/coll__dlq/*.jsonl")) for l in open(f)]
     assert {d["_id"] for d in mgood} == {"1", "3"}
     assert len(mdlq) == 1
+
+
+def test_materialized_table_rewrites_only_touched_buckets(spark, tmp_path):
+    """Incremental MERGE layout: a change batch must rewrite only the
+    hash-buckets its keys fall in; untouched bucket files stay byte-
+    identical (checked via mtime+size), and deletes that empty a bucket
+    clear its directory."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from data_pipeline_kafka_ek_spark.sources.cdc import MaterializedTable
+
+    t = MaterializedTable(spark, str(tmp_path / "dim"), "id", "ver", n_buckets=4)
+    seed = spark.createDataFrame(
+        [Row(id=i, val=f"v{i}", ver=1, __deleted=False) for i in range(20)]
+    )
+    t.apply_batch(seed)
+    assert t.read().count() == 20
+
+    def snapshot():
+        out = {}
+        for root, _, files in _os.walk(str(tmp_path / "dim")):
+            for f in files:
+                p = _os.path.join(root, f)
+                out[p] = (_os.path.getmtime(p), _os.path.getsize(p))
+        return out
+
+    before = snapshot()
+    _time.sleep(1.1)  # mtime granularity
+    # update one key -> exactly one bucket touched
+    upd = spark.createDataFrame([Row(id=7, val="v7b", ver=2, __deleted=False)])
+    t.apply_batch(upd)
+    after = snapshot()
+    touched_dirs = {
+        os.path.dirname(p)
+        for p in after
+        if p not in before or after[p] != before[p]
+    }
+    bucket_dirs = {d for d in touched_dirs if "__bucket=" in d}
+    assert len(bucket_dirs) == 1, f"expected 1 rewritten bucket, got {bucket_dirs}"
+    got = {r.id: r.val for r in t.read().collect()}
+    assert got[7] == "v7b" and len(got) == 20
+
+    # delete every key in one bucket -> that bucket directory disappears
+    from pyspark.sql import functions as _F
+
+    bucketed = t.read().withColumn("b", _F.pmod(_F.hash("id"), _F.lit(4)))
+    target_b = bucketed.first()["b"]
+    victims = [r.id for r in bucketed.filter(_F.col("b") == target_b).collect()]
+    dels = spark.createDataFrame(
+        [(i, None, 3, True) for i in victims],
+        "id bigint, val string, ver bigint, __deleted boolean",
+    )
+    t.apply_batch(dels)
+    assert not _os.path.exists(str(tmp_path / "dim" / f"__bucket={target_b}"))
+    assert t.read().count() == 20 - len(victims)
