@@ -1155,3 +1155,42 @@ def x_explode_tokens(spark, sf_dir):
         .orderBy(F.desc("docs"), F.asc("tok"))
         .limit(20)
     )
+
+
+@register(
+    "h_window_cumulative_revenue",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+                              AS DECIMAL(18,4))) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_revenue
+    FROM lineitem
+    """,
+    survey_ids=("A1",),
+    bench=True,
+    doc="heavyweight analytic window over the full fact table: cumulative "
+    "discounted revenue per supplier in ship-date order — one hash "
+    "shuffle on l_suppkey then a sorted single pass per partition; the "
+    "bench's large-window stressor (~600k rows at sf0.1). Per-line "
+    "revenue is fixed to DECIMAL(18,4) before the running sum so the "
+    "cumulative aggregate is associative-exact — double accumulation "
+    "differs between engines (DuckDB windows use segment trees)",
+)
+def h_window_cum(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).cast(
+        "decimal(18,4)"
+    )
+    return l.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(rev).over(w), 2).cast("double").alias("cum_revenue"),
+    )

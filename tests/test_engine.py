@@ -132,3 +132,57 @@ def test_start_stream_persistent_query_lifecycle(engine, spark, sf_dir):
     )
     assert spark.table("events_live_q").count() == batch_n
     assert "events_live_q" in engine.show_streams()
+
+
+def test_engine_full_reference_lineage(engine, spark, sf_dir):
+    """The complete ksqldb-statements.sql derivation chain deployed
+    through the Engine vocabulary: source stream -> LIVE/TEST split ->
+    customers table -> enrichment -> unhappy-VIP filter -> windowed CTAS,
+    every step registered and SQL-addressable, results equal to the
+    direct plans."""
+    from data_pipeline_kafka_ek_spark.plans import reference as ref
+    from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+
+    engine.create_stream("ratings", events)
+    engine.create_stream("ratings_live", ref.events_live(events))
+    engine.create_stream("ratings_test", ref.events_test(events))
+    engine.create_table(
+        "customers",
+        latest_per_key(customer, "c_custkey", [F.desc("c_custkey")]),
+    )
+    engine.create_stream(
+        "ratings_enriched", ref.enriched_events(events, customer)
+    )
+    engine.create_stream(
+        "unhappy_vip", ref.unhappy_vip_customers(events, customer)
+    )
+    engine.create_table(
+        "ratings_per_customer_15min",
+        ref.events_per_customer_per_15min(events, customer),
+    )
+
+    assert engine.show_streams() == [
+        "ratings", "ratings_enriched", "ratings_live", "ratings_test", "unhappy_vip",
+    ]
+    assert engine.show_tables() == ["customers", "ratings_per_customer_15min"]
+
+    # live ∪ test == ratings (the §2.8 partition identity), via SQL
+    n = engine.sql(
+        "SELECT (SELECT count(*) FROM ratings_live) + "
+        "(SELECT count(*) FROM ratings_test) AS n"
+    ).first()["n"]
+    assert n == events.count()
+
+    # SQL view and registered DataFrame agree on the flagship derivation
+    sql_n = engine.sql("SELECT count(*) AS n FROM unhappy_vip").first()["n"]
+    assert sql_n == ref.unhappy_vip_customers(events, customer).count() > 0
+
+    # windowed CTAS is queryable with a window-time predicate (F9)
+    win = engine.sql(
+        "SELECT count(*) AS n FROM ratings_per_customer_15min "
+        "WHERE window_start > '2024-01-15'"
+    ).first()["n"]
+    assert win > 0

@@ -165,6 +165,28 @@ def main() -> None:
     ]
     print(f"wrote COVERAGE.md: {n_q} query-covered, {n_a} adapter-covered, gaps: {gaps or 'none'}")
 
+    qlines = [
+        "# QUERIES — the oracle-checked catalog",
+        "",
+        "Generated by `python tools/gen_coverage.py`. Every entry is a",
+        "`queries()` callable with a DuckDB `oracle_sql()` twin; the driver",
+        "and `tools/check_correctness.py` hash-compare the two at sf0.01.",
+        "`bench` marks the headline set `bench.py` times at sf0.1.",
+        "",
+        "| query | survey ids | bench | what it does |",
+        "|---|---|---|---|",
+    ]
+    for name, spec in sorted(QUERIES.items()):
+        doc = " ".join(spec.doc.split())
+        qlines.append(
+            f"| `{name}` | {', '.join(spec.survey_ids)} | "
+            f"{'✓' if spec.bench else ''} | {doc} |"
+        )
+    qlines += ["", f"{len(QUERIES)} queries, all oracle-checked.", ""]
+    with open("/root/repo/QUERIES.md", "w") as f:
+        f.write("\n".join(qlines))
+    print(f"wrote QUERIES.md: {len(QUERIES)} entries")
+
 
 if __name__ == "__main__":
     main()
