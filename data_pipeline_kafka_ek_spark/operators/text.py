@@ -33,16 +33,26 @@ def _tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
+# GPT-style pre-tokenizer: letter runs, digit runs, and single punctuation
+# marks — the units a BPE tokenizer merges from. ASCII classes so Java
+# (Spark) and RE2 (DuckDB) agree byte-for-byte.
+PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens, distinct tokens, char lengths, and
-    a BPE-ish subword estimate (ceil(chars/4) — the standard ~4 chars/token
-    heuristic used for LLM corpus accounting)."""
+    """Token counting for LLM corpus accounting: whitespace tokens,
+    distinct tokens, char lengths, a BPE-style pre-token count (regex:
+    letter runs / digit runs / punctuation — what a BPE tokenizer merges
+    from), and the ~4-chars/token subword estimate."""
     toks = _tokens(F.col(text_col))
     return docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.length(text_col).cast("long").alias("n_chars_computed"),
+        F.size(F.regexp_extract_all(text_col, F.lit(PRETOKEN_RE), 0))
+        .cast("long")
+        .alias("n_pretokens"),
         F.ceil(F.length(text_col) / 4).cast("long").alias("n_subword_est"),
     )
 

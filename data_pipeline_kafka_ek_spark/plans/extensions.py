@@ -348,11 +348,14 @@ def x_ann_lsh(spark, sf_dir):
            CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
              AS n_distinct_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_computed,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+             AS BIGINT) AS n_pretokens,
            CAST(ceil(length(text)/4.0) AS BIGINT) AS n_subword_est
     FROM documents
     """,
     survey_ids=("EXT-text",),
     doc="token counting: whitespace tokens, distinct tokens, chars, "
+    "BPE-style pre-token count (letter/digit runs + punctuation regex), "
     "~4-chars-per-token subword estimate",
 )
 def x_text_tokens(spark, sf_dir):
