@@ -424,3 +424,39 @@ def test_materialized_table_rewrites_only_touched_buckets(spark, tmp_path):
     t.apply_batch(dels)
     assert not _os.path.exists(str(tmp_path / "dim" / f"__bucket={target_b}"))
     assert t.read().count() == 20 - len(victims)
+
+
+def test_rate_events_generator_shape(spark):
+    """S4 Datagen twin: the rate-source generator emits the synthetic
+    ratings schema with deterministic column synthesis (bounded user ids,
+    known event types, parseable props JSON)."""
+    df = runtime.rate_events(spark, rows_per_second=50, user_cardinality=7)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("rate_probe")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_rate_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    import time as _t
+
+    deadline = _t.time() + 30
+    while _t.time() < deadline and spark.table("rate_probe").count() < 20:
+        _t.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    rows = spark.table("rate_probe").collect()
+    assert len(rows) >= 20
+    assert {"event_id", "ts", "user_id", "event_type", "value", "props"} <= set(
+        rows[0].asDict()
+    )
+    assert all(0 <= r.user_id < 7 for r in rows)
+    assert all(
+        r.event_type in {"click", "view", "purchase", "signup", "error"} for r in rows
+    )
+    # synthesis is a pure function of the sequence value
+    by_id = {r.event_id: r for r in rows}
+    for eid, r in by_id.items():
+        assert r.user_id == eid % 7
+        assert json.loads(r.props)["k"] == eid % 100

@@ -29,7 +29,7 @@ ADAPTER_COVERAGE: dict[str, tuple[str, str, str]] = {
            "tests/test_streaming.py:test_cdc_apply_update_propagation"),
     "S4": ("synthetic event generator (Datagen)",
            "streaming/runtime.py:rate_events (rate source + deterministic column synthesis)",
-           "tests/test_streaming.py (rate source shape asserted via stream_table paths)"),
+           "tests/test_streaming.py:test_rate_events_generator_shape"),
     "S5": ("CDC source (Debezium MySQL)",
            "sources/cdc.py:unwrap_debezium + apply_changes + MaterializedTable + jdbc_snapshot",
            "tests/test_streaming.py:test_cdc_apply_update_propagation, test_unwrap_debezium_insert_update_delete"),
