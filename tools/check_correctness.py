@@ -11,6 +11,7 @@ columns sorted by name, rows sorted). Usage:
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -60,7 +61,15 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = get_spark("check_correctness")
+    if os.environ.get("SPARK_GRAFT_VANILLA") == "1":
+        # replicate the driver's conditions exactly: a bare session with no
+        # engine configs — every query must be self-contained
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
