@@ -370,7 +370,7 @@ def a1(spark, sf_dir):
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            c.c_name || ' ' || c.c_mktsegment AS customer_label,
            CAST(COUNT(*) AS BIGINT) AS rating_count,
-           list_sort(list(e.event_id)) AS event_ids
+           array_to_string(list_sort(list(e.event_id)), ',') AS event_ids
     FROM events e
     LEFT JOIN customer c ON e.user_id = c.c_custkey
     WHERE lower(e.event_type) NOT LIKE '%err%' AND c.c_name IS NOT NULL

@@ -491,22 +491,38 @@ def t_streaming_windowed(spark, sf_dir):
     SELECT doc_id AS asset_id, 'text' AS modality,
            CAST(length(text) AS BIGINT) AS byte_len,
            md5(text) AS digest,
-           [ascii(substr(text, (0*length(text))//4 + 1, 1))/255.0,
-            ascii(substr(text, (1*length(text))//4 + 1, 1))/255.0,
-            ascii(substr(text, (2*length(text))//4 + 1, 1))/255.0,
-            ascii(substr(text, (3*length(text))//4 + 1, 1))/255.0]
-             AS fake_embedding
+           array_to_string(
+             list_transform(
+               [ascii(substr(text, (0*length(text))//4 + 1, 1))/255.0,
+                ascii(substr(text, (1*length(text))//4 + 1, 1))/255.0,
+                ascii(substr(text, (2*length(text))//4 + 1, 1))/255.0,
+                ascii(substr(text, (3*length(text))//4 + 1, 1))/255.0],
+               x -> CAST(round(x * 10000) AS BIGINT)),
+             ',') AS fake_embedding
     FROM documents
     """,
     survey_ids=("EXT-multimodal",),
     doc="multimodal plumbing: opaque binary payload column + typed metadata, "
     "feature extraction via Arrow-batched mapInPandas (byte length, digest, "
     "sampled-byte fake embedding standing in for the absent codecs); oracle "
-    "valid because fixture text is pure ASCII (byte == char)",
+    "valid because fixture text is pure ASCII (byte == char); the embedding "
+    "is emitted as a comma-joined x1e4-integer string so the output schema "
+    "stays atomic (driver canonicalizer can't hash array cells) and the "
+    "comparison avoids cross-engine float-format drift",
 )
 def x_multimodal(spark, sf_dir):
     assets = multimodal.documents_as_assets(_t(spark, sf_dir, "documents"))
-    return multimodal.fake_features(assets)
+    feats = multimodal.fake_features(assets)
+    return feats.withColumn(
+        "fake_embedding",
+        F.array_join(
+            F.transform(
+                F.col("fake_embedding"),
+                lambda x: F.round(x * 10000).cast("bigint").cast("string"),
+            ),
+            ",",
+        ),
+    )
 
 
 _IVF_ORACLE = """
@@ -724,21 +740,30 @@ def x_pipeline_corpus_prep(spark, sf_dir):
       FROM v
     )
     SELECT vec_id, round(q8_scale, 6) AS q8_scale,
-           CASE WHEN q8_scale = 0
-                THEN list_transform(e, x -> CAST(x AS TINYINT))
-                ELSE list_transform(e, x -> CAST(round(x / q8_scale) AS TINYINT))
-           END AS embedding_q8
+           array_to_string(
+             CASE WHEN q8_scale = 0
+                  THEN list_transform(e, x -> CAST(x AS TINYINT))
+                  ELSE list_transform(e, x -> CAST(round(x / q8_scale) AS TINYINT))
+             END, ',') AS embedding_q8
     FROM s
     """,
     survey_ids=("EXT-similarity",),
     doc="symmetric per-vector int8 quantization (scale = max|x|/127, kept "
     "for dequantization): 4x embedding storage reduction, pure "
-    "expressions; oracle replays the same arithmetic",
+    "expressions; oracle replays the same arithmetic; the int8 vector is "
+    "emitted comma-joined so the output schema stays atomic for the "
+    "driver canonicalizer",
 )
 def x_embedding_quantize(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = similarity.quantize_int8(emb)
-    return q.select("vec_id", F.round("q8_scale", 6).alias("q8_scale"), "embedding_q8")
+    return q.select(
+        "vec_id",
+        F.round("q8_scale", 6).alias("q8_scale"),
+        F.array_join(
+            F.transform(F.col("embedding_q8"), lambda x: x.cast("string")), ","
+        ).alias("embedding_q8"),
+    )
 
 
 @register(

@@ -100,7 +100,12 @@ def events_per_customer_per_15min(events: DataFrame, customer: DataFrame) -> Dat
 
     The collected list is sorted so results are deterministic regardless of
     partitioning (ksqlDB's COLLECT_LIST is arrival-ordered, which is not
-    reproducible — SURVEY.md §5.2 layer 1 requires order-insensitivity).
+    reproducible — SURVEY.md §5.2 layer 1 requires order-insensitivity), and
+    serialized to a comma-joined string: harness canonicalizers (pandas
+    sort/factorize) can't hash raw ARRAY cells, and a flat string is also the
+    wire shape a sink (ES/Kafka) would carry. Sort happens in the int64
+    domain BEFORE the cast to string so ordering matches SQL engines'
+    numeric list_sort ("10" < "2" lexically but not numerically).
     """
     enriched = enriched_events(events, customer)
     return (
@@ -110,12 +115,14 @@ def events_per_customer_per_15min(events: DataFrame, customer: DataFrame) -> Dat
         )
         .agg(
             F.count(F.lit(1)).alias("rating_count"),
-            F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+            F.sort_array(F.collect_list("event_id")).alias("__ids"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             F.col("customer_label"),
             F.col("rating_count"),
-            F.col("event_ids"),
+            F.array_join(
+                F.transform(F.col("__ids"), lambda x: x.cast("string")), ","
+            ).alias("event_ids"),
         )
     )

@@ -5,6 +5,7 @@ count + sorted column names + order-insensitive value hash."""
 import duckdb
 import pytest
 
+import data_pipeline_kafka_ek_spark.plans.extensions  # noqa: F401  (registers extension queries before parametrize lists are built)
 from data_pipeline_kafka_ek_spark.plans.catalog import QUERIES
 from data_pipeline_kafka_ek_spark.sources.tables import TABLES
 from tests.conftest import SF_DIR
@@ -62,3 +63,20 @@ def test_every_query_key_has_matching_oracle_key():
 
     qs, os_ = em.queries(), em.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+@pytest.mark.parametrize("name", list(QUERIES))
+def test_no_complex_types_in_output_schema(spark, sf_dir, name):
+    """The driver canonicalizes results via pandas sort_values, which cannot
+    factorize list/dict cells (r01: a2_a3_windowed_collect red with
+    'unhashable type: list'). Every catalog output column must therefore be
+    an atomic type — arrays/maps/structs get serialized (array_join etc.)
+    before leaving the query."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = QUERIES[name].fn(spark, sf_dir).schema
+    bad = [
+        f.name for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"{name}: complex-typed output columns {bad}"
