@@ -308,11 +308,23 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Blocking by the pigeonhole principle: split the 64-bit signature into 4
-    16-bit chunks; distance <= 3 implies at least one chunk is identical, so
-    the candidate join is an equi-join on (chunk_idx, chunk_value) — never a
-    cross join. Hamming verify is a JVM-side bit_count(xor).
+    Blocking by the pigeonhole principle: split the 64-bit signature into
+    ``max_hamming + 1`` near-equal chunks; at most ``max_hamming`` bits
+    differ, so at least one chunk is identical and the candidate join is an
+    equi-join on (chunk_idx, chunk_value) — never a cross join, and with no
+    recall loss at ANY max_hamming (a fixed chunk count would silently lose
+    recall for distances >= the count). Hamming verify is a JVM-side
+    bit_count(xor). Default max_hamming=3 keeps the 4x16-bit layout.
     """
+    if not 0 <= max_hamming <= 15:
+        # >15 needs chunks narrower than 4 bits: the blocks stop
+        # discriminating (2^4 values) and the candidate join degenerates
+        # toward all-pairs — refuse rather than silently thrash.
+        raise ValueError(f"max_hamming must be in [0, 15], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     sh = simhash_column(docs, text_col).select(
         F.col(id_col).alias("doc_id"), "simhash"
     )
@@ -324,11 +336,14 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk_val"),
+                        (
+                            F.col("simhash")
+                            if widths[i] == 64
+                            else F.shiftrightunsigned(F.col("simhash"), offsets[i])
+                            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        ).alias("chunk_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),

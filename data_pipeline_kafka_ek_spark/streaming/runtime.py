@@ -220,7 +220,17 @@ def parse_json_tolerant(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ),
     )
-    ok = F.col("__parsed._corrupt_record").isNull()
+    # NULL payloads (Kafka tombstones) and inputs from_json maps to a NULL
+    # struct never populate _corrupt_record, so they must be rejected
+    # explicitly or they'd enter the good stream as all-NULL rows — the
+    # exact ambiguity PERMISSIVE mode exists to avoid. Every conjunct is
+    # null-safe (isNull/isNotNull), so `ok` is never three-valued-NULL and
+    # good/dlq form an exact partition of the input.
+    ok = (
+        F.col(json_col).isNotNull()
+        & F.col("__parsed").isNotNull()
+        & F.col("__parsed._corrupt_record").isNull()
+    )
     good = (
         parsed.filter(ok)
         .select("*", F.col("__parsed.*"))

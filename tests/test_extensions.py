@@ -19,6 +19,38 @@ def test_simhash_identical_texts_distance_zero(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_pairs_rejects_undiscriminating_max_hamming(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_pairs(df, max_hamming=16)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_pairs(df, max_hamming=-1)
+
+
+def test_simhash_pairs_full_recall_above_three(spark):
+    # The chunk count derives from max_hamming (pigeonhole needs
+    # max_hamming+1 blocks); a fixed 4-chunk layout would silently lose
+    # pairs at distance 4+. Verify blocked pairs == brute-force pairs.
+    texts = [
+        (i, "shared common base tokens here " + " ".join(f"w{i}x{j}" for j in range(i % 3)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    sigs = {i: dedup._simhash64(t) for i, t in texts}
+    for mh in (4, 7):
+        want = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= mh
+        }
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.simhash_pairs(df, max_hamming=mh).collect()
+        }
+        assert got == want, f"max_hamming={mh}: blocked {got} != exact {want}"
+
+
 def test_simhash_deterministic():
     a = dedup._simhash64("spark window join")
     b = dedup._simhash64("spark window join")

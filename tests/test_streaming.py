@@ -137,6 +137,21 @@ def test_parse_json_tolerant_dead_letters(spark):
     assert [r.event_id for r in dlq.collect()] == [2]
 
 
+def test_parse_json_tolerant_null_and_empty_payloads_dead_letter(spark):
+    # Kafka tombstones (NULL value) and empty/whitespace payloads parse to a
+    # NULL struct with no _corrupt_record — they must land in the DLQ, not
+    # enter the good stream as all-NULL rows.
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, None), (3, ""), (4, "   "), (5, '{"k": 6}')],
+        "event_id int, props string",
+    )
+    good, dlq = runtime.parse_json_tolerant(df, "props", "k int")
+    assert {r.k for r in good.collect()} == {5, 6}
+    assert sorted(r.event_id for r in dlq.collect()) == [2, 3, 4]
+    # exact partition: every input row lands in exactly one side
+    assert good.count() + dlq.count() == df.count()
+
+
 def test_elasticsearch_sink_doc_id_and_extract_ts(spark, sf_dir, tmp_path):
     out = str(tmp_path / "es")
     df = load_table(spark, sf_dir, "events").limit(5)
