@@ -12,6 +12,15 @@ At scale: foreachBatch gives at-least-once delivery; every adapter is
 idempotent-by-key (doc id = message key, matching the reference's
 ``key.ignore=false``, ksqldb-statements.sql:6) so retries overwrite rather
 than duplicate.
+
+The document sinks (ES/Mongo) ship from the EXECUTORS via
+``foreachPartition`` — the real connectors write from workers
+(ksqldb-statements.sql:1-11), and a driver-side collect of the full
+ratings stream would OOM the driver at scale. Only the alert sinks
+(K5/K6) collect, and only because alert streams are tiny by construction.
+Each (batch, partition) writes its own file with mode ``w``: a task retry
+under at-least-once delivery overwrites its previous attempt instead of
+appending duplicates.
 """
 
 from __future__ import annotations
@@ -20,8 +29,69 @@ import json
 import os
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Row
 from pyspark.sql import functions as F
+
+
+def _partition_id() -> int:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    return ctx.partitionId() if ctx is not None else 0
+
+
+def _doc_shipper(
+    name: str,
+    key_col: str,
+    out_dir: str,
+    tolerant: bool,
+    transport: Callable[[str, list[dict]], None] | None,
+    batch_id: int,
+    null_key_reason: str,
+):
+    """Build the per-partition writer shared by the ES and Mongo twins.
+
+    Runs on EXECUTORS (closure must stay picklable — ``transport`` too).
+    Per partition: rows -> keyed docs (+ dead letters), then one transport
+    call / one deterministic ``batch_{id}_p{pid}.jsonl`` file per side.
+    """
+
+    def ship(rows) -> None:
+        docs: list[dict] = []
+        bad: list[dict] = []
+        for row in rows:
+            d = row.asDict(recursive=True) if isinstance(row, Row) else dict(row)
+            # match the connector's JSON view: null-valued fields are absent
+            d = {k: v for k, v in d.items() if v is not None}
+            try:
+                if d.get(key_col) is None:
+                    raise ValueError(f"{null_key_reason} ({key_col})")
+                d["_id"] = str(d[key_col])
+                docs.append(d)
+            except Exception as exc:
+                if not tolerant:
+                    raise
+                bad.append({"error": str(exc), "doc": json.dumps(d, default=str)})
+        pid = _partition_id()
+        if docs:
+            if transport is not None:
+                transport(name, docs)
+            else:
+                os.makedirs(f"{out_dir}/{name}", exist_ok=True)
+                with open(
+                    f"{out_dir}/{name}/batch_{batch_id}_p{pid:05d}.jsonl", "w"
+                ) as f:
+                    for d in docs:
+                        f.write(json.dumps(d, default=str) + "\n")
+        if bad:
+            os.makedirs(f"{out_dir}/{name}__dlq", exist_ok=True)
+            with open(
+                f"{out_dir}/{name}__dlq/batch_{batch_id}_p{pid:05d}.jsonl", "w"
+            ) as f:
+                for d in bad:
+                    f.write(json.dumps(d) + "\n")
+
+    return ship
 
 
 def with_extract_ts(df: DataFrame, col_name: str = "extract_ts") -> DataFrame:
@@ -44,41 +114,22 @@ def elasticsearch_sink(
     malformed-doc tolerance -> dead-letter file instead of job failure
     (reference: ksqldb-statements.sql:1-11, 70-85).
 
-    ``transport(index, docs)`` ships a batch of docs; the default appends
-    JSON-lines under ``out_dir/<index>/``. Docs are keyed so an
-    at-least-once retry is an idempotent upsert, like the real connector.
+    Ships executor-side via ``foreachPartition`` — K1 carries the FULL
+    ratings stream, so nothing may funnel through the driver.
+    ``transport(index, docs)`` is invoked once per non-empty partition (it
+    must be picklable); the default writes one JSON-lines file per
+    (batch, partition). Docs are keyed and files overwrite on retry, so
+    at-least-once delivery stays an idempotent upsert like the real
+    connector.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        stamped = with_extract_ts(batch_df)
-        rows = stamped.toJSON().collect()
-        docs, bad = [], []
-        for raw in rows:
-            try:
-                d = json.loads(raw)
-                # toJSON drops null-valued fields: a NULL key is a missing
-                # field, not a parse error — dead-letter it with its own
-                # reason (a doc without an id can't be idempotently upserted)
-                if d.get(key_col) is None:
-                    raise ValueError(f"null doc id ({key_col})")
-                d["_id"] = str(d[key_col])
-                docs.append(d)
-            except Exception as exc:  # malformed doc or null id
-                if not tolerant:
-                    raise
-                bad.append({"error": str(exc), "raw": raw})
-        if transport is not None:
-            transport(index, docs)
-        else:
-            os.makedirs(f"{out_dir}/{index}", exist_ok=True)
-            with open(f"{out_dir}/{index}/batch_{batch_id}.jsonl", "a") as f:
-                for d in docs:
-                    f.write(json.dumps(d, default=str) + "\n")
-        if bad:
-            os.makedirs(f"{out_dir}/{index}__dlq", exist_ok=True)
-            with open(f"{out_dir}/{index}__dlq/batch_{batch_id}.jsonl", "a") as f:
-                for d in bad:
-                    f.write(json.dumps(d) + "\n")
+        with_extract_ts(batch_df).foreachPartition(
+            _doc_shipper(
+                index, key_col, out_dir, tolerant, transport, batch_id,
+                null_key_reason="null doc id",
+            )
+        )
 
     return sink
 
@@ -112,32 +163,26 @@ def kafka_topic_sink(
     return sink
 
 
-def mongo_sink(collection: str, key_col: str, out_dir: str, tolerant: bool = True):
+def mongo_sink(
+    collection: str,
+    key_col: str,
+    out_dir: str,
+    tolerant: bool = True,
+    transport: Callable[[str, list[dict]], None] | None = None,
+):
     """Mongo sink twin (K4, reference: README.md:358-370): upsert-by-id
-    document write; local twin is JSON-lines per collection. Rows with a
-    NULL upsert key (toJSON drops null fields) are dead-lettered when
-    ``tolerant`` — one bad row must not kill the streaming query."""
+    document write, shipped executor-side per partition like the real
+    connector; local twin is JSON-lines per collection. Rows with a NULL
+    upsert key are dead-lettered when ``tolerant`` — one bad row must not
+    kill the streaming query."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        docs = [json.loads(r) for r in batch_df.toJSON().collect()]
-        good, bad = [], []
-        for d in docs:
-            if d.get(key_col) is None:
-                if not tolerant:
-                    raise ValueError(f"null upsert key ({key_col}): {d}")
-                bad.append({"error": f"null upsert key ({key_col})", "doc": d})
-                continue
-            d["_id"] = str(d[key_col])
-            good.append(d)
-        os.makedirs(f"{out_dir}/{collection}", exist_ok=True)
-        with open(f"{out_dir}/{collection}/batch_{batch_id}.jsonl", "a") as f:
-            for d in good:
-                f.write(json.dumps(d, default=str) + "\n")
-        if bad:
-            os.makedirs(f"{out_dir}/{collection}__dlq", exist_ok=True)
-            with open(f"{out_dir}/{collection}__dlq/batch_{batch_id}.jsonl", "a") as f:
-                for d in bad:
-                    f.write(json.dumps(d, default=str) + "\n")
+        batch_df.foreachPartition(
+            _doc_shipper(
+                collection, key_col, out_dir, tolerant, transport, batch_id,
+                null_key_reason="null upsert key",
+            )
+        )
 
     return sink
 

@@ -158,8 +158,8 @@ def test_elasticsearch_sink_doc_id_and_extract_ts(spark, sf_dir, tmp_path):
     sink = sinks.elasticsearch_sink("ratings", "event_id", out)
     sink(df, 0)
     files = glob.glob(f"{out}/ratings/*.jsonl")
-    assert len(files) == 1
-    docs = [json.loads(l) for l in open(files[0])]
+    assert len(files) >= 1
+    docs = [json.loads(l) for f in files for l in open(f)]
     assert len(docs) == 5
     assert all("_id" in d and "extract_ts" in d for d in docs)
     # idempotency-by-key: _id equals the event_id (reference key.ignore=false)
@@ -356,6 +356,36 @@ def test_decode_value_json_roundtrip(spark, sf_dir):
     )
     want = {(r.event_id, r.user_id) for r in events.select("event_id", "user_id").collect()}
     assert {(r.event_id, r.user_id) for r in rows} == want
+
+
+def test_document_sinks_ship_per_partition_not_via_driver(spark, sf_dir, tmp_path):
+    """K1 carries the full ratings stream: docs must ship from executors,
+    one write per non-empty partition (file named by partition id), with
+    nothing funneled through a driver-side collect. Retries overwrite
+    (mode w), so re-running a batch is idempotent."""
+    out = str(tmp_path / "es")
+    df = load_table(spark, sf_dir, "events").limit(40).repartition(4)
+    sink = sinks.elasticsearch_sink("ratings", "event_id", out)
+    sink(df, 7)
+    files = sorted(glob.glob(f"{out}/ratings/batch_7_p*.jsonl"))
+    assert len(files) == 4, files  # one file per non-empty partition
+    docs = [json.loads(l) for f in files for l in open(f)]
+    assert len(docs) == 40
+    assert {d["_id"] for d in docs} == {str(d["event_id"]) for d in docs}
+    # idempotent retry: same batch re-run overwrites, no duplicates
+    sink(df, 7)
+    docs2 = [
+        json.loads(l)
+        for f in glob.glob(f"{out}/ratings/batch_7_p*.jsonl")
+        for l in open(f)
+    ]
+    assert len(docs2) == 40
+
+    mg = sinks.mongo_sink("coll", "event_id", str(tmp_path / "mg"))
+    mg(df, 0)
+    mfiles = glob.glob(str(tmp_path / "mg/coll/batch_0_p*.jsonl"))
+    assert len(mfiles) == 4
+    assert sum(1 for f in mfiles for _ in open(f)) == 40
 
 
 def test_es_and_mongo_sinks_dead_letter_null_keys(spark, tmp_path):
