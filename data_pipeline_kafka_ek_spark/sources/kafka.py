@@ -59,14 +59,28 @@ def decode_value(df: DataFrame, schema: str, fmt: str = "json") -> DataFrame:
         )
         return parsed.select(*meta_names, "v.*")
     if fmt == "avro":
+        from data_pipeline_kafka_ek_spark.sources.avro_wire import (
+            strip_confluent_header,
+        )
+
         try:
             from pyspark.sql.avro.functions import from_avro
-        except ImportError as exc:  # pragma: no cover
+
+            # the python shim imports fine without the spark-avro jar and
+            # only fails at analysis time — probe eagerly so callers get a
+            # clear capability error at build time, not mid-stream
+            probe = df.sparkSession.range(1).select(
+                from_avro(F.lit(b"\x00"), '{"type": "record", "name": "p", "fields": []}')
+            )
+            probe.schema  # forces analysis
+        except Exception as exc:
             raise NotImplementedError(
-                "spark-avro package not on the classpath in this container"
+                "spark-avro package not on the classpath; use "
+                "sources.avro_wire.decode_confluent_avro_local as the "
+                "jar-less twin"
             ) from exc
         # strip the Confluent wire format header: magic byte + 4-byte schema id
-        payload = F.expr("substring(value, 6, length(value) - 5)")
+        payload = strip_confluent_header(F.col("value"))
         parsed = df.select(*meta, from_avro(payload, schema).alias("v"))
         return parsed.select(*meta_names, "v.*")
     raise ValueError(f"unsupported format {fmt!r}")
