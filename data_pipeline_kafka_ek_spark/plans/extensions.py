@@ -592,6 +592,23 @@ def x_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "x_ann_ivf_trained_topk",
+    None,  # KMeans is iterative — rows-only driver check; recall vs the
+    # fixed-pivot tier at equal candidate budget is asserted in tests
+    survey_ids=("EXT-similarity",),
+    doc="IVF-flat ANN with a TRAINED coarse quantizer (pyspark.ml KMeans "
+    "over L2-normalized vectors ~ spherical k-means): same probe/re-rank "
+    "plumbing as x_ann_ivf_topk, data-adaptive cells buy higher recall at "
+    "the same n_probe/n_cells candidate budget",
+)
+def x_ann_ivf_trained(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_trained(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=2
+    )
+
+
+@register(
     "x_dedup_jaccard_3gram",
     """
     WITH base AS (

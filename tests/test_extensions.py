@@ -80,6 +80,53 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert all(q != n for q, n in approx_set)
 
 
+def _clustered_vectors(n_clusters=8, per_cluster=40, dim=16, seed=7):
+    """Deterministic clustered embeddings: real corpora are clustered, and
+    cluster structure is exactly what a trained quantizer exploits (the
+    fixture's embeddings are near-uniform random, where NO coarse
+    quantizer — learned or fixed — can beat another; see SCALE.md)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 5.0
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[ci] + rng.randn(dim) * 0.3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    rng.shuffle(rows)  # ids must not correlate with cluster membership
+    rows = [(i, v) for i, (_, v) in enumerate(rows)]
+    return rows
+
+
+def test_ivf_trained_beats_fixed_pivots_at_equal_budget(spark):
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 15)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    kwargs = dict(k=10, n_cells=8, n_probe=2)  # identical candidate budget
+    fixed = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, queries, **kwargs).collect()
+    }
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk_trained(emb, queries, **kwargs).collect()
+    }
+    r_fixed = len(exact & fixed) / len(exact)
+    r_trained = len(exact & trained) / len(exact)
+    # 8 fixed pivots are 8 arbitrary corpus points — they rarely cover all 8
+    # true clusters; KMeans recovers them, so near-perfect recall
+    assert r_trained > r_fixed, (r_trained, r_fixed)
+    assert r_trained >= 0.9, r_trained
+
+
 def test_blocked_topk_equals_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
