@@ -494,6 +494,82 @@ def t_streaming_windowed(spark, sf_dir):
 
 
 @register(
+    "t_streaming_hopping_counts",
+    """
+    WITH w AS (
+      SELECT event_type,
+             unnest([CAST(floor(epoch(ts) / 900) * 900 AS BIGINT),
+                     CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) - 900]) AS ws
+      FROM events
+    )
+    SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS event_count
+    FROM w GROUP BY 1, 2
+    """,
+    survey_ids=("T3", "T1", "T5"),
+    doc="T3 as a REAL streaming query: hopping 30m/15m update-mode agg "
+    "through availableNow + memory sink, reduced to final state (counts "
+    "per fixed window key are monotone across revisions, so last == max); "
+    "must equal the batch/oracle result exactly",
+)
+def t_streaming_hopping(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    stream = srt.stream_table(spark, sf_dir, "events")
+    revisions = srt.run_available_now(
+        srt.windowed_counts(
+            stream, "30 minutes", slide="15 minutes", watermark="100 days"
+        ),
+        output_mode="update",
+    )
+    return revisions.groupBy("window_start", "event_type").agg(
+        F.max("event_count").alias("event_count")
+    )
+
+
+@register(
+    "t_streaming_session_counts",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts)) >= 300
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    )
+    SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 5 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id,
+           CAST(count(*) AS BIGINT) AS event_count
+    FROM s GROUP BY user_id, sess_id
+    """,
+    survey_ids=("T4", "T1", "T5"),
+    doc="T4 as a REAL streaming query: session windows (5-min gap) run in "
+    "COMPLETE mode — sessions MERGE across micro-batches (their identity "
+    "is not stable), so update-mode revisions cannot be reduced to final "
+    "state after the fact; complete mode makes the memory sink hold "
+    "exactly the final sessions, which must equal the batch/oracle result",
+)
+def t_streaming_session(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    stream = srt.stream_table(spark, sf_dir, "events")
+    return srt.run_available_now(
+        srt.session_windowed_counts(stream, gap="5 minutes", watermark="100 days"),
+        output_mode="complete",
+    )
+
+
+@register(
     "x_multimodal_features",
     """
     SELECT doc_id AS asset_id, 'text' AS modality,

@@ -42,6 +42,58 @@ def test_streaming_windowed_agg_equals_batch(spark, sf_dir):
     assert streamed == batch
 
 
+def test_streaming_hopping_agg_multibatch_equals_batch(spark, sf_dir):
+    """T3 streaming twin: hopping windows replayed in 4 micro-batches;
+    max-per-key over the update-mode revisions (counts are monotone) must
+    equal the batch computation — the reduction t_streaming_hopping_counts
+    relies on."""
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.window_start, r.event_type): r.event_count
+        for r in runtime.windowed_counts(
+            events, "30 minutes", slide="15 minutes", watermark="100 days"
+        ).collect()
+    }
+    stream = runtime.replayed_stream(spark, events, n_slices=4, order_col="ts")
+    revisions = runtime.run_available_now(
+        runtime.windowed_counts(
+            stream, "30 minutes", slide="15 minutes", watermark="100 days"
+        ),
+        output_mode="update",
+    )
+    streamed = {
+        (r.window_start, r.event_type): r.event_count
+        for r in revisions.groupBy("window_start", "event_type")
+        .agg(F.max("event_count").alias("event_count"))
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_streaming_session_complete_mode_multibatch_equals_batch(spark, sf_dir):
+    """T4 streaming twin: sessions MERGE across micro-batches (identity is
+    unstable), so t_streaming_session_counts runs complete mode; the final
+    memory-sink contents must equal the batch session_window result even
+    when events arrive in 4 micro-batches."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    batch = {
+        (r.session_start, r.session_end, r.user_id): r.event_count
+        for r in runtime.session_windowed_counts(
+            events, gap="5 minutes", watermark="100 days"
+        ).collect()
+    }
+    stream = runtime.replayed_stream(spark, events, n_slices=4, order_col="ts")
+    final = runtime.run_available_now(
+        runtime.session_windowed_counts(stream, gap="5 minutes", watermark="100 days"),
+        output_mode="complete",
+    )
+    streamed = {
+        (r.session_start, r.session_end, r.user_id): r.event_count
+        for r in final.collect()
+    }
+    assert streamed == batch
+
+
 def test_session_window_runs_streaming(spark, sf_dir):
     """Session windows support append output only; with a tight watermark
     almost all sessions finalize before end-of-input, and the emitted
