@@ -114,3 +114,103 @@ def test_streaming_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
     got = sorted(r.event_id for r in spark.read.parquet(out).collect())
     want = sorted(r.event_id for r in events.collect())
     assert got == want, "restart lost or duplicated rows"
+
+
+def test_skewed_enrichment_join_triggers_aqe_skew_split(spark):
+    """The J1 enrichment join normally broadcasts the dimension (no skew
+    exposure). When the dimension outgrows broadcast and the join falls
+    back to sort-merge, a celebrity fact key must trigger AQE's skew-join
+    split — this pins the config contract (skewJoin enabled + thresholds)
+    that SCALE.md relies on at 100 TB."""
+    from data_pipeline_kafka_ek_spark.operators.relational import (
+        enrich_stream_with_table,
+    )
+
+    restore = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        # one celebrity key (~30k rows, padded payload) among 200 cold keys
+        hot = spark.range(30000).select(
+            F.lit(7).alias("user_id"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        cold = spark.range(2000).select(
+            (F.col("id") % 200 + 100).cast("int").alias("user_id"),
+            F.col("id").cast("string").alias("payload"),
+        )
+        # no explicit repartition: AQE only splits ENSURE_REQUIREMENTS
+        # shuffles (a user-demanded REPARTITION_BY_NUM is left alone)
+        fact = hot.union(cold)
+        dim = spark.range(500).select(
+            F.col("id").cast("int").alias("user_id"),
+            F.concat(F.lit("name_"), F.col("id")).alias("c_name"),
+        )
+        joined = enrich_stream_with_table(
+            fact,
+            dim,
+            on=fact["user_id"] == dim["user_id"],
+            how="inner",
+            broadcast_table=False,  # the too-big-to-broadcast dimension case
+        )
+        joined.collect()  # AQE decides skew split at runtime: execute first
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "skew=true" in plan, f"AQE skew split did not trigger:\n{plan}"
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
+
+
+def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
+    """The explicit fallback when AQE can't help (e.g. hot-key aggregation
+    feeding a non-broadcastable join): salted_join must put the salt into
+    the shuffle key — splitting the hot key across n_salts partitions —
+    and return exactly the plain join's rows."""
+    from data_pipeline_kafka_ek_spark.operators.skew import salted_join
+
+    hot = spark.range(5000).select(
+        F.lit(7).alias("k"), F.col("id").alias("uid")
+    )
+    cold = spark.range(500).select(
+        (F.col("id") % 50 + 100).alias("k"), (F.col("id") + 100000).alias("uid")
+    )
+    fact = hot.union(cold)
+    dim = spark.range(200).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("v")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salted = salted_join(fact, dim, "k", unique_col="uid", n_salts=8)
+        plan = _plan(salted)
+        assert "__salt" in plan and "hashpartitioning(k" in plan, plan
+        got = {(r.k, r.uid, r.v) for r in salted.collect()}
+        want = {(r.k, r.uid, r.v) for r in fact.join(dim, "k").collect()}
+        assert got == want
+        # the hot key's rows really spread: count distinct shuffle salts
+        n_salts_used = (
+            fact.filter(F.col("k") == 7)
+            .select(F.pmod(F.hash("uid"), F.lit(8)).alias("s"))
+            .distinct()
+            .count()
+        )
+        assert n_salts_used == 8
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
