@@ -14,7 +14,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from data_pipeline_kafka_ek_spark.operators import dedup, multimodal, similarity, text
+from data_pipeline_kafka_ek_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    temporal,
+    text,
+)
 from data_pipeline_kafka_ek_spark.plans.catalog import _t, register
 
 
@@ -490,6 +496,107 @@ def t_streaming_windowed(spark, sf_dir):
     # doesn't depend on the fixture being a single file.
     return revisions.groupBy("window_start", "event_type").agg(
         F.max("event_count").alias("event_count")
+    )
+
+
+@register(
+    "x_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT l.event_id, l.user_id,
+           strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+           strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS last_click_at,
+           r.event_id AS click_event_id,
+           round(l.value - r.value, 4) AS value_delta
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    survey_ids=("EXT-temporal",),
+    doc="point-in-time (backward as-of) join — each purchase event picks "
+    "the same user's latest click at-or-before it; implemented with the "
+    "union + last-non-null-over-window trick (one key shuffle + sort, the "
+    "same exchange a sort-merge join pays; no per-key inequality cross "
+    "join), oracled against DuckDB's native ASOF LEFT JOIN",
+)
+def x_asof(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id"),
+        "ts",
+        F.col("value").alias("click_value"),
+    )
+    joined = temporal.asof_join(
+        left, right, key="user_id", right_cols=["click_event_id", "click_value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_at"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_at"),
+        "click_event_id",
+        F.round(F.col("value") - F.col("click_value"), 4).alias("value_delta"),
+    )
+
+
+@register(
+    "x_interval_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT l.event_id, l.user_id, r.event_id AS view_event_id,
+           round(epoch(l.ts) - epoch(r.ts), 3) AS seconds_before
+    FROM l JOIN r
+      ON l.user_id = r.user_id
+     AND epoch(r.ts) >= epoch(l.ts) - 1800
+     AND epoch(r.ts) <= epoch(l.ts)
+    """,
+    survey_ids=("EXT-temporal",),
+    doc="interval (range) join — views within the 30 minutes before each "
+    "purchase by the same user; time-bin bucketing turns the range "
+    "predicate into an equi-join on (key, bin) with the left side "
+    "exploded into its 1-2 candidate bins, so fan-out is bin occupancy "
+    "rather than a per-key cross product",
+)
+def x_interval(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"), F.col("user_id"), "ts"
+    )
+    joined = temporal.interval_join(
+        left,
+        right,
+        key="user_id",
+        lower_seconds=-1800,
+        upper_seconds=0,
+        right_cols=["view_event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        F.round(
+            F.col("ts").cast("double") - F.col("right_ts").cast("double"), 3
+        ).alias("seconds_before"),
     )
 
 

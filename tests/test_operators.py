@@ -68,3 +68,82 @@ def test_broadcast_join_in_plan(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_asof_join_semantics(spark):
+    from data_pipeline_kafka_ek_spark.operators.temporal import asof_join
+
+    def ts(s):
+        import datetime
+        return datetime.datetime(2026, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "l10"), (1, ts(20), "l20"), (2, ts(5), "l5")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(8), "r8"), (1, ts(10), "r10"), (1, ts(15), "r15"), (3, ts(1), "r1")],
+        "k int, ts timestamp, rv string",
+    )
+    got = {
+        (r.k, r.lv): (r.rv, r.asof_ts)
+        for r in asof_join(left, right, key="k").collect()
+    }
+    # non-strict: left@10 sees right@10 (<=); left@20 sees r15; k=2 no match
+    assert got[(1, "l10")][0] == "r10"
+    assert got[(1, "l20")][0] == "r15"
+    assert got[(2, "l5")] == (None, None)
+
+    strict = {
+        (r.k, r.lv): r.rv
+        for r in asof_join(left, right, key="k", strict=True).collect()
+    }
+    assert strict[(1, "l10")] == "r8"  # < excludes the same-instant row
+
+    tol = {
+        (r.k, r.lv): r.rv
+        for r in asof_join(
+            left, right, key="k", tolerance_seconds=3
+        ).collect()
+    }
+    assert tol[(1, "l10")] == "r10"   # 0s back, inside tolerance
+    assert tol[(1, "l20")] is None    # r15 is 5s back, outside tolerance
+
+
+def test_interval_join_edges_and_duplicates(spark):
+    from data_pipeline_kafka_ek_spark.operators.temporal import interval_join
+
+    def ts(s):
+        import datetime
+        return datetime.datetime(2026, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        # duplicate left row: both copies must survive (no over-dedup)
+        [(1, ts(30), "a"), (1, ts(30), "a"), (1, ts(50), "b")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(20), "r20"), (1, ts(30), "r30"), (1, ts(31), "r31"), (1, ts(45), "r45")],
+        "k int, ts timestamp, rv string",
+    )
+    got = sorted(
+        (r.lv, r.rv)
+        for r in interval_join(
+            left, right, key="k", lower_seconds=-10, upper_seconds=0
+        ).collect()
+    )
+    # window [-10s, 0s]: boundaries inclusive on both ends; bin-crossing
+    # matches (r45 for b@50 spans a bin edge at width 10) must be found
+    assert got == sorted(
+        [("a", "r20"), ("a", "r30"), ("a", "r20"), ("a", "r30"), ("b", "r45")]
+    )
+
+    fwd = sorted(
+        (r.lv, r.rv)
+        for r in interval_join(
+            left, right, key="k", lower_seconds=1, upper_seconds=20
+        ).collect()
+    )
+    assert fwd == sorted(
+        [("a", "r31"), ("a", "r45"), ("a", "r31"), ("a", "r45")]
+    )

@@ -111,7 +111,8 @@ SECTION_ORDER = [
     ("Streaming semantics (§2.10)", [f"T{i}" for i in range(1, 12)]),
     ("Control/metadata (§2.12)", ["§2.12"]),
     ("Extensions (BASELINE.json north star)",
-     ["EXT-dedup", "EXT-similarity", "EXT-text", "EXT-multimodal"]),
+     ["EXT-dedup", "EXT-similarity", "EXT-text", "EXT-multimodal",
+      "EXT-temporal"]),
 ]
 
 
