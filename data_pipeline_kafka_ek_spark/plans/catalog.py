@@ -820,16 +820,83 @@ def h5(spark, sf_dir):
 # public accessors used by __spark_entry__.py
 # ---------------------------------------------------------------------------
 
+# The verification driver samples the FIRST 50 entries of queries() (insertion
+# order), so ordering is load-bearing: everything not yet attested by a driver
+# CORRECTNESS file goes first, and long-green trivial parity probes (each with
+# two rounds of recorded green rows already) go last. A regression test pins
+# that every name in DRIVER_PRIORITY sits inside the 50-entry window.
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # real-streaming twins, temporal joins, ANN tiers, text/multimodal set —
+    # unrecorded in CORRECTNESS_r01/r02 (driver capped at the first 50 keys)
+    "t_streaming_windowed_counts",
+    "t_streaming_hopping_counts",
+    "t_streaming_session_counts",
+    "x_asof_join",
+    "x_interval_join",
+    "x_ann_cosine_topk",
+    "x_ann_topk_blocked",
+    "x_ann_lsh_bucketed",
+    "x_ann_ivf_topk",
+    "x_ann_ivf_trained_topk",
+    "x_text_token_stats",
+    "x_text_quality",
+    "x_text_langid",
+    "x_text_fingerprint",
+    "x_text_repetition",
+    "x_multimodal_features",
+    "x_dedup_jaccard_3gram",
+    "x_embedding_quantize",
+    "x_pipeline_corpus_prep",
+    "x_corpus_stats",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # trivial parity probes, driver-green in both r01 and r02 — safest to
+    # rotate out of the 50-entry window
+    "p1_project_columns",
+    "p2_star_filter",
+    "p3_computed_projection",
+    "p4_time_format_projection",
+    "f1_pattern_filter_negated",
+    "f2_pattern_filter_positive",
+    "f5_conjunctive_filter",
+    "f6_left_join_null_reject",
+    "f7_cast_then_compare",
+    "f8_dimension_equality",
+    "f9_window_time_predicate",
+    "j1a_join_unfiltered_variant",
+    "set_union_roundtrip",
+    "l2_limit_probe",
+    "l3_l4_sorted_topk",
+    "x7_json_extract",
+    "x8_alert_template",
+    "a1_count_by_group",
+    "a5_median_by_group",
+    "a6_date_histogram",
+    "a7_top_terms",
+    "a8_count_metric",
+)
+
+
+def _ordered_names() -> list[str]:
+    """Registration order, re-ranked: DRIVER_PRIORITY first, DRIVER_DEMOTED
+    last, everything else in between in registration order."""
+    pri = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    demoted = [n for n in DRIVER_DEMOTED if n in QUERIES]
+    middle = [n for n in QUERIES if n not in set(pri) | set(demoted)]
+    return pri + middle + demoted
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].fn for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle.strip()
-        for name, spec in QUERIES.items()
-        if spec.oracle is not None
+        name: QUERIES[name].oracle.strip()
+        for name in _ordered_names()
+        if QUERIES[name].oracle is not None
     }
 
 

@@ -73,3 +73,19 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
     for name, fn in em.queries().items():
         plan = _plan(fn(spark, sf_dir))
         assert "BatchEvalPython" not in plan, f"{name} uses row-Python:\n{plan}"
+
+
+def test_driver_window_covers_every_unattested_query():
+    """The verification driver samples the FIRST 50 entries of queries().
+    Every query without two rounds of recorded driver-green rows (i.e.
+    everything outside catalog.DRIVER_DEMOTED) must sit inside that window,
+    and the oracle dict must follow the same ordering."""
+    from data_pipeline_kafka_ek_spark.plans import catalog
+
+    names = list(em.queries().keys())
+    window = set(names[:50])
+    demoted = set(catalog.DRIVER_DEMOTED)
+    outside = [n for n in names if n not in window and n not in demoted]
+    assert outside == [], f"unattested queries outside driver window: {outside}"
+    for n in catalog.DRIVER_PRIORITY:
+        assert n in window, f"priority query {n} fell out of the driver window"
