@@ -15,7 +15,7 @@ Scale-first formulations — no UDFs, no per-key Python:
   product). Skewed keys fall under the same AQE/salting story as any
   single-key shuffle.
 * ``interval_join`` buckets time into bins of the interval width and
-  equi-joins on (key, bin) with each left row exploded into the up-to-3
+  equi-joins on (key, bin) with each left row exploded into the 1-2
   bins its window can touch, then applies the exact range predicate.
   Candidates per row are bounded by bin occupancy — never a per-key
   cross join — and the bin id is a natural on-disk partition key.
@@ -77,10 +77,15 @@ def asof_join(
 
     # at equal timestamps the right row (__is_left=0) must sort BEFORE the
     # left row so a non-strict as-of sees it ("<="); strict mode sorts left
-    # rows first so same-instant right rows are invisible ("<")
+    # rows first so same-instant right rows are invisible ("<").  The struct
+    # tiebreaker makes duplicate (key, right_ts) right rows resolve
+    # deterministically (the greatest right row sorts last and wins last());
+    # it only ever compares rows of the same side, so the NULL __rrow on
+    # left rows never mixes into the comparison.
     order = [
         F.col("__t").asc(),
         F.col("__is_left").desc() if strict else F.col("__is_left").asc(),
+        F.col("__rrow").asc_nulls_first(),
     ]
     w = (
         Window.partitionBy("__k")
@@ -127,8 +132,9 @@ def interval_join(
     and ``right_ts`` within [left_ts + lower, left_ts + upper] seconds
     (lower may be negative for a look-back window).
 
-    Bucketing: time is binned at the window width; a left row's window
-    spans at most ceil(width/bin)+1 = 3 consecutive bins, so the join is
+    Bucketing: time is binned at the window width; a left row's
+    width-long window spans 1-2 consecutive width-sized bins (floor of
+    its two endpoints differs by at most one), so the join is
     an equi-join on (key, bin) after a small static explode — candidate
     fan-out is bin occupancy, not per-key row count squared.
     """

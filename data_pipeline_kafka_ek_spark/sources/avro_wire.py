@@ -224,12 +224,19 @@ def decode_confluent_avro_local(
         f"{c} {t}" for c, t in _ddl_pairs(df, passthrough, spark_schema)
     )
 
+    body_cols = [name for name, _ in _ddl_pairs(df, [], spark_schema)]
+
     def decode(batches: Iterator) -> Iterator:
         for pdf in batches:
             import pandas as pd
 
+            if pdf.empty:
+                # pd.DataFrame([]) has zero columns; an empty Arrow batch
+                # would otherwise yield a frame missing the body columns
+                # and fail mapInPandas schema validation
+                continue
             decoded = [decode_record(fields, b) for b in pdf["__body"]]
-            body = pd.DataFrame(decoded)
+            body = pd.DataFrame(decoded, columns=body_cols)
             yield pd.concat(
                 [pdf[passthrough].reset_index(drop=True), body], axis=1
             )
@@ -241,8 +248,14 @@ def decode_confluent_avro_local(
 def _ddl_pairs(
     df: DataFrame, passthrough: list[str], spark_schema: str
 ) -> list[tuple[str, str]]:
+    """Passthrough columns + the decoded-body columns as (name, type) pairs.
+
+    The body DDL is parsed with ``StructType.fromDDL`` (not a comma split),
+    so parameterized and nested types — ``decimal(10,2)``, ``array<int>``,
+    ``map<string,int>`` — produce correct pairs."""
+    from pyspark.sql.types import StructType
+
     pairs = [(c, df.schema[c].dataType.simpleString()) for c in passthrough]
-    for part in spark_schema.split(","):
-        name, typ = part.strip().split(None, 1)
-        pairs.append((name, typ))
+    for f in StructType.fromDDL(spark_schema).fields:
+        pairs.append((f.name, f.dataType.simpleString()))
     return pairs

@@ -18,9 +18,11 @@ The document sinks (ES/Mongo) ship from the EXECUTORS via
 (ksqldb-statements.sql:1-11), and a driver-side collect of the full
 ratings stream would OOM the driver at scale. Only the alert sinks
 (K5/K6) collect, and only because alert streams are tiny by construction.
-Each (batch, partition) writes its own file with mode ``w``: a task retry
-under at-least-once delivery overwrites its previous attempt instead of
-appending duplicates.
+Each (batch, partition) writes to a temp file then ``os.replace``s it into
+its deterministic name: a task retry under at-least-once delivery replaces
+its previous attempt instead of appending duplicates, and concurrent
+speculative attempts of the same partition can't interleave into one file —
+the last completed attempt wins atomically.
 """
 
 from __future__ import annotations
@@ -38,6 +40,21 @@ def _partition_id() -> int:
 
     ctx = TaskContext.get()
     return ctx.partitionId() if ctx is not None else 0
+
+
+def _write_jsonl_atomic(path: str, lines: list[str]) -> None:
+    """Write-then-rename so concurrent speculative attempts of the same
+    (batch, partition) can't interleave into one file; POSIX rename makes
+    the last completed attempt win whole."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        prefix=os.path.basename(path) + ".tmp.", dir=os.path.dirname(path)
+    )
+    with os.fdopen(fd, "w") as f:
+        for line in lines:
+            f.write(line + "\n")
+    os.replace(tmp, path)
 
 
 def _doc_shipper(
@@ -78,18 +95,16 @@ def _doc_shipper(
                 transport(name, docs)
             else:
                 os.makedirs(f"{out_dir}/{name}", exist_ok=True)
-                with open(
-                    f"{out_dir}/{name}/batch_{batch_id}_p{pid:05d}.jsonl", "w"
-                ) as f:
-                    for d in docs:
-                        f.write(json.dumps(d, default=str) + "\n")
+                _write_jsonl_atomic(
+                    f"{out_dir}/{name}/batch_{batch_id}_p{pid:05d}.jsonl",
+                    [json.dumps(d, default=str) for d in docs],
+                )
         if bad:
             os.makedirs(f"{out_dir}/{name}__dlq", exist_ok=True)
-            with open(
-                f"{out_dir}/{name}__dlq/batch_{batch_id}_p{pid:05d}.jsonl", "w"
-            ) as f:
-                for d in bad:
-                    f.write(json.dumps(d) + "\n")
+            _write_jsonl_atomic(
+                f"{out_dir}/{name}__dlq/batch_{batch_id}_p{pid:05d}.jsonl",
+                [json.dumps(d) for d in bad],
+            )
 
     return ship
 

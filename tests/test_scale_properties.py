@@ -18,6 +18,7 @@ def _plan(df) -> str:
 def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
     """Both sides bucketed on the join key => zero-shuffle sort-merge join
     (the recurring-join layout SCALE.md prescribes for 100 TB facts)."""
+    prior_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         events = load_table(spark, sf_dir, "events")
@@ -40,7 +41,7 @@ def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
         )
         assert joined.count() == plain.count()
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_threshold)
         spark.sql("DROP TABLE IF EXISTS ev_bkt")
         spark.sql("DROP TABLE IF EXISTS cust_bkt")
 
@@ -196,6 +197,7 @@ def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
     dim = spark.range(200).select(
         F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("v")
     )
+    prior_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         salted = salted_join(fact, dim, "k", unique_col="uid", n_salts=8)
@@ -213,4 +215,4 @@ def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
         )
         assert n_salts_used == 8
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_threshold)
