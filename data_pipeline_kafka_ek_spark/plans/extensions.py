@@ -677,6 +677,58 @@ def t_streaming_session(spark, sf_dir):
 
 
 @register(
+    "t_streaming_session_append",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts)) >= 300
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM o
+    ),
+    g AS (
+      SELECT user_id,
+             min(ts) AS s_start,
+             max(ts) + INTERVAL 5 MINUTE AS s_end,
+             CAST(count(*) AS BIGINT) AS event_count
+      FROM s GROUP BY user_id, sess_id
+    )
+    SELECT strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           user_id, event_count
+    FROM g
+    WHERE s_end < make_timestamp(
+        epoch_ms((SELECT max(ts) FROM events)) * 1000 - CAST(3600000000 AS BIGINT))
+    """,
+    survey_ids=("T4", "T1", "T5"),
+    doc="T4 the SCALE-SAFE way: append-mode session windows with a finite "
+    "1-hour watermark — each session is emitted exactly once after it "
+    "closes (end < watermark), so state and output per micro-batch are "
+    "bounded by the watermark horizon instead of complete-mode's full "
+    "re-emission. The oracle truncates max(ts) to milliseconds before "
+    "subtracting the delay because Spark tracks event-time watermarks at "
+    "ms precision. The complete-mode twin above stays as the bounded-"
+    "replay oracle over ALL sessions; this entry attests the standing-"
+    "query shape a 100 TB stream actually runs.",
+)
+def t_streaming_session_append(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    stream = srt.stream_table(spark, sf_dir, "events")
+    return srt.run_available_now(
+        srt.session_windowed_counts(stream, gap="5 minutes", watermark="1 hour"),
+        output_mode="append",
+    )
+
+
+@register(
     "x_multimodal_features",
     """
     SELECT doc_id AS asset_id, 'text' AS modality,

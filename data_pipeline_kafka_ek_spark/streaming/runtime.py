@@ -73,14 +73,30 @@ def replayed_stream(
     """Re-feed a batch DataFrame as a multi-micro-batch stream: write it as
     ``n_slices`` files and stream them one file per trigger. Used by the
     batch ≡ streaming regression tests to force real incremental state
-    updates (a single-batch stream would trivially equal batch)."""
+    updates (a single-batch stream would trivially equal batch).
+
+    The file source processes files oldest-modification-time first, but a
+    parallel write commits part files in task-completion order — so with
+    ``order_col`` the slices are renamed into a fresh directory with
+    strictly increasing mtimes, guaranteeing replay follows the range
+    order. Without that, a later range landing first would advance the
+    watermark past the remaining slices and silently drop them as late."""
+    import glob as _glob
+    import os as _os
+
+    stage = tempfile.mkdtemp(prefix="replay_stage_")
     tmp = tempfile.mkdtemp(prefix="replay_")
     out = df
     if order_col is not None:
         out = df.repartitionByRange(n_slices, F.col(order_col))
     else:
         out = df.repartition(n_slices)
-    out.write.mode("overwrite").parquet(tmp)
+    out.write.mode("overwrite").parquet(stage)
+    base = _os.stat(stage).st_mtime
+    for i, part in enumerate(sorted(_glob.glob(f"{stage}/part-*"))):
+        dst = f"{tmp}/slice_{i:05d}.parquet"
+        _os.rename(part, dst)
+        _os.utime(dst, (base + i, base + i))
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)

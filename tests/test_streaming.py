@@ -116,6 +116,48 @@ def test_session_window_runs_streaming(spark, sf_dir):
     assert all(batch.get(k) == v for k, v in streamed.items())
 
 
+def test_streaming_session_append_mode_emits_exactly_closed_sessions(spark, sf_dir):
+    """The scale-safe T4 shape (t_streaming_session_append): append mode +
+    finite watermark emits each session exactly once after it closes. A
+    4-micro-batch replay must yield EXACTLY the batch sessions whose end
+    precedes the final watermark (max event time, ms-truncated, minus the
+    delay) — no missing closed sessions, no open sessions leaking out."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    stream = runtime.replayed_stream(spark, events, n_slices=4, order_col="ts")
+    out = runtime.run_available_now(
+        runtime.session_windowed_counts(stream, gap="5 minutes", watermark="1 hour"),
+        output_mode="append",
+    )
+    streamed = {
+        (r.session_start, r.session_end, r.user_id): r.event_count
+        for r in out.collect()
+    }
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    cut = max_ts.replace(microsecond=max_ts.microsecond // 1000 * 1000) - (
+        datetime.timedelta(hours=1)
+    )
+    # the closed-session predicate must see the RAW window end (the
+    # formatted session_end truncates to seconds, which would misclassify
+    # sessions ending inside the cut's own second)
+    batch_raw = events.groupBy(
+        F.session_window("ts", "5 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("event_count"))
+    fmt = lambda c: F.date_format(c, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    closed_df = batch_raw.filter(F.col("w.end") < F.lit(cut)).select(
+        fmt("w.start").alias("session_start"),
+        fmt("w.end").alias("session_end"),
+        "user_id",
+        "event_count",
+    )
+    closed = {
+        (r.session_start, r.session_end, r.user_id): r.event_count
+        for r in closed_df.collect()
+    }
+    open_sessions = batch_raw.count() - len(closed)
+    assert open_sessions > 0, "fixture must leave some sessions open at the cut"
+    assert streamed == closed
+
+
 def test_watermark_drops_late_rows(spark):
     """T5: with a tight watermark, an event far behind the max seen
     event-time is dropped from the aggregation (divergence from ksqlDB's
