@@ -20,8 +20,6 @@ interface is MERGE semantics either way.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -93,11 +91,23 @@ class MaterializedTable:
         self.order_col = order_col
         self.n_buckets = n_buckets
 
+    def _fs_path(self, path: str):
+        """(FileSystem, Path) through the Hadoop FS API, so the same class
+        works against local paths, ``file:/`` URIs, HDFS, and (given the
+        connector jars) any object store — never POSIX os/shutil calls."""
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
     def exists(self) -> bool:
         # dynamic-partition-overwrite commits don't write a root _SUCCESS
         # marker — presence of any bucket partition directory is the signal
-        return os.path.isdir(self.path) and any(
-            e.startswith("__bucket=") for e in os.listdir(self.path)
+        fs, root = self._fs_path(self.path)
+        if not fs.exists(root) or not fs.getFileStatus(root).isDirectory():
+            return False
+        return any(
+            st.getPath().getName().startswith("__bucket=")
+            for st in fs.listStatus(root)
         )
 
     def _bucket(self) -> Column:
@@ -136,9 +146,9 @@ class MaterializedTable:
         # which dynamic overwrite leaves stale — clear it explicitly
         remaining = {r[0] for r in out.select("__bucket").distinct().collect()}
         for b in set(touched) - remaining:
-            import shutil
-
-            shutil.rmtree(f"{self.path}/__bucket={b}", ignore_errors=True)
+            fs, bucket_dir = self._fs_path(f"{self.path}/__bucket={b}")
+            if fs.exists(bucket_dir):
+                fs.delete(bucket_dir, True)  # recursive
 
 
 def jdbc_snapshot(

@@ -667,3 +667,48 @@ def test_stateful_aggregation_checkpoint_restart(spark, sf_dir, tmp_path):
     q2.stop()
     q2.awaitTermination()
     assert final == batch, "restarted stateful aggregation diverged from batch"
+
+
+def test_materialized_table_works_against_file_uri(spark, tmp_path):
+    """The merge layout must go through the Hadoop FileSystem API (not
+    POSIX os/shutil), so the same class is object-store-safe: run the full
+    seed/update/delete cycle against an explicit file:/ URI and confirm
+    the class source has no direct os/shutil calls."""
+    import inspect
+
+    from pyspark.sql import Row
+
+    from data_pipeline_kafka_ek_spark.sources.cdc import MaterializedTable
+
+    uri = (tmp_path / "dim_uri").as_uri()  # file:///...
+    t = MaterializedTable(spark, uri, "id", "ver", n_buckets=4)
+    assert not t.exists()
+    seed = spark.createDataFrame(
+        [Row(id=i, val=f"v{i}", ver=1, __deleted=False) for i in range(20)]
+    )
+    t.apply_batch(seed)
+    assert t.exists()
+    assert t.read().count() == 20
+
+    upd = spark.createDataFrame([Row(id=7, val="v7b", ver=2, __deleted=False)])
+    t.apply_batch(upd)
+    got = {r.id: r.val for r in t.read().collect()}
+    assert got[7] == "v7b" and len(got) == 20
+
+    # delete every key of one bucket through the URI path: the bucket dir
+    # must be cleared via fs.delete, observable through t.exists()/read()
+    bucketed = t.read().withColumn("b", F.pmod(F.hash("id"), F.lit(4)))
+    target_b = bucketed.first()["b"]
+    victims = [r.id for r in bucketed.filter(F.col("b") == target_b).collect()]
+    dels = spark.createDataFrame(
+        [(i, None, 3, True) for i in victims],
+        "id bigint, val string, ver bigint, __deleted boolean",
+    )
+    t.apply_batch(dels)
+    assert t.read().count() == 20 - len(victims)
+    fs, bdir = t._fs_path(f"{uri}/__bucket={target_b}")
+    assert not fs.exists(bdir)
+
+    src = inspect.getsource(MaterializedTable)
+    for banned in ("os.listdir", "os.path", "os.remove", "shutil.", "import shutil"):
+        assert banned not in src, f"POSIX call {banned!r} in MaterializedTable"
