@@ -38,13 +38,21 @@ def salted_agg(
 ) -> DataFrame:
     """Two-phase aggregation for hot group keys.
 
-    ``agg_exprs`` maps output column -> one of count/sum/min/max (the
-    mergeable aggregates; avg = sum+count downstream). Phase 1 aggregates
-    per (key, salt); phase 2 merges partials per key — the hot key's work
-    spreads over ``n_salts`` reducers in phase 1 and phase 2 only touches
-    ``n_salts`` rows per key.
+    ``agg_exprs`` maps output column -> one of count/sum/min/max/
+    collect_list (the mergeable aggregates; avg = sum+count downstream).
+    Phase 1 aggregates per (key, salt); phase 2 merges partials per key —
+    the hot key's work spreads over ``n_salts`` reducers in phase 1 and
+    phase 2 only touches ``n_salts`` rows per key. ``collect_list``
+    partials merge by flattening; element order is salt-dependent, so
+    callers needing determinism must ``sort_array`` the result.
     """
-    mergers = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    mergers = {
+        "count": "sum",
+        "sum": "sum",
+        "min": "min",
+        "max": "max",
+        "collect_list": "flatten",
+    }
     parsed = {}  # out -> (col, agg)
     for out, expr in agg_exprs.items():
         agg, _, rest = expr.partition("(")
@@ -62,7 +70,14 @@ def salted_agg(
         ).alias(out)
         for out, (col, agg) in parsed.items()
     ]
-    p2 = [getattr(F, mergers[agg])(out).alias(out) for out, (_, agg) in parsed.items()]
+    p2 = [
+        (
+            F.flatten(F.collect_list(out))
+            if mergers[agg] == "flatten"
+            else getattr(F, mergers[agg])(out)
+        ).alias(out)
+        for out, (_, agg) in parsed.items()
+    ]
     return (
         df.withColumn("__salt", _salt(unique_col, n_salts))
         .groupBy(key, "__salt")

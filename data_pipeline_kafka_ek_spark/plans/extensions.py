@@ -1066,3 +1066,46 @@ def x_corpus_stats(spark, sf_dir):
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation as a first-class query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_salted_hotkey_collect",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS event_count,
+           array_to_string(list_sort(list(event_id)), ',') AS event_ids
+    FROM events GROUP BY event_type
+    """,
+    survey_ids=("EXT-skew", "A1", "A2"),
+    doc="hot-key aggregation through skew.salted_agg: events has only 5 "
+    "event_type values, so every group is a celebrity key whose "
+    "collect_list state would otherwise funnel through one reducer. "
+    "Phase 1 aggregates per (event_type, salt) spreading each key over "
+    "16 reducers; phase 2 merges the 16 partials per key (lists merge by "
+    "flatten, counts by sum). sort_array makes the flattened order "
+    "deterministic for the oracle hash.",
+)
+def x_salted_hotkey_collect(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators.skew import salted_agg
+
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        key="event_type",
+        agg_exprs={
+            "event_count": "count(*)",
+            "event_ids_raw": "collect_list(event_id)",
+        },
+        unique_col="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("event_count").cast("long").alias("event_count"),
+        F.array_join(F.sort_array("event_ids_raw"), ",").alias("event_ids"),
+    )
