@@ -25,6 +25,19 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can ORDER BY a column of this type (maps cannot;
+    arrays/structs are orderable iff their element/field types are)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -43,9 +56,15 @@ def asof_join(
 
     Left-outer semantics: left rows with no prior right row keep NULLs.
     Ties on the right side at the same timestamp resolve to the row that
-    sorts last on the right columns (deterministic).
+    sorts last on the *orderable* right columns (deterministic); right
+    columns of non-orderable types (maps) are carried through but do not
+    participate in the tiebreak, so they never fail Spark's sort analysis.
     """
     rcols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    # only orderable right columns may join the ORDER BY tiebreaker — a
+    # MapType column would fail sort analysis
+    rtypes = {f.name: f.dataType for f in right.schema.fields}
+    ord_rcols = [c for c in rcols if _orderable(rtypes[c])]
 
     l_tagged = left.select(
         F.col(key).alias("__k"),
@@ -59,6 +78,13 @@ def asof_join(
                 ).alias("s")
             ).schema["s"].dataType.simpleString()
         ).alias("__rrow"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    F.col(right_ts).alias("__rts"), *[F.col(c) for c in ord_rcols]
+                ).alias("s")
+            ).schema["s"].dataType.simpleString()
+        ).alias("__rord"),
     )
     r_tagged = right.select(
         F.col(key).alias("__k"),
@@ -72,20 +98,24 @@ def asof_join(
         F.struct(
             F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
         ).alias("__rrow"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in ord_rcols]
+        ).alias("__rord"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
     # at equal timestamps the right row (__is_left=0) must sort BEFORE the
     # left row so a non-strict as-of sees it ("<="); strict mode sorts left
-    # rows first so same-instant right rows are invisible ("<").  The struct
-    # tiebreaker makes duplicate (key, right_ts) right rows resolve
-    # deterministically (the greatest right row sorts last and wins last());
-    # it only ever compares rows of the same side, so the NULL __rrow on
-    # left rows never mixes into the comparison.
+    # rows first so same-instant right rows are invisible ("<").  The
+    # __rord struct tiebreaker (the orderable subset of the right row)
+    # makes duplicate (key, right_ts) right rows resolve deterministically
+    # (the greatest right row sorts last and wins last()); it only ever
+    # compares rows of the same side, so the NULL __rord on left rows never
+    # mixes into the comparison.
     order = [
         F.col("__t").asc(),
         F.col("__is_left").desc() if strict else F.col("__is_left").asc(),
-        F.col("__rrow").asc_nulls_first(),
+        F.col("__rord").asc_nulls_first(),
     ]
     w = (
         Window.partitionBy("__k")

@@ -97,6 +97,10 @@ def replayed_stream(
         dst = f"{tmp}/slice_{i:05d}.parquet"
         _os.rename(part, dst)
         _os.utime(dst, (base + i, base + i))
+    # the staging dir now holds only _SUCCESS/.crc droppings — remove it
+    import shutil as _shutil
+
+    _shutil.rmtree(stage, ignore_errors=True)
     return (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)

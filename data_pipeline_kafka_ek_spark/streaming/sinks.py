@@ -42,10 +42,18 @@ def _partition_id() -> int:
     return ctx.partitionId() if ctx is not None else 0
 
 
+# process umask, captured once at import (import is single-threaded; the
+# transient os.umask() get-and-set would race executor task threads)
+_UMASK = os.umask(0)
+os.umask(_UMASK)
+
+
 def _write_jsonl_atomic(path: str, lines: list[str]) -> None:
     """Write-then-rename so concurrent speculative attempts of the same
     (batch, partition) can't interleave into one file; POSIX rename makes
-    the last completed attempt win whole."""
+    the last completed attempt win whole. mkstemp creates 0600 files, so
+    restore umask-default permissions before publishing — downstream
+    consumers may run as another user."""
     import tempfile
 
     fd, tmp = tempfile.mkstemp(
@@ -54,6 +62,7 @@ def _write_jsonl_atomic(path: str, lines: list[str]) -> None:
     with os.fdopen(fd, "w") as f:
         for line in lines:
             f.write(line + "\n")
+        os.fchmod(f.fileno(), 0o666 & ~_UMASK)
     os.replace(tmp, path)
 
 

@@ -110,6 +110,50 @@ def test_asof_join_semantics(spark):
     assert tol[(1, "l20")] is None    # r15 is 5s back, outside tolerance
 
 
+def test_asof_join_map_typed_right_column(spark):
+    """A non-orderable (map) right column must be carried through without
+    joining the window ORDER BY — previously this failed sort analysis."""
+    from data_pipeline_kafka_ek_spark.operators.temporal import asof_join
+
+    def ts(s):
+        import datetime
+        return datetime.datetime(2026, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, ts(10), "l10")], "k int, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(8), {"a": "x"}), (1, ts(8), {"a": "y"})],
+        "k int, ts timestamp, props map<string,string>",
+    )
+    rows = asof_join(left, right, key="k").collect()
+    assert len(rows) == 1
+    assert rows[0].asof_ts == ts(8)
+    # the map column itself came back (whichever duplicate won)
+    assert rows[0].props in ({"a": "x"}, {"a": "y"})
+
+
+def test_asof_join_duplicate_right_ts_deterministic(spark):
+    """Duplicate (key, right_ts) rows resolve to the greatest orderable
+    right row — stable across runs/partitionings."""
+    from data_pipeline_kafka_ek_spark.operators.temporal import asof_join
+
+    def ts(s):
+        import datetime
+        return datetime.datetime(2026, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame([(1, ts(10), "l")], "k int, ts timestamp, lv string")
+    right = spark.createDataFrame(
+        [(1, ts(8), "rv_a"), (1, ts(8), "rv_b"), (1, ts(8), "rv_c")],
+        "k int, ts timestamp, rv string",
+    )
+    for n_part in (1, 3):
+        got = asof_join(
+            left.repartition(n_part), right.repartition(n_part), key="k"
+        ).collect()
+        assert [r.rv for r in got] == ["rv_c"]
+
+
 def test_interval_join_edges_and_duplicates(spark):
     from data_pipeline_kafka_ek_spark.operators.temporal import interval_join
 

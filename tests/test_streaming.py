@@ -260,6 +260,37 @@ def test_elasticsearch_sink_doc_id_and_extract_ts(spark, sf_dir, tmp_path):
     assert {d["_id"] for d in docs} == {str(d["event_id"]) for d in docs}
 
 
+def test_sink_files_keep_umask_default_permissions(spark, sf_dir, tmp_path):
+    """mkstemp creates 0600 temp files; the published .jsonl must be
+    readable per the process umask so downstream consumers running as
+    another user keep read access."""
+    import os
+
+    out = str(tmp_path / "es_perm")
+    df = load_table(spark, sf_dir, "events").limit(3)
+    sinks.elasticsearch_sink("ratings", "event_id", out)(df, 0)
+    files = glob.glob(f"{out}/ratings/*.jsonl")
+    assert files
+    expected = 0o666 & ~sinks._UMASK
+    for f in files:
+        assert (os.stat(f).st_mode & 0o777) == expected
+
+
+def test_replayed_stream_removes_staging_dir(spark):
+    """replayed_stream must not leak its write-staging directory (the
+    replay dir itself lives until the stream is consumed)."""
+    import glob as g
+    import tempfile
+
+    pattern = f"{tempfile.gettempdir()}/replay_stage_*"
+    before = set(g.glob(pattern))
+    df = spark.range(20).select(
+        F.col("id").alias("event_id"), (F.col("id") % 3).alias("user_id")
+    )
+    runtime.replayed_stream(spark, df, n_slices=2, order_col="event_id")
+    assert set(g.glob(pattern)) == before
+
+
 def test_alert_sink_formats_and_throttles(spark, sf_dir):
     sent = []
     df = spark.createDataFrame(
