@@ -351,26 +351,109 @@ def ivf_topk(
     return _ivf_core(corpus, queries, piv, k, n_probe, id_col, vec_col)
 
 
-def ivf_centroids_kmeans(
+def ivf_centroids_lloyd(
     corpus: DataFrame,
     n_cells: int,
-    seed: int = 42,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_iter: int = 20,
+    round_dp: int = 6,
 ) -> list[list[float]]:
-    """Train the IVF coarse quantizer: KMeans (pyspark.ml) over the
-    L2-normalized corpus, so Euclidean k-means approximates spherical
-    k-means and the learned centroids align with the cosine metric the
-    rest of the IVF plumbing assigns and re-ranks with. Returns the
-    centroids as plain lists (tiny: n_cells x dim)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Train the IVF coarse quantizer: DETERMINISTIC spherical k-means —
+    maximin (farthest-first) seeding from the lowest-id vector, then
+    ``n_iter`` fixed Lloyd iterations over the L2-normalized corpus, with
+    centroids rounded to ``round_dp`` decimals after every step.
 
-    feats = normalize_embeddings(corpus, vec_col, "__unit").select(
-        array_to_vector(F.col("__unit")).alias("features")
+    Determinism is the point: the same algorithm is replayable as plain
+    SQL (unrolled CTEs — see plans/extensions.py::_lloyd_centroids_cte),
+    so the trained tier gets a full cross-engine value-hash oracle like
+    every other tier. The per-step rounding pins both engines to identical
+    centroid values (raw float64 means differ in the last ulps because
+    partial-aggregation order differs). pyspark.ml KMeans is the drop-in
+    replacement when cross-engine determinism is not required; every other
+    part of the IVF plumbing is unchanged either way.
+
+    Scale shape: seeding is ``n_cells`` scans with a running
+    best-similarity column (cached normalized corpus); each Lloyd
+    iteration is one assignment scan against broadcast centroid literals
+    plus one (cell, dim)-keyed partial-aggregated shuffle; only
+    ``n_cells x dim`` floats ever reach the driver. At 100 TB you train on
+    a bounded ``.sample()`` of the corpus — exactly how production IVF
+    quantizers are trained — and the same jobs run on the sample.
+    """
+    import math
+
+    nv = normalize_embeddings(corpus, vec_col, "__u").select(
+        F.col(id_col).alias("__vid"), F.col("__u").alias("__u")
     )
-    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    nv = nv.persist()
+    try:
+        def unit_lit(vals: list[float]):
+            return F.array(*[F.lit(v) for v in vals])
+
+        def cos_to(lit_arr) -> "F.Column":
+            u = F.col("__u")
+            return _dot(lit_arr, u) / (_norm(lit_arr) * _norm(u))
+
+        def rounded(vals) -> list[float]:
+            return [round(float(x), round_dp) for x in vals]
+
+        # --- maximin seeding: seed 0 = lowest-id vector; each next seed is
+        # the vector LEAST similar to its nearest chosen seed (ties: lowest
+        # id) — covers well-separated clusters one seed each, which plain
+        # lowest-id seeding does not
+        first = nv.orderBy("__vid").limit(1).collect()[0]
+        cents: list[list[float]] = [rounded(first["__u"])]
+        best = cos_to(unit_lit(cents[0]))
+        for _ in range(1, n_cells):
+            pick = (
+                nv.select("__vid", "__u", best.alias("__best"))
+                .orderBy(F.asc("__best"), F.asc("__vid"))
+                .limit(1)
+                .collect()[0]
+            )
+            cents.append(rounded(pick["__u"]))
+            best = F.greatest(best, cos_to(unit_lit(cents[-1])))
+
+        # --- fixed Lloyd iterations: assign to max-cosine centroid (ties:
+        # lowest cell), recompute centroids as the normalized mean
+        for _ in range(n_iter):
+            cent_arr = F.array(*[unit_lit(c) for c in cents])
+            u = F.col("__u")
+            sims = F.transform(
+                cent_arr, lambda c: _dot(c, u) / (_norm(c) * _norm(u))
+            )
+            # array_position returns the FIRST match (1-based) -> lowest cell
+            assigned = nv.select(
+                (F.array_position(sims, F.array_max(sims)) - 1).alias("__cell"),
+                "__u",
+            )
+            mean_rows = (
+                assigned.select("__cell", F.posexplode("__u").alias("__idx", "__val"))
+                .groupBy("__cell", "__idx")
+                .agg(F.avg("__val").alias("__mval"))
+                .collect()
+            )
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in mean_rows:
+                by_cell.setdefault(int(r["__cell"]), {})[int(r["__idx"])] = float(
+                    r["__mval"]
+                )
+            new_cents = []
+            for cid in range(n_cells):
+                if cid not in by_cell:  # empty cell: carry the previous centroid
+                    new_cents.append(cents[cid])
+                    continue
+                vals = [by_cell[cid][i] for i in range(len(cents[cid]))]
+                nrm = math.sqrt(sum(v * v for v in vals))
+                if nrm == 0:
+                    new_cents.append(cents[cid])
+                else:
+                    new_cents.append(rounded(v / nrm for v in vals))
+            cents = new_cents
+        return cents
+    finally:
+        nv.unpersist()
 
 
 def ivf_topk_trained(
@@ -379,19 +462,19 @@ def ivf_topk_trained(
     k: int = 10,
     n_cells: int = 8,
     n_probe: int = 2,
-    seed: int = 42,
+    n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-flat with a TRAINED coarse quantizer: identical probe/re-rank
-    plumbing as ``ivf_topk``, but cells come from KMeans centroids instead
-    of fixed pivots — data-adaptive cells cover the corpus evenly, so the
-    same candidate budget (n_probe/n_cells) buys higher recall. KMeans is
-    iterative (not SQL-expressible), so this tier gets a rows-only driver
-    check; the fixed-pivot twin remains the hash-oracle'd tier, and the
-    recall advantage at equal budget is asserted in tests."""
+    plumbing as ``ivf_topk``, but cells come from deterministic spherical
+    k-means centroids (``ivf_centroids_lloyd``) instead of fixed pivots —
+    data-adaptive cells cover the corpus evenly, so the same candidate
+    budget (n_probe/n_cells) buys higher recall (asserted in tests). The
+    deterministic trainer makes this tier fully oracle-checkable: the
+    DuckDB oracle replays seeding + Lloyd iterations as unrolled CTEs."""
     spark = corpus.sparkSession
-    centroids = ivf_centroids_kmeans(corpus, n_cells, seed, vec_col)
+    centroids = ivf_centroids_lloyd(corpus, n_cells, n_iter, id_col, vec_col)
     piv = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "pid long, __pv array<double>"
     )

@@ -768,11 +768,15 @@ def x_multimodal(spark, sf_dir):
     )
 
 
-_IVF_ORACLE = """
+def _ivf_oracle_sql(piv_ctes: str) -> str:
+    """The shared IVF probe/re-rank oracle, parameterized by the CTE chain
+    that produces ``piv (pid, pe)`` — fixed pivots for x_ann_ivf_topk, the
+    unrolled deterministic-Lloyd's chain for x_ann_ivf_trained_topk."""
+    return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
     ),
-    piv AS (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id < 8),
+    {piv_ctes},
     ca AS (
       SELECT v.vec_id, piv.pid,
              row_number() OVER (
@@ -808,9 +812,114 @@ _IVF_ORACLE = """
 """
 
 
+_IVF_FIXED_PIV = "piv AS (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id < 8)"
+
+
+def _lloyd_centroids_cte(n_cells: int = 8, n_iter: int = 2, round_dp: int = 6) -> str:
+    """Unrolled-CTE DuckDB replay of ``similarity.ivf_centroids_lloyd``:
+    maximin seeding from the lowest-id vector, then ``n_iter`` Lloyd
+    iterations, centroids rounded to ``round_dp`` decimals after every
+    step (the rounding pins both engines to identical centroids — raw
+    float64 means differ in the last ulps across engines). Produces the
+    ``piv (pid, pe)`` relation the shared probe/re-rank oracle consumes."""
+    r = round_dp
+    cos = (
+        "list_dot_product({u}, {c}) / (sqrt(list_dot_product({u}, {u}))"
+        " * sqrt(list_dot_product({c}, {c})))"
+    )
+    parts = [
+        # L2-normalized corpus (zero vectors pass through, like
+        # similarity.normalize_embeddings)
+        """nv AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+                  ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+             END AS u
+      FROM v
+    )""",
+        f"""s0 AS MATERIALIZED (
+      SELECT 0 AS cid, list_transform(u, x -> round(x, {r})) AS c
+      FROM nv ORDER BY vec_id LIMIT 1
+    )""",
+        f"""m0 AS MATERIALIZED (
+      SELECT nv.vec_id, nv.u, {cos.format(u='nv.u', c='s.c')} AS best
+      FROM nv CROSS JOIN s0 s
+    )""",
+    ]
+    for j in range(1, n_cells):
+        parts.append(
+            f"""p{j} AS MATERIALIZED (
+      SELECT vec_id FROM m{j - 1} ORDER BY best ASC, vec_id ASC LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""s{j} AS MATERIALIZED (
+      SELECT {j} AS cid, list_transform(u, x -> round(x, {r})) AS c
+      FROM nv WHERE vec_id = (SELECT vec_id FROM p{j})
+    )"""
+        )
+        if j < n_cells - 1:
+            parts.append(
+                f"""m{j} AS MATERIALIZED (
+      SELECT m.vec_id, m.u,
+             greatest(m.best, {cos.format(u='m.u', c='s.c')}) AS best
+      FROM m{j - 1} m CROSS JOIN s{j} s
+    )"""
+            )
+    seeds_union = "\n      UNION ALL ".join(
+        f"SELECT cid, c FROM s{j}" for j in range(n_cells)
+    )
+    parts.append(f"""c0 AS MATERIALIZED (
+      {seeds_union}
+    )""")
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+      SELECT vec_id, u, cid FROM (
+        SELECT nv.vec_id, nv.u, c.cid,
+               row_number() OVER (
+                 PARTITION BY nv.vec_id
+                 ORDER BY {cos.format(u='nv.u', c='c.c')} DESC, c.cid ASC
+               ) AS rn
+        FROM nv CROSS JOIN c{t - 1} c)
+      WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""mean{t} AS MATERIALIZED (
+      SELECT cid, idx, avg(val) AS mval FROM (
+        SELECT cid, unnest(range(len(u))) AS idx, unnest(u) AS val FROM a{t})
+      GROUP BY cid, idx
+    )"""
+        )
+        parts.append(
+            f"mn{t} AS MATERIALIZED (SELECT cid, sqrt(sum(mval * mval)) AS n "
+            f"FROM mean{t} GROUP BY cid)"
+        )
+        parts.append(
+            f"""cm{t} AS MATERIALIZED (
+      SELECT m.cid, list(round(m.mval / nullif(mn{t}.n, 0), {r}) ORDER BY m.idx) AS c
+      FROM mean{t} m JOIN mn{t} ON m.cid = mn{t}.cid
+      GROUP BY m.cid, mn{t}.n
+    )"""
+        )
+        parts.append(
+            f"""c{t} AS MATERIALIZED (
+      SELECT c{t - 1}.cid,
+             CASE WHEN cm{t}.c IS NULL
+                    OR list_dot_product(cm{t}.c, cm{t}.c) IS NULL
+                    OR list_dot_product(cm{t}.c, cm{t}.c) = 0
+                  THEN c{t - 1}.c ELSE cm{t}.c END AS c
+      FROM c{t - 1} LEFT JOIN cm{t} ON c{t - 1}.cid = cm{t}.cid
+    )"""
+        )
+    parts.append(f"piv AS MATERIALIZED (SELECT cid AS pid, c AS pe FROM c{n_iter})")
+    return ",\n    ".join(parts)
+
+
 @register(
     "x_ann_ivf_topk",
-    _IVF_ORACLE,
+    _ivf_oracle_sql(_IVF_FIXED_PIV),
     survey_ids=("EXT-similarity",),
     doc="IVF-flat ANN: fixed deterministic pivots as the coarse quantizer "
     "(production swaps in trained centroids; plumbing identical), corpus "
@@ -828,18 +937,20 @@ def x_ann_ivf(spark, sf_dir):
 
 @register(
     "x_ann_ivf_trained_topk",
-    None,  # KMeans is iterative — rows-only driver check; recall vs the
-    # fixed-pivot tier at equal candidate budget is asserted in tests
+    _ivf_oracle_sql(_lloyd_centroids_cte(n_cells=8, n_iter=2)),
     survey_ids=("EXT-similarity",),
-    doc="IVF-flat ANN with a TRAINED coarse quantizer (pyspark.ml KMeans "
-    "over L2-normalized vectors ~ spherical k-means): same probe/re-rank "
-    "plumbing as x_ann_ivf_topk, data-adaptive cells buy higher recall at "
-    "the same n_probe/n_cells candidate budget",
+    doc="IVF-flat ANN with a TRAINED coarse quantizer — deterministic "
+    "spherical k-means (maximin seeding + 2 fixed Lloyd iterations, "
+    "centroids rounded each step so both engines stay bit-aligned): same "
+    "probe/re-rank plumbing as x_ann_ivf_topk, data-adaptive cells buy "
+    "higher recall at the same n_probe/n_cells candidate budget (asserted "
+    "in tests); the oracle replays seeding + training as unrolled CTEs, "
+    "making even the trained tier fully value-hash-checked",
 )
 def x_ann_ivf_trained(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_trained(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=2
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=2, n_iter=2
     )
 
 

@@ -127,6 +127,19 @@ def test_ivf_trained_beats_fixed_pivots_at_equal_budget(spark):
     assert r_trained >= 0.9, r_trained
 
 
+def test_lloyd_centroids_deterministic_across_partitionings(spark):
+    """The trained quantizer must yield bit-identical centroids whatever
+    the input partitioning (the per-step 6dp rounding absorbs partial-
+    aggregation order) — this is what makes the DuckDB oracle replay
+    possible."""
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    )
+    c1 = similarity.ivf_centroids_lloyd(emb.repartition(1), n_cells=4, n_iter=2)
+    c8 = similarity.ivf_centroids_lloyd(emb.repartition(8), n_cells=4, n_iter=2)
+    assert c1 == c8
+
+
 def test_blocked_topk_equals_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
