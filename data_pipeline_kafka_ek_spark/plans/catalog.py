@@ -821,39 +821,25 @@ def h5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The verification driver samples the FIRST 50 entries of queries() (insertion
-# order), so ordering is load-bearing: everything not yet attested by a driver
-# CORRECTNESS file goes first, and long-green trivial parity probes (each with
-# two rounds of recorded green rows already) go last. A regression test pins
-# that every name in DRIVER_PRIORITY sits inside the 50-entry window.
+# order). With 72 registered queries, 22 necessarily fall outside the window
+# each round, so the window ROTATES: least-recently-driver-attested queries go
+# first, and the entries rotated out are always ones that earned a driver-green
+# hash row in the immediately preceding round. Rotated-out queries are NOT
+# unverified meanwhile — tools/check_correctness.py runs all 72 against their
+# DuckDB oracles (same contract as the driver) and is exercised every round;
+# the rotation only decides which rows land in the external CORRECTNESS file.
+# A regression test pins that every name in DRIVER_PRIORITY sits inside the
+# 50-entry window and that everything outside it is in DRIVER_DEMOTED.
+#
+# Rotation history:
+#   r3 window: the 20 then-unattested extension/streaming queries + middle;
+#              the 22 long-green parity probes below sat outside.
+#   r4 window (this round): those 22 probes rotate back in (last driver rows
+#              r1/r2), plus x_ann_ivf_trained_topk (oracle is new in r4);
+#              22 queries with fresh r3-green rows rotate out.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # real-streaming twins, temporal joins, ANN tiers, text/multimodal set —
-    # unrecorded in CORRECTNESS_r01/r02 (driver capped at the first 50 keys)
-    "t_streaming_windowed_counts",
-    "t_streaming_hopping_counts",
-    "t_streaming_session_counts",
-    "x_asof_join",
-    "x_interval_join",
-    "x_ann_cosine_topk",
-    "x_ann_topk_blocked",
-    "x_ann_lsh_bucketed",
-    "x_ann_ivf_topk",
-    "x_ann_ivf_trained_topk",
-    "x_text_token_stats",
-    "x_text_quality",
-    "x_text_langid",
-    "x_text_fingerprint",
-    "x_text_repetition",
-    "x_multimodal_features",
-    "x_dedup_jaccard_3gram",
-    "x_embedding_quantize",
-    "x_pipeline_corpus_prep",
-    "x_corpus_stats",
-)
-
-DRIVER_DEMOTED: tuple[str, ...] = (
-    # trivial parity probes, driver-green in both r01 and r02 — safest to
-    # rotate out of the 50-entry window
+    # last driver-attested in r1/r2 — least recent, so first in the window
     "p1_project_columns",
     "p2_star_filter",
     "p3_computed_projection",
@@ -876,6 +862,37 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "a6_date_histogram",
     "a7_top_terms",
     "a8_count_metric",
+    # oracle newly added in r4 (was no_oracle in r3) — needs its first
+    # driver-green hash row
+    "x_ann_ivf_trained_topk",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # every entry here has a driver-green hash row in CORRECTNESS_r03.json;
+    # the three bench-flagged ones (h1/h5/x_dedup_exact) additionally run
+    # every round via bench.py and the plan-regression tests
+    "t_streaming_windowed_counts",
+    "t_streaming_hopping_counts",
+    "t_streaming_session_counts",
+    "x_asof_join",
+    "x_interval_join",
+    "x_ann_cosine_topk",
+    "x_ann_topk_blocked",
+    "x_ann_lsh_bucketed",
+    "x_ann_ivf_topk",
+    "x_text_token_stats",
+    "x_text_quality",
+    "x_text_langid",
+    "x_text_fingerprint",
+    "x_text_repetition",
+    "x_multimodal_features",
+    "x_dedup_jaccard_3gram",
+    "x_embedding_quantize",
+    "x_pipeline_corpus_prep",
+    "x_corpus_stats",
+    "h1_pricing_summary",
+    "h5_nation_revenue",
+    "x_dedup_exact",
 )
 
 

@@ -75,17 +75,24 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name} uses row-Python:\n{plan}"
 
 
-def test_driver_window_covers_every_unattested_query():
+def test_driver_window_rotation_invariants():
     """The verification driver samples the FIRST 50 entries of queries().
-    Every query without two rounds of recorded driver-green rows (i.e.
-    everything outside catalog.DRIVER_DEMOTED) must sit inside that window,
-    and the oracle dict must follow the same ordering."""
+    Rotation policy (catalog.py): least-recently-driver-attested queries go
+    first; everything rotated out (DRIVER_DEMOTED) must carry a driver-green
+    hash row from the immediately preceding round and stays covered by the
+    local oracle suite. Invariants: the priority set sits wholly inside the
+    window, everything outside the window is exactly the demoted set, and
+    the two sets never overlap."""
     from data_pipeline_kafka_ek_spark.plans import catalog
 
     names = list(em.queries().keys())
     window = set(names[:50])
     demoted = set(catalog.DRIVER_DEMOTED)
+    assert not demoted & set(catalog.DRIVER_PRIORITY)
     outside = [n for n in names if n not in window and n not in demoted]
     assert outside == [], f"unattested queries outside driver window: {outside}"
     for n in catalog.DRIVER_PRIORITY:
         assert n in window, f"priority query {n} fell out of the driver window"
+    # every registered query is either in the window or explicitly demoted
+    assert len(names) == len(set(names))
+    assert set(names) == window | demoted
