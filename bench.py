@@ -61,6 +61,12 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    # r4 widened the headline set with the two candidate-verify dedup plans
+    # (x_dedup_jaccard, x_dedup_minhash_lsh) — report the prior cohort's
+    # subtotal alongside so round-over-round totals stay comparable (the
+    # total jump is added coverage, not regression; bench_compare still
+    # gates per query)
+    added_r04 = {"x_dedup_jaccard", "x_dedup_minhash_lsh"}
     print(
         json.dumps(
             {
@@ -68,6 +74,14 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "subtotals": {
+                    "r03_comparable_set": round(
+                        sum(v for k, v in timings.items() if k not in added_r04), 3
+                    ),
+                    "added_in_r04": round(
+                        sum(v for k, v in timings.items() if k in added_r04), 3
+                    ),
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

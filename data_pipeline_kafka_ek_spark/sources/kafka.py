@@ -8,6 +8,11 @@ where all the logic lives. The stream/table duality (S2/S3: one topic read
 as both changelog-table and append-stream, reference:
 ksqldb-statements.sql:42-45) is `latest_per_key` applied or not applied to
 the same decoded stream.
+
+Cluster-path integration harness: ``tests/test_kafka_integration.py`` —
+jar-gated via ``SPARK_GRAFT_JARS`` (spark-avro for the fmt="avro" decode;
+spark-sql-kafka + SPARK_GRAFT_KAFKA_BOOTSTRAP for the broker round-trip);
+skips with the exact jar list when the artifacts are absent.
 """
 
 from __future__ import annotations

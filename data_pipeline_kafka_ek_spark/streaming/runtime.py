@@ -190,6 +190,44 @@ def session_windowed_counts(
     )
 
 
+def asof_join_per_batch(
+    stream_df: DataFrame,
+    right_for_batch: Callable[[int], DataFrame],
+    sink: Callable[[DataFrame, int], None],
+    key: str,
+    **asof_kwargs,
+):
+    """Streaming as-of join with the reference's stream-table semantics:
+    each micro-batch joins against the right side's CURRENT state at
+    processing time (reference README.md:204-210 — an upstream UPDATE
+    changes what *subsequent* events see; earlier events keep the state
+    they were processed against, even if a lower-event-time right row
+    arrives later).
+
+    ``right_for_batch(batch_id)`` returns the right-side table as of that
+    batch (a MaterializedTable read, a snapshot-isolated dim table, ...);
+    each batch's as-of result goes to ``sink(result_df, batch_id)``. This
+    is ``foreachBatch``, so the per-batch join is ordinary batch
+    ``temporal.asof_join`` — one key shuffle + sort per micro-batch, the
+    same scale shape as the batch operator; right-side state is bounded
+    by whatever retention ``right_for_batch`` applies.
+
+    Returns the started streaming query (caller awaits termination).
+    """
+    from data_pipeline_kafka_ek_spark.operators.temporal import asof_join
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink(asof_join(batch_df, right_for_batch(batch_id), key=key, **asof_kwargs), batch_id)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_asof_")
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def rekey_for_sink(df: DataFrame, key_col: str) -> DataFrame:
     """`PARTITION BY FULL_NAME` twin (T6, reference:
     ksqldb-statements.sql:68): choose the output message key. For a Kafka

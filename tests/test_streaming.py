@@ -260,6 +260,59 @@ def test_elasticsearch_sink_doc_id_and_extract_ts(spark, sf_dir, tmp_path):
     assert {d["_id"] for d in docs} == {str(d["event_id"]) for d in docs}
 
 
+def test_streaming_asof_point_in_time_across_microbatches(spark):
+    """The reference's defining join semantics (README.md:204-210), as-of
+    edition: each purchase micro-batch joins the click table's state AT
+    PROCESSING TIME. A click that arrives in a later micro-batch — even
+    with an earlier event-time — must not rewrite earlier matches, while
+    purchases processed after it must see it."""
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    # one purchase per micro-batch (order_col keeps replay order)
+    purchases = spark.createDataFrame(
+        [(1, 1, ts(10)), (2, 1, ts(20)), (3, 1, ts(30))],
+        "purchase_id long, user_id long, ts timestamp",
+    )
+    # clicks arriving between micro-batches; the batch-1 arrival has an
+    # EVENT time (5s) before purchase 1 (10s) — processing-time semantics
+    # mean purchase 1 (processed in batch 0) must NOT see it
+    click_arrivals = {
+        0: [(100, 1, ts(2))],
+        1: [(101, 1, ts(5))],
+        2: [(102, 1, ts(25))],
+    }
+    clicks_so_far: list[tuple] = []
+    results: dict[int, list] = {}
+
+    def right_for_batch(batch_id: int):
+        clicks_so_far.extend(click_arrivals.get(batch_id, []))
+        return spark.createDataFrame(
+            clicks_so_far, "click_id long, user_id long, ts timestamp"
+        )
+
+    def sink(df, batch_id: int) -> None:
+        results[batch_id] = df.collect()
+
+    stream = runtime.replayed_stream(spark, purchases, n_slices=3, order_col="purchase_id")
+    q = runtime.asof_join_per_batch(
+        stream, right_for_batch, sink, key="user_id", right_cols=["click_id"]
+    )
+    q.awaitTermination()
+
+    matched = {
+        r.purchase_id: r.click_id for rows in results.values() for r in rows
+    }
+    # purchase 1 (batch 0): only click 100@2s had arrived -> 100, NOT the
+    # later-arriving click 101@5s even though 5s <= 10s by event time
+    # purchase 2 (batch 1): click 101@5s has now arrived and is the latest
+    # at-or-before 20s; purchase 3 (batch 2): click 102@25s
+    assert matched == {1: 100, 2: 101, 3: 102}
+    # exactly one output row per purchase, each emitted in its own batch
+    assert sorted(len(v) for v in results.values()) == [1, 1, 1]
+
+
 def test_sink_files_keep_umask_default_permissions(spark, sf_dir, tmp_path):
     """mkstemp creates 0600 temp files; the published .jsonl must be
     readable per the process umask so downstream consumers running as
