@@ -132,6 +132,119 @@ def fake_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(run, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# stdlib codecs: real in-container decoders for the decode_payload seam.
+# PNG and WAV headers are fully parseable with struct/zlib alone, so the
+# "codecs absent from this container" caveat doesn't apply to them — these
+# decode actual bytes (signatures, CRCs, chunk walks), not stand-ins.
+# Formats per the public specs: PNG (www.w3.org/TR/png-3, signature + IHDR),
+# WAV (RIFF/WAVE canonical layout, fmt + data chunks).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode_header(width: int, height: int, bit_depth: int = 8, color_type: int = 6) -> bytes:
+    """Synthesize a minimal structurally-valid PNG: signature + IHDR
+    (with correct CRC) + IEND. No IDAT — enough for any header parser;
+    used by tests/fixtures to exercise ``decode_png_header`` on real
+    bytes."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+
+def decode_png_header(payload: bytes) -> dict:
+    """Parse a PNG signature + IHDR chunk (CRC-verified) into typed
+    metadata — a real stdlib-only decoder for ``decode_payload``."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    length, tag = struct.unpack(">I4s", payload[8:16])
+    if tag != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    data = payload[16:29]
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if crc != (zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF):
+        raise ValueError("PNG IHDR CRC mismatch")
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+    return {
+        "mime": "image/png",
+        "width": int(width),
+        "height": int(height),
+        "bit_depth": int(bit_depth),
+        "color_type": int(color_type),
+    }
+
+
+def wav_encode(
+    n_samples: int, sample_rate: int, channels: int = 1, bits: int = 16
+) -> bytes:
+    """Synthesize a spec-valid RIFF/WAVE file (PCM fmt chunk + zeroed data
+    chunk) for exercising ``decode_wav_header`` on real bytes."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_header(payload: bytes) -> dict:
+    """Walk the RIFF chunk list, parse the PCM fmt chunk, and derive the
+    duration from the data chunk's byte length — stdlib-only."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
+        elif tag == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    _, channels, sample_rate, byte_rate, _, bits = fmt
+    return {
+        "mime": "audio/wav",
+        "channels": int(channels),
+        "sample_rate": int(sample_rate),
+        "bits_per_sample": int(bits),
+        "duration_ms": int(data_len * 1000 // byte_rate),
+    }
+
+
+def stdlib_header_decoder(payload: bytes, modality: str) -> dict:
+    """Magic-byte-sniffing dispatch over the stdlib codecs — the
+    ``decoder=`` example for :func:`decode_payload` that runs entirely
+    in-container on real bytes. Unknown formats raise (tolerant pipelines
+    wrap this with a try/except that dead-letters, per T10)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png_header(payload)
+    if payload[:4] == b"RIFF":
+        return decode_wav_header(payload)
+    raise ValueError(f"unrecognized payload format for modality {modality!r}")
+
+
 def frame_sample(
     assets: DataFrame,
     every_n_bytes: int = 64,

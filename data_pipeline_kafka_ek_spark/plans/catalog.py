@@ -821,8 +821,9 @@ def h5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The verification driver samples the FIRST 50 entries of queries() (insertion
-# order). With 72 registered queries, 22 necessarily fall outside the window
-# each round, so the window ROTATES: least-recently-driver-attested queries go
+# order). With 73 registered queries (r4 added x_multimodal_stdlib_codecs), 23
+# necessarily fall outside the window each round, so the window ROTATES:
+# least-recently-driver-attested queries go
 # first, and the entries rotated out are always ones that earned a driver-green
 # hash row in the immediately preceding round. Rotated-out queries are NOT
 # unverified meanwhile — tools/check_correctness.py runs all 72 against their
@@ -865,6 +866,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # oracle newly added in r4 (was no_oracle in r3) — needs its first
     # driver-green hash row
     "x_ann_ivf_trained_topk",
+    # new query in r4 (stdlib PNG/WAV codecs) — never attested
+    "x_multimodal_stdlib_codecs",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -892,6 +895,7 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_corpus_stats",
     "h1_pricing_summary",
     "h5_nation_revenue",
+    "h3_top_revenue_orders",
     "x_dedup_exact",
 )
 

@@ -67,6 +67,8 @@ def x_dedup_exact(spark, sf_dir):
     WHERE len(list_intersect(a.s,b.s))*1.0
           / len(list_distinct(list_concat(a.s,b.s))) >= 0.9
     """,
+    bench=True,  # the candidate-verify stage is the most regression-prone
+    # plan in the repo (r1's AQE-collapse bug lived here) — keep it gated
     survey_ids=("EXT-dedup",),
     doc="token-set Jaccard >= 0.9 near-dup pairs; Spark side is a "
     "prefix-filtered inverted-index join (each doc posts only its "
@@ -111,6 +113,8 @@ def x_dedup_jaccard(spark, sf_dir):
     WHERE len(list_intersect(x.s,y.s))*1.0
           / len(list_distinct(list_concat(x.s,y.s))) >= 0.8
     """,
+    bench=True,  # same rationale as x_dedup_jaccard: band-join candidate
+    # explosion + verify stage must stay under the round-over-round gate
     survey_ids=("EXT-dedup",),
     doc="MinHash(8 hashes) + LSH(4 bands of 2): md5-minhash signatures -> "
     "band bucket-join candidates -> exact-Jaccard verify >= 0.8; fully "
@@ -810,6 +814,71 @@ def _ivf_oracle_sql(piv_ctes: str) -> str:
     SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
     FROM ranked WHERE rank <= 10
 """
+
+
+@register(
+    "x_multimodal_stdlib_codecs",
+    """
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 300 + 1 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 200 + 1 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(doc_id % 3 + 1 AS INT) END AS channels,
+           CASE WHEN doc_id % 2 = 1 THEN CAST(8000 + (doc_id % 5) * 1000 AS INT)
+             END AS sample_rate,
+           CASE WHEN doc_id % 2 = 1 THEN CAST((doc_id % 4 + 1) * 10 AS BIGINT)
+             END AS duration_ms
+    FROM documents
+    """,
+    survey_ids=("EXT-multimodal",),
+    doc="REAL in-container codecs through the decode_payload seam: each doc "
+    "synthesizes a spec-valid PNG (even ids) or RIFF/WAVE (odd ids) payload "
+    "whose header fields derive from doc_id arithmetic, then "
+    "stdlib_header_decoder parses the actual bytes (signature + CRC-checked "
+    "IHDR / RIFF chunk walk) inside the Arrow-batched decode path; the "
+    "oracle replays the arithmetic, so a decoder that misparses any field "
+    "hash-mismatches — this closes the 'codec plumbing only' caveat with "
+    "zero new dependencies",
+)
+def x_multimodal_stdlib(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    payload = multimodal.png_encode_header(
+                        did % 300 + 1, did % 200 + 1
+                    )
+                    rows.append((did, "image", payload))
+                else:
+                    rate = 8000 + (did % 5) * 1000
+                    payload = multimodal.wav_encode(
+                        (rate // 100) * (did % 4 + 1), rate, channels=did % 3 + 1
+                    )
+                    rows.append((did, "audio", payload))
+            yield pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+    assets = docs.mapInPandas(
+        synth, schema="asset_id long, modality string, payload binary"
+    )
+    feats = multimodal.decode_payload(
+        assets, decoder=multimodal.stdlib_header_decoder
+    )
+    return feats.select(
+        "asset_id",
+        F.from_json(
+            "feature_json",
+            "mime string, width int, height int, channels int, "
+            "sample_rate int, duration_ms long",
+        ).alias("f"),
+    ).select("asset_id", "f.*")
 
 
 _IVF_FIXED_PIV = "piv AS (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id < 8)"

@@ -152,6 +152,28 @@ def test_blocked_topk_equals_bruteforce(spark, sf_dir):
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, blocked.collect()))
 
 
+def test_stdlib_png_wav_codecs_roundtrip():
+    """The stdlib codecs parse real bytes: synthesize -> decode recovers
+    every header field; corrupt bytes raise instead of mis-decoding."""
+    png = multimodal.png_encode_header(640, 480, bit_depth=8, color_type=6)
+    meta = multimodal.decode_png_header(png)
+    assert (meta["width"], meta["height"], meta["mime"]) == (640, 480, "image/png")
+
+    wav = multimodal.wav_encode(n_samples=1600, sample_rate=16000, channels=2)
+    m = multimodal.decode_wav_header(wav)
+    assert (m["channels"], m["sample_rate"], m["duration_ms"]) == (2, 16000, 100)
+
+    # dispatch sniffs magic bytes
+    assert multimodal.stdlib_header_decoder(png, "image")["mime"] == "image/png"
+    assert multimodal.stdlib_header_decoder(wav, "audio")["mime"] == "audio/wav"
+    with pytest.raises(ValueError):
+        multimodal.stdlib_header_decoder(b"garbage-bytes", "image")
+    # a flipped IHDR byte must fail the CRC, not silently misparse
+    corrupted = png[:16] + bytes([png[16] ^ 0xFF]) + png[17:]
+    with pytest.raises(ValueError):
+        multimodal.decode_png_header(corrupted)
+
+
 def test_decode_payload_requires_decoder(spark, sf_dir):
     assets = multimodal.documents_as_assets(load_table(spark, sf_dir, "documents"))
     with pytest.raises(NotImplementedError):
