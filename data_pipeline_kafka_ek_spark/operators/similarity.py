@@ -176,13 +176,24 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine >= threshold.
 
-    Brute-force O(n^2) formulation for the oracle gate; at scale, route
-    through ``lsh_bucket_topk``-style bucketing first (the threshold
-    variant buckets both sides and only compares within buckets).
+    Brute-force O(n^2) formulation — the oracle-gate baseline, NOT the
+    scale path (``cosine_pairs_lsh`` is). Because a quadratic cross join
+    silently submitted against a production corpus is an outage, the
+    operator refuses corpora larger than ``max_rows`` at plan-build time
+    (a bounded ``limit(max_rows+1).count()`` probe, so the guard itself
+    never scans the full table); pass ``max_rows=None`` to bypass
+    deliberately.
     """
+    if max_rows is not None and vectors.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"cosine_pairs is the O(n^2) brute-force baseline and refuses "
+            f"corpora over {max_rows} rows — use cosine_pairs_lsh (the "
+            f"bucketed scale path) or pass max_rows=None to override"
+        )
     a = spread_if_narrow(
         vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
     )

@@ -821,9 +821,9 @@ def h5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The verification driver samples the FIRST 50 entries of queries() (insertion
-# order). With 73 registered queries (r4 added x_multimodal_stdlib_codecs), 23
-# necessarily fall outside the window each round, so the window ROTATES:
-# least-recently-driver-attested queries go
+# order). With 74 registered queries (r4 added x_multimodal_stdlib_codecs and
+# x_dedup_components), 24 necessarily fall outside the window each round, so
+# the window ROTATES: least-recently-driver-attested queries go
 # first, and the entries rotated out are always ones that earned a driver-green
 # hash row in the immediately preceding round. Rotated-out queries are NOT
 # unverified meanwhile — tools/check_correctness.py runs all 72 against their
@@ -866,8 +866,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # oracle newly added in r4 (was no_oracle in r3) — needs its first
     # driver-green hash row
     "x_ann_ivf_trained_topk",
-    # new query in r4 (stdlib PNG/WAV codecs) — never attested
+    # new queries in r4 (stdlib PNG/WAV codecs; dedup clustering) — never
+    # attested
     "x_multimodal_stdlib_codecs",
+    "x_dedup_components",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -896,6 +898,7 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "h1_pricing_summary",
     "h5_nation_revenue",
     "h3_top_revenue_orders",
+    "a_rollup_revenue",
     "x_dedup_exact",
 )
 

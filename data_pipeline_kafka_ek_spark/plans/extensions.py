@@ -79,10 +79,9 @@ def x_dedup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
 
 
-@register(
-    "x_dedup_minhash_lsh",
-    """
-    WITH toks AS (
+# MinHash+LSH pair pipeline as reusable CTEs: the pair query below and the
+# connected-components clustering oracle both consume mh_pairs
+_MINHASH_CTES = """toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents
     ),
     hmin AS (
@@ -105,13 +104,22 @@ def x_dedup_jaccard(spark, sf_dir):
       JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
                    AND a.doc_id < b.doc_id
     ),
-    sets AS (SELECT doc_id, list_distinct(string_split(text,' ')) s FROM documents)
-    SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(x.s,y.s))*1.0
-                 / len(list_distinct(list_concat(x.s,y.s))), 4) AS jaccard_sim
-    FROM cand c JOIN sets x ON c.doc_a = x.doc_id JOIN sets y ON c.doc_b = y.doc_id
-    WHERE len(list_intersect(x.s,y.s))*1.0
-          / len(list_distinct(list_concat(x.s,y.s))) >= 0.8
+    sets AS (SELECT doc_id, list_distinct(string_split(text,' ')) s FROM documents),
+    mh_pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(x.s,y.s))*1.0
+                   / len(list_distinct(list_concat(x.s,y.s))), 4) AS jaccard_sim
+      FROM cand c JOIN sets x ON c.doc_a = x.doc_id JOIN sets y ON c.doc_b = y.doc_id
+      WHERE len(list_intersect(x.s,y.s))*1.0
+            / len(list_distinct(list_concat(x.s,y.s))) >= 0.8
+    )"""
+
+
+@register(
+    "x_dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_CTES}
+    SELECT doc_a, doc_b, jaccard_sim FROM mh_pairs
     """,
     bench=True,  # same rationale as x_dedup_jaccard: band-join candidate
     # explosion + verify stage must stay under the round-over-round gate
@@ -122,6 +130,53 @@ def x_dedup_jaccard(spark, sf_dir):
 )
 def x_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "x_dedup_components",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS component_size
+      FROM comp GROUP BY component
+    )
+    SELECT c.doc_id, c.component, s.component_size
+    FROM comp c JOIN sizes s ON c.component = s.component
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="dedup CLUSTERING: near-dup pairs (MinHash+LSH >= 0.8) are only "
+    "half the job — training pipelines need the connected components of "
+    "the pair graph to keep one representative per duplicate cluster. "
+    "Spark side is iterative min-label propagation over slim (node, label) "
+    "joins (the join-based Hash-to-Min shape; O(log diameter) rounds, "
+    "2-3 in practice on dense dup clusters); the unique fixpoint "
+    "(min doc_id per component) makes it engine-independent, so the "
+    "oracle replays it with a recursive transitive-closure CTE",
+)
+def x_dedup_components(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators import graph
+
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    comp = graph.connected_components(pairs.select("doc_a", "doc_b"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("component_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "component_size"
+    )
 
 
 def _simhash_oracle_sql() -> str:
@@ -199,7 +254,9 @@ def x_dedup_simhash(spark, sf_dir):
     survey_ids=("EXT-dedup", "EXT-similarity"),
     doc="embedding-cosine near-dup pairs (>= 0.4; fixture vectors are "
     "near-orthogonal so higher thresholds are empty); float64 math over the "
-    "original element order on both engines",
+    "original element order on both engines. This is the labeled O(n^2) "
+    "oracle baseline — it now REFUSES corpora over 100k rows at plan-build "
+    "time (x_dedup_embedding_lsh is the scale path)",
 )
 def x_dedup_embedding(spark, sf_dir):
     return similarity.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)

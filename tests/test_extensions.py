@@ -127,6 +127,54 @@ def test_ivf_trained_beats_fixed_pivots_at_equal_budget(spark):
     assert r_trained >= 0.9, r_trained
 
 
+def test_connected_components_labels_and_representatives(spark):
+    """Two chains and a singleton-free pair graph: every node gets the
+    min id of its component; dedup_representatives collapses clusters and
+    leaves unpaired docs representing themselves."""
+    from data_pipeline_kafka_ek_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        # component {1,2,3} via chain, component {10,11}, {20,21,22} via star
+        [(2, 1), (2, 3), (10, 11), (20, 21), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 50]], "doc_id long")
+    reps = {
+        r.doc_id: r.representative
+        for r in graph.dedup_representatives(docs, graph.connected_components(edges)).collect()
+    }
+    assert reps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 50: 50}
+    kept = [d for d, rep in reps.items() if d == rep]
+    assert sorted(kept) == [1, 10, 50]
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 16-node path is the worst case for label propagation (diameter
+    15) — min-label still reaches the far end within max_iter."""
+    from data_pipeline_kafka_ek_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "doc_a long, doc_b long"
+    )
+    comp = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+
+
+def test_cosine_pairs_refuses_oversized_corpus(spark):
+    """The brute-force baseline must fail fast at plan-build time instead
+    of submitting an O(n^2) cross join against a large corpus."""
+    vecs = spark.range(60).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(0.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="brute-force"):
+        similarity.cosine_pairs(vecs, threshold=0.5, max_rows=50)
+    # explicit override still works
+    assert similarity.cosine_pairs(vecs, threshold=0.5, max_rows=None).count() > 0
+
+
 def test_lloyd_centroids_deterministic_across_partitionings(spark):
     """The trained quantizer must yield bit-identical centroids whatever
     the input partitioning (the per-step 6dp rounding absorbs partial-
