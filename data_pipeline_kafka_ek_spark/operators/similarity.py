@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Four top-k tiers, trading exactness for scale, plus the pair (near-dup)
+Five top-k tiers, trading exactness for scale, plus the pair (near-dup)
 variants ``cosine_pairs`` / ``cosine_pairs_lsh``:
 
 * ``cosine_topk``        — exact brute force, pure DataFrame ops (zip_with
@@ -16,6 +16,10 @@ variants ``cosine_pairs`` / ``cosine_pairs_lsh``:
 * ``ivf_topk``           — approximate: inverted-file cells + n_probe
                            probing + exact re-rank; cells are the natural
                            on-disk bucketing key for pruned scans.
+* ``pq_topk``            — approximate: product-quantization codes (m
+                           bytes per vector) + ADC lookup scan + exact
+                           re-rank; the memory-bound tier — the code
+                           table is 64x smaller than the vectors.
 
 Every tier is deterministic (seeded planes / fixed pivots), so each has a
 DuckDB oracle replaying the identical structure.
@@ -551,6 +555,141 @@ def _ivf_core(
         .join(vq, "query_id")
         .join(vn, "neighbor_id")
         .withColumn("cosine_sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+def pq_codebooks_fixed(
+    corpus: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_dp: int = 6,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks from the ``k_sub`` lowest-id
+    NORMALIZED corpus vectors, split into ``m`` contiguous subspaces —
+    the fixed-pivot analog of ``ivf_topk``'s coarse quantizer:
+    deterministic (so the DuckDB oracle rebuilds the identical codebooks
+    from the same rows), with trained per-subspace k-means as the
+    production swap-in. Entries are rounded to ``round_dp`` decimals on
+    BOTH engines so codebook values are bit-aligned cross-engine.
+
+    Returns ``cb[subspace][code][component]`` — m * k_sub * (dim/m)
+    floats, a few KB: codebooks always live driver-side and enter plans
+    as broadcast literals, never as a join side.
+    """
+    d = dim // m
+    rows = (
+        normalize_embeddings(corpus, vec_col, "__u")
+        .select(F.col(id_col).alias("__vid"), "__u")
+        .orderBy("__vid")
+        .limit(k_sub)
+        .collect()
+    )
+    return [
+        [
+            [round(float(x), round_dp) for x in r["__u"][mi * d : (mi + 1) * d]]
+            for r in rows
+        ]
+        for mi in range(m)
+    ]
+
+
+def _l2(a, b):
+    """Euclidean distance, mirroring DuckDB ``list_distance`` exactly:
+    sequential left-to-right sum of squared diffs, then one sqrt."""
+    return F.sqrt(
+        F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda s, x: s + x)
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    k_sub: int = 16,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization ANN: encode the corpus as ``m`` one-byte codes
+    (argmin-L2 subspace centroid), scan codes with an asymmetric-distance
+    (ADC) lookup per query, exact cosine re-rank of the top
+    ``n_candidates``.
+
+    This is the memory-bound scale tier the IVF/LSH tiers don't cover: a
+    64-dim float32 vector is 256 B, its PQ code is ``m`` bytes (64x
+    compression at m=4), so the candidate scan streams codes, not
+    vectors — at 100 TB of embeddings the code table is ~1.6 TB and fits
+    the page cache of a modest cluster. The plan stays entirely in
+    whole-stage codegen: encode is an argmin over codebook literals, the
+    ADC distance is ``m`` array lookups into per-query distance tables
+    (computed once per query row, broadcast), and only the n_candidates
+    survivors touch full vectors again. Everything is deterministic
+    (fixed codebooks, lowest-id tie-breaks), so the DuckDB oracle replays
+    encode + ADC + re-rank bit-for-bit.
+    """
+    d = dim // m
+    cb = pq_codebooks_fixed(corpus, m, k_sub, id_col, vec_col, dim)
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(x) for x in code]) for code in cb[mi]])
+        for mi in range(m)
+    ]
+
+    def dists_to_codebook(mi: int):
+        # single-arg lambda: a two-arg lambda would make transform() pass
+        # the element INDEX as the second argument
+        sub = F.slice("__u", mi * d + 1, d)
+        return F.transform(cb_lits[mi], lambda c: _l2(sub, c))
+
+    norm_c = normalize_embeddings(corpus, vec_col, "__u")
+    enc_cols = []
+    for mi in range(m):
+        dists = dists_to_codebook(mi)
+        enc_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"__code{mi}")
+        )
+    codes = norm_c.select(F.col(id_col).alias("neighbor_id"), *enc_cols)
+
+    norm_q = normalize_embeddings(queries, vec_col, "__u")
+    q_enc = norm_q.select(
+        F.col(id_col).alias("query_id"),
+        *[dists_to_codebook(mi).alias(f"__dt{mi}") for mi in range(m)],
+    )
+
+    approx = None
+    for mi in range(m):
+        dm = F.element_at(F.col(f"__dt{mi}"), F.col(f"__code{mi}") + 1)
+        term = dm * dm
+        approx = term if approx is None else approx + term
+    wc = Window.partitionBy("query_id").orderBy(F.asc("__approx"), F.asc("neighbor_id"))
+    cand = (
+        codes.crossJoin(F.broadcast(q_enc))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__approx", approx)
+        .withColumn("__crn", F.row_number().over(wc))
+        .filter(F.col("__crn") <= n_candidates)
+        .select("query_id", "neighbor_id")
+    )
+
+    vq = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    vn = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    av = F.transform("__qv", lambda x: x.cast("double"))
+    bv = F.transform("__cv", lambda x: x.cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        spread(cand, "query_id")
+        .join(vq, "query_id")
+        .join(vn, "neighbor_id")
+        .withColumn("cosine_sim", _dot(av, bv) / (_norm(av) * _norm(bv)))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")

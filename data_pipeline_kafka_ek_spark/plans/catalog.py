@@ -821,9 +821,10 @@ def h5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The verification driver samples the FIRST 50 entries of queries() (insertion
-# order). With 74 registered queries (r4 added x_multimodal_stdlib_codecs and
-# x_dedup_components), 24 necessarily fall outside the window each round, so
-# the window ROTATES: least-recently-driver-attested queries go
+# order). With 75 registered queries (r4 added x_multimodal_stdlib_codecs,
+# x_dedup_components and x_ann_pq_topk), 25 necessarily fall outside the
+# window each round, so the window ROTATES: least-recently-driver-attested
+# queries go
 # first, and the entries rotated out are always ones that earned a driver-green
 # hash row in the immediately preceding round. Rotated-out queries are NOT
 # unverified meanwhile — tools/check_correctness.py runs all 72 against their
@@ -866,10 +867,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # oracle newly added in r4 (was no_oracle in r3) — needs its first
     # driver-green hash row
     "x_ann_ivf_trained_topk",
-    # new queries in r4 (stdlib PNG/WAV codecs; dedup clustering) — never
-    # attested
+    # new queries in r4 (stdlib PNG/WAV codecs; dedup clustering; PQ ANN) —
+    # never attested
     "x_multimodal_stdlib_codecs",
     "x_dedup_components",
+    "x_ann_pq_topk",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (

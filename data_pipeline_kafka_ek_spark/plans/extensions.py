@@ -1080,6 +1080,116 @@ def x_ann_ivf_trained(spark, sf_dir):
     )
 
 
+def _pq_oracle_sql(m: int = 4, k_sub: int = 16, dim: int = 64, n_cand: int = 50) -> str:
+    """DuckDB replay of ``similarity.pq_topk``: same fixed codebooks (the
+    k_sub lowest-id normalized vectors' subvectors, rounded 6dp), same
+    argmin-L2 encode with lowest-code tie-break, same ADC candidate rank
+    (sum of squared subspace ``list_distance``s — the Spark side mirrors
+    list_distance exactly: sequential squared-diff sum, one sqrt), same
+    exact-cosine re-rank of the top ``n_cand``."""
+    d = dim // m
+    sub_cols = ", ".join(
+        f"u[{mi * d + 1}:{(mi + 1) * d}] AS s{mi}" for mi in range(m)
+    )
+    cb_cols = ", ".join(
+        f"list_transform(s{mi}, x -> round(x, 6)) AS c{mi}" for mi in range(m)
+    )
+    enc_ctes = ",\n    ".join(
+        f"""e{mi} AS MATERIALIZED (
+      SELECT vec_id, code FROM (
+        SELECT s.vec_id, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY list_distance(s.s{mi}, c.c{mi}) ASC, c.code ASC
+               ) AS rn
+        FROM sub s CROSS JOIN cb c)
+      WHERE rn = 1
+    )"""
+        for mi in range(m)
+    )
+    enc_joins = " ".join(f"JOIN e{mi} USING (vec_id)" for mi in range(1, m))
+    code_cols = ", ".join(f"e{mi}.code AS code{mi}" for mi in range(m))
+    cb_joins = " ".join(
+        f"JOIN cb c{mi} ON c{mi}.code = n.code{mi}" for mi in range(m)
+    )
+    d_cols = ", ".join(
+        f"list_distance(q.s{mi}, c{mi}.c{mi}) AS d{mi}" for mi in range(m)
+    )
+    approx = " + ".join(f"d{mi} * d{mi}" for mi in range(m))
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    nv AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+                  ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+             END AS u
+      FROM v
+    ),
+    sub AS MATERIALIZED (SELECT vec_id, {sub_cols} FROM nv),
+    cb AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, {cb_cols}
+      FROM (SELECT * FROM sub ORDER BY vec_id LIMIT {k_sub})
+    ),
+    {enc_ctes},
+    enc AS MATERIALIZED (
+      SELECT e0.vec_id, {code_cols} FROM e0 {enc_joins}
+    ),
+    q AS (SELECT * FROM sub WHERE vec_id < 5),
+    adc AS (
+      SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, {d_cols}
+      FROM enc n CROSS JOIN q {cb_joins}
+      WHERE n.vec_id <> q.vec_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY {approx} ASC, neighbor_id ASC
+               ) AS crn
+        FROM adc)
+      WHERE crn <= {n_cand}
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_cosine_similarity(qv.e, nn.e) AS sim
+      FROM cand c
+      JOIN v qv ON c.query_id = qv.vec_id
+      JOIN v nn ON c.neighbor_id = nn.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register(
+    "x_ann_pq_topk",
+    _pq_oracle_sql(),
+    survey_ids=("EXT-similarity",),
+    doc="product-quantization ANN: corpus encoded as m=4 one-byte codes "
+    "(argmin-L2 against fixed codebooks from the 16 lowest-id normalized "
+    "vectors — deterministic, like the IVF fixed-pivot tier; trained "
+    "per-subspace k-means is the production swap-in), ADC candidate scan "
+    "via per-query distance-table lookups (codes are 64x smaller than the "
+    "vectors — the memory-bound tier: at 100 TB of embeddings the code "
+    "table is ~1.6 TB and streams from page cache), exact cosine re-rank "
+    "of the top 50; the oracle replays encode + ADC + re-rank exactly",
+)
+def x_ann_pq(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, m=4, k_sub=16, n_candidates=50
+    )
+
+
 @register(
     "x_dedup_jaccard_3gram",
     """

@@ -127,6 +127,33 @@ def test_ivf_trained_beats_fixed_pivots_at_equal_budget(spark):
     assert r_trained >= 0.9, r_trained
 
 
+def test_pq_topk_recall_on_clustered_corpus(spark):
+    """PQ-ADC with exact re-rank: on clustered data the quantization error
+    is small relative to cluster separation, so the top-50 ADC candidates
+    contain nearly all of the exact top-10."""
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter(F.col("vec_id") < 15)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    pq = similarity.pq_topk(
+        emb, queries, k=10, m=4, k_sub=16, n_candidates=50, dim=16
+    )
+    rows = pq.collect()
+    pq_set = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & pq_set) / len(exact)
+    assert recall >= 0.6, recall
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    # ranks are dense 1..k per query and scores are exact (re-ranked)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
+
+
 def test_connected_components_labels_and_representatives(spark):
     """Two chains and a singleton-free pair graph: every node gets the
     min id of its component; dedup_representatives collapses clusters and
