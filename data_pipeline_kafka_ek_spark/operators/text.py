@@ -141,6 +141,76 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document's whitespace tokens
+    into fixed-size windows of ``max_tokens`` with ``overlap`` tokens
+    shared between consecutive chunks (stride = max_tokens - overlap) —
+    the standard prep that turns variable-length documents into
+    training-sequence-sized pieces.
+
+    One row in, ``ceil((n - overlap) / stride)`` rows out, all inside a
+    single ``posexplode`` over a generated index array — no shuffle, no
+    UDF, and the explode's fan-out is bounded by document length over
+    stride. Emits (doc_id, chunk_idx, chunk_text, n_tokens)."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(w, i * stride + 1, max_tokens),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "__c")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.array_join("__c", " ").alias("chunk_text"),
+            F.size("__c").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixing sampler: keep each row with a per-group
+    probability (``rates[group]``, e.g. up-/down-sampling languages or
+    sources when composing a training mixture), decided by an
+    engine-independent hash of the row id — NOT ``rand()``, so the sample
+    is reproducible across runs, engines, and partitionings, and any
+    engine can audit exactly which rows were kept.
+
+    u = first 8 md5 hex digits of the id as an integer / 2^32 — uniform
+    in [0,1); keep iff u < rate. Pure expressions; at scale this is a
+    stateless filter that pushes down past everything."""
+    # exact in float64 on every engine: the 32-bit hash prefix is exactly
+    # representable and the divisor is a power of two
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(key_col) == k, F.lit(float(v))).otherwise(rate)
+    return docs.filter(u < rate)
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals: the fraction of word 2-grams taken
     by the single most frequent 2-gram, and the duplicate fraction of word

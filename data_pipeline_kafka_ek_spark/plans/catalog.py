@@ -821,10 +821,10 @@ def h5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The verification driver samples the FIRST 50 entries of queries() (insertion
-# order). With 75 registered queries (r4 added x_multimodal_stdlib_codecs,
-# x_dedup_components and x_ann_pq_topk), 25 necessarily fall outside the
-# window each round, so the window ROTATES: least-recently-driver-attested
-# queries go
+# order). With 77 registered queries (r4 added x_multimodal_stdlib_codecs,
+# x_dedup_components, x_ann_pq_topk, x_text_chunking and
+# x_pipeline_mixture_sample), 27 necessarily fall outside the window each
+# round, so the window ROTATES: least-recently-driver-attested queries go
 # first, and the entries rotated out are always ones that earned a driver-green
 # hash row in the immediately preceding round. Rotated-out queries are NOT
 # unverified meanwhile — tools/check_correctness.py runs all 72 against their
@@ -872,6 +872,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_multimodal_stdlib_codecs",
     "x_dedup_components",
     "x_ann_pq_topk",
+    "x_text_chunking",
+    "x_pipeline_mixture_sample",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (

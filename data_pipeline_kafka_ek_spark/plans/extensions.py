@@ -517,6 +517,66 @@ def x_text_fingerprint(spark, sf_dir):
     return text.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "x_text_chunking",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(range(greatest(1,
+               CAST(ceil((len(w) - 4) / 12.0) AS INT)))) AS chunk_idx
+      FROM base
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           array_to_string(w[chunk_idx * 12 + 1 : chunk_idx * 12 + 16], ' ')
+             AS chunk_text,
+           CAST(len(w[chunk_idx * 12 + 1 : chunk_idx * 12 + 16]) AS BIGINT)
+             AS n_tokens
+    FROM idx
+    """,
+    survey_ids=("EXT-text",),
+    doc="context-window chunking: each document's whitespace tokens split "
+    "into 16-token windows with a 4-token overlap (stride 12) — the prep "
+    "that turns variable-length documents into training-sequence-sized "
+    "pieces; one posexplode over a generated index array, no shuffle, no "
+    "UDF, fan-out bounded by doc length / stride",
+)
+def x_text_chunking(spark, sf_dir):
+    return text.chunk_documents(
+        _t(spark, sf_dir, "documents"), max_tokens=16, overlap=4
+    )
+
+
+@register(
+    "x_pipeline_mixture_sample",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.9 WHEN 'de' THEN 0.9
+                      WHEN 'es' THEN 0.9 WHEN 'zh' THEN 1.0 ELSE 0.05 END
+    """,
+    survey_ids=("EXT-text",),
+    doc="deterministic data-mixing sampler: per-language keep rates "
+    "(down-sample the dominant language, keep the rest) decided by an "
+    "engine-independent md5 hash of doc_id instead of rand() — the sample "
+    "is reproducible across runs/engines/partitionings and auditable row "
+    "by row; the u < rate comparison is exact in float64 on both engines "
+    "(32-bit hash prefix / 2^32), and the filter is stateless so it "
+    "pushes down past everything",
+)
+def x_pipeline_mixture_sample(spark, sf_dir):
+    sampled = text.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "fr": 0.9, "de": 0.9, "es": 0.9, "zh": 1.0},
+        default_rate=0.05,
+    )
+    return sampled.select("doc_id", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -127,6 +127,60 @@ def test_ivf_trained_beats_fixed_pivots_at_equal_budget(spark):
     assert r_trained >= 0.9, r_trained
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    """12 tokens at max=5/overlap=2 (stride 3): chunks start at 0,3,6,9 —
+    last chunks are short, nothing is lost, overlap regions repeat."""
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12))), (2, "solo")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        text_ops.chunk_documents(docs, max_tokens=5, overlap=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [r.chunk_idx for r in d1] == [0, 1, 2, 3]
+    assert d1[0].chunk_text == "t0 t1 t2 t3 t4"
+    assert d1[1].chunk_text == "t3 t4 t5 t6 t7"
+    assert d1[3].chunk_text == "t9 t10 t11"
+    assert [r.n_tokens for r in d1] == [5, 5, 5, 3]
+    # every token appears in some chunk
+    seen = {t for r in d1 for t in r.chunk_text.split(" ")}
+    assert seen == {f"t{i}" for i in range(12)}
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].chunk_text == "solo" and d2[0].n_tokens == 1
+
+    with pytest.raises(ValueError, match="overlap"):
+        text_ops.chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_mixture_sample_deterministic_and_rate_shaped(spark):
+    """The hash sampler keeps a stable, repartition-invariant subset whose
+    per-group rates track the requested probabilities."""
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 0.25, "fr": 1.0}
+    kept1 = {r.doc_id for r in text_ops.mixture_sample(docs, rates).collect()}
+    kept2 = {
+        r.doc_id
+        for r in text_ops.mixture_sample(docs.repartition(7), rates).collect()
+    }
+    assert kept1 == kept2  # partitioning-invariant
+    en = [i for i in kept1 if i % 2 == 0]
+    fr = [i for i in kept1 if i % 2 == 1]
+    assert len(fr) == 500  # rate 1.0 keeps everything
+    assert 0.15 <= len(en) / 500 <= 0.35  # ~0.25 within hash noise
+    # default rate drops unknown groups entirely
+    other = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    assert text_ops.mixture_sample(other, rates).count() == 0
+
+
 def test_pq_topk_recall_on_clustered_corpus(spark):
     """PQ-ADC with exact re-rank: on clustered data the quantization error
     is small relative to cluster separation, so the top-50 ADC candidates
