@@ -821,10 +821,11 @@ def h5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The verification driver samples the FIRST 50 entries of queries() (insertion
-# order). With 77 registered queries (r4 added x_multimodal_stdlib_codecs,
-# x_dedup_components, x_ann_pq_topk, x_text_chunking and
-# x_pipeline_mixture_sample), 27 necessarily fall outside the window each
-# round, so the window ROTATES: least-recently-driver-attested queries go
+# order). With 78 registered queries (r4 added x_multimodal_stdlib_codecs,
+# x_dedup_components, x_ann_pq_topk, x_text_chunking,
+# x_pipeline_mixture_sample and x_pipeline_seq_packing), 28 necessarily fall
+# outside the window each round, so the window ROTATES:
+# least-recently-driver-attested queries go
 # first, and the entries rotated out are always ones that earned a driver-green
 # hash row in the immediately preceding round. Rotated-out queries are NOT
 # unverified meanwhile — tools/check_correctness.py runs all 72 against their
@@ -874,6 +875,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ann_pq_topk",
     "x_text_chunking",
     "x_pipeline_mixture_sample",
+    "x_pipeline_seq_packing",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from data_pipeline_kafka_ek_spark.operators import (
     dedup,
     multimodal,
+    packing,
     similarity,
     temporal,
     text,
@@ -1329,6 +1330,49 @@ def x_dedup_jaccard_3gram(spark, sf_dir):
 )
 def x_text_repetition(spark, sf_dir):
     return text.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_pipeline_seq_packing",
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ord AS (
+      SELECT doc_id, shard, n_tokens,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM base
+    ),
+    rec AS (
+      SELECT shard, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN r.fill + o.n_tokens <= 128 THEN r.seq_id
+                  ELSE r.seq_id + 1 END,
+             CASE WHEN r.fill + o.n_tokens <= 128 THEN r.fill + o.n_tokens
+                  ELSE o.n_tokens END
+      FROM rec r JOIN ord o ON o.shard = r.shard AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, seq_id, n_tokens FROM rec
+    """,
+    survey_ids=("EXT-text",),
+    doc="sequence packing: documents greedily packed in doc_id order into "
+    "128-token training sequences, sharded by doc_id % 8 so shards pack "
+    "independently in parallel (the parallelism unit at scale; only ids + "
+    "token counts ride the shuffle, never text). Packing is inherently "
+    "sequential per shard — the one corpus-prep op that cannot be a window "
+    "or join — so it is an Arrow-batched applyInPandas fold per shard; the "
+    "fixed order makes the fold deterministic, and the oracle replays it "
+    "with a recursive CTE",
+)
+def x_pipeline_seq_packing(spark, sf_dir):
+    return packing.pack_sequences(
+        _t(spark, sf_dir, "documents"), max_tokens=128, n_shards=8
+    )
 
 
 @register(

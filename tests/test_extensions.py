@@ -181,6 +181,43 @@ def test_mixture_sample_deterministic_and_rate_shaped(spark):
     assert text_ops.mixture_sample(other, rates).count() == 0
 
 
+def test_pack_sequences_greedy_capacity_and_sharding(spark):
+    """Greedy first-fit in doc_id order: capacity respected, oversized
+    docs isolated, shards packed independently."""
+    from data_pipeline_kafka_ek_spark.operators import packing
+
+    # one shard (n_shards=1): token counts 60, 50, 30, 200, 10
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["a"] * 60)),
+            (1, " ".join(["b"] * 50)),
+            (2, " ".join(["c"] * 30)),
+            (3, " ".join(["d"] * 200)),
+            (4, " ".join(["e"] * 10)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in packing.pack_sequences(docs, max_tokens=128, n_shards=1).collect()
+    }
+    # 60+50 fit seq 0; 30 overflows -> seq 1; 200 overflows -> seq 2 alone;
+    # 10 can't join the oversized seq -> seq 3
+    assert [rows[i].seq_id for i in range(5)] == [0, 0, 1, 2, 3]
+    assert all(rows[i].shard == 0 for i in range(5))
+    assert rows[3].n_tokens == 200
+
+    # sharding: same docs, 2 shards -> evens and odds pack independently
+    sharded = packing.pack_sequences(docs, max_tokens=128, n_shards=2).collect()
+    by_shard = {}
+    for r in sharded:
+        by_shard.setdefault(r.shard, []).append((r.doc_id, r.seq_id))
+    # shard 0: docs 0(60),2(30),4(10) all fit one sequence
+    assert sorted(by_shard[0]) == [(0, 0), (2, 0), (4, 0)]
+    # shard 1: 1(50) then 3(200) overflows into its own
+    assert sorted(by_shard[1]) == [(1, 0), (3, 1)]
+
+
 def test_pq_topk_recall_on_clustered_corpus(spark):
     """PQ-ADC with exact re-rank: on clustered data the quantization error
     is small relative to cluster separation, so the top-50 ADC candidates
