@@ -821,14 +821,14 @@ def h5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The verification driver samples the FIRST 50 entries of queries() (insertion
-# order). With 78 registered queries (r4 added x_multimodal_stdlib_codecs,
+# order). With 81 registered queries (r4 added x_multimodal_stdlib_codecs,
 # x_dedup_components, x_ann_pq_topk, x_text_chunking,
-# x_pipeline_mixture_sample and x_pipeline_seq_packing), 28 necessarily fall
-# outside the window each round, so the window ROTATES:
-# least-recently-driver-attested queries go
+# x_pipeline_mixture_sample, x_pipeline_seq_packing and three streaming
+# twins), 31 necessarily fall outside the window each round, so the window
+# ROTATES: least-recently-driver-attested queries go
 # first, and the entries rotated out are always ones that earned a driver-green
 # hash row in the immediately preceding round. Rotated-out queries are NOT
-# unverified meanwhile — tools/check_correctness.py runs all 72 against their
+# unverified meanwhile — tools/check_correctness.py runs all 81 against their
 # DuckDB oracles (same contract as the driver) and is exercised every round;
 # the rotation only decides which rows land in the external CORRECTNESS file.
 # A regression test pins that every name in DRIVER_PRIORITY sits inside the
@@ -876,6 +876,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_text_chunking",
     "x_pipeline_mixture_sample",
     "x_pipeline_seq_packing",
+    # streaming twins new in r4 — never attested
+    "t_streaming_dedup",
+    "t_streaming_stateful_counts",
+    "t_streaming_stream_stream_join",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -906,6 +910,18 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "h3_top_revenue_orders",
     "a_rollup_revenue",
     "x_dedup_exact",
+    # rotated out by the six r4-new queries entering the window — all four
+    # carry fresh r3-green rows; x_dedup_embedding_lsh is additionally
+    # bench-flagged so it still runs every round via bench.py
+    "x_dedup_embedding",
+    "x_dedup_embedding_lsh",
+    "t_streaming_session_append",
+    "x_salted_hotkey_collect",
+    # rotated out by the three r4 streaming twins — r3-green, and the first
+    # two are bench-flagged so they still run every round via bench.py
+    "x_dedup_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
 )
 
 

@@ -851,6 +851,125 @@ def t_streaming_session_append(spark, sf_dir):
 
 
 @register(
+    "t_streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    survey_ids=("T1", "T5", "EXT-dedup"),
+    doc="streaming exact dedup as a standing query: a 4-micro-batch ordered "
+    "replay of events through dropDuplicatesWithinWatermark on "
+    "(user_id, event_type), append mode — the streaming twin of "
+    "operators/dedup.py::exact_dedup. Only the key columns are projected "
+    "because which duplicate arrives first is a partition-order accident; "
+    "the key SET is the deterministic contract (= batch DISTINCT). State "
+    "is bounded by the watermark horizon (runtime.py::stream_dedup), the "
+    "property that separates this from plain dropDuplicates at 100 TB/day.",
+)
+def t_streaming_dedup(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events")
+    stream = srt.replayed_stream(spark, e, n_slices=4, order_col="ts")
+    deduped = srt.stream_dedup(
+        stream, ["user_id", "event_type"], watermark="365 days"
+    )
+    return srt.run_available_now(
+        deduped.select("user_id", "event_type"), output_mode="append"
+    )
+
+
+@register(
+    "t_streaming_stateful_counts",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS event_count,
+           round(sum(value), 4) AS value_total
+    FROM events GROUP BY user_id
+    """,
+    survey_ids=("T1", "T5", "EXT-streaming"),
+    doc="custom stateful operator (applyInPandasWithState) run as a real "
+    "4-micro-batch streaming query: per-user running (count, value total) "
+    "with two-number state per key, update-mode emissions per touched key "
+    "per batch. The final state — last revision per key, selected by max "
+    "event_count since the count strictly grows on every emission — must "
+    "equal the batch GROUP BY. This attests the arbitrary-stateful escape "
+    "hatch (CUSUM alerts, pattern automata) against a SQL oracle, not just "
+    "unit tests.",
+)
+def t_streaming_stateful_counts(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events")
+    stream = srt.replayed_stream(spark, e, n_slices=4, order_col="ts")
+    revisions = srt.run_available_now(
+        srt.running_counts_stateful(stream, watermark="365 days"),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("event_count"))
+    return (
+        revisions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_count",
+            F.round("value_total", 4).alias("value_total"),
+        )
+    )
+
+
+@register(
+    "t_streaming_stream_stream_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT l.event_id AS purchase_id, r.event_id AS click_id, l.user_id,
+           epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+    FROM l JOIN r ON l.user_id = r.user_id
+     AND r.ts BETWEEN l.ts - INTERVAL 6 HOUR AND l.ts
+    """,
+    survey_ids=("T1", "T5", "EXT-streaming"),
+    doc="fully-streaming interval join (purchases x preceding clicks within "
+    "6 h, same user) — BOTH sides are replayed 3-micro-batch streams, so "
+    "matches span micro-batch boundaries and exercise the buffered join "
+    "state. Beyond the reference (ksqlDB demo joins stream-to-table only); "
+    "the event-time bound + dual watermarks make join state evictable "
+    "(runtime.py::stream_stream_interval_join), the condition under which "
+    "stream-stream joins survive at scale. Lag is emitted in exact "
+    "microseconds (unix_micros / epoch_us) to avoid cross-engine "
+    "subsecond-truncation drift.",
+)
+def t_streaming_stream_stream_join(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    ls = srt.replayed_stream(spark, purchases, n_slices=3, order_col="ts")
+    rs = srt.replayed_stream(spark, clicks, n_slices=3, order_col="ts")
+    joined = srt.stream_stream_interval_join(
+        ls, rs, key="user_id", lookback="6 hours", watermark="365 days"
+    )
+    out = joined.select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("click_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts"))).alias(
+            "lag_us"
+        ),
+    )
+    return srt.run_available_now(out, output_mode="append")
+
+
+@register(
     "x_multimodal_features",
     """
     SELECT doc_id AS asset_id, 'text' AS modality,

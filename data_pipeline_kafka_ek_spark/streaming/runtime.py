@@ -320,6 +320,41 @@ def stream_dedup(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    lookback: str = "6 hours",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream–stream INNER equi-join with an event-time interval: each left
+    event matches right events for the same key within ``[l.ts - lookback,
+    l.ts]``. Beyond the reference (ksqlDB's demo joins stream-to-TABLE only,
+    ksqldb-statements.sql:50-60); this is the fully-streaming shape — e.g.
+    purchases joined to the clicks that preceded them.
+
+    Scale contract: BOTH sides carry a watermark and the join condition
+    bounds event-time distance, so Spark's stream-stream join can evict
+    buffered rows once the watermark passes ``ts + lookback`` — state per
+    key is the lookback horizon, not the stream history. Without the time
+    bound (or with only one watermark) the state store grows forever;
+    Spark would accept the query and die at scale, so this helper makes
+    the bound mandatory.
+
+    Columns come back under ``l.*`` / ``r.*`` aliases for the caller to
+    project.
+    """
+    l = left.withWatermark(ts_col, watermark).alias("l")
+    r = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def running_counts_stateful(
     stream_df: DataFrame,
     key: str = "user_id",

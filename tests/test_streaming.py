@@ -796,3 +796,36 @@ def test_materialized_table_works_against_file_uri(spark, tmp_path):
     src = inspect.getsource(MaterializedTable)
     for banned in ("os.listdir", "os.path", "os.remove", "shutil.", "import shutil"):
         assert banned not in src, f"POSIX call {banned!r} in MaterializedTable"
+
+
+def test_stream_stream_interval_join_spans_batches(spark):
+    """Stream-stream interval join: a purchase in a LATE micro-batch must
+    match a click from an EARLIER one (the right row is buffered in join
+    state across batches), and only clicks inside [l.ts - lookback, l.ts]
+    qualify."""
+    base = "2024-01-01 00:{:02d}:00"
+    clicks = spark.createDataFrame(
+        [(100 + m, 1, base.format(m)) for m in (0, 10, 50)],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    purchases = spark.createDataFrame(
+        [(200, 1, base.format(30)), (201, 2, base.format(30))],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    ls = runtime.replayed_stream(spark, purchases, n_slices=2, order_col="ts")
+    rs = runtime.replayed_stream(spark, clicks, n_slices=3, order_col="ts")
+    out = runtime.run_available_now(
+        runtime.stream_stream_interval_join(
+            ls, rs, key="user_id", lookback="25 minutes", watermark="100 days"
+        ).select(
+            F.col("l.event_id").alias("purchase_id"),
+            F.col("r.event_id").alias("click_id"),
+        ),
+        output_mode="append",
+    )
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    # purchase 200 @00:30 matches only click 110 @00:10 (00:00 is outside
+    # the 25-min lookback [00:05, 00:30], 00:50 is after); purchase 201 is
+    # user 2 — no click
+    assert got == {(200, 110)}
