@@ -1,0 +1,138 @@
+"""Distinct-count sketches (K-Minimum-Values) for corpus/event accounting.
+
+At 100 TB you never compute ``COUNT(DISTINCT x)`` exactly across an
+entire corpus — you sketch it. Spark ships HyperLogLog
+(``approx_count_distinct``), but its binary sketch is engine-private and
+cannot be oracle-checked. KMV is the classic alternative (Bar-Yossef et
+al. 2002, "Counting distinct elements in a data stream"): keep the k
+smallest hash values of the element set; if fewer than k survive the
+stream, the sketch IS the exact distinct set, else estimate
+``D ≈ (k-1) / h_(k)`` where ``h_(k)`` is the k-th smallest hash mapped
+to (0,1).
+
+Two properties make it the right teaching/verification sketch here:
+
+* **Deterministic** — md5 is the hash, lexicographic order on the hex
+  digest IS numeric order on the underlying 128-bit value, so any engine
+  computes the identical sketch and the identical estimate. That turns an
+  *approximate* operator into an exactly-oracle-checkable query.
+* **Mergeable** — the union sketch of two element sets is the k smallest
+  of the union of their sketches. That is what makes KMV one-pass and
+  embarrassingly distributed: partitions sketch locally, the combine is a
+  tiny top-k merge. The ``__all__`` row emitted by :func:`kmv_distinct`
+  is computed exactly that way (merge of the per-group sketches, never
+  re-reading the input), attesting the merge law against the oracle.
+
+Scale shape: one ``distinct`` on (group, value) — map-side partial dedup,
+then a shuffle of slim (group, 32-char digest) rows — and one per-group
+top-k window. No collect, no driver loop; sketch size k rows per group.
+
+Reference scope: the reference has no sketches (its aggregations are
+ksqldb-statements.sql:62-103 exact counts); this extends the engine for
+LLM-scale corpus accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# 15 hex chars = 60 bits: fits a signed 64-bit long in both engines,
+# and the (0,1) mapping divides by 16**15 exactly (a power of two, so
+# the double division is exact and cross-engine stable).
+_FRAC_HEX_CHARS = 15
+_FRAC_DENOM = float(16**_FRAC_HEX_CHARS)
+
+
+def _hash_frac(h):
+    """Map the first 15 hex chars of an md5 digest to a double in (0,1)."""
+    return F.conv(F.substring(h, 1, _FRAC_HEX_CHARS), 16, 10).cast(
+        "double"
+    ) / F.lit(_FRAC_DENOM)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate plus a merged ``__all__`` row.
+
+    Returns one row per group value and one ``__all__`` row:
+    ``(grp, n_sketch, kmv_estimate, n_exact, rel_err)``. The ``__all__``
+    estimate is produced by MERGING the per-group sketches (k smallest of
+    the distinct union of their hashes) — the one-pass distributed shape —
+    not by re-sketching the input.
+
+    ``with_exact=True`` joins in the true distinct counts so the result
+    row carries its own error; at real scale you would drop it (the whole
+    point of the sketch), so it is a flag.
+    """
+    vals = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).distinct()
+    hashed = vals.select("grp", F.md5(F.col("v").cast("string")).alias("h"))
+
+    w = Window.partitionBy("grp").orderBy("h")
+    topk = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("grp", "h")
+    )
+
+    per_group = topk.groupBy("grp").agg(
+        F.count("*").alias("n_sketch"), F.max("h").alias("hk")
+    )
+
+    # merge law: union sketch = k smallest of the distinct union of the
+    # per-group sketches (same value in two groups hashes identically, so
+    # the union must dedup hashes before ranking)
+    merged = (
+        topk.select("h")
+        .distinct()
+        .withColumn(
+            "__rn", F.row_number().over(Window.orderBy("h"))
+        )
+        .filter(F.col("__rn") <= k)
+        .groupBy()
+        .agg(F.count("*").alias("n_sketch"), F.max("h").alias("hk"))
+        .select(F.lit("__all__").alias("grp"), "n_sketch", "hk")
+    )
+
+    sketches = per_group.unionByName(merged)
+    # KMV estimator: exact when the sketch didn't fill, else (k-1)/h_(k)
+    est = F.round(
+        F.when(
+            F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+        ).otherwise(F.lit(float(k - 1)) / _hash_frac(F.col("hk")))
+    ).cast("long")
+    out = sketches.select(
+        "grp",
+        F.col("n_sketch").cast("long").alias("n_sketch"),
+        est.alias("kmv_estimate"),
+    )
+
+    if not with_exact:
+        return out
+    exact_pg = vals.groupBy("grp").agg(F.count("*").alias("n_exact"))
+    exact_all = (
+        vals.select("v")
+        .distinct()
+        .groupBy()
+        .agg(F.count("*").alias("n_exact"))
+        .select(F.lit("__all__").alias("grp"), "n_exact")
+    )
+    exact = exact_pg.unionByName(exact_all)
+    return out.join(F.broadcast(exact), "grp").select(
+        "grp",
+        "n_sketch",
+        "kmv_estimate",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(
+            (F.col("kmv_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            4,
+        ).alias("rel_err"),
+    )

@@ -262,3 +262,56 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
             "dup_3gram_frac",
         )
     )
+
+
+def contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination check: for every corpus document, the
+    fraction of its distinct word n-grams that also occur anywhere in the
+    eval set (the GPT-3/PaLM-style decontamination test; n=8 is the
+    PaLM choice, GPT-3 used 13). Returns one row per corpus doc:
+    ``(doc_id, n_grams, n_contaminated, contamination_rate)`` — zero rows
+    are kept so a clean corpus is positively attested, not silently empty.
+
+    Scale shape: eval sets are millions of n-grams while the corpus is
+    100 TB, so the distinct eval-gram set is built once and BROADCAST;
+    the corpus side explodes its shingles map-side (no shuffle) into a
+    broadcast left-semi join, and the only shuffle is the per-doc hit
+    count on slim (doc_id, count) rows with map-side partial aggregation.
+    Documents shorter than n contribute their whole text as one shingle
+    (same convention as the dedup shinglers) so nothing silently vanishes.
+    """
+    from data_pipeline_kafka_ek_spark.operators.dedup import _token_sets
+
+    eval_grams = (
+        _token_sets(eval_docs, id_col, text_col, ngram=n)
+        .select(F.explode("toks").alias("gram"))
+        .distinct()
+    )
+    corpus_grams = _token_sets(corpus, id_col, text_col, ngram=n).select(
+        F.col("doc_id"), F.explode("toks").alias("gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = _token_sets(corpus, id_col, text_col, ngram=n).select(
+        "doc_id", F.size("toks").alias("n_grams")
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("contamination_rate"),
+        )
+    )

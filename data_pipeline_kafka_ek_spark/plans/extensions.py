@@ -1679,3 +1679,96 @@ def x_salted_hotkey_collect(spark, sf_dir):
         F.col("event_count").cast("long").alias("event_count"),
         F.array_join(F.sort_array("event_ids_raw"), ",").alias("event_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# train/eval contamination + distinct sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_contamination_ngram",
+    """
+    WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 8 THEN [array_to_string(w,' ')]
+                    ELSE list_transform(range(1, len(w) - 6),
+                                        i -> array_to_string(w[i:i+7], ' '))
+               END) AS g
+      FROM base),
+    eval_g AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0),
+    corpus AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 20 <> 0),
+    hits AS (SELECT c.doc_id, count(*) AS n_contaminated
+             FROM corpus c JOIN eval_g e USING (gram) GROUP BY 1),
+    tot AS (SELECT doc_id, len(g) AS n_grams FROM grams WHERE doc_id % 20 <> 0)
+    SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           round(coalesce(h.n_contaminated, 0) * 1.0 / t.n_grams, 4)
+             AS contamination_rate
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    survey_ids=("EXT-text",),
+    doc="train/eval contamination check (text.contamination): docs with "
+    "doc_id % 20 == 0 stand in as the eval set; every remaining corpus doc "
+    "reports the fraction of its distinct word 8-grams (the PaLM "
+    "decontamination n) found anywhere in the eval set. Eval-gram set is "
+    "broadcast (eval benchmarks are MBs; the corpus is the 100 TB side); "
+    "corpus shingles explode map-side into a broadcast left-semi join and "
+    "only slim (doc_id, count) rows shuffle. Zero-rate rows are emitted so "
+    "a clean corpus is positively attested.",
+)
+def x_contamination_ngram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    eval_docs = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return text.contamination(corpus, eval_docs, n=8)
+
+
+@register(
+    "x_sketch_kmv_distinct",
+    """
+    WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS v FROM events),
+    hashed AS (SELECT grp, md5(CAST(v AS VARCHAR)) AS h FROM vals),
+    topk AS (
+      SELECT grp, h FROM (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed)
+      WHERE rn <= 64),
+    pg AS (SELECT grp, count(*) AS n_sketch, max(h) AS hk FROM topk GROUP BY grp),
+    mtop AS (SELECT h FROM (SELECT DISTINCT h FROM topk) ORDER BY h LIMIT 64),
+    mg AS (SELECT '__all__' AS grp, count(*) AS n_sketch, max(h) AS hk FROM mtop),
+    sk AS (SELECT * FROM pg UNION ALL SELECT * FROM mg),
+    ex AS (
+      SELECT grp, count(*) AS n_exact FROM vals GROUP BY grp
+      UNION ALL
+      SELECT '__all__', count(DISTINCT v) FROM vals),
+    est AS (
+      SELECT grp, n_sketch,
+             CAST(round(CASE WHEN n_sketch < 64 THEN n_sketch * 1.0
+                  ELSE 63.0 / (('0x' || substr(hk, 1, 15))::UBIGINT
+                               / power(16, 15))
+                  END) AS BIGINT) AS kmv_estimate
+      FROM sk)
+    SELECT grp, CAST(n_sketch AS BIGINT) AS n_sketch, kmv_estimate,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           round((kmv_estimate - x.n_exact) * 1.0 / x.n_exact, 4) AS rel_err
+    FROM est e JOIN ex x USING (grp)
+    """,
+    survey_ids=("EXT-sketch", "A1"),
+    doc="KMV (k-minimum-values) distinct-count sketch, k=64: distinct "
+    "users per event_type plus a merged __all__ row computed by UNIONING "
+    "the per-group sketches (k smallest of their deduped hashes) — the "
+    "merge law that makes KMV one-pass and distributed. md5 + "
+    "lexicographic order makes the sketch identical in every engine, so "
+    "an approximate operator gets an exact value-hash oracle; n_exact / "
+    "rel_err columns let the row attest its own accuracy. The sketch "
+    "shuffle carries only (group, 32-char digest) rows.",
+)
+def x_sketch_kmv_distinct(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators import sketches
+
+    return sketches.kmv_distinct(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", k=64
+    )

@@ -191,3 +191,59 @@ def test_interval_join_edges_and_duplicates(spark):
     assert fwd == sorted(
         [("a", "r31"), ("a", "r45"), ("a", "r31"), ("a", "r45")]
     )
+
+
+def test_contamination_planted_and_clean(spark):
+    from data_pipeline_kafka_ek_spark.operators.text import contamination
+
+    # eval doc shares a verbatim 8-gram run with corpus doc 1; doc 2 is
+    # clean; doc 3 is shorter than n so its whole text is one shingle
+    eval_docs = spark.createDataFrame(
+        [(100, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "x a b c d e f g h y"),   # contains 8-gram "a b c d e f g h"
+            (2, "q w e r t y u i o p"),   # no overlap
+            (3, "a b c"),                 # < n tokens -> one whole-text shingle
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in contamination(corpus, eval_docs, n=8).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # doc 1: 3 distinct 8-grams (windows at x..h, a..y shifted), exactly one hit
+    assert rows[1].n_contaminated == 1
+    assert rows[1].n_grams == 3
+    assert abs(rows[1].contamination_rate - round(1 / 3, 4)) < 1e-9
+    assert rows[2].n_contaminated == 0 and rows[2].contamination_rate == 0.0
+    assert rows[3].n_grams == 1 and rows[3].n_contaminated == 0
+
+
+def test_kmv_distinct_exact_when_underfilled_and_merge_law(spark):
+    from data_pipeline_kafka_ek_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(10)] + [("b", i) for i in range(5, 25)],
+        "grp string, v long",
+    )
+    # k larger than every group: sketches never fill, estimates are exact
+    out = {r.grp: r for r in kmv_distinct(df, "grp", "v", k=64).collect()}
+    assert out["a"].kmv_estimate == 10 and out["a"].rel_err == 0.0
+    assert out["b"].kmv_estimate == 20
+    # merge law: __all__ is distinct of the union (values 0..24), exact here
+    assert out["__all__"].kmv_estimate == 25 and out["__all__"].n_exact == 25
+
+    # k smaller than the groups: the estimator engages; it must stay within
+    # a loose 3/sqrt(k) relative band (k=16 -> 75%) of the truth, and the
+    # merged sketch must equal the sketch of the unioned values
+    est = {r.grp: r for r in kmv_distinct(df, "grp", "v", k=16).collect()}
+    assert abs(est["__all__"].rel_err) <= 0.75
+    direct = {
+        r.grp: r
+        for r in kmv_distinct(
+            df.withColumn("grp", F.lit("z")), "grp", "v", k=16
+        ).collect()
+    }
+    assert est["__all__"].kmv_estimate == direct["z"].kmv_estimate
