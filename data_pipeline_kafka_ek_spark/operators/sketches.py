@@ -1,4 +1,4 @@
-"""Distinct-count sketches (K-Minimum-Values) for corpus/event accounting.
+"""Data sketches (K-Minimum-Values, Count-Min) for corpus/event accounting.
 
 At 100 TB you never compute ``COUNT(DISTINCT x)`` exactly across an
 entire corpus — you sketch it. Spark ships HyperLogLog
@@ -136,3 +136,73 @@ def kmv_distinct(
             4,
         ).alias("rel_err"),
     )
+
+
+def countmin_freq(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 64,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    for every distinct value of ``value_col``.
+
+    The sketch is a ``depth x width`` counter grid; row ``i`` buckets each
+    value by ``md5(f"{i}:{value}")`` and the estimate is the MIN over the
+    d bucket counters — always an overestimate (collisions only add), by
+    at most ``2N/width`` with probability ``1 - 2^-depth``. Like
+    :func:`kmv_distinct`, the md5 bucketing makes the grid engine-identical
+    and the counters are plain sums, so the sketch is
+    **order-independent and mergeable** (grids from different partitions
+    add element-wise — here that merge IS the partial aggregation of one
+    ``groupBy``), and an *approximate* operator is *exactly*
+    oracle-checkable.
+
+    Scale shape: the grid build shuffles ``depth * width`` counter rows
+    regardless of input size (events stream once through a map-side
+    partial sum); the estimate side joins each distinct value's d bucket
+    keys against the tiny broadcast grid. Returns
+    ``(value, cms_estimate[, n_exact, overestimate])``.
+    """
+    counts = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    rows = counts.select(
+        "v",
+        "c",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("i"),
+    ).withColumn(
+        "j",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("v").cast("string"))),
+                1,
+                _FRAC_HEX_CHARS,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    grid = rows.groupBy("i", "j").agg(F.sum("c").alias("counter"))
+    est = (
+        rows.select("v", "c", "i", "j")
+        .join(F.broadcast(grid), ["i", "j"])
+        .groupBy("v")
+        .agg(
+            F.min("counter").cast("long").alias("cms_estimate"),
+            F.first("c").alias("__c"),
+        )
+    )
+    out = est.select(
+        "v",
+        "cms_estimate",
+        F.col("__c").cast("long").alias("n_exact"),
+        (F.col("cms_estimate") - F.col("__c")).cast("long").alias("overestimate"),
+    )
+    if with_exact:
+        return out
+    return out.select("v", "cms_estimate")

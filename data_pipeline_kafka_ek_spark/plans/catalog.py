@@ -821,15 +821,15 @@ def h5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The verification driver samples the FIRST 50 entries of queries() (insertion
-# order). With 83 registered queries (r4 added x_multimodal_stdlib_codecs,
+# order). With 84 registered queries (r4 added x_multimodal_stdlib_codecs,
 # x_dedup_components, x_ann_pq_topk, x_text_chunking,
 # x_pipeline_mixture_sample, x_pipeline_seq_packing, three streaming
-# twins, x_contamination_ngram and x_sketch_kmv_distinct), 33 necessarily
+# twins, x_contamination_ngram and the two sketch queries), 34 necessarily
 # fall outside the window each round, so the window
 # ROTATES: least-recently-driver-attested queries go
 # first, and the entries rotated out are always ones that earned a driver-green
 # hash row in the immediately preceding round. Rotated-out queries are NOT
-# unverified meanwhile — tools/check_correctness.py runs all 83 against their
+# unverified meanwhile — tools/check_correctness.py runs all 84 against their
 # DuckDB oracles (same contract as the driver) and is exercised every round;
 # the rotation only decides which rows land in the external CORRECTNESS file.
 # A regression test pins that every name in DRIVER_PRIORITY sits inside the
@@ -881,9 +881,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "t_streaming_dedup",
     "t_streaming_stateful_counts",
     "t_streaming_stream_stream_join",
-    # contamination check + KMV sketch new in r4 — never attested
+    # contamination check + KMV/CMS sketches new in r4 — never attested
     "x_contamination_ngram",
     "x_sketch_kmv_distinct",
+    "x_sketch_countmin_freq",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -926,11 +927,12 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_dedup_jaccard",
     "x_dedup_minhash_lsh",
     "x_dedup_simhash",
-    # rotated out by the r4 contamination/KMV queries — r3-green;
+    # rotated out by the r4 contamination/sketch queries — r3-green;
     # h_window_cumulative_revenue is bench-flagged so it still runs every
     # round via bench.py
     "x_explode_top_tokens",
     "h_window_cumulative_revenue",
+    "q_sql_scalar_subquery",
 )
 
 

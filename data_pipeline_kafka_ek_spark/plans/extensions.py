@@ -1772,3 +1772,41 @@ def x_sketch_kmv_distinct(spark, sf_dir):
     return sketches.kmv_distinct(
         _t(spark, sf_dir, "events"), "event_type", "user_id", k=64
     )
+
+
+@register(
+    "x_sketch_countmin_freq",
+    """
+    WITH counts AS (SELECT user_id AS v, count(*) AS c FROM events GROUP BY 1),
+    gridrows AS (
+      SELECT v, c, i.i AS i,
+             CAST(('0x' || substr(md5(i.i::VARCHAR || ':' || CAST(v AS VARCHAR)),
+                                  1, 15))::UBIGINT % 64 AS BIGINT) AS j
+      FROM counts, (SELECT unnest(range(0, 4)) AS i) i),
+    grid AS (SELECT i, j, sum(c) AS counter FROM gridrows GROUP BY 1, 2),
+    est AS (
+      SELECT v, min(counter) AS cms_estimate, min(c) AS c
+      FROM gridrows JOIN grid USING (i, j) GROUP BY v)
+    SELECT v AS user_id, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(c AS BIGINT) AS n_exact,
+           CAST(cms_estimate - c AS BIGINT) AS overestimate
+    FROM est
+    """,
+    survey_ids=("EXT-sketch", "A1"),
+    doc="Count-Min sketch frequency estimates (4x64 grid, md5 row hashes) "
+    "for per-user event counts: estimate = min over the 4 bucket counters, "
+    "always >= the true count. The grid is order-independent and merges by "
+    "element-wise sum — the merge IS the map-side partial aggregation of "
+    "one groupBy, and only depth*width counter rows shuffle regardless of "
+    "input size; the estimate side joins d bucket keys per value against "
+    "the broadcast grid. Deterministic md5 bucketing makes the approximate "
+    "grid engine-identical, so the oracle hash-checks it exactly; the "
+    "n_exact/overestimate columns attest the one-sided error in-row.",
+)
+def x_sketch_countmin_freq(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators import sketches
+
+    out = sketches.countmin_freq(
+        _t(spark, sf_dir, "events"), "user_id", depth=4, width=64
+    )
+    return out.withColumnRenamed("v", "user_id")

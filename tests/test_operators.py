@@ -247,3 +247,20 @@ def test_kmv_distinct_exact_when_underfilled_and_merge_law(spark):
         ).collect()
     }
     assert est["__all__"].kmv_estimate == direct["z"].kmv_estimate
+
+
+def test_countmin_overestimates_only_and_merge_by_sum(spark):
+    from data_pipeline_kafka_ek_spark.operators.sketches import countmin_freq
+
+    df = spark.createDataFrame(
+        [(f"u{i % 7}",) for i in range(100)], "v string"
+    )
+    out = countmin_freq(df, "v", depth=4, width=8).collect()
+    assert len(out) == 7
+    for r in out:
+        # CMS error is one-sided: never underestimates
+        assert r.overestimate >= 0
+        assert r.cms_estimate == r.n_exact + r.overestimate
+    # a huge grid has no collisions: estimates exact
+    exact = countmin_freq(df, "v", depth=4, width=4096).collect()
+    assert all(r.overestimate == 0 for r in exact)
