@@ -159,50 +159,63 @@ def countmin_freq(
     ``groupBy``), and an *approximate* operator is *exactly*
     oracle-checkable.
 
-    Scale shape: the grid build shuffles ``depth * width`` counter rows
-    regardless of input size (events stream once through a map-side
-    partial sum); the estimate side joins each distinct value's d bucket
-    keys against the tiny broadcast grid. Returns
-    ``(value, cms_estimate[, n_exact, overestimate])``.
+    Scale shape (the 100 TB path is ``with_exact=False``): the grid is
+    built straight from raw rows — each row fans out to its ``depth``
+    ``(i, j)`` coordinates and the ``groupBy(i, j)`` does map-side partial
+    sums, so the shuffle carries at most ``partitions * depth * width``
+    counter rows no matter the input size. No exact per-value count feeds
+    the grid. The estimate side buckets the *distinct* values (the output
+    is per-value, so that dedup shuffle is inherent to the asked-for
+    result, not sketch overhead) and joins their d bucket keys against the
+    tiny broadcast grid. ``with_exact=True`` additionally computes true
+    per-value counts for the error columns — that IS the exact computation
+    the sketch approximates, so it exists only for the oracle/verification
+    path. Returns ``(value, cms_estimate[, n_exact, overestimate])``.
     """
-    counts = df.groupBy(F.col(value_col).alias("v")).agg(
-        F.count("*").alias("c")
-    )
-    rows = counts.select(
-        "v",
-        "c",
-        F.explode(
-            F.array(*[F.lit(i) for i in range(depth)])
-        ).alias("i"),
-    ).withColumn(
-        "j",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("v").cast("string"))),
-                1,
-                _FRAC_HEX_CHARS,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % width,
-    )
-    grid = rows.groupBy("i", "j").agg(F.sum("c").alias("counter"))
+
+    def bucketed(rel: DataFrame) -> DataFrame:
+        """Fan each row out to its depth (i, j) grid coordinates."""
+        return rel.select(
+            "v",
+            F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+        ).withColumn(
+            "j",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("v").cast("string"),
+                        )
+                    ),
+                    1,
+                    _FRAC_HEX_CHARS,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width,
+        )
+
+    vals = df.select(F.col(value_col).alias("v"))
+    # grid from RAW rows: count(*) per (i, j) with map-side combine — the
+    # shuffle is counter rows, never value rows
+    grid = bucketed(vals).groupBy("i", "j").agg(F.count("*").alias("counter"))
     est = (
-        rows.select("v", "c", "i", "j")
+        bucketed(vals.distinct())
         .join(F.broadcast(grid), ["i", "j"])
         .groupBy("v")
-        .agg(
-            F.min("counter").cast("long").alias("cms_estimate"),
-            F.first("c").alias("__c"),
-        )
+        .agg(F.min("counter").cast("long").alias("cms_estimate"))
     )
-    out = est.select(
+    if not with_exact:
+        return est
+    exact = vals.groupBy("v").agg(F.count("*").alias("n_exact"))
+    return est.join(exact, "v").select(
         "v",
         "cms_estimate",
-        F.col("__c").cast("long").alias("n_exact"),
-        (F.col("cms_estimate") - F.col("__c")).cast("long").alias("overestimate"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("cms_estimate") - F.col("n_exact")).cast("long").alias(
+            "overestimate"
+        ),
     )
-    if with_exact:
-        return out
-    return out.select("v", "cms_estimate")

@@ -50,8 +50,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark has no ns
-        # timestamp type — read as long, converted to µs in sources/tables.py
+        # fixture `events.ts` is parquet TIMESTAMP(NANOS). Spark 3.x needs
+        # this conf to read it (as long ns); Spark 4.x removed the conf and
+        # reads it as TIMESTAMP_NTZ. sources/tables.py branches on the
+        # observed dtype, so setting it here is harmless on 4.x.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # local mode: one JVM; driver memory is the only knob that matters

@@ -32,7 +32,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from data_pipeline_kafka_ek_spark.sources.tables import load_table
+from data_pipeline_kafka_ek_spark.sources.tables import load_table, normalize_events_ts
 
 DEFAULT_WATERMARK = "24 hours"  # generous, ksqlDB-retention-like (T5)
 
@@ -51,16 +51,17 @@ def stream_table(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if name == "events":
-        # the streaming reader sees the raw long-nanos ts column (the batch
-        # path's schema already has the µs conversion applied, so take the
-        # schema from the raw file instead), then re-apply the conversion
+        # the streaming reader sees the raw ts column (long ns on Spark 3.x,
+        # TIMESTAMP_NTZ on 4.x; the batch path's schema already has the
+        # conversion applied, so take the schema from the raw file instead),
+        # then re-apply the same version-aware conversion
         raw_schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
         df = (
             reader.schema(raw_schema)
             .option("pathGlobFilter", f"{name}.parquet")
             .parquet(sf_dir)
         )
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_events_ts(df)
     return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir)
 
 
