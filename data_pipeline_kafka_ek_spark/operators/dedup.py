@@ -115,6 +115,13 @@ def jaccard_pairs(
     because rare tokens go first, collapsing the hot-token buckets that
     dominate candidate fan-out at scale. Residual skew is an equi-join
     skew problem that AQE's skew-join split handles.
+
+    The candidate join also applies the AllPairs/PPJoin LENGTH filter:
+    J(a,b) >= t implies t*|b| <= |a INT b| <= min(|a|,|b|), hence
+    min(|a|,|b|) >= t*max(|a|,|b|) — pairs whose set sizes differ by more
+    than the t-ratio are pruned inside the join condition, before any
+    token-array shuffle or intersection. Exact (same survivors), and it
+    discards the bulk of candidates whenever set sizes vary.
     """
     sets = _token_sets(docs, id_col, text_col, ngram)
     posts = sets.select(
@@ -133,10 +140,18 @@ def jaccard_pairs(
                 <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
             )
         )
-    posts = posts.select("doc_id", "tok")
+    posts = posts.select("doc_id", "__n", "tok")
     a, b = posts.alias("a"), posts.alias("b")
+    length_ok = (
+        F.col("a.__n") >= F.lit(threshold) * F.col("b.__n")
+    ) & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok,
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     # candidate dedup is another CPU-dense slim-row stage: pin its exchange
@@ -183,7 +198,10 @@ def minhash_signatures(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
             for i in range(NUM_HASHES)
-        ]
+        ],
+        # token-set size rides along for free (toks is already distinct) —
+        # the banding join uses it for the exact length filter
+        F.count(F.lit(1)).alias("__n"),
     )
 
 
@@ -214,16 +232,25 @@ def minhash_lsh_pairs(
         band_cols.append(
             F.struct(F.lit(bidx).alias("band_idx"), F.md5(val).alias("band_val"))
         )
-    bands = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("b")).select(
-        "doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+    bands = sig.select(
+        "doc_id", "__n", F.explode(F.array(*band_cols)).alias("b")
+    ).select(
+        "doc_id", "__n", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
     )
     a, b = bands.alias("a"), bands.alias("b")
+    # exact length filter (see jaccard_pairs): J >= t forces
+    # min(|a|,|b|) >= t*max(|a|,|b|) — prune inside the band join, before
+    # the token arrays are ever joined
+    length_ok = (
+        F.col("a.__n") >= F.lit(threshold) * F.col("b.__n")
+    ) & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & length_ok,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
