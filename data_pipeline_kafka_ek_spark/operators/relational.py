@@ -93,6 +93,66 @@ def top_k_terms(df: DataFrame, col: str, k: int = 5) -> DataFrame:
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within: str = "7 days",
+) -> DataFrame:
+    """Ordered funnel / conversion analysis: how many users performed the
+    ``steps`` event types in order, each strictly after the previous one
+    and all inside ``within`` of their step-1 time. Standard product-
+    analytics semantics: a user converts at step i iff SOME ordered chain
+    exists, and taking the EARLIEST qualifying event at every step is
+    optimal (it maximizes the time left for later steps), so the greedy
+    per-step ``min(ts)`` is exact.
+
+    Returns one row per step: ``(step_idx, step, users)``.
+
+    Scale shape: one filtered scan per step (the event-type predicate
+    pushes to the parquet scan) feeding a groupBy/join chain keyed on the
+    user — every shuffle is on the same ``user_col`` key, so the exchanges
+    after the first reuse the partitioning; no window over the full event
+    stream and no per-user state beyond two timestamps.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    interval = F.expr(f"INTERVAL {within}")
+    counts = []
+    reached: DataFrame | None = None
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("u"), F.col(ts_col).alias("t")
+        )
+        if reached is None:
+            reached = (
+                ev.groupBy("u")
+                .agg(F.min("t").alias("t0"))
+                .withColumn("t_prev", F.col("t0"))
+            )
+        else:
+            reached = (
+                ev.join(reached, "u")
+                .filter(
+                    (F.col("t") > F.col("t_prev"))
+                    & (F.col("t") <= F.col("t0") + interval)
+                )
+                .groupBy("u", "t0")
+                .agg(F.min("t").alias("t_prev"))
+            )
+        counts.append(
+            reached.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "users"
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def cascade_rollup(
     events: DataFrame,
     key: str,

@@ -264,6 +264,64 @@ def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: "list[str]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag-of-words query
+    (Robertson/Spärck Jones; the classic IR ranking function, used here
+    for corpus curation — e.g. scoring documents against a topic seed).
+
+    score(d) = sum over query terms t of
+        idf(t) * tf(t,d)*(k1+1) / (tf(t,d) + k1*(1 - b + b*|d|/avgdl))
+    with idf(t) = ln(1 + (N - df(t) + 0.5)/(df(t) + 0.5)).
+
+    Scale shape: the term filter lands right after the tokenizing explode
+    (map-side, before any shuffle), so the only per-doc shuffle carries
+    (doc, term, tf) rows for MATCHED terms only. Corpus-level constants
+    (N, avgdl) and the per-term document frequencies are tiny aggregates,
+    broadcast into the scoring join. No windows, no UDFs. Returns one row
+    per matching doc: ``(doc_id, bm25)``, score rounded to 4 places.
+    """
+    toks = _tokens(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    tf = (
+        exploded.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size(toks)).alias("avgdl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    term_score = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+    )
+
+
 def contamination(
     corpus: DataFrame,
     eval_docs: DataFrame,

@@ -18,6 +18,7 @@ from data_pipeline_kafka_ek_spark.operators import (
     dedup,
     multimodal,
     packing,
+    relational,
     similarity,
     temporal,
     text,
@@ -238,6 +239,26 @@ def _simhash_oracle_sql() -> str:
 )
 def x_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "x_dedup_editdistance",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE abs(a.n_chars - b.n_chars) <= 5
+      AND levenshtein(a.text, b.text) <= 5
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="Levenshtein <= 5 near-dup pairs; Spark side blocks by length "
+    "bucket (width max_dist+1, each doc posts two buckets — exact, no "
+    "cross join) and verifies with the built-in banded levenshtein "
+    "(early-exit O(len*threshold)); oracle is brute-force O(n^2) with "
+    "the same necessary length filter",
+)
+def x_dedup_editdistance(spark, sf_dir):
+    return dedup.editdistance_pairs(_t(spark, sf_dir, "documents"), max_dist=5)
 
 
 @register(
@@ -1635,6 +1656,85 @@ def x_corpus_stats(spark, sf_dir):
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
+    )
+
+
+@register(
+    "x_text_bm25",
+    """
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM tok
+      WHERE term IN ('spark', 'query', 'join') GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    corpus AS (
+      SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl
+      FROM documents
+    )
+    SELECT t.doc_id,
+           round(sum(
+             ln(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / c.avgdl))
+           ), 4) AS bm25
+    FROM tf t JOIN dfreq d USING (term) CROSS JOIN corpus c
+    GROUP BY t.doc_id
+    """,
+    survey_ids=("EXT-text",),
+    doc="Okapi BM25 (k1=1.2, b=0.75) of every doc against a 3-term query "
+    "— corpus curation by topic relevance; term filter sits right after "
+    "the tokenizing explode (map-side), df/N/avgdl are broadcast "
+    "aggregates, the only per-doc shuffle carries matched (doc,term,tf) "
+    "rows",
+)
+def x_text_bm25(spark, sf_dir):
+    return text.bm25_scores(
+        _t(spark, sf_dir, "documents"), ["spark", "query", "join"]
+    )
+
+
+@register(
+    "x_events_funnel",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type, CAST(ts AS TIMESTAMP) AS t FROM events
+    ),
+    s0 AS (
+      SELECT u, min(t) AS t0 FROM e WHERE event_type = 'signup' GROUP BY u
+    ),
+    s1 AS (
+      SELECT e.u, s0.t0, min(e.t) AS t_prev
+      FROM e JOIN s0 ON e.u = s0.u
+      WHERE e.event_type = 'view' AND e.t > s0.t0
+        AND e.t <= s0.t0 + INTERVAL 7 DAY
+      GROUP BY e.u, s0.t0
+    ),
+    s2 AS (
+      SELECT e.u, s1.t0, min(e.t) AS t_prev
+      FROM e JOIN s1 ON e.u = s1.u
+      WHERE e.event_type = 'purchase' AND e.t > s1.t_prev
+        AND e.t <= s1.t0 + INTERVAL 7 DAY
+      GROUP BY e.u, s1.t0
+    )
+    SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step, count(*) AS users FROM s0
+    UNION ALL
+    SELECT CAST(1 AS INT), 'view', count(*) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'purchase', count(*) FROM s2
+    """,
+    survey_ids=("EXT-analytics", "A1"),
+    doc="ordered signup->view->purchase funnel within 7 days of signup; "
+    "greedy earliest-event-per-step is exact for existence, every shuffle "
+    "keys on user_id so the exchanges reuse one partitioning, and each "
+    "step's event-type predicate pushes to the parquet scan",
+)
+def x_events_funnel(spark, sf_dir):
+    return relational.funnel(
+        _t(spark, sf_dir, "events"), ["signup", "view", "purchase"]
     )
 
 

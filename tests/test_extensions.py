@@ -588,3 +588,86 @@ def test_language_id_without_lang_column(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="the cat and the dog is here")])
     r = t.language_id(df).collect()[0]
     assert r.lang_declared is None and r.lang_predicted == "en"
+
+
+def test_editdistance_blocking_equals_bruteforce(spark):
+    # blocking (length buckets + banded levenshtein) must find exactly the
+    # brute-force pair set, including pairs straddling a bucket boundary
+    texts = [
+        (1, "abcdefghij"),          # len 10
+        (2, "abcdefghiX"),          # dist 1 from #1, same length
+        (3, "abcdefghijkl"),        # dist 2 from #1 (two inserts), len 12
+        (4, "completely different"),
+        (5, "abcdefgh"),            # dist 2 from #1 (two deletes), len 8
+        (6, "zzzzzzzzzzzzzzzzzzzzzzzzzz"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in dedup.editdistance_pairs(df, max_dist=2).collect()
+    }
+    import itertools
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b): lev(sa, sb)
+        for (a, sa), (b, sb) in itertools.combinations(texts, 2)
+        if lev(sa, sb) <= 2
+    }
+    assert got == want
+
+
+def test_bm25_ranks_higher_tf_and_rarer_terms(spark):
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),   # tf=3 for 'spark'
+            (2, "spark filler filler filler filler"), # tf=1
+            (3, "rare filler filler filler filler"),  # only the rarer term
+            (4, "filler filler filler filler filler"),# no query terms
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r.bm25
+        for r in text_ops.bm25_scores(df, ["spark", "rare"]).collect()
+    }
+    assert 4 not in rows                      # non-matching docs absent
+    assert rows[1] > rows[2]                  # higher tf wins at equal dl
+    # 'rare' (df=1) carries more idf than 'spark' (df=2) at equal tf and dl
+    assert rows[3] > rows[2]
+
+
+def test_funnel_ordering_and_window(spark):
+    from datetime import datetime
+
+    from data_pipeline_kafka_ek_spark.operators import relational
+
+    t = lambda d, h=0: datetime(2024, 1, d, h)
+    rows = [
+        # u1: full ordered chain inside the window
+        (1, "signup", t(1)), (1, "view", t(2)), (1, "purchase", t(3)),
+        # u2: purchase BEFORE view — ordering must reject step 3
+        (2, "signup", t(1)), (2, "purchase", t(2)), (2, "view", t(3)),
+        # u3: view outside the 7-day window of signup
+        (3, "signup", t(1)), (3, "view", t(9)),
+        # u4: signup only
+        (4, "signup", t(1)),
+        # u5: view/purchase but never signed up — not in the funnel at all
+        (5, "view", t(1)), (5, "purchase", t(2)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        r.step: r.users
+        for r in relational.funnel(df, ["signup", "view", "purchase"]).collect()
+    }
+    assert got == {"signup": 4, "view": 2, "purchase": 1}
