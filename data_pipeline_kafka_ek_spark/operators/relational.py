@@ -153,6 +153,90 @@ def funnel(
     return out
 
 
+def sessionize(
+    events: DataFrame,
+    gap_s: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based batch sessionization: split each user's event sequence
+    wherever consecutive events are more than ``gap_s`` seconds apart, and
+    return one summary row per session:
+    ``(user, session_idx, session_start, session_end, n_events)``.
+    This is the batch twin of the T4 ``session_window`` streaming
+    aggregation — same 30-minute-gap semantics, but with stable per-user
+    session indexes usable as join keys downstream.
+
+    Scale shape: one shuffle on the user key for the ordering window; the
+    boundary flag is a ``lag`` diff, the session index a running sum over
+    the same window (no second exchange — same partitioning), and the
+    final per-session groupBy re-uses the user-keyed partitioning again.
+    Per-user state is one sort of that user's events — bounded by the
+    per-user event count, never by the stream.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_break = (
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+        > gap_s
+    )
+    is_new = F.when(gap_break | F.lag(ts_col).over(w).isNull(), 1).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("__new", is_new)
+        .withColumn("session_idx", F.sum("__new").over(run))
+        .groupBy(F.col(user_col), F.col("session_idx").cast("long").alias("session_idx"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_event: str = "signup",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the DAY of their first
+    ``cohort_event``, and each later active day counts toward the
+    week-offset bucket ``floor(days_since_cohort / 7)``. Returns
+    ``(cohort_date, week_offset, active_users)`` — the classic retention
+    triangle. Day-level cohorts + integer day arithmetic keep the math
+    engine-identical (no week-truncation conventions to disagree on).
+
+    Scale shape: the cohort map and the distinct (user, day) activity set
+    are both user-keyed aggregations, the join is on the same user key
+    (partitioning reused), and the final rollup groups the already-slim
+    (cohort_date, offset, user) rows. Nothing is ever keyed on a
+    low-cardinality column until the terminal aggregate.
+    """
+    cohorts = (
+        events.filter(F.col(type_col) == cohort_event)
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(F.min(F.to_date(ts_col)).alias("cohort_date"))
+    )
+    activity = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
+    ).distinct()
+    return (
+        activity.join(cohorts, "u")
+        .withColumn(
+            "week_offset",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_date")) / 7).cast("long"),
+        )
+        .filter(F.col("week_offset") >= 0)
+        .select("cohort_date", "week_offset", "u")
+        .distinct()
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
 def cascade_rollup(
     events: DataFrame,
     key: str,

@@ -889,10 +889,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_window_running_total",
     "set_except_intersect",
     "a_cascade_rollup",
-    # never attested — new in r5 (edit-distance dedup, BM25, funnel)
+    # never attested — new in r5 (edit-distance dedup, BM25, funnel,
+    # sessionization, cohort retention)
     "x_dedup_editdistance",
     "x_text_bm25",
     "x_events_funnel",
+    "x_events_sessionize",
+    "x_events_cohort_retention",
     # not sampled in r4 (last green r3), no bench coverage — their 2-round
     # attestation budget expires this round
     "x_asof_join",
@@ -906,8 +909,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_multimodal_features",
     "x_embedding_quantize",
     "x_pipeline_corpus_prep",
-    "a_rollup_revenue",
-    "x_corpus_stats",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -951,12 +952,15 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_dedup_embedding",
     "x_ann_cosine_topk",
     "x_dedup_jaccard_3gram",
-    # r3-green, displaced by the three never-attested r5-new queries; their
+    # r3-green, displaced by the five never-attested r5-new queries; their
     # coverage overlaps in-window entries (a7 top terms; the SQL parity set;
-    # a2's collect) so they wait one more round
+    # a2's collect; a_cascade_rollup; x_text_token_stats' per-lang rollup)
+    # so they wait one more round
     "x_explode_top_tokens",
     "q_sql_scalar_subquery",
     "x_salted_hotkey_collect",
+    "a_rollup_revenue",
+    "x_corpus_stats",
 )
 
 

@@ -1738,6 +1738,68 @@ def x_events_funnel(spark, sf_dir):
     )
 
 
+@register(
+    "x_events_sessionize",
+    """
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+    m AS (
+      SELECT user_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR CAST(floor(epoch(t)) AS BIGINT)
+                          - CAST(floor(epoch(lag(t) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ),
+    s AS (
+      SELECT user_id, t,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM m
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           min(t) AS session_start, max(t) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_idx
+    """,
+    survey_ids=("EXT-analytics", "T4"),
+    doc="gap-based (30 min) batch sessionization with stable per-user "
+    "session indexes — the batch twin of the T4 session_window; one "
+    "user-keyed shuffle feeds the lag window, the running sum, and the "
+    "per-session rollup (partitioning reused, no second exchange)",
+)
+def x_events_sessionize(spark, sf_dir):
+    return relational.sessionize(_t(spark, sf_dir, "events"), gap_s=1800)
+
+
+@register(
+    "x_events_cohort_retention",
+    """
+    WITH c AS (
+      SELECT user_id AS u, min(CAST(ts AS DATE)) AS cohort_date
+      FROM events WHERE event_type = 'signup' GROUP BY u
+    ),
+    a AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+    j AS (
+      SELECT DISTINCT cohort_date,
+             CAST(floor(date_diff('day', cohort_date, d) / 7) AS BIGINT)
+               AS week_offset,
+             u
+      FROM a JOIN c USING (u)
+      WHERE date_diff('day', cohort_date, d) >= 0
+    )
+    SELECT cohort_date, week_offset, count(*) AS active_users
+    FROM j GROUP BY cohort_date, week_offset
+    """,
+    survey_ids=("EXT-analytics",),
+    doc="retention triangle: day-level cohorts by first signup, active "
+    "users per floor(days/7) offset; integer day arithmetic avoids "
+    "engine week-truncation drift, and every shuffle before the terminal "
+    "rollup is keyed on the user",
+)
+def x_events_cohort_retention(spark, sf_dir):
+    return relational.cohort_retention(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # skew mitigation as a first-class query
 # ---------------------------------------------------------------------------

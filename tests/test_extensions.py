@@ -671,3 +671,58 @@ def test_funnel_ordering_and_window(spark):
         for r in relational.funnel(df, ["signup", "view", "purchase"]).collect()
     }
     assert got == {"signup": 4, "view": 2, "purchase": 1}
+
+
+def test_sessionize_gap_boundaries(spark):
+    from datetime import datetime, timedelta
+
+    from data_pipeline_kafka_ek_spark.operators import relational
+
+    base = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # u1: three events 10 min apart (one session), then a 31-min gap
+        (1, base), (1, base + timedelta(minutes=10)), (1, base + timedelta(minutes=20)),
+        (1, base + timedelta(minutes=51)),
+        # u2: exactly 30-min gap — NOT > gap, so one session
+        (2, base), (2, base + timedelta(minutes=30)),
+        # u3: single event
+        (3, base),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r.user_id, r.session_idx): (r.n_events, r.session_start, r.session_end)
+        for r in relational.sessionize(df, gap_s=1800).collect()
+    }
+    assert got[(1, 1)][0] == 3 and got[(1, 2)][0] == 1
+    assert got[(2, 1)][0] == 2
+    assert got[(3, 1)] == (1, base, base)
+    assert len(got) == 4
+
+
+def test_cohort_retention_offsets(spark):
+    from datetime import datetime
+
+    from data_pipeline_kafka_ek_spark.operators import relational
+
+    d = lambda day: datetime(2024, 1, day)
+    rows = [
+        # u1 signs up Jan 1, active Jan 1 (offset 0), Jan 8 (offset 1)
+        (1, "signup", d(1)), (1, "click", d(8)),
+        # u2 signs up Jan 1, active only day 0
+        (2, "signup", d(1)),
+        # u3 never signs up — excluded entirely
+        (3, "click", d(1)),
+        # u4 clicked BEFORE signing up — negative offsets dropped
+        (4, "click", d(1)), (4, "signup", d(5)), (4, "view", d(13)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    got = {
+        (str(r.cohort_date), r.week_offset): r.active_users
+        for r in relational.cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # u1 + u2 on day 0
+        ("2024-01-01", 1): 1,   # u1 on Jan 8
+        ("2024-01-05", 0): 1,   # u4 signup day
+        ("2024-01-05", 1): 1,   # u4 on Jan 13 (8 days later)
+    }
