@@ -211,6 +211,113 @@ def mixture_sample(
     return docs.filter(u < rate)
 
 
+def hash_split(
+    docs: DataFrame,
+    splits: "tuple[tuple[str, float], ...]" = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the first
+    split whose cumulative weight exceeds an engine-independent hash of
+    its id — NOT ``rand()``, so the partition is reproducible across
+    runs, engines, and partitionings, and membership is auditable
+    row-by-row. ``salt`` decorrelates multiple splits over the same ids.
+
+    u = first 8 md5 hex digits of ``salt:id`` / 2^32, uniform in [0,1);
+    exact in float64 on every engine (32-bit prefix, power-of-two
+    divisor — same arithmetic as :func:`mixture_sample`). Appends a
+    ``split`` column; a stateless map-side expression at any scale.
+    """
+    weights = [w for _, w in splits]
+    if any(w < 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must be >= 0 and sum to 1: {splits}")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    # last split is the unconditional fallback so float edge cases at the
+    # top boundary (u == cum) can never produce a NULL label
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    conds = []
+    for name, w in splits[:-1]:
+        cum += w
+        conds.append((name, cum))
+    for name, threshold in reversed(conds):
+        expr = F.when(u < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def build_vocab(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Frequency-ranked vocabulary over whitespace tokens:
+    ``(token, token_count, token_id)`` with 1-based ids assigned by
+    (count desc, token asc) — the deterministic total order every engine
+    reproduces.
+
+    Scale shape: token counting is one map-side-combined groupBy over the
+    corpus; the ranking window then runs over the already-aggregated
+    vocabulary — cardinality = distinct tokens (millions at the very
+    worst), NOT corpus rows, so the single-partition rank is bounded the
+    same way k-means' driver-side training sample is.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .filter(F.col("token_count") >= min_count)
+    )
+    w = Window.orderBy(F.desc("token_count"), F.asc("token"))
+    return counts.withColumn("token_id", F.row_number().over(w).cast("long"))
+
+
+def encode_documents(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode every document as its order-preserving token-id sequence —
+    the tokenize→encode step of an LLM data pipeline. Returns
+    ``(doc_id, token_ids, n_tokens)``; tokens missing from ``vocab`` map
+    to ``oov_id``. With ``vocab=None`` the vocabulary is built from the
+    corpus itself (so no OOV by construction).
+
+    Scale shape: ``posexplode`` is map-side; the vocab lookup is a
+    BROADCAST join (vocabularies are MBs while the corpus is the 100 TB
+    side); re-assembly is one doc-keyed shuffle whose rows carry
+    (pos, id) pairs, sorted per doc with ``array_sort`` on the collected
+    structs (pos is unique per doc, so the sort is total).
+    """
+    if vocab is None:
+        vocab = build_vocab(docs, text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    enc = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    )
+    return enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+            lambda s: F.coalesce(s["token_id"], F.lit(oov_id)),
+        ).alias("token_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals: the fraction of word 2-grams taken
     by the single most frequent 2-gram, and the duplicate fraction of word

@@ -890,25 +890,25 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "set_except_intersect",
     "a_cascade_rollup",
     # never attested — new in r5 (edit-distance dedup, BM25, funnel,
-    # sessionization, cohort retention)
+    # sessionization, cohort retention, hash split, vocab, encoding)
     "x_dedup_editdistance",
     "x_text_bm25",
     "x_events_funnel",
     "x_events_sessionize",
     "x_events_cohort_retention",
+    "x_pipeline_hash_split",
+    "x_pipeline_vocab",
+    "x_pipeline_encode",
     # not sampled in r4 (last green r3), no bench coverage — their 2-round
     # attestation budget expires this round
     "x_asof_join",
     "x_interval_join",
     "x_ann_lsh_bucketed",
     "x_ann_ivf_topk",
-    "x_text_token_stats",
     "x_text_langid",
-    "x_text_fingerprint",
     "x_text_repetition",
     "x_multimodal_features",
     "x_embedding_quantize",
-    "x_pipeline_corpus_prep",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -961,6 +961,9 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_salted_hotkey_collect",
     "a_rollup_revenue",
     "x_corpus_stats",
+    "x_text_token_stats",
+    "x_text_fingerprint",
+    "x_pipeline_corpus_prep",
 )
 
 

@@ -1800,6 +1800,88 @@ def x_events_cohort_retention(spark, sf_dir):
     return relational.cohort_retention(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "x_pipeline_hash_split",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                     / 4294967296.0 < 0.9 THEN 'train'
+                WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                     / 4294967296.0 < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    survey_ids=("EXT-pipeline",),
+    doc="deterministic 90/5/5 train/val/test split via md5(salt:id) "
+    "thresholds — reproducible across runs/engines/partitionings and "
+    "auditable per row; a stateless map-side expression (contrast "
+    "rand(), which is partitioning-dependent)",
+)
+def x_pipeline_hash_split(spark, sf_dir):
+    return text.hash_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "split"
+    )
+
+
+# vocab CTEs shared by the vocab and encode oracles
+_VOCAB_CTES = """counts AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token, count(*) AS token_count FROM counts GROUP BY token
+    ),
+    v AS (
+      SELECT token, CAST(token_count AS BIGINT) AS token_count,
+             CAST(row_number() OVER (ORDER BY token_count DESC, token)
+                  AS BIGINT) AS token_id
+      FROM vocab
+    )"""
+
+
+@register(
+    "x_pipeline_vocab",
+    f"""
+    WITH {_VOCAB_CTES}
+    SELECT token, token_count, token_id FROM v
+    """,
+    survey_ids=("EXT-pipeline", "EXT-text"),
+    doc="frequency-ranked vocabulary (count desc, token asc — a "
+    "deterministic total order): map-side-combined token counting over "
+    "the corpus, then a rank window over the vocab-sized aggregate only",
+)
+def x_pipeline_vocab(spark, sf_dir):
+    return text.build_vocab(_t(spark, sf_dir, "documents")).select(
+        "token", F.col("token_count").cast("long").alias("token_count"), "token_id"
+    )
+
+
+@register(
+    "x_pipeline_encode",
+    f"""
+    WITH {_VOCAB_CTES},
+    base AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+    tp AS (
+      SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, arr FROM base
+    ),
+    flat AS (SELECT doc_id, pos, arr[pos] AS tok FROM tp),
+    enc AS (
+      SELECT f.doc_id, f.pos, v.token_id FROM flat f
+      JOIN v ON f.tok = v.token
+    )
+    SELECT doc_id, list(token_id ORDER BY pos) AS token_ids,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM enc GROUP BY doc_id
+    """,
+    survey_ids=("EXT-pipeline", "EXT-text"),
+    doc="order-preserving token-id encoding of every document (the "
+    "tokenize->encode step of LLM data prep): posexplode map-side, "
+    "broadcast vocab lookup, one doc-keyed shuffle of (pos, id) pairs "
+    "re-assembled with array_sort",
+)
+def x_pipeline_encode(spark, sf_dir):
+    return text.encode_documents(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # skew mitigation as a first-class query
 # ---------------------------------------------------------------------------

@@ -726,3 +726,40 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-05", 0): 1,   # u4 signup day
         ("2024-01-05", 1): 1,   # u4 on Jan 13 (8 days later)
     }
+
+
+def test_hash_split_deterministic_and_partitioned(spark):
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([(i, "x") for i in range(2000)], ["doc_id", "text"])
+    a = {r.doc_id: r.split for r in text_ops.hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in text_ops.hash_split(df.repartition(7)).collect()}
+    assert a == b                               # partitioning-independent
+    assert set(a.values()) == {"train", "val", "test"}
+    frac_train = sum(v == "train" for v in a.values()) / len(a)
+    assert 0.85 < frac_train < 0.95             # ~90% within hash tolerance
+    # different salt decorrelates assignment
+    c = {r.doc_id: r.split for r in text_ops.hash_split(df, salt="other").collect()}
+    assert c != a
+    with pytest.raises(ValueError, match="sum to 1"):
+        text_ops.hash_split(df, splits=(("a", 0.5), ("b", 0.2)))
+
+
+def test_vocab_rank_and_encode_roundtrip(spark):
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a c b"), (3, "a b b")],
+        ["doc_id", "text"],
+    )
+    vocab = {r.token: (r.token_id, r.token_count) for r in text_ops.build_vocab(df).collect()}
+    # a: 4, b: 4, c: 1 — ties broken by token asc
+    assert vocab == {"a": (1, 4), "b": (2, 4), "c": (3, 1)}
+    enc = {r.doc_id: (r.token_ids, r.n_tokens) for r in text_ops.encode_documents(df).collect()}
+    assert enc[1] == ([2, 1, 1], 3)
+    assert enc[2] == ([1, 3, 2], 3)
+    assert enc[3] == ([1, 2, 2], 3)
+    # unknown tokens map to oov_id when an external vocab is supplied
+    small = text_ops.build_vocab(df.filter("doc_id = 1"))   # only a, b
+    enc2 = {r.doc_id: r.token_ids for r in text_ops.encode_documents(df, vocab=small).collect()}
+    assert enc2[2][1] == -1                     # 'c' is OOV
