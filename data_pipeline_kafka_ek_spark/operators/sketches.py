@@ -138,6 +138,117 @@ def kmv_distinct(
     )
 
 
+def quantile_grid(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+    n_bins: int = 128,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Fixed-grid (equi-width histogram) quantile sketch per group.
+
+    The mergeable-histogram workhorse: bucket each value into one of
+    ``n_bins`` equi-width bins over the group's [min, max], keep one
+    counter per bin, and read quantiles off the cumulative histogram
+    (estimate = midpoint of the bin containing rank ``ceil(q*n)``).
+    Error is bounded by half a bin width — the trade every metrics
+    backend makes. Like the other sketches here the construction is
+    exactly deterministic (integer bin arithmetic + fixed rank rule), so
+    the *approximate* operator is *exactly* oracle-checkable.
+
+    Scale shape: one pass for per-group bounds (a groupBy on the group
+    key), one pass binning values into a ``groupBy(group, bin)`` with
+    map-side partial sums — the shuffle carries at most ``groups *
+    n_bins`` counter rows, and the histogram's element-wise-sum merge IS
+    that partial aggregation. The cumulative read-off is a window over
+    bin-count rows (<= n_bins per group), not values.
+    ``with_exact`` joins the true percentiles for error columns — the
+    exact computation the sketch replaces, kept for the oracle path.
+
+    Returns ``(grp, quantile, n, qestimate[, exact, abs_err])``.
+    """
+    qs = sorted(quantiles)
+    bounds = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.min(value_col).alias("__lo"),
+        F.max(value_col).alias("__hi"),
+        F.count(value_col).alias("__n"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    binned = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .join(bounds, "grp")
+        .withColumn(
+            "__bin",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col("__v") - F.col("__lo")) / width),
+                    F.lit(n_bins - 1),
+                )
+            ).cast("long"),
+        )
+    )
+    hist = binned.groupBy("grp", "__lo", "__hi", "__n", "__bin").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cum_w = (
+        Window.partitionBy("grp")
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(cum_w))
+    probed = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("quantile")
+    ).withColumn("__target", F.ceil(F.col("quantile") * F.col("__n")))
+    est = (
+        probed.filter(
+            (F.col("__cum") >= F.col("__target"))
+            & (F.col("__cum") - F.col("__c") < F.col("__target"))
+        )
+        .withColumn(
+            "qestimate",
+            F.round(
+                F.col("__lo") + (F.col("__bin") + F.lit(0.5)) * width, 4
+            ),
+        )
+        .select(
+            "grp", "quantile", F.col("__n").cast("long").alias("n"), "qestimate"
+        )
+    )
+    if not with_exact:
+        return est
+    exact = (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.percentile(value_col, F.array(*[F.lit(float(q)) for q in qs])).alias(
+                "__p"
+            )
+        )
+        .select(
+            "grp",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(float(q)) for q in qs]), F.col("__p")
+                )
+            ).alias("__z"),
+        )
+        .select(
+            "grp",
+            F.col("__z")["0"].alias("quantile"),
+            F.round(F.col("__z")["__p"], 4).alias("exact"),
+        )
+    )
+    return est.join(exact, ["grp", "quantile"]).select(
+        "grp",
+        "quantile",
+        "n",
+        "qestimate",
+        "exact",
+        F.round(F.abs(F.col("qestimate") - F.col("exact")), 4).alias("abs_err"),
+    )
+
+
 def countmin_freq(
     df: DataFrame,
     value_col: str,

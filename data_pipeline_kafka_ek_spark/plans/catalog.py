@@ -899,6 +899,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pipeline_hash_split",
     "x_pipeline_vocab",
     "x_pipeline_encode",
+    "x_sketch_quantile_grid",
     # not sampled in r4 (last green r3), no bench coverage — their 2-round
     # attestation budget expires this round
     "x_asof_join",
@@ -906,7 +907,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ann_lsh_bucketed",
     "x_ann_ivf_topk",
     "x_text_langid",
-    "x_text_repetition",
     "x_multimodal_features",
     "x_embedding_quantize",
 )
@@ -964,6 +964,7 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_token_stats",
     "x_text_fingerprint",
     "x_pipeline_corpus_prep",
+    "x_text_repetition",
 )
 
 

@@ -2019,6 +2019,68 @@ def x_sketch_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "x_sketch_quantile_grid",
+    """
+    WITH b AS (
+      SELECT event_type AS grp, min(value) AS lo, max(value) AS hi,
+             count(value) AS n
+      FROM events GROUP BY 1
+    ),
+    binned AS (
+      SELECT e.event_type AS grp, b.lo, b.hi, b.n,
+             CASE WHEN b.hi = b.lo THEN 0
+                  ELSE CAST(least(floor((e.value - b.lo)
+                                        / ((b.hi - b.lo) / 128.0)), 127)
+                            AS BIGINT)
+             END AS bin
+      FROM events e JOIN b ON e.event_type = b.grp
+    ),
+    hist AS (
+      SELECT grp, lo, hi, n, bin, count(*) AS c
+      FROM binned GROUP BY grp, lo, hi, n, bin
+    ),
+    cum AS (
+      SELECT *, sum(c) OVER (PARTITION BY grp ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS cumc
+      FROM hist
+    ),
+    probed AS (SELECT *, unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE])
+                         AS quantile FROM cum),
+    est AS (
+      SELECT grp, quantile, CAST(n AS BIGINT) AS n,
+             round(lo + (bin + 0.5) * ((hi - lo) / 128.0), 4) AS qestimate
+      FROM probed
+      WHERE cumc >= ceil(quantile * n) AND cumc - c < ceil(quantile * n)
+    ),
+    ex AS (
+      SELECT event_type AS grp,
+             unnest([0.5::DOUBLE, 0.95::DOUBLE, 0.99::DOUBLE]) AS quantile,
+             unnest([round(quantile_cont(value, 0.5), 4),
+                     round(quantile_cont(value, 0.95), 4),
+                     round(quantile_cont(value, 0.99), 4)]) AS exact
+      FROM events GROUP BY event_type
+    )
+    SELECT e.grp, e.quantile, e.n, e.qestimate, x.exact,
+           round(abs(e.qestimate - x.exact), 4) AS abs_err
+    FROM est e JOIN ex x USING (grp, quantile)
+    """,
+    survey_ids=("EXT-sketch", "A5"),
+    doc="fixed-grid (128-bin equi-width) quantile sketch per event type: "
+    "one bounds pass + one groupBy(grp, bin) with map-side partial sums "
+    "(the histogram's element-wise merge IS the partial agg; shuffle "
+    "<= groups*bins counter rows); p50/p95/p99 read off the cumulative "
+    "histogram at rank ceil(q*n), error bounded by half a bin width; "
+    "exact percentiles joined for the error columns on the oracle path",
+)
+def x_sketch_quantile_grid(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators import sketches
+
+    return sketches.quantile_grid(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@register(
     "x_sketch_countmin_freq",
     """
     WITH counts AS (SELECT user_id AS v, count(*) AS c FROM events GROUP BY 1),

@@ -763,3 +763,27 @@ def test_vocab_rank_and_encode_roundtrip(spark):
     small = text_ops.build_vocab(df.filter("doc_id = 1"))   # only a, b
     enc2 = {r.doc_id: r.token_ids for r in text_ops.encode_documents(df, vocab=small).collect()}
     assert enc2[2][1] == -1                     # 'c' is OOV
+
+
+def test_quantile_grid_error_bound_and_merge_shape(spark):
+    from data_pipeline_kafka_ek_spark.operators import sketches
+
+    # uniform 0..999 in one group: every estimate must sit within half a
+    # bin width (1000/128/2 ~ 3.9) of the exact percentile
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1000)], ["grp", "value"]
+    )
+    rows = sketches.quantile_grid(df, "grp", "value", n_bins=128).collect()
+    assert len(rows) == 3
+    half_bin = (999.0 - 0.0) / 128 / 2
+    for r in rows:
+        assert r.abs_err <= half_bin + 1e-6, (r.quantile, r.abs_err)
+    # partitioning must not change the sketch (merge = partial agg)
+    again = sketches.quantile_grid(
+        df.repartition(13), "grp", "value", n_bins=128
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # constant group: hi == lo degenerates to bin 0, estimate == the value
+    const = spark.createDataFrame([("c", 5.0)] * 10, ["grp", "value"])
+    r = sketches.quantile_grid(const, "grp", "value").collect()
+    assert all(x.qestimate == 5.0 and x.abs_err == 0.0 for x in r)
