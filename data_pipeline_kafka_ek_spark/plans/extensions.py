@@ -1868,7 +1868,9 @@ def x_pipeline_vocab(spark, sf_dir):
       SELECT f.doc_id, f.pos, v.token_id FROM flat f
       JOIN v ON f.tok = v.token
     )
-    SELECT doc_id, list(token_id ORDER BY pos) AS token_ids,
+    SELECT doc_id,
+           string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos)
+             AS token_ids,
            CAST(count(*) AS BIGINT) AS n_tokens
     FROM enc GROUP BY doc_id
     """,
@@ -1879,7 +1881,16 @@ def x_pipeline_vocab(spark, sf_dir):
     "re-assembled with array_sort",
 )
 def x_pipeline_encode(spark, sf_dir):
-    return text.encode_documents(_t(spark, sf_dir, "documents"))
+    # the id sequence is serialized for the driver comparator (its pandas
+    # canonicalization cannot sort list cells — see
+    # test_no_complex_types_in_output_schema); the operator itself returns
+    # a real array<long> column
+    enc = text.encode_documents(_t(spark, sf_dir, "documents"))
+    return enc.select(
+        "doc_id",
+        F.array_join("token_ids", " ").alias("token_ids"),
+        "n_tokens",
+    )
 
 
 # ---------------------------------------------------------------------------
