@@ -318,6 +318,92 @@ def encode_documents(
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under a corpus-trained
+    unigram LM — the deterministic stand-in for the KenLM-style
+    perplexity filter (CCNet) that ranks documents by how "language-like"
+    they are. ``lm_docs`` is the training side (defaults to the scored
+    corpus itself); OOV tokens get a +1-smoothed floor probability so the
+    score is total.
+
+    score(d) = (1/|d|) * sum over tokens of ln p(tok),
+    p(tok) = (count(tok) + 1) / (total_tokens + vocab_size)   (add-one)
+
+    Scale shape: the LM is one map-side-combined token count (vocab-sized
+    result, broadcast into the scoring join); scoring explodes tokens
+    map-side, joins the broadcast LM, and aggregates per doc — one
+    doc-keyed shuffle of slim (doc, logp) rows. Returns
+    ``(doc_id, n_tokens, mean_logprob)`` (higher = more corpus-typical).
+    """
+    if lm_docs is None:
+        lm_docs = docs
+    counts = (
+        lm_docs.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(counts), "token", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("total") + F.col("vocab"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("__logp"), 4).alias("mean_logprob"),
+    )
+
+
+# deliberately simple ASCII patterns so the Java (Spark) and RE2 (DuckDB)
+# regex engines agree byte-for-byte; real deployments would swap in
+# stricter validated patterns behind the same operator
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Replace email / SSN / phone-shaped spans with typed placeholder
+    tags and count the redactions per document — the compliance scrub
+    every training-data pipeline runs before anything else sees the text.
+
+    Pure ``regexp_replace`` / ``regexp_count`` chains (JVM-side, one map
+    stage, no shuffle at all); SSN is applied before the phone pattern
+    because the two overlap and the more specific tag must win. Appends
+    ``out_col`` plus one ``n_<kind>`` count column per pattern.
+    """
+    # order: email, then ssn, then phone (ssn shapes are a subset of what
+    # phone would otherwise match)
+    ordered = [PII_PATTERNS[0], PII_PATTERNS[2], PII_PATTERNS[1]]
+    out = docs.withColumn(out_col, F.col(text_col))
+    for kind, pat, tag in ordered:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.regexp_count(F.col(out_col), F.lit(pat)).cast("long"),
+        ).withColumn(out_col, F.regexp_replace(F.col(out_col), pat, tag))
+    return out
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals: the fraction of word 2-grams taken
     by the single most frequent 2-gram, and the duplicate fraction of word

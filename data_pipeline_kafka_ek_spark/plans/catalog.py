@@ -900,13 +900,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pipeline_vocab",
     "x_pipeline_encode",
     "x_sketch_quantile_grid",
+    "x_text_unigram_logprob",
+    "x_text_redact_pii",
     # not sampled in r4 (last green r3), no bench coverage — their 2-round
     # attestation budget expires this round
     "x_asof_join",
     "x_interval_join",
-    "x_ann_lsh_bucketed",
     "x_ann_ivf_topk",
-    "x_text_langid",
     "x_multimodal_features",
     "x_embedding_quantize",
 )
@@ -965,6 +965,8 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_fingerprint",
     "x_pipeline_corpus_prep",
     "x_text_repetition",
+    "x_text_langid",
+    "x_ann_lsh_bucketed",
 )
 
 

@@ -1856,6 +1856,69 @@ def x_pipeline_vocab(spark, sf_dir):
 
 
 @register(
+    "x_text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    lm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM lm)
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln((COALESCE(l.c, 0) + 1.0)::DOUBLE
+                        / (tot.total + tot.vocab)::DOUBLE)), 4)
+             AS mean_logprob
+    FROM tok t LEFT JOIN lm l USING (token) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    survey_ids=("EXT-text",),
+    doc="mean unigram log-prob per doc under an add-one-smoothed corpus "
+    "LM — the deterministic stand-in for CCNet's KenLM perplexity "
+    "filter; vocab-sized LM broadcast into a map-side token join, one "
+    "doc-keyed shuffle of slim rows",
+)
+def x_text_unigram_logprob(spark, sf_dir):
+    return text.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_text_redact_pii",
+    """
+    WITH s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM documents
+    ),
+    s2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+             regexp_replace(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT doc_id, n_email, n_ssn,
+             len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+             regexp_replace(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, t3 AS text_redacted, n_email, n_ssn, n_phone FROM s3
+    """,
+    survey_ids=("EXT-text", "EXT-pipeline"),
+    doc="PII scrub: email/SSN/phone spans replaced with typed tags plus "
+    "per-doc redaction counts; pure regexp_replace chains (ASCII "
+    "patterns so Java and RE2 agree), one map stage, zero shuffles — "
+    "SSN applied before phone because the shapes overlap",
+)
+def x_text_redact_pii(spark, sf_dir):
+    return text.redact_pii(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "text_redacted", "n_email", "n_ssn", "n_phone"
+    )
+
+
+@register(
     "x_pipeline_encode",
     f"""
     WITH {_VOCAB_CTES},

@@ -787,3 +787,44 @@ def test_quantile_grid_error_bound_and_merge_shape(spark):
     const = spark.createDataFrame([("c", 5.0)] * 10, ["grp", "value"])
     r = sketches.quantile_grid(const, "grp", "value").collect()
     assert all(x.qestimate == 5.0 and x.abs_err == 0.0 for x in r)
+
+
+def test_redact_pii_patterns_and_precedence(spark):
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@example.co.uk today"),
+            (2, "ssn 123-45-6789 but phone 555-123-4567 both redact"),
+            (3, "clean text with no identifiers at all"),
+            (4, "two mails a@b.io c@d.org and 999-88-7777"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text_ops.redact_pii(df).collect()}
+    assert got[1].text_redacted == "mail me at <EMAIL> today"
+    assert got[1].n_email == 1 and got[1].n_phone == 0 and got[1].n_ssn == 0
+    # SSN must win over the overlapping phone shape
+    assert got[2].text_redacted == "ssn <SSN> but phone <PHONE> both redact"
+    assert got[2].n_ssn == 1 and got[2].n_phone == 1
+    assert got[3].text_redacted == got[3].text
+    assert got[4].n_email == 2 and got[4].n_ssn == 1
+
+
+def test_unigram_logprob_ranks_typical_docs_higher(spark):
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common rare1 rare2"),
+            (3, "rare3 rare4 rare5 rare6"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.mean_logprob for r in text_ops.unigram_logprob(df).collect()}
+    assert got[1] > got[2] > got[3]
+    # external LM: unseen tokens get the smoothed floor, not a crash
+    lm = df.filter("doc_id = 1")
+    ext = {r.doc_id: r.mean_logprob for r in text_ops.unigram_logprob(df, lm_docs=lm).collect()}
+    assert ext[1] > ext[3]
