@@ -271,6 +271,39 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_keep_list(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the END decision of the dedup pipeline: one row per
+    corpus document with ``(doc_id, representative, status)`` where
+    status is ``unique`` (no near-dup), ``representative`` (kept canonical
+    member of its cluster), or ``duplicate`` (dropped in favor of the
+    representative). The canonical member is the cluster's minimum doc id
+    — exactly the component label ``connected_components`` converges to,
+    so no extra ranking pass is needed and the choice is deterministic.
+
+    Scale shape: components run over the pair graph (orders of magnitude
+    smaller than the corpus); the corpus side then takes ONE left
+    broadcast-or-shuffle join against the slim (doc, component) labels.
+    Downstream, `status != 'duplicate'` is the dedup filter.
+    """
+    from data_pipeline_kafka_ek_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("representative"),
+            F.when(F.col("component").isNull(), F.lit("unique"))
+            .when(F.col("component") == F.col("doc_id"), F.lit("representative"))
+            .otherwise(F.lit("duplicate"))
+            .alias("status"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # edit-distance (Levenshtein) near-dup with length-bucket blocking
 # ---------------------------------------------------------------------------

@@ -902,13 +902,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_sketch_quantile_grid",
     "x_text_unigram_logprob",
     "x_text_redact_pii",
+    "x_dedup_keep_list",
     # not sampled in r4 (last green r3), no bench coverage — their 2-round
     # attestation budget expires this round
     "x_asof_join",
     "x_interval_join",
     "x_ann_ivf_topk",
     "x_multimodal_features",
-    "x_embedding_quantize",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -967,6 +967,7 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_repetition",
     "x_text_langid",
     "x_ann_lsh_bucketed",
+    "x_embedding_quantize",
 )
 
 

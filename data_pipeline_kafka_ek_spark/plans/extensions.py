@@ -181,6 +181,43 @@ def x_dedup_components(spark, sf_dir):
     )
 
 
+@register(
+    "x_dedup_keep_list",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      UNION
+      SELECT doc_b, doc_a FROM mh_pairs
+    ),
+    reach AS (
+      SELECT u, v FROM sym
+      UNION
+      SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS representative,
+           CASE WHEN c.component IS NULL THEN 'unique'
+                WHEN c.component = d.doc_id THEN 'representative'
+                ELSE 'duplicate' END AS status
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+    survey_ids=("EXT-dedup", "EXT-pipeline"),
+    doc="the dedup pipeline's END decision: every corpus doc labeled "
+    "unique / representative / duplicate with its kept canonical id "
+    "(cluster min = the component label, so no extra ranking pass); "
+    "components run over the slim pair graph, the corpus pays one left "
+    "join — `status != 'duplicate'` IS the dedup filter downstream",
+)
+def x_dedup_keep_list(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    return dedup.dedup_keep_list(docs, pairs.select("doc_a", "doc_b"))
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB replay of the 64-bit SimHash pipeline: md5-derived token
     hashes (('0x'||hex16)::UBIGINT == Python int.from_bytes(digest[:8],

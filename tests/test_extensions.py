@@ -828,3 +828,23 @@ def test_unigram_logprob_ranks_typical_docs_higher(spark):
     lm = df.filter("doc_id = 1")
     ext = {r.doc_id: r.mean_logprob for r in text_ops.unigram_logprob(df, lm_docs=lm).collect()}
     assert ext[1] > ext[3]
+
+
+def test_dedup_keep_list_statuses(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    # clusters {1,2,3} (chained) and {5,6}; 4 and 7 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: (r.representative, r.status) for r in dedup.dedup_keep_list(docs, pairs).collect()}
+    assert got == {
+        1: (1, "representative"),
+        2: (1, "duplicate"),
+        3: (1, "duplicate"),
+        4: (4, "unique"),
+        5: (5, "representative"),
+        6: (5, "duplicate"),
+        7: (7, "unique"),
+    }
