@@ -1,0 +1,68 @@
+"""Lake layout management: partitioned and bucketed parquet tables.
+
+At 100 TB the cheapest shuffle is the one you never run. Two layout
+levers make that happen, both plain Spark table features:
+
+* **Partitioning** (`partitionBy`): directory-level pruning — a filter on
+  the partition column skips whole directories at planning time
+  (`PartitionFilters` in the scan node). Choose low-cardinality,
+  always-filtered columns (event date, language, source).
+* **Bucketing** (`bucketBy` + `sortBy`): hash-clusters rows by the join/
+  aggregation key into a fixed bucket count AT WRITE TIME. Two tables
+  bucketed by the same key into the same bucket count join WITHOUT any
+  Exchange — the shuffle was paid once, at ingest, and every subsequent
+  join/groupBy on that key rides it for free. This is the batch twin of
+  the reference's Kafka topic partitioning (reference: README.md — topics
+  partitioned by key so ksqlDB joins are co-partitioned), and the
+  standard warehouse trick for fact tables joined daily on the same key.
+
+``tests/test_scale_properties.py`` proves both properties from the
+executed plans (PartitionFilters present; zero Exchange in a
+bucketed-bucketed join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: "list[str]",
+    mode: str = "overwrite",
+) -> None:
+    """Write a directory-partitioned parquet table. Readers filtering on
+    ``partition_cols`` prune at planning time (zero I/O for skipped
+    partitions)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: "list[str]",
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and per-bucket sorted) managed parquet
+    table. Joins and aggregations keyed on ``bucket_cols`` between tables
+    sharing the same bucketing then plan with NO Exchange (and with
+    ``sort=True`` no Sort either, for sort-merge joins).
+
+    Bucket count is a layout contract: pick once per subject area (e.g.
+    32/64/128) — only co-bucketed tables elide the shuffle. Uses
+    ``saveAsTable`` because bucket metadata lives in the catalog, not in
+    the files.
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        writer = writer.sortBy(*bucket_cols)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a managed (possibly bucketed) table back; bucket metadata is
+    applied automatically by the planner."""
+    return spark.table(table)

@@ -216,3 +216,59 @@ def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
         assert n_salts_used == 8
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_threshold)
+
+
+def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
+    """Layout contract proof: two tables bucketed by the same key into the
+    same bucket count must sort-merge join with ZERO Exchange (the shuffle
+    was paid once at write time) — the co-located-join posture a 100 TB
+    fact table relies on. Also proves the negative: the same join over
+    plain parquet plans at least one Exchange."""
+    from data_pipeline_kafka_ek_spark.sources.lake import (
+        read_table,
+        write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+        users = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        write_bucketed(events, "ev_b", ["user_id"], n_buckets=8)
+        write_bucketed(users, "us_b", ["user_id"], n_buckets=8)
+        joined = read_table(spark, "ev_b").join(read_table(spark, "us_b"), "user_id")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        # negative control: un-bucketed inputs must shuffle
+        plain = events.join(users, "user_id")
+        plain_plan = plain._sc._jvm.PythonSQLUtils.explainString(
+            plain._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" in plain_plan
+        # and the result is identical either way
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS us_b")
+
+
+def test_partitioned_write_prunes_with_lake_helper(spark, sf_dir, tmp_path):
+    from data_pipeline_kafka_ek_spark.sources.lake import write_partitioned
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "ev_part")
+    write_partitioned(events, out, ["event_date"])
+    got = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-03")
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "event_date" in plan
+    assert got.count() > 0
