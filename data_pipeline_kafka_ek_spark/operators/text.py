@@ -404,6 +404,87 @@ def redact_pii(
     return out
 
 
+def stratified_fixed_n(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "strata",
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: within each stratum,
+    rank rows by an engine-independent hash of their id and keep the
+    first ``n``. The eval-set construction primitive — unlike
+    ``sampleBy`` (probabilistic, partitioning-dependent) the quota is
+    exact and the membership reproducible/auditable.
+
+    Scale shape: one shuffle on the stratum key for the ranking window;
+    rows carry only (stratum, id, hash) until the final project. Strata
+    are typically few and balanced; a pathologically hot stratum is the
+    same skew problem every per-group top-k has (AQE, or pre-filter with
+    an approximate per-partition top-n if it ever matters).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-corpus repeated-span signal (the exact-substring-dedup
+    statistic of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): for every document, how many of its word n-gram
+    positions carry a shingle that also occurs in ANOTHER document, and
+    the fraction of positions so covered. High ``shared_frac`` docs are
+    boilerplate/template suspects even when no whole-doc near-dup fires.
+
+    Scale shape: positions explode map-side from the shingle array; the
+    shared-shingle set comes from one map-side-combined groupBy counting
+    DISTINCT docs per gram (grams seen by >= 2 docs), and flows back via
+    an equi-join on the gram — hot boilerplate grams are AQE skew-join
+    fodder. Returns ``(doc_id, n_spans, n_shared_spans, shared_frac)``;
+    docs shorter than n contribute their whole text as one shingle (the
+    corpus-wide shingling convention).
+    """
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(shingles).alias("pos", "gram")
+    )
+    shared = (
+        pos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") >= 2)
+        .select("gram")
+    )
+    flagged = pos.join(shared.withColumn("__shared", F.lit(1)), "gram", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.coalesce("__shared", F.lit(0))).cast("long").alias("n_shared_spans"),
+        F.round(
+            F.sum(F.coalesce("__shared", F.lit(0))) / F.count(F.lit(1)), 4
+        ).alias("shared_frac"),
+    )
+
+
 def repetition_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Gopher-style repetition signals: the fraction of word 2-grams taken
     by the single most frequent 2-gram, and the duplicate fraction of word

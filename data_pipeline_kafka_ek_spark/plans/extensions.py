@@ -2082,6 +2082,63 @@ def x_contamination_ngram(spark, sf_dir):
 
 
 @register(
+    "x_text_repeated_spans",
+    """
+    WITH base AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+    spans AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(w) < 8 THEN [array_to_string(w, ' ')]
+             ELSE list_transform(range(1, len(w) - 6),
+                                 i -> array_to_string(w[i:i+7], ' '))
+        END) AS gram
+      FROM base),
+    shared AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS d FROM spans GROUP BY gram)
+      WHERE d >= 2),
+    flag AS (
+      SELECT s.doc_id, CASE WHEN sh.gram IS NULL THEN 0 ELSE 1 END AS shared
+      FROM spans s LEFT JOIN shared sh USING (gram))
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(shared) AS BIGINT) AS n_shared_spans,
+           round(sum(shared) * 1.0 / count(*), 4) AS shared_frac
+    FROM flag GROUP BY doc_id
+    """,
+    survey_ids=("EXT-text", "EXT-dedup"),
+    doc="intra-corpus repeated-span coverage (the Lee et al. exact-"
+    "substring-dedup signal): per doc, the fraction of word 8-gram "
+    "positions whose shingle occurs in ANOTHER doc — boilerplate "
+    "detection below the whole-doc near-dup threshold; shared grams come "
+    "from one map-side-combined distinct-doc count and flow back via an "
+    "equi-join (hot boilerplate grams = AQE skew-join fodder)",
+)
+def x_text_repeated_spans(spark, sf_dir):
+    return text.repeated_ngram_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
+@register(
+    "x_pipeline_stratified_sample",
+    """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strata:' || CAST(doc_id AS VARCHAR))) AS rn
+      FROM documents) WHERE rn <= 20
+    """,
+    survey_ids=("EXT-pipeline",),
+    doc="exactly-20-per-language deterministic stratified sample ranked "
+    "by md5(salt:id) — the eval-set construction primitive; exact quotas "
+    "and reproducible membership, unlike the probabilistic sampleBy; one "
+    "stratum-keyed shuffle for the ranking window",
+)
+def x_pipeline_stratified_sample(spark, sf_dir):
+    return text.stratified_fixed_n(
+        _t(spark, sf_dir, "documents"), "lang", 20
+    ).select("doc_id", "lang", "source")
+
+
+@register(
     "x_sketch_kmv_distinct",
     """
     WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS v FROM events),

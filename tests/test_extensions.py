@@ -848,3 +848,42 @@ def test_dedup_keep_list_statuses(spark):
         6: (5, "duplicate"),
         7: (7, "unique"),
     }
+
+
+def test_stratified_fixed_n_quota_and_determinism(spark):
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", "t") for i in range(100)],
+        ["doc_id", "lang", "text"],
+    )
+    got = text_ops.stratified_fixed_n(df, "lang", 5).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert {k: len(v) for k, v in by_lang.items()} == {"en": 5, "fr": 5}
+    again = text_ops.stratified_fixed_n(df.repartition(9), "lang", 5).collect()
+    assert {(r.lang, r.doc_id) for r in got} == {(r.lang, r.doc_id) for r in again}
+    # a stratum smaller than n returns all of it
+    tiny = text_ops.stratified_fixed_n(df.filter("lang = 'fr'").limit(2), "lang", 5)
+    assert tiny.count() == 2
+
+
+def test_repeated_ngram_spans_flags_cross_doc_only(spark):
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),      # shares the 3-gram chain with doc 2
+            (2, "a b c d z"),
+            (3, "p q r s t"),      # unique text
+            (4, "x y x y x y x y"),  # internal repeats only — NOT shared
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text_ops.repeated_ngram_spans(df, n=3).collect()}
+    # doc1 3-grams: abc, bcd, cde — abc and bcd also in doc2
+    assert got[1].n_spans == 3 and got[1].n_shared_spans == 2
+    assert got[2].n_shared_spans == 2
+    assert got[3].n_shared_spans == 0
+    assert got[4].n_shared_spans == 0      # same-doc repetition doesn't count
