@@ -96,3 +96,27 @@ def test_driver_window_rotation_invariants():
     # every registered query is either in the window or explicitly demoted
     assert len(names) == len(set(names))
     assert set(names) == window | demoted
+
+
+def test_funnel_is_single_pass(spark, sf_dir):
+    """The funnel must stay a fold over one scan — the per-level
+    join/count formulation silently re-scans the fact table once per
+    step count (12 scans for 3 steps when it regressed)."""
+    plan = _plan(em.queries()["x_events_funnel"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2, plan
+    assert "In(event_type" in plan          # step filter pushed to the scan
+    assert _shuffles(plan) <= 4, plan
+
+
+def test_bm25_broadcasts_lm_constants(spark, sf_dir):
+    """df/N/avgdl are tiny aggregates and must broadcast into the scoring
+    join; the per-doc side must never shuffle for them."""
+    plan = _plan(em.queries()["x_text_bm25"](spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_sessionize_reuses_one_user_partitioning(spark, sf_dir):
+    """lag window, running session counter, and the per-session rollup all
+    key on the user: one exchange total."""
+    plan = _plan(em.queries()["x_events_sessionize"](spark, sf_dir))
+    assert _shuffles(plan) <= 2, plan
