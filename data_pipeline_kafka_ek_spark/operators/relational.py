@@ -249,22 +249,26 @@ def cohort_retention(
     triangle. Day-level cohorts + integer day arithmetic keep the math
     engine-identical (no week-truncation conventions to disagree on).
 
-    Scale shape: the cohort map and the distinct (user, day) activity set
-    are both user-keyed aggregations, the join is on the same user key
-    (partitioning reused), and the final rollup groups the already-slim
-    (cohort_date, offset, user) rows. Nothing is ever keyed on a
-    low-cardinality column until the terminal aggregate.
+    Scale shape: SINGLE PASS — one scan and one user-keyed aggregation
+    produce, per user, the cohort day (a conditional min) and the
+    distinct active-day set (bounded by days-in-history, not events);
+    offsets explode map-side from that set, and the only further
+    shuffle is the slim (cohort_date, offset, user) dedup feeding the
+    terminal rollup. No join, and nothing is keyed on a low-cardinality
+    column until the final aggregate.
     """
-    cohorts = (
-        events.filter(F.col(type_col) == cohort_event)
-        .groupBy(F.col(user_col).alias("u"))
-        .agg(F.min(F.to_date(ts_col)).alias("cohort_date"))
+    per_user = (
+        events.groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.min(
+                F.when(F.col(type_col) == cohort_event, F.to_date(ts_col))
+            ).alias("cohort_date"),
+            F.collect_set(F.to_date(ts_col)).alias("__days"),
+        )
+        .filter(F.col("cohort_date").isNotNull())
     )
-    activity = events.select(
-        F.col(user_col).alias("u"), F.to_date(ts_col).alias("d")
-    ).distinct()
     return (
-        activity.join(cohorts, "u")
+        per_user.select("u", "cohort_date", F.explode("__days").alias("d"))
         .withColumn(
             "week_offset",
             F.floor(F.datediff(F.col("d"), F.col("cohort_date")) / 7).cast("long"),

@@ -120,3 +120,11 @@ def test_sessionize_reuses_one_user_partitioning(spark, sf_dir):
     key on the user: one exchange total."""
     plan = _plan(em.queries()["x_events_sessionize"](spark, sf_dir))
     assert _shuffles(plan) <= 2, plan
+
+
+def test_cohort_retention_is_single_pass(spark, sf_dir):
+    """Cohort day is a conditional min inside the one user aggregation —
+    the join formulation paid 4 scans and 8 exchanges."""
+    plan = _plan(em.queries()["x_events_cohort_retention"](spark, sf_dir))
+    assert plan.count("Scan parquet") <= 1, plan
+    assert _shuffles(plan) <= 3, plan
