@@ -969,10 +969,11 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_ann_lsh_bucketed",
     "x_embedding_quantize",
     # new in r5 but registered after the 50-slot window filled; never
-    # attested, so the r6 rotation MUST front these two (they outrank
+    # attested, so the r6 rotation MUST front these (they outrank
     # everything above by the least-recently-attested rule)
     "x_text_repeated_spans",
     "x_pipeline_stratified_sample",
+    "t_streaming_funnel",
 )
 
 

@@ -977,6 +977,87 @@ def t_streaming_stateful_counts(spark, sf_dir):
 
 
 @register(
+    "t_streaming_funnel",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type, CAST(ts AS TIMESTAMP) AS t FROM events
+    ),
+    s0 AS (
+      SELECT u, min(t) AS t0 FROM e WHERE event_type = 'signup' GROUP BY u
+    ),
+    s1 AS (
+      SELECT e.u, s0.t0, min(e.t) AS t_prev
+      FROM e JOIN s0 ON e.u = s0.u
+      WHERE e.event_type = 'view' AND e.t > s0.t0
+        AND e.t <= s0.t0 + INTERVAL 7 DAY
+      GROUP BY e.u, s0.t0
+    ),
+    s2 AS (
+      SELECT e.u, s1.t0, min(e.t) AS t_prev
+      FROM e JOIN s1 ON e.u = s1.u
+      WHERE e.event_type = 'purchase' AND e.t > s1.t_prev
+        AND e.t <= s1.t0 + INTERVAL 7 DAY
+      GROUP BY e.u, s1.t0
+    )
+    SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step, count(*) AS users FROM s0
+    UNION ALL
+    SELECT CAST(1 AS INT), 'view', count(*) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'purchase', count(*) FROM s2
+    """,
+    survey_ids=("T1", "T5", "EXT-streaming", "EXT-analytics"),
+    doc="the funnel as a STANDING streaming query: a per-user pattern "
+    "automaton (applyInPandasWithState) carrying the batch fold's exact "
+    "(reached, t0, tp) state over a 4-micro-batch ordered replay, "
+    "update-mode emissions per touched user per batch; reached is "
+    "monotone so the final revision is max per user, and the step counts "
+    "must equal the batch funnel / its SQL oracle. Attests that the "
+    "greedy-chain semantics survive incremental execution with 3-number "
+    "state per key.",
+)
+def t_streaming_funnel(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    steps = ["signup", "view", "purchase"]
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isin(steps))
+    stream = srt.replayed_stream(spark, e, n_slices=4, order_col="ts")
+    revisions = srt.run_available_now(
+        srt.funnel_stateful(stream, steps, watermark="365 days"),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("reached"))
+    final = (
+        revisions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("reached")
+    )
+    one_row = final.agg(
+        *[
+            F.coalesce(F.sum((F.col("reached") >= i + 1).cast("int")), F.lit(0))
+            .cast("long")
+            .alias(f"__c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    return one_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"__c{i}").alias("users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.step_idx", "r.step", "r.users")
+
+
+@register(
     "t_streaming_stream_stream_join",
     """
     WITH l AS (

@@ -399,3 +399,70 @@ def running_counts_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def funnel_stateful(
+    stream_df: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_s: int = 7 * 86400,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming twin of ``relational.funnel``: a per-user pattern
+    automaton over the live event stream. State per key is exactly the
+    batch fold's accumulator — ``(reached, t0, tp)``, three numbers — and
+    each micro-batch advances it through that batch's events in event-time
+    order, emitting the user's current funnel level (update mode, like
+    the reference's EMIT CHANGES). ``reached`` is monotone, so the final
+    revision per user is selected by max.
+
+    The automaton is inherently sequential per user, so this is the
+    documented per-row-in-Python escape hatch (same tier as CUSUM
+    alerting); per-user event counts are small and batches arrive
+    Arrow-vectorized. Ordering contract: in-order arrival across
+    micro-batches (the replay harness guarantees it; a production
+    deployment would widen the watermark and sort within
+    buffered windows). Timestamps are held as int64 ns so state rows
+    stay fixed-width.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps_list = list(steps)
+    n = len(steps_list)
+    within_ns = int(within_s) * 1_000_000_000
+    out_schema = f"{user_col} long, reached integer"
+    state_schema = "reached integer, t0 long, tp long"
+
+    def update(key_tuple, pdfs, state):
+        import pandas as pd
+
+        reached, t0, tp = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, type_col])
+            ts_ns = pdf[ts_col].values.astype("datetime64[ns]").astype("int64")
+            for t, y in zip(ts_ns, pdf[type_col].values):
+                if (
+                    reached < n
+                    and y == steps_list[reached]
+                    and (reached == 0 or (t > tp and t <= t0 + within_ns))
+                ):
+                    if reached == 0:
+                        t0 = int(t)
+                    tp = int(t)
+                    reached += 1
+        state.update((reached, int(t0), int(tp)))
+        yield pd.DataFrame({user_col: [key_tuple[0]], "reached": [reached]})
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -829,3 +829,16 @@ def test_stream_stream_interval_join_spans_batches(spark):
     # the 25-min lookback [00:05, 00:30], 00:50 is after); purchase 201 is
     # user 2 — no click
     assert got == {(200, 110)}
+
+
+def test_streaming_funnel_equals_batch(spark, sf_dir):
+    """The stateful streaming funnel's final per-step counts must equal the
+    single-pass batch funnel over the same events (batch ≡ streaming,
+    SURVEY.md §5.2 layer 2) — exercised through a real multi-micro-batch
+    ordered replay by the catalog entry."""
+    import __spark_entry__ as em
+
+    qs = em.queries()
+    batch = {(r.step_idx, r.step): r.users for r in qs["x_events_funnel"](spark, sf_dir).collect()}
+    stream = {(r.step_idx, r.step): r.users for r in qs["t_streaming_funnel"](spark, sf_dir).collect()}
+    assert batch == stream and len(batch) == 3
