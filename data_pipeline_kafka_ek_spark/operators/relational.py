@@ -281,6 +281,42 @@ def cohort_retention(
     )
 
 
+def zscore_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    threshold: float = 1.8,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-group z-score outliers: events whose value deviates from their
+    group's mean by at least ``threshold`` sample standard deviations —
+    the statistical feed for the alerting sinks (the reference alerts on
+    a fixed rating threshold; this is the adaptive version that needs no
+    per-group tuning).
+
+    Scale shape: group statistics are one map-side-combined aggregate
+    over (group, partial moments) — a groups-sized result BROADCAST into
+    the scoring join, so the fact stream is scanned once and never
+    shuffled. Returns ``(id, group, value, zscore)``.
+    """
+    stats = events.groupBy(F.col(group_col).alias("__g")).agg(
+        F.avg(value_col).alias("__m"), F.stddev_samp(value_col).alias("__sd")
+    )
+    z = (F.col(value_col) - F.col("__m")) / F.col("__sd")
+    return (
+        events.join(
+            F.broadcast(stats), events[group_col] == F.col("__g")
+        )
+        .filter(F.abs(z) >= threshold)
+        .select(
+            id_col,
+            group_col,
+            value_col,
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
 def cascade_rollup(
     events: DataFrame,
     key: str,

@@ -974,6 +974,7 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_repeated_spans",
     "x_pipeline_stratified_sample",
     "t_streaming_funnel",
+    "x_events_anomaly_zscore",
 )
 
 

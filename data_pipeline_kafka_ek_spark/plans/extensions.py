@@ -1857,6 +1857,29 @@ def x_events_funnel(spark, sf_dir):
 
 
 @register(
+    "x_events_anomaly_zscore",
+    """
+    WITH s AS (
+      SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.m) / s.sd, 4) AS zscore
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.m) / s.sd) >= 1.8
+    """,
+    survey_ids=("EXT-analytics", "K5", "K6"),
+    doc="per-group z-score outliers (|z| >= 1.8 sample stddevs of the "
+    "event type): the adaptive statistical feed for the alert sinks "
+    "(the reference alerts on a fixed rating cut); group moments are one "
+    "map-side-combined aggregate broadcast into the scoring join — the "
+    "fact stream is scanned once and never shuffled",
+)
+def x_events_anomaly_zscore(spark, sf_dir):
+    return relational.zscore_outliers(_t(spark, sf_dir, "events"))
+
+
+@register(
     "x_events_sessionize",
     """
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),

@@ -887,3 +887,15 @@ def test_repeated_ngram_spans_flags_cross_doc_only(spark):
     assert got[2].n_shared_spans == 2
     assert got[3].n_shared_spans == 0
     assert got[4].n_shared_spans == 0      # same-doc repetition doesn't count
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    from data_pipeline_kafka_ek_spark.operators import relational
+
+    rows = [(i, "a", 10.0) for i in range(20)] + [(99, "a", 1000.0)] + [
+        (200 + i, "b", float(v)) for i, v in enumerate([1, 2, 3, 2, 1, 2, 3])
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = {r.event_id: r.zscore for r in relational.zscore_outliers(df, threshold=1.8).collect()}
+    assert 99 in got and got[99] > 1.8          # the planted outlier
+    assert all(i not in got for i in range(20)) # its quiet group
