@@ -281,6 +281,40 @@ def cohort_retention(
     )
 
 
+def max_drawdown(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Largest peak-to-trough drop of ``value_col`` per key over event
+    time — the monitoring analytic behind "how far did this series fall
+    from its high" alerts. ``drawdown(t) = running_max(value) - value``;
+    the result is its per-key maximum.
+
+    One key-partitioned ordering window (running max is computed in a
+    single pass over each key's sorted rows — state is one number) and
+    the per-key rollup reuses the same partitioning: one exchange total.
+    ``tiebreak_col`` makes the running max deterministic under equal
+    timestamps on every engine. Returns ``(key, max_drawdown)``.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.withColumn("__peak", F.max(value_col).over(w))
+        .groupBy(key_col)
+        .agg(
+            F.round(F.max(F.col("__peak") - F.col(value_col)), 4).alias(
+                "max_drawdown"
+            )
+        )
+    )
+
+
 def zscore_outliers(
     events: DataFrame,
     group_col: str = "event_type",

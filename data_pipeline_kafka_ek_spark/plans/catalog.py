@@ -975,6 +975,7 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_pipeline_stratified_sample",
     "t_streaming_funnel",
     "x_events_anomaly_zscore",
+    "x_events_max_drawdown",
 )
 
 

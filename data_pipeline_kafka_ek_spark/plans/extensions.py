@@ -1857,6 +1857,29 @@ def x_events_funnel(spark, sf_dir):
 
 
 @register(
+    "x_events_max_drawdown",
+    """
+    WITH p AS (
+      SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id
+                              ROWS UNBOUNDED PRECEDING) AS peak
+      FROM events
+    )
+    SELECT user_id, round(max(peak - value), 4) AS max_drawdown
+    FROM p GROUP BY user_id
+    """,
+    survey_ids=("EXT-analytics", "§2.6"),
+    doc="largest peak-to-trough value drop per user (running-max window "
+    "minus current, then a per-key max): one key-partitioned ordering "
+    "window whose per-key rollup reuses the same exchange; event_id "
+    "tiebreak makes equal-timestamp ordering engine-deterministic",
+)
+def x_events_max_drawdown(spark, sf_dir):
+    return relational.max_drawdown(_t(spark, sf_dir, "events"))
+
+
+@register(
     "x_events_anomaly_zscore",
     """
     WITH s AS (

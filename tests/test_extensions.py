@@ -899,3 +899,23 @@ def test_zscore_outliers_flags_only_extremes(spark):
     got = {r.event_id: r.zscore for r in relational.zscore_outliers(df, threshold=1.8).collect()}
     assert 99 in got and got[99] > 1.8          # the planted outlier
     assert all(i not in got for i in range(20)) # its quiet group
+
+
+def test_max_drawdown_peak_to_trough(spark):
+    from datetime import datetime
+
+    from data_pipeline_kafka_ek_spark.operators import relational
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: 10 -> 50 -> 20 -> 60 -> 15: biggest drop is 60 -> 15 = 45
+        (1, 1, t(0), 10.0), (2, 1, t(1), 50.0), (3, 1, t(2), 20.0),
+        (4, 1, t(3), 60.0), (5, 1, t(4), 15.0),
+        # u2: monotonically rising: drawdown 0
+        (6, 2, t(0), 1.0), (7, 2, t(1), 2.0), (8, 2, t(2), 3.0),
+        # u3: single event: drawdown 0
+        (9, 3, t(0), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {r.user_id: r.max_drawdown for r in relational.max_drawdown(df).collect()}
+    assert got == {1: 45.0, 2: 0.0, 3: 0.0}
