@@ -333,8 +333,18 @@ def zscore_outliers(
     the scoring join, so the fact stream is scanned once and never
     shuffled. Returns ``(id, group, value, zscore)``.
     """
-    stats = events.groupBy(F.col(group_col).alias("__g")).agg(
-        F.avg(value_col).alias("__m"), F.stddev_samp(value_col).alias("__sd")
+    stats = (
+        events.groupBy(F.col(group_col).alias("__g"))
+        .agg(
+            F.avg(value_col).alias("__m"),
+            F.stddev_samp(value_col).alias("__sd"),
+        )
+        # Zero-variance (constant-valued) groups have no outliers by
+        # definition, and singleton groups have NULL stddev_samp; both
+        # must be dropped BEFORE the scoring join or ANSI mode (Spark 4
+        # default) raises DIVIDE_BY_ZERO on the quiet-constant-group
+        # case.  The DuckDB oracle applies the same `sd > 0` guard.
+        .filter(F.col("__sd") > 0)
     )
     z = (F.col(value_col) - F.col("__m")) / F.col("__sd")
     return (

@@ -1882,10 +1882,11 @@ def x_events_max_drawdown(spark, sf_dir):
 @register(
     "x_events_anomaly_zscore",
     """
-    WITH s AS (
+    WITH s0 AS (
       SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
       FROM events GROUP BY event_type
-    )
+    ),
+    s AS (SELECT * FROM s0 WHERE sd > 0)
     SELECT e.event_id, e.event_type, e.value,
            round((e.value - s.m) / s.sd, 4) AS zscore
     FROM events e JOIN s USING (event_type)

@@ -901,6 +901,24 @@ def test_zscore_outliers_flags_only_extremes(spark):
     assert all(i not in got for i in range(20)) # its quiet group
 
 
+def test_zscore_outliers_survives_constant_group(spark):
+    """A constant-valued group (stddev_samp = 0) must yield no outliers,
+    not a DIVIDE_BY_ZERO crash under Spark 4's default ANSI mode; a
+    singleton group (stddev_samp = NULL) must likewise be dropped."""
+    from data_pipeline_kafka_ek_spark.operators import relational
+
+    rows = (
+        [(i, "quiet", 5.0) for i in range(10)]       # sd == 0
+        + [(50, "single", 7.0)]                      # sd is NULL
+        + [(100 + i, "live", float(v)) for i, v in
+           enumerate([1, 1, 1, 1, 1, 1, 1, 1, 1, 40])]
+    )
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = relational.zscore_outliers(df, threshold=1.8).collect()
+    assert {r.event_type for r in got} == {"live"}
+    assert {r.event_id for r in got} == {109}
+
+
 def test_max_drawdown_peak_to_trough(spark):
     from datetime import datetime
 
