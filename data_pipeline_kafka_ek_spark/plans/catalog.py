@@ -843,16 +843,89 @@ def h5(spark, sf_dir):
 #              OUTCOME: the Spark-4 events.ts loader bug turned 34 of the
 #              50 sampled rows red (CORRECTNESS_r04.json); only 16 earned
 #              green rows.
-#   r5 window (this round): recovery. All 34 r4-red queries go first (their
-#              last GREEN row is r1-r3, and the loader fix must be
+#   r5 window: recovery. All 34 r4-red queries went first (their last
+#              GREEN row was r1-r3, and the loader fix had to be
 #              re-attested on exactly the queries it broke), then 16 of the
 #              r3-green rotated-out queries with no per-round bench
-#              coverage. Demoted: the 16 freshly r4-green queries, the
-#              bench-flagged queries (re-measured every round by bench.py),
-#              and 7 queries whose batch/brute-force twin is in the window.
+#              coverage. OUTCOME: 50/50 green (CORRECTNESS_r05.json).
+#   r6 window (this round): the 5 queries registered after the r5 window
+#              filled (never attested) go first, then every query whose
+#              last green row is r3 (twins, displaced set, bench-flagged
+#              set), then 15 of the 16 r4-greens. Demoted: the whole
+#              r5-green window plus j_anti_join (its sibling j_semi_join
+#              stays in). New r6 queries are inserted right after the
+#              never-attested tier as they register.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # r4-red, last green r1/r2 — most overdue, so first in the window
+    # never driver-attested — registered after the r5 window filled; the
+    # least-recently-attested rule puts these first, unconditionally
+    "x_text_repeated_spans",
+    "x_pipeline_stratified_sample",
+    "t_streaming_funnel",
+    "x_events_anomaly_zscore",
+    "x_events_max_drawdown",
+    # last driver-green r3 — two rounds stale, the oldest attested tier.
+    # First the streaming/brute-force twins whose batch/bucketed siblings
+    # were green in r5:
+    "t_streaming_windowed_counts",
+    "t_streaming_hopping_counts",
+    "t_streaming_session_counts",
+    "t_streaming_session_append",
+    "x_dedup_embedding",
+    "x_ann_cosine_topk",
+    "x_dedup_jaccard_3gram",
+    # then the r3-green set displaced by the r5-new additions:
+    "x_explode_top_tokens",
+    "q_sql_scalar_subquery",
+    "x_salted_hotkey_collect",
+    "a_rollup_revenue",
+    "x_corpus_stats",
+    "x_text_token_stats",
+    "x_text_fingerprint",
+    "x_pipeline_corpus_prep",
+    "x_text_repetition",
+    "x_text_langid",
+    "x_ann_lsh_bucketed",
+    "x_embedding_quantize",
+    # then the r3-green bench-flagged set (bench.py re-measures these every
+    # round, so they carried continuous — if weaker — per-round evidence):
+    "h1_pricing_summary",
+    "h3_top_revenue_orders",
+    "h5_nation_revenue",
+    "h_window_cumulative_revenue",
+    "x_dedup_exact",
+    "x_dedup_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_dedup_embedding_lsh",
+    "x_ann_topk_blocked",
+    "x_text_quality",
+    # last driver-green r4 — one round fresher than the r3 tier; 15 of the
+    # 16 fit in the remaining slots (j_anti_join waits one round: its
+    # in-window sibling j_semi_join exercises the same join machinery)
+    "p3_computed_projection",
+    "l2_limit_probe",
+    "x_ann_ivf_trained_topk",
+    "x_multimodal_stdlib_codecs",
+    "x_dedup_components",
+    "x_ann_pq_topk",
+    "x_text_chunking",
+    "x_pipeline_mixture_sample",
+    "x_pipeline_seq_packing",
+    "x_contamination_ngram",
+    "s2_latest_per_key",
+    "a_count_distinct",
+    "a_pivot_lang_quality",
+    "x_deterministic_sample",
+    "j_semi_join",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # j_anti_join: r4-green, displaced by the never-attested tier; first in
+    # line when slots open next round
+    "j_anti_join",
+    # the entire r5 window earned green hash rows in CORRECTNESS_r05.json —
+    # most recently attested, so all 50 rotate out
     "p1_project_columns",
     "p2_star_filter",
     "p4_time_format_projection",
@@ -873,13 +946,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a6_date_histogram",
     "a7_top_terms",
     "a8_count_metric",
-    # r4-red, never driver-attested (new in r4)
     "t_streaming_dedup",
     "t_streaming_stateful_counts",
     "t_streaming_stream_stream_join",
     "x_sketch_kmv_distinct",
     "x_sketch_countmin_freq",
-    # r4-red, last green r3
     "j1_enrichment_join",
     "unhappy_vip_customers",
     "a2_a3_windowed_collect",
@@ -889,8 +960,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_window_running_total",
     "set_except_intersect",
     "a_cascade_rollup",
-    # never attested — new in r5 (edit-distance dedup, BM25, funnel,
-    # sessionization, cohort retention, hash split, vocab, encoding)
     "x_dedup_editdistance",
     "x_text_bm25",
     "x_events_funnel",
@@ -903,79 +972,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_text_unigram_logprob",
     "x_text_redact_pii",
     "x_dedup_keep_list",
-    # not sampled in r4 (last green r3), no bench coverage — their 2-round
-    # attestation budget expires this round
     "x_asof_join",
     "x_interval_join",
     "x_ann_ivf_topk",
     "x_multimodal_features",
-)
-
-DRIVER_DEMOTED: tuple[str, ...] = (
-    # green hash rows in CORRECTNESS_r04.json — most recently attested
-    "p3_computed_projection",
-    "l2_limit_probe",
-    "x_ann_ivf_trained_topk",
-    "x_multimodal_stdlib_codecs",
-    "x_dedup_components",
-    "x_ann_pq_topk",
-    "x_text_chunking",
-    "x_pipeline_mixture_sample",
-    "x_pipeline_seq_packing",
-    "x_contamination_ngram",
-    "s2_latest_per_key",
-    "a_count_distinct",
-    "a_pivot_lang_quality",
-    "x_deterministic_sample",
-    "j_semi_join",
-    "j_anti_join",
-    # r3-green AND bench-flagged — re-measured every round by bench.py, so
-    # the weaker per-round evidence is continuous
-    "h1_pricing_summary",
-    "h3_top_revenue_orders",
-    "h5_nation_revenue",
-    "h_window_cumulative_revenue",
-    "x_dedup_exact",
-    "x_dedup_jaccard",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
-    "x_dedup_embedding_lsh",
-    "x_ann_topk_blocked",
-    "x_text_quality",
-    # r3-green with a batch/brute-force twin inside the r5 window (the
-    # streaming *_counts twins mirror a3/t3/t4; the brute-force ANN and
-    # embedding dedup mirror their bucketed variants; 3gram mirrors jaccard)
-    "t_streaming_windowed_counts",
-    "t_streaming_hopping_counts",
-    "t_streaming_session_counts",
-    "t_streaming_session_append",
-    "x_dedup_embedding",
-    "x_ann_cosine_topk",
-    "x_dedup_jaccard_3gram",
-    # r3-green, displaced by the five never-attested r5-new queries; their
-    # coverage overlaps in-window entries (a7 top terms; the SQL parity set;
-    # a2's collect; a_cascade_rollup; x_text_token_stats' per-lang rollup)
-    # so they wait one more round
-    "x_explode_top_tokens",
-    "q_sql_scalar_subquery",
-    "x_salted_hotkey_collect",
-    "a_rollup_revenue",
-    "x_corpus_stats",
-    "x_text_token_stats",
-    "x_text_fingerprint",
-    "x_pipeline_corpus_prep",
-    "x_text_repetition",
-    "x_text_langid",
-    "x_ann_lsh_bucketed",
-    "x_embedding_quantize",
-    # new in r5 but registered after the 50-slot window filled; never
-    # attested, so the r6 rotation MUST front these (they outrank
-    # everything above by the least-recently-attested rule)
-    "x_text_repeated_spans",
-    "x_pipeline_stratified_sample",
-    "t_streaming_funnel",
-    "x_events_anomaly_zscore",
-    "x_events_max_drawdown",
 )
 
 
