@@ -123,7 +123,12 @@ def jaccard_pairs(
     token-array shuffle or intersection. Exact (same survivors), and it
     discards the bulk of candidates whenever set sizes vary.
     """
-    sets = _token_sets(docs, id_col, text_col, ngram)
+    # The token sets feed BOTH the posting/candidate stage and the verify
+    # joins; persist them so the tokenize + array_distinct scan runs once
+    # per query instead of three times (MEMORY_AND_DISK default — at
+    # 100 TB the sets spill to executor-local disk, which is still far
+    # cheaper than re-tokenizing the corpus per consumer).
+    sets = _token_sets(docs, id_col, text_col, ngram).persist()
     posts = sets.select(
         "doc_id", F.size("toks").alias("__n"), F.explode("toks").alias("tok")
     )
@@ -183,17 +188,26 @@ NUM_BANDS = 4  # 2 rows per band
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", ngram: int = 1
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    token_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc minhash signature: h_i = min over tokens of md5(f"{i}:{tok}").
 
     md5 + lexicographic min is deterministic and identical in any engine —
     the property that makes the whole LSH pipeline oracle-verifiable.
     One explode + one groupBy; signature rows are tiny (8 x 32 hex chars).
+    ``token_sets`` lets a caller that also needs the sets (the LSH verify
+    stage) share one persisted tokenize scan instead of recomputing it.
     """
-    toks = _token_sets(docs, id_col, text_col, ngram).select(
-        "doc_id", F.explode("toks").alias("tok")
+    sets = (
+        token_sets
+        if token_sets is not None
+        else _token_sets(docs, id_col, text_col, ngram)
     )
+    toks = sets.select("doc_id", F.explode("toks").alias("tok"))
     return toks.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
@@ -220,7 +234,10 @@ def minhash_lsh_pairs(
     standard web-scale near-dup architecture (shingle -> minhash -> band ->
     bucket-join -> verify).
     """
-    sig = minhash_signatures(docs, id_col, text_col, ngram)
+    # one persisted tokenize scan shared by the signature stage and the
+    # exact-Jaccard verify joins (see jaccard_pairs for the 100 TB note)
+    sets = _token_sets(docs, id_col, text_col, ngram).persist()
+    sig = minhash_signatures(docs, id_col, text_col, ngram, token_sets=sets)
     rows_per_band = NUM_HASHES // NUM_BANDS
     band_cols = []
     for bidx in range(NUM_BANDS):
@@ -255,7 +272,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
-    sets = _token_sets(docs, id_col, text_col, ngram)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
