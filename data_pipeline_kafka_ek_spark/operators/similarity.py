@@ -607,6 +607,141 @@ def _l2(a, b):
     )
 
 
+def pq_codebooks_trained(
+    corpus: DataFrame,
+    m: int = 4,
+    k_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 2,
+    round_dp: int = 6,
+) -> list[list[list[float]]]:
+    """TRAINED product-quantization codebooks: deterministic per-subspace
+    L2 k-means — maximin seeding from the lowest-id vector's subvectors,
+    then ``n_iter`` fixed Lloyd iterations with plain (unnormalized) means,
+    every codeword rounded to ``round_dp`` decimals after every step so
+    both engines stay bit-aligned. The same trainer recipe as
+    ``ivf_centroids_lloyd`` (cosine there, L2 here — PQ's encode metric),
+    so the DuckDB oracle can replay seeding + training as unrolled CTEs.
+
+    Scale shape: all ``m`` subspaces train IN THE SAME JOBS on a long-form
+    ``(vec_id, subspace, subvector)`` relation — seeding is ``k_sub``
+    scans each collecting one row PER SUBSPACE (not per subspace x seed),
+    and each Lloyd iteration is one assignment scan against broadcast
+    codeword literals plus one (subspace, code, dim)-keyed partial-agg
+    shuffle; only ``m x k_sub x dim/m`` floats reach the driver. At
+    100 TB, train on a bounded ``.sample()`` — standard quantizer
+    practice — and keep this out of any per-query path (it is).
+    """
+    d = dim // m
+    subs = (
+        normalize_embeddings(corpus, vec_col, "__u")
+        .select(
+            F.col(id_col).alias("__vid"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.transform(
+                            F.slice("__u", mi * d + 1, d),
+                            lambda x: x.cast("double"),
+                        )
+                        for mi in range(m)
+                    ]
+                )
+            ).alias("__sid", "__su"),
+        )
+        .persist()
+    )
+    try:
+        def rounded(vals) -> list[float]:
+            return [round(float(x), round_dp) for x in vals]
+
+        def lit_vec(vals: list[float]):
+            return F.array(*[F.lit(v) for v in vals])
+
+        def per_sid_lit(vecs: list[list[float]]):
+            # one literal per subspace, selected by the row's __sid
+            return F.element_at(
+                F.array(*[lit_vec(v) for v in vecs]), F.col("__sid") + 1
+            )
+
+        w0 = Window.partitionBy("__sid").orderBy(F.asc("__vid"))
+        first = (
+            subs.withColumn("__rn", F.row_number().over(w0))
+            .filter(F.col("__rn") == 1)
+            .select("__sid", "__su")
+            .collect()
+        )
+        # cents[sid] = list of codewords for that subspace, in code order
+        cents: list[list[list[float]]] = [None] * m  # type: ignore[list-item]
+        for r in first:
+            cents[int(r["__sid"])] = [rounded(r["__su"])]
+        best = _l2(F.col("__su"), per_sid_lit([c[0] for c in cents]))
+
+        # maximin: next seed per subspace = subvector FARTHEST from its
+        # nearest chosen seed (ties: lowest id) — one scan per seed step,
+        # all subspaces picked in the same job
+        wp = Window.partitionBy("__sid").orderBy(
+            F.desc("__best"), F.asc("__vid")
+        )
+        for j in range(1, k_sub):
+            picks = (
+                subs.select("__sid", "__vid", "__su", best.alias("__best"))
+                .withColumn("__rn", F.row_number().over(wp))
+                .filter(F.col("__rn") == 1)
+                .select("__sid", "__su")
+                .collect()
+            )
+            for r in picks:
+                cents[int(r["__sid"])].append(rounded(r["__su"]))
+            best = F.least(
+                best, _l2(F.col("__su"), per_sid_lit([c[j] for c in cents]))
+            )
+
+        # fixed Lloyd iterations: assign to argmin-L2 codeword (ties:
+        # lowest code), recompute codewords as plain rounded means
+        for _ in range(n_iter):
+            cent_arr = F.element_at(
+                F.array(
+                    *[F.array(*[lit_vec(c) for c in cents[sid]]) for sid in range(m)]
+                ),
+                F.col("__sid") + 1,
+            )
+            dists = F.transform(cent_arr, lambda c: _l2(F.col("__su"), c))
+            # array_position returns the FIRST match (1-based) -> lowest code
+            assigned = subs.select(
+                "__sid",
+                (F.array_position(dists, F.array_min(dists)) - 1).alias("__cell"),
+                "__su",
+            )
+            mean_rows = (
+                assigned.select(
+                    "__sid", "__cell", F.posexplode("__su").alias("__idx", "__val")
+                )
+                .groupBy("__sid", "__cell", "__idx")
+                .agg(F.avg("__val").alias("__mval"))
+                .collect()
+            )
+            by_cell: dict[tuple[int, int], dict[int, float]] = {}
+            for r in mean_rows:
+                by_cell.setdefault(
+                    (int(r["__sid"]), int(r["__cell"])), {}
+                )[int(r["__idx"])] = float(r["__mval"])
+            for sid in range(m):
+                new_words = []
+                for cid in range(k_sub):
+                    if (sid, cid) not in by_cell:  # empty cell: carry previous
+                        new_words.append(cents[sid][cid])
+                        continue
+                    vals = by_cell[(sid, cid)]
+                    new_words.append(rounded(vals[i] for i in range(d)))
+                cents[sid] = new_words
+        return cents
+    finally:
+        subs.unpersist()
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -617,6 +752,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ANN: encode the corpus as ``m`` one-byte codes
     (argmin-L2 subspace centroid), scan codes with an asymmetric-distance
@@ -636,7 +772,11 @@ def pq_topk(
     encode + ADC + re-rank bit-for-bit.
     """
     d = dim // m
-    cb = pq_codebooks_fixed(corpus, m, k_sub, id_col, vec_col, dim)
+    cb = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks_fixed(corpus, m, k_sub, id_col, vec_col, dim)
+    )
     cb_lits = [
         F.array(*[F.array(*[F.lit(x) for x in code]) for code in cb[mi]])
         for mi in range(m)
@@ -693,6 +833,43 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
+    )
+
+
+def pq_topk_trained(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    k_sub: int = 8,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_iter: int = 2,
+) -> DataFrame:
+    """PQ ANN with TRAINED codebooks: identical encode/ADC/re-rank
+    plumbing as ``pq_topk``, but codewords come from deterministic
+    per-subspace L2 k-means (``pq_codebooks_trained``) instead of fixed
+    lowest-id pivots — data-adaptive codewords tile each subspace where
+    the vectors actually live, so the same code budget (m x k_sub) buys
+    lower quantization error and higher candidate recall. Deterministic
+    training keeps even this tier fully oracle-checkable: the DuckDB
+    oracle replays seeding + Lloyd as unrolled CTEs."""
+    cb = pq_codebooks_trained(
+        corpus, m, k_sub, id_col, vec_col, dim, n_iter
+    )
+    return pq_topk(
+        corpus,
+        queries,
+        k=k,
+        m=m,
+        k_sub=k_sub,
+        n_candidates=n_candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        codebooks=cb,
     )
 
 

@@ -851,9 +851,8 @@ def h5(spark, sf_dir):
 #   r6 window (this round): the 5 queries registered after the r5 window
 #              filled (never attested) go first, then every query whose
 #              last green row is r3 (twins, displaced set, bench-flagged
-#              set), then 15 of the 16 r4-greens. Demoted: the whole
-#              r5-green window plus j_anti_join (its sibling j_semi_join
-#              stays in). New r6 queries are inserted right after the
+#              set), then 14 of the 16 r4-greens. Demoted: the whole
+#              r5-green window plus j_semi_join/j_anti_join. New r6 queries are inserted right after the
 #              never-attested tier as they register.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
@@ -864,6 +863,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "t_streaming_funnel",
     "x_events_anomaly_zscore",
     "x_events_max_drawdown",
+    # never attested — new in r6 (trained-PQ ANN tier)
+    "x_ann_pq_trained_topk",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -917,12 +918,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a_count_distinct",
     "a_pivot_lang_quality",
     "x_deterministic_sample",
-    "j_semi_join",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
-    # j_anti_join: r4-green, displaced by the never-attested tier; first in
-    # line when slots open next round
+    # j_semi_join/j_anti_join: r4-green, displaced by the never-attested
+    # tier (x_ann_pq_trained_topk took the last slot); first in line when
+    # slots open next round
+    "j_semi_join",
     "j_anti_join",
     # the entire r5 window earned green hash rows in CORRECTNESS_r05.json —
     # most recently attested, so all 50 rotate out

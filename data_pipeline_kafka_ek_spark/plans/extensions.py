@@ -1399,13 +1399,21 @@ def x_ann_ivf_trained(spark, sf_dir):
     )
 
 
-def _pq_oracle_sql(m: int = 4, k_sub: int = 16, dim: int = 64, n_cand: int = 50) -> str:
+def _pq_oracle_sql(
+    m: int = 4,
+    k_sub: int = 16,
+    dim: int = 64,
+    n_cand: int = 50,
+    cb_cte: str | None = None,
+) -> str:
     """DuckDB replay of ``similarity.pq_topk``: same fixed codebooks (the
     k_sub lowest-id normalized vectors' subvectors, rounded 6dp), same
     argmin-L2 encode with lowest-code tie-break, same ADC candidate rank
     (sum of squared subspace ``list_distance``s — the Spark side mirrors
     list_distance exactly: sequential squared-diff sum, one sqrt), same
-    exact-cosine re-rank of the top ``n_cand``."""
+    exact-cosine re-rank of the top ``n_cand``. ``cb_cte`` swaps in an
+    alternative chain producing ``cb (code, c0..c{m-1})`` — the unrolled
+    per-subspace-Lloyd chain for x_ann_pq_trained_topk."""
     d = dim // m
     sub_cols = ", ".join(
         f"u[{mi * d + 1}:{(mi + 1) * d}] AS s{mi}" for mi in range(m)
@@ -1435,6 +1443,10 @@ def _pq_oracle_sql(m: int = 4, k_sub: int = 16, dim: int = 64, n_cand: int = 50)
         f"list_distance(q.s{mi}, c{mi}.c{mi}) AS d{mi}" for mi in range(m)
     )
     approx = " + ".join(f"d{mi} * d{mi}" for mi in range(m))
+    default_cb_cte = f"""cb AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, {cb_cols}
+      FROM (SELECT * FROM sub ORDER BY vec_id LIMIT {k_sub})
+    )"""
     return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
@@ -1447,10 +1459,7 @@ def _pq_oracle_sql(m: int = 4, k_sub: int = 16, dim: int = 64, n_cand: int = 50)
       FROM v
     ),
     sub AS MATERIALIZED (SELECT vec_id, {sub_cols} FROM nv),
-    cb AS MATERIALIZED (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, {cb_cols}
-      FROM (SELECT * FROM sub ORDER BY vec_id LIMIT {k_sub})
-    ),
+    {cb_cte or default_cb_cte},
     {enc_ctes},
     enc AS MATERIALIZED (
       SELECT e0.vec_id, {code_cols} FROM e0 {enc_joins}
@@ -1506,6 +1515,137 @@ def x_ann_pq(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.pq_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, m=4, k_sub=16, n_candidates=50
+    )
+
+
+def _pq_lloyd_cb_cte(
+    m: int = 4, k_sub: int = 8, n_iter: int = 2, round_dp: int = 6
+) -> str:
+    """Unrolled-CTE DuckDB replay of ``similarity.pq_codebooks_trained``:
+    long-form (vec_id, sid, su) subvectors, maximin L2 seeding from the
+    lowest-id vector, ``n_iter`` Lloyd iterations with rounded plain
+    means — every subspace trained in the same CTEs (grouped by sid), so
+    the chain length is k_sub + n_iter deep, independent of m. Produces
+    the ``cb (code, c0..c{m-1})`` relation the shared PQ encode/ADC
+    oracle consumes (it assumes the ``sub`` CTE is already defined)."""
+    r = round_dp
+    subl_union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {mi} AS sid, s{mi} AS su FROM sub" for mi in range(m)
+    )
+    parts = [
+        f"""subl AS MATERIALIZED (
+      {subl_union}
+    )""",
+        f"""ps0 AS MATERIALIZED (
+      SELECT sid, 0 AS cid, list_transform(su, x -> round(x, {r})) AS c
+      FROM subl WHERE vec_id = (SELECT min(vec_id) FROM sub)
+    )""",
+        """pm0 AS MATERIALIZED (
+      SELECT l.sid, l.vec_id, l.su, list_distance(l.su, s.c) AS best
+      FROM subl l JOIN ps0 s ON l.sid = s.sid
+    )""",
+    ]
+    for j in range(1, k_sub):
+        parts.append(
+            f"""pp{j} AS MATERIALIZED (
+      SELECT sid, vec_id FROM (
+        SELECT sid, vec_id, row_number() OVER (
+          PARTITION BY sid ORDER BY best DESC, vec_id ASC) AS rn
+        FROM pm{j - 1}) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""ps{j} AS MATERIALIZED (
+      SELECT l.sid, {j} AS cid, list_transform(l.su, x -> round(x, {r})) AS c
+      FROM subl l JOIN pp{j} p ON l.sid = p.sid AND l.vec_id = p.vec_id
+    )"""
+        )
+        if j < k_sub - 1:
+            parts.append(
+                f"""pm{j} AS MATERIALIZED (
+      SELECT m.sid, m.vec_id, m.su,
+             least(m.best, list_distance(m.su, s.c)) AS best
+      FROM pm{j - 1} m JOIN ps{j} s ON m.sid = s.sid
+    )"""
+            )
+    seeds_union = "\n      UNION ALL ".join(
+        f"SELECT sid, cid, c FROM ps{j}" for j in range(k_sub)
+    )
+    parts.append(f"""pc0 AS MATERIALIZED (
+      {seeds_union}
+    )""")
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""pa{t} AS MATERIALIZED (
+      SELECT sid, vec_id, su, cid FROM (
+        SELECT l.sid, l.vec_id, l.su, c.cid,
+               row_number() OVER (
+                 PARTITION BY l.sid, l.vec_id
+                 ORDER BY list_distance(l.su, c.c) ASC, c.cid ASC) AS rn
+        FROM subl l JOIN pc{t - 1} c ON l.sid = c.sid)
+      WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""pmean{t} AS MATERIALIZED (
+      SELECT sid, cid, idx, round(avg(val), {r}) AS mval FROM (
+        SELECT sid, cid, unnest(range(len(su))) AS idx, unnest(su) AS val
+        FROM pa{t})
+      GROUP BY sid, cid, idx
+    )"""
+        )
+        parts.append(
+            f"""pcm{t} AS MATERIALIZED (
+      SELECT sid, cid, list(mval ORDER BY idx) AS c
+      FROM pmean{t} GROUP BY sid, cid
+    )"""
+        )
+        parts.append(
+            f"""pc{t} AS MATERIALIZED (
+      SELECT p.sid, p.cid, CASE WHEN n.c IS NULL THEN p.c ELSE n.c END AS c
+      FROM pc{t - 1} p LEFT JOIN pcm{t} n
+        ON p.sid = n.sid AND p.cid = n.cid
+    )"""
+        )
+    cb_joins = " ".join(
+        f"JOIN (SELECT cid, c FROM pc{n_iter} WHERE sid = {mi}) t{mi} USING (cid)"
+        for mi in range(1, m)
+    )
+    cb_cols = ", ".join(f"t{mi}.c AS c{mi}" for mi in range(m))
+    parts.append(
+        f"""cb AS MATERIALIZED (
+      SELECT t0.cid AS code, {cb_cols}
+      FROM (SELECT cid, c FROM pc{n_iter} WHERE sid = 0) t0 {cb_joins}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "x_ann_pq_trained_topk",
+    _pq_oracle_sql(k_sub=8, cb_cte=_pq_lloyd_cb_cte(m=4, k_sub=8, n_iter=2)),
+    survey_ids=("EXT-similarity",),
+    doc="PQ ANN with TRAINED codebooks — deterministic per-subspace L2 "
+    "k-means (maximin seeding from the lowest-id vector, 2 fixed Lloyd "
+    "iterations, codewords rounded each step so both engines stay "
+    "bit-aligned; all 4 subspaces train in the same jobs over a long-form "
+    "(vec_id, subspace, subvector) relation): identical encode/ADC/"
+    "re-rank plumbing as x_ann_pq_topk, but data-adaptive codewords tile "
+    "each subspace where the vectors live, buying lower quantization "
+    "error at the same m x k_sub code budget; the oracle replays seeding "
+    "+ training as unrolled CTEs, so even the trained tier is fully "
+    "value-hash-checked",
+)
+def x_ann_pq_trained(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.pq_topk_trained(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        m=4,
+        k_sub=8,
+        n_candidates=50,
+        n_iter=2,
     )
 
 

@@ -245,6 +245,36 @@ def test_pq_topk_recall_on_clustered_corpus(spark):
     assert all(sorted(v) == list(range(1, 11)) for v in per_q.values())
 
 
+def test_pq_trained_codebooks_deterministic_and_adaptive(spark):
+    """Trained PQ: codebooks are bit-identical across runs (the oracle
+    replays them), shaped m x k_sub x dim/m, and at a MUCH smaller code
+    budget than the fixed tier the trained top-k stays within recall
+    reach of it — data-adaptive codewords buy back what the budget cut
+    removes."""
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    )
+    cb1 = similarity.pq_codebooks_trained(emb, m=4, k_sub=8, dim=16, n_iter=2)
+    cb2 = similarity.pq_codebooks_trained(emb, m=4, k_sub=8, dim=16, n_iter=2)
+    assert cb1 == cb2
+    assert len(cb1) == 4 and all(len(s) == 8 for s in cb1)
+    assert all(len(w) == 4 for s in cb1 for w in s)
+
+    queries = emb.filter(F.col("vec_id") < 15)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=10).collect()
+    }
+    rows = similarity.pq_topk_trained(
+        emb, queries, k=10, m=4, k_sub=8, n_candidates=50, dim=16, n_iter=2
+    ).collect()
+    trained_set = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact & trained_set) / len(exact)
+    # half the codes of the fixed tier (8 vs 16) and still >= 0.6 recall
+    assert recall >= 0.6, recall
+    assert all(r.query_id != r.neighbor_id for r in rows)
+
+
 def test_connected_components_labels_and_representatives(spark):
     """Two chains and a singleton-free pair graph: every node gets the
     min id of its component; dedup_representatives collapses clusters and
