@@ -101,7 +101,21 @@ def _doc_shipper(
         pid = _partition_id()
         if docs:
             if transport is not None:
-                transport(name, docs)
+                try:
+                    transport(name, docs)
+                except Exception as exc:
+                    # connector behavior.on.error: a failed shipment (HTTP
+                    # 4xx/5xx, connection refused) dead-letters the whole
+                    # partition batch instead of failing the stream
+                    if not tolerant:
+                        raise
+                    bad.extend(
+                        {
+                            "error": f"transport: {exc}",
+                            "doc": json.dumps(d, default=str),
+                        }
+                        for d in docs
+                    )
             else:
                 os.makedirs(f"{out_dir}/{name}", exist_ok=True)
                 _write_jsonl_atomic(
@@ -116,6 +130,44 @@ def _doc_shipper(
             )
 
     return ship
+
+
+def es_http_transport(base_url: str, timeout_s: float = 10.0):
+    """Wire-level Elasticsearch transport: POSTs the connector's NDJSON
+    bulk format (action line + source line per doc, ``_id`` from the
+    sink's key column) to ``{base_url}/_bulk`` over stdlib urllib.
+
+    Picklable by construction (the closure captures only strings and
+    numbers), so it ships to executors through ``foreachPartition`` like
+    any other transport. Raises on non-2xx — the shipper's tolerant path
+    then dead-letters the partition batch (behavior.on.error semantics,
+    reference: ksqldb-statements.sql:1-11,70-85).
+    """
+    bulk_url = base_url.rstrip("/") + "/_bulk"
+
+    def send(index: str, docs: list[dict]) -> None:
+        from urllib import request as _request
+
+        lines: list[str] = []
+        for d in docs:
+            lines.append(
+                json.dumps({"index": {"_index": index, "_id": d["_id"]}})
+            )
+            lines.append(
+                json.dumps(
+                    {k: v for k, v in d.items() if k != "_id"}, default=str
+                )
+            )
+        req = _request.Request(
+            bulk_url,
+            data=("\n".join(lines) + "\n").encode(),
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        with _request.urlopen(req, timeout=timeout_s) as resp:
+            resp.read()
+
+    return send
 
 
 def with_extract_ts(df: DataFrame, col_name: str = "extract_ts") -> DataFrame:

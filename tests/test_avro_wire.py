@@ -3,6 +3,8 @@ ingress encoding, README.md:95-96): pure-Python codec round-trip, JVM
 framing expressions, the jar-less mapInPandas decode twin, and the
 capability gate on the real from_avro path."""
 
+import json
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -131,3 +133,116 @@ def test_from_avro_path_capability_gated(spark):
     )
     with pytest.raises(NotImplementedError, match="spark-avro"):
         kafka.decode_value(df, '{"type":"record"}', fmt="avro")
+
+
+# ---------------------------------------------------------------------------
+# schema-registry client (S1 ingress completion: schema-id -> writer schema)
+# ---------------------------------------------------------------------------
+
+RATINGS_AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "ratings",
+        "fields": [
+            {"name": n, "type": t} for n, t in RATINGS_FIELDS
+        ],
+    }
+)
+
+
+def _registry_server(schemas: dict[int, str]):
+    """Stdlib HTTP stub answering GET /schemas/ids/{id}; returns
+    (server, base_url, request_log)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    log = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            log.append(self.path)
+            sid = int(self.path.rsplit("/", 1)[-1])
+            if sid in schemas:
+                body = json.dumps({"schema": schemas[sid]}).encode()
+                self.send_response(200)
+            else:
+                body = b'{"error_code": 40403, "message": "Schema not found"}'
+                self.send_response(404)
+            self.send_header("Content-Type",
+                             "application/vnd.schemaregistry.v1+json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_port}", log
+
+
+def test_registry_client_fetch_parse_and_cache():
+    from data_pipeline_kafka_ek_spark.sources.registry import (
+        SchemaRegistryClient,
+    )
+
+    srv, url, log = _registry_server({42: RATINGS_AVRO_SCHEMA})
+    try:
+        client = SchemaRegistryClient(url)
+        fields = client.get_fields(42)
+        assert fields == RATINGS_FIELDS
+        # immutable ids cache forever: the second lookup never hits HTTP
+        assert client.get_fields(42) == RATINGS_FIELDS
+        assert log == ["/schemas/ids/42"]
+        with pytest.raises(Exception):  # unknown id surfaces the 404
+            client.get_schema(99)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_registry_fed_spark_decode_roundtrip(spark):
+    """The completed S1 ingress story without jars: encode with a
+    REGISTERED schema, decode via the client-fetched writer schema."""
+    from data_pipeline_kafka_ek_spark.sources.registry import (
+        SchemaRegistryClient,
+    )
+
+    srv, url, _ = _registry_server({42: RATINGS_AVRO_SCHEMA})
+    try:
+        client = SchemaRegistryClient(url)
+        df = _framed_df(spark, schema_id=42)
+        sid = df.select(
+            avro_wire.confluent_schema_id("value").alias("sid")
+        ).first().sid
+        good, dlq = avro_wire.decode_confluent_avro_local(
+            df, client.get_fields(sid), RATINGS_DDL, expected_schema_id=sid
+        )
+        rows = {r.rating_id: r for r in good.collect()}
+        assert set(rows) == {1, 2, 2**40}
+        assert rows[1].channel == "web" and rows[2].message is None
+        assert dlq.count() == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_registry_parser_rejects_nested_types():
+    from data_pipeline_kafka_ek_spark.sources.registry import (
+        fields_from_avro_schema,
+    )
+
+    nested = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "a", "type": {"type": "array", "items": "int"}}
+            ],
+        }
+    )
+    with pytest.raises(ValueError, match="unsupported"):
+        fields_from_avro_schema(nested)
+    with pytest.raises(ValueError, match="not a record"):
+        fields_from_avro_schema('{"type": "enum", "name": "e", "symbols": []}')

@@ -260,6 +260,114 @@ def test_elasticsearch_sink_doc_id_and_extract_ts(spark, sf_dir, tmp_path):
     assert {d["_id"] for d in docs} == {str(d["event_id"]) for d in docs}
 
 
+class _StubHttpServer:
+    """In-process stdlib HTTP stub: captures every request, answers with a
+    fixed status. Executors (Python workers) reach it over localhost TCP,
+    so foreachPartition transports are exercised at the wire level."""
+
+    def __init__(self, status: int = 200, body: bytes = b'{"errors":false}'):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.requests: list[tuple[str, str, bytes]] = []
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _handle(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                stub.requests.append(
+                    (
+                        self.path,
+                        self.headers.get("Content-Type") or "",
+                        self.rfile.read(n),
+                    )
+                )
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            do_POST = do_GET = _handle
+
+            def log_message(self, *args):  # quiet
+                pass
+
+        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self._srv.server_port}"
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def close(self):
+        self._srv.shutdown()
+        self._srv.server_close()
+
+
+def test_elasticsearch_sink_http_bulk_wire(spark, tmp_path):
+    """K1 at the WIRE level: the sink's bulk POST body is the connector's
+    NDJSON format — action line with _index/_id from the key column, then
+    the source doc with EXTRACT_TS injected, nulls absent, no _id echo."""
+    srv = _StubHttpServer(status=200)
+    try:
+        df = spark.createDataFrame(
+            [(1, "fine"), (2, None)], "event_id long, msg string"
+        ).coalesce(1)
+        sink = sinks.elasticsearch_sink(
+            "ratings",
+            "event_id",
+            str(tmp_path / "es"),
+            transport=sinks.es_http_transport(srv.url),
+        )
+        sink(df, 0)
+    finally:
+        srv.close()
+    assert [p for p, _, _ in srv.requests] == ["/_bulk"]
+    _, ctype, payload = srv.requests[0]
+    assert ctype == "application/x-ndjson"
+    lines = [json.loads(l) for l in payload.decode().strip().split("\n")]
+    actions, sources = lines[0::2], lines[1::2]
+    assert [a["index"]["_id"] for a in actions] == ["1", "2"]
+    assert all(a["index"]["_index"] == "ratings" for a in actions)
+    assert sources[0]["msg"] == "fine" and "extract_ts" in sources[0]
+    assert "msg" not in sources[1]          # null fields are absent
+    assert all("_id" not in s for s in sources)
+    # nothing fell back to the file twin and nothing dead-lettered
+    assert not glob.glob(str(tmp_path / "es" / "**" / "*.jsonl"))
+
+
+def test_elasticsearch_sink_http_4xx_tolerant_dead_letters(spark, tmp_path):
+    """behavior.on.error=tolerant at the wire level: a 4xx bulk response
+    dead-letters the partition batch instead of failing the stream; the
+    strict sink surfaces the failure."""
+    import pytest
+
+    srv = _StubHttpServer(status=400, body=b'{"error":"mapper_parsing"}')
+    try:
+        df = spark.createDataFrame([(1, "x")], "event_id long, msg string")
+        out = str(tmp_path / "es")
+        sinks.elasticsearch_sink(
+            "idx", "event_id", out,
+            tolerant=True, transport=sinks.es_http_transport(srv.url),
+        )(df, 0)
+        dlq = [
+            json.loads(l)
+            for f in glob.glob(f"{out}/idx__dlq/*.jsonl")
+            for l in open(f)
+        ]
+        assert len(dlq) == 1 and "transport" in dlq[0]["error"]
+        assert json.loads(dlq[0]["doc"])["event_id"] == 1
+
+        with pytest.raises(Exception, match="400|HTTP|transport|Bad"):
+            sinks.elasticsearch_sink(
+                "idx", "event_id", out,
+                tolerant=False, transport=sinks.es_http_transport(srv.url),
+            )(df, 1)
+    finally:
+        srv.close()
+
+
 def test_streaming_asof_point_in_time_across_microbatches(spark):
     """The reference's defining join semantics (README.md:204-210), as-of
     edition: each purchase micro-batch joins the click table's state AT
