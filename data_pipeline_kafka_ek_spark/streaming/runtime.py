@@ -13,7 +13,12 @@ from plans/ and operators/ wrapped in Structured Streaming —
   (T2-T4);
 * late data -> explicit ``withWatermark`` (T5 — ksqlDB keeps windows open
   for the whole retention period; we default to a generous watermark and
-  make it a knob; exact parity would be unbounded state);
+  make it a knob; exact parity would be unbounded state). Spark >=3.4
+  splits the two watermark roles: late-event FILTERING uses the previous
+  micro-batch's watermark, state EVICTION the current one, so a late row
+  is only dropped starting one batch after the watermark passed its
+  window (pinned by tests/test_streaming.py::
+  test_windowed_counts_late_data_policy);
 * re-key (`PARTITION BY`, T6) -> sink key column / ``repartition``;
 * reprocess-from-earliest (T8) -> fresh checkpoint + full re-read;
 * throttled consumption (T9) -> ``trigger(processingTime=...)``.

@@ -180,6 +180,65 @@ def test_skewed_enrichment_join_triggers_aqe_skew_split(spark):
             spark.conf.set(k, v)
 
 
+def test_dedup_hot_token_candidate_join_triggers_aqe_skew_split(spark):
+    """SCALE.md's residual-skew claim for the near-dup verify pipeline
+    (dedup.py candidate join): prefix filtering removes hot tokens by
+    design, so this runs WITHOUT it — a stop-word token shared by every
+    doc must make AQE split the skewed posting partition at runtime
+    rather than serialize the candidate join on one task."""
+    from data_pipeline_kafka_ek_spark.operators.dedup import jaccard_pairs
+
+    restore = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # thresholds sized for the test corpus: shuffle-partition sizes are
+    # COMPRESSED map-output bytes, and 500 copies of one identical token
+    # lz4 down to a few KB — the production defaults (256MB) express the
+    # same contract at cluster scale
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        # every doc carries the same long stop-word token plus 3 unique
+        # tokens: the stop-word's posting partition dwarfs every other,
+        # and the small per-doc token count keeps the quadratic hot-bucket
+        # candidate fan-out test-sized
+        hot_tok = "the_celebrity_stopword_" + "x" * 48
+        docs = spark.range(500).select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(hot_tok + " "),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(F.lit(f"w{j}_"), F.col("id").cast("string"))
+                        for j in range(3)
+                    ],
+                ),
+            ).alias("text"),
+        )
+        pairs = jaccard_pairs(docs, threshold=0.9, prefix_filter=False)
+        pairs.collect()  # AQE decides at runtime: execute first
+        plan = _plan(pairs)
+        assert "SortMergeJoin(skew=true) [tok" in plan, (
+            f"AQE skew split did not trigger on the posting join:\n{plan}"
+        )
+        # and semantics hold: only the stop-word is shared, Jaccard 1/7
+        assert pairs.count() == 0
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
+
+
 def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
     """The explicit fallback when AQE can't help (e.g. hot-key aggregation
     feeding a non-broadcastable join): salted_join must put the salt into
@@ -218,12 +277,14 @@ def test_salted_join_spreads_hot_key_and_matches_plain_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_threshold)
 
 
-def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
-    """Layout contract proof: two tables bucketed by the same key into the
-    same bucket count must sort-merge join with ZERO Exchange (the shuffle
-    was paid once at write time) — the co-located-join posture a 100 TB
-    fact table relies on. Also proves the negative: the same join over
-    plain parquet plans at least one Exchange."""
+def test_lake_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
+    """Layout contract proof via the lake helpers (a distinct name from the
+    saveAsTable variant above — a duplicate def would silently shadow it):
+    two tables bucketed by the same key into the same bucket count must
+    sort-merge join with ZERO Exchange (the shuffle was paid once at write
+    time) — the co-located-join posture a 100 TB fact table relies on.
+    Also proves the negative: the same join over plain parquet plans at
+    least one Exchange."""
     from data_pipeline_kafka_ek_spark.sources.lake import (
         read_table,
         write_bucketed,

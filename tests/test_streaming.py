@@ -260,6 +260,54 @@ def test_elasticsearch_sink_doc_id_and_extract_ts(spark, sf_dir, tmp_path):
     assert {d["_id"] for d in docs} == {str(d["event_id"]) for d in docs}
 
 
+def test_windowed_counts_late_data_policy(spark):
+    """Pins the documented T5 late-data policy (streaming/runtime.py:15 —
+    ksqlDB keeps windows open for the retention period; this engine uses
+    an explicit watermark knob): a replayed row older than the watermark
+    allows is DROPPED from its closed window, while a late row whose
+    window is still open REVISES it in update mode.
+
+    One Spark ≥3.4 subtlety this test pins on purpose: late-event
+    FILTERING uses the watermark as of the previous micro-batch, while
+    state EVICTION uses the current one — so a row only drops one batch
+    AFTER the batch whose max event time pushed the watermark past its
+    window (here: 11:0x arrives in slice 2, the watermark crosses 10:15
+    during slice 3, and the replayed 10:05 row in slice 4 is dropped)."""
+
+    def ts(s):
+        return datetime.datetime.fromisoformat(s)
+
+    rows = [
+        # slice 1: the 10:00 window builds state (count 2)
+        (0, ts("2024-01-01 10:00:00"), "a"),
+        (1, ts("2024-01-01 10:05:00"), "a"),
+        # slice 2: event time jumps an hour -> eviction watermark will
+        # reach 10:51 in the NEXT batch
+        (2, ts("2024-01-01 11:00:00"), "a"),
+        (3, ts("2024-01-01 11:01:00"), "a"),
+        # slice 3: runs with late-filter watermark 09:55 / eviction 10:51;
+        # the [10:00,10:15) state is evicted at the END of this batch
+        (4, ts("2024-01-01 11:02:00"), "a"),
+        (5, ts("2024-01-01 10:56:00"), "a"),
+        # slice 4: late-filter watermark is now 10:51 — the replayed
+        # 10:05 row is DROPPED; 10:57 lands in the still-open
+        # [10:45,11:00) window and revises it
+        (6, ts("2024-01-01 10:05:00"), "a"),
+        (7, ts("2024-01-01 10:57:00"), "a"),
+    ]
+    df = spark.createDataFrame(rows, "seq int, ts timestamp, event_type string")
+    stream = runtime.replayed_stream(spark, df, n_slices=4, order_col="seq")
+    out = runtime.windowed_counts(
+        stream, "15 minutes", watermark="10 minutes"
+    )
+    got = _final_windowed_state(runtime.run_available_now(out, "update"))
+    assert got == {
+        ("2024-01-01 10:00:00", "a"): 2,  # replayed late row did NOT bump to 3
+        ("2024-01-01 10:45:00", "a"): 2,  # within-watermark late row revises
+        ("2024-01-01 11:00:00", "a"): 3,
+    }
+
+
 class _StubHttpServer:
     """In-process stdlib HTTP stub: captures every request, answers with a
     fixed status. Executors (Python workers) reach it over localhost TCP,
