@@ -193,6 +193,7 @@ def minhash_signatures(
     text_col: str = "text",
     ngram: int = 1,
     token_sets: DataFrame | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-doc minhash signature: h_i = min over tokens of md5(f"{i}:{tok}").
 
@@ -201,6 +202,11 @@ def minhash_signatures(
     One explode + one groupBy; signature rows are tiny (8 x 32 hex chars).
     ``token_sets`` lets a caller that also needs the sets (the LSH verify
     stage) share one persisted tokenize scan instead of recomputing it.
+
+    ``hash_fn="xxhash64"`` is the 100 TB hot path: 8-byte seeded integer
+    hashes instead of 32-hex-char md5 strings — ~5x cheaper to compute
+    and to shuffle, still deterministic within Spark, but with no DuckDB
+    twin, so the md5 default remains the oracle-parity variant.
     """
     sets = (
         token_sets
@@ -208,11 +214,20 @@ def minhash_signatures(
         else _token_sets(docs, id_col, text_col, ngram)
     )
     toks = sets.select("doc_id", F.explode("toks").alias("tok"))
-    return toks.groupBy("doc_id").agg(
-        *[
+    if hash_fn == "xxhash64":
+        hashes = [
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+            for i in range(NUM_HASHES)
+        ]
+    elif hash_fn == "md5":
+        hashes = [
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
             for i in range(NUM_HASHES)
-        ],
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return toks.groupBy("doc_id").agg(
+        *hashes,
         # token-set size rides along for free (toks is already distinct) —
         # the banding join uses it for the exact length filter
         F.count(F.lit(1)).alias("__n"),
@@ -225,6 +240,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 1,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash banding: docs agreeing on any band are candidates; candidates
     are verified with exact token-set Jaccard >= threshold.
@@ -232,22 +248,32 @@ def minhash_lsh_pairs(
     Scale shape: the band join is an equi-join on (band_idx, band_val) — a
     plain shuffle join whose fan-out is bounded by bucket sizes, the
     standard web-scale near-dup architecture (shingle -> minhash -> band ->
-    bucket-join -> verify).
+    bucket-join -> verify). ``hash_fn="xxhash64"`` swaps the signature and
+    band hashing to 8-byte integers (see minhash_signatures) — the scale
+    hot path; precision stays exact either way (the verify step recomputes
+    true Jaccard), only candidate RECALL depends on the hash family.
     """
     # one persisted tokenize scan shared by the signature stage and the
     # exact-Jaccard verify joins (see jaccard_pairs for the 100 TB note)
     sets = _token_sets(docs, id_col, text_col, ngram).persist()
-    sig = minhash_signatures(docs, id_col, text_col, ngram, token_sets=sets)
+    sig = minhash_signatures(
+        docs, id_col, text_col, ngram, token_sets=sets, hash_fn=hash_fn
+    )
     rows_per_band = NUM_HASHES // NUM_BANDS
     band_cols = []
     for bidx in range(NUM_BANDS):
         hs = [F.col(f"h{bidx * rows_per_band + j}") for j in range(rows_per_band)]
-        # concat with '|' separator, md5'd — mirrors the oracle SQL exactly
-        val = hs[0]
-        for h in hs[1:]:
-            val = F.concat(val, F.lit("|"), h)
+        if hash_fn == "xxhash64":
+            # one more xxhash64 folds the band rows to a single long
+            band_val = F.xxhash64(*hs)
+        else:
+            # concat with '|' separator, md5'd — mirrors the oracle SQL
+            val = hs[0]
+            for h in hs[1:]:
+                val = F.concat(val, F.lit("|"), h)
+            band_val = F.md5(val)
         band_cols.append(
-            F.struct(F.lit(bidx).alias("band_idx"), F.md5(val).alias("band_val"))
+            F.struct(F.lit(bidx).alias("band_idx"), band_val.alias("band_val"))
         )
     bands = sig.select(
         "doc_id", "__n", F.explode(F.array(*band_cols)).alias("b")

@@ -851,7 +851,7 @@ def h5(spark, sf_dir):
 #   r6 window (this round): the 5 queries registered after the r5 window
 #              filled (never attested) go first, then every query whose
 #              last green row is r3 (twins, displaced set, bench-flagged
-#              set), then 14 of the 16 r4-greens. Demoted: the whole
+#              set), then 13 of the 16 r4-greens. Demoted: the whole
 #              r5-green window plus j_semi_join/j_anti_join. New r6 queries are inserted right after the
 #              never-attested tier as they register.
 
@@ -863,8 +863,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "t_streaming_funnel",
     "x_events_anomaly_zscore",
     "x_events_max_drawdown",
-    # never attested — new in r6 (trained-PQ ANN tier)
+    # never attested — new in r6 (trained-PQ ANN tier; xxhash64 minhash
+    # hot path, rows-only check — no DuckDB twin for xxhash64)
     "x_ann_pq_trained_topk",
+    "x_dedup_minhash_xxh",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -917,13 +919,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "s2_latest_per_key",
     "a_count_distinct",
     "a_pivot_lang_quality",
-    "x_deterministic_sample",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
     # j_semi_join/j_anti_join: r4-green, displaced by the never-attested
-    # tier (x_ann_pq_trained_topk took the last slot); first in line when
+    # tier (the r6-new queries took the last slots); first in line when
     # slots open next round
+    "x_deterministic_sample",
     "j_semi_join",
     "j_anti_join",
     # the entire r5 window earned green hash rows in CORRECTNESS_r05.json —

@@ -135,6 +135,25 @@ def x_dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "x_dedup_minhash_xxh",
+    None,  # xxhash64 has no DuckDB twin: rows-only driver check; the md5
+    # variant above is the value-hash-checked oracle-parity twin, and
+    # tests/test_extensions.py proves this one's exact precision in-engine
+    survey_ids=("EXT-dedup",),
+    doc="MinHash+LSH near-dup pairs on the 100 TB hot path: seeded "
+    "xxhash64 signatures and band keys (8-byte integers, JVM codegen) "
+    "instead of md5 strings — ~5x cheaper to compute and shuffle; "
+    "identical banding architecture and exact-Jaccard verify as "
+    "x_dedup_minhash_lsh, so precision is exact by construction and only "
+    "candidate recall depends on the hash family",
+)
+def x_dedup_minhash_xxh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, hash_fn="xxhash64"
+    )
+
+
+@register(
     "x_dedup_components",
     f"""
     WITH RECURSIVE {_MINHASH_CTES},

@@ -267,19 +267,24 @@ def alert_sink(
     notify: Callable[[str], None],
     text_col: str = "alert_text",
     throttle_rows: int | None = None,
+    max_rows_per_batch: int = 10_000,
 ):
     """Slack/Pushbullet alert twin (K5/K6, reference:
     python_kafka_notify.py:41-53): per-row side effect through an injected
     ``notify(message)`` callable. Alert streams are tiny by construction
     (they sit behind highly selective filters), so collecting the batch to
     the driver is the correct shape — same as the reference's
-    single-consumer design. ``throttle_rows`` caps per-batch sends (T9's
-    deliberate throttling)."""
+    single-consumer design — and ``max_rows_per_batch`` turns that
+    assumption into a GUARANTEE: the collect is limited executor-side, so
+    a mis-wired unfiltered stream bounds driver memory instead of OOMing
+    it (no human reads 10k alerts per batch anyway). ``throttle_rows``
+    caps per-batch sends (T9's deliberate throttling)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        rows = batch_df.select(text_col).collect()
+        cap = max_rows_per_batch
         if throttle_rows is not None:
-            rows = rows[:throttle_rows]
+            cap = min(cap, throttle_rows)
+        rows = batch_df.select(text_col).limit(cap).collect()
         for r in rows:
             notify(r[text_col])
 

@@ -404,6 +404,45 @@ def test_minhash_lsh_finds_exact_dups(spark):
     assert pairs[0].jaccard_sim == 1.0
 
 
+def test_minhash_xxhash64_hot_path_exact_precision(spark, sf_dir):
+    """The xxhash64 signature variant (the scale hot path, no DuckDB twin):
+    every returned pair must be a TRUE >= threshold pair (the verify step
+    makes precision exact regardless of hash family), identical token
+    sets must always collide (all bands agree), and the result is
+    deterministic across runs."""
+    from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    got = dedup.minhash_lsh_pairs(df, threshold=0.8, hash_fn="xxhash64").collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(1, 2)}
+    assert got[0].jaccard_sim == 1.0
+
+    docs = load_table(spark, sf_dir, "documents")
+    xxh = {
+        (r.doc_a, r.doc_b): r.jaccard_sim
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.8, hash_fn="xxhash64"
+        ).collect()
+    }
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard_sim
+        for r in dedup.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert set(xxh) <= set(truth), "xxhash64 path returned a false pair"
+    assert all(truth[p] == xxh[p] for p in xxh)  # same exact-verify scores
+    assert len(xxh) >= 0.5 * len(truth) if truth else True  # recall sanity
+    rerun = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.8, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert rerun == set(xxh)
+
+
 def test_embedding_lsh_pairs_subset_with_recall(spark, sf_dir):
     """Banded-LSH near-dup pairs: precision is exact (verify step), so the
     result must be a subset of brute force; banding (4x4) must recover a
