@@ -103,11 +103,16 @@ def funnel(
 ) -> DataFrame:
     """Ordered funnel / conversion analysis: how many users performed the
     ``steps`` event types in order, each strictly after the previous one
-    and all inside ``within`` of their step-1 time. Standard product-
-    analytics semantics: a user converts at step i iff SOME ordered chain
-    exists, and taking the EARLIEST qualifying event at every step is
-    optimal (it maximizes the time left for later steps), so the greedy
-    per-step ``min(ts)`` is exact.
+    and all inside ``within`` of their step-1 time. First-touch-anchor
+    convention (standard in product analytics): conversion is measured
+    relative to the user's FIRST step-1 event — that event fixes the
+    ``t0 + within`` deadline. Given that anchor, taking the EARLIEST
+    qualifying event at every LATER step is exact (it maximizes the time
+    left for subsequent steps), so the greedy per-step ``min(ts)`` never
+    under-counts past the anchor. Note a later step-1 event could open a
+    later deadline under an "any-anchor" convention; we deliberately do
+    not search alternate anchors, and the SQL oracle pins the same
+    first-touch semantics.
 
     Returns one row per step: ``(step_idx, step, users)``.
 

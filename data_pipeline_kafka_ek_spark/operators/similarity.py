@@ -904,3 +904,70 @@ def quantize_int8(
             F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
         ),
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic (embedding-space) near-duplicate pairs, SemDeDup-style
+    (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with the
+    deterministic spherical k-means trainer (``ivf_centroids_lloyd``),
+    then compare pairs ONLY within a cluster — the cluster-then-compare
+    trick that replaces the O(n^2) all-pairs join with sum-of-|cell|^2
+    work. Emits ``(left_id, right_id, cell, cosine_sim)`` for every
+    same-cell pair with cosine >= ``threshold`` (full-precision compare,
+    4-dp rounded output — same contract as ``cosine_pairs``).
+
+    Scale shape: centroid training touches only n_cells x dim floats on
+    the driver (sample-able at 100 TB); assignment is one broadcast-join
+    scan; candidate generation is an equi-join on the cell id, so the
+    only shuffle is hash-partitioning by cell. At 100 TB you raise
+    n_cells so cells stay bounded; a skewed giant cell is AQE skew-join
+    fodder or gets re-clustered recursively. Deliberately misses
+    cross-cell pairs — that is SemDeDup's documented recall trade, and
+    the all-pairs twin (``cosine_pairs``) stays the labeled oracle
+    baseline.
+    """
+    spark = corpus.sparkSession
+    centroids = ivf_centroids_lloyd(corpus, n_cells, n_iter, id_col, vec_col)
+    piv = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)], "pid long, __pv array<double>"
+        )
+    )
+    vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    piv_d = F.transform("__pv", lambda x: x.cast("double"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__psim"), F.asc("pid"))
+    assign = (
+        corpus.select(id_col, vec_col)
+        .join(piv)
+        .withColumn("__psim", _dot(piv_d, vec_d) / (_norm(piv_d) * _norm(vec_d)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("pid").alias("cell"))
+    )
+    a = assign.select(
+        F.col(id_col).alias("left_id"), F.col(vec_col).alias("__lv"), "cell"
+    )
+    b = assign.select(
+        F.col(id_col).alias("right_id"), F.col(vec_col).alias("__rv"), "cell"
+    )
+    lv = F.transform("__lv", lambda x: x.cast("double"))
+    rv = F.transform("__rv", lambda x: x.cast("double"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine_sim", _dot(lv, rv) / (_norm(lv) * _norm(rv)))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            "left_id",
+            "right_id",
+            "cell",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+        )
+    )

@@ -647,3 +647,53 @@ def contamination(
             ).alias("contamination_rate"),
         )
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 12.0,
+    min_alpha_frac: float = 0.7,
+    max_symbol_frac: float = 0.1,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style rule-based quality filtering (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1): the composite ``quality_score`` ranks
+    documents, this emits the per-rule boolean verdicts a curation
+    pipeline audits — word-count bounds, mean-word-length bounds,
+    alphabetic-word fraction, symbol-token fraction, and a minimum
+    distinct-stopword count — plus the conjunctive ``keep`` decision.
+    Pure built-in expressions over one scan (no UDF, no shuffle): at
+    100 TB this is a map-only pass that fuses into whatever scan feeds
+    it. Thresholds are sized for the fixture corpus; production uses the
+    paper's (50-word floor, 0.8 alpha fraction, etc.) via the kwargs.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_len = (F.length(F.col(text_col)) - (n - 1)) / n
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n
+    sym_frac = F.size(F.filter(toks, lambda t: t.isin("#", "..."))) / n
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    r_words = (n >= min_words) & (n <= max_words)
+    r_mean = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_alpha = alpha_frac >= min_alpha_frac
+    r_sym = sym_frac <= max_symbol_frac
+    r_stop = n_stop >= min_stopwords
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_frac"),
+        F.round(sym_frac, 4).alias("symbol_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        r_words.alias("rule_word_count"),
+        r_mean.alias("rule_mean_len"),
+        r_alpha.alias("rule_alpha_frac"),
+        r_sym.alias("rule_symbol_frac"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_mean & r_alpha & r_sym & r_stop).alias("keep"),
+    )

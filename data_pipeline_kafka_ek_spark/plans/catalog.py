@@ -864,9 +864,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_events_anomaly_zscore",
     "x_events_max_drawdown",
     # never attested — new in r6 (trained-PQ ANN tier; xxhash64 minhash
-    # hot path, rows-only check — no DuckDB twin for xxhash64)
+    # hot path, rows-only check — no DuckDB twin for xxhash64; SemDeDup
+    # cluster-then-compare semantic dedup)
     "x_ann_pq_trained_topk",
     "x_dedup_minhash_xxh",
+    "x_dedup_semantic",
+    "t_streaming_neardup",
+    "x_quality_gopher_rules",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -916,18 +920,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pipeline_mixture_sample",
     "x_pipeline_seq_packing",
     "x_contamination_ngram",
-    "s2_latest_per_key",
-    "a_count_distinct",
-    "a_pivot_lang_quality",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
     # j_semi_join/j_anti_join: r4-green, displaced by the never-attested
     # tier (the r6-new queries took the last slots); first in line when
-    # slots open next round
+    # slots open next round. a_pivot_lang_quality (r4-green) displaced by
+    # the r6-new x_dedup_semantic; a_count_distinct (r4-green) by the
+    # r6-new t_streaming_neardup; s2_latest_per_key (r4-green, also
+    # attested via j1 in r5) by the r6-new x_quality_gopher_rules.
     "x_deterministic_sample",
+    "s2_latest_per_key",
     "j_semi_join",
     "j_anti_join",
+    "a_pivot_lang_quality",
+    "a_count_distinct",
     # the entire r5 window earned green hash rows in CORRECTNESS_r05.json —
     # most recently attested, so all 50 rotate out
     "p1_project_columns",

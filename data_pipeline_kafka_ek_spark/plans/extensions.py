@@ -2571,3 +2571,127 @@ def x_sketch_countmin_freq(spark, sf_dir):
         _t(spark, sf_dir, "events"), "user_id", depth=4, width=64
     )
     return out.withColumnRenamed("v", "user_id")
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.4) -> str:
+    """DuckDB replay of similarity.semantic_dedup_pairs: the same unrolled
+    deterministic-Lloyd centroid chain as x_ann_ivf_trained_topk, then
+    max-cosine cell assignment and a within-cell pair join."""
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    {_lloyd_centroids_cte(n_cells=8, n_iter=2)},
+    ca AS (
+      SELECT v.vec_id, v.e, piv.pid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.e, piv.pe) DESC, piv.pid ASC
+             ) AS rn
+      FROM v CROSS JOIN piv
+    ),
+    assign AS (SELECT vec_id, e, pid AS cell FROM ca WHERE rn = 1)
+    SELECT a.vec_id AS left_id, b.vec_id AS right_id, a.cell,
+           round(list_cosine_similarity(a.e, b.e), 4) AS cosine_sim
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= {threshold}
+    """
+
+
+@register(
+    "x_dedup_semantic",
+    _semantic_dedup_oracle_sql(),
+    survey_ids=("EXT-dedup", "EXT-similarity"),
+    doc="SemDeDup-style semantic dedup (cluster-then-compare, arXiv:"
+    "2303.09540): deterministic spherical k-means cells (same trainer and "
+    "unrolled-CTE oracle as the trained-IVF tier), pairwise cosine ONLY "
+    "within a cell — the equi-join on cell id replaces the O(n^2) "
+    "all-pairs join with sum-of-|cell|^2 work; threshold 0.4 matches the "
+    "labeled all-pairs baseline x_dedup_embedding so the recall trade "
+    "(cross-cell pairs are deliberately missed) is inspectable by "
+    "diffing the two queries' outputs",
+)
+def x_dedup_semantic(spark, sf_dir):
+    return similarity.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), n_cells=8, n_iter=2, threshold=0.4
+    )
+
+
+@register(
+    "t_streaming_neardup",
+    f"""
+    WITH {_MINHASH_CTES},
+    firsts AS (
+      SELECT band_idx, band_val, min(doc_id) AS f FROM bands GROUP BY 1, 2
+    )
+    SELECT b.doc_id, CAST(min(f.f) AS BIGINT) AS dup_of
+    FROM bands b
+    JOIN firsts f ON b.band_idx = f.band_idx AND b.band_val = f.band_val
+    WHERE f.f < b.doc_id
+    GROUP BY b.doc_id
+    """,
+    survey_ids=("T1", "EXT-dedup", "EXT-streaming"),
+    doc="ingest-time near-dup detection as a standing query: documents "
+    "replayed id-ordered through a first-wins applyInPandasWithState "
+    "automaton keyed by MinHash band bucket (one long of state per "
+    "bucket); a doc is a duplicate iff any of its 4 band buckets was "
+    "claimed by an earlier doc, and dup_of is the smallest such claimant "
+    "— the streaming twin of x_dedup_minhash_lsh's banding stage, "
+    "oracle-checked because id-ordered replay makes every bucket's "
+    "claimant its global min id (unreferenced CTEs in the shared minhash "
+    "chain are ignored by the oracle engine)",
+)
+def t_streaming_neardup(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    d = _t(spark, sf_dir, "documents")
+    stream = srt.replayed_stream(spark, d, n_slices=4, order_col="doc_id")
+    hits = srt.run_available_now(
+        srt.stream_neardup_minhash(stream), output_mode="append"
+    )
+    return hits.groupBy("doc_id").agg(F.min("first_doc_id").alias("dup_of"))
+
+
+@register(
+    "x_quality_gopher_rules",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(text,' ') AS s,
+             len(string_split(text,' ')) AS n
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n,
+             (length(text) - (n-1))*1.0/n AS mean_len,
+             len(list_filter(s, x -> regexp_matches(x, '[A-Za-z]')))*1.0/n
+               AS alpha_frac,
+             len(list_filter(s, x -> x IN ('#','...')))*1.0/n AS sym_frac,
+             len(list_intersect(list_distinct(s),
+                 ['the','a','an','and','or','of','to','in','is','it']))
+               AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           round(mean_len, 4) AS mean_word_len,
+           round(alpha_frac, 4) AS alpha_frac,
+           round(sym_frac, 4) AS symbol_frac,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           (n >= 10 AND n <= 100000) AS rule_word_count,
+           (mean_len >= 2.0 AND mean_len <= 12.0) AS rule_mean_len,
+           (alpha_frac >= 0.7) AS rule_alpha_frac,
+           (sym_frac <= 0.1) AS rule_symbol_frac,
+           (n_stop >= 2) AS rule_stopwords,
+           ((n >= 10 AND n <= 100000) AND (mean_len >= 2.0 AND mean_len <= 12.0)
+            AND alpha_frac >= 0.7 AND sym_frac <= 0.1 AND n_stop >= 2) AS keep
+    FROM m
+    """,
+    survey_ids=("EXT-text",),
+    doc="Gopher-style rule-based quality filter (arXiv:2112.11446 A1.1): "
+    "per-rule boolean verdicts (word-count bounds, mean-word-length "
+    "bounds, alphabetic fraction, symbol fraction, stopword floor) plus "
+    "the conjunctive keep decision — the auditable sibling of "
+    "x_text_quality's composite score; one map-only expression pass",
+)
+def x_quality_gopher(spark, sf_dir):
+    return text.gopher_rules(_t(spark, sf_dir, "documents"))

@@ -471,3 +471,97 @@ def funnel_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_neardup_minhash(
+    stream_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time near-duplicate detection — the streaming twin of
+    ``operators/dedup.py::minhash_lsh_pairs``'s banding stage, for the
+    dedup-on-arrival story a continuously-fed training corpus needs.
+
+    Each arriving document computes its 8-hash md5 minhash signature with
+    PURE per-row expressions (``array_min`` over the distinct-token array
+    — no explode/groupBy, so the plan stays stateless up to the band
+    grouping; per-row min over distinct tokens is by definition the same
+    value the batch explode+groupBy min computes). Its 4 band buckets are
+    then claimed first-wins in an ``applyInPandasWithState`` automaton
+    keyed by ``(band_idx, band_val)``: the first document to claim a
+    bucket passes silently, and every later document landing in an
+    already-claimed bucket emits a ``(doc_id, band_idx, band_val,
+    first_doc_id)`` hit row. ``min(first_doc_id) per doc_id`` downstream
+    is the dedup decision (see the t_streaming_neardup catalog query).
+
+    State per bucket is ONE long (the first claimant) — at 100 TB/day the
+    state store holds one slim row per DISTINCT band bucket, which is the
+    memory floor any dedup-against-history design pays; RocksDB state
+    (session.py) keeps it off-heap, and a TTL timeout can bound it when
+    the product semantics tolerate forgetting old buckets. Within a
+    micro-batch documents are processed in ascending ``id_col`` order, so
+    with an id-ordered replay the claimant of every bucket is its global
+    minimum id — exactly the batch semantics, which is what makes this
+    automaton oracle-checkable against plain SQL.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from data_pipeline_kafka_ek_spark.operators.dedup import NUM_BANDS, NUM_HASHES
+
+    rows_per_band = NUM_HASHES // NUM_BANDS
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+
+    def min_hash(i: int):
+        # NB: a two-arg transform lambda would receive the ARRAY INDEX as
+        # its second argument — the seed must be bound via closure instead
+        prefix = F.lit(f"{i}:")
+        return F.array_min(F.transform(toks, lambda t: F.md5(F.concat(prefix, t))))
+
+    sig = [min_hash(i) for i in range(NUM_HASHES)]
+
+    def band_val(bidx: int):
+        hs = sig[bidx * rows_per_band : (bidx + 1) * rows_per_band]
+        val = hs[0]
+        for h in hs[1:]:
+            val = F.concat(val, F.lit("|"), h)
+        return F.md5(val)
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_idx"),
+                band_val(b).alias("band_val"),
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    exploded = stream_df.select(
+        F.col(id_col).alias("doc_id"), F.explode(bands).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_val")
+
+    def update(key_tuple, pdfs, state):
+        import pandas as pd
+
+        first = state.get[0] if state.exists else None
+        hits: list[tuple] = []
+        for pdf in pdfs:
+            for did in sorted(int(x) for x in pdf["doc_id"]):
+                if first is None:
+                    first = did
+                elif did != first:
+                    hits.append((int(key_tuple[0]), key_tuple[1], did, first))
+        state.update((first,))
+        if hits:
+            yield pd.DataFrame(
+                hits, columns=["band_idx", "band_val", "doc_id", "first_doc_id"]
+            )
+
+    return exploded.groupBy("band_idx", "band_val").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "band_idx int, band_val string, doc_id long, first_doc_id long"
+        ),
+        stateStructType="first long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

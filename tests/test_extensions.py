@@ -1006,3 +1006,33 @@ def test_max_drawdown_peak_to_trough(spark):
     df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
     got = {r.user_id: r.max_drawdown for r in relational.max_drawdown(df).collect()}
     assert got == {1: 45.0, 2: 0.0, 3: 0.0}
+
+
+def test_semantic_dedup_recovers_within_cluster_pairs(spark):
+    """SemDeDup contract on a corpus with known cluster structure: every
+    same-cluster high-cosine pair that the all-pairs baseline finds must
+    also be found (the k-means cells recover the true clusters), while
+    cross-cell pairs are the documented recall trade. Output must be a
+    strict subset of the all-pairs baseline (no false pairs, ever)."""
+    emb = spark.createDataFrame(
+        _clustered_vectors(), "vec_id long, embedding array<double>"
+    )
+    threshold = 0.8  # synthetic clusters are tight: in-cluster cos >> 0.8
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_pairs(
+            emb, threshold=threshold, max_rows=None
+        ).collect()
+    }
+    sem_rows = similarity.semantic_dedup_pairs(
+        emb, n_cells=8, n_iter=2, threshold=threshold
+    ).collect()
+    sem = {(r.left_id, r.right_id) for r in sem_rows}
+    assert sem <= exact, "semantic dedup fabricated a pair the baseline lacks"
+    recall = len(sem & exact) / len(exact)
+    # trained cells recover the 8 true clusters -> near-total recall
+    assert recall >= 0.9, recall
+    # pair ids are canonically ordered and cells are within-range
+    for r in sem_rows:
+        assert r.left_id < r.right_id
+        assert 0 <= r.cell < 8

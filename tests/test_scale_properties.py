@@ -5,6 +5,7 @@ assertions, not timings — they hold at any scale factor."""
 
 import glob
 import os
+import uuid
 
 import pyspark.sql.functions as F
 
@@ -18,6 +19,8 @@ def _plan(df) -> str:
 def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
     """Both sides bucketed on the join key => zero-shuffle sort-merge join
     (the recurring-join layout SCALE.md prescribes for 100 TB facts)."""
+    ev_tbl = f"ev_bkt_{uuid.uuid4().hex[:8]}"
+    cust_tbl = f"cust_bkt_{uuid.uuid4().hex[:8]}"
     prior_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -25,13 +28,13 @@ def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
         customer = load_table(spark, sf_dir, "customer")
         events.write.bucketBy(8, "user_id").sortBy("user_id").mode(
             "overwrite"
-        ).saveAsTable("ev_bkt")
+        ).saveAsTable(ev_tbl)
         customer.select(
             F.col("c_custkey").alias("user_id"), "c_name"
         ).write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable(
-            "cust_bkt"
+            cust_tbl
         )
-        joined = spark.table("ev_bkt").join(spark.table("cust_bkt"), "user_id")
+        joined = spark.table(ev_tbl).join(spark.table(cust_tbl), "user_id")
         plan = _plan(joined)
         assert "SortMergeJoin" in plan
         assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
@@ -42,8 +45,8 @@ def test_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
         assert joined.count() == plain.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_threshold)
-        spark.sql("DROP TABLE IF EXISTS ev_bkt")
-        spark.sql("DROP TABLE IF EXISTS cust_bkt")
+        spark.sql(f"DROP TABLE IF EXISTS {ev_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {cust_tbl}")
 
 
 def test_date_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
@@ -290,6 +293,9 @@ def test_lake_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
         write_bucketed,
     )
 
+    ev_tbl = f"ev_b_{uuid.uuid4().hex[:8]}"
+    us_tbl = f"us_b_{uuid.uuid4().hex[:8]}"
+    prior_threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
@@ -298,9 +304,9 @@ def test_lake_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        write_bucketed(events, "ev_b", ["user_id"], n_buckets=8)
-        write_bucketed(users, "us_b", ["user_id"], n_buckets=8)
-        joined = read_table(spark, "ev_b").join(read_table(spark, "us_b"), "user_id")
+        write_bucketed(events, ev_tbl, ["user_id"], n_buckets=8)
+        write_bucketed(users, us_tbl, ["user_id"], n_buckets=8)
+        joined = read_table(spark, ev_tbl).join(read_table(spark, us_tbl), "user_id")
         plan = joined._sc._jvm.PythonSQLUtils.explainString(
             joined._jdf.queryExecution(), "formatted"
         )
@@ -314,9 +320,9 @@ def test_lake_bucketed_join_elides_exchange(spark, sf_dir, tmp_path):
         # and the result is identical either way
         assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.sql("DROP TABLE IF EXISTS ev_b")
-        spark.sql("DROP TABLE IF EXISTS us_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_threshold)
+        spark.sql(f"DROP TABLE IF EXISTS {ev_tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {us_tbl}")
 
 
 def test_partitioned_write_prunes_with_lake_helper(spark, sf_dir, tmp_path):
@@ -333,3 +339,56 @@ def test_partitioned_write_prunes_with_lake_helper(spark, sf_dir, tmp_path):
     )
     assert "PartitionFilters" in plan and "event_date" in plan
     assert got.count() > 0
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (Spark's runtime row-level
+    semi-join reduction): when the build side of a shuffle join carries a
+    selective filter, Catalyst injects bloom_filter_might_contain on the
+    probe side so fact rows that cannot match are dropped BEFORE the
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the ~1% that survives. The size
+    thresholds are lowered to fire at fixture scale; the assertion is the
+    plan shape (filter creation + probe-side application), which is
+    scale-independent."""
+    restore = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    try:
+        events = load_table(spark, sf_dir, "events")
+        customer = load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"  # selective build side
+        )
+        joined = events.join(
+            customer.select(F.col("c_custkey").alias("user_id"), "c_name"),
+            "user_id",
+        )
+        plan = _plan(joined)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, (
+            f"runtime bloom filter was not injected:\n{plan}"
+        )
+        # and the pruned join still returns exactly the unpruned rows
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        unpruned = events.join(
+            customer.select(F.col("c_custkey").alias("user_id"), "c_name"),
+            "user_id",
+        )
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        assert joined.count() == unpruned.count()
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)

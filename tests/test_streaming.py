@@ -998,3 +998,39 @@ def test_streaming_funnel_equals_batch(spark, sf_dir):
     batch = {(r.step_idx, r.step): r.users for r in qs["x_events_funnel"](spark, sf_dir).collect()}
     stream = {(r.step_idx, r.step): r.users for r in qs["t_streaming_funnel"](spark, sf_dir).collect()}
     assert batch == stream and len(batch) == 3
+
+
+def test_stream_neardup_flags_cross_batch_duplicates(spark):
+    """The first-wins band automaton must flag a near-duplicate that
+    arrives in a LATER micro-batch than its original (state carries the
+    bucket claimants across batches), must not flag unrelated docs, and
+    dup_of must point at the earliest claimant."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, base + "alpha"),
+            (1, "completely different content with no overlap at all xyzzy"),
+            # near-dup of doc 0 (one-word tail change): lands in batch 2
+            (2, base + "beta"),
+            # exact dup of doc 0: shares every band
+            (3, base + "alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    stream = runtime.replayed_stream(spark, docs, n_slices=4, order_col="doc_id")
+    hits = runtime.run_available_now(
+        runtime.stream_neardup_minhash(stream), output_mode="append"
+    )
+    per_doc = {
+        r.doc_id: r.dup_of
+        for r in hits.groupBy("doc_id")
+        .agg(F.min("first_doc_id").alias("dup_of"))
+        .collect()
+    }
+    assert per_doc.get(3) == 0, per_doc  # exact dup always collides
+    assert 1 not in per_doc, per_doc  # unrelated doc never flagged
+    assert 0 not in per_doc, per_doc  # the original is not its own dup
+    # the near-dup shares at least the bands untouched by the tail change;
+    # with 8 repeated-token shingles the signature is dominated by the
+    # shared tokens, so doc 2 must collide too
+    assert per_doc.get(2) == 0, per_doc
