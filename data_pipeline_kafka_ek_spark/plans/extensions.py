@@ -2695,3 +2695,64 @@ def t_streaming_neardup(spark, sf_dir):
 )
 def x_quality_gopher(spark, sf_dir):
     return text.gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_dedup_semantic_keep",
+    f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    {_lloyd_centroids_cte(n_cells=8, n_iter=2)},
+    ca AS (
+      SELECT v.vec_id, v.e, piv.pid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.e, piv.pe) DESC, piv.pid ASC
+             ) AS rn
+      FROM v CROSS JOIN piv
+    ),
+    assign AS (SELECT vec_id, e, pid AS cell FROM ca WHERE rn = 1),
+    spairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS w
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    ),
+    sym AS (
+      SELECT u, w FROM spairs UNION SELECT w, u FROM spairs
+    ),
+    reach AS (
+      SELECT u, w FROM sym
+      UNION
+      SELECT r.u, s.w FROM reach r JOIN sym s ON r.w = s.u
+    ),
+    comp AS (
+      SELECT u AS vec_id, least(u, min(w)) AS component FROM reach GROUP BY u
+    )
+    SELECT d.vec_id,
+           COALESCE(c.component, d.vec_id) AS representative,
+           CASE WHEN c.component IS NULL THEN 'unique'
+                WHEN c.component = d.vec_id THEN 'representative'
+                ELSE 'duplicate' END AS status
+    FROM embeddings d LEFT JOIN comp c ON d.vec_id = c.vec_id
+    """,
+    survey_ids=("EXT-dedup", "EXT-similarity", "EXT-pipeline"),
+    doc="SemDeDup's END decision: semantic near-dup pairs (cluster-then-"
+    "compare, x_dedup_semantic) -> connected components over the slim "
+    "pair graph -> every vector labeled unique / representative / "
+    "duplicate with its kept canonical id (component min) — "
+    "`status != 'duplicate'` is the semantic-dedup filter a corpus "
+    "pipeline applies before training; one corpus-side left join, "
+    "identical machinery to the MinHash keep list (dedup_keep_list)",
+)
+def x_dedup_semantic_keep(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_dedup_pairs(
+        emb, n_cells=8, n_iter=2, threshold=0.4
+    )
+    return dedup.dedup_keep_list(
+        emb.select(F.col("vec_id").alias("doc_id")),
+        pairs.select(
+            F.col("left_id").alias("doc_a"), F.col("right_id").alias("doc_b")
+        ),
+    ).select(F.col("doc_id").alias("vec_id"), "representative", "status")
