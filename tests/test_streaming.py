@@ -1034,3 +1034,123 @@ def test_stream_neardup_flags_cross_batch_duplicates(spark):
     # with 8 repeated-token shingles the signature is dominated by the
     # shared tokens, so doc 2 must collide too
     assert per_doc.get(2) == 0, per_doc
+
+
+class _StubMongoServer:
+    """In-process stub speaking just enough MongoDB wire protocol: accepts
+    connections, parses OP_MSG update commands, records them, replies
+    ``{ok: 1.0, n: ...}``. Executors reach it over localhost TCP, so the
+    foreachPartition transport is exercised at the BSON/OP_MSG level."""
+
+    def __init__(self, ok: float = 1.0):
+        import socket
+        import threading
+
+        from data_pipeline_kafka_ek_spark.streaming import mongo_wire as mw
+
+        self.commands: list[dict] = []
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._sock.bind(("127.0.0.1", 0))
+        self._sock.listen(16)
+        self.port = self._sock.getsockname()[1]
+        self._stop = False
+
+        def serve():
+            while not self._stop:
+                try:
+                    conn, _ = self._sock.accept()
+                except OSError:
+                    return
+                with conn:
+                    try:
+                        req_id, _, cmd = mw.parse_op_msg(mw._recv_frame(conn))
+                        self.commands.append(cmd)
+                        n = len(cmd.get("updates", []))
+                        conn.sendall(
+                            mw.op_msg(
+                                {"ok": ok, "n": n}, request_id=100,
+                                response_to=req_id,
+                            )
+                        )
+                    except Exception:
+                        return
+
+        self._thread = threading.Thread(target=serve, daemon=True)
+        self._thread.start()
+
+    def close(self):
+        self._stop = True
+        self._sock.close()
+
+
+def test_mongo_sink_op_msg_wire_upserts(spark, tmp_path):
+    """K4 at the WIRE level: the sink ships one OP_MSG ``update`` command
+    per partition batch — replace-by-_id with upsert:true per doc (the
+    connector's idempotent delivery), BSON round-tripped by the stub."""
+    from data_pipeline_kafka_ek_spark.streaming import mongo_wire as mw
+
+    srv = _StubMongoServer()
+    try:
+        df = spark.createDataFrame(
+            [(1, "good", 4.5), (2, None, 1.0)],
+            "event_id long, msg string, value double",
+        ).coalesce(1)
+        sinks.mongo_sink(
+            "ratings", "event_id", str(tmp_path / "mongo"),
+            transport=mw.MongoWireTransport("127.0.0.1", srv.port, db="demo"),
+        )(df, 0)
+    finally:
+        srv.close()
+    assert len(srv.commands) == 1
+    cmd = srv.commands[0]
+    assert cmd["update"] == "ratings" and cmd["$db"] == "demo"
+    ups = cmd["updates"]
+    assert [u["q"]["_id"] for u in ups] == ["1", "2"]
+    assert all(u["upsert"] is True and u["multi"] is False for u in ups)
+    assert ups[0]["u"]["$set"]["msg"] == "good"
+    assert ups[0]["u"]["$set"]["value"] == 4.5
+    assert "msg" not in ups[1]["u"]["$set"]      # null fields are absent
+    assert all("_id" not in u["u"]["$set"] for u in ups)
+    # nothing dead-lettered
+    assert not glob.glob(str(tmp_path / "mongo" / "**" / "*.jsonl"))
+
+
+def test_mongo_sink_wire_failure_dead_letters(spark, tmp_path):
+    """A Mongo reply with ok=0 raises in the transport; the tolerant
+    shipper dead-letters the partition batch instead of failing."""
+    from data_pipeline_kafka_ek_spark.streaming import mongo_wire as mw
+
+    srv = _StubMongoServer(ok=0.0)
+    try:
+        df = spark.createDataFrame([(1, "x")], "event_id long, msg string")
+        out = str(tmp_path / "mongo")
+        sinks.mongo_sink(
+            "col", "event_id", out, tolerant=True,
+            transport=mw.MongoWireTransport("127.0.0.1", srv.port),
+        )(df, 0)
+    finally:
+        srv.close()
+    dlq = [
+        json.loads(l)
+        for f in glob.glob(f"{out}/col__dlq/*.jsonl")
+        for l in open(f)
+    ]
+    assert len(dlq) == 1 and "transport" in dlq[0]["error"]
+
+
+def test_bson_codec_roundtrip():
+    """The BSON subset round-trips every type the sink documents carry."""
+    from data_pipeline_kafka_ek_spark.streaming import mongo_wire as mw
+
+    doc = {
+        "s": "héllo",
+        "i": 42,
+        "f": 2.75,
+        "b": True,
+        "z": None,
+        "ts": datetime.datetime(2024, 1, 2, 3, 4, 5, tzinfo=datetime.timezone.utc),
+        "nested": {"k": "v", "n": 7},
+        "arr": ["a", 1, 2.5],
+    }
+    assert mw.bson_decode_doc(mw.bson_encode_doc(doc)) == doc
