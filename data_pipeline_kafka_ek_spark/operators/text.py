@@ -697,3 +697,108 @@ def gopher_rules(
         r_stop.alias("rule_stopwords"),
         (r_words & r_mean & r_alpha & r_sym & r_stop).alias("keep"),
     )
+
+
+def _doc_symbol_string(text_col: str) -> Column:
+    """Sentinel-delimited BPE symbol string for a whole document: every
+    word becomes its characters plus a word-end marker, all space-joined
+    and space-wrapped (`` c a t </w> h a t </w> ``) — the representation
+    merge rules rewrite with boundary-safe string replace."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    per_word = F.transform(
+        words,
+        lambda w: F.concat(F.concat_ws(" ", F.split(w, "")), F.lit(" </w>")),
+    )
+    return F.concat(F.lit(" "), F.array_join(per_word, " "), F.lit(" "))
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> "list[tuple[int, str, str, int]]":
+    """Deterministic BPE merge training (Sennrich et al. 2016,
+    arXiv:1508.07909): start from characters plus a ``</w>`` word-end
+    marker, repeatedly merge the corpus-wide most frequent adjacent symbol
+    pair (ties: lexicographically smallest pair), ``n_merges`` times.
+    Returns the learned table ``[(rank, left, right, pair_count)]``.
+
+    Trains on the DISTINCT-word frequency table (one corpus scan + one
+    groupBy), the standard trick that makes BPE training corpus-size-
+    independent: each merge step is one pair-count aggregation over the
+    word table (bounded by vocabulary size, not tokens) plus a 1-row
+    argmax collect — only the ``n_merges`` winning pairs ever reach the
+    driver. Merge APPLICATION is left-to-right non-overlapping string
+    replace on the sentinel-delimited symbol string — standard greedy
+    BPE, with one documented convention: an occurrence that shares a
+    delimiter space with a just-replaced occurrence waits for the next
+    rule application pass (deterministic, and DuckDB's ``replace`` agrees
+    byte-for-byte, which is what makes the whole trainer oracle-checkable
+    — see plans/extensions.py::_bpe_merge_ctes).
+    """
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "sym",
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", F.split("w", "")), F.lit(" </w> ")
+            ),
+        )
+        .persist()
+    )
+    try:
+        cur = words
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            arr = F.split(F.trim(F.col("sym")), " ")
+            n = F.size(arr)
+            pair = F.explode(
+                F.zip_with(
+                    F.slice(arr, 1, n - 1),
+                    F.slice(arr, 2, n - 1),
+                    lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                )
+            )
+            best = (
+                cur.select("cnt", pair.alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").cast("long").alias("c"))
+                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
+            merges.append((rank, l, r, c))
+            cur = cur.withColumn(
+                "sym",
+                F.replace("sym", F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")),
+            )
+        return merges
+    finally:
+        words.unpersist()
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table to every document and report the
+    compression: ``(doc_id, n_base_symbols, n_bpe_tokens)``. Encoding is
+    the same replace chain the trainer used, applied to the whole-doc
+    symbol string — cross-word false matches are impossible because no
+    merge rule's left symbol can contain the word-end marker (a symbol
+    with a right neighbor is never word-final). Pure expressions over one
+    scan; the merge table rides into codegen as literals."""
+    base = _doc_symbol_string(text_col)
+    sym = base
+    for _, l, r, _ in merges:
+        sym = F.replace(sym, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(base), " ")).cast("long").alias("n_base_symbols"),
+        F.size(F.split(F.trim(sym), " ")).cast("long").alias("n_bpe_tokens"),
+    )

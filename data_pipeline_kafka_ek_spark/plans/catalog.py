@@ -872,6 +872,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "t_streaming_neardup",
     "x_quality_gopher_rules",
     "x_dedup_semantic_keep",
+    "x_pipeline_bpe_merges",
+    "x_pipeline_bpe_encode",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -918,8 +920,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_dedup_components",
     "x_ann_pq_topk",
     "x_text_chunking",
-    "x_pipeline_mixture_sample",
-    "x_pipeline_seq_packing",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -929,10 +929,13 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # the r6-new x_dedup_semantic; a_count_distinct (r4-green) by the
     # r6-new t_streaming_neardup; s2_latest_per_key (r4-green, also
     # attested via j1 in r5) by the r6-new x_quality_gopher_rules;
-    # x_contamination_ngram (r4-green) by the r6-new x_dedup_semantic_keep.
+    # x_contamination_ngram (r4-green) by the r6-new x_dedup_semantic_keep;
+    # mixture_sample/seq_packing (r4-green) by the r6-new BPE pair.
     "x_deterministic_sample",
     "s2_latest_per_key",
     "x_contamination_ngram",
+    "x_pipeline_mixture_sample",
+    "x_pipeline_seq_packing",
     "j_semi_join",
     "j_anti_join",
     "a_pivot_lang_quality",

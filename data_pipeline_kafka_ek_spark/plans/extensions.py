@@ -2756,3 +2756,121 @@ def x_dedup_semantic_keep(spark, sf_dir):
             F.col("left_id").alias("doc_a"), F.col("right_id").alias("doc_b")
         ),
     ).select(F.col("doc_id").alias("vec_id"), "representative", "status")
+
+
+def _bpe_merge_ctes(n_merges: int = 8) -> str:
+    """Unrolled-CTE DuckDB replay of ``text.bpe_train_merges``: the
+    distinct-word frequency table with sentinel-delimited symbol strings,
+    then per merge step a weighted adjacent-pair count, a (count DESC,
+    pair ASC) argmax, and a boundary-safe string replace — byte-identical
+    greedy semantics to Spark's ``F.replace`` chain. Produces ``b1..bk``
+    (the winning pairs) and ``w0..wk`` (the evolving word table)."""
+    parts = [
+        """w0 AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+             ' ' || array_to_string(string_split(w,''),' ') || ' </w> ' AS sym
+      FROM (SELECT unnest(list_filter(string_split(text,' '), x -> x <> ''))
+              AS w FROM documents)
+      GROUP BY w
+    )"""
+    ]
+    for t in range(1, n_merges + 1):
+        prev = t - 1
+        parts.append(
+            f"""p{t} AS MATERIALIZED (
+      SELECT p[1] AS l, p[2] AS r, CAST(sum(cnt) AS BIGINT) AS c FROM (
+        SELECT cnt, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
+        FROM (SELECT cnt, string_split(trim(sym),' ') AS a FROM w{prev})
+      ) GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"""b{t} AS MATERIALIZED (
+      SELECT l, r, c FROM p{t} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+      SELECT w, cnt, replace(sym,
+        ' ' || (SELECT l FROM b{t}) || ' ' || (SELECT r FROM b{t}) || ' ',
+        ' ' || (SELECT l FROM b{t}) || (SELECT r FROM b{t}) || ' ') AS sym
+      FROM w{prev}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_N_MERGES = 8
+
+_BPE_MERGES_SELECT = " UNION ALL ".join(
+    f"SELECT CAST({t} AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, "
+    f"c AS pair_count FROM b{t}"
+    for t in range(1, _BPE_N_MERGES + 1)
+)
+
+_BPE_ENCODE_STEPS = "".join(
+    f""", e{t} AS (
+      SELECT doc_id, base_sym, replace(sym,
+        ' ' || (SELECT l FROM b{t}) || ' ' || (SELECT r FROM b{t}) || ' ',
+        ' ' || (SELECT l FROM b{t}) || (SELECT r FROM b{t}) || ' ') AS sym
+      FROM e{t - 1}
+    )"""
+    for t in range(1, _BPE_N_MERGES + 1)
+)
+
+
+@register(
+    "x_pipeline_bpe_merges",
+    f"""
+    WITH {_bpe_merge_ctes(_BPE_N_MERGES)}
+    {_BPE_MERGES_SELECT}
+    """,
+    survey_ids=("EXT-pipeline", "EXT-text"),
+    doc="BPE tokenizer TRAINING (arXiv:1508.07909) as a catalog query: 8 "
+    "deterministic merges learned from the distinct-word frequency table "
+    "(chars + </w> marker, most-frequent adjacent pair, lexicographic "
+    "ties) — each step is one bounded pair-count aggregation, only the "
+    "winning pairs reach the driver; the oracle replays training as "
+    "unrolled CTEs with byte-identical greedy replace semantics",
+)
+def x_pipeline_bpe_merges(spark, sf_dir):
+    merges = text.bpe_train_merges(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES
+    )
+    return spark.createDataFrame(
+        merges, "merge_rank long, lhs string, rhs string, pair_count long"
+    )
+
+
+@register(
+    "x_pipeline_bpe_encode",
+    f"""
+    WITH {_bpe_merge_ctes(_BPE_N_MERGES)},
+    docsym AS (
+      SELECT doc_id,
+             ' ' || array_to_string(list_transform(
+                 list_filter(string_split(text,' '), x -> x <> ''),
+                 x -> array_to_string(string_split(x,''),' ') || ' </w>'
+               ), ' ') || ' ' AS sym
+      FROM documents
+    ),
+    e0 AS (SELECT doc_id, sym AS base_sym, sym FROM docsym)
+    {_BPE_ENCODE_STEPS}
+    SELECT doc_id,
+           CAST(len(string_split(trim(base_sym),' ')) AS BIGINT)
+             AS n_base_symbols,
+           CAST(len(string_split(trim(sym),' ')) AS BIGINT) AS n_bpe_tokens
+    FROM e{_BPE_N_MERGES}
+    """,
+    survey_ids=("EXT-pipeline", "EXT-text"),
+    doc="BPE ENCODING with the trained merge table: every document's "
+    "char+marker symbol string rewritten by the 8 learned rules (applied "
+    "whole-doc; cross-word false matches are structurally impossible "
+    "because no rule's left symbol is ever word-final), reporting base "
+    "vs post-merge token counts — the corpus-accounting number a "
+    "token-budgeted training run plans against",
+)
+def x_pipeline_bpe_encode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.bpe_train_merges(docs, n_merges=_BPE_N_MERGES)
+    return text.bpe_token_counts(docs, merges)

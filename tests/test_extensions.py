@@ -4,7 +4,7 @@ properties, LSH-ANN recall vs brute force, multimodal decode plumbing."""
 import pytest
 from pyspark.sql import functions as F
 
-from data_pipeline_kafka_ek_spark.operators import dedup, multimodal, similarity
+from data_pipeline_kafka_ek_spark.operators import dedup, multimodal, similarity, text
 from data_pipeline_kafka_ek_spark.sources.tables import load_table
 
 
@@ -1036,3 +1036,41 @@ def test_semantic_dedup_recovers_within_cluster_pairs(spark):
     for r in sem_rows:
         assert r.left_id < r.right_id
         assert 0 <= r.cell < 8
+
+
+def test_bpe_training_learns_expected_merges(spark):
+    """Hand-checkable corpus: 'low' x4 + 'lower' x2 + 'newest' x6. The
+    most frequent adjacent pair must win each round with lexicographic
+    tiebreaks, and encoding with the learned rules must compress exactly
+    the merged symbols."""
+    docs = spark.createDataFrame(
+        [(0, "low low low low lower lower newest newest newest"),
+         (1, "newest newest newest")],
+        "doc_id long, text string",
+    )
+    merges = text.bpe_train_merges(docs, n_merges=3)
+    # counts: e-s 6, s-t 6, t-</w> 6, n-e 6, e-w 6, w-e 6... 'newest' has
+    # n e w e s t </w>; pairs (n,e)=6,(e,w)=6,(w,e)=6,(e,s)=6,(s,t)=6,
+    # (t,</w>)=6; 'low(er)' adds (l,o)=6,(o,w)=6,(w,</w>)=4,(w,e)=+2=8,
+    # (e,r)=2,(r,</w>)=2 -> round 1 winner is (w,e) with 8
+    assert merges[0][1:3] == ("w", "e"), merges
+    assert merges[0][3] == 8
+    enc = {
+        r.doc_id: (r.n_base_symbols, r.n_bpe_tokens)
+        for r in text.bpe_token_counts(docs, merges).collect()
+    }
+    # every learned rule strictly reduces token counts on this corpus
+    assert enc[0][1] < enc[0][0] and enc[1][1] < enc[1][0]
+
+
+def test_bpe_encode_compresses_fixture_corpus(spark, sf_dir):
+    """On the fixture corpus the 8 learned merges must strictly compress
+    every document that contains at least one merged pair, and never
+    increase any document's token count."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.bpe_train_merges(docs, n_merges=8)
+    assert len(merges) == 8
+    assert [m[0] for m in merges] == list(range(1, 9))
+    rows = text.bpe_token_counts(docs, merges).collect()
+    assert all(r.n_bpe_tokens <= r.n_base_symbols for r in rows)
+    assert any(r.n_bpe_tokens < r.n_base_symbols for r in rows)
