@@ -971,3 +971,35 @@ def semantic_dedup_pairs(
             F.round("cosine_sim", 4).alias("cosine_sim"),
         )
     )
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its max-cosine cell of a TRAINED coarse
+    quantizer (ties: lowest cell id) — the maintenance half of an IVF
+    index: at ingest time each new embedding needs exactly this stateless
+    per-row decision to land in the right cell/partition. The centroid
+    table rides in as codegen literals (n_cells x dim floats), so the
+    operator is a map-only pass with no shuffle and no state — it runs
+    identically over a batch corpus or a Structured Streaming source
+    (see the t_streaming_ann_assign catalog query).
+
+    Returns ``(id, cell, cell_sim)`` with the cosine to the winning
+    centroid rounded to 4dp.
+    """
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    u = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sims = F.transform(cent_arr, lambda c: _dot(c, u) / (_norm(c) * _norm(u)))
+    # array_position returns the FIRST max (1-based) -> lowest cell id wins
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("long")
+    return df.select(
+        F.col(id_col),
+        cell.alias("cell"),
+        F.round(F.array_max(sims), 4).alias("cell_sim"),
+    )

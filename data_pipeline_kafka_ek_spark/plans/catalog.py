@@ -874,6 +874,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_dedup_semantic_keep",
     "x_pipeline_bpe_merges",
     "x_pipeline_bpe_encode",
+    "t_streaming_ann_assign",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -919,7 +920,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_multimodal_stdlib_codecs",
     "x_dedup_components",
     "x_ann_pq_topk",
-    "x_text_chunking",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -930,8 +930,10 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # r6-new t_streaming_neardup; s2_latest_per_key (r4-green, also
     # attested via j1 in r5) by the r6-new x_quality_gopher_rules;
     # x_contamination_ngram (r4-green) by the r6-new x_dedup_semantic_keep;
-    # mixture_sample/seq_packing (r4-green) by the r6-new BPE pair.
+    # mixture_sample/seq_packing (r4-green) by the r6-new BPE pair;
+    # x_text_chunking (r4-green) by the r6-new t_streaming_ann_assign.
     "x_deterministic_sample",
+    "x_text_chunking",
     "s2_latest_per_key",
     "x_contamination_ngram",
     "x_pipeline_mixture_sample",

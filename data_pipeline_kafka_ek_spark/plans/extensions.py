@@ -2874,3 +2874,42 @@ def x_pipeline_bpe_encode(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     merges = text.bpe_train_merges(docs, n_merges=_BPE_N_MERGES)
     return text.bpe_token_counts(docs, merges)
+
+
+@register(
+    "t_streaming_ann_assign",
+    f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    {_lloyd_centroids_cte(n_cells=8, n_iter=2)},
+    ca AS (
+      SELECT v.vec_id, piv.pid,
+             list_cosine_similarity(v.e, piv.pe) AS sim,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.e, piv.pe) DESC, piv.pid ASC
+             ) AS rn
+      FROM v CROSS JOIN piv
+    )
+    SELECT vec_id, CAST(pid AS BIGINT) AS cell, round(sim, 4) AS cell_sim
+    FROM ca WHERE rn = 1
+    """,
+    survey_ids=("T1", "EXT-similarity", "EXT-streaming"),
+    doc="IVF index MAINTENANCE as a standing query: embeddings replayed "
+    "as a 4-micro-batch stream through the trained coarse quantizer "
+    "(centroids broadcast as codegen literals), each arriving vector "
+    "stateless-assigned to its max-cosine cell — the decision that "
+    "routes continuous embedding ingestion into the right index "
+    "partition; assignment is deterministic (lowest-cell ties), so the "
+    "streaming result equals the batch assignment and the oracle "
+    "replays it in SQL",
+)
+def t_streaming_ann_assign(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids_lloyd(emb, 8, 2)
+    stream = srt.replayed_stream(spark, emb, n_slices=4, order_col="vec_id")
+    assigned = similarity.assign_cells(stream, cents)
+    return srt.run_available_now(assigned, output_mode="append")

@@ -1154,3 +1154,27 @@ def test_bson_codec_roundtrip():
         "arr": ["a", 1, 2.5],
     }
     assert mw.bson_decode_doc(mw.bson_encode_doc(doc)) == doc
+
+
+def test_streaming_ann_assignment_equals_batch(spark, sf_dir):
+    """Incremental IVF maintenance: vectors arriving over 4 micro-batches
+    must land in exactly the cells the batch assignment computes (the
+    operator is stateless, so streaming == batch by construction — this
+    pins that no watermark/output-mode wiring breaks it)."""
+    from data_pipeline_kafka_ek_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids_lloyd(emb, 8, 2)
+    batch = {
+        r.vec_id: (r.cell, r.cell_sim)
+        for r in similarity.assign_cells(emb, cents).collect()
+    }
+    stream = runtime.replayed_stream(spark, emb, n_slices=4, order_col="vec_id")
+    got = {
+        r.vec_id: (r.cell, r.cell_sim)
+        for r in runtime.run_available_now(
+            similarity.assign_cells(stream, cents), output_mode="append"
+        ).collect()
+    }
+    assert got == batch
+    assert len({c for c, _ in got.values()}) > 1  # cells actually used
