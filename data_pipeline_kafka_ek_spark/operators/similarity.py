@@ -913,6 +913,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """Semantic (embedding-space) near-duplicate pairs, SemDeDup-style
     (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with the
@@ -934,7 +935,8 @@ def semantic_dedup_pairs(
     baseline.
     """
     spark = corpus.sparkSession
-    centroids = ivf_centroids_lloyd(corpus, n_cells, n_iter, id_col, vec_col)
+    if centroids is None:
+        centroids = ivf_centroids_lloyd(corpus, n_cells, n_iter, id_col, vec_col)
     piv = F.broadcast(
         spark.createDataFrame(
             [(i, c) for i, c in enumerate(centroids)], "pid long, __pv array<double>"
