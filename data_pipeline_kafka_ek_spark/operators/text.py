@@ -802,3 +802,69 @@ def bpe_token_counts(
         F.size(F.split(F.trim(base), " ")).cast("long").alias("n_base_symbols"),
         F.size(F.split(F.trim(sym), " ")).cast("long").alias("n_bpe_tokens"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram conditional log-probability under a
+    corpus-trained add-one-smoothed bigram LM — one order up from
+    ``unigram_logprob`` on the CCNet-style perplexity-filter ladder:
+    word-order-scrambled or boilerplate-stitched text scores near the
+    unigram model but collapses under the bigram model.
+
+    score(d) = (1/n_bigrams) * sum over adjacent pairs of ln p(w2 | w1),
+    p(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V), ctx(w1) = bigram
+    occurrences with left w1, V = unigram vocabulary size. Documents with
+    fewer than two tokens have no bigrams and are absent from the output
+    (same rule in the oracle).
+
+    Scale shape: the bigram and context tables are map-side-combined
+    counts bounded by observed-bigram cardinality, broadcast into the
+    scoring join; scoring explodes adjacent pairs map-side and aggregates
+    per doc — one doc-keyed shuffle of slim rows, no UDF.
+    """
+    if lm_docs is None:
+        lm_docs = docs
+
+    def bigrams(df: DataFrame, *extra):
+        arr = _tokens(F.col(text_col))
+        n = F.size(arr)
+        pair = F.explode(
+            F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda l, r: F.struct(l.alias("w1"), r.alias("w2")),
+            )
+        )
+        return df.select(*extra, pair.alias("p")).select(
+            *extra, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        )
+
+    lm_big = bigrams(lm_docs).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    ctx = lm_big.groupBy("w1").agg(F.sum("c2").alias("ctx"))
+    vocab = lm_docs.select(
+        F.explode(_tokens(F.col(text_col))).alias("token")
+    ).agg(F.countDistinct("token").alias("vocab"))
+    scored = (
+        bigrams(docs, F.col(id_col).alias("doc_id"))
+        .join(F.broadcast(lm_big), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__logp",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("ctx"), F.lit(0)) + F.col("vocab"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("__logp"), 4).alias("mean_logprob"),
+    )

@@ -875,6 +875,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pipeline_bpe_merges",
     "x_pipeline_bpe_encode",
     "t_streaming_ann_assign",
+    "x_text_bigram_logprob",
+    "x_window_sliding_stats",
+    "j_full_outer_join",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -917,9 +920,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "p3_computed_projection",
     "l2_limit_probe",
     "x_ann_ivf_trained_topk",
-    "x_multimodal_stdlib_codecs",
-    "x_dedup_components",
-    "x_ann_pq_topk",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -931,9 +931,14 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # attested via j1 in r5) by the r6-new x_quality_gopher_rules;
     # x_contamination_ngram (r4-green) by the r6-new x_dedup_semantic_keep;
     # mixture_sample/seq_packing (r4-green) by the r6-new BPE pair;
-    # x_text_chunking (r4-green) by the r6-new t_streaming_ann_assign.
+    # x_text_chunking (r4-green) by the r6-new t_streaming_ann_assign;
+    # multimodal_stdlib/dedup_components/ann_pq_topk (r4-green) by the
+    # r6-new bigram-LM / sliding-stats / full-outer trio.
     "x_deterministic_sample",
     "x_text_chunking",
+    "x_multimodal_stdlib_codecs",
+    "x_dedup_components",
+    "x_ann_pq_topk",
     "s2_latest_per_key",
     "x_contamination_ngram",
     "x_pipeline_mixture_sample",

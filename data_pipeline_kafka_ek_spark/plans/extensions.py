@@ -12,6 +12,7 @@ tests/test_extensions.py.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_pipeline_kafka_ek_spark.operators import (
@@ -2938,3 +2939,103 @@ def _bpe_merges_cached(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
             _t(spark, sf_dir, "documents"), n_merges=n_merges
         )
     return _TRAINER_CACHE[key]
+
+
+@register(
+    "x_text_bigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    big AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+        SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
+        FROM tok
+      )
+    ),
+    lm AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c2) AS ctx FROM lm GROUP BY 1),
+    voc AS (
+      SELECT count(DISTINCT token) AS vocab
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    )
+    SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((COALESCE(l.c2, 0) + 1.0)::DOUBLE
+                        / (COALESCE(c.ctx, 0) + voc.vocab)::DOUBLE)), 4)
+             AS mean_logprob
+    FROM big b
+    LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+    LEFT JOIN ctx c ON b.w1 = c.w1
+    CROSS JOIN voc
+    GROUP BY b.doc_id
+    """,
+    survey_ids=("EXT-text",),
+    doc="mean bigram conditional log-prob per doc under an add-one-"
+    "smoothed corpus bigram LM — one order up the CCNet perplexity-"
+    "filter ladder from x_text_unigram_logprob (word-order-sensitive "
+    "where the unigram score is not); bigram/context tables broadcast "
+    "into a map-side pair join, one doc-keyed shuffle of slim rows",
+)
+def x_text_bigram_logprob(spark, sf_dir):
+    return text.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_window_sliding_stats",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 4) AS moving_avg,
+           round(min(value) OVER w, 4) AS moving_min,
+           round(max(value) OVER w, 4) AS moving_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    survey_ids=("A1",),
+    doc="bounded sliding-frame analytics (trailing-4 moving average/min/"
+    "max per key in event-time order) — the smoothing/alert-baseline "
+    "companion to x_window_running_total's unbounded frame; same "
+    "single-shuffle single-pass plan, the frame bound only changes the "
+    "per-row state the window operator keeps",
+)
+def x_window_sliding(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+        F.round(F.min("value").over(w), 4).alias("moving_min"),
+        F.round(F.max("value").over(w), 4).alias("moving_max"),
+    )
+
+
+@register(
+    "j_full_outer_join",
+    """
+    SELECT COALESCE(e.user_id, s.s_suppkey) AS key_id, e.event_id, s.s_name
+    FROM events e FULL OUTER JOIN supplier s ON e.user_id = s.s_suppkey
+    """,
+    survey_ids=("J1",),
+    doc="FULL OUTER stream-table join (ksqlDB supports INNER/LEFT/FULL "
+    "OUTER; the reference demo uses LEFT — this completes the join-type "
+    "matrix): unmatched events keep NULL dimension columns, unmatched "
+    "suppliers surface with NULL event columns, the coalesced key is "
+    "total. Full outer cannot broadcast either side — it plans as a "
+    "shuffle join on the key, which is the correct 100 TB shape",
+)
+def j_full_outer(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        e.join(s, e["user_id"] == s["s_suppkey"], "full_outer")
+        .select(
+            F.coalesce(e["user_id"], s["s_suppkey"]).alias("key_id"),
+            "event_id",
+            "s_name",
+        )
+    )
