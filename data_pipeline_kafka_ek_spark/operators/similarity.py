@@ -417,7 +417,10 @@ def ivf_centroids_lloyd(
         # the vector LEAST similar to its nearest chosen seed (ties: lowest
         # id) — covers well-separated clusters one seed each, which plain
         # lowest-id seeding does not
-        first = nv.orderBy("__vid").limit(1).collect()[0]
+        seed_rows = nv.orderBy("__vid").limit(1).collect()
+        if not seed_rows:
+            raise ValueError("cannot train a quantizer on an empty corpus")
+        first = seed_rows[0]
         cents: list[list[float]] = [rounded(first["__u"])]
         best = cos_to(unit_lit(cents[0]))
         for _ in range(1, n_cells):

@@ -91,3 +91,22 @@ def test_streaming_windowed_empty(spark, empty_events):
 
     assert runtime.windowed_counts(empty_events).count() == 0
     assert runtime.session_windowed_counts(empty_events).count() == 0
+
+
+def test_round6_operators_empty(spark, empty_docs, empty_emb):
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    # quality rules / LM scoring / BPE degrade to empty results
+    assert text_ops.gopher_rules(empty_docs).count() == 0
+    assert text_ops.bigram_logprob(empty_docs).count() == 0
+    assert text_ops.bpe_train_merges(empty_docs, n_merges=4) == []
+    assert text_ops.bpe_token_counts(empty_docs, []).count() == 0
+    # cell assignment with given centroids is a pure map — empty in/out
+    cents = [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62]
+    assert similarity.assign_cells(empty_emb, cents).count() == 0
+    assert (
+        similarity.semantic_dedup_pairs(empty_emb, centroids=cents).count() == 0
+    )
+    # the quantizer TRAINER on an empty corpus fails loud, not cryptic
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.ivf_centroids_lloyd(empty_emb, n_cells=2)

@@ -112,3 +112,67 @@ def test_simhash_matches_oracle_formula(text):
 @settings(max_examples=100, deadline=None)
 def test_simhash_batch_equals_scalar(texts):
     assert dedup._simhash64_batch(texts) == [dedup._simhash64(t) for t in texts]
+
+
+_BSON_SCALARS = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=20),
+)
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+        st.one_of(
+            _BSON_SCALARS,
+            st.lists(_BSON_SCALARS, max_size=4),
+            st.dictionaries(
+                st.text(alphabet="xyz", min_size=1, max_size=4),
+                _BSON_SCALARS,
+                max_size=3,
+            ),
+        ),
+        max_size=8,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bson_codec_roundtrips_generated_documents(doc):
+    """encode->decode is the identity for every document shape the Mongo
+    sink can emit (scalars, lists, nested docs, unicode keys/values)."""
+    from data_pipeline_kafka_ek_spark.streaming import mongo_wire as mw
+
+    assert mw.bson_decode_doc(mw.bson_encode_doc(doc)) == doc
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=3),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merges_never_expand_and_rank_monotone(spark, word_docs):
+    """BPE invariants over generated corpora: merge counts are
+    non-increasing with rank (a later merge can never be more frequent
+    than an earlier one was at selection time... weaker but always true:
+    every selected count is >= 1), and encoding with the learned table
+    never increases any document's token count."""
+    from data_pipeline_kafka_ek_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_docs)],
+        "doc_id long, text string",
+    )
+    merges = text_ops.bpe_train_merges(docs, n_merges=3)
+    assert all(m[3] >= 1 for m in merges)
+    rows = text_ops.bpe_token_counts(docs, merges).collect()
+    assert all(r.n_bpe_tokens <= r.n_base_symbols for r in rows)
+    assert all(r.n_bpe_tokens >= 1 for r in rows)
