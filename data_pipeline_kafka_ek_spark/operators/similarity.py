@@ -483,6 +483,7 @@ def ivf_topk_trained(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "list[list[float]] | None" = None,
 ) -> DataFrame:
     """IVF-flat with a TRAINED coarse quantizer: identical probe/re-rank
     plumbing as ``ivf_topk``, but cells come from deterministic spherical
@@ -490,9 +491,12 @@ def ivf_topk_trained(
     data-adaptive cells cover the corpus evenly, so the same candidate
     budget (n_probe/n_cells) buys higher recall (asserted in tests). The
     deterministic trainer makes this tier fully oracle-checkable: the
-    DuckDB oracle replays seeding + Lloyd iterations as unrolled CTEs."""
+    DuckDB oracle replays seeding + Lloyd iterations as unrolled CTEs.
+    ``centroids`` short-circuits training when the caller already holds
+    the (deterministic) trained quantizer."""
     spark = corpus.sparkSession
-    centroids = ivf_centroids_lloyd(corpus, n_cells, n_iter, id_col, vec_col)
+    if centroids is None:
+        centroids = ivf_centroids_lloyd(corpus, n_cells, n_iter, id_col, vec_col)
     piv = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "pid long, __pv array<double>"
     )

@@ -1415,7 +1415,8 @@ def x_ann_ivf(spark, sf_dir):
 def x_ann_ivf_trained(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk_trained(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=2, n_iter=2
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=2,
+        n_iter=2, centroids=_centroids_cached(spark, sf_dir),
     )
 
 
