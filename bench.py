@@ -67,6 +67,12 @@ def main() -> None:
     # total jump is added coverage, not regression; bench_compare still
     # gates per query)
     added_r04 = {"x_dedup_jaccard", "x_dedup_minhash_lsh"}
+    # r6 widened it again with three single-scan curation/analytics queries
+    added_r06 = {
+        "x_quality_gopher_rules",
+        "x_text_bigram_logprob",
+        "x_window_sliding_stats",
+    }
     print(
         json.dumps(
             {
@@ -76,10 +82,18 @@ def main() -> None:
                 "queries": timings,
                 "subtotals": {
                     "r03_comparable_set": round(
-                        sum(v for k, v in timings.items() if k not in added_r04), 3
+                        sum(
+                            v
+                            for k, v in timings.items()
+                            if k not in added_r04 | added_r06
+                        ),
+                        3,
                     ),
                     "added_in_r04": round(
                         sum(v for k, v in timings.items() if k in added_r04), 3
+                    ),
+                    "added_in_r06": round(
+                        sum(v for k, v in timings.items() if k in added_r06), 3
                     ),
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -2689,6 +2689,7 @@ def t_streaming_neardup(spark, sf_dir):
             AND alpha_frac >= 0.7 AND sym_frac <= 0.1 AND n_stop >= 2) AS keep
     FROM m
     """,
+    bench=True,
     survey_ids=("EXT-text",),
     doc="Gopher-style rule-based quality filter (arXiv:2112.11446 A1.1): "
     "per-rule boolean verdicts (word-count bounds, mean-word-length "
@@ -2970,6 +2971,7 @@ def _bpe_merges_cached(spark, sf_dir, n_merges: int = _BPE_N_MERGES):
     CROSS JOIN voc
     GROUP BY b.doc_id
     """,
+    bench=True,
     survey_ids=("EXT-text",),
     doc="mean bigram conditional log-prob per doc under an add-one-"
     "smoothed corpus bigram LM — one order up the CCNet perplexity-"
@@ -2992,6 +2994,7 @@ def x_text_bigram_logprob(spark, sf_dir):
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
+    bench=True,
     survey_ids=("A1",),
     doc="bounded sliding-frame analytics (trailing-4 moving average/min/"
     "max per key in event-time order) — the smoothing/alert-baseline "
