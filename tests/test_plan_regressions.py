@@ -128,3 +128,47 @@ def test_cohort_retention_is_single_pass(spark, sf_dir):
     plan = _plan(em.queries()["x_events_cohort_retention"](spark, sf_dir))
     assert plan.count("Scan parquet") <= 1, plan
     assert _shuffles(plan) <= 3, plan
+
+
+def test_round6_quality_ops_are_map_only(spark, sf_dir):
+    """The docstrings claim gopher rules and sliding stats are one-scan
+    plans: gopher fuses into the scan with ZERO shuffles; the sliding
+    window pays exactly its one partition-key shuffle."""
+    qs = em.queries()
+    g = _plan(qs["x_quality_gopher_rules"](spark, sf_dir))
+    assert _shuffles(g) == 0, g
+    assert g.count("Scan parquet") == 1
+    w = _plan(qs["x_window_sliding_stats"](spark, sf_dir))
+    assert _shuffles(w) == 1, w
+
+
+def test_bigram_lm_broadcasts_count_tables(spark, sf_dir):
+    """The bigram/context/vocab tables must broadcast into the scoring
+    join (they are vocabulary-bounded); the only non-broadcast shuffles
+    are the LM-count groupBys and the final doc-keyed aggregation."""
+    p = _plan(em.queries()["x_text_bigram_logprob"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_semantic_dedup_joins_are_bounded(spark, sf_dir):
+    """SemDeDup's scale contract: the centroid table broadcasts, the
+    candidate stage is an equi-join on the cell id — no cartesian
+    product may appear anywhere in the plan."""
+    p = _plan(em.queries()["x_dedup_semantic"](spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    # the only nested-loops allowed are the broadcasts of the tiny 8-row
+    # centroid table into the assignment scan (the assign subtree appears
+    # once per side of the pair self-join); the pair stage itself must be
+    # a hash join on the cell id
+    assert p.count("BroadcastNestedLoopJoin") <= 2, p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_full_outer_join_plans_as_shuffle_join(spark, sf_dir):
+    """FULL OUTER cannot broadcast either side — it must plan as a
+    shuffle join on the key (the shape that scales), never a nested
+    loop."""
+    p = _plan(em.queries()["j_full_outer_join"](spark, sf_dir))
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) .*FullOuter", p), p
+    assert "NestedLoop" not in p, p
