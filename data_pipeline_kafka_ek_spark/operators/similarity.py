@@ -952,6 +952,9 @@ def semantic_dedup_pairs(
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     piv_d = F.transform("__pv", lambda x: x.cast("double"))
     w = Window.partitionBy(id_col).orderBy(F.desc("__psim"), F.asc("pid"))
+    # persisted: both sides of the pair self-join read the assignment, so
+    # without this the corpus would be scanned and assigned twice (the
+    # same one-materialization pattern the token-set dedup ops use)
     assign = (
         corpus.select(id_col, vec_col)
         .join(piv)
@@ -959,6 +962,7 @@ def semantic_dedup_pairs(
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(F.col(id_col), F.col(vec_col), F.col("pid").alias("cell"))
+        .persist()
     )
     a = assign.select(
         F.col(id_col).alias("left_id"), F.col(vec_col).alias("__lv"), "cell"

@@ -13,7 +13,7 @@ path must never drop into per-row Python:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # a small English stopword set (public-domain list prefix)
@@ -867,4 +867,61 @@ def bigram_logprob(
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("__logp"), 4).alias("mean_logprob"),
+    )
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    weights: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """Token-budgeted mixture planning: given a target training budget and
+    per-source mixture weights (default: uniform across observed sources),
+    report for each source its inventory (docs, whitespace tokens), its
+    budget allocation, and the deterministic sampling rate that hits it —
+    ``rate = min(1, allocation / available)``, with ``undersupplied``
+    flagging sources whose inventory cannot fill their allocation (the
+    signal to re-weight or up-sample). This is the planning step that
+    precedes ``mixture_sample``'s hash-based execution.
+
+    Scale shape: one scan, one source-keyed partial-aggregated shuffle of
+    (source, count, sum) partials; the weight table is a literal map. No
+    UDF, no collect.
+    """
+    counts = (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " ")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    if weights is None:
+        n_sources = F.count(F.lit(1)).over(Window.partitionBy())
+        weight = 1.0 / n_sources
+    else:
+        weight = F.lit(None).cast("double")
+        for src, wgt in sorted(weights.items()):
+            weight = F.when(F.col("source") == src, F.lit(wgt)).otherwise(weight)
+    alloc = F.round(F.lit(float(budget_tokens)) * F.col("weight"), 4)
+    return (
+        counts.withColumn("weight", F.round(weight, 6))
+        .withColumn("token_allocation", alloc)
+        .withColumn(
+            "sampling_rate",
+            F.round(
+                F.least(F.lit(1.0), F.col("token_allocation") / F.col("n_tokens")),
+                6,
+            ),
+        )
+        .withColumn(
+            "undersupplied", F.col("n_tokens") < F.col("token_allocation")
+        )
+        .select(
+            "source", "n_docs", "n_tokens", "weight", "token_allocation",
+            "sampling_rate", "undersupplied",
+        )
     )

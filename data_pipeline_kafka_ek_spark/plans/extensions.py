@@ -3043,3 +3043,35 @@ def j_full_outer(spark, sf_dir):
             "s_name",
         )
     )
+
+
+@register(
+    "x_pipeline_token_budget",
+    """
+    WITH counts AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    n AS (SELECT count(*) AS n_sources FROM counts)
+    SELECT source, n_docs, n_tokens,
+           round(1.0 / n.n_sources, 6) AS weight,
+           round(100000.0 * (1.0 / n.n_sources), 4) AS token_allocation,
+           round(least(1.0, 100000.0 * (1.0 / n.n_sources) / n_tokens), 6)
+             AS sampling_rate,
+           (n_tokens < 100000.0 * (1.0 / n.n_sources)) AS undersupplied
+    FROM counts CROSS JOIN n
+    """,
+    survey_ids=("EXT-pipeline",),
+    doc="token-budgeted mixture PLANNING: per-source inventory (docs, "
+    "whitespace tokens), uniform-weight allocation of a 100k-token "
+    "budget, and the sampling rate that hits it, with undersupplied "
+    "sources flagged — the planning step that precedes "
+    "x_pipeline_mixture_sample's hash-based execution; one scan, one "
+    "source-keyed partial-aggregated shuffle",
+)
+def x_pipeline_token_budget(spark, sf_dir):
+    return text.token_budget_plan(
+        _t(spark, sf_dir, "documents"), budget_tokens=100_000
+    )
