@@ -879,6 +879,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_window_sliding_stats",
     "j_full_outer_join",
     "x_pipeline_token_budget",
+    "t_streaming_kmv_distinct",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -918,7 +919,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # last driver-green r4 — one round fresher than the r3 tier; 15 of the
     # 16 fit in the remaining slots (j_anti_join waits one round: its
     # in-window sibling j_semi_join exercises the same join machinery)
-    "l2_limit_probe",
     "x_ann_ivf_trained_topk",
 )
 
@@ -935,9 +935,11 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # multimodal_stdlib/dedup_components/ann_pq_topk (r4-green) by the
     # r6-new bigram-LM / sliding-stats / full-outer trio;
     # p3_computed_projection (r4-green, r5-local-green) by the r6-new
-    # x_pipeline_token_budget.
+    # x_pipeline_token_budget; l2_limit_probe (r4-green) by the r6-new
+    # t_streaming_kmv_distinct.
     "x_deterministic_sample",
     "p3_computed_projection",
+    "l2_limit_probe",
     "x_text_chunking",
     "x_multimodal_stdlib_codecs",
     "x_dedup_components",

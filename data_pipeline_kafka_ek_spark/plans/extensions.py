@@ -3075,3 +3075,49 @@ def x_pipeline_token_budget(spark, sf_dir):
     return text.token_budget_plan(
         _t(spark, sf_dir, "documents"), budget_tokens=100_000
     )
+
+
+@register(
+    "t_streaming_kmv_distinct",
+    """
+    WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS v FROM events),
+    hashed AS (SELECT grp, md5(CAST(v AS VARCHAR)) AS h FROM vals),
+    topk AS (
+      SELECT grp, h FROM (
+        SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        FROM hashed)
+      WHERE rn <= 64),
+    pg AS (SELECT grp, count(*) AS n_sketch, max(h) AS hk FROM topk GROUP BY grp),
+    nrows AS (SELECT event_type AS grp, count(*) AS rows_seen FROM events GROUP BY 1)
+    SELECT pg.grp, CAST(pg.n_sketch AS BIGINT) AS n_sketch,
+           CAST(round(CASE WHEN pg.n_sketch < 64 THEN pg.n_sketch * 1.0
+                ELSE 63.0 / (('0x' || substr(pg.hk, 1, 15))::UBIGINT
+                             / power(16, 15))
+                END) AS BIGINT) AS kmv_estimate,
+           CAST(nrows.rows_seen AS BIGINT) AS rows_seen
+    FROM pg JOIN nrows ON pg.grp = nrows.grp
+    """,
+    survey_ids=("T1", "A1", "EXT-sketch", "EXT-streaming"),
+    doc="streaming COUNT(DISTINCT) via a KMV sketch automaton: per "
+    "event_type the state is the 64 smallest value hashes EVER — bounded "
+    "forever regardless of stream volume, the mergeable-sketch answer to "
+    "distinct counting that exact streaming state cannot give; the "
+    "sketch merge is commutative and idempotent, so the final state is "
+    "replay-order-invariant and hash-matches the batch SQL oracle "
+    "(same estimator as x_sketch_kmv_distinct); final revision selected "
+    "by max rows_seen, which strictly grows per emission",
+)
+def t_streaming_kmv(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events")
+    stream = srt.replayed_stream(spark, e, n_slices=4, order_col="ts")
+    revisions = srt.run_available_now(
+        srt.kmv_distinct_stateful(stream), output_mode="update"
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("rows_seen"))
+    return (
+        revisions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("grp", "n_sketch", "kmv_estimate", "rows_seen")
+    )

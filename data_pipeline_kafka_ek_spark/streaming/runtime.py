@@ -565,3 +565,71 @@ def stream_neardup_minhash(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kmv_distinct_stateful(
+    stream_df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming KMV distinct-count — the mergeable-sketch answer to
+    COUNT(DISTINCT) over an unbounded stream, as an
+    ``applyInPandasWithState`` automaton keyed by ``group_col``.
+
+    State per key is the k smallest md5 hashes of values seen so far
+    (the KMV invariant: a dropped hash can never re-enter because the
+    k-th-smallest threshold only moves down) plus a row counter — at
+    most k * 32 hex chars per key, FOREVER, regardless of stream volume;
+    that boundedness is the whole point versus exact distinct state.
+    Because the sketch is a commutative/idempotent merge, the final
+    state is replay-order-invariant — which is what lets the id-ordered
+    streaming run hash-match a plain batch SQL oracle. Each batch emits
+    the key's current ``(n_sketch, kmv_estimate, rows_seen)`` revision;
+    ``rows_seen`` strictly grows per emission, so max(rows_seen) selects
+    the final estimate downstream. The estimator and the hash mapping
+    are identical to ``operators/sketches.py::kmv_distinct`` (estimate =
+    (k-1)/frac(h_k) once the sketch fills; half-up rounding to match the
+    SQL oracle's round()).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "grp string, n_sketch long, kmv_estimate long, rows_seen long"
+    state_schema = "hashes array<string>, rows long"
+
+    def update(key_tuple, pdfs, state):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        hashes, rows = state.get if state.exists else ([], 0)
+        hs = set(hashes)
+        for pdf in pdfs:
+            rows += len(pdf)
+            for v in pdf[value_col]:
+                hs.add(hashlib.md5(str(v).encode()).hexdigest())
+        top = sorted(hs)[:k]
+        state.update((top, rows))
+        n = len(top)
+        if n < k:
+            est = n
+        else:
+            frac = int(top[-1][:15], 16) / float(16**15)
+            est = int(math.floor((k - 1) / frac + 0.5))
+        yield pd.DataFrame(
+            {
+                "grp": [str(key_tuple[0])],
+                "n_sketch": [n],
+                "kmv_estimate": [est],
+                "rows_seen": [rows],
+            }
+        )
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1178,3 +1178,53 @@ def test_streaming_ann_assignment_equals_batch(spark, sf_dir):
     }
     assert got == batch
     assert len({c for c, _ in got.values()}) > 1  # cells actually used
+
+
+def test_streaming_kmv_state_is_bounded_and_order_invariant(spark):
+    """The KMV automaton's defining properties: (a) the sketch never holds
+    more than k hashes no matter how many distinct values stream through;
+    (b) the final estimate is replay-order-invariant (mergeable sketch);
+    (c) under-filled sketches count exactly."""
+    import pyspark.sql.functions as SF
+
+    k = 8
+    rows = [(i, f"t{i % 3}", i % 200) for i in range(1000)]
+    df = spark.createDataFrame(rows, "seq long, event_type string, user_id long")
+
+    def final_counts(order_col):
+        stream = runtime.replayed_stream(spark, df, n_slices=4, order_col=order_col)
+        rev = runtime.run_available_now(
+            runtime.kmv_distinct_stateful(stream, k=k), output_mode="update"
+        )
+        w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "grp"
+        ).orderBy(SF.desc("rows_seen"))
+        return {
+            r.grp: (r.n_sketch, r.kmv_estimate, r.rows_seen)
+            for r in rev.withColumn("__rn", SF.row_number().over(w))
+            .filter(SF.col("__rn") == 1)
+            .collect()
+        }
+
+    fwd = final_counts("seq")
+    assert set(fwd) == {"t0", "t1", "t2"}
+    for grp, (n_sketch, est, rows_seen) in fwd.items():
+        assert n_sketch <= k          # state bounded by construction
+        assert rows_seen in (333, 334)
+        # ~67 distinct users per type with k=8: estimate within 4x is the
+        # sanity band (k=8 is deliberately tiny; accuracy scales with k)
+        assert 10 <= est <= 300, fwd
+    # replay in a different order -> identical final sketches
+    rev = final_counts("user_id")
+    assert rev == fwd
+
+    # under-filled sketch is exact: 3 distinct users only
+    small = spark.createDataFrame(
+        [(i, "a", i % 3) for i in range(50)], "seq long, event_type string, user_id long"
+    )
+    stream = runtime.replayed_stream(spark, small, n_slices=2, order_col="seq")
+    out = runtime.run_available_now(
+        runtime.kmv_distinct_stateful(stream, k=8), output_mode="update"
+    )
+    last = max(out.collect(), key=lambda r: r.rows_seen)
+    assert (last.n_sketch, last.kmv_estimate) == (3, 3)
