@@ -849,11 +849,16 @@ def h5(spark, sf_dir):
 #              r3-green rotated-out queries with no per-round bench
 #              coverage. OUTCOME: 50/50 green (CORRECTNESS_r05.json).
 #   r6 window (this round): the 5 queries registered after the r5 window
-#              filled (never attested) go first, then every query whose
-#              last green row is r3 (twins, displaced set, bench-flagged
-#              set), then 13 of the 16 r4-greens. Demoted: the whole
-#              r5-green window plus j_semi_join/j_anti_join. New r6 queries are inserted right after the
-#              never-attested tier as they register.
+#              filled (never attested) go first, then the 14 r6-new
+#              queries as they registered (semantic dedup pair/keep,
+#              streaming neardup/ann-assign/kmv, gopher rules, BPE
+#              train+encode, bigram LM, sliding stats, full outer,
+#              token budget, trained-PQ, xxhash64 minhash), then the
+#              r3-green tier (twins, displaced set, bench-flagged set),
+#              then the r4-greens that still fit. Demoted: the whole
+#              r5-green window plus the r4-greens displaced one-for-one
+#              by each r6-new registration (each is named at the top of
+#              DRIVER_DEMOTED).
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-attested — registered after the r5 window filled; the
