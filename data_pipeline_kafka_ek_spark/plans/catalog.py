@@ -885,6 +885,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "j_full_outer_join",
     "x_pipeline_token_budget",
     "t_streaming_kmv_distinct",
+    "x_pipeline_corpus_prep_v2",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -924,7 +925,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # last driver-green r4 — one round fresher than the r3 tier; 15 of the
     # 16 fit in the remaining slots (j_anti_join waits one round: its
     # in-window sibling j_semi_join exercises the same join machinery)
-    "x_ann_ivf_trained_topk",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -941,8 +941,10 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # r6-new bigram-LM / sliding-stats / full-outer trio;
     # p3_computed_projection (r4-green, r5-local-green) by the r6-new
     # x_pipeline_token_budget; l2_limit_probe (r4-green) by the r6-new
-    # t_streaming_kmv_distinct.
+    # t_streaming_kmv_distinct; x_ann_ivf_trained_topk (r4-green) by the
+    # r6-new x_pipeline_corpus_prep_v2.
     "x_deterministic_sample",
+    "x_ann_ivf_trained_topk",
     "p3_computed_projection",
     "l2_limit_probe",
     "x_text_chunking",

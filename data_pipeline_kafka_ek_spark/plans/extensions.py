@@ -3121,3 +3121,116 @@ def t_streaming_kmv(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("grp", "n_sketch", "kmv_estimate", "rows_seen")
     )
+
+
+_GOPHER_KEEP_CTE = """gq AS (
+      SELECT doc_id,
+             ((n >= 10 AND n <= 100000)
+              AND (mean_len >= 2.0 AND mean_len <= 12.0)
+              AND alpha_frac >= 0.7 AND sym_frac <= 0.1 AND n_stop >= 2)
+               AS keep
+      FROM (
+        SELECT doc_id, n,
+               (length(text) - (n-1))*1.0/n AS mean_len,
+               len(list_filter(s, x -> regexp_matches(x, '[A-Za-z]')))*1.0/n
+                 AS alpha_frac,
+               len(list_filter(s, x -> x IN ('#','...')))*1.0/n AS sym_frac,
+               len(list_intersect(list_distinct(s),
+                   ['the','a','an','and','or','of','to','in','is','it']))
+                 AS n_stop
+        FROM (SELECT doc_id, text, string_split(text,' ') AS s,
+                     len(string_split(text,' ')) AS n
+              FROM documents)
+      )
+    )"""
+
+
+@register(
+    "x_pipeline_corpus_prep_v2",
+    f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    {_lloyd_centroids_cte(n_cells=8, n_iter=2)},
+    ca AS (
+      SELECT v.vec_id, v.e, piv.pid,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.e, piv.pe) DESC, piv.pid ASC
+             ) AS rn
+      FROM v CROSS JOIN piv
+    ),
+    assign AS (SELECT vec_id, e, pid AS cell FROM ca WHERE rn = 1),
+    spairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS w
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+    ),
+    sym AS (SELECT u, w FROM spairs UNION SELECT w, u FROM spairs),
+    reach AS (
+      SELECT u, w FROM sym
+      UNION
+      SELECT r.u, s.w FROM reach r JOIN sym s ON r.w = s.u
+    ),
+    comp AS (SELECT u AS vec_id, least(u, min(w)) AS component
+             FROM reach GROUP BY u),
+    keepstat AS (
+      SELECT d.vec_id,
+             CASE WHEN c.component IS NULL THEN 'unique'
+                  WHEN c.component = d.vec_id THEN 'representative'
+                  ELSE 'duplicate' END AS status
+      FROM embeddings d LEFT JOIN comp c ON d.vec_id = c.vec_id
+    ),
+    {_GOPHER_KEEP_CTE},
+    kept AS (
+      SELECT doc.source, doc.text
+      FROM documents doc
+      JOIN gq ON doc.doc_id = gq.doc_id
+      JOIN keepstat ks ON doc.doc_id = ks.vec_id
+      WHERE gq.keep AND ks.status <> 'duplicate'
+    ),
+    counts AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM kept GROUP BY source
+    ),
+    n AS (SELECT count(*) AS n_sources FROM counts)
+    SELECT source, n_docs, n_tokens,
+           round(1.0 / n.n_sources, 6) AS weight,
+           round(50000.0 * (1.0 / n.n_sources), 4) AS token_allocation,
+           round(least(1.0, 50000.0 * (1.0 / n.n_sources) / n_tokens), 6)
+             AS sampling_rate,
+           (n_tokens < 50000.0 * (1.0 / n.n_sources)) AS undersupplied
+    FROM counts CROSS JOIN n
+    """,
+    survey_ids=("EXT-pipeline", "EXT-dedup", "EXT-text"),
+    doc="the round-6 corpus-prep composition, end to end in ONE oracle-"
+    "checked query: Gopher rule filtering (keep only) -> SemDeDup keep "
+    "list over the documents' embeddings (drop semantic duplicates, "
+    "doc_id = vec_id in the fixture) -> token-budgeted mixture plan for "
+    "the surviving corpus (50k budget, uniform source weights). "
+    "Cross-modal join rides the shared id; every stage is an operator "
+    "already attested in isolation, and the composition stays one plan",
+)
+def x_pipeline_corpus_prep_v2(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    g = text.gopher_rules(docs).select("doc_id", "keep")
+    pairs = similarity.semantic_dedup_pairs(
+        emb, n_cells=8, n_iter=2, threshold=0.4,
+        centroids=_centroids_cached(spark, sf_dir),
+    )
+    sem = dedup.dedup_keep_list(
+        emb.select(F.col("vec_id").alias("doc_id")),
+        pairs.select(
+            F.col("left_id").alias("doc_a"), F.col("right_id").alias("doc_b")
+        ),
+    ).select("doc_id", "status")
+    kept = (
+        docs.join(g, "doc_id")
+        .join(sem, "doc_id")
+        .filter(F.col("keep") & (F.col("status") != "duplicate"))
+        .select("doc_id", "source", "text")
+    )
+    return text.token_budget_plan(kept, budget_tokens=50_000)
