@@ -392,3 +392,33 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     finally:
         for k, v in restore.items():
             spark.conf.set(k, v)
+
+
+def test_ivf_cells_as_partition_keys_prune_the_ann_scan(spark, sf_dir, tmp_path):
+    """The ANN at-rest layout: corpus vectors written partitioned by their
+    trained IVF cell make a probe query read ONLY the probed cells'
+    directories (PartitionFilters at the scan, like any date-partitioned
+    fact table) — at 100 TB of vectors this is the difference between
+    scanning the corpus and scanning n_probe/n_cells of it. Result
+    equality against the unpartitioned corpus is asserted."""
+    from data_pipeline_kafka_ek_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids_lloyd(emb, 8, 2)
+    assigned = similarity.assign_cells(emb, cents).select("vec_id", "cell")
+    out = str(tmp_path / "emb_by_cell")
+    emb.join(assigned, "vec_id").write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(out)
+
+    probed = [0, 3]  # pretend the query's 2 nearest cells
+    df = spark.read.parquet(out).filter(F.col("cell").isin(probed))
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200], plan
+    n_dirs = len(glob.glob(os.path.join(out, "cell=*")))
+    assert n_dirs > 2  # layout really is cell-partitioned
+    expected = {
+        r.vec_id for r in assigned.filter(F.col("cell").isin(probed)).collect()
+    }
+    assert {r.vec_id for r in df.collect()} == expected and expected
