@@ -100,9 +100,17 @@ def _int_token_sets(sets: DataFrame) -> DataFrame:
     array. Jaccard is invariant under any token bijection, so the verify
     joins can intersect 8-byte ints instead of strings — measured ~40%
     off the candidate-verify stage at 3M pairs, with bit-identical
-    output values. The id assignment is a single vocab-sized window
-    (same bounded-by-vocabulary shape as the LM count tables); determinism
-    matters so a recomputed partition reassigns identical ids.
+    output values.
+
+    Id assignment here is a single vocab-sized window — fine while the
+    vocabulary fits one task (fixture through mid scale). At 100 TB the
+    dictionary is not a per-query artifact at all: it is a PERSISTED lake
+    table (token -> id) maintained at ingest alongside the corpus, and
+    the verify stage just joins it — the same pattern warehouses use for
+    dictionary-encoded columns. Determinism of the assignment matters
+    either way: a recomputed partition must reassign identical ids, which
+    row_number over the sorted vocabulary (or a persisted table) gives
+    and a zipWithIndex-style offset scheme does not.
     """
     from pyspark.sql import Window
 
