@@ -925,3 +925,38 @@ def token_budget_plan(
             "sampling_rate", "undersupplied",
         )
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, arXiv:2302.03169): score every document by the log importance
+    ratio between a TARGET-domain unigram LM and the general-corpus LM,
+    ``log_ratio = mean ln p_target(tok) - mean ln p_corpus(tok)`` — 
+    documents that look more like the target domain than like the corpus
+    at large score positive and are preferentially selected. Both LMs are
+    the same add-one-smoothed estimator as ``unigram_logprob``, so the
+    whole scorer inherits its determinism and scale shape (vocab-bounded
+    count tables broadcast into one token-explode join each; two
+    doc-keyed shuffles of slim rows, joined on the doc id).
+
+    Returns ``(doc_id, target_logprob, corpus_logprob, log_ratio,
+    selected)`` with ``selected = log_ratio > 0`` (the hard-threshold
+    variant; production DSIR samples proportionally to the ratio).
+    """
+    under_target = unigram_logprob(docs, lm_docs=target, text_col=text_col, id_col=id_col).select(
+        "doc_id", F.col("mean_logprob").alias("target_logprob")
+    )
+    under_corpus = unigram_logprob(docs, text_col=text_col, id_col=id_col).select(
+        "doc_id", F.col("mean_logprob").alias("corpus_logprob")
+    )
+    lr = F.round(F.col("target_logprob") - F.col("corpus_logprob"), 4)
+    return (
+        under_target.join(under_corpus, "doc_id")
+        .withColumn("log_ratio", lr)
+        .withColumn("selected", F.col("log_ratio") > 0)
+    )

@@ -886,6 +886,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pipeline_token_budget",
     "t_streaming_kmv_distinct",
     "x_pipeline_corpus_prep_v2",
+    "x_pipeline_dsir_select",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -908,7 +909,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_text_repetition",
     "x_text_langid",
     "x_ann_lsh_bucketed",
-    "x_embedding_quantize",
     # then the r3-green bench-flagged set (bench.py re-measures these every
     # round, so they carried continuous — if weaker — per-round evidence):
     "h1_pricing_summary",
@@ -942,9 +942,11 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # p3_computed_projection (r4-green, r5-local-green) by the r6-new
     # x_pipeline_token_budget; l2_limit_probe (r4-green) by the r6-new
     # t_streaming_kmv_distinct; x_ann_ivf_trained_topk (r4-green) by the
-    # r6-new x_pipeline_corpus_prep_v2.
+    # r6-new x_pipeline_corpus_prep_v2; x_embedding_quantize (r3-green,
+    # r5-local-green) by the r6-new x_pipeline_dsir_select.
     "x_deterministic_sample",
     "x_ann_ivf_trained_topk",
+    "x_embedding_quantize",
     "p3_computed_projection",
     "l2_limit_probe",
     "x_text_chunking",

@@ -3234,3 +3234,51 @@ def x_pipeline_corpus_prep_v2(spark, sf_dir):
         .select("doc_id", "source", "text")
     )
     return text.token_budget_plan(kept, budget_tokens=50_000)
+
+
+@register(
+    "x_pipeline_dsir_select",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tlm AS (
+      SELECT token, count(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE lang = 'en') GROUP BY token
+    ),
+    ttot AS (SELECT sum(c) AS total, count(*) AS vocab FROM tlm),
+    clm AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    ctot AS (SELECT sum(c) AS total, count(*) AS vocab FROM clm),
+    tscore AS (
+      SELECT t.doc_id,
+             round(avg(ln((COALESCE(l.c, 0) + 1.0)::DOUBLE
+                          / (ttot.total + ttot.vocab)::DOUBLE)), 4)
+               AS target_logprob
+      FROM tok t LEFT JOIN tlm l USING (token) CROSS JOIN ttot
+      GROUP BY t.doc_id
+    ),
+    cscore AS (
+      SELECT t.doc_id,
+             round(avg(ln((COALESCE(l.c, 0) + 1.0)::DOUBLE
+                          / (ctot.total + ctot.vocab)::DOUBLE)), 4)
+               AS corpus_logprob
+      FROM tok t LEFT JOIN clm l USING (token) CROSS JOIN ctot
+      GROUP BY t.doc_id
+    )
+    SELECT t.doc_id, t.target_logprob, c.corpus_logprob,
+           round(t.target_logprob - c.corpus_logprob, 4) AS log_ratio,
+           (round(t.target_logprob - c.corpus_logprob, 4) > 0) AS selected
+    FROM tscore t JOIN cscore c ON t.doc_id = c.doc_id
+    """,
+    survey_ids=("EXT-pipeline", "EXT-text"),
+    doc="DSIR-style data selection (arXiv:2302.03169): every document "
+    "scored by the log importance ratio between a target-domain unigram "
+    "LM (here: the lang='en' subset) and the general-corpus LM — "
+    "positive ratio means more target-like than corpus-typical, the "
+    "signal importance resampling selects on; two broadcast LM joins, "
+    "two doc-keyed shuffles, deterministic end to end",
+)
+def x_pipeline_dsir(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.dsir_importance(docs, docs.filter(F.col("lang") == "en"))
