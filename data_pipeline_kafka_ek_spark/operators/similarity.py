@@ -941,27 +941,28 @@ def semantic_dedup_pairs(
     the all-pairs twin (``cosine_pairs``) stays the labeled oracle
     baseline.
     """
-    spark = corpus.sparkSession
     if centroids is None:
         centroids = ivf_centroids_lloyd(corpus, n_cells, n_iter, id_col, vec_col)
-    piv = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], "pid long, __pv array<double>"
-        )
+    # assignment is the same shuffle-free literal-argmax expression as
+    # ``assign_cells`` — centroids ride in as codegen literals and
+    # array_position picks the FIRST max, i.e. the lowest cell id on
+    # ties, exactly the oracle's (sim DESC, pid ASC) rank-1 row. (An
+    # earlier version cross-joined an 8-row centroid table and ranked
+    # with a per-id window: an n_cells-times row blow-up plus a full
+    # shuffle for a decision one row-local expression makes.)
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
     )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    piv_d = F.transform("__pv", lambda x: x.cast("double"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("__psim"), F.asc("pid"))
+    sims = F.transform(
+        cent_arr, lambda c: _dot(c, vec_d) / (_norm(c) * _norm(vec_d))
+    )
+    cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("long")
     # persisted: both sides of the pair self-join read the assignment, so
     # without this the corpus would be scanned and assigned twice (the
     # same one-materialization pattern the token-set dedup ops use)
     assign = (
-        corpus.select(id_col, vec_col)
-        .join(piv)
-        .withColumn("__psim", _dot(piv_d, vec_d) / (_norm(piv_d) * _norm(vec_d)))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("pid").alias("cell"))
+        corpus.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
         .persist()
     )
     a = assign.select(

@@ -883,7 +883,8 @@ def token_budget_plan(
     budget allocation, and the deterministic sampling rate that hits it —
     ``rate = min(1, allocation / available)``, with ``undersupplied``
     flagging sources whose inventory cannot fill their allocation (the
-    signal to re-weight or up-sample). This is the planning step that
+    signal to re-weight or up-sample). Sources absent from an explicit
+    ``weights`` table get weight 0 (excluded on purpose, visibly). This is the planning step that
     precedes ``mixture_sample``'s hash-based execution.
 
     Scale shape: one scan, one source-keyed partial-aggregated shuffle of
@@ -901,25 +902,27 @@ def token_budget_plan(
     )
     if weights is None:
         n_sources = F.count(F.lit(1)).over(Window.partitionBy())
-        weight = 1.0 / n_sources
+        weight_exact = F.lit(1.0) / n_sources
     else:
-        weight = F.lit(None).cast("double")
+        # a source the caller left out of an explicit weight table gets a
+        # ZERO allocation (deliberately excluded), never a silent NULL row
+        weight_exact = F.lit(0.0)
         for src, wgt in sorted(weights.items()):
-            weight = F.when(F.col("source") == src, F.lit(wgt)).otherwise(weight)
-    alloc = F.round(F.lit(float(budget_tokens)) * F.col("weight"), 4)
+            weight_exact = F.when(
+                F.col("source") == src, F.lit(float(wgt))
+            ).otherwise(weight_exact)
+    # derive everything from the EXACT weight; rounding is display-only
+    # (deriving from the rounded weight drifts whenever 1/n_sources does
+    # not terminate at 6 decimals)
+    alloc_exact = F.lit(float(budget_tokens)) * weight_exact
     return (
-        counts.withColumn("weight", F.round(weight, 6))
-        .withColumn("token_allocation", alloc)
+        counts.withColumn("weight", F.round(weight_exact, 6))
+        .withColumn("token_allocation", F.round(alloc_exact, 4))
         .withColumn(
             "sampling_rate",
-            F.round(
-                F.least(F.lit(1.0), F.col("token_allocation") / F.col("n_tokens")),
-                6,
-            ),
+            F.round(F.least(F.lit(1.0), alloc_exact / F.col("n_tokens")), 6),
         )
-        .withColumn(
-            "undersupplied", F.col("n_tokens") < F.col("token_allocation")
-        )
+        .withColumn("undersupplied", F.col("n_tokens") < alloc_exact)
         .select(
             "source", "n_docs", "n_tokens", "weight", "token_allocation",
             "sampling_rate", "undersupplied",

@@ -84,20 +84,35 @@ def compact_table(
     directory-partitioning if ``partition_cols`` is given. Returns the
     number of output files written.
 
-    Write is staged next to the table and atomically swapped by rename,
-    so a concurrent reader sees either the old or the new layout, never
-    a half-compacted one. (Table-format transactionality — Delta/Iceberg
-    — is the production answer; this is the plain-parquet equivalent.)
+    The rewrite is staged next to the table and swapped in by two
+    renames, so a reader never observes a HALF-compacted table — but the
+    swap is not atomic: there is a brief window between the renames with
+    no directory at the canonical path, and a crash inside it leaves the
+    data at ``path + "__compact_old"``. Plain parquet cannot do better
+    (POSIX has no directory exchange); table formats (Delta/Iceberg) are
+    the production answer when readers must never miss. Leftover stage/
+    old directories from a crashed prior run are cleaned up on entry, so
+    a failed compaction never wedges the next one.
     """
     import glob as _glob
     import os as _os
     import shutil as _shutil
 
+    stage_dir = path.rstrip("/") + "__compact_stage"
+    old_dir = path.rstrip("/") + "__compact_old"
+    for leftover in (stage_dir, old_dir):
+        if _os.path.exists(leftover):
+            if not _os.path.exists(path) and leftover == old_dir:
+                # prior run crashed mid-swap: restore the table first
+                _os.rename(old_dir, path)
+            else:
+                _shutil.rmtree(leftover, ignore_errors=True)
+
     files = _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
     total_bytes = sum(_os.path.getsize(f) for f in files)
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    stage = path.rstrip("/") + "__compact_stage"
+    stage = stage_dir
     if partition_cols:
         # cluster rows by their partition value so every directory gets a
         # handful of full files instead of one sliver per shuffle task
@@ -108,10 +123,9 @@ def compact_table(
     else:
         writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(stage)
-    old = path.rstrip("/") + "__compact_old"
-    _os.rename(path, old)
+    _os.rename(path, old_dir)
     _os.rename(stage, path)
-    _shutil.rmtree(old, ignore_errors=True)
+    _shutil.rmtree(old_dir, ignore_errors=True)
     return len(
         _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
     )

@@ -10,7 +10,8 @@ Elasticsearch egress:
 
 * ``bson_encode_doc`` / ``bson_decode_doc`` — the BSON subset the sink's
   documents need (double, string, embedded doc, array, bool, UTC
-  datetime, null, int64), per the public BSON spec (bsonspec.org).
+  datetime, null, int64; int32 on decode — a real mongod encodes
+  reply counters that way), per the public BSON spec (bsonspec.org).
 * ``op_msg`` / ``parse_op_msg`` — OP_MSG (opcode 2013) framing with one
   kind-0 body section, the only message modern MongoDB speaks.
 * ``upsert_command`` — the ``update`` command with ``upsert: true`` per
@@ -39,6 +40,7 @@ _T_ARRAY = 0x04
 _T_BOOL = 0x08
 _T_DATETIME = 0x09
 _T_NULL = 0x0A
+_T_INT32 = 0x10
 _T_INT64 = 0x12
 
 _OP_MSG = 2013
@@ -97,6 +99,10 @@ def _decode_value(buf: bytes, pos: int, tag: int):
         return None, pos
     if tag == _T_BOOL:
         return buf[pos] == 1, pos + 1
+    if tag == _T_INT32:
+        # a real mongod encodes small counters (ok-adjacent n/nModified)
+        # as int32 — decode both widths even though we always emit int64
+        return struct.unpack_from("<i", buf, pos)[0], pos + 4
     if tag == _T_INT64:
         return struct.unpack_from("<q", buf, pos)[0], pos + 8
     if tag == _T_DOUBLE:
@@ -154,15 +160,19 @@ def parse_op_msg(buf: bytes) -> tuple[int, int, dict]:
 
 
 def upsert_command(db: str, collection: str, docs: list[dict]) -> dict:
-    """The connector's delivery as a wire command: replace-by-``_id`` with
-    ``upsert: true`` for every document — retries converge (idempotent)."""
+    """The connector's delivery as a wire command: REPLACE-by-``_id`` with
+    ``upsert: true`` for every document. The update document has no
+    ``$``-operators, which per the update command's contract makes it a
+    full replacement — a field dropped upstream disappears from the
+    stored document too (a ``$set`` merge would resurrect it), and
+    retried or out-of-order redeliveries converge to the same state."""
     return {
         "update": collection,
         "$db": db,
         "updates": [
             {
                 "q": {"_id": d["_id"]},
-                "u": {"$set": {k: v for k, v in d.items() if k != "_id"}},
+                "u": {k: v for k, v in d.items() if k != "_id"},
                 "upsert": True,
                 "multi": False,
             }

@@ -544,12 +544,15 @@ def stream_neardup_minhash(
 
         first = state.get[0] if state.exists else None
         hits: list[tuple] = []
-        for pdf in pdfs:
-            for did in sorted(int(x) for x in pdf["doc_id"]):
-                if first is None:
-                    first = did
-                elif did != first:
-                    hits.append((int(key_tuple[0]), key_tuple[1], did, first))
+        # pdfs is an ITERATOR of Arrow chunks — the group's rows must be
+        # gathered and sorted ONCE, or a low id in a later chunk would be
+        # flagged as a dup of a higher id from an earlier chunk
+        ids = sorted(int(x) for pdf in pdfs for x in pdf["doc_id"])
+        for did in ids:
+            if first is None:
+                first = did
+            elif did != first:
+                hits.append((int(key_tuple[0]), key_tuple[1], did, first))
         state.update((first,))
         if hits:
             yield pd.DataFrame(

@@ -1074,3 +1074,33 @@ def test_bpe_encode_compresses_fixture_corpus(spark, sf_dir):
     rows = text.bpe_token_counts(docs, merges).collect()
     assert all(r.n_bpe_tokens <= r.n_base_symbols for r in rows)
     assert any(r.n_bpe_tokens < r.n_base_symbols for r in rows)
+
+
+def test_token_budget_exact_weights_and_zero_default(spark):
+    """Regression: allocations must derive from the EXACT weight (a
+    6-dp-rounded 1/3 drifts the allocation by tenths of a token), and a
+    source missing from an explicit weight table gets a visible ZERO
+    allocation, never a NULL row."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "ten tokens of text " * 5) for i in range(30)],
+        "doc_id long, source string, text string",
+    )
+    plan = {
+        r.source: r
+        for r in text.token_budget_plan(docs, budget_tokens=100_000).collect()
+    }
+    assert set(plan) == {"s0", "s1", "s2"}
+    for r in plan.values():
+        assert r.token_allocation == round(100_000 / 3, 4)  # from EXACT 1/3
+        assert r.weight == round(1 / 3, 6)
+    weighted = {
+        r.source: r
+        for r in text.token_budget_plan(
+            docs, budget_tokens=9000, weights={"s0": 0.9, "s1": 0.1}
+        ).collect()
+    }
+    assert weighted["s2"].weight == 0.0
+    assert weighted["s2"].token_allocation == 0.0
+    assert weighted["s2"].sampling_rate == 0.0
+    assert weighted["s2"].undersupplied is False
+    assert weighted["s0"].token_allocation == 8100.0

@@ -1108,10 +1108,12 @@ def test_mongo_sink_op_msg_wire_upserts(spark, tmp_path):
     ups = cmd["updates"]
     assert [u["q"]["_id"] for u in ups] == ["1", "2"]
     assert all(u["upsert"] is True and u["multi"] is False for u in ups)
-    assert ups[0]["u"]["$set"]["msg"] == "good"
-    assert ups[0]["u"]["$set"]["value"] == 4.5
-    assert "msg" not in ups[1]["u"]["$set"]      # null fields are absent
-    assert all("_id" not in u["u"]["$set"] for u in ups)
+    # replacement documents (no $-operators): dropped fields don't linger
+    assert ups[0]["u"]["msg"] == "good"
+    assert ups[0]["u"]["value"] == 4.5
+    assert "msg" not in ups[1]["u"]          # null fields are absent
+    assert all("_id" not in u["u"] for u in ups)
+    assert all(not any(k.startswith("$") for k in u["u"]) for u in ups)
     # nothing dead-lettered
     assert not glob.glob(str(tmp_path / "mongo" / "**" / "*.jsonl"))
 
@@ -1228,3 +1230,31 @@ def test_streaming_kmv_state_is_bounded_and_order_invariant(spark):
     )
     last = max(out.collect(), key=lambda r: r.rows_seen)
     assert (last.n_sketch, last.kmv_estimate) == (3, 3)
+
+
+def test_stream_neardup_sorts_across_arrow_chunks(spark):
+    """Regression: applyInPandasWithState hands a group's rows to the
+    update function as MULTIPLE Arrow chunks. The bucket claimant must be
+    the group-wide minimum id, not the minimum of whichever chunk arrived
+    first — force tiny chunks and put the lowest id last in the batch."""
+    prior = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        text = "identical content for every document in this bucket"
+        rows = [(i, text) for i in range(5, 17)] + [(0, text)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+        stream = runtime.replayed_stream(spark, docs, n_slices=1)
+        hits = runtime.run_available_now(
+            runtime.stream_neardup_minhash(stream), output_mode="append"
+        )
+        per_doc = {
+            r.doc_id: r.dup_of
+            for r in hits.groupBy("doc_id")
+            .agg(F.min("first_doc_id").alias("dup_of"))
+            .collect()
+        }
+        assert 0 not in per_doc, per_doc      # global min is the claimant
+        assert all(v == 0 for v in per_doc.values()), per_doc
+        assert set(per_doc) == set(range(5, 17))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prior)
