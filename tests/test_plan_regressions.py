@@ -152,16 +152,13 @@ def test_bigram_lm_broadcasts_count_tables(spark, sf_dir):
 
 
 def test_semantic_dedup_joins_are_bounded(spark, sf_dir):
-    """SemDeDup's scale contract: the centroid table broadcasts, the
-    candidate stage is an equi-join on the cell id — no cartesian
-    product may appear anywhere in the plan."""
+    """SemDeDup's scale contract: cell assignment is a shuffle-free
+    literal-argmax expression (no join at all — the centroids ride in as
+    codegen literals), and the candidate stage is an equi-join on the
+    cell id: no cartesian product or nested loop anywhere."""
     p = _plan(em.queries()["x_dedup_semantic"](spark, sf_dir))
     assert "CartesianProduct" not in p, p
-    # the only nested-loops allowed are the broadcasts of the tiny 8-row
-    # centroid table into the assignment scan (the assign subtree appears
-    # once per side of the pair self-join); the pair stage itself must be
-    # a hash join on the cell id
-    assert p.count("BroadcastNestedLoopJoin") <= 2, p
+    assert "BroadcastNestedLoopJoin" not in p, p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
 
 
