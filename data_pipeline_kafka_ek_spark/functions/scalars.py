@@ -44,3 +44,48 @@ def json_get(col: Column | str, field: str) -> Column:
     JVM-side JSON path extraction instead of per-row Python."""
     c = F.col(col) if isinstance(col, str) else col
     return F.get_json_object(c, f"$.{field}")
+
+
+def register_sql_functions(spark) -> "list[str]":
+    """Expose the ksqlDB-named scalar surface to plain ``spark.sql``
+    users as SQL-body functions (``CREATE TEMPORARY FUNCTION ... RETURN
+    <expr>``): a user of the reference can paste ``TIMESTAMPTOSTRING``
+    / ``EXTRACTJSONFIELD`` / ``CONCAT_STRICT`` calls into Spark SQL
+    unchanged. These are Catalyst expression macros, NOT Python UDFs —
+    the plan stays in whole-stage codegen with no Python in it (asserted
+    in tests), so the SQL spelling costs nothing over the DataFrame
+    twins in this module. Returns the registered names.
+
+    Reference parity: TIMESTAMPTOSTRING (README.md:238),
+    EXTRACTJSONFIELD, and the NULL-propagating ``+`` concat
+    (ksqldb-statements.sql:54) as CONCAT_STRICT. LCASE/UCASE
+    (ksqldb-statements.sql:14,17) need no registration at all — they are
+    Spark SQL built-ins with identical semantics (attempting to shadow a
+    built-in with a SQL UDF is an AnalysisException).
+    """
+    stmts = {
+        "TIMESTAMPTOSTRING": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION TIMESTAMPTOSTRING"
+            "(t TIMESTAMP, fmt STRING) RETURNS STRING "
+            "RETURN date_format(t, fmt)"
+        ),
+        "EPOCHMILLISTOSTRING": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION EPOCHMILLISTOSTRING"
+            "(ms BIGINT, fmt STRING) RETURNS STRING "
+            "RETURN date_format(timestamp_millis(ms), fmt)"
+        ),
+        "EXTRACTJSONFIELD": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION EXTRACTJSONFIELD"
+            "(j STRING, path STRING) RETURNS STRING "
+            "RETURN get_json_object(j, path)"
+        ),
+        "CONCAT_STRICT": (
+            "CREATE OR REPLACE TEMPORARY FUNCTION CONCAT_STRICT"
+            "(a STRING, b STRING) RETURNS STRING "
+            "RETURN CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+            "ELSE concat(a, b) END"
+        ),
+    }
+    for stmt in stmts.values():
+        spark.sql(stmt)
+    return sorted(stmts)

@@ -186,3 +186,31 @@ def test_engine_full_reference_lineage(engine, spark, sf_dir):
         "WHERE window_start > '2024-01-15'"
     ).first()["n"]
     assert win > 0
+
+
+def test_ksql_named_sql_functions(spark):
+    """The ksqlDB scalar surface is callable from plain spark.sql by its
+    ksqlDB names, as SQL-body Catalyst macros — zero Python in the plan."""
+    from data_pipeline_kafka_ek_spark.functions.scalars import (
+        register_sql_functions,
+    )
+
+    names = register_sql_functions(spark)
+    assert "TIMESTAMPTOSTRING" in names and "EXTRACTJSONFIELD" in names
+    # LCASE/UCASE are Spark built-ins with ksqlDB semantics already
+    row = spark.sql(
+        """
+        SELECT TIMESTAMPTOSTRING(TIMESTAMP'2024-01-02 03:04:05','HH:mm:ss') AS t,
+               LCASE('AbC') AS lc, UCASE('AbC') AS uc,
+               EXTRACTJSONFIELD('{"a": {"b": 7}}', '$.a.b') AS j,
+               CONCAT_STRICT('x', NULL) AS c_null,
+               CONCAT_STRICT('x', 'y') AS c
+        """
+    ).collect()[0]
+    assert (row.t, row.lc, row.uc, row.j) == ("03:04:05", "abc", "ABC", "7")
+    assert row.c_null is None and row.c == "xy"
+    df = spark.sql("SELECT LCASE('A') AS x")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert "Python" not in plan  # expression macro, not a UDF
