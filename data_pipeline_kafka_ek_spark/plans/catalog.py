@@ -887,6 +887,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "t_streaming_kmv_distinct",
     "x_pipeline_corpus_prep_v2",
     "x_pipeline_dsir_select",
+    "x_text_langid_confusion",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
     # were green in r5:
@@ -908,7 +909,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pipeline_corpus_prep",
     "x_text_repetition",
     "x_text_langid",
-    "x_ann_lsh_bucketed",
     # then the r3-green bench-flagged set (bench.py re-measures these every
     # round, so they carried continuous — if weaker — per-round evidence):
     "h1_pricing_summary",

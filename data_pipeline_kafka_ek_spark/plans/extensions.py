@@ -3282,3 +3282,52 @@ def x_pipeline_corpus_prep_v2(spark, sf_dir):
 def x_pipeline_dsir(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return text.dsir_importance(docs, docs.filter(F.col("lang") == "en"))
+
+
+@register(
+    "x_text_langid_confusion",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, list_distinct(string_split(text,' ')) AS d
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, lang,
+             len(list_intersect(d, ['der','die','und','das','ist'])) AS h_de,
+             len(list_intersect(d, ['the','and','of','to','is'])) AS h_en,
+             len(list_intersect(d, ['el','la','de','los','que'])) AS h_es,
+             len(list_intersect(d, ['le','la','et','les','des'])) AS h_fr,
+             len(list_intersect(d, ['de5','shi4','le5','zai4','he2'])) AS h_zh
+      FROM t
+    ),
+    pred AS (
+      SELECT lang AS lang_declared,
+             CASE WHEN greatest(h_de,h_en,h_es,h_fr,h_zh) = 0 THEN 'und'
+                  WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+                  WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+                  WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+                  WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+                  ELSE 'zh' END AS lang_predicted
+      FROM h
+    )
+    SELECT lang_declared, lang_predicted,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (lang_declared = lang_predicted) AS agreement
+    FROM pred GROUP BY lang_declared, lang_predicted
+    """,
+    survey_ids=("EXT-text",),
+    doc="corpus QA view over the language-ID heuristic: the declared-vs-"
+    "predicted confusion summary (one row per label pair with doc count "
+    "and an agreement flag) — the number a curation run watches to "
+    "decide whether declared metadata or the detector is lying; pure "
+    "aggregation over the x_text_langid operator, one extra shuffle",
+)
+def x_text_langid_confusion(spark, sf_dir):
+    pred = text.language_id(_t(spark, sf_dir, "documents"))
+    return (
+        pred.groupBy("lang_declared", "lang_predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn(
+            "agreement", F.col("lang_declared") == F.col("lang_predicted")
+        )
+    )
