@@ -943,10 +943,13 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # x_pipeline_token_budget; l2_limit_probe (r4-green) by the r6-new
     # t_streaming_kmv_distinct; x_ann_ivf_trained_topk (r4-green) by the
     # r6-new x_pipeline_corpus_prep_v2; x_embedding_quantize (r3-green,
-    # r5-local-green) by the r6-new x_pipeline_dsir_select.
+    # r5-local-green) by the r6-new x_pipeline_dsir_select;
+    # x_ann_lsh_bucketed (r3-green, recall-floor-tested in pytest every
+    # round) by the r6-new x_text_langid_confusion.
     "x_deterministic_sample",
     "x_ann_ivf_trained_topk",
     "x_embedding_quantize",
+    "x_ann_lsh_bucketed",
     "p3_computed_projection",
     "l2_limit_probe",
     "x_text_chunking",
