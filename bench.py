@@ -67,11 +67,15 @@ def main() -> None:
     # total jump is added coverage, not regression; bench_compare still
     # gates per query)
     added_r04 = {"x_dedup_jaccard", "x_dedup_minhash_lsh"}
-    # r6 widened it again with three single-scan curation/analytics queries
+    # r6 widened it again with three single-scan curation/analytics queries,
+    # then with the Q4/Q10/Q14-shaped scale proofs late in the round
     added_r06 = {
         "x_quality_gopher_rules",
         "x_text_bigram_logprob",
         "x_window_sliding_stats",
+        "h4_late_shipment_priority",
+        "h10_returned_item_revenue",
+        "h14_promo_revenue_share",
     }
     print(
         json.dumps(

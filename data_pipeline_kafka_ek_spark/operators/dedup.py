@@ -567,3 +567,128 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def corpus_overlap_minhash(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle: int = 3,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Pairwise corpus-overlap matrix between document GROUPS (sources,
+    dumps, crawl snapshots): each group's distinct ``shingle``-gram set
+    is MinHash-sketched (k = ``n_hashes`` independent md5 permutations)
+    and every group pair's Jaccard similarity is estimated as the
+    fraction of agreeing signature slots — the standard estimator
+    (Broder 1997). This is the corpus-level companion to the per-document
+    near-dup ops: before mixing a new source into training data, you ask
+    "how much of it is already in what I have", and the answer at 100 TB
+    is a sketch, never an exact set intersection.
+
+    Determinism: md5(slot || '#' || shingle) with lexicographic min —
+    identical sketch and identical estimate in every engine (the KMV/HLL
+    stance), so the approximate operator is exactly value-hash-checked.
+
+    Scale shape: one scan explodes shingles map-side; a distinct on
+    (group, shingle) bounds work by vocabulary, not corpus size; the
+    k-way slot explode multiplies the DISTINCT shingle set (not the
+    corpus); the signature build is a map-side-combined groupBy MIN whose
+    shuffle carries at most groups*k slim rows; and the pairwise compare
+    is a self-join of a groups*k-row table — driver-free, broadcast-
+    sized. ``with_exact=True`` joins the true Jaccard (one more
+    group-pair join over distinct shingles) so each row attests its own
+    error; production drops it — the whole point of the sketch.
+
+    Returns ``(group_a, group_b, n_match, jaccard_est[, jaccard_exact,
+    abs_err])``.
+    """
+    if shingle != 3:
+        raise ValueError("only 3-gram shingles are wired (fixture contract)")
+    arr = F.split(F.col(text_col), " ")
+    # glen >= 0 guards docs shorter than one shingle (slice rejects
+    # negative lengths); their gram array is empty and explode drops them
+    glen = F.greatest(F.size(arr) - F.lit(shingle - 1), F.lit(0))
+    grams = F.zip_with(
+        F.slice(arr, 1, glen),
+        F.zip_with(
+            F.slice(arr, 2, glen),
+            F.slice(arr, 3, glen),
+            lambda b, c: F.concat_ws(" ", b, c),
+        ),
+        lambda a, bc: F.concat_ws(" ", a, bc),
+    )
+    # persisted: the signature build and both exact-side aggregates read
+    # the distinct (group, shingle) set — one materialization, not three
+    # scans (the semantic_dedup_pairs pattern)
+    sets = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(grams).alias("sh"))
+        .distinct()
+        .persist()
+    )
+    slots = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("i")
+    sigs = (
+        sets.select("grp", "sh", slots)
+        .select(
+            "grp",
+            "i",
+            F.md5(F.concat_ws("#", F.col("i").cast("string"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("grp", "i")
+        .agg(F.min("h").alias("sig"))
+    )
+    a = sigs.select(F.col("grp").alias("group_a"), "i", F.col("sig").alias("sa"))
+    b = sigs.select(F.col("grp").alias("group_b"), "i", F.col("sig").alias("sb"))
+    est = (
+        a.join(b, "i")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            F.sum((F.col("sa") == F.col("sb")).cast("long")).alias("n_match")
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_match",
+            F.round(F.col("n_match") / F.lit(float(n_hashes)), 4).alias(
+                "jaccard_est"
+            ),
+        )
+    )
+    if not with_exact:
+        return est
+    sizes = sets.groupBy("grp").agg(F.count("*").alias("sz"))
+    inter = (
+        sets.alias("x")
+        .join(sets.alias("y"), "sh")
+        .filter(F.col("x.grp") < F.col("y.grp"))
+        .groupBy(
+            F.col("x.grp").alias("group_a"), F.col("y.grp").alias("group_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("grp").alias("group_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("grp").alias("group_b"), F.col("sz").alias("sz_b"))
+    exact = (
+        inter.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard_exact"),
+        )
+    )
+    # LEFT join: a pair with zero shared shingles has no inter row
+    return (
+        est.join(exact, ["group_a", "group_b"], "left")
+        .withColumn("jaccard_exact", F.coalesce("jaccard_exact", F.lit(0.0)))
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("jaccard_est") - F.col("jaccard_exact")), 4),
+        )
+    )

@@ -330,3 +330,135 @@ def countmin_freq(
             "overestimate"
         ),
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: int = 8,
+    with_exact: bool = True,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate plus a merged
+    ``__all__`` row (Flajolet et al. 2007, "HyperLogLog: the analysis of
+    a near-optimal cardinality estimation algorithm").
+
+    Spark ships HLL as ``approx_count_distinct``, but its binary sketch
+    is engine-private; this is the open twin — md5-derived registers so
+    every engine computes the identical sketch and the identical
+    estimate, turning the approximate operator into an exactly
+    value-hash-checkable query (same design stance as :func:`kmv_distinct`).
+
+    Construction: ``m = 2**p`` registers per group; for each value the
+    first ``p/4`` hex chars of ``md5(value)`` pick the register and the
+    next 15 hex chars (60 bits) supply ``rho`` = 1 + number of leading
+    zero bits (61 if all sixty are zero). Register value is the MAX rho
+    observed — max is idempotent and commutative, so unlike KMV **no
+    up-front distinct is needed**: the register build is one
+    ``groupBy(group, register).max(rho)`` with map-side combine, and the
+    merge law (union sketch = element-wise register max) is exactly that
+    same aggregation — the ``__all__`` row is produced by max-merging the
+    per-group registers, never re-reading the input.
+
+    Estimator: ``E = alpha_m * m^2 / sum_j 2^(-M_j)`` with the
+    small-range correction ``E <= 2.5m and V > 0 -> m * ln(m / V)``
+    (V = untouched registers). The harmonic-mean denominator is summed
+    EXACTLY — each ``2^(-M_j)`` is scaled by ``2^61`` into an integer and
+    accumulated in DECIMAL(38,0) — so both engines divide the same exact
+    integer and the double math is a single deterministic division (the
+    same fixed-point trick as h_window_cumulative_revenue's DECIMAL
+    accumulation).
+
+    Scale shape: ONE shuffle of (group, register, partial-max) rows —
+    at most ``groups * m`` after map-side combine regardless of input
+    size — then a per-group fold over <= m register rows. This is the
+    100 TB COUNT(DISTINCT) answer when even KMV's per-partition top-k
+    sort is too much state: HLL register merge is a pure max.
+
+    Returns ``(grp, n_registers, hll_estimate[, n_exact, rel_err])``.
+    """
+    if p % 4 != 0:
+        raise ValueError("p must be a multiple of 4 (hex-nibble register addressing)")
+    m = 1 << p
+    hex_b = p // 4
+    # alpha_m for m >= 128 (Flajolet et al. Fig. 3); spliced as the same
+    # Python-computed literal into the DuckDB oracle
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    h = F.md5(F.col("v").cast("string"))
+    wv = F.conv(F.substring(h, hex_b + 1, _FRAC_HEX_CHARS), 16, 10).cast("long")
+    rho = F.when(wv == 0, F.lit(61)).otherwise(
+        F.lit(60) - F.length(F.bin(wv)) + F.lit(1)
+    )
+    # ONE pass builds the per-group registers AND the merged __all__
+    # registers: GROUPING SETS ((grp, reg), (reg)) expands each row into
+    # both aggregation keys map-side, partial-max combines before the
+    # single shuffle, and the (reg)-only rows (grp = NULL) ARE the
+    # element-wise-max merged sketch — the merge law executed inside one
+    # aggregation instead of a second scan of the input.
+    sketches = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .select(
+            "grp",
+            F.conv(F.substring(h, 1, hex_b), 16, 10).cast("long").alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupingSets([["grp", "reg"], ["reg"]], "grp", "reg")
+        # grouping() (not a NULL test): a genuine NULL group value must
+        # not be folded into the merged row
+        .agg(F.max("rho").alias("mj"), F.grouping("grp").alias("__g"))
+        .select(
+            F.when(F.col("__g") == 1, F.lit("__all__"))
+            .otherwise(F.col("grp"))
+            .alias("grp"),
+            "reg",
+            "mj",
+        )
+    )
+
+    # exact fixed-point harmonic denominator: sum of 2^(61-mj) integers
+    term = F.expr("shiftleft(cast(1 as bigint), cast(61 - mj as int))")
+    folded = sketches.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(term.cast("decimal(38,0)")).alias("present_sum"),
+    )
+    two61 = F.lit(1 << 61).cast("decimal(38,0)")
+    v_empty = F.lit(m) - F.col("n_present")
+    total = F.col("present_sum") + v_empty.cast("decimal(38,0)") * two61
+    e_raw = F.lit(alpha * m * m * float(1 << 61)) / total.cast("double")
+    v_dbl = v_empty.cast("double")
+    e = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_dbl),
+    ).otherwise(e_raw)
+    out = folded.select(
+        "grp",
+        F.col("n_present").cast("long").alias("n_registers"),
+        F.round(e).cast("long").alias("hll_estimate"),
+    )
+    if not with_exact:
+        return out
+    # the exact counts are the computation the sketch REPLACES — kept only
+    # for the oracle/self-attestation path. Persist the slim distinct
+    # (grp, v) set so the per-group and global counts share one scan.
+    vals = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .distinct()
+        .persist()
+    )
+    exact = vals.groupBy("grp").agg(F.count("*").alias("n_exact")).unionByName(
+        vals.select("v")
+        .distinct()
+        .groupBy()
+        .agg(F.count("*").alias("n_exact"))
+        .select(F.lit("__all__").alias("grp"), "n_exact")
+    )
+    return out.join(F.broadcast(exact), "grp").select(
+        "grp",
+        "n_registers",
+        "hll_estimate",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(
+            (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )

@@ -963,3 +963,128 @@ def dsir_importance(
         .withColumn("log_ratio", lr)
         .withColumn("selected", F.col("log_ratio") > 0)
     )
+
+
+# fixed-point scale for the hash-derived classifier weights: md5's first
+# 15 hex chars are 60 bits, so weights live in [-2^59, 2^59) and the
+# per-document sum is exact in DECIMAL(38,0) up to ~3e17 tokens/doc
+_CLF_HALF = 1 << 59
+_CLF_DENOM = float(1 << 60)
+
+
+def hashed_classifier_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bucket_hex: int = 4,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Feature-hashed linear classifier scoring — the compute shape of the
+    fastText-style quality filter every web-corpus pipeline runs (Joulin
+    et al. 2016, arXiv:1607.01759; hashing trick per Weinberger et al.
+    2009): each token is hashed into one of ``16^n_bucket_hex`` feature
+    buckets (collisions and all — that IS the hashing trick), the
+    bucket's weight is looked up, and the document score is the mean
+    bucket weight, thresholded into a keep/drop verdict.
+
+    Here the "trained" weight vector is derived, not stored: bucket b's
+    weight is ``frac(md5('w#' || b)) - 1/2``, a deterministic hash in
+    [-1/2, 1/2). That keeps the operator self-contained and exactly
+    oracle-checkable while preserving the production plan SHAPE — swap
+    the derivation for a broadcast lookup of real trained weights and
+    nothing else in the plan changes (explode -> per-token weight ->
+    one doc-keyed aggregation).
+
+    Determinism: weights are 60-bit fixed-point INTEGERS (md5 value minus
+    2^59), the per-doc accumulation is an exact DECIMAL(38,0) sum, and
+    the score is one double division of exact integers — bit-identical
+    in every engine, no float-sum order dependence (the same fixed-point
+    stance as hll_distinct / h_window_cumulative_revenue).
+
+    Scale shape: ONE scan, map-side token explode and weight derivation
+    (pure codegen expressions, no UDF, no broadcast needed), ONE
+    doc-keyed shuffle of (doc_id, partial count, partial DECIMAL sum)
+    after map-side combine. At 100 TB this is the cheapest possible
+    per-document scorer: linear in tokens, embarrassingly parallel.
+
+    Returns ``(doc_id, n_tokens, clf_score, keep)`` with
+    ``clf_score = sum(w)/n`` rounded to 6 dp and
+    ``keep = score > threshold``.
+    """
+    toks = _tokens(F.col(text_col))
+    tok = F.explode(toks).alias("tok")
+    bucket = F.substring(F.md5(F.col("tok")), 1, n_bucket_hex)
+    w_scaled = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("w#"), bucket)), 1, 15), 16, 10)
+        .cast("long")
+        - F.lit(_CLF_HALF)
+    )
+    per_tok = docs.select(F.col(id_col).alias("doc_id"), tok).select(
+        "doc_id", w_scaled.cast("decimal(38,0)").alias("ws")
+    )
+    n = F.count(F.lit(1))
+    score = F.col("s").cast("double") / (
+        F.col("n_tokens").cast("double") * F.lit(_CLF_DENOM)
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(n.cast("long").alias("n_tokens"), F.sum("ws").alias("s"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(score, 6).alias("clf_score"),
+            (score > F.lit(threshold)).alias("keep"),
+        )
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document under the corpus bigram LM
+    (:func:`bigram_logprob` — higher mean log-prob = lower perplexity =
+    more fluent), then split each language into equal-count thirds:
+    ``head`` (most fluent), ``middle``, ``tail``. CCNet trains on head+
+    middle and drops tail; the bucket column here is exactly that
+    decision, attached per document.
+
+    Per-language (not global) bucketing is the point — perplexity scales
+    differ across languages, so a global threshold would keep one
+    language's tail over another's head.
+
+    Determinism: the LM score is bigram_logprob's (rounded to 4 dp before
+    ranking, identical cross-engine); ties broken by doc_id, so ntile's
+    assignment is a pure function of the sorted order in both engines.
+    Documents with <2 tokens have no bigram score and are absent (same
+    rule as bigram_logprob, mirrored in the oracle).
+
+    Scale shape: bigram_logprob's plan (broadcast LM tables, one
+    doc-keyed shuffle) plus one language-keyed window over slim
+    (doc, lang, score) rows. Languages are few and docs-per-language
+    large — exactly the partition-by-low-cardinality window Spark
+    handles with a single hash shuffle; skewed language sizes are AQE
+    fodder, and a quantile-sketch split (quantile_grid) replaces ntile
+    verbatim when a language's rows exceed one partition's sort budget.
+    """
+    scored = bigram_logprob(docs, lm_docs=lm_docs, text_col=text_col, id_col=id_col)
+    labeled = scored.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(lang_col).alias("lang")),
+        "doc_id",
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("mean_logprob"), F.asc("doc_id")
+    )
+    b = F.ntile(3).over(w)
+    label = (
+        F.when(b == 1, F.lit("head"))
+        .when(b == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return labeled.select(
+        "doc_id", "lang", "mean_logprob", label.alias("ppl_bucket")
+    )

@@ -911,10 +911,36 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_text_langid",
     # then the r3-green bench-flagged set (bench.py re-measures these every
     # round, so they carried continuous — if weaker — per-round evidence):
-    "h1_pricing_summary",
-    "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",
+    # never attested — registered late in r6 (HLL sketch, hashed
+    # classifier scoring, CCNet perplexity buckets, topic-cluster
+    # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
+    # last seven slots, displacing the seven bench-flagged dedup/ANN/
+    # text queries (x_dedup_exact .. x_text_quality) one round — that
+    # tier keeps its independent per-round evidence channel (bench.py
+    # executes each of them every round and the full local oracle run
+    # stays green), so it is the only window tier whose rotation out
+    # loses no verification coverage
+    "x_sketch_hll_distinct",
+    "x_quality_clf_score",
+    "t_streaming_quality_gate",
+    "x_corpus_overlap_minhash",
+    "x_quality_ppl_buckets",
+    "x_cluster_topics",
+    "h4_late_shipment_priority",
+    "h10_returned_item_revenue",
+    "h14_promo_revenue_share",
+    # last driver-green r4 — one round fresher than the r3 tier; 15 of the
+    # 16 fit in the remaining slots (j_anti_join waits one round: its
+    # in-window sibling j_semi_join exercises the same join machinery)
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # bench-flagged r3-green tier displaced by the seven late-r6
+    # registrations above: bench.py still executes every one of these
+    # each round and tools/check_correctness.py keeps them oracle-green
+    # locally; first in line when slots open next round.
     "x_dedup_exact",
     "x_dedup_jaccard",
     "x_dedup_minhash_lsh",
@@ -922,12 +948,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_dedup_embedding_lsh",
     "x_ann_topk_blocked",
     "x_text_quality",
-    # last driver-green r4 — one round fresher than the r3 tier; 15 of the
-    # 16 fit in the remaining slots (j_anti_join waits one round: its
-    # in-window sibling j_semi_join exercises the same join machinery)
-)
-
-DRIVER_DEMOTED: tuple[str, ...] = (
+    "h1_pricing_summary",
+    "h3_top_revenue_orders",
     # j_semi_join/j_anti_join: r4-green, displaced by the never-attested
     # tier (the r6-new queries took the last slots); first in line when
     # slots open next round. a_pivot_lang_quality (r4-green) displaced by

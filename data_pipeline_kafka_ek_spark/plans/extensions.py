@@ -3331,3 +3331,480 @@ def x_text_langid_confusion(spark, sf_dir):
             "agreement", F.col("lang_declared") == F.col("lang_predicted")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: HLL sketch, hashed quality classifier, CCNet perplexity buckets,
+# embedding topic clusters, and three more TPC-H-shaped scale proofs
+# ---------------------------------------------------------------------------
+
+# alpha_m * m^2 * 2^61 for m = 256 — the same Python-computed literal is
+# spliced into both engines so the single double division is bit-identical
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 61)
+
+
+@register(
+    "x_sketch_hll_distinct",
+    f"""
+    WITH src AS (
+      SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), rr AS (
+      SELECT grp,
+             CAST(('0x' || substr(h, 1, 2))::UBIGINT AS BIGINT) AS reg,
+             CAST(('0x' || substr(h, 3, 15))::UBIGINT AS BIGINT) AS wv
+      FROM src
+    ), regs AS (
+      SELECT grp, reg,
+             max(CASE WHEN wv = 0 THEN 61
+                      ELSE 60 - length(bin(wv)) + 1 END) AS mj
+      FROM rr GROUP BY 1, 2
+    ), sk AS (
+      SELECT * FROM regs
+      UNION ALL
+      SELECT '__all__' AS grp, reg, max(mj) FROM regs GROUP BY 2
+    ), folded AS (
+      SELECT grp, count(*) AS n_present,
+             sum((1::BIGINT << (61 - mj))::HUGEINT) AS present_sum
+      FROM sk GROUP BY 1
+    ), est AS (
+      SELECT grp, n_present,
+             {_HLL_NUM!r} / CAST(present_sum
+               + ({_HLL_M} - n_present)::HUGEINT * (1::HUGEINT << 61)
+               AS DOUBLE) AS e_raw,
+             {_HLL_M} - n_present AS v
+      FROM folded
+    ), hll AS (
+      SELECT grp, CAST(n_present AS BIGINT) AS n_registers,
+             CAST(round(CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v > 0
+                             THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
+                             ELSE e_raw END) AS BIGINT) AS hll_estimate
+      FROM est
+    ), ex AS (
+      SELECT event_type AS grp, count(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT '__all__', count(DISTINCT user_id) FROM events
+    )
+    SELECT grp, n_registers, hll_estimate,
+           CAST(x.n_exact AS BIGINT) AS n_exact,
+           round((hll_estimate - x.n_exact) * 1.0 / x.n_exact, 4) AS rel_err
+    FROM hll JOIN ex x USING (grp)
+    """,
+    survey_ids=("EXT-sketch", "A1"),
+    doc="HyperLogLog distinct-count sketch (p=8, 256 registers): distinct "
+    "users per event_type plus a merged __all__ row computed by element-"
+    "wise register MAX over the per-group sketches — the merge law that "
+    "makes HLL the canonical 100 TB COUNT(DISTINCT). Open twin of "
+    "Spark's engine-private approx_count_distinct: md5-derived registers "
+    "and an exact DECIMAL fixed-point harmonic denominator make the "
+    "sketch and estimate identical in every engine, so the approximate "
+    "operator is exactly value-hash-checked (same stance as KMV, but "
+    "needing no up-front distinct — the register build is one map-side-"
+    "combined groupBy MAX whose shuffle carries at most groups*256 rows).",
+)
+def x_sketch_hll(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators import sketches
+
+    return sketches.hll_distinct(
+        _t(spark, sf_dir, "events"), "event_type", "user_id", p=_HLL_P
+    )
+
+
+@register(
+    "x_quality_clf_score",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), w AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w#' || substr(md5(tok), 1, 4)), 1, 15))
+                  ::UBIGINT AS BIGINT) - 576460752303423488 AS ws
+      FROM toks
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(ws) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 1152921504606846976.0),
+                 6) AS clf_score,
+           CAST(sum(ws) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1152921504606846976.0) > 0.0 AS keep
+    FROM w GROUP BY doc_id
+    """,
+    survey_ids=("EXT-text", "EXT-pipeline"),
+    doc="feature-hashed linear classifier scoring (fastText-style quality "
+    "filter compute shape, hashing trick included): token -> 16-bit md5 "
+    "feature bucket -> fixed-point hash-derived weight -> exact "
+    "DECIMAL(38,0) per-doc sum -> one double division; keep = score>0. "
+    "Swap the weight derivation for a broadcast of trained weights and "
+    "the plan is unchanged: one scan, map-side explode, one doc-keyed "
+    "shuffle of combine-reduced partials. No UDF anywhere.",
+)
+def x_quality_clf(spark, sf_dir):
+    return text.hashed_classifier_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_quality_ppl_buckets",
+    """
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    big AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+        SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
+        FROM tok
+      )
+    ),
+    lm AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c2) AS ctx FROM lm GROUP BY 1),
+    voc AS (
+      SELECT count(DISTINCT token) AS vocab
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             round(avg(ln((COALESCE(l.c2, 0) + 1.0)::DOUBLE
+                          / (COALESCE(c.ctx, 0) + voc.vocab)::DOUBLE)), 4)
+               AS mean_logprob
+      FROM big b
+      LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+      LEFT JOIN ctx c ON b.w1 = c.w1
+      CROSS JOIN voc
+      GROUP BY b.doc_id
+    ),
+    ranked AS (
+      SELECT s.doc_id, d.lang, s.mean_logprob,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.mean_logprob DESC, s.doc_id) AS b
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, mean_logprob,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+    FROM ranked
+    """,
+    survey_ids=("EXT-text", "EXT-pipeline"),
+    doc="CCNet-style per-language perplexity bucketing: bigram-LM score "
+    "-> per-language equal-count head/middle/tail split (train on head+"
+    "middle, drop tail). Per-language windows because perplexity scales "
+    "are not comparable across languages; ties broken by doc_id so the "
+    "ntile assignment is engine-independent. Plan = bigram_logprob's "
+    "broadcast-LM scoring + one low-cardinality window shuffle.",
+)
+def x_quality_ppl(spark, sf_dir):
+    return text.perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_cluster_topics",
+    f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    {_lloyd_centroids_cte(n_cells=8, n_iter=2)},
+    ca AS (
+      SELECT v.vec_id, piv.pid,
+             list_cosine_similarity(v.e, piv.pe) AS sim,
+             row_number() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY list_cosine_similarity(v.e, piv.pe) DESC, piv.pid ASC
+             ) AS rn
+      FROM v CROSS JOIN piv
+    ),
+    asn AS (
+      SELECT ca.vec_id, ca.pid AS cell, round(ca.sim, 4) AS cell_sim, d.label
+      FROM ca JOIN embeddings d ON ca.vec_id = d.vec_id
+      WHERE ca.rn = 1
+    ),
+    per AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+             round(avg(cell_sim), 4) AS mean_cell_sim,
+             min(vec_id) AS exemplar_vec_id
+      FROM asn GROUP BY 1
+    ),
+    lab AS (
+      SELECT cell, label, count(*) AS n,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY count(*) DESC, label ASC) AS rn
+      FROM asn GROUP BY 1, 2
+    )
+    SELECT p.cell, p.n_members, p.mean_cell_sim, p.exemplar_vec_id,
+           l.label AS top_label, CAST(l.n AS BIGINT) AS top_label_n
+    FROM per p JOIN lab l ON p.cell = l.cell AND l.rn = 1
+    """,
+    survey_ids=("EXT-similarity", "EXT-pipeline"),
+    doc="topic-cluster summary over the trained spherical k-means "
+    "quantizer (the curation view behind cluster-based mixing and "
+    "SemDeDup auditing): every embedding assigned to its max-cosine "
+    "cell (shuffle-free codegen-literal argmax, shared cached trainer "
+    "with the IVF/semantic-dedup queries), then per cell: member count, "
+    "mean cosine-to-centroid (cluster coherence), lowest-id exemplar, "
+    "and the majority metadata label with its count (cluster purity). "
+    "Two low-cardinality aggregations over slim rows; at 100 TB the "
+    "per-cell stats are the monitoring signal for re-clustering.",
+)
+def x_cluster_topics(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    asn = similarity.assign_cells(
+        emb, _centroids_cached(spark, sf_dir)
+    ).join(emb.select("vec_id", "label"), "vec_id")
+    per = asn.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.avg("cell_sim"), 4).alias("mean_cell_sim"),
+        F.min("vec_id").alias("exemplar_vec_id"),
+    )
+    lab = (
+        asn.groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cell").orderBy(
+                    F.desc("n"), F.asc("label")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cell",
+            F.col("label").alias("top_label"),
+            F.col("n").cast("long").alias("top_label_n"),
+        )
+    )
+    return per.join(lab, "cell")
+
+
+@register(
+    "h4_late_shipment_priority",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    bench=True,
+    survey_ids=("J1", "A1"),
+    doc="TPC-H Q4-shaped order-priority check: orders with at least one "
+    "line item shipped >60 days after the order date, counted per "
+    "priority. The EXISTS becomes a LEFT SEMI join with a mixed "
+    "equi + non-equi condition — the semi join dedups order-side rows "
+    "inside the join operator (no distinct stage), and the fact tables "
+    "shuffle once on the order key; the 60-day lag predicate rides the "
+    "join, not a post-filter, so matched-row state stays bounded.",
+)
+def h4(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+
+
+@register(
+    "h10_returned_item_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    bench=True,
+    survey_ids=("J1", "A1", "L4"),
+    doc="TPC-H Q10-shaped returned-item revenue: who returned the most "
+    "value in a quarter-year window. Fact side: lineitem filtered to "
+    "returnflag='R' (pushed to the scan) shuffle-joins the date-pruned "
+    "orders on the order key — the only big exchange; customer and "
+    "nation broadcast; then a customer-keyed partial agg and a global "
+    "top-20. The revenue-owner pattern for any 100 TB 'top offenders' "
+    "report.",
+)
+def h10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation"), "revenue"
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "h14_promo_revenue_share",
+    """
+    SELECT round(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+             AS promo_revenue_pct,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    bench=True,
+    survey_ids=("J1", "A1"),
+    doc="TPC-H Q14-shaped promo revenue share: one conditional aggregate "
+    "over a date-pruned fact scan broadcast-joined to the part "
+    "dimension — the numerator/denominator CASE-sum pattern that "
+    "computes a ratio in a single pass instead of two queries. The "
+    "fact side never shuffles (dim broadcast, then a global partial "
+    "agg of two running sums + a count).",
+)
+def h14(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy()
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "t_streaming_quality_gate",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), w AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w#' || substr(md5(tok), 1, 4)), 1, 15))
+                  ::UBIGINT AS BIGINT) - 576460752303423488 AS ws
+      FROM toks
+    ), scored AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(CAST(sum(ws) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1152921504606846976.0),
+                   6) AS clf_score
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, clf_score FROM scored
+    WHERE CAST(clf_score AS DOUBLE) > 0.0
+    """,
+    survey_ids=("EXT-pipeline", "T1", "F3"),
+    doc="ingest-time quality gate: the feature-hashed classifier "
+    "(x_quality_clf_score) applied INSIDE a streaming micro-batch "
+    "pipeline — documents replayed as a 4-micro-batch stream, each "
+    "batch scored map-side and filtered to keep-only before it would "
+    "reach a sink. The scorer is per-document (stateless across rows "
+    "within the aggregate-per-doc-id, which arrives whole in a batch), "
+    "so the streaming result equals the batch result and the oracle "
+    "replays it in SQL — the pattern for filtering a firehose BEFORE "
+    "paying to store it. Keep-side only (score > 0); the drop side "
+    "would route to a quarantine sink in production.",
+)
+def t_streaming_quality(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    d = _t(spark, sf_dir, "documents")
+    stream = srt.replayed_stream(spark, d, n_slices=4, order_col="doc_id")
+    scored = text.hashed_classifier_score(stream)
+    gated = scored.filter(F.col("keep")).select(
+        "doc_id", "n_tokens", "clf_score"
+    )
+    return srt.run_available_now(gated, output_mode="update")
+
+
+@register(
+    "x_corpus_overlap_minhash",
+    """
+    WITH d AS (
+      SELECT source AS grp, string_split(text, ' ') AS a FROM documents
+    ), g AS (
+      SELECT DISTINCT grp, t[1] || ' ' || t[2] || ' ' || t[3] AS sh
+      FROM (
+        SELECT grp,
+               unnest(list_zip(a[1:len(a)-2], a[2:len(a)-1], a[3:len(a)])) AS t
+        FROM d WHERE len(a) >= 3
+      )
+    ), slots AS (SELECT unnest(range(32)) AS i),
+    h AS (
+      SELECT grp, i, md5(CAST(i AS VARCHAR) || '#' || sh) AS hh
+      FROM g CROSS JOIN slots
+    ), sigs AS (
+      SELECT grp, i, min(hh) AS sig FROM h GROUP BY 1, 2
+    ), est AS (
+      SELECT a.grp AS group_a, b.grp AS group_b,
+             CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match
+      FROM sigs a JOIN sigs b ON a.i = b.i AND a.grp < b.grp
+      GROUP BY 1, 2
+    ), sizes AS (SELECT grp, count(*) AS sz FROM g GROUP BY 1),
+    inter AS (
+      SELECT x.grp AS group_a, y.grp AS group_b, count(*) AS n_inter
+      FROM g x JOIN g y ON x.sh = y.sh AND x.grp < y.grp
+      GROUP BY 1, 2
+    )
+    SELECT e.group_a, e.group_b, e.n_match,
+           round(e.n_match / 32.0, 4) AS jaccard_est,
+           round(COALESCE(i.n_inter * 1.0
+                          / (sa.sz + sb.sz - i.n_inter), 0.0), 4)
+             AS jaccard_exact,
+           round(abs(round(e.n_match / 32.0, 4)
+                     - round(COALESCE(i.n_inter * 1.0
+                                      / (sa.sz + sb.sz - i.n_inter), 0.0), 4)),
+                 4) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON e.group_a = i.group_a AND e.group_b = i.group_b
+    JOIN sizes sa ON e.group_a = sa.grp
+    JOIN sizes sb ON e.group_b = sb.grp
+    """,
+    survey_ids=("EXT-dedup", "EXT-sketch", "EXT-pipeline"),
+    doc="pairwise corpus-overlap matrix between sources: each source's "
+    "distinct 3-gram shingle set MinHash-sketched (32 md5 permutations), "
+    "every source pair's Jaccard estimated as the agreeing-slot fraction "
+    "(Broder 1997) — the 'how much of this new dump do I already have' "
+    "answer that precedes mixing a source into training data. Signature "
+    "build = map-side-combined groupBy MIN (<= groups*32 shuffled rows); "
+    "pair compare = self-join of that tiny table. Exact-Jaccard columns "
+    "attest each row's error; production drops them.",
+)
+def x_corpus_overlap(spark, sf_dir):
+    return dedup.corpus_overlap_minhash(_t(spark, sf_dir, "documents"))

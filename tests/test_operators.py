@@ -264,3 +264,121 @@ def test_countmin_overestimates_only_and_merge_by_sum(spark):
     # a huge grid has no collisions: estimates exact
     exact = countmin_freq(df, "v", depth=4, width=4096).collect()
     assert all(r.overestimate == 0 for r in exact)
+
+
+def test_hll_distinct_accuracy_and_merge_law(spark):
+    from data_pipeline_kafka_ek_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(300)] + [("b", i) for i in range(200, 600)],
+        "grp string, v long",
+    )
+    out = {r.grp: r for r in hll_distinct(df, "grp", "v", p=8).collect()}
+    # standard error for m=256 is ~1.04/16 = 6.5%; allow 3 sigma
+    assert abs(out["a"].rel_err) <= 0.20 and out["a"].n_exact == 300
+    assert abs(out["b"].rel_err) <= 0.20 and out["b"].n_exact == 400
+    assert abs(out["__all__"].rel_err) <= 0.20 and out["__all__"].n_exact == 600
+    # merge law: the __all__ registers are the element-wise max of the
+    # group registers, so the merged estimate must equal the estimate of
+    # the same values sketched under one group
+    direct = {
+        r.grp: r
+        for r in hll_distinct(
+            df.withColumn("grp", F.lit("z")), "grp", "v", p=8
+        ).collect()
+    }
+    assert out["__all__"].hll_estimate == direct["z"].hll_estimate
+    # duplicates cannot move a register (max is idempotent): tripling the
+    # input changes nothing
+    tripled = df.union(df).union(df)
+    again = {r.grp: r for r in hll_distinct(tripled, "grp", "v", p=8).collect()}
+    assert {g: r.hll_estimate for g, r in again.items()} == {
+        g: r.hll_estimate for g, r in out.items()
+    }
+
+
+def test_hll_small_range_correction_is_near_exact(spark):
+    from data_pipeline_kafka_ek_spark.operators.sketches import hll_distinct
+
+    df = spark.createDataFrame([("a", i) for i in range(8)], "grp string, v long")
+    out = {r.grp: r for r in hll_distinct(df, "grp", "v", p=8).collect()}
+    # 8 distinct into 256 registers: linear counting regime, tight
+    assert abs(out["a"].hll_estimate - 8) <= 1
+
+
+def test_hashed_classifier_score_shape_and_determinism(spark):
+    from data_pipeline_kafka_ek_spark.operators.text import hashed_classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha alpha"), (3, "delta")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in hashed_classifier_score(df).collect()}
+    assert rows[1].n_tokens == 3 and rows[3].n_tokens == 1
+    # repeated token => score is exactly the single-token score
+    single = {
+        r.doc_id: r
+        for r in hashed_classifier_score(
+            spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+        ).collect()
+    }
+    assert rows[2].clf_score == single[9].clf_score
+    # deterministic across runs and keep agrees with the sign
+    again = {r.doc_id: r for r in hashed_classifier_score(df).collect()}
+    for d in rows:
+        assert rows[d].clf_score == again[d].clf_score
+        assert rows[d].keep == (rows[d].clf_score > 0) or abs(rows[d].clf_score) < 1e-6
+
+
+def test_perplexity_buckets_per_lang_thirds(spark):
+    from data_pipeline_kafka_ek_spark.operators.text import perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 9 else "de", f"w{i} common tail common w{i}") for i in range(12)],
+        "doc_id long, lang string, text string",
+    )
+    rows = perplexity_buckets(docs).collect()
+    assert len(rows) == 12
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.ppl_bucket)
+    # 9 en docs -> exactly 3 per bucket; 3 de docs -> 1 per bucket
+    assert sorted(by_lang["en"]) == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    assert sorted(by_lang["de"]) == ["head", "middle", "tail"]
+    # within a language, every head score >= every tail score
+    en = [(r.mean_logprob, r.ppl_bucket) for r in rows if r.lang == "en"]
+    head_min = min(s for s, b in en if b == "head")
+    tail_max = max(s for s, b in en if b == "tail")
+    assert head_min >= tail_max
+
+
+def test_corpus_overlap_minhash_estimates_and_bounds(spark):
+    from data_pipeline_kafka_ek_spark.operators.dedup import corpus_overlap_minhash
+
+    # identical corpora -> Jaccard 1.0; disjoint -> 0.0
+    docs = spark.createDataFrame(
+        [
+            ("a", 1, "one two three four five"),
+            ("b", 2, "one two three four five"),
+            ("c", 3, "six seven eight nine ten"),
+        ],
+        "source string, doc_id long, text string",
+    )
+    rows = {
+        (r.group_a, r.group_b): r
+        for r in corpus_overlap_minhash(docs, n_hashes=16).collect()
+    }
+    assert rows[("a", "b")].jaccard_est == 1.0
+    assert rows[("a", "b")].jaccard_exact == 1.0
+    assert rows[("a", "c")].jaccard_est == 0.0
+    assert rows[("a", "c")].jaccard_exact == 0.0
+    assert rows[("b", "c")].n_match == 0
+    # a group whose docs are all shorter than one shingle has no
+    # signature and is absent from the matrix (an empty set cannot be
+    # sketched); the other group alone forms no pair -> empty result,
+    # and nothing crashes on the negative-length slice path
+    short = spark.createDataFrame(
+        [("a", 1, "just two"), ("b", 2, "x y z w")],
+        "source string, doc_id long, text string",
+    )
+    assert corpus_overlap_minhash(short, n_hashes=8).collect() == []

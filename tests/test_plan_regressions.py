@@ -169,3 +169,48 @@ def test_full_outer_join_plans_as_shuffle_join(spark, sf_dir):
     p = _plan(em.queries()["j_full_outer_join"](spark, sf_dir))
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin) .*FullOuter", p), p
     assert "NestedLoop" not in p, p
+
+
+def test_round7_tpch_shapes(spark, sf_dir):
+    """Q4/Q10/Q14-shaped queries keep their intended physical strategies:
+    semi join for the EXISTS, dimension broadcasts, TakeOrdered top-k."""
+    qs = em.queries()
+    p4 = _plan(qs["h4_late_shipment_priority"](spark, sf_dir))
+    assert "LeftSemi" in p4, p4                     # EXISTS stays a semi join
+    assert _shuffles(p4) <= 3, p4
+    p10 = _plan(qs["h10_returned_item_revenue"](spark, sf_dir))
+    assert p10.count("BroadcastHashJoin") >= 2, p10  # customer + nation
+    assert "TakeOrdered" in p10, p10                 # top-20, never a full sort
+    pushed = "".join(re.findall(r"PushedFilters: \[[^\]]*\]", p10))
+    assert "EqualTo(l_returnflag,R)" in pushed, pushed
+    p14 = _plan(qs["h14_promo_revenue_share"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p14, p14           # part broadcasts
+    assert _shuffles(p14) <= 1, p14                  # single global agg
+
+
+def test_hll_register_build_is_one_pass_two_shuffles(spark, sf_dir):
+    """The PRODUCTION path (with_exact=False) must stay: ONE scan, ONE
+    grouping-sets register-build exchange (per-group and merged __all__
+    registers from the same Expand — no second scan for the merge), ONE
+    per-group fold exchange. Never a distinct over raw values. The
+    catalog query adds the exact-count self-attestation columns, which
+    deliberately pay extra scans — production disables them."""
+    from data_pipeline_kafka_ek_spark.operators.sketches import hll_distinct
+    from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    plan = _plan(hll_distinct(df, "event_type", "user_id", p=8, with_exact=False))
+    assert _shuffles(plan) <= 2, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" in plan, plan          # grouping sets, not a union re-scan
+    assert "BatchEvalPython" not in plan
+
+
+def test_classifier_score_is_scan_explode_agg(spark, sf_dir):
+    """Feature-hashed scoring: one scan, map-side explode + weight
+    derivation, one doc-keyed shuffle. No join, no broadcast, no UDF."""
+    plan = _plan(em.queries()["x_quality_clf_score"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert _shuffles(plan) <= 1, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
