@@ -1088,3 +1088,130 @@ def perplexity_buckets(
     return labeled.select(
         "doc_id", "lang", "mean_logprob", label.alias("ppl_bucket")
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer fertility audit: after applying a trained
+    BPE merge table (:func:`bpe_token_counts`), report for each language
+    the corpus word count, BPE token count, **fertility** (tokens per
+    word — the standard multilingual-tokenizer-fairness number: a
+    language whose fertility is 2x another's pays 2x the context-window
+    and compute for the same text) and the base-symbol compression
+    ratio. This is the report a tokenizer-training run checks before
+    freezing a vocab.
+
+    Determinism: integer sums (exact) and a single double division per
+    output row. Scale shape: bpe_token_counts' one-scan codegen replace
+    chain, then one low-cardinality language-keyed partial-agg shuffle.
+
+    Returns ``(lang, n_docs, n_words, n_bpe_tokens, fertility,
+    compression)``.
+    """
+    counts = bpe_token_counts(docs, merges, text_col=text_col)
+    words = docs.select(
+        "doc_id",
+        F.col(lang_col).alias("lang"),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda w: w != ""))
+        .cast("long")
+        .alias("n_words"),
+    )
+    return (
+        counts.join(words, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_bpe_tokens") / F.sum("n_words").cast("double"), 4
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_base_symbols") / F.sum("n_bpe_tokens").cast("double"),
+                4,
+            ).alias("compression"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication as a TRANSFORM (the removal step of
+    Lee et al. 2021, arXiv:2107.06499 §ExactSubstr, word-granular): any
+    word n-gram that occurs in two or more distinct documents is
+    corpus-duplicated, and every word position covered by a duplicated
+    n-gram is DELETED from the document — boilerplate, licenses and
+    templated spans vanish while the unique remainder survives, which is
+    exactly why ExactSubstr beats whole-doc dedup on real web corpora.
+    The reporting sibling is :func:`repeated_ngram_spans`; this one
+    rewrites the text.
+
+    Documents shorter than ``n`` words carry no n-gram and pass through
+    unchanged (they can still be caught by the whole-doc near-dup ops).
+
+    Scale shape: positions explode map-side; the duplicated-gram set is
+    one map-side-combined groupBy over DISTINCT (doc, gram); matches
+    flow back via a gram equi-join (hot boilerplate grams = AQE
+    skew-join fodder) and collapse to ONE slim (doc_id, sorted start
+    list) row per affected doc — the text itself never rides through
+    the join; the rewrite is a per-row codegen expression over the
+    original text column. Suffix-array ExactSubstr does this at byte
+    granularity; the word-granular formulation keeps it a pure
+    DataFrame pipeline with the same deletion semantics.
+
+    Returns ``(doc_id, n_words, n_removed, text_deduped)``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # guard BEFORE sequence(): Spark's sequence(1, 0) descends rather
+    # than yielding empty, so a doc shorter than n needs the explicit
+    # empty-gram branch
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<struct<pos:int,gram:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.struct(
+                (i - 1).alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i, n)).alias("gram"),
+            ),
+        )
+    )
+    pos = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("pg")
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram"))
+    dup = (
+        pos.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__docs"))
+        .filter(F.col("__docs") >= 2)
+        .select("gram")
+    )
+    starts = (
+        pos.join(dup, "gram")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    joined = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)).join(
+        starts, "doc_id", "left"
+    )
+    st = F.coalesce(F.col("starts"), F.array().cast("array<bigint>"))
+    kept = F.filter(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda j: ~F.exists(st, lambda s: (j >= s) & (j < s + n)),
+    )
+    kept_words = F.transform(kept, lambda j: F.element_at(toks, j + 1))
+    return joined.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept_words, " ").alias("text_deduped"),
+    )

@@ -909,10 +909,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pipeline_corpus_prep",
     "x_text_repetition",
     "x_text_langid",
-    # then the r3-green bench-flagged set (bench.py re-measures these every
-    # round, so they carried continuous — if weaker — per-round evidence):
-    "h5_nation_revenue",
-    "h_window_cumulative_revenue",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -926,6 +922,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_quality_clf_score",
     "t_streaming_quality_gate",
     "x_corpus_overlap_minhash",
+    "x_pipeline_tokenizer_fertility",
+    "x_text_remove_dup_spans",
     "x_quality_ppl_buckets",
     "x_cluster_topics",
     "h4_late_shipment_priority",
@@ -950,6 +948,8 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_quality",
     "h1_pricing_summary",
     "h3_top_revenue_orders",
+    "h5_nation_revenue",
+    "h_window_cumulative_revenue",
     # j_semi_join/j_anti_join: r4-green, displaced by the never-attested
     # tier (the r6-new queries took the last slots); first in line when
     # slots open next round. a_pivot_lang_quality (r4-green) displaced by

@@ -3808,3 +3808,99 @@ def t_streaming_quality(spark, sf_dir):
 )
 def x_corpus_overlap(spark, sf_dir):
     return dedup.corpus_overlap_minhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "x_pipeline_tokenizer_fertility",
+    f"""
+    WITH {_bpe_merge_ctes(_BPE_N_MERGES)},
+    docsym AS (
+      SELECT doc_id,
+             ' ' || array_to_string(list_transform(
+                 list_filter(string_split(text,' '), x -> x <> ''),
+                 x -> array_to_string(string_split(x,''),' ') || ' </w>'
+               ), ' ') || ' ' AS sym
+      FROM documents
+    ),
+    e0 AS (SELECT doc_id, sym AS base_sym, sym FROM docsym)
+    {_BPE_ENCODE_STEPS},
+    counts AS (
+      SELECT doc_id,
+             len(string_split(trim(base_sym),' ')) AS n_base_symbols,
+             len(string_split(trim(sym),' ')) AS n_bpe_tokens
+      FROM e{_BPE_N_MERGES}
+    ),
+    words AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), x -> x <> '')) AS n_words
+      FROM documents
+    )
+    SELECT w.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w.n_words) AS BIGINT) AS n_words,
+           CAST(sum(c.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           round(sum(c.n_bpe_tokens) / CAST(sum(w.n_words) AS DOUBLE), 4)
+             AS fertility,
+           round(sum(c.n_base_symbols) / CAST(sum(c.n_bpe_tokens) AS DOUBLE), 4)
+             AS compression
+    FROM counts c JOIN words w USING (doc_id)
+    GROUP BY w.lang
+    """,
+    survey_ids=("EXT-pipeline", "EXT-text"),
+    doc="per-language tokenizer fertility audit over the trained BPE "
+    "table: tokens-per-word (the multilingual-fairness number — a "
+    "language at 2x fertility pays 2x context and compute for the same "
+    "text) and base-symbol compression, aggregated from the one-scan "
+    "encode chain by a low-cardinality language-keyed shuffle — the "
+    "check a vocab-training run makes before freezing the tokenizer",
+)
+def x_pipeline_fertility(spark, sf_dir):
+    return text.tokenizer_fertility(
+        _t(spark, sf_dir, "documents"), _bpe_merges_cached(spark, sf_dir)
+    )
+
+
+@register(
+    "x_text_remove_dup_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(a) - 3)) AS i, a FROM toks
+    ), g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(a[i:i+3], ' ') AS gram
+      FROM pos
+    ), dup AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= 2
+    ), starts AS (
+      SELECT doc_id, list_sort(list(pos)) AS st
+      FROM g JOIN dup USING (gram) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.a) AS BIGINT) AS n_words,
+           CAST(len(t.a) - len(kept) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(list_transform(kept, j -> t.a[j + 1]), ' '),
+                    '') AS text_deduped
+    FROM (
+      SELECT t.doc_id, t.a,
+             list_filter(
+               generate_series(0, len(t.a) - 1),
+               j -> len(list_filter(COALESCE(s.st, []),
+                                    x -> j >= x AND j < x + 4)) = 0
+             ) AS kept
+      FROM toks t LEFT JOIN starts s USING (doc_id)
+    ) t
+    """,
+    survey_ids=("EXT-dedup", "EXT-text", "EXT-pipeline"),
+    doc="exact-substring dedup as a TRANSFORM (Lee et al. 2021 "
+    "ExactSubstr, word-granular, n=4): every word position covered by a "
+    "4-gram occurring in >= 2 distinct docs is deleted, rewriting the "
+    "text — boilerplate/template spans vanish while unique content "
+    "survives. Duplicated-gram set via one distinct+groupBy; matches "
+    "collapse to one (doc, sorted-starts) row per affected doc; the "
+    "rewrite is a per-row codegen expression (text never rides the "
+    "join). The removal sibling of x_text_repeated_spans' report.",
+)
+def x_text_remove_dup(spark, sf_dir):
+    return text.remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=4)

@@ -382,3 +382,47 @@ def test_corpus_overlap_minhash_estimates_and_bounds(spark):
         "source string, doc_id long, text string",
     )
     assert corpus_overlap_minhash(short, n_hashes=8).collect() == []
+
+
+def test_remove_duplicate_spans_deletes_shared_ngrams_only(spark):
+    from data_pipeline_kafka_ek_spark.operators.text import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e unique one here"),
+            (2, "x y a b c d e z w q"),
+            (3, "totally different words here friend"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in remove_duplicate_spans(df, n=4).collect()}
+    # "a b c d e" is shared: its two 4-grams cover 5 positions in each doc
+    assert rows[1].text_deduped == "unique one here" and rows[1].n_removed == 5
+    assert rows[2].text_deduped == "x y z w q" and rows[2].n_removed == 5
+    # untouched doc passes through verbatim
+    assert rows[3].n_removed == 0
+    assert rows[3].text_deduped == "totally different words here friend"
+    # a doc shorter than n carries no n-gram and passes through
+    short = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_spans(short, n=4).collect()}
+    assert out[1].n_removed == 0 and out[1].text_deduped == "a b"
+
+
+def test_tokenizer_fertility_exact_on_known_vocab(spark):
+    from data_pipeline_kafka_ek_spark.operators.text import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "en", "ab ab"), (2, "de", "cd")], "doc_id long, lang string, text string"
+    )
+    # one merge rule: a+b -> ab; en words become 1 token each, de stays 2
+    merges = [(1, "a", "b", 2)]
+    rows = {r.lang: r for r in tokenizer_fertility(docs, merges).collect()}
+    # en: 2 words, each "a b </w>" -> "ab </w>" = 2 tokens per word
+    assert rows["en"].n_words == 2 and rows["en"].n_bpe_tokens == 4
+    assert rows["en"].fertility == 2.0
+    # de: 1 word "c d </w>" unmerged = 3 tokens
+    assert rows["de"].n_words == 1 and rows["de"].n_bpe_tokens == 3
+    assert rows["de"].fertility == 3.0
+    assert rows["de"].compression == 1.0
