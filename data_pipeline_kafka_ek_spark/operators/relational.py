@@ -427,3 +427,102 @@ def cascade_rollup(
         "event_count",
         F.round("value_sum", 4).alias("value_sum"),
     )
+
+
+def distribution_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_bins: int = 10,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Population-Stability-Index drift detection per group: histogram the
+    CURRENT window's values against bins fixed by the BASELINE window's
+    per-group [min, max] and report ``PSI = sum (p_i - q_i) ln(p_i/q_i)``
+    with add-one smoothing — the standard monitoring number for "has this
+    feed's distribution moved" (PSI > 0.2 is the conventional
+    investigate threshold, surfaced as the ``drifted`` flag). This is
+    the distribution-level companion to ``zscore_outliers``' row-level
+    alerts and feeds the same alert sinks.
+
+    Groups absent from the baseline are dropped (no reference
+    distribution to compare against); current values outside the
+    baseline range clamp into the edge bins, so range expansion shows up
+    as edge-bin mass, not as lost rows.
+
+    Determinism: integer bin counts, rational smoothed frequencies, one
+    ln per bin and a <= n_bins-term sum rounded to 4dp (the engine-
+    divergence budget every aggregate here uses).
+
+    Scale shape: per-group bounds are a map-side-combined aggregate
+    BROADCAST into both histogram passes; each pass is one
+    groupBy(group, bin) of counter rows (map-side combined); the PSI
+    fold runs over <= groups*n_bins slim rows. Neither raw scan
+    shuffles fact rows — the 100 TB monitoring-query shape.
+
+    Returns ``(grp, n_baseline, n_current, psi, drifted)``.
+    """
+    bounds = baseline.groupBy(F.col(group_col).alias("grp")).agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+        b = (
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col(value_col) - F.col("__lo")) / width),
+                        F.lit(0),
+                    ),
+                    F.lit(n_bins - 1),
+                )
+            )
+            .cast("int")
+        )
+        return (
+            df.select(F.col(group_col).alias("grp"), F.col(value_col))
+            .join(F.broadcast(bounds), "grp")
+            .select("grp", b.alias("bin"))
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    hb = hist(baseline, "cb")
+    hc = hist(current, "cc")
+    grid = bounds.select(
+        "grp", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    cells = (
+        grid.join(hb, ["grp", "bin"], "left")
+        .join(hc, ["grp", "bin"], "left")
+        .select(
+            "grp",
+            "bin",
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+            F.coalesce("cc", F.lit(0)).alias("cc"),
+        )
+    )
+    w = Window.partitionBy("grp")
+    nb = F.sum("cb").over(w)
+    nc = F.sum("cc").over(w)
+    p = (F.col("cb") + 1) / (nb + F.lit(n_bins))
+    q = (F.col("cc") + 1) / (nc + F.lit(n_bins))
+    term = (p - q) * F.log(p / q)
+    out = (
+        cells.select("grp", nb.alias("n_baseline"), nc.alias("n_current"), term.alias("__t"))
+        .groupBy("grp", "n_baseline", "n_current")
+        .agg(F.round(F.sum("__t"), 4).alias("psi"))
+    )
+    return (
+        out.filter(F.col("n_current") > 0)
+        .select(
+            "grp",
+            F.col("n_baseline").cast("long").alias("n_baseline"),
+            F.col("n_current").cast("long").alias("n_current"),
+            "psi",
+            (F.col("psi") > F.lit(threshold)).alias("drifted"),
+        )
+    )

@@ -890,8 +890,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_text_langid_confusion",
     # last driver-green r3 — two rounds stale, the oldest attested tier.
     # First the streaming/brute-force twins whose batch/bucketed siblings
-    # were green in r5:
-    "t_streaming_windowed_counts",
+    # were green in r5 (t_streaming_windowed_counts rotates out one round
+    # for the late-r6 t_streaming_hll_distinct: its exact machinery —
+    # replayed_stream + update-mode windowed agg — stays driver-covered
+    # via the in-window hopping/session twins):
     "t_streaming_hopping_counts",
     "t_streaming_session_counts",
     "t_streaming_session_append",
@@ -908,7 +910,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_text_fingerprint",
     "x_pipeline_corpus_prep",
     "x_text_repetition",
-    "x_text_langid",
+    # x_events_distribution_drift (late-r6 PSI monitor) takes the last
+    # r3-tier slot; x_text_langid rotates out covered transitively — the
+    # in-window x_text_langid_confusion aggregates language_id's full
+    # output, so the operator itself stays driver-exercised
+    "x_events_distribution_drift",
+    "t_streaming_hll_distinct",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -947,6 +954,8 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_ann_topk_blocked",
     "x_text_quality",
     "h1_pricing_summary",
+    "x_text_langid",
+    "t_streaming_windowed_counts",
     "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",

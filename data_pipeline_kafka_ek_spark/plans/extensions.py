@@ -3904,3 +3904,132 @@ def x_pipeline_fertility(spark, sf_dir):
 )
 def x_text_remove_dup(spark, sf_dir):
     return text.remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=4)
+
+
+@register(
+    "x_events_distribution_drift",
+    """
+    WITH base AS (
+      SELECT event_type AS grp, value FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+    ), cur AS (
+      SELECT event_type AS grp, value FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+    ), bounds AS (
+      SELECT grp, min(value) AS lo, max(value) AS hi FROM base GROUP BY 1
+    ), hb AS (
+      SELECT b.grp,
+             CASE WHEN o.hi = o.lo THEN 0
+                  ELSE CAST(least(greatest(floor((b.value - o.lo)
+                         / ((o.hi - o.lo) / 10.0)), 0), 9) AS INT) END AS bin,
+             count(*) AS cb
+      FROM base b JOIN bounds o USING (grp) GROUP BY 1, 2
+    ), hc AS (
+      SELECT c.grp,
+             CASE WHEN o.hi = o.lo THEN 0
+                  ELSE CAST(least(greatest(floor((c.value - o.lo)
+                         / ((o.hi - o.lo) / 10.0)), 0), 9) AS INT) END AS bin,
+             count(*) AS cc
+      FROM cur c JOIN bounds o USING (grp) GROUP BY 1, 2
+    ), grid AS (
+      SELECT grp, unnest(generate_series(0, 9)) AS bin FROM bounds
+    ), cells AS (
+      SELECT g.grp, g.bin,
+             COALESCE(hb.cb, 0) AS cb, COALESCE(hc.cc, 0) AS cc
+      FROM grid g
+      LEFT JOIN hb ON g.grp = hb.grp AND g.bin = hb.bin
+      LEFT JOIN hc ON g.grp = hc.grp AND g.bin = hc.bin
+    ), tot AS (
+      SELECT grp, bin, cb, cc,
+             sum(cb) OVER (PARTITION BY grp) AS nb,
+             sum(cc) OVER (PARTITION BY grp) AS nc
+      FROM cells
+    ), psi AS (
+      SELECT grp, nb, nc,
+             round(sum(((cb + 1) * 1.0 / (nb + 10) - (cc + 1) * 1.0 / (nc + 10))
+                   * ln(((cb + 1) * 1.0 / (nb + 10))
+                        / ((cc + 1) * 1.0 / (nc + 10)))), 4) AS psi
+      FROM tot GROUP BY grp, nb, nc
+    )
+    SELECT grp, CAST(nb AS BIGINT) AS n_baseline,
+           CAST(nc AS BIGINT) AS n_current, psi, psi > 0.2 AS drifted
+    FROM psi WHERE nc > 0
+    """,
+    survey_ids=("A1", "EXT-streaming", "K5"),
+    doc="Population-Stability-Index drift monitor per event type: the "
+    "month's second half histogrammed against bins fixed by the first "
+    "half's per-group range, PSI with add-one smoothing, drifted = "
+    "psi > 0.2 (the conventional investigate threshold) — the "
+    "distribution-level companion to the z-score row alerts feeding "
+    "the same alert sinks. Bounds broadcast into both histogram "
+    "passes; only counter rows shuffle; the PSI fold runs over "
+    "groups*10 slim rows.",
+)
+def x_events_drift(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    return relational.distribution_drift(
+        e.filter(F.col("ts") < split), e.filter(F.col("ts") >= split)
+    )
+
+
+@register(
+    "t_streaming_hll_distinct",
+    f"""
+    WITH src AS (
+      SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+    ), rr AS (
+      SELECT grp,
+             CAST(('0x' || substr(h, 1, 2))::UBIGINT AS BIGINT) AS reg,
+             CAST(('0x' || substr(h, 3, 15))::UBIGINT AS BIGINT) AS wv
+      FROM src
+    ), regs AS (
+      SELECT grp, reg,
+             max(CASE WHEN wv = 0 THEN 61
+                      ELSE 60 - length(bin(wv)) + 1 END) AS mj
+      FROM rr GROUP BY 1, 2
+    ), folded AS (
+      SELECT grp, count(*) AS n_present,
+             sum((1::BIGINT << (61 - mj))::HUGEINT) AS present_sum
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT grp, n_present,
+             {_HLL_NUM!r} / CAST(present_sum
+               + ({_HLL_M} - n_present)::HUGEINT * (1::HUGEINT << 61)
+               AS DOUBLE) AS e_raw,
+             {_HLL_M} - n_present AS v
+      FROM folded
+    ), rows_per AS (
+      SELECT event_type AS grp, count(*) AS rows_seen FROM events GROUP BY 1
+    )
+    SELECT e.grp, CAST(e.n_present AS BIGINT) AS n_registers,
+           CAST(round(CASE WHEN e.e_raw <= {2.5 * _HLL_M!r} AND e.v > 0
+                           THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / e.v)
+                           ELSE e.e_raw END) AS BIGINT) AS hll_estimate,
+           CAST(r.rows_seen AS BIGINT) AS rows_seen
+    FROM est e JOIN rows_per r USING (grp)
+    """,
+    survey_ids=("T1", "EXT-sketch", "EXT-streaming"),
+    doc="streaming HLL distinct-count: events replayed as a 4-micro-batch "
+    "stream through an applyInPandasWithState automaton whose per-key "
+    "state is exactly 256 max-rho registers + a row counter — fixed "
+    "size forever, smaller and flatter than streaming KMV's sorted "
+    "digests, and the element-wise-max update makes the final state "
+    "replay-order-invariant, so the last revision per key hash-matches "
+    "the batch SQL oracle (register derivation and the exact fixed-"
+    "point estimator are byte-identical to x_sketch_hll_distinct)",
+)
+def t_streaming_hll(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events")
+    stream = srt.replayed_stream(spark, e, n_slices=4, order_col="ts")
+    revisions = srt.run_available_now(
+        srt.hll_distinct_stateful(stream), output_mode="update"
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("rows_seen"))
+    return (
+        revisions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("grp", "n_registers", "hll_estimate", "rows_seen")
+    )

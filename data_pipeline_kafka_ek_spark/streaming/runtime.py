@@ -636,3 +636,81 @@ def kmv_distinct_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def hll_distinct_stateful(
+    stream_df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 8,
+) -> DataFrame:
+    """Streaming HyperLogLog distinct-count — the fixed-size companion to
+    :func:`kmv_distinct_stateful`: state per key is exactly ``2**p``
+    max-rho registers (one small int each) plus a row counter, FOREVER,
+    regardless of stream volume — smaller and flatter than KMV's k
+    sorted digests, and the register update is a pure element-wise max,
+    so the final state is replay-order-invariant (what lets the
+    streaming run hash-match a batch SQL oracle). Register derivation
+    and estimator are byte-identical to
+    ``operators/sketches.py::hll_distinct``: md5 hex -> register +
+    leading-zero rho, exact integer harmonic denominator, one float
+    division, half-up rounding, small-range linear counting.
+
+    Emits each key's ``(n_registers, hll_estimate, rows_seen)`` revision
+    per batch; ``rows_seen`` strictly grows, so max(rows_seen) selects
+    the final estimate downstream.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    m = 1 << p
+    hex_b = p // 4
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 61)
+
+    out_schema = "grp string, n_registers long, hll_estimate long, rows_seen long"
+    state_schema = "regs array<int>, rows long"
+
+    def update(key_tuple, pdfs, state):
+        import hashlib
+        import math
+
+        import pandas as pd
+
+        regs, rows = state.get if state.exists else ([0] * m, 0)
+        regs = list(regs)
+        for pdf in pdfs:
+            rows += len(pdf)
+            for v in pdf[value_col]:
+                h = hashlib.md5(str(v).encode()).hexdigest()
+                reg = int(h[:hex_b], 16)
+                wv = int(h[hex_b : hex_b + 15], 16)
+                rho = 61 if wv == 0 else 60 - wv.bit_length() + 1
+                if rho > regs[reg]:
+                    regs[reg] = rho
+        state.update((regs, rows))
+        n_present = sum(1 for r in regs if r > 0)
+        total = sum(1 << (61 - r) for r in regs if r > 0) + (
+            m - n_present
+        ) * (1 << 61)
+        e_raw = num / float(total)
+        v_empty = m - n_present
+        if e_raw <= 2.5 * m and v_empty > 0:
+            e = float(m) * math.log(float(m) / v_empty)
+        else:
+            e = e_raw
+        yield pd.DataFrame(
+            {
+                "grp": [str(key_tuple[0])],
+                "n_registers": [n_present],
+                "hll_estimate": [int(math.floor(e + 0.5))],
+                "rows_seen": [rows],
+            }
+        )
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -426,3 +426,26 @@ def test_tokenizer_fertility_exact_on_known_vocab(spark):
     assert rows["de"].n_words == 1 and rows["de"].n_bpe_tokens == 3
     assert rows["de"].fertility == 3.0
     assert rows["de"].compression == 1.0
+
+
+def test_distribution_drift_detects_shift_and_ignores_stable(spark):
+    from data_pipeline_kafka_ek_spark.operators.relational import distribution_drift
+
+    base = spark.createDataFrame(
+        [("stable", float(i % 10)) for i in range(100)]
+        + [("moved", float(i % 10)) for i in range(100)],
+        "event_type string, value double",
+    )
+    cur = spark.createDataFrame(
+        [("stable", float(i % 10)) for i in range(100)]
+        + [("moved", float(i % 10) + 50.0) for i in range(100)]  # clamps to top bin
+        + [("newgroup", 1.0)],
+        "event_type string, value double",
+    )
+    rows = {r.grp: r for r in distribution_drift(base, cur).collect()}
+    assert not rows["stable"].drifted and abs(rows["stable"].psi) < 0.01
+    assert rows["moved"].drifted and rows["moved"].psi > 1.0
+    # groups without a baseline distribution are absent, not fabricated
+    assert "newgroup" not in rows
+    # identical distributions -> psi exactly 0 after rounding
+    assert rows["stable"].n_baseline == 100 and rows["stable"].n_current == 100

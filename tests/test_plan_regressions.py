@@ -214,3 +214,11 @@ def test_classifier_score_is_scan_explode_agg(spark, sf_dir):
     assert _shuffles(plan) <= 1, plan
     assert "Join" not in plan, plan
     assert "Generate explode" in plan, plan
+
+
+def test_distribution_drift_broadcasts_bounds(spark, sf_dir):
+    """PSI drift: the per-group bounds must broadcast into BOTH histogram
+    passes — fact rows never shuffle; only (group, bin) counter rows do."""
+    plan = _plan(em.queries()["x_events_distribution_drift"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BatchEvalPython" not in plan
