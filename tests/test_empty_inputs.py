@@ -110,3 +110,23 @@ def test_round6_operators_empty(spark, empty_docs, empty_emb):
     # the quantizer TRAINER on an empty corpus fails loud, not cryptic
     with pytest.raises(ValueError, match="empty corpus"):
         similarity.ivf_centroids_lloyd(empty_emb, n_cells=2)
+
+
+def test_round6_late_additions_empty(spark, empty_docs, empty_events):
+    from data_pipeline_kafka_ek_spark.operators import sketches
+    from data_pipeline_kafka_ek_spark.operators.relational import distribution_drift
+
+    assert sketches.hll_distinct(empty_events, "event_type", "user_id").count() == 0
+    assert text.hashed_classifier_score(empty_docs).count() == 0
+    assert text.perplexity_buckets(empty_docs).count() == 0
+    assert text.remove_duplicate_spans(empty_docs, n=4).count() == 0
+    assert dedup.corpus_overlap_minhash(empty_docs).count() == 0
+    assert distribution_drift(empty_events, empty_events).count() == 0
+    # empty BASELINE with a real current side must also be empty (no
+    # reference distribution), not a crash
+    one = spark.createDataFrame(
+        [("click", 1.0)], "event_type string, value double"
+    )
+    assert distribution_drift(
+        spark.createDataFrame([], one.schema), one
+    ).count() == 0

@@ -176,3 +176,67 @@ def test_bpe_merges_never_expand_and_rank_monotone(spark, word_docs):
     rows = text_ops.bpe_token_counts(docs, merges).collect()
     assert all(r.n_bpe_tokens <= r.n_base_symbols for r in rows)
     assert all(r.n_bpe_tokens >= 1 for r in rows)
+
+
+@given(st.sets(st.integers(0, 10_000_000), min_size=1, max_size=400))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hll_python_model_error_bound_and_merge(vals):
+    """Pure-Python twin of the HLL register/estimator math (identical to
+    operators/sketches.py::hll_distinct and the streaming automaton):
+    the estimate stays inside 5 standard errors for arbitrary value
+    sets, and splitting the set into two sketches then max-merging the
+    registers reproduces the single-sketch registers exactly."""
+    import math
+
+    m, hex_b = 256, 2
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m * float(1 << 61)
+
+    def registers(vs):
+        regs = [0] * m
+        for v in vs:
+            h = hashlib.md5(str(v).encode()).hexdigest()
+            reg = int(h[:hex_b], 16)
+            wv = int(h[hex_b : hex_b + 15], 16)
+            rho = 61 if wv == 0 else 60 - wv.bit_length() + 1
+            regs[reg] = max(regs[reg], rho)
+        return regs
+
+    def estimate(regs):
+        n_present = sum(1 for r in regs if r > 0)
+        total = sum(1 << (61 - r) for r in regs if r > 0) + (m - n_present) * (
+            1 << 61
+        )
+        e = num / float(total)
+        v_empty = m - n_present
+        if e <= 2.5 * m and v_empty > 0:
+            e = float(m) * math.log(float(m) / v_empty)
+        return int(math.floor(e + 0.5))
+
+    regs = registers(vals)
+    est = estimate(regs)
+    se = 1.04 / math.sqrt(m) * len(vals)
+    assert abs(est - len(vals)) <= max(5 * se, 3)
+    # merge law: element-wise max of two half-sketches == whole sketch
+    vl = sorted(vals)
+    half = len(vl) // 2
+    merged = [max(a, b) for a, b in zip(registers(vl[:half]), registers(vl[half:]))]
+    assert merged == regs
+
+
+@given(st.lists(st.sampled_from("alpha beta gamma delta eps".split()), min_size=1, max_size=30))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_classifier_score_is_token_order_invariant(spark, toks):
+    """The feature-hashed score is a mean over per-token weights, so any
+    permutation of the same multiset must score identically (exact
+    fixed-point accumulation makes this bit-exact, not approximate)."""
+    from data_pipeline_kafka_ek_spark.operators.text import hashed_classifier_score
+
+    fwd = " ".join(toks)
+    rev = " ".join(reversed(toks))
+    df = spark.createDataFrame(
+        [(1, fwd), (2, rev)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in hashed_classifier_score(df).collect()}
+    assert rows[1].clf_score == rows[2].clf_score
+    assert rows[1].n_tokens == rows[2].n_tokens == len(toks)
