@@ -859,6 +859,19 @@ def h5(spark, sf_dir):
 #              r5-green window plus the r4-greens displaced one-for-one
 #              by each r6-new registration (each is named at the top of
 #              DRIVER_DEMOTED).
+#              LATE r6: 14 more queries registered after the bench
+#              refresh (HLL batch+streaming, classifier scoring +
+#              streaming gate, perplexity buckets, topic clusters,
+#              corpus overlap, tokenizer fertility, exact-substring
+#              removal, PSI drift, corpus-prep v3, Q4/Q10/Q14). They
+#              take window slots as never-attested; displaced one-for-
+#              one: the seven bench-flagged dedup/ANN/text queries and
+#              the four bench-flagged h-queries (bench.py still
+#              executes all eleven every round), x_text_langid (covered
+#              transitively by the in-window langid-confusion view),
+#              and the windowed/hopping streaming twins (machinery
+#              covered by the in-window session twins). All displaced
+#              entries stay green in the full local oracle run.
 
 DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-attested — registered after the r5 window filled; the
@@ -894,7 +907,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # for the late-r6 t_streaming_hll_distinct: its exact machinery —
     # replayed_stream + update-mode windowed agg — stays driver-covered
     # via the in-window hopping/session twins):
-    "t_streaming_hopping_counts",
     "t_streaming_session_counts",
     "t_streaming_session_append",
     "x_dedup_embedding",
@@ -916,6 +928,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # output, so the operator itself stays driver-exercised
     "x_events_distribution_drift",
     "t_streaming_hll_distinct",
+    "x_pipeline_corpus_prep_v3",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -956,6 +969,7 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "h1_pricing_summary",
     "x_text_langid",
     "t_streaming_windowed_counts",
+    "t_streaming_hopping_counts",
     "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",

@@ -4033,3 +4033,97 @@ def t_streaming_hll(spark, sf_dir):
         .filter(F.col("__rn") == 1)
         .select("grp", "n_registers", "hll_estimate", "rows_seen")
     )
+
+
+@register(
+    "x_pipeline_corpus_prep_v3",
+    f"""
+    WITH {_GOPHER_KEEP_CTE},
+    toksw AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), wsc AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('w#' || substr(md5(tok), 1, 4)), 1, 15))
+                  ::UBIGINT AS BIGINT) - 576460752303423488 AS ws
+      FROM toksw
+    ), clf AS (
+      SELECT doc_id,
+             CAST(sum(ws) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1152921504606846976.0) > 0.0
+               AS keep
+      FROM wsc GROUP BY doc_id
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    big AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+        SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
+        FROM tok
+      )
+    ),
+    lm AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+    ctx AS (SELECT w1, sum(c2) AS ctx FROM lm GROUP BY 1),
+    voc AS (
+      SELECT count(DISTINCT token) AS vocab
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    ),
+    scored AS (
+      SELECT b.doc_id,
+             round(avg(ln((COALESCE(l.c2, 0) + 1.0)::DOUBLE
+                          / (COALESCE(c.ctx, 0) + voc.vocab)::DOUBLE)), 4)
+               AS mean_logprob
+      FROM big b
+      LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+      LEFT JOIN ctx c ON b.w1 = c.w1
+      CROSS JOIN voc
+      GROUP BY b.doc_id
+    ),
+    ppl AS (
+      SELECT s.doc_id,
+             ntile(3) OVER (PARTITION BY d.lang
+                            ORDER BY s.mean_logprob DESC, s.doc_id) AS b
+      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    ),
+    kept AS (
+      SELECT doc.source, doc.text
+      FROM documents doc
+      JOIN gq ON doc.doc_id = gq.doc_id
+      JOIN clf ON doc.doc_id = clf.doc_id
+      JOIN ppl ON doc.doc_id = ppl.doc_id
+      WHERE gq.keep AND clf.keep AND ppl.b < 3
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY source
+    """,
+    survey_ids=("EXT-pipeline", "EXT-text"),
+    doc="the LATE-round curation composition, end to end in one oracle-"
+    "checked query: Gopher rule verdicts AND the feature-hashed "
+    "classifier's keep AND CCNet perplexity bucket != tail (per-"
+    "language thirds under the corpus bigram LM) -> surviving per-"
+    "source inventory (docs + whitespace tokens), the input to the "
+    "token-budget mixture planner. Each signal is an operator attested "
+    "in isolation; the conjunction joins three slim per-doc keep "
+    "columns back to one scan of the corpus — no stage rescans text",
+)
+def x_pipeline_corpus_prep_v3(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    gq = text.gopher_rules(docs).select("doc_id", F.col("keep").alias("__g"))
+    clf = text.hashed_classifier_score(docs).select(
+        "doc_id", F.col("keep").alias("__c")
+    )
+    ppl = text.perplexity_buckets(docs).select(
+        "doc_id", (F.col("ppl_bucket") != "tail").alias("__p")
+    )
+    kept = (
+        docs.join(gq, "doc_id")
+        .join(clf, "doc_id")
+        .join(ppl, "doc_id")
+        .filter(F.col("__g") & F.col("__c") & F.col("__p"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
