@@ -300,3 +300,207 @@ def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
             F.col("meta.duration_ms").alias("duration_ms"),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-pixel PNG codec (stdlib zlib; spec: www.w3.org/TR/png-3 §9 filters).
+# Upgrades the multimodal seam from header-decode to REAL pixel decode: the
+# container has no image libraries, but 8-bit RGBA PNG is fully decodable
+# with zlib + the five standard scanline filters — so the decode stage of
+# an image pipeline runs on real bytes end to end.
+# ---------------------------------------------------------------------------
+
+
+def png_encode_pixels(pixels: "list[list[tuple[int, int, int, int]]]") -> bytes:
+    """Encode 8-bit RGBA pixel rows into a spec-valid PNG (filter 0
+    scanlines, one zlib IDAT). Companion fixture-generator for
+    :func:`decode_png_pixels`."""
+    import struct
+    import zlib
+
+    height = len(pixels)
+    width = len(pixels[0]) if height else 0
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(
+        b"\x00" + bytes(v for px in row for v in px) for row in pixels
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> dict:
+    """REAL pixel decode for non-interlaced 8-bit RGBA PNGs: walk the
+    chunk list, CRC-check and concatenate IDAT, zlib-decompress, and
+    undo all five standard scanline filters (None/Sub/Up/Average/Paeth
+    — spec §9.2). Returns ``{width, height, pixels}`` with ``pixels``
+    as height x width x 4 nested lists of ints. Raises on interlacing,
+    other bit depths / color types, or corrupt chunks — tolerant
+    pipelines dead-letter those rows (T10)."""
+    import struct
+    import zlib
+
+    meta = decode_png_header(payload)  # validates signature + IHDR CRC
+    if meta["bit_depth"] != 8 or meta["color_type"] != 6:
+        raise ValueError("pixel decode supports 8-bit RGBA only")
+    w, h = meta["width"], meta["height"]
+    pos, idat = 33, b""
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IDAT":
+            idat += data
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w * 4
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    prev = bytearray(stride)
+    rows = []
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if ftype == 1:  # Sub
+            for i in range(4, stride):
+                line[i] = (line[i] + line[i - 4]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - 4] if i >= 4 else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 4] if i >= 4 else 0
+                b = prev[i]
+                c = prev[i - 4] if i >= 4 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = line
+        rows.append(
+            [tuple(line[x * 4 : x * 4 + 4]) for x in range(w)]
+        )
+    return {"width": w, "height": h, "pixels": rows}
+
+
+def image_pixel_features(assets: DataFrame) -> DataFrame:
+    """Per-image channel statistics from REAL pixel decode: mean and
+    variance of each RGBA channel — the feature-extraction stage of an
+    image-curation pipeline (dark/blank/degenerate-image filters key off
+    exactly these numbers), running on real PNG bytes with the stdlib
+    codec. Arrow-batched ``mapInPandas``; one scan, no shuffle; rounding
+    is explicit half-up to 4dp so the numbers are engine-reproducible
+    (Python's round() is banker's and would drift from SQL).
+
+    Input needs (asset_id, payload); returns ``(asset_id, width, height,
+    mean_r, mean_g, mean_b, mean_a, var_r, var_g, var_b, var_a)``.
+    """
+    out_schema = (
+        "asset_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, mean_a double, "
+        "var_r double, var_g double, var_b double, var_a double"
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        def r4(x: float) -> float:
+            return math.floor(x * 10_000 + 0.5) / 10_000
+
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_png_pixels(bytes(payload))
+                flat = [px for row in img["pixels"] for px in row]
+                n = len(flat)
+                stats = []
+                for c in range(4):
+                    vals = [px[c] for px in flat]
+                    mean = sum(vals) / n
+                    var = sum(v * v for v in vals) / n - mean * mean
+                    stats.append((r4(mean), r4(var)))
+                rows.append(
+                    (
+                        int(aid),
+                        img["width"],
+                        img["height"],
+                        stats[0][0], stats[1][0], stats[2][0], stats[3][0],
+                        stats[0][1], stats[1][1], stats[2][1], stats[3][1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "mean_a",
+                    "var_r", "var_g", "var_b", "var_a",
+                ],
+            )
+
+    return assets.mapInPandas(run, schema=out_schema)
+
+
+def synthetic_png_assets(docs: DataFrame, size: int = 4) -> DataFrame:
+    """Fixture-side asset synthesis: a deterministic ``size x size`` 8-bit
+    RGBA PNG per document, pixel k's channels taken from the leading hex
+    pairs of ``md5(doc_id # k)`` — so the EXPECTED channel statistics
+    are a pure function of the id that an external SQL oracle can
+    compute without any codec, while the Spark side must survive the
+    full encode -> decode -> un-filter -> stats round trip on real
+    bytes. In production this stage is replaced by reading stored
+    payloads; everything downstream is unchanged."""
+    out_schema = "asset_id long, payload binary"
+    npx = size * size
+
+    def run(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                pix = [
+                    [
+                        tuple(
+                            int(
+                                hashlib.md5(
+                                    f"{d}#{y * size + x}".encode()
+                                ).hexdigest()[2 * c : 2 * c + 2],
+                                16,
+                            )
+                            for c in range(4)
+                        )
+                        for x in range(size)
+                    ]
+                    for y in range(size)
+                ]
+                ids.append(int(d))
+                payloads.append(png_encode_pixels(pix))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(run, schema=out_schema)

@@ -920,7 +920,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_corpus_stats",
     "x_text_token_stats",
     "x_text_fingerprint",
-    "x_pipeline_corpus_prep",
     "x_text_repetition",
     # x_events_distribution_drift (late-r6 PSI monitor) takes the last
     # r3-tier slot; x_text_langid rotates out covered transitively — the
@@ -929,6 +928,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_events_distribution_drift",
     "t_streaming_hll_distinct",
     "x_pipeline_corpus_prep_v3",
+    "x_multimodal_pixel_stats",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -970,6 +970,10 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_langid",
     "t_streaming_windowed_counts",
     "t_streaming_hopping_counts",
+    # corpus_prep v1 rotates out for the late-r6 pixel-stats query: its
+    # composition machinery is superseded by the in-window v2 AND v3
+    # compositions, which exercise strictly more of the same operators
+    "x_pipeline_corpus_prep",
     "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",

@@ -4127,3 +4127,50 @@ def x_pipeline_corpus_prep_v3(spark, sf_dir):
         .cast("long")
         .alias("n_tokens"),
     )
+
+
+def _px_chan_sql(c: int) -> str:
+    """DuckDB expression for channel ``c`` of the md5-derived pixel."""
+    return (
+        f"CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || "
+        f"CAST(k.k AS VARCHAR)), {2 * c + 1}, 2))::UBIGINT AS INT)"
+    )
+
+
+@register(
+    "x_multimodal_pixel_stats",
+    f"""
+    WITH k AS (SELECT unnest(generate_series(0, 15)) AS k),
+    px AS (
+      SELECT d.doc_id, k.k,
+             {_px_chan_sql(0)} AS r, {_px_chan_sql(1)} AS g,
+             {_px_chan_sql(2)} AS b, {_px_chan_sql(3)} AS a
+      FROM documents d CROSS JOIN k
+    )
+    SELECT doc_id AS asset_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           round(sum(r) / 16.0, 4) AS mean_r,
+           round(sum(g) / 16.0, 4) AS mean_g,
+           round(sum(b) / 16.0, 4) AS mean_b,
+           round(sum(a) / 16.0, 4) AS mean_a,
+           round(sum(r*r) / 16.0 - (sum(r) / 16.0) * (sum(r) / 16.0), 4) AS var_r,
+           round(sum(g*g) / 16.0 - (sum(g) / 16.0) * (sum(g) / 16.0), 4) AS var_g,
+           round(sum(b*b) / 16.0 - (sum(b) / 16.0) * (sum(b) / 16.0), 4) AS var_b,
+           round(sum(a*a) / 16.0 - (sum(a) / 16.0) * (sum(a) / 16.0), 4) AS var_a
+    FROM px GROUP BY doc_id
+    """,
+    survey_ids=("EXT-multimodal",),
+    doc="REAL image decode, oracle-checked: every document gets a "
+    "deterministic 4x4 RGBA PNG (pixel channels = md5(doc_id#k) hex "
+    "pairs), and the Spark side must survive the full stdlib codec "
+    "round trip — zlib IDAT, CRC checks, scanline un-filtering — to "
+    "produce per-channel mean/variance that the oracle computes "
+    "directly from the md5 rule with no codec at all: a wrong byte "
+    "anywhere in the decoder breaks the hash match. Arrow-batched "
+    "mapInPandas, one scan, no shuffle until the stats row. The "
+    "resize/feature stages downstream of decode_png_pixels consume "
+    "ordinary rows; image libs, when present, replace only the codec "
+    "body.",
+)
+def x_multimodal_pixels(spark, sf_dir):
+    assets = multimodal.synthetic_png_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.image_pixel_features(assets)

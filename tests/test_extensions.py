@@ -1104,3 +1104,89 @@ def test_token_budget_exact_weights_and_zero_default(spark):
     assert weighted["s2"].sampling_rate == 0.0
     assert weighted["s2"].undersupplied is False
     assert weighted["s0"].token_allocation == 8100.0
+
+
+def test_png_pixel_codec_roundtrip_and_all_filters():
+    """The stdlib PNG codec must decode every spec filter type (our
+    encoder emits only filter 0, but foreign encoders emit all five)."""
+    import struct
+    import zlib
+
+    from data_pipeline_kafka_ek_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png_pixels,
+        png_encode_pixels,
+    )
+
+    target = [
+        [(10, 20, 30, 40), (50, 60, 70, 80)],
+        [(90, 100, 110, 120), (130, 140, 150, 160)],
+    ]
+    assert decode_png_pixels(png_encode_pixels(target))["pixels"] == target
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    flat = [bytes(v for px in row for v in px) for row in target]
+
+    def enc_row(raw, prev, f):
+        out = bytearray()
+        for i in range(len(raw)):
+            a = raw[i - 4] if i >= 4 else 0
+            b = prev[i]
+            c = prev[i - 4] if i >= 4 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((raw[i] - pred) & 0xFF)
+        return bytes(out)
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    for f in (0, 1, 2, 3, 4):
+        raw, prev = b"", bytes(8)
+        for row in flat:
+            raw += bytes([f]) + enc_row(row, prev, f)
+            prev = row
+        png = (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png_pixels(png)["pixels"] == target, f"filter {f}"
+
+
+def test_png_pixel_codec_rejects_corruption():
+    import pytest as _pytest
+
+    from data_pipeline_kafka_ek_spark.operators.multimodal import (
+        decode_png_pixels,
+        png_encode_pixels,
+        png_encode_header,
+    )
+
+    good = png_encode_pixels([[(1, 2, 3, 4)]])
+    # flip a byte inside the IDAT payload: CRC must catch it
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png_pixels(bytes(bad))
+    # header-only PNG (no IDAT) and non-RGBA depth both refuse cleanly
+    with _pytest.raises(Exception):
+        decode_png_pixels(png_encode_header(2, 2))
+    with _pytest.raises(ValueError):
+        decode_png_pixels(png_encode_header(2, 2, bit_depth=16))
