@@ -920,7 +920,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_corpus_stats",
     "x_text_token_stats",
     "x_text_fingerprint",
-    "x_text_repetition",
     # x_events_distribution_drift (late-r6 PSI monitor) takes the last
     # r3-tier slot; x_text_langid rotates out covered transitively — the
     # in-window x_text_langid_confusion aggregates language_id's full
@@ -929,6 +928,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "t_streaming_hll_distinct",
     "x_pipeline_corpus_prep_v3",
     "x_multimodal_pixel_stats",
+    "x_multimodal_audio_stats",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -974,6 +974,11 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # composition machinery is superseded by the in-window v2 AND v3
     # compositions, which exercise strictly more of the same operators
     "x_pipeline_corpus_prep",
+    # x_text_repetition rotates out for the late-r6 audio-stats query;
+    # its signals (top-2gram share, duplicate-2gram fraction) are the
+    # gopher_rules/quality_score family, both in-window, and it stays
+    # green in the full local oracle run
+    "x_text_repetition",
     "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",

@@ -4174,3 +4174,42 @@ def _px_chan_sql(c: int) -> str:
 def x_multimodal_pixels(spark, sf_dir):
     assets = multimodal.synthetic_png_assets(_t(spark, sf_dir, "documents"))
     return multimodal.image_pixel_features(assets)
+
+
+@register(
+    "x_multimodal_audio_stats",
+    """
+    WITH i AS (SELECT unnest(generate_series(0, 63)) AS i),
+    s AS (
+      SELECT d.doc_id, i.i,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '~'
+                   || CAST(i.i AS VARCHAR)), 1, 4))::UBIGINT AS INT) - 32768
+               AS v
+      FROM documents d CROSS JOIN i
+    ), lagged AS (
+      SELECT doc_id, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT doc_id AS asset_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           round(sum(v) / 64.0, 4) AS mean_amp,
+           round(sum(v * v) / 64.0, 4) AS mean_energy,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY doc_id
+    """,
+    survey_ids=("EXT-multimodal",),
+    doc="REAL audio decode, oracle-checked (the WAV sibling of "
+    "x_multimodal_pixel_stats): every document gets a deterministic "
+    "64-sample 16-bit PCM clip (sample = md5(doc_id~i) hex - 32768); "
+    "Spark survives the full RIFF encode -> chunk-walk -> PCM parse "
+    "round trip to produce mean amplitude, mean energy (the silence/"
+    "clipping-filter number) and strict zero crossings, while the "
+    "oracle computes the same stats straight from the hash rule with "
+    "no codec. Arrow-batched mapInPandas, one scan, no shuffle.",
+)
+def x_multimodal_audio(spark, sf_dir):
+    assets = multimodal.synthetic_wav_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.audio_sample_features(assets)

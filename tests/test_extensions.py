@@ -1190,3 +1190,24 @@ def test_png_pixel_codec_rejects_corruption():
         decode_png_pixels(png_encode_header(2, 2))
     with _pytest.raises(ValueError):
         decode_png_pixels(png_encode_header(2, 2, bit_depth=16))
+
+
+def test_wav_sample_codec_roundtrip_and_refusals():
+    import pytest as _pytest
+
+    from data_pipeline_kafka_ek_spark.operators.multimodal import (
+        decode_wav_samples,
+        wav_encode,
+        wav_encode_samples,
+    )
+
+    samples = [0, 100, -100, 32767, -32768, 7]
+    d = decode_wav_samples(wav_encode_samples(samples, sample_rate=8000))
+    assert d["samples"] == samples
+    assert d["sample_rate"] == 8000 and d["bits_per_sample"] == 16
+    # zeroed fixture still decodes (all-zero samples)
+    z = decode_wav_samples(wav_encode(n_samples=4, sample_rate=8000))
+    assert z["samples"] == [0, 0, 0, 0]
+    # 8-bit refusal
+    with _pytest.raises(ValueError):
+        decode_wav_samples(wav_encode(n_samples=4, sample_rate=8000, bits=8))
