@@ -919,7 +919,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "a_rollup_revenue",
     "x_corpus_stats",
     "x_text_token_stats",
-    "x_text_fingerprint",
     # x_events_distribution_drift (late-r6 PSI monitor) takes the last
     # r3-tier slot; x_text_langid rotates out covered transitively — the
     # in-window x_text_langid_confusion aggregates language_id's full
@@ -929,6 +928,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_pipeline_corpus_prep_v3",
     "x_multimodal_pixel_stats",
     "x_multimodal_audio_stats",
+    "x_multimodal_video_motion",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -979,6 +979,10 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # gopher_rules/quality_score family, both in-window, and it stays
     # green in the full local oracle run
     "x_text_repetition",
+    # x_text_fingerprint rotates out for the late-r6 video-motion query;
+    # md5 content-key machinery is exercised by every dedup query in the
+    # window and it stays green in the full local oracle run
+    "x_text_fingerprint",
     "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",

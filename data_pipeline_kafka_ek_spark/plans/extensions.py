@@ -4213,3 +4213,58 @@ def x_multimodal_pixels(spark, sf_dir):
 def x_multimodal_audio(spark, sf_dir):
     assets = multimodal.synthetic_wav_assets(_t(spark, sf_dir, "documents"))
     return multimodal.audio_sample_features(assets)
+
+
+def _vpx_chan_sql(c: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '@' || "
+        f"CAST(f.f AS VARCHAR) || '#' || CAST(k.k AS VARCHAR)), "
+        f"{2 * c + 1}, 2))::UBIGINT AS INT)"
+    )
+
+
+@register(
+    "x_multimodal_video_motion",
+    f"""
+    WITH f AS (SELECT unnest(generate_series(0, 3)) AS f),
+    k AS (SELECT unnest(generate_series(0, 15)) AS k),
+    px AS (
+      SELECT d.doc_id, f.f, k.k,
+             {_vpx_chan_sql(0)} AS r, {_vpx_chan_sql(1)} AS g,
+             {_vpx_chan_sql(2)} AS b, {_vpx_chan_sql(3)} AS a
+      FROM documents d CROSS JOIN f CROSS JOIN k
+    ), lagged AS (
+      SELECT doc_id, f, r, g, b, a,
+             lag(r) OVER w AS pr, lag(g) OVER w AS pg,
+             lag(b) OVER w AS pb, lag(a) OVER w AS pa
+      FROM px WINDOW w AS (PARTITION BY doc_id, k ORDER BY f)
+    ), motion AS (
+      SELECT doc_id,
+             sum(abs(r - pr) + abs(g - pg) + abs(b - pb) + abs(a - pa))
+               AS diffs
+      FROM lagged WHERE f > 0 GROUP BY doc_id
+    ), bright AS (
+      SELECT doc_id, sum(r + g + b) AS s FROM px WHERE f = 0 GROUP BY doc_id
+    )
+    SELECT m.doc_id AS asset_id,
+           CAST(4 AS INT) AS n_frames,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           round(m.diffs / 192.0, 4) AS motion_energy,
+           round(br.s / 48.0, 4) AS first_frame_brightness
+    FROM motion m JOIN bright br USING (doc_id)
+    """,
+    survey_ids=("EXT-multimodal",),
+    doc="REAL video-shaped decode, oracle-checked: each document gets a "
+    "4-frame clip in the repo's minimal container (whole PNGs back to "
+    "back, frame pixels = md5(doc_id@f#k)); Spark must parse the "
+    "container by walking chunk structure to each IEND, pixel-decode "
+    "every frame, and fold frame-to-frame absolute differences into "
+    "motion_energy (the static-clip/scene-change signal) — while the "
+    "oracle computes the same numbers from the hash rule alone. The "
+    "frame explode lives inside the Arrow batch iterator: peak memory "
+    "is one clip's frames, the frame_sample geometry at real-decode "
+    "fidelity.",
+)
+def x_multimodal_video(spark, sf_dir):
+    assets = multimodal.synthetic_video_assets(_t(spark, sf_dir, "documents"))
+    return multimodal.video_motion_features(assets)

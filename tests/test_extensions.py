@@ -1211,3 +1211,35 @@ def test_wav_sample_codec_roundtrip_and_refusals():
     # 8-bit refusal
     with _pytest.raises(ValueError):
         decode_wav_samples(wav_encode(n_samples=4, sample_rate=8000, bits=8))
+
+
+def test_png_stream_split_and_motion_geometry(spark):
+    from data_pipeline_kafka_ek_spark.operators import multimodal as mm
+
+    a = mm.png_encode_pixels([[(0, 0, 0, 0)]])
+    b = mm.png_encode_pixels([[(255, 255, 255, 255)]])
+    frames = mm.split_png_stream(a + b + a)
+    assert frames == [a, b, a]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.split_png_stream(a + b"garbage")
+
+    # motion on a hand-built clip: static clip -> 0; full flip -> 255
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+
+    def clips(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                payload = (a + a + a) if d == 1 else (a + b + a)
+                rows.append((int(d), payload))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    assets = docs.mapInPandas(clips, "asset_id long, payload binary")
+    out = {r.asset_id: r for r in mm.video_motion_features(assets).collect()}
+    assert out[1].motion_energy == 0.0 and out[1].n_frames == 3
+    assert out[2].motion_energy == 255.0   # every cell flips both transitions
+    assert out[2].first_frame_brightness == 0.0
