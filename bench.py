@@ -76,6 +76,7 @@ def main() -> None:
         "h4_late_shipment_priority",
         "h10_returned_item_revenue",
         "h14_promo_revenue_share",
+        "x_multimodal_pixel_stats",
     }
     print(
         json.dumps(

@@ -4158,6 +4158,7 @@ def _px_chan_sql(c: int) -> str:
            round(sum(a*a) / 16.0 - (sum(a) / 16.0) * (sum(a) / 16.0), 4) AS var_a
     FROM px GROUP BY doc_id
     """,
+    bench=True,
     survey_ids=("EXT-multimodal",),
     doc="REAL image decode, oracle-checked: every document gets a "
     "deterministic 4x4 RGBA PNG (pixel channels = md5(doc_id#k) hex "

@@ -1243,3 +1243,29 @@ def test_png_stream_split_and_motion_geometry(spark):
     assert out[1].motion_energy == 0.0 and out[1].n_frames == 3
     assert out[2].motion_energy == 255.0   # every cell flips both transitions
     assert out[2].first_frame_brightness == 0.0
+
+
+def test_resize_images_real_block_mean(spark):
+    from data_pipeline_kafka_ek_spark.operators import multimodal as mm
+
+    pix = [[(y * 40 + x * 10, 0, 255, 128) for x in range(4)] for y in range(4)]
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": [int(d) for d in pdf["doc_id"]],
+                    "payload": [mm.png_encode_pixels(pix) for _ in pdf["doc_id"]],
+                }
+            )
+
+    assets = docs.mapInPandas(synth, "asset_id long, payload binary")
+    out = mm.resize_images(assets, 2, 2).collect()
+    small = mm.decode_png_pixels(bytes(out[0].payload))
+    assert small["width"] == 2 and small["height"] == 2
+    # each output pixel is the floor-mean of its 2x2 source block
+    assert small["pixels"][0][0] == (25, 0, 255, 128)
+    assert small["pixels"][1][1] == (125, 0, 255, 128)
