@@ -918,7 +918,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_salted_hotkey_collect",
     "a_rollup_revenue",
     "x_corpus_stats",
-    "x_text_token_stats",
     # x_events_distribution_drift (late-r6 PSI monitor) takes the last
     # r3-tier slot; x_text_langid rotates out covered transitively — the
     # in-window x_text_langid_confusion aggregates language_id's full
@@ -929,6 +928,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_multimodal_pixel_stats",
     "x_multimodal_audio_stats",
     "x_multimodal_video_motion",
+    "x_ann_recall_eval",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -983,6 +983,10 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # md5 content-key machinery is exercised by every dedup query in the
     # window and it stays green in the full local oracle run
     "x_text_fingerprint",
+    # x_text_token_stats rotates out for the late-r6 recall-eval query;
+    # its counting expressions back the in-window corpus-prep and
+    # token-budget queries, and it stays green in the full local run
+    "x_text_token_stats",
     "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",

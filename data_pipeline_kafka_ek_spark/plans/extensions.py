@@ -4269,3 +4269,96 @@ def _vpx_chan_sql(c: int) -> str:
 def x_multimodal_video(spark, sf_dir):
     assets = multimodal.synthetic_video_assets(_t(spark, sf_dir, "documents"))
     return multimodal.video_motion_features(assets)
+
+
+def _ann_recall_oracle_sql(n_planes: int = 4) -> str:
+    planes = similarity.srp_planes(n_planes, 64, 42)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id ASC
+               ) AS rank
+        FROM v c, q WHERE c.vec_id <> q.vec_id
+      ) WHERE rank <= 10
+    ),
+    b AS (SELECT vec_id, e, {_sql_bucket(planes)} AS bucket FROM v),
+    qb AS (SELECT * FROM b WHERE vec_id < 5),
+    ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qb.vec_id
+                 ORDER BY list_cosine_similarity(qb.e, c.e) DESC, c.vec_id ASC
+               ) AS rank
+        FROM b c JOIN qb ON c.bucket = qb.bucket AND c.vec_id <> qb.vec_id
+      ) WHERE rank <= 10
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(any_value(na.n) AS BIGINT) AS n_approx,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS recall
+    FROM ex e
+    LEFT JOIN ap a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    JOIN (SELECT query_id, count(*) AS n FROM ap GROUP BY 1) na
+      ON e.query_id = na.query_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "x_ann_recall_eval",
+    _ann_recall_oracle_sql(),
+    survey_ids=("EXT-similarity", "EXT-pipeline"),
+    doc="index-quality evaluation as a first-class query: recall@10 of "
+    "the LSH-bucketed ANN tier against the exact brute-force top-10, "
+    "per query — the number an embedding-index deployment monitors to "
+    "decide when to add planes/probes or rebuild. Both tiers are the "
+    "already-attested operators; the eval is one (query, neighbor) "
+    "equi-join of two k-row-per-query sets, so evaluating the index "
+    "costs the price of running it, not of re-deriving ground truth "
+    "(at 100 TB: sample the query set, keep the same join shape).",
+)
+def x_ann_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.lsh_bucket_topk(emb, queries, k=10, n_planes=4).select(
+        "query_id", F.col("neighbor_id").alias("a_neighbor")
+    )
+    na = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "a_neighbor")
+    hit = F.sum(F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            hit.cast("long").alias("n_hits"),
+            F.round(hit / F.count(F.lit(1)), 4).alias("recall"),
+        )
+        .join(F.broadcast(na), "query_id")
+        .select(
+            "query_id",
+            "n_exact",
+            F.col("n_approx").cast("long").alias("n_approx"),
+            "n_hits",
+            "recall",
+        )
+    )

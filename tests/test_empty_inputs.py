@@ -130,3 +130,13 @@ def test_round6_late_additions_empty(spark, empty_docs, empty_events):
     assert distribution_drift(
         spark.createDataFrame([], one.schema), one
     ).count() == 0
+
+
+def test_multimodal_codec_pipeline_empty(empty_docs):
+    assets = multimodal.synthetic_png_assets(empty_docs)
+    assert multimodal.image_pixel_features(assets).count() == 0
+    assert multimodal.resize_images(assets, 2, 2).count() == 0
+    wavs = multimodal.synthetic_wav_assets(empty_docs)
+    assert multimodal.audio_sample_features(wavs).count() == 0
+    clips = multimodal.synthetic_video_assets(empty_docs)
+    assert multimodal.video_motion_features(clips).count() == 0
