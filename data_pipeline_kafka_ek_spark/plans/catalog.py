@@ -913,7 +913,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ann_cosine_topk",
     "x_dedup_jaccard_3gram",
     # then the r3-green set displaced by the r5-new additions:
-    "x_explode_top_tokens",
     "q_sql_scalar_subquery",
     "x_salted_hotkey_collect",
     "a_rollup_revenue",
@@ -929,6 +928,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_multimodal_audio_stats",
     "x_multimodal_video_motion",
     "x_ann_recall_eval",
+    "t_streaming_psi_drift",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -987,6 +987,10 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # its counting expressions back the in-window corpus-prep and
     # token-budget queries, and it stays green in the full local run
     "x_text_token_stats",
+    # x_explode_top_tokens rotates out for the late-r6 streaming PSI
+    # monitor; explode+group machinery is in-window via a7_top_terms'
+    # family and every dedup posting join, green in the full local run
+    "x_explode_top_tokens",
     "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",
@@ -1398,7 +1402,6 @@ def q_sql_scalar(spark, sf_dir):
 
 
 @register(
-    "x_explode_top_tokens",
     """
     SELECT tok, CAST(count(*) AS BIGINT) AS docs
     FROM (

@@ -4362,3 +4362,125 @@ def x_ann_recall(spark, sf_dir):
             "recall",
         )
     )
+
+
+@register(
+    "t_streaming_psi_drift",
+    """
+    WITH base AS (
+      SELECT event_type AS grp, value FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+    ), cur AS (
+      SELECT event_type AS grp, value FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
+    ), bounds AS (
+      SELECT grp, min(value) AS lo, max(value) AS hi FROM base GROUP BY 1
+    ), hb AS (
+      SELECT b.grp,
+             CASE WHEN o.hi = o.lo THEN 0
+                  ELSE CAST(least(greatest(floor((b.value - o.lo)
+                         / ((o.hi - o.lo) / 10.0)), 0), 9) AS INT) END AS bin,
+             count(*) AS cb
+      FROM base b JOIN bounds o USING (grp) GROUP BY 1, 2
+    ), hc AS (
+      SELECT c.grp,
+             CASE WHEN o.hi = o.lo THEN 0
+                  ELSE CAST(least(greatest(floor((c.value - o.lo)
+                         / ((o.hi - o.lo) / 10.0)), 0), 9) AS INT) END AS bin,
+             count(*) AS cc
+      FROM cur c JOIN bounds o USING (grp) GROUP BY 1, 2
+    ), grid AS (
+      SELECT grp, unnest(generate_series(0, 9)) AS bin FROM bounds
+    ), cells AS (
+      SELECT g.grp, g.bin,
+             COALESCE(hb.cb, 0) AS cb, COALESCE(hc.cc, 0) AS cc
+      FROM grid g
+      LEFT JOIN hb ON g.grp = hb.grp AND g.bin = hb.bin
+      LEFT JOIN hc ON g.grp = hc.grp AND g.bin = hc.bin
+    ), tot AS (
+      SELECT grp, bin, cb, cc,
+             sum(cb) OVER (PARTITION BY grp) AS nb,
+             sum(cc) OVER (PARTITION BY grp) AS nc
+      FROM cells
+    )
+    SELECT grp, CAST(nb AS BIGINT) AS n_baseline,
+           CAST(nc AS BIGINT) AS n_current,
+           round(sum(((cb + 1) * 1.0 / (nb + 10) - (cc + 1) * 1.0 / (nc + 10))
+                 * ln(((cb + 1) * 1.0 / (nb + 10))
+                      / ((cc + 1) * 1.0 / (nc + 10)))), 4) AS psi,
+           round(sum(((cb + 1) * 1.0 / (nb + 10) - (cc + 1) * 1.0 / (nc + 10))
+                 * ln(((cb + 1) * 1.0 / (nb + 10))
+                      / ((cc + 1) * 1.0 / (nc + 10)))), 4) > 0.2 AS drifted,
+           CAST(nc AS BIGINT) AS rows_seen
+    FROM tot GROUP BY grp, nb, nc
+    """,
+    survey_ids=("T1", "EXT-streaming", "K5"),
+    doc="the PSI drift monitor as a STANDING query: the baseline "
+    "histogram (first half-month) broadcast as a literal, the second "
+    "half replayed as a 4-micro-batch stream through an "
+    "applyInPandasWithState automaton whose per-key state is 10 bin "
+    "counters — fixed size forever; every batch emits the key's "
+    "current PSI revision (the live alert feed), and because counter "
+    "accumulation is order-invariant the final revision hash-matches "
+    "the batch oracle. Bin math, smoothing and rounding identical to "
+    "x_events_distribution_drift.",
+)
+def t_streaming_psi(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    base = e.filter(F.col("ts") < split)
+    bounds = {
+        r.grp: (r.lo, r.hi)
+        for r in base.groupBy(F.col("event_type").alias("grp"))
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    width = {g: (hi - lo) / 10.0 for g, (lo, hi) in bounds.items()}
+    # degenerate hi==lo baselines map to width 1.0 so every value floors
+    # into bin 0 — same outcome as the batch operator's explicit branch
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.col("__lo")) / F.col("__w")),
+            F.lit(0),
+        ),
+        F.lit(9),
+    )
+    import itertools
+
+    base_counts: dict = {g: [0] * 10 for g in bounds}
+    lo_map = F.create_map(
+        *itertools.chain(*[(F.lit(g), F.lit(v[0])) for g, v in bounds.items()])
+    )
+    w_map = F.create_map(
+        *itertools.chain(*[(F.lit(g), F.lit(w if w > 0 else 1.0)) for g, w in width.items()])
+    )
+    counted = (
+        base.withColumn("__lo", lo_map[F.col("event_type")])
+        .withColumn("__w", w_map[F.col("event_type")])
+        .select(
+            F.col("event_type").alias("grp"),
+            bin_col.cast("int").alias("bin"),
+        )
+        .groupBy("grp", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    for r in counted:
+        base_counts[r.grp][r.bin] = r.c
+    baseline = {
+        g: (bounds[g][0], bounds[g][1], base_counts[g]) for g in bounds
+    }
+    stream = srt.replayed_stream(
+        spark, e.filter(F.col("ts") >= split), n_slices=4, order_col="ts"
+    )
+    revisions = srt.run_available_now(
+        srt.psi_drift_stateful(stream, baseline), output_mode="update"
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("rows_seen"))
+    return (
+        revisions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -714,3 +714,86 @@ def hll_distinct_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def psi_drift_stateful(
+    stream_df: DataFrame,
+    baseline: "dict[str, tuple[float, float, list[int]]]",
+    value_col: str = "value",
+    group_col: str = "event_type",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Streaming PSI drift monitor — the standing-query twin of
+    ``relational.distribution_drift``: the baseline window's per-group
+    ``(lo, hi, bin_counts)`` rides in as a broadcast-sized literal
+    (computed once, batch-side), and the stream accumulates ONLY the
+    current-window histogram as per-key state (``n_bins`` counters,
+    fixed size forever). Every batch emits the key's current
+    ``(n_current, psi, drifted, rows_seen)`` revision — the alert feed
+    for "this metric's distribution is moving", updating as data
+    arrives instead of waiting for a batch job.
+
+    Bin assignment, add-one smoothing and the PSI fold are numerically
+    identical to the batch operator, and counter accumulation is
+    order-invariant, so the final revision per key hash-matches the
+    batch result. Keys absent from the baseline are ignored (no
+    reference distribution), exactly like the batch twin.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "grp string, n_baseline long, n_current long, psi double, "
+        "drifted boolean, rows_seen long"
+    )
+    state_schema = "counts array<long>, rows long"
+
+    def update(key_tuple, pdfs, state):
+        import pandas as pd
+
+        grp = str(key_tuple[0])
+        if grp not in baseline:
+            # drain the iterator (contract) and emit nothing
+            for _ in pdfs:
+                pass
+            return
+        lo, hi, base_counts = baseline[grp]
+        counts, rows = state.get if state.exists else ([0] * n_bins, 0)
+        counts = list(counts)
+        width = (hi - lo) / float(n_bins)
+        for pdf in pdfs:
+            rows += len(pdf)
+            for v in pdf[value_col]:
+                if hi == lo:
+                    b = 0
+                else:
+                    b = int(min(max(math.floor((v - lo) / width), 0), n_bins - 1))
+                counts[b] += 1
+        state.update((counts, rows))
+        nb = sum(base_counts)
+        nc = sum(counts)
+        psi = 0.0
+        for cb, cc in zip(base_counts, counts):
+            p = (cb + 1) / (nb + n_bins)
+            q = (cc + 1) / (nc + n_bins)
+            psi += (p - q) * math.log(p / q)
+        psi4 = math.floor(psi * 10_000 + 0.5) / 10_000 if psi >= 0 else -math.floor(-psi * 10_000 + 0.5) / 10_000
+        yield __import__("pandas").DataFrame(
+            {
+                "grp": [grp],
+                "n_baseline": [nb],
+                "n_current": [nc],
+                "psi": [psi4],
+                "drifted": [psi4 > 0.2],
+                "rows_seen": [rows],
+            }
+        )
+
+    return stream_df.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
