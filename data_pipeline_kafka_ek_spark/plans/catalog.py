@@ -1402,6 +1402,7 @@ def q_sql_scalar(spark, sf_dir):
 
 
 @register(
+    "x_explode_top_tokens",
     """
     SELECT tok, CAST(count(*) AS BIGINT) AS docs
     FROM (
