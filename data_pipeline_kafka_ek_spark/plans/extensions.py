@@ -4413,6 +4413,7 @@ def x_ann_recall(spark, sf_dir):
                       / ((cc + 1) * 1.0 / (nc + 10)))), 4) > 0.2 AS drifted,
            CAST(nc AS BIGINT) AS rows_seen
     FROM tot GROUP BY grp, nb, nc
+    HAVING nc > 0
     """,
     survey_ids=("T1", "EXT-streaming", "K5"),
     doc="the PSI drift monitor as a STANDING query: the baseline "
