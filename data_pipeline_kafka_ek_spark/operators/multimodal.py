@@ -144,6 +144,41 @@ def fake_features(assets: DataFrame) -> DataFrame:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _decode_guard(fn):
+    """Decorator: the decode contract is 'malformed payload raises
+    ValueError' (tolerant pipelines dead-letter on it, T10) — but a
+    truncated buffer surfaces as struct.error and a corrupt/missing
+    stream as zlib.error; normalize both so a dead-letter wrapper keyed
+    to ValueError actually catches every malformed payload."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        import struct
+        import zlib
+
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, zlib.error, IndexError) as exc:
+            raise ValueError(f"malformed payload: {exc}") from exc
+
+    return wrapped
+
+
+def _round4(x: float) -> float:
+    """Half-away-from-zero rounding to 4dp — matches Spark's round()
+    (BigDecimal HALF_UP) and DuckDB's round() bit-for-bit on the exact
+    rationals these feature stages produce; Python's built-in round()
+    is banker's and would drift from the SQL oracles."""
+    import math
+
+    return (
+        math.floor(x * 10_000 + 0.5) / 10_000
+        if x >= 0
+        else -math.floor(-x * 10_000 + 0.5) / 10_000
+    )
+
+
 def png_encode_header(width: int, height: int, bit_depth: int = 8, color_type: int = 6) -> bytes:
     """Synthesize a minimal structurally-valid PNG: signature + IHDR
     (with correct CRC) + IEND. No IDAT — enough for any header parser;
@@ -164,6 +199,7 @@ def png_encode_header(width: int, height: int, bit_depth: int = 8, color_type: i
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
 
 
+@_decode_guard
 def decode_png_header(payload: bytes) -> dict:
     """Parse a PNG signature + IHDR chunk (CRC-verified) into typed
     metadata — a real stdlib-only decoder for ``decode_payload``."""
@@ -205,6 +241,7 @@ def wav_encode(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_decode_guard
 def decode_wav_header(payload: bytes) -> dict:
     """Walk the RIFF chunk list, parse the PCM fmt chunk, and derive the
     duration from the data chunk's byte length — stdlib-only."""
@@ -341,6 +378,7 @@ def png_encode_pixels(pixels: "list[list[tuple[int, int, int, int]]]") -> bytes:
     )
 
 
+@_decode_guard
 def decode_png_pixels(payload: bytes) -> dict:
     """REAL pixel decode for non-interlaced 8-bit RGBA PNGs: walk the
     chunk list, CRC-check and concatenate IDAT, zlib-decompress, and
@@ -428,8 +466,7 @@ def image_pixel_features(assets: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        def r4(x: float) -> float:
-            return math.floor(x * 10_000 + 0.5) / 10_000
+        r4 = _round4
 
         for pdf in batches:
             rows = []
@@ -523,6 +560,7 @@ def wav_encode_samples(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_decode_guard
 def decode_wav_samples(payload: bytes) -> dict:
     """REAL sample decode for 16-bit PCM WAV: header walk (reusing
     :func:`decode_wav_header`'s validation) plus the data chunk parsed
@@ -573,8 +611,7 @@ def audio_sample_features(assets: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        def r4(x: float) -> float:
-            return math.floor(x * 10_000 + 0.5) / 10_000 if x >= 0 else -math.floor(-x * 10_000 + 0.5) / 10_000
+        r4 = _round4
 
         for pdf in batches:
             rows = []
@@ -638,6 +675,7 @@ def synthetic_wav_assets(
     return docs.select("doc_id").mapInPandas(run, schema=out_schema)
 
 
+@_decode_guard
 def split_png_stream(payload: bytes) -> "list[bytes]":
     """Split a concatenated-PNG stream (the repo's minimal video
     container: frames are whole PNGs back to back) into per-frame byte
@@ -726,8 +764,7 @@ def video_motion_features(assets: DataFrame) -> DataFrame:
 
         import pandas as pd
 
-        def r4(x: float) -> float:
-            return math.floor(x * 10_000 + 0.5) / 10_000
+        r4 = _round4
 
         for pdf in batches:
             rows = []

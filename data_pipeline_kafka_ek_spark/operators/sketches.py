@@ -125,7 +125,12 @@ def kmv_distinct(
         .select(F.lit("__all__").alias("grp"), "n_exact")
     )
     exact = exact_pg.unionByName(exact_all)
-    return out.join(F.broadcast(exact), "grp").select(
+    # eqNullSafe: a genuine NULL group survives the sketch build as its
+    # own grp=NULL row; a plain equi-join would silently drop it from
+    # the with_exact output
+    return out.join(
+        F.broadcast(exact), out["grp"].eqNullSafe(exact["grp"])
+    ).drop(exact["grp"]).select(
         "grp",
         "n_sketch",
         "kmv_estimate",
@@ -379,6 +384,11 @@ def hll_distinct(
     """
     if p % 4 != 0:
         raise ValueError("p must be a multiple of 4 (hex-nibble register addressing)")
+    if p < 8:
+        # the alpha constant below is Flajolet's m >= 128 value; smaller
+        # register counts need the small-m constants and would return a
+        # silently biased estimate — refuse loudly instead
+        raise ValueError("p must be >= 8 (alpha_m constant is the m >= 128 value)")
     m = 1 << p
     hex_b = p // 4
     # alpha_m for m >= 128 (Flajolet et al. Fig. 3); spliced as the same
@@ -453,7 +463,12 @@ def hll_distinct(
         .agg(F.count("*").alias("n_exact"))
         .select(F.lit("__all__").alias("grp"), "n_exact")
     )
-    return out.join(F.broadcast(exact), "grp").select(
+    # eqNullSafe: the register build deliberately keeps a genuine NULL
+    # group as its own sketch row (see the grouping() note above); a
+    # plain equi-join would silently drop it from the with_exact output
+    return out.join(
+        F.broadcast(exact), out["grp"].eqNullSafe(exact["grp"])
+    ).drop(exact["grp"]).select(
         "grp",
         "n_registers",
         "hll_estimate",

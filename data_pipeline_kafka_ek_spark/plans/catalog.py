@@ -821,15 +821,14 @@ def h5(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # The verification driver samples the FIRST 50 entries of queries() (insertion
-# order). With 84 registered queries (r4 added x_multimodal_stdlib_codecs,
-# x_dedup_components, x_ann_pq_topk, x_text_chunking,
-# x_pipeline_mixture_sample, x_pipeline_seq_packing, three streaming
-# twins, x_contamination_ngram and the two sketch queries), 34 necessarily
-# fall outside the window each round, so the window
+# order). The catalog has long outgrown the window (137 registered queries as
+# of late r6; 87 necessarily fall outside it each round), so the window
 # ROTATES: least-recently-driver-attested queries go
 # first, and the entries rotated out are always ones that earned a driver-green
-# hash row in the immediately preceding round. Rotated-out queries are NOT
-# unverified meanwhile — tools/check_correctness.py runs all 84 against their
+# hash row in a recent round or carry an independent per-round evidence
+# channel (bench.py execution, an in-window sibling exercising the same
+# machinery). Rotated-out queries are NOT unverified meanwhile —
+# tools/check_correctness.py runs the FULL catalog against the
 # DuckDB oracles (same contract as the driver) and is exercised every round;
 # the rotation only decides which rows land in the external CORRECTNESS file.
 # A regression test pins that every name in DRIVER_PRIORITY sits inside the
@@ -949,9 +948,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "h4_late_shipment_priority",
     "h10_returned_item_revenue",
     "h14_promo_revenue_share",
-    # last driver-green r4 — one round fresher than the r3 tier; 15 of the
-    # 16 fit in the remaining slots (j_anti_join waits one round: its
-    # in-window sibling j_semi_join exercises the same join machinery)
+    # (the r4-green tier that used to close this list was displaced
+    # one-for-one by the late-r6 registrations above; see the LATE r6
+    # note in the rotation history and the tier comments in
+    # DRIVER_DEMOTED for where each entry went)
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (

@@ -3346,10 +3346,11 @@ _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 _HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 61)
 
 
-@register(
-    "x_sketch_hll_distinct",
-    f"""
-    WITH src AS (
+# shared oracle pieces for the HLL sketch: the register build is ONE
+# definition (src/rr/regs) and the fold/estimate chain is parameterized by
+# which relation holds the sketch rows — the batch query folds the union
+# of per-group + merged registers, the streaming twin folds regs directly
+_HLL_REGS_CTE = """src AS (
       SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS h FROM events
     ), rr AS (
       SELECT grp,
@@ -3361,14 +3362,14 @@ _HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 61)
              max(CASE WHEN wv = 0 THEN 61
                       ELSE 60 - length(bin(wv)) + 1 END) AS mj
       FROM rr GROUP BY 1, 2
-    ), sk AS (
-      SELECT * FROM regs
-      UNION ALL
-      SELECT '__all__' AS grp, reg, max(mj) FROM regs GROUP BY 2
-    ), folded AS (
+    )"""
+
+
+def _hll_fold_ctes(rel: str) -> str:
+    return f"""folded AS (
       SELECT grp, count(*) AS n_present,
              sum((1::BIGINT << (61 - mj))::HUGEINT) AS present_sum
-      FROM sk GROUP BY 1
+      FROM {rel} GROUP BY 1
     ), est AS (
       SELECT grp, n_present,
              {_HLL_NUM!r} / CAST(present_sum
@@ -3376,11 +3377,25 @@ _HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 61)
                AS DOUBLE) AS e_raw,
              {_HLL_M} - n_present AS v
       FROM folded
-    ), hll AS (
+    )"""
+
+
+_HLL_EST_CASE = (
+    f"CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v > 0 "
+    f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v) ELSE e_raw END"
+)
+
+
+@register(
+    "x_sketch_hll_distinct",
+    f"""
+    WITH {_HLL_REGS_CTE}, sk AS (
+      SELECT * FROM regs
+      UNION ALL
+      SELECT '__all__' AS grp, reg, max(mj) FROM regs GROUP BY 2
+    ), {_hll_fold_ctes("sk")}, hll AS (
       SELECT grp, CAST(n_present AS BIGINT) AS n_registers,
-             CAST(round(CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v > 0
-                             THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / v)
-                             ELSE e_raw END) AS BIGINT) AS hll_estimate
+             CAST(round({_HLL_EST_CASE}) AS BIGINT) AS hll_estimate
       FROM est
     ), ex AS (
       SELECT event_type AS grp, count(DISTINCT user_id) AS n_exact
@@ -3413,24 +3428,31 @@ def x_sketch_hll(spark, sf_dir):
     )
 
 
-@register(
-    "x_quality_clf_score",
-    """
-    WITH toks AS (
+# shared oracle CTEs for the feature-hashed classifier: one definition of
+# the bucket->weight->exact-sum pipeline, ending in the UNROUNDED score
+# (`raw`) — keep decisions must compare raw, never the rounded display
+# column, or documents scoring in (0, 5e-7) flip between engines
+_CLF_RAW_CTE = """clf_toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), w AS (
+    ), clf_w AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5('w#' || substr(md5(tok), 1, 4)), 1, 15))
                   ::UBIGINT AS BIGINT) - 576460752303423488 AS ws
-      FROM toks
-    )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(CAST(sum(ws) AS DOUBLE)
-                 / (CAST(count(*) AS DOUBLE) * 1152921504606846976.0),
-                 6) AS clf_score,
-           CAST(sum(ws) AS DOUBLE)
-             / (CAST(count(*) AS DOUBLE) * 1152921504606846976.0) > 0.0 AS keep
-    FROM w GROUP BY doc_id
+      FROM clf_toks
+    ), clf_raw AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(ws) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) * 1152921504606846976.0) AS raw
+      FROM clf_w GROUP BY doc_id
+    )"""
+
+
+@register(
+    "x_quality_clf_score",
+    f"""
+    WITH {_CLF_RAW_CTE}
+    SELECT doc_id, n_tokens, round(raw, 6) AS clf_score, raw > 0.0 AS keep
+    FROM clf_raw
     """,
     survey_ids=("EXT-text", "EXT-pipeline"),
     doc="feature-hashed linear classifier scoring (fastText-style quality "
@@ -3710,23 +3732,10 @@ def h14(spark, sf_dir):
 
 @register(
     "t_streaming_quality_gate",
-    """
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), w AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5('w#' || substr(md5(tok), 1, 4)), 1, 15))
-                  ::UBIGINT AS BIGINT) - 576460752303423488 AS ws
-      FROM toks
-    ), scored AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-             round(CAST(sum(ws) AS DOUBLE)
-                   / (CAST(count(*) AS DOUBLE) * 1152921504606846976.0),
-                   6) AS clf_score
-      FROM w GROUP BY doc_id
-    )
-    SELECT doc_id, n_tokens, clf_score FROM scored
-    WHERE CAST(clf_score AS DOUBLE) > 0.0
+    f"""
+    WITH {_CLF_RAW_CTE}
+    SELECT doc_id, n_tokens, round(raw, 6) AS clf_score
+    FROM clf_raw WHERE raw > 0.0
     """,
     survey_ids=("EXT-pipeline", "T1", "F3"),
     doc="ingest-time quality gate: the feature-hashed classifier "
@@ -3906,10 +3915,11 @@ def x_text_remove_dup(spark, sf_dir):
     return text.remove_duplicate_spans(_t(spark, sf_dir, "documents"), n=4)
 
 
-@register(
-    "x_events_distribution_drift",
-    """
-    WITH base AS (
+# shared oracle pieces for the PSI drift monitor: one definition of the
+# baseline/current split, the baseline-fixed binning, the zero-filled
+# grid and the per-group totals; the two queries differ only in their
+# final projection (batch verdicts vs streaming revisions)
+_PSI_CELLS_CTES = """base AS (
       SELECT event_type AS grp, value FROM events
       WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
     ), cur AS (
@@ -3944,11 +3954,18 @@ def x_text_remove_dup(spark, sf_dir):
              sum(cb) OVER (PARTITION BY grp) AS nb,
              sum(cc) OVER (PARTITION BY grp) AS nc
       FROM cells
-    ), psi AS (
-      SELECT grp, nb, nc,
-             round(sum(((cb + 1) * 1.0 / (nb + 10) - (cc + 1) * 1.0 / (nc + 10))
-                   * ln(((cb + 1) * 1.0 / (nb + 10))
-                        / ((cc + 1) * 1.0 / (nc + 10)))), 4) AS psi
+    )"""
+
+_PSI_SUM = """round(sum(((cb + 1) * 1.0 / (nb + 10) - (cc + 1) * 1.0 / (nc + 10))
+                 * ln(((cb + 1) * 1.0 / (nb + 10))
+                      / ((cc + 1) * 1.0 / (nc + 10)))), 4)"""
+
+
+@register(
+    "x_events_distribution_drift",
+    f"""
+    WITH {_PSI_CELLS_CTES}, psi AS (
+      SELECT grp, nb, nc, {_PSI_SUM} AS psi
       FROM tot GROUP BY grp, nb, nc
     )
     SELECT grp, CAST(nb AS BIGINT) AS n_baseline,
@@ -3976,36 +3993,11 @@ def x_events_drift(spark, sf_dir):
 @register(
     "t_streaming_hll_distinct",
     f"""
-    WITH src AS (
-      SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS h FROM events
-    ), rr AS (
-      SELECT grp,
-             CAST(('0x' || substr(h, 1, 2))::UBIGINT AS BIGINT) AS reg,
-             CAST(('0x' || substr(h, 3, 15))::UBIGINT AS BIGINT) AS wv
-      FROM src
-    ), regs AS (
-      SELECT grp, reg,
-             max(CASE WHEN wv = 0 THEN 61
-                      ELSE 60 - length(bin(wv)) + 1 END) AS mj
-      FROM rr GROUP BY 1, 2
-    ), folded AS (
-      SELECT grp, count(*) AS n_present,
-             sum((1::BIGINT << (61 - mj))::HUGEINT) AS present_sum
-      FROM regs GROUP BY 1
-    ), est AS (
-      SELECT grp, n_present,
-             {_HLL_NUM!r} / CAST(present_sum
-               + ({_HLL_M} - n_present)::HUGEINT * (1::HUGEINT << 61)
-               AS DOUBLE) AS e_raw,
-             {_HLL_M} - n_present AS v
-      FROM folded
-    ), rows_per AS (
+    WITH {_HLL_REGS_CTE}, {_hll_fold_ctes("regs")}, rows_per AS (
       SELECT event_type AS grp, count(*) AS rows_seen FROM events GROUP BY 1
     )
     SELECT e.grp, CAST(e.n_present AS BIGINT) AS n_registers,
-           CAST(round(CASE WHEN e.e_raw <= {2.5 * _HLL_M!r} AND e.v > 0
-                           THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / e.v)
-                           ELSE e.e_raw END) AS BIGINT) AS hll_estimate,
+           CAST(round({_HLL_EST_CASE}) AS BIGINT) AS hll_estimate,
            CAST(r.rows_seen AS BIGINT) AS rows_seen
     FROM est e JOIN rows_per r USING (grp)
     """,
@@ -4039,20 +4031,8 @@ def t_streaming_hll(spark, sf_dir):
     "x_pipeline_corpus_prep_v3",
     f"""
     WITH {_GOPHER_KEEP_CTE},
-    toksw AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ), wsc AS (
-      SELECT doc_id,
-             CAST(('0x' || substr(md5('w#' || substr(md5(tok), 1, 4)), 1, 15))
-                  ::UBIGINT AS BIGINT) - 576460752303423488 AS ws
-      FROM toksw
-    ), clf AS (
-      SELECT doc_id,
-             CAST(sum(ws) AS DOUBLE)
-               / (CAST(count(*) AS DOUBLE) * 1152921504606846976.0) > 0.0
-               AS keep
-      FROM wsc GROUP BY doc_id
-    ),
+    {_CLF_RAW_CTE},
+    clf AS (SELECT doc_id, raw > 0.0 AS keep FROM clf_raw),
     tok AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
     big AS (
       SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
@@ -4366,54 +4346,15 @@ def x_ann_recall(spark, sf_dir):
 
 @register(
     "t_streaming_psi_drift",
-    """
-    WITH base AS (
-      SELECT event_type AS grp, value FROM events
-      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
-    ), cur AS (
-      SELECT event_type AS grp, value FROM events
-      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16'
-    ), bounds AS (
-      SELECT grp, min(value) AS lo, max(value) AS hi FROM base GROUP BY 1
-    ), hb AS (
-      SELECT b.grp,
-             CASE WHEN o.hi = o.lo THEN 0
-                  ELSE CAST(least(greatest(floor((b.value - o.lo)
-                         / ((o.hi - o.lo) / 10.0)), 0), 9) AS INT) END AS bin,
-             count(*) AS cb
-      FROM base b JOIN bounds o USING (grp) GROUP BY 1, 2
-    ), hc AS (
-      SELECT c.grp,
-             CASE WHEN o.hi = o.lo THEN 0
-                  ELSE CAST(least(greatest(floor((c.value - o.lo)
-                         / ((o.hi - o.lo) / 10.0)), 0), 9) AS INT) END AS bin,
-             count(*) AS cc
-      FROM cur c JOIN bounds o USING (grp) GROUP BY 1, 2
-    ), grid AS (
-      SELECT grp, unnest(generate_series(0, 9)) AS bin FROM bounds
-    ), cells AS (
-      SELECT g.grp, g.bin,
-             COALESCE(hb.cb, 0) AS cb, COALESCE(hc.cc, 0) AS cc
-      FROM grid g
-      LEFT JOIN hb ON g.grp = hb.grp AND g.bin = hb.bin
-      LEFT JOIN hc ON g.grp = hc.grp AND g.bin = hc.bin
-    ), tot AS (
-      SELECT grp, bin, cb, cc,
-             sum(cb) OVER (PARTITION BY grp) AS nb,
-             sum(cc) OVER (PARTITION BY grp) AS nc
-      FROM cells
+    f"""
+    WITH {_PSI_CELLS_CTES}, psi AS (
+      SELECT grp, nb, nc, {_PSI_SUM} AS psi
+      FROM tot GROUP BY grp, nb, nc HAVING nc > 0
     )
     SELECT grp, CAST(nb AS BIGINT) AS n_baseline,
-           CAST(nc AS BIGINT) AS n_current,
-           round(sum(((cb + 1) * 1.0 / (nb + 10) - (cc + 1) * 1.0 / (nc + 10))
-                 * ln(((cb + 1) * 1.0 / (nb + 10))
-                      / ((cc + 1) * 1.0 / (nc + 10)))), 4) AS psi,
-           round(sum(((cb + 1) * 1.0 / (nb + 10) - (cc + 1) * 1.0 / (nc + 10))
-                 * ln(((cb + 1) * 1.0 / (nb + 10))
-                      / ((cc + 1) * 1.0 / (nc + 10)))), 4) > 0.2 AS drifted,
+           CAST(nc AS BIGINT) AS n_current, psi, psi > 0.2 AS drifted,
            CAST(nc AS BIGINT) AS rows_seen
-    FROM tot GROUP BY grp, nb, nc
-    HAVING nc > 0
+    FROM psi
     """,
     survey_ids=("T1", "EXT-streaming", "K5"),
     doc="the PSI drift monitor as a STANDING query: the baseline "

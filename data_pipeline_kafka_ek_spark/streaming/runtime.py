@@ -722,6 +722,7 @@ def psi_drift_stateful(
     value_col: str = "value",
     group_col: str = "event_type",
     n_bins: int = 10,
+    threshold: float = 0.2,
 ) -> DataFrame:
     """Streaming PSI drift monitor — the standing-query twin of
     ``relational.distribution_drift``: the baseline window's per-group
@@ -779,13 +780,15 @@ def psi_drift_stateful(
             q = (cc + 1) / (nc + n_bins)
             psi += (p - q) * math.log(p / q)
         psi4 = math.floor(psi * 10_000 + 0.5) / 10_000 if psi >= 0 else -math.floor(-psi * 10_000 + 0.5) / 10_000
-        yield __import__("pandas").DataFrame(
+        import pandas as pd
+
+        yield pd.DataFrame(
             {
                 "grp": [grp],
                 "n_baseline": [nb],
                 "n_current": [nc],
                 "psi": [psi4],
-                "drifted": [psi4 > 0.2],
+                "drifted": [psi4 > threshold],
                 "rows_seen": [rows],
             }
         )
