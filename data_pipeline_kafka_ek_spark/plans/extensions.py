@@ -4083,8 +4083,13 @@ def t_streaming_hll(spark, sf_dir):
     "language thirds under the corpus bigram LM) -> surviving per-"
     "source inventory (docs + whitespace tokens), the input to the "
     "token-budget mixture planner. Each signal is an operator attested "
-    "in isolation; the conjunction joins three slim per-doc keep "
-    "columns back to one scan of the corpus — no stage rescans text",
+    "in isolation and makes its own pass over the corpus (the measured "
+    "plan scans documents once per signal stage); what crosses stages "
+    "is only slim (doc_id, boolean) columns joined into the final "
+    "inventory scan. At 100 TB the fusion lever is materializing the "
+    "per-doc verdict table once (it is thousands of times smaller than "
+    "the text) or computing the map-only Gopher rules inline on the "
+    "final scan — the join shape stays identical either way",
 )
 def x_pipeline_corpus_prep_v3(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
