@@ -915,7 +915,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sql_scalar_subquery",
     "x_salted_hotkey_collect",
     "a_rollup_revenue",
-    "x_corpus_stats",
     # x_events_distribution_drift (late-r6 PSI monitor) takes the last
     # r3-tier slot; x_text_langid rotates out covered transitively — the
     # in-window x_text_langid_confusion aggregates language_id's full
@@ -928,6 +927,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_multimodal_video_motion",
     "x_ann_recall_eval",
     "t_streaming_psi_drift",
+    "x_corpus_source_scorecard",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -991,6 +991,10 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # monitor; explode+group machinery is in-window via a7_top_terms'
     # family and every dedup posting join, green in the full local run
     "x_explode_top_tokens",
+    # x_corpus_stats rotates out for the late-r6 source scorecard, which
+    # aggregates strictly richer per-source signals; green in the full
+    # local oracle run
+    "x_corpus_stats",
     "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",

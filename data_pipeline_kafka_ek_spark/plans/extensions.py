@@ -3467,45 +3467,46 @@ def x_quality_clf(spark, sf_dir):
     return text.hashed_classifier_score(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "x_quality_ppl_buckets",
-    """
-    WITH tok AS (
+# shared oracle CTEs for CCNet perplexity bucketing: bigram-LM score per
+# doc, then the per-language equal-count third (1=head, 2=middle, 3=tail)
+_PPL_RANK_CTE = """ppl_tok AS (
       SELECT doc_id, string_split(text, ' ') AS a FROM documents
-    ),
-    big AS (
+    ), ppl_big AS (
       SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
         SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
-        FROM tok
+        FROM ppl_tok
       )
-    ),
-    lm AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
-    ctx AS (SELECT w1, sum(c2) AS ctx FROM lm GROUP BY 1),
-    voc AS (
+    ), ppl_lm AS (SELECT w1, w2, count(*) AS c2 FROM ppl_big GROUP BY 1, 2),
+    ppl_ctx AS (SELECT w1, sum(c2) AS ctx FROM ppl_lm GROUP BY 1),
+    ppl_voc AS (
       SELECT count(DISTINCT token) AS vocab
       FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-    ),
-    scored AS (
+    ), ppl_scored AS (
       SELECT b.doc_id,
              round(avg(ln((COALESCE(l.c2, 0) + 1.0)::DOUBLE
-                          / (COALESCE(c.ctx, 0) + voc.vocab)::DOUBLE)), 4)
+                          / (COALESCE(c.ctx, 0) + ppl_voc.vocab)::DOUBLE)), 4)
                AS mean_logprob
-      FROM big b
-      LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
-      LEFT JOIN ctx c ON b.w1 = c.w1
-      CROSS JOIN voc
+      FROM ppl_big b
+      LEFT JOIN ppl_lm l ON b.w1 = l.w1 AND b.w2 = l.w2
+      LEFT JOIN ppl_ctx c ON b.w1 = c.w1
+      CROSS JOIN ppl_voc
       GROUP BY b.doc_id
-    ),
-    ranked AS (
+    ), ppl_ranked AS (
       SELECT s.doc_id, d.lang, s.mean_logprob,
              ntile(3) OVER (PARTITION BY d.lang
                             ORDER BY s.mean_logprob DESC, s.doc_id) AS b
-      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-    )
+      FROM ppl_scored s JOIN documents d ON s.doc_id = d.doc_id
+    )"""
+
+
+@register(
+    "x_quality_ppl_buckets",
+    f"""
+    WITH {_PPL_RANK_CTE}
     SELECT doc_id, lang, mean_logprob,
            CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                   ELSE 'tail' END AS ppl_bucket
-    FROM ranked
+    FROM ppl_ranked
     """,
     survey_ids=("EXT-text", "EXT-pipeline"),
     doc="CCNet-style per-language perplexity bucketing: bigram-LM score "
@@ -4033,36 +4034,8 @@ def t_streaming_hll(spark, sf_dir):
     WITH {_GOPHER_KEEP_CTE},
     {_CLF_RAW_CTE},
     clf AS (SELECT doc_id, raw > 0.0 AS keep FROM clf_raw),
-    tok AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-    big AS (
-      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
-        SELECT doc_id, unnest(list_zip(a[1:len(a)-1], a[2:len(a)])) AS p
-        FROM tok
-      )
-    ),
-    lm AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
-    ctx AS (SELECT w1, sum(c2) AS ctx FROM lm GROUP BY 1),
-    voc AS (
-      SELECT count(DISTINCT token) AS vocab
-      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-    ),
-    scored AS (
-      SELECT b.doc_id,
-             round(avg(ln((COALESCE(l.c2, 0) + 1.0)::DOUBLE
-                          / (COALESCE(c.ctx, 0) + voc.vocab)::DOUBLE)), 4)
-               AS mean_logprob
-      FROM big b
-      LEFT JOIN lm l ON b.w1 = l.w1 AND b.w2 = l.w2
-      LEFT JOIN ctx c ON b.w1 = c.w1
-      CROSS JOIN voc
-      GROUP BY b.doc_id
-    ),
-    ppl AS (
-      SELECT s.doc_id,
-             ntile(3) OVER (PARTITION BY d.lang
-                            ORDER BY s.mean_logprob DESC, s.doc_id) AS b
-      FROM scored s JOIN documents d ON s.doc_id = d.doc_id
-    ),
+    {_PPL_RANK_CTE},
+    ppl AS (SELECT doc_id, b FROM ppl_ranked),
     kept AS (
       SELECT doc.source, doc.text
       FROM documents doc
@@ -4430,4 +4403,68 @@ def t_streaming_psi(spark, sf_dir):
         revisions.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+@register(
+    "x_corpus_source_scorecard",
+    f"""
+    WITH {_GOPHER_KEEP_CTE},
+    {_CLF_RAW_CTE},
+    {_PPL_RANK_CTE}
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(CASE WHEN gq.keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS gopher_pass_rate,
+           round(sum(CASE WHEN c.raw > 0.0 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS clf_keep_rate,
+           round(avg(c.raw), 4) AS mean_clf_score,
+           round(sum(CASE WHEN p.b = 3 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS ppl_tail_rate,
+           round(avg(p.mean_logprob), 4) AS mean_logprob
+    FROM documents d
+    JOIN gq ON d.doc_id = gq.doc_id
+    JOIN clf_raw c ON d.doc_id = c.doc_id
+    JOIN ppl_ranked p ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    """,
+    survey_ids=("EXT-pipeline", "EXT-text", "A1"),
+    doc="per-source quality scorecard — the dashboard a curation team "
+    "reads to decide which sources to keep, re-weight or drop: Gopher "
+    "pass rate, classifier keep rate and mean score, CCNet "
+    "perplexity-tail rate and mean LM log-prob, all per source. Pure "
+    "composition of the three shared per-doc signal CTEs joined on the "
+    "id and folded by one low-cardinality source-keyed aggregation; at "
+    "100 TB the per-doc verdict table (thousands of times smaller than "
+    "the text) is what feeds this rollup.",
+)
+def x_corpus_scorecard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    gq = text.gopher_rules(docs).select("doc_id", F.col("keep").alias("__g"))
+    clf = text.hashed_classifier_score(docs).select(
+        "doc_id", F.col("clf_score").alias("__score"), F.col("keep").alias("__c")
+    )
+    ppl = text.perplexity_buckets(docs).select(
+        "doc_id",
+        (F.col("ppl_bucket") == "tail").alias("__tail"),
+        "mean_logprob",
+    )
+    joined = (
+        docs.select("doc_id", "source")
+        .join(gq, "doc_id")
+        .join(clf, "doc_id")
+        .join(ppl, "doc_id")
+    )
+    n = F.count(F.lit(1))
+    return joined.groupBy("source").agg(
+        n.cast("long").alias("n_docs"),
+        F.round(F.sum(F.col("__g").cast("int")) / n, 4).alias(
+            "gopher_pass_rate"
+        ),
+        F.round(F.sum(F.col("__c").cast("int")) / n, 4).alias("clf_keep_rate"),
+        F.round(F.avg("__score"), 4).alias("mean_clf_score"),
+        F.round(F.sum(F.col("__tail").cast("int")) / n, 4).alias(
+            "ppl_tail_rate"
+        ),
+        F.round(F.avg("mean_logprob"), 4).alias("mean_logprob"),
     )
