@@ -907,7 +907,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # replayed_stream + update-mode windowed agg — stays driver-covered
     # via the in-window hopping/session twins):
     "t_streaming_session_counts",
-    "t_streaming_session_append",
     "x_dedup_embedding",
     "x_ann_cosine_topk",
     "x_dedup_jaccard_3gram",
@@ -928,6 +927,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "x_ann_recall_eval",
     "t_streaming_psi_drift",
     "x_corpus_source_scorecard",
+    "t_streaming_cms_freq",
     # never attested — registered late in r6 (HLL sketch, hashed
     # classifier scoring, CCNet perplexity buckets, topic-cluster
     # summary, and the Q4/Q10/Q14-shaped scale proofs); they take the
@@ -995,6 +995,10 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # aggregates strictly richer per-source signals; green in the full
     # local oracle run
     "x_corpus_stats",
+    # t_streaming_session_append rotates out for the late-r6 streaming
+    # CMS; its update-mode sibling t_streaming_session_counts stays in
+    # the window exercising the same session-window machinery
+    "t_streaming_session_append",
     "h3_top_revenue_orders",
     "h5_nation_revenue",
     "h_window_cumulative_revenue",

@@ -4468,3 +4468,91 @@ def x_corpus_scorecard(spark, sf_dir):
         ),
         F.round(F.avg("mean_logprob"), 4).alias("mean_logprob"),
     )
+
+
+@register(
+    "t_streaming_cms_freq",
+    """
+    WITH counts AS (SELECT user_id AS v, count(*) AS c FROM events GROUP BY 1),
+    gridrows AS (
+      SELECT v, c, i.i AS i,
+             CAST(('0x' || substr(md5(i.i::VARCHAR || ':' || CAST(v AS VARCHAR)),
+                                  1, 15))::UBIGINT % 64 AS BIGINT) AS j
+      FROM counts, (SELECT unnest(range(0, 4)) AS i) i),
+    grid AS (SELECT i, j, sum(c) AS counter FROM gridrows GROUP BY 1, 2),
+    est AS (
+      SELECT v, min(counter) AS cms_estimate, min(c) AS c
+      FROM gridrows JOIN grid USING (i, j) GROUP BY v)
+    SELECT v AS user_id, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(c AS BIGINT) AS n_exact,
+           CAST(cms_estimate - c AS BIGINT) AS overestimate
+    FROM est
+    """,
+    survey_ids=("T1", "EXT-sketch", "EXT-streaming"),
+    doc="streaming Count-Min frequencies — the third streaming sketch "
+    "(after KMV and HLL): events replayed as a 4-micro-batch stream, "
+    "each row fanned out map-side (JVM md5 bucketing identical to the "
+    "batch sketch) to its depth grid coordinates, and the grid run as "
+    "depth parallel keyed automata of width counters each — fixed "
+    "state forever, order-invariant addition, so the final grid "
+    "revision equals the batch grid and per-value estimates (min over "
+    "a value's d bucket counters) hash-match the batch oracle exactly.",
+)
+def t_streaming_cms(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events")
+    stream = srt.replayed_stream(spark, e, n_slices=4, order_col="ts")
+    revisions = srt.run_available_now(
+        srt.cms_grid_stateful(stream), output_mode="update"
+    )
+    w = Window.partitionBy("i", "j").orderBy(F.desc("rows_seen"))
+    grid = (
+        revisions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("i", "j", "counter")
+    )
+    # read the final grid: bucket every distinct value and take the min
+    # over its depth counters; exact counts join in for the error columns
+    # (same shape as the batch countmin_freq oracle path)
+    vals = e.groupBy(F.col("user_id").alias("v")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    bucketed = vals.select(
+        "v",
+        "n_exact",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    ).withColumn(
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("v").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).cast("int"),
+    )
+    return (
+        bucketed.join(F.broadcast(grid), ["i", "j"])
+        .groupBy("v", "n_exact")
+        .agg(F.min("counter").cast("long").alias("cms_estimate"))
+        .select(
+            F.col("v").alias("user_id"),
+            "cms_estimate",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("cms_estimate") - F.col("n_exact"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

@@ -800,3 +800,80 @@ def psi_drift_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_grid_stateful(
+    stream_df: DataFrame,
+    value_col: str = "user_id",
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Streaming Count-Min grid — completes the streaming sketch trio
+    (KMV, HLL, CMS): each arriving row fans out MAP-SIDE (JVM
+    expressions, before any Python) to its ``depth`` (i, j) grid
+    coordinates — the identical md5 bucketing as
+    ``operators/sketches.py::countmin_freq`` — and the stateful
+    automaton is keyed by the grid ROW index, so the sketch runs as
+    ``depth`` parallel keyed states of exactly ``width`` counters each:
+    fixed size forever, and counter addition is order-invariant, so the
+    final revision equals the batch grid. Each batch emits the row's
+    full counter vector as (i, j, counter) rows plus a strictly-growing
+    ``rows_seen`` for last-revision selection; frequency ESTIMATES are
+    read off the final grid downstream (min over a value's d buckets) —
+    the grid is the state, the read is a join.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "i int, j int, counter long, rows_seen long"
+    state_schema = "counts array<long>, rows long"
+
+    fan = stream_df.select(
+        F.col(value_col).cast("string").alias("v"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
+    ).withColumn(
+        "j",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"), F.lit(":"), F.col("v")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).cast("int"),
+    )
+
+    def update(key_tuple, pdfs, state):
+        import pandas as pd
+
+        counts, rows = state.get if state.exists else ([0] * width, 0)
+        counts = list(counts)
+        for pdf in pdfs:
+            rows += len(pdf)
+            for j in pdf["j"]:
+                counts[int(j)] += 1
+        state.update((counts, rows))
+        i = int(key_tuple[0])
+        yield pd.DataFrame(
+            {
+                "i": [i] * width,
+                "j": list(range(width)),
+                "counter": counts,
+                "rows_seen": [rows] * width,
+            }
+        )
+
+    return fan.groupBy("i").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
