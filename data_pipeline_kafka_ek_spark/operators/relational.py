@@ -449,7 +449,11 @@ def distribution_drift(
     Groups absent from the baseline are dropped (no reference
     distribution to compare against); current values outside the
     baseline range clamp into the edge bins, so range expansion shows up
-    as edge-bin mass, not as lost rows.
+    as edge-bin mass, not as lost rows. A ZERO-WIDTH baseline (hi == lo,
+    a constant feed) bins on equality instead: value == lo -> bin 0,
+    anything else -> the top edge bin — so a constant feed that moves to
+    a different constant (or spreads out) still registers drift rather
+    than silently mapping everything to bin 0 and reporting PSI = 0.
 
     Determinism: integer bin counts, rational smoothed frequencies, one
     ln per bin and a <= n_bins-term sum rounded to 4dp (the engine-
@@ -470,7 +474,14 @@ def distribution_drift(
     def hist(df: DataFrame, out: str) -> DataFrame:
         width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
         b = (
-            F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            F.when(
+                F.col("__hi") == F.col("__lo"),
+                # degenerate baseline: bin on equality so a moved
+                # constant lands in the edge bin, not silently in bin 0
+                F.when(F.col(value_col) == F.col("__lo"), F.lit(0)).otherwise(
+                    F.lit(n_bins - 1)
+                ),
+            )
             .otherwise(
                 F.least(
                     F.greatest(

@@ -69,10 +69,18 @@ def kmv_distinct(
     ``with_exact=True`` joins in the true distinct counts so the result
     row carries its own error; at real scale you would drop it (the whole
     point of the sketch), so it is a flag.
+
+    NULL handling: NULL *values* are excluded (SQL ``COUNT(DISTINCT)``
+    convention — previously a NULL value produced a NULL md5 whose sort
+    position differed between engines); a group whose values are all
+    NULL therefore has no row. NULL *groups* are preserved as their own
+    row (the eqNullSafe join below), matching GROUP BY semantics.
     """
-    vals = df.select(
-        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
-    ).distinct()
+    vals = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+    )
     hashed = vals.select("grp", F.md5(F.col("v").cast("string")).alias("h"))
 
     w = Window.partitionBy("grp").orderBy("h")
@@ -314,7 +322,11 @@ def countmin_freq(
             % width,
         )
 
-    vals = df.select(F.col(value_col).alias("v"))
+    # NULL values excluded (a NULL value hashes to a NULL bucket row that
+    # the estimate join can never retrieve — drop it on both engine sides)
+    vals = df.select(F.col(value_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
     # grid from RAW rows: count(*) per (i, j) with map-side combine — the
     # shuffle is counter rows, never value rows
     grid = bucketed(vals).groupBy("i", "j").agg(F.count("*").alias("counter"))
@@ -406,8 +418,11 @@ def hll_distinct(
     # single shuffle, and the (reg)-only rows (grp = NULL) ARE the
     # element-wise-max merged sketch — the merge law executed inside one
     # aggregation instead of a second scan of the input.
+    # NULL values excluded (COUNT(DISTINCT) convention; a NULL value would
+    # otherwise yield NULL register/rho rows) — NULL groups preserved
     sketches = (
         df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
         .select(
             "grp",
             F.conv(F.substring(h, 1, hex_b), 16, 10).cast("long").alias("reg"),
@@ -453,6 +468,7 @@ def hll_distinct(
     # (grp, v) set so the per-group and global counts share one scan.
     vals = (
         df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull())
         .distinct()
         .persist()
     )

@@ -978,6 +978,7 @@ def hashed_classifier_score(
     id_col: str = "doc_id",
     n_bucket_hex: int = 4,
     threshold: float = 0.0,
+    include_raw: bool = False,
 ) -> DataFrame:
     """Feature-hashed linear classifier scoring — the compute shape of the
     fastText-style quality filter every web-corpus pipeline runs (Joulin
@@ -1009,7 +1010,12 @@ def hashed_classifier_score(
 
     Returns ``(doc_id, n_tokens, clf_score, keep)`` with
     ``clf_score = sum(w)/n`` rounded to 6 dp and
-    ``keep = score > threshold``.
+    ``keep = score > threshold``. With ``include_raw=True`` a trailing
+    ``clf_raw`` column carries the UNROUNDED score — downstream
+    aggregations (e.g. a per-source mean) must consume that, never the
+    rounded display column, or the per-doc rounding offset (up to
+    5e-7) systematically shifts the aggregate relative to an oracle
+    that averages the raw score.
     """
     toks = _tokens(F.col(text_col))
     tok = F.explode(toks).alias("tok")
@@ -1026,15 +1032,18 @@ def hashed_classifier_score(
     score = F.col("s").cast("double") / (
         F.col("n_tokens").cast("double") * F.lit(_CLF_DENOM)
     )
+    cols = [
+        F.col("doc_id"),
+        F.col("n_tokens"),
+        F.round(score, 6).alias("clf_score"),
+        (score > F.lit(threshold)).alias("keep"),
+    ]
+    if include_raw:
+        cols.append(score.alias("clf_raw"))
     return (
         per_tok.groupBy("doc_id")
         .agg(n.cast("long").alias("n_tokens"), F.sum("ws").alias("s"))
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round(score, 6).alias("clf_score"),
-            (score > F.lit(threshold)).alias("keep"),
-        )
+        .select(*cols)
     )
 
 

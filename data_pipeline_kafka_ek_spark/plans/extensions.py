@@ -2430,7 +2430,8 @@ def x_pipeline_stratified_sample(spark, sf_dir):
 @register(
     "x_sketch_kmv_distinct",
     """
-    WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS v FROM events),
+    WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS v FROM events
+                  WHERE user_id IS NOT NULL),
     hashed AS (SELECT grp, md5(CAST(v AS VARCHAR)) AS h FROM vals),
     topk AS (
       SELECT grp, h FROM (
@@ -2452,10 +2453,10 @@ def x_pipeline_stratified_sample(spark, sf_dir):
                                / power(16, 15))
                   END) AS BIGINT) AS kmv_estimate
       FROM sk)
-    SELECT grp, CAST(n_sketch AS BIGINT) AS n_sketch, kmv_estimate,
+    SELECT e.grp AS grp, CAST(n_sketch AS BIGINT) AS n_sketch, kmv_estimate,
            CAST(x.n_exact AS BIGINT) AS n_exact,
            round((kmv_estimate - x.n_exact) * 1.0 / x.n_exact, 4) AS rel_err
-    FROM est e JOIN ex x USING (grp)
+    FROM est e JOIN ex x ON e.grp IS NOT DISTINCT FROM x.grp
     """,
     survey_ids=("EXT-sketch", "A1"),
     doc="KMV (k-minimum-values) distinct-count sketch, k=64: distinct "
@@ -2540,7 +2541,8 @@ def x_sketch_quantile_grid(spark, sf_dir):
 @register(
     "x_sketch_countmin_freq",
     """
-    WITH counts AS (SELECT user_id AS v, count(*) AS c FROM events GROUP BY 1),
+    WITH counts AS (SELECT user_id AS v, count(*) AS c FROM events
+                    WHERE user_id IS NOT NULL GROUP BY 1),
     gridrows AS (
       SELECT v, c, i.i AS i,
              CAST(('0x' || substr(md5(i.i::VARCHAR || ':' || CAST(v AS VARCHAR)),
@@ -3080,7 +3082,8 @@ def x_pipeline_token_budget(spark, sf_dir):
 @register(
     "t_streaming_kmv_distinct",
     """
-    WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS v FROM events),
+    WITH vals AS (SELECT DISTINCT event_type AS grp, user_id AS v FROM events
+                  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
     hashed AS (SELECT grp, md5(CAST(v AS VARCHAR)) AS h FROM vals),
     topk AS (
       SELECT grp, h FROM (
@@ -3088,7 +3091,8 @@ def x_pipeline_token_budget(spark, sf_dir):
         FROM hashed)
       WHERE rn <= 64),
     pg AS (SELECT grp, count(*) AS n_sketch, max(h) AS hk FROM topk GROUP BY grp),
-    nrows AS (SELECT event_type AS grp, count(*) AS rows_seen FROM events GROUP BY 1)
+    nrows AS (SELECT event_type AS grp, count(*) AS rows_seen FROM events
+              WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1)
     SELECT pg.grp, CAST(pg.n_sketch AS BIGINT) AS n_sketch,
            CAST(round(CASE WHEN pg.n_sketch < 64 THEN pg.n_sketch * 1.0
                 ELSE 63.0 / (('0x' || substr(pg.hk, 1, 15))::UBIGINT
@@ -3352,6 +3356,7 @@ _HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 61)
 # of per-group + merged registers, the streaming twin folds regs directly
 _HLL_REGS_CTE = """src AS (
       SELECT event_type AS grp, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+      WHERE user_id IS NOT NULL
     ), rr AS (
       SELECT grp,
              CAST(('0x' || substr(h, 1, 2))::UBIGINT AS BIGINT) AS reg,
@@ -3399,14 +3404,15 @@ _HLL_EST_CASE = (
       FROM est
     ), ex AS (
       SELECT event_type AS grp, count(DISTINCT user_id) AS n_exact
-      FROM events GROUP BY 1
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
       UNION ALL
-      SELECT '__all__', count(DISTINCT user_id) FROM events
+      SELECT '__all__', count(DISTINCT user_id)
+      FROM events WHERE user_id IS NOT NULL
     )
-    SELECT grp, n_registers, hll_estimate,
+    SELECT e.grp AS grp, n_registers, hll_estimate,
            CAST(x.n_exact AS BIGINT) AS n_exact,
            round((hll_estimate - x.n_exact) * 1.0 / x.n_exact, 4) AS rel_err
-    FROM hll JOIN ex x USING (grp)
+    FROM hll e JOIN ex x ON e.grp IS NOT DISTINCT FROM x.grp
     """,
     survey_ids=("EXT-sketch", "A1"),
     doc="HyperLogLog distinct-count sketch (p=8, 256 registers): distinct "
@@ -3930,14 +3936,16 @@ _PSI_CELLS_CTES = """base AS (
       SELECT grp, min(value) AS lo, max(value) AS hi FROM base GROUP BY 1
     ), hb AS (
       SELECT b.grp,
-             CASE WHEN o.hi = o.lo THEN 0
+             CASE WHEN o.hi = o.lo THEN
+                    (CASE WHEN b.value = o.lo THEN 0 ELSE 9 END)
                   ELSE CAST(least(greatest(floor((b.value - o.lo)
                          / ((o.hi - o.lo) / 10.0)), 0), 9) AS INT) END AS bin,
              count(*) AS cb
       FROM base b JOIN bounds o USING (grp) GROUP BY 1, 2
     ), hc AS (
       SELECT c.grp,
-             CASE WHEN o.hi = o.lo THEN 0
+             CASE WHEN o.hi = o.lo THEN
+                    (CASE WHEN c.value = o.lo THEN 0 ELSE 9 END)
                   ELSE CAST(least(greatest(floor((c.value - o.lo)
                          / ((o.hi - o.lo) / 10.0)), 0), 9) AS INT) END AS bin,
              count(*) AS cc
@@ -3995,7 +4003,8 @@ def x_events_drift(spark, sf_dir):
     "t_streaming_hll_distinct",
     f"""
     WITH {_HLL_REGS_CTE}, {_hll_fold_ctes("regs")}, rows_per AS (
-      SELECT event_type AS grp, count(*) AS rows_seen FROM events GROUP BY 1
+      SELECT event_type AS grp, count(*) AS rows_seen FROM events
+      WHERE event_type IS NOT NULL AND user_id IS NOT NULL GROUP BY 1
     )
     SELECT e.grp, CAST(e.n_present AS BIGINT) AS n_registers,
            CAST(round({_HLL_EST_CASE}) AS BIGINT) AS hll_estimate,
@@ -4358,8 +4367,11 @@ def t_streaming_psi(spark, sf_dir):
         .collect()
     }
     width = {g: (hi - lo) / 10.0 for g, (lo, hi) in bounds.items()}
-    # degenerate hi==lo baselines map to width 1.0 so every value floors
-    # into bin 0 — same outcome as the batch operator's explicit branch
+    # degenerate hi==lo baselines: every BASELINE value equals lo, so the
+    # width-1.0 floor puts them all in bin 0 — identical to the equality
+    # rule (value == lo -> 0) the batch operator and the streaming
+    # automaton apply; only CURRENT values can differ from lo, and those
+    # are binned inside psi_drift_stateful with the edge-bin rule
     bin_col = F.least(
         F.greatest(
             F.floor((F.col("value") - F.col("__lo")) / F.col("__w")),
@@ -4441,8 +4453,8 @@ def t_streaming_psi(spark, sf_dir):
 def x_corpus_scorecard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     gq = text.gopher_rules(docs).select("doc_id", F.col("keep").alias("__g"))
-    clf = text.hashed_classifier_score(docs).select(
-        "doc_id", F.col("clf_score").alias("__score"), F.col("keep").alias("__c")
+    clf = text.hashed_classifier_score(docs, include_raw=True).select(
+        "doc_id", F.col("clf_raw").alias("__score"), F.col("keep").alias("__c")
     )
     ppl = text.perplexity_buckets(docs).select(
         "doc_id",
@@ -4473,7 +4485,8 @@ def x_corpus_scorecard(spark, sf_dir):
 @register(
     "t_streaming_cms_freq",
     """
-    WITH counts AS (SELECT user_id AS v, count(*) AS c FROM events GROUP BY 1),
+    WITH counts AS (SELECT user_id AS v, count(*) AS c FROM events
+                    WHERE user_id IS NOT NULL GROUP BY 1),
     gridrows AS (
       SELECT v, c, i.i AS i,
              CAST(('0x' || substr(md5(i.i::VARCHAR || ':' || CAST(v AS VARCHAR)),
@@ -4515,8 +4528,10 @@ def t_streaming_cms(spark, sf_dir):
     # read the final grid: bucket every distinct value and take the min
     # over its depth counters; exact counts join in for the error columns
     # (same shape as the batch countmin_freq oracle path)
-    vals = e.groupBy(F.col("user_id").alias("v")).agg(
-        F.count(F.lit(1)).alias("n_exact")
+    vals = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     bucketed = vals.select(
         "v",

@@ -593,15 +593,27 @@ def kmv_distinct_stateful(
     the final estimate downstream. The estimator and the hash mapping
     are identical to ``operators/sketches.py::kmv_distinct`` (estimate =
     (k-1)/frac(h_k) once the sketch fills; half-up rounding to match the
-    SQL oracle's round()).
+    SQL oracle's round()). Hashing happens map-side as a JVM md5
+    expression; NULL groups/values are excluded up front (the
+    COUNT(DISTINCT) convention shared with the batch sketch and oracle).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = "grp string, n_sketch long, kmv_estimate long, rows_seen long"
     state_schema = "hashes array<string>, rows long"
 
+    # hash MAP-SIDE with the same JVM md5 expression the batch sketch
+    # uses — the Python automaton only merges digest strings into a set,
+    # never hashes. NULL groups/values are excluded (COUNT(DISTINCT)
+    # convention, mirrored in the oracle); rows_seen counts survivors.
+    prep = stream_df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.md5(F.col(value_col).cast("string")).alias("h"),
+    )
+
     def update(key_tuple, pdfs, state):
-        import hashlib
         import math
 
         import pandas as pd
@@ -610,8 +622,7 @@ def kmv_distinct_stateful(
         hs = set(hashes)
         for pdf in pdfs:
             rows += len(pdf)
-            for v in pdf[value_col]:
-                hs.add(hashlib.md5(str(v).encode()).hexdigest())
+            hs.update(pdf["h"])
         top = sorted(hs)[:k]
         state.update((top, rows))
         n = len(top)
@@ -629,7 +640,7 @@ def kmv_distinct_stateful(
             }
         )
 
-    return stream_df.groupBy(group_col).applyInPandasWithState(
+    return prep.groupBy("grp").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -659,6 +670,14 @@ def hll_distinct_stateful(
     Emits each key's ``(n_registers, hll_estimate, rows_seen)`` revision
     per batch; ``rows_seen`` strictly grows, so max(rows_seen) selects
     the final estimate downstream.
+
+    The register coordinates (md5 -> register index + leading-zero rho)
+    are computed MAP-SIDE as JVM codegen expressions (the identical
+    columns the batch sketch builds), so the Python automaton never
+    hashes: each Arrow batch folds into the register array with one
+    ``np.maximum.at`` — no per-row Python anywhere. NULL groups/values
+    are excluded up front (COUNT(DISTINCT) convention, mirrored in the
+    oracle); ``rows_seen`` counts the surviving rows.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -670,25 +689,42 @@ def hll_distinct_stateful(
     out_schema = "grp string, n_registers long, hll_estimate long, rows_seen long"
     state_schema = "regs array<int>, rows long"
 
+    h = F.md5(F.col(value_col).cast("string"))
+    wv = F.conv(F.substring(h, hex_b + 1, 15), 16, 10).cast("long")
+    rho = F.when(wv == 0, F.lit(61)).otherwise(
+        F.lit(60) - F.length(F.bin(wv)) + F.lit(1)
+    )
+    prep = (
+        stream_df.filter(
+            F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            F.conv(F.substring(h, 1, hex_b), 16, 10).cast("int").alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+    )
+
     def update(key_tuple, pdfs, state):
-        import hashlib
         import math
 
+        import numpy as np
         import pandas as pd
 
         regs, rows = state.get if state.exists else ([0] * m, 0)
-        regs = list(regs)
+        regs = np.asarray(regs, dtype=np.int64)
         for pdf in pdfs:
             rows += len(pdf)
-            for v in pdf[value_col]:
-                h = hashlib.md5(str(v).encode()).hexdigest()
-                reg = int(h[:hex_b], 16)
-                wv = int(h[hex_b : hex_b + 15], 16)
-                rho = 61 if wv == 0 else 60 - wv.bit_length() + 1
-                if rho > regs[reg]:
-                    regs[reg] = rho
+            np.maximum.at(
+                regs,
+                pdf["reg"].to_numpy(dtype=np.int64),
+                pdf["rho"].to_numpy(dtype=np.int64),
+            )
+        regs = [int(r) for r in regs]
         state.update((regs, rows))
         n_present = sum(1 for r in regs if r > 0)
+        # exact integer harmonic denominator in Python ints (sums of
+        # 2^61-scale terms overflow int64; m iterations per emission only)
         total = sum(1 << (61 - r) for r in regs if r > 0) + (
             m - n_present
         ) * (1 << 61)
@@ -707,7 +743,7 @@ def hll_distinct_stateful(
             }
         )
 
-    return stream_df.groupBy(group_col).applyInPandasWithState(
+    return prep.groupBy("grp").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -751,6 +787,7 @@ def psi_drift_stateful(
     state_schema = "counts array<long>, rows long"
 
     def update(key_tuple, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         grp = str(key_tuple[0])
@@ -761,16 +798,21 @@ def psi_drift_stateful(
             return
         lo, hi, base_counts = baseline[grp]
         counts, rows = state.get if state.exists else ([0] * n_bins, 0)
-        counts = list(counts)
+        counts = np.asarray(counts, dtype=np.int64)
         width = (hi - lo) / float(n_bins)
         for pdf in pdfs:
             rows += len(pdf)
-            for v in pdf[value_col]:
-                if hi == lo:
-                    b = 0
-                else:
-                    b = int(min(max(math.floor((v - lo) / width), 0), n_bins - 1))
-                counts[b] += 1
+            v = pdf[value_col].to_numpy(dtype=float)
+            if hi == lo:
+                # degenerate baseline: bin on equality (moved constant ->
+                # edge bin), mirroring the batch twin and the oracle
+                b = np.where(v == lo, 0, n_bins - 1)
+            else:
+                b = np.clip(
+                    np.floor((v - lo) / width), 0, n_bins - 1
+                ).astype(np.int64)
+            counts += np.bincount(b, minlength=n_bins)
+        counts = [int(c) for c in counts]
         state.update((counts, rows))
         nb = sum(base_counts)
         nc = sum(counts)
@@ -827,7 +869,9 @@ def cms_grid_stateful(
     out_schema = "i int, j int, counter long, rows_seen long"
     state_schema = "counts array<long>, rows long"
 
-    fan = stream_df.select(
+    # NULL values excluded before the fan-out (same convention as the
+    # batch sketch: a NULL hashes to a NULL bucket no reader can probe)
+    fan = stream_df.filter(F.col(value_col).isNotNull()).select(
         F.col(value_col).cast("string").alias("v"),
         F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("i"),
     ).withColumn(
@@ -851,14 +895,19 @@ def cms_grid_stateful(
     )
 
     def update(key_tuple, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         counts, rows = state.get if state.exists else ([0] * width, 0)
-        counts = list(counts)
+        counts = np.asarray(counts, dtype=np.int64)
         for pdf in pdfs:
             rows += len(pdf)
-            for j in pdf["j"]:
-                counts[int(j)] += 1
+            # vectorized per-batch counter add — the whole Arrow batch
+            # folds in one bincount, no per-row Python
+            counts += np.bincount(
+                pdf["j"].to_numpy(dtype=np.int64), minlength=width
+            )
+        counts = [int(c) for c in counts]
         state.update((counts, rows))
         i = int(key_tuple[0])
         yield pd.DataFrame(

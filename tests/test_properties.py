@@ -240,3 +240,100 @@ def test_classifier_score_is_token_order_invariant(spark, toks):
     rows = {r.doc_id: r for r in hashed_classifier_score(df).collect()}
     assert rows[1].clf_score == rows[2].clf_score
     assert rows[1].n_tokens == rows[2].n_tokens == len(toks)
+
+
+def test_psi_degenerate_baseline_detects_moved_constant(spark):
+    """A constant baseline (hi == lo) must still detect drift: the
+    degenerate branch bins on equality (value == lo -> bin 0, else the
+    edge bin), so a feed that moves to a DIFFERENT constant reports a
+    large PSI instead of silently mapping everything to bin 0 and
+    claiming PSI = 0 (the monitoring blind spot fixed in round 7)."""
+    import math
+
+    from data_pipeline_kafka_ek_spark.operators.relational import (
+        distribution_drift,
+    )
+
+    n = 100
+    base = spark.createDataFrame(
+        [("a", 5.0)] * n, "event_type string, value double"
+    )
+    moved = spark.createDataFrame(
+        [("a", 9.0)] * n, "event_type string, value double"
+    )
+    same = spark.createDataFrame(
+        [("a", 5.0)] * n, "event_type string, value double"
+    )
+
+    got = distribution_drift(base, moved).collect()
+    assert len(got) == 1 and got[0].grp == "a"
+    # all baseline mass in bin 0, all current mass in bin 9:
+    # psi = 2 * (n/(n+10)) * ln(n+1) with add-one smoothing
+    expected = 2 * (n / (n + 10.0)) * math.log(n + 1.0)
+    assert abs(got[0].psi - expected) < 1e-3
+    assert got[0].drifted is True
+
+    unchanged = distribution_drift(base, same).collect()
+    assert unchanged[0].psi == 0.0 and unchanged[0].drifted is False
+
+
+def test_psi_degenerate_baseline_streaming_matches_batch(spark):
+    """The streaming PSI automaton applies the same degenerate-baseline
+    equality rule, so its final revision equals the batch verdict."""
+    from data_pipeline_kafka_ek_spark.operators.relational import (
+        distribution_drift,
+    )
+    from data_pipeline_kafka_ek_spark.streaming import runtime
+
+    n = 60
+    base = spark.createDataFrame(
+        [("a", 5.0, i) for i in range(n)],
+        "event_type string, value double, seq long",
+    )
+    cur = spark.createDataFrame(
+        [("a", 9.0 if i % 2 else 5.0, i) for i in range(n)],
+        "event_type string, value double, seq long",
+    )
+    batch = distribution_drift(base, cur).collect()[0]
+
+    baseline = {"a": (5.0, 5.0, [n] + [0] * 9)}
+    stream = runtime.replayed_stream(spark, cur, n_slices=3, order_col="seq")
+    rev = runtime.run_available_now(
+        runtime.psi_drift_stateful(stream, baseline), output_mode="update"
+    )
+    last = max(rev.collect(), key=lambda r: r.rows_seen)
+    assert (last.psi, last.drifted) == (batch.psi, batch.drifted)
+    assert last.n_current == batch.n_current == n
+
+
+def test_sketches_null_values_excluded_null_groups_kept(spark):
+    """COUNT(DISTINCT) convention across every sketch: NULL *values*
+    never enter a sketch (they used to hash to NULL digests whose sort
+    position differed between engines); NULL *groups* keep their own
+    output row (GROUP BY semantics, eqNullSafe exact join)."""
+    from data_pipeline_kafka_ek_spark.operators import sketches
+
+    rows = [
+        ("a", 1),
+        ("a", None),
+        (None, 2),
+        (None, None),
+        ("b", 3),
+        ("b", 3),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, user_id long")
+
+    kmv = {r.grp: r for r in sketches.kmv_distinct(df, "event_type", "user_id").collect()}
+    assert set(kmv) == {"a", None, "b", "__all__"}
+    assert kmv["a"].n_exact == 1 and kmv["a"].kmv_estimate == 1
+    assert kmv[None].n_exact == 1 and kmv[None].kmv_estimate == 1
+    assert kmv["__all__"].n_exact == 3  # distinct non-NULL values {1,2,3}
+
+    hll = {r.grp: r for r in sketches.hll_distinct(df, "event_type", "user_id").collect()}
+    assert set(hll) == {"a", None, "b", "__all__"}
+    assert hll[None].n_exact == 1
+    assert hll["__all__"].n_exact == 3
+
+    cms = sketches.countmin_freq(df, "user_id").collect()
+    assert {r.v for r in cms} == {1, 2, 3}  # no NULL-value row
+    assert {r.v: r.n_exact for r in cms}[3] == 2
