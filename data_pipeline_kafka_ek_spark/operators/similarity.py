@@ -44,10 +44,23 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def _cosine(a, b):
+    """Cosine similarity with the ANSI divide-by-zero guard: a zero-norm
+    vector has no direction, so its similarity to anything is defined as
+    0.0 (it can never pass a positive threshold or win a top-k rank)
+    instead of raising DIVIDE_BY_ZERO under ANSI mode. Embedding fixtures
+    contain no zero vectors, so the oracle twins (plain division) agree
+    on every checked row; real corpora DO contain zero vectors (empty
+    documents, dead encoder outputs), which is why the engine side
+    guards."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine_sim") -> DataFrame:
     av = F.transform(F.col(a), lambda x: x.cast("double"))
     bv = F.transform(F.col(b), lambda x: x.cast("double"))
-    return df.withColumn(out, _dot(av, bv) / (_norm(av) * _norm(bv)))
+    return df.withColumn(out, _cosine(av, bv))
 
 
 def cosine_topk(
@@ -77,15 +90,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(
-                    F.transform("__qv", lambda x: x.cast("double")),
-                    F.transform("__cv", lambda x: x.cast("double")),
-                )
-                / (
-                    _norm(F.transform("__qv", lambda x: x.cast("double")))
-                    * _norm(F.transform("__cv", lambda x: x.cast("double")))
-                )
+            _cosine(
+                F.transform("__qv", lambda x: x.cast("double")),
+                F.transform("__cv", lambda x: x.cast("double")),
             ).alias("cosine_sim"),
         )
     )
@@ -130,9 +137,9 @@ def cosine_topk_blocked(
                 continue
             ids = pdf[id_col].to_numpy()
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            sims = (mat @ qmat.T) / (
-                np.linalg.norm(mat, axis=1)[:, None] * qnorm[None, :]
-            )
+            # zero-norm guard mirroring _cosine: sim is 0, never nan/inf
+            denom = np.linalg.norm(mat, axis=1)[:, None] * qnorm[None, :]
+            sims = (mat @ qmat.T) / np.where(denom > 0, denom, np.inf)
             for qi, qid in enumerate(qids):
                 col = sims[:, qi]
                 mask = ids != qid
@@ -207,7 +214,7 @@ def cosine_pairs(
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine_sim", _dot(av, bv) / (_norm(av) * _norm(bv)))
+        .withColumn("cosine_sim", _cosine(av, bv))
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
@@ -276,7 +283,7 @@ def cosine_pairs_lsh(
         spread(cand, "vec_a")
         .join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cosine_sim", _dot(av, bv) / (_norm(av) * _norm(bv)))
+        .withColumn("cosine_sim", _cosine(av, bv))
         .filter(F.col("cosine_sim") >= threshold)
         .select("vec_a", "vec_b", F.round("cosine_sim", 4).alias("cosine_sim"))
     )
@@ -322,7 +329,7 @@ def lsh_bucket_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine_sim", _dot(av, bv) / (_norm(av) * _norm(bv)))
+        .withColumn("cosine_sim", _cosine(av, bv))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -408,7 +415,7 @@ def ivf_centroids_lloyd(
 
         def cos_to(lit_arr) -> "F.Column":
             u = F.col("__u")
-            return _dot(lit_arr, u) / (_norm(lit_arr) * _norm(u))
+            return _cosine(lit_arr, u)
 
         def rounded(vals) -> list[float]:
             return [round(float(x), round_dp) for x in vals]
@@ -439,7 +446,7 @@ def ivf_centroids_lloyd(
             cent_arr = F.array(*[unit_lit(c) for c in cents])
             u = F.col("__u")
             sims = F.transform(
-                cent_arr, lambda c: _dot(c, u) / (_norm(c) * _norm(u))
+                cent_arr, lambda c: _cosine(c, u)
             )
             # array_position returns the FIRST match (1-based) -> lowest cell
             assigned = nv.select(
@@ -518,12 +525,9 @@ def _ivf_core(
     piv = F.broadcast(pivots)
 
     def ranked_cells(side: DataFrame, out_id: str) -> DataFrame:
-        sim = _dot(
+        sim = _cosine(
             F.transform("__pv", lambda x: x.cast("double")),
             F.transform(F.col(vec_col), lambda x: x.cast("double")),
-        ) / (
-            _norm(F.transform("__pv", lambda x: x.cast("double")))
-            * _norm(F.transform(F.col(vec_col), lambda x: x.cast("double")))
         )
         w = Window.partitionBy(out_id).orderBy(F.desc("__psim"), F.asc("pid"))
         return (
@@ -549,12 +553,9 @@ def _ivf_core(
     # not be a subset of the corpus), neighbor vectors from the corpus
     vq = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
     vn = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
-    sim = _dot(
+    sim = _cosine(
         F.transform("__qv", lambda x: x.cast("double")),
         F.transform("__cv", lambda x: x.cast("double")),
-    ) / (
-        _norm(F.transform("__qv", lambda x: x.cast("double")))
-        * _norm(F.transform("__cv", lambda x: x.cast("double")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -836,7 +837,7 @@ def pq_topk(
         spread(cand, "query_id")
         .join(vq, "query_id")
         .join(vn, "neighbor_id")
-        .withColumn("cosine_sim", _dot(av, bv) / (_norm(av) * _norm(bv)))
+        .withColumn("cosine_sim", _cosine(av, bv))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank")
@@ -955,7 +956,7 @@ def semantic_dedup_pairs(
     )
     vec_d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     sims = F.transform(
-        cent_arr, lambda c: _dot(c, vec_d) / (_norm(c) * _norm(vec_d))
+        cent_arr, lambda c: _cosine(c, vec_d)
     )
     cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("long")
     # persisted: both sides of the pair self-join read the assignment, so
@@ -976,7 +977,7 @@ def semantic_dedup_pairs(
     return (
         a.join(b, "cell")
         .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("cosine_sim", _dot(lv, rv) / (_norm(lv) * _norm(rv)))
+        .withColumn("cosine_sim", _cosine(lv, rv))
         .filter(F.col("cosine_sim") >= threshold)
         .select(
             "left_id",
@@ -1009,7 +1010,7 @@ def assign_cells(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
     )
     u = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sims = F.transform(cent_arr, lambda c: _dot(c, u) / (_norm(c) * _norm(u)))
+    sims = F.transform(cent_arr, lambda c: _cosine(c, u))
     # array_position returns the FIRST max (1-based) -> lowest cell id wins
     cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("long")
     return df.select(

@@ -776,6 +776,12 @@ def bpe_train_merges(
                 "sym",
                 F.replace("sym", F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")),
             )
+            if rank % 10 == 0:
+                # truncate the replace-chain lineage: without this the plan
+                # grows one F.replace deeper per rank and Catalyst analysis
+                # cost goes quadratic in n_merges; the table is vocab-sized
+                # (distinct words), so the materialization is trivial
+                cur = cur.localCheckpoint()
         return merges
     finally:
         words.unpersist()
@@ -1118,6 +1124,12 @@ def tokenizer_fertility(
     output row. Scale shape: bpe_token_counts' one-scan codegen replace
     chain, then one low-cardinality language-keyed partial-agg shuffle.
 
+    ANSI hazard guard: a language whose documents are all empty has
+    ``sum(n_words) = 0``; its fertility is reported as NULL (no words to
+    measure tokens-per-word against) instead of raising DIVIDE_BY_ZERO.
+    Compression's denominator cannot be zero (every document contributes
+    at least one BPE symbol, even the empty one).
+
     Returns ``(lang, n_docs, n_words, n_bpe_tokens, fertility,
     compression)``.
     """
@@ -1137,7 +1149,11 @@ def tokenizer_fertility(
             F.sum("n_words").cast("long").alias("n_words"),
             F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
             F.round(
-                F.sum("n_bpe_tokens") / F.sum("n_words").cast("double"), 4
+                F.when(
+                    F.sum("n_words") > 0,
+                    F.sum("n_bpe_tokens") / F.sum("n_words").cast("double"),
+                ),
+                4,
             ).alias("fertility"),
             F.round(
                 F.sum("n_base_symbols") / F.sum("n_bpe_tokens").cast("double"),

@@ -137,8 +137,12 @@ def x_dedup_minhash(spark, sf_dir):
 
 @register(
     "x_dedup_minhash_xxh",
-    None,  # xxhash64 has no DuckDB twin: rows-only driver check; the md5
-    # variant above is the value-hash-checked oracle-parity twin, and
+    None,  # xxhash64 has no plain-SQL DuckDB twin, so the DRIVER check stays
+    # rows-only — but the LOCAL gate hash-checks it end to end via a DuckDB
+    # Python UDF replaying Spark's xxhash64 bit-for-bit
+    # (tools/check_correctness.py LOCAL_ONLY_ORACLES + tools/spark_xxh64.py,
+    # pinned against Spark in tests/test_xxh64_twin.py); the md5 variant
+    # above is the driver-checkable oracle-parity twin, and
     # tests/test_extensions.py proves this one's exact precision in-engine
     survey_ids=("EXT-dedup",),
     doc="MinHash+LSH near-dup pairs on the 100 TB hot path: seeded "
@@ -3855,8 +3859,9 @@ def x_corpus_overlap(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(w.n_words) AS BIGINT) AS n_words,
            CAST(sum(c.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
-           round(sum(c.n_bpe_tokens) / CAST(sum(w.n_words) AS DOUBLE), 4)
-             AS fertility,
+           round(CASE WHEN sum(w.n_words) > 0
+                      THEN sum(c.n_bpe_tokens) / CAST(sum(w.n_words) AS DOUBLE)
+                      END, 4) AS fertility,
            round(sum(c.n_base_symbols) / CAST(sum(c.n_bpe_tokens) AS DOUBLE), 4)
              AS compression
     FROM counts c JOIN words w USING (doc_id)

@@ -1269,3 +1269,34 @@ def test_resize_images_real_block_mean(spark):
     # each output pixel is the floor-mean of its 2x2 source block
     assert small["pixels"][0][0] == (25, 0, 255, 128)
     assert small["pixels"][1][1] == (125, 0, 255, 128)
+
+
+def test_bpe_train_deep_merge_chain_stays_flat(spark):
+    """Round-7 lineage cap: bpe_train_merges localCheckpoints every 10
+    ranks, so a deep train (n_merges >> 8) neither blows Catalyst
+    analysis up quadratically nor changes results — BPE training is
+    greedy, so a deeper run's merge table must extend the shallower
+    run's table exactly (prefix property), checkpoint or not."""
+    import random
+    import time
+
+    from data_pipeline_kafka_ek_spark.operators import text
+
+    rng = random.Random(7)
+    vocab = [
+        "".join(rng.choice("abcdefghij") for _ in range(rng.randint(5, 10)))
+        for _ in range(150)
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choices(vocab, k=12))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    t0 = time.time()
+    deep = text.bpe_train_merges(docs, n_merges=40)
+    elapsed = time.time() - t0
+    shallow = text.bpe_train_merges(docs, n_merges=12)
+    assert len(deep) == 40
+    assert deep[:12] == shallow
+    # 40 ranks x (one vocab-table agg + 1-row collect): generous ceiling
+    # that a quadratic analysis blowup would smash through
+    assert elapsed < 120, f"deep BPE train took {elapsed:.0f}s"

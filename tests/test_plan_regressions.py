@@ -78,11 +78,18 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
 def test_driver_window_rotation_invariants():
     """The verification driver samples the FIRST 50 entries of queries().
     Rotation policy (catalog.py): least-recently-driver-attested queries go
-    first; everything rotated out (DRIVER_DEMOTED) must carry a driver-green
-    hash row from the immediately preceding round and stays covered by the
-    local oracle suite. Invariants: the priority set sits wholly inside the
-    window, everything outside the window is exactly the demoted set, and
-    the two sets never overlap."""
+    first. Invariants, all checked against GROUND TRUTH (the committed
+    CORRECTNESS_r*.json driver files), not the comments: the priority set
+    sits wholly inside the window, everything outside the window is exactly
+    the demoted set, the two sets never overlap, and every demoted query
+    carries a driver-green hash row from one of the two rounds preceding
+    catalog.DRIVER_ROTATION_ROUND (staleness bound: rotating out never
+    hides a query whose last driver check is older than that)."""
+    import glob
+    import json
+    import os
+    import re as _re
+
     from data_pipeline_kafka_ek_spark.plans import catalog
 
     names = list(em.queries().keys())
@@ -96,6 +103,23 @@ def test_driver_window_rotation_invariants():
     # every registered query is either in the window or explicitly demoted
     assert len(names) == len(set(names))
     assert set(names) == window | demoted
+
+    # attestation ground truth: last driver-green round per query
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+    assert files, "driver correctness files must be committed alongside the code"
+    last_green: dict[str, int] = {}
+    for path in files:
+        rnd = int(_re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                last_green[name] = max(rnd, last_green.get(name, 0))
+    fresh = (catalog.DRIVER_ROTATION_ROUND - 2, catalog.DRIVER_ROTATION_ROUND - 1)
+    stale = [n for n in demoted if last_green.get(n) not in fresh]
+    assert stale == [], (
+        "demoted queries whose last driver-green row predates rounds "
+        f"{fresh}: {[(n, last_green.get(n)) for n in stale]}"
+    )
 
 
 def test_funnel_is_single_pass(spark, sf_dir):

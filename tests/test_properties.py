@@ -337,3 +337,66 @@ def test_sketches_null_values_excluded_null_groups_kept(spark):
     cms = sketches.countmin_freq(df, "user_id").collect()
     assert {r.v for r in cms} == {1, 2, 3}  # no NULL-value row
     assert {r.v: r.n_exact for r in cms}[3] == 2
+
+
+def test_ansi_ratio_operators_survive_degenerate_inputs(spark):
+    """ANSI-hazard sweep (round-7): every ratio-emitting operator must
+    either guard its denominator or provably never see zero. Degenerate
+    corpus: empty text, whitespace-only text, single-token docs, a
+    language whose docs are ALL empty (sum(n_words)=0 — the fertility
+    hazard), plus a zero embedding vector (the cosine hazard). Under
+    ANSI mode (Spark 4 default) an unguarded division crashes with
+    DIVIDE_BY_ZERO rather than returning NULL, so completing at all IS
+    the assertion; value checks pin the documented degenerate semantics."""
+    from data_pipeline_kafka_ek_spark.operators import similarity, text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "xx", "s1"),
+            (2, " ", "xx", "s1"),
+            (3, "one", "en", "s2"),
+            (4, "the cat sat on the mat", "en", "s2"),
+            (5, "", "xx", "s1"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+
+    # fertility: lang 'xx' has zero words -> NULL fertility, no crash
+    merges = text.bpe_train_merges(docs, n_merges=2)
+    fert = {r.lang: r for r in text.tokenizer_fertility(docs, merges).collect()}
+    assert fert["xx"].fertility is None
+    assert fert["xx"].n_words == 0
+    assert fert["en"].fertility is not None and fert["en"].fertility > 0
+
+    # quality / gopher / repetition / token budget / dsir / clf: complete
+    # without error on the same degenerate docs
+    assert text.quality_score(docs).count() == 5
+    assert text.gopher_rules(docs).count() == 5
+    assert text.repetition_stats(docs).count() == 5
+    assert text.token_budget_plan(docs, 1000).count() == 2
+    assert text.dsir_importance(docs, docs.limit(2)).count() == 5
+    assert text.hashed_classifier_score(docs).count() == 5
+    # perplexity buckets: docs with < 2 split-tokens have no bigram to
+    # score and are dropped (the CCNet convention: unscorable -> not
+    # bucketed). '' yields one empty token (dropped); ' ' yields two
+    # empty tokens = one bigram (scored); 'one' yields one token (dropped)
+    assert text.perplexity_buckets(docs).count() == 2
+    assert text.contamination(docs, docs.limit(1)).count() == 5
+
+    # cosine with a zero vector: defined as 0.0, never DIVIDE_BY_ZERO
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    top = similarity.cosine_topk(vecs, vecs, k=2).collect()
+    zero_sims = [r.cosine_sim for r in top if 1 in (r.query_id, r.neighbor_id)]
+    assert zero_sims and all(s == 0.0 for s in zero_sims)
+    blocked = similarity.cosine_topk_blocked(
+        vecs, [(1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0])], k=2
+    ).collect()
+    zb = [r.cosine_sim for r in blocked if 1 in (r.query_id, r.neighbor_id)]
+    assert zb and all(s == 0.0 for s in zb)

@@ -451,3 +451,42 @@ def test_compaction_shrinks_file_count_and_preserves_rows(spark, sf_dir, tmp_pat
     assert len(glob.glob(os.path.join(part, "event_date=*"))) > 1
     df = spark.read.parquet(part).filter(F.col("event_date") == "2024-01-05")
     assert "PartitionFilters" in _plan(df)
+
+
+def test_stateful_automaton_matches_under_rocksdb_state_store(spark):
+    """SCALE.md prescribes the RocksDB state-store provider for standing
+    streams at scale (bounded JVM heap; state spills to local disk).
+    Parity proof: the HLL distinct automaton run under the RocksDB
+    provider emits byte-identical final revisions to the default
+    HDFS-backed in-memory provider — the sketch state round-trips
+    RocksDB serialization without semantic drift."""
+    from data_pipeline_kafka_ek_spark.streaming import runtime
+
+    rows = [(i, f"t{i % 3}", i % 97) for i in range(800)]
+    df = spark.createDataFrame(rows, "seq long, event_type string, user_id long")
+
+    def final_revisions():
+        stream = runtime.replayed_stream(spark, df, n_slices=4, order_col="seq")
+        rev = runtime.run_available_now(
+            runtime.hll_distinct_stateful(stream), output_mode="update"
+        )
+        out = {}
+        for r in rev.collect():
+            if r.grp not in out or r.rows_seen > out[r.grp][-1]:
+                out[r.grp] = (r.n_registers, r.hll_estimate, r.rows_seen)
+        return out
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = final_revisions()
+    prior = spark.conf.get(key)
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        spark.conf.set(key, rocks)
+        got = final_revisions()
+    finally:
+        spark.conf.set(key, prior)
+    assert got == default
+    assert set(got) == {"t0", "t1", "t2"}

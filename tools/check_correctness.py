@@ -52,6 +52,72 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+# ---------------------------------------------------------------------------
+# Local-only oracles: queries whose Spark plan uses a hash family plain SQL
+# lacks get a DuckDB Python-UDF twin HERE (the driver's oracle runner has no
+# UDF channel, so their registered oracle stays None / rows-only there; this
+# gate still hash-checks them end to end).
+# ---------------------------------------------------------------------------
+
+# xxhash64 twin of _MINHASH_CTES (plans/extensions.py): identical pipeline,
+# the two UDFs replay Spark's seed-chained xxhash64 bit-for-bit
+# (tools/spark_xxh64.py, validated against Spark in tests/test_xxh64_twin.py)
+LOCAL_ONLY_ORACLES = {
+    "x_dedup_minhash_xxh": """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+      FROM documents
+    ),
+    hmin AS (
+      SELECT doc_id,
+        min(spark_xxh64_tok(0, tok)) h0, min(spark_xxh64_tok(1, tok)) h1,
+        min(spark_xxh64_tok(2, tok)) h2, min(spark_xxh64_tok(3, tok)) h3,
+        min(spark_xxh64_tok(4, tok)) h4, min(spark_xxh64_tok(5, tok)) h5,
+        min(spark_xxh64_tok(6, tok)) h6, min(spark_xxh64_tok(7, tok)) h7
+      FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_idx, spark_xxh64_band(h0, h1) AS band_val FROM hmin
+      UNION ALL SELECT doc_id, 1, spark_xxh64_band(h2, h3) FROM hmin
+      UNION ALL SELECT doc_id, 2, spark_xxh64_band(h4, h5) FROM hmin
+      UNION ALL SELECT doc_id, 3, spark_xxh64_band(h6, h7) FROM hmin
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(string_split(text,' ')) s FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(x.s,y.s))*1.0
+                 / len(list_distinct(list_concat(x.s,y.s))), 4) AS jaccard_sim
+    FROM cand c JOIN sets x ON c.doc_a = x.doc_id JOIN sets y ON c.doc_b = y.doc_id
+    WHERE len(list_intersect(x.s,y.s))*1.0
+          / len(list_distinct(list_concat(x.s,y.s))) >= 0.8
+    """,
+}
+
+
+def register_local_udfs(con) -> None:
+    """Register the Spark-twin hash UDFs on a DuckDB connection."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from spark_xxh64 import xxhash64_int_str, xxhash64_longs
+
+    con.create_function(
+        "spark_xxh64_tok",
+        lambda i, tok: xxhash64_int_str(i, tok),
+        ["INTEGER", "VARCHAR"],
+        "BIGINT",
+    )
+    con.create_function(
+        "spark_xxh64_band",
+        lambda a, b: xxhash64_longs(a, b),
+        ["BIGINT", "BIGINT"],
+        "BIGINT",
+    )
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -71,10 +137,15 @@ def main() -> int:
     else:
         spark = get_spark("check_correctness")
     con = duckdb.connect()
+    register_local_udfs(con)
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    # splice in the local-only UDF oracles for entries the driver can only
+    # rows-check (their registered oracle is None)
+    for name, sql in LOCAL_ONLY_ORACLES.items():
+        oracles.setdefault(name, sql)
 
     failures = []
     for name, fn in qs.items():
