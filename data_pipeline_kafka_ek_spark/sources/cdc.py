@@ -74,8 +74,11 @@ class MaterializedTable:
     partitions on the key, and a micro-batch rewrites ONLY the buckets its
     change keys hash into (dynamic partition overwrite) — merge cost is
     proportional to the touched fraction of the table, not its size (the
-    incremental-MERGE pattern; with Delta/Iceberg in the stack the same
-    interface maps to a real MERGE statement)."""
+    incremental-MERGE pattern). For the full ACID form — atomic commit
+    log, optimistic concurrency, snapshot isolation / time travel and an
+    exactly-once foreachBatch MERGE — use ``sources/acid.py::TxnLogTable``,
+    this class's transaction-log sibling (same latest-per-key semantics,
+    proven equivalent in tests/test_acid.py)."""
 
     def __init__(
         self,

@@ -80,8 +80,13 @@ ADAPTER_COVERAGE: dict[str, tuple[str, str, str]] = {
            "streaming/runtime.py:rekey_for_sink",
            "tests/test_streaming.py:test_rekey_for_sink_sets_key"),
     "T7": ("changelog materialization (CTAS upsert)",
-           "sources/cdc.py:MaterializedTable (at-least-once idempotent apply)",
-           "tests/test_streaming.py:test_cdc_apply_update_propagation"),
+           "sources/cdc.py:MaterializedTable (bucketed idempotent apply) + "
+           "sources/acid.py:TxnLogTable (ACID production form: atomic "
+           "commit log, optimistic concurrency, snapshot/time-travel reads, "
+           "stats-pruned MERGE, exactly-once foreachBatch)",
+           "tests/test_streaming.py:test_cdc_apply_update_propagation, "
+           "tests/test_acid.py (9 tests: atomicity, conflict, time travel, "
+           "idempotent txn, checkpointed replay, merge pruning)"),
     "T8": ("reprocessing from earliest",
            "streaming/runtime.py:run_available_now (fresh checkpoint + full replay)",
            "tests/test_streaming.py:test_streaming_windowed_agg_equals_batch"),
