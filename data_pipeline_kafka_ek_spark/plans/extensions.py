@@ -4576,3 +4576,155 @@ def t_streaming_cms(spark, sf_dir):
             .alias("overestimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 7: calibration / profiling trio — the queries a pipeline operator
+# runs BEFORE committing to filter thresholds, partition plans and storage
+# layouts (registered after the r7 driver window filled; see the
+# REGISTERED_AFTER_WINDOW note in plans/catalog.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_quality_threshold_sweep",
+    f"""
+    WITH {_CLF_RAW_CTE},
+    grid AS (SELECT unnest([-0.1, -0.05, 0.0, 0.05, 0.1]::DOUBLE[])
+             AS threshold)
+    SELECT g.threshold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.raw > g.threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(sum(CASE WHEN c.raw > g.threshold THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS keep_rate
+    FROM clf_raw c CROSS JOIN grid g
+    GROUP BY g.threshold
+    """,
+    survey_ids=("EXT-text", "EXT-pipeline", "A1"),
+    doc="classifier-threshold calibration curve: keep rate of the hashed "
+    "quality classifier at each of five candidate thresholds — the sweep "
+    "a curation run reads to pick the cut that hits a target retention "
+    "(e.g. 'keep ~30%%'). One scan scores every doc (the same exact "
+    "fixed-point pipeline as x_quality_clf_score), the 5-row threshold "
+    "grid broadcasts into a cross join, and one 5-group aggregation "
+    "folds it; comparisons use the UNROUNDED score against identical "
+    "double literals in both engines, so boundary rows cannot flip. At "
+    "100 TB the sweep costs one classifier pass regardless of how many "
+    "thresholds are probed.",
+)
+def x_quality_threshold_sweep(spark, sf_dir):
+    thresholds = [-0.1, -0.05, 0.0, 0.05, 0.1]
+    scored = text.hashed_classifier_score(
+        _t(spark, sf_dir, "documents"), include_raw=True
+    ).select("doc_id", "clf_raw")
+    grid = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("threshold")
+    n = F.count(F.lit(1))
+    kept = F.sum((F.col("clf_raw") > F.col("threshold")).cast("int"))
+    return (
+        scored.select("clf_raw", grid)
+        .groupBy("threshold")
+        .agg(
+            n.cast("long").alias("n_docs"),
+            kept.cast("long").alias("n_kept"),
+            F.round(kept / n, 4).alias("keep_rate"),
+        )
+    )
+
+
+@register(
+    "x_corpus_length_histogram",
+    """
+    SELECT source,
+           CAST(CASE WHEN n_chars = 0 THEN 0
+                ELSE length(bin(n_chars)) END AS INT) AS bucket,
+           CAST(CASE WHEN n_chars = 0 THEN 0
+                ELSE (1::BIGINT << (length(bin(n_chars)) - 1)) END AS BIGINT)
+             AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2, 3
+    """,
+    survey_ids=("EXT-pipeline", "A6"),
+    doc="per-source power-of-two document-length histogram: bucket = bit "
+    "length of n_chars (doc in [2^(b-1), 2^b)), the corpus profile that "
+    "drives sequence-packing bin sizes, maxPartitionBytes tuning and "
+    "truncation policy. Integer-exact by construction — the bucket is "
+    "the length of the binary string both engines print for n_chars, so "
+    "no float log2 boundary can flip a power-of-two doc. One scan, one "
+    "low-cardinality partial-aggregated shuffle.",
+)
+def x_corpus_length_histogram(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bits = F.length(F.bin(F.col("n_chars")))
+    bucket = F.when(F.col("n_chars") == 0, F.lit(0)).otherwise(bits).cast("int")
+    lo = (
+        F.when(F.col("n_chars") == 0, F.lit(0))
+        .otherwise(
+            F.expr("shiftleft(cast(1 as bigint), cast(length(bin(n_chars)) - 1 as int))")
+        )
+        .cast("long")
+    )
+    return (
+        d.select("source", bucket.alias("bucket"), lo.alias("bucket_lo"), "n_chars")
+        .groupBy("source", "bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "x_events_key_skew_profile",
+    """
+    WITH counts AS (
+      SELECT event_type AS grp, user_id AS k, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT grp, c,
+             row_number() OVER (PARTITION BY grp ORDER BY c DESC, k ASC) AS rn
+      FROM counts
+    )
+    SELECT grp,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(max(CASE WHEN rn = 1 THEN c ELSE 0 END) * 1.0 / sum(c), 4)
+             AS top1_share,
+           round(sum(CASE WHEN rn <= 10 THEN c ELSE 0 END) * 1.0 / sum(c), 4)
+             AS top10_share,
+           (max(CASE WHEN rn = 1 THEN c ELSE 0 END) * 1.0 / sum(c)) > 0.2
+             AS salt_recommended
+    FROM ranked
+    GROUP BY grp
+    """,
+    survey_ids=("EXT-pipeline", "A1", "A7"),
+    doc="join/agg-key skew diagnostics per stream: distinct-key count and "
+    "the row share of the hottest 1 and 10 keys, plus the salt flag the "
+    "skew playbook (operators/skew.py, SCALE.md) keys off — the profile "
+    "you run BEFORE choosing partitioning for a new 100 TB feed. All "
+    "shares are single divisions of exact integer counts (deterministic "
+    "across engines); the plan is one key-count aggregation plus a "
+    "per-group top-k fold over count rows, never raw rows.",
+)
+def x_events_key_skew_profile(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.col("event_type").alias("grp"), F.col("user_id").alias("k")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("k"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    total = F.sum("c")
+    top1 = F.max(F.when(F.col("rn") == 1, F.col("c")).otherwise(F.lit(0)))
+    top10 = F.sum(F.when(F.col("rn") <= 10, F.col("c")).otherwise(F.lit(0)))
+    return ranked.groupBy("grp").agg(
+        total.cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(top1 / total, 4).alias("top1_share"),
+        F.round(top10 / total, 4).alias("top10_share"),
+        ((top1 / total) > 0.2).alias("salt_recommended"),
+    )

@@ -115,11 +115,18 @@ def test_driver_window_rotation_invariants():
             if row.get("hash_match"):
                 last_green[name] = max(rnd, last_green.get(name, 0))
     fresh = (catalog.DRIVER_ROTATION_ROUND - 2, catalog.DRIVER_ROTATION_ROUND - 1)
-    stale = [n for n in demoted if last_green.get(n) not in fresh]
+    late = set(catalog.REGISTERED_AFTER_WINDOW)
+    stale = [
+        n for n in demoted if last_green.get(n) not in fresh and n not in late
+    ]
     assert stale == [], (
         "demoted queries whose last driver-green row predates rounds "
         f"{fresh}: {[(n, last_green.get(n)) for n in stale]}"
     )
+    # the exception list is exactly the post-window registrations: a name
+    # with a driver-green row must not hide behind it
+    abused = [n for n in late if last_green.get(n) in fresh]
+    assert abused == [], f"REGISTERED_AFTER_WINDOW entries with green rows: {abused}"
 
 
 def test_funnel_is_single_pass(spark, sf_dir):
