@@ -253,3 +253,21 @@ def test_distribution_drift_broadcasts_bounds(spark, sf_dir):
     plan = _plan(em.queries()["x_events_distribution_drift"](spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_r7_profiling_trio_shuffle_bounds(spark, sf_dir):
+    """The calibration/profiling trio's docstring shapes, pinned: the
+    threshold sweep pays the scorer's doc agg + one 5-group fold (2),
+    the length histogram is one scan + one low-cardinality agg (1), the
+    skew profile is a key-count agg + per-group fold that reuses the
+    window's grp partitioning (2). All single-scan."""
+    qs = em.queries()
+    bounds = {
+        "x_quality_threshold_sweep": 2,
+        "x_corpus_length_histogram": 1,
+        "x_events_key_skew_profile": 2,
+    }
+    for name, max_shuffles in bounds.items():
+        p = _plan(qs[name](spark, sf_dir))
+        assert _shuffles(p) <= max_shuffles, f"{name}:\n{p}"
+        assert p.count("Scan parquet") == 1, f"{name}:\n{p}"
