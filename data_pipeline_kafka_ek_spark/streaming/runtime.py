@@ -926,3 +926,103 @@ def cms_grid_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def heavy_hitters_stateful(
+    stream_df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters via a mergeable Misra-Gries summary
+    (Misra & Gries 1982; mergeability per Agarwal et al. 2012,
+    "Mergeable summaries"): per key the state is at most ``k``
+    (value, counter) pairs plus one cumulative-decrement scalar, FOREVER — the bounded-state answer
+    to "which values dominate this stream" that exact top-k state cannot
+    give. Completes the streaming sketch quartet: KMV/HLL (how many
+    distinct), CMS (how often is THIS value), MG (WHICH values are hot).
+
+    Each batch folds in as one vectorized value_counts, then the two
+    summaries merge: add counters for known values, admit new values
+    while the summary has room, else subtract the (k+1)-th largest
+    counter from everyone and drop the non-positives (recording the
+    subtraction as per-survivor ``error``). The classic guarantees —
+    asserted by tests/test_streaming.py over replays, NOT assumed:
+
+    * every value with true frequency > N/(k+1) is present;
+    * for every reported value,
+      ``est_count <= true <= est_count + max_error`` and
+      ``max_error <= N/(k+1)`` (column names avoid ``count``/``error``,
+      which collide with Row tuple methods).
+
+    Unlike KMV/HLL/CMS the surviving SET can depend on arrival order in
+    tie cases, so this operator is guarantee-tested rather than
+    hash-oracle-checked (the documented boundary: order-invariant
+    automata get DuckDB oracles, order-dependent summaries get property
+    gates). Emits each key's full summary per batch with a strictly
+    growing ``rows_seen`` for final-revision selection.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "grp string, value string, est_count long, max_error long, "
+        "rows_seen long"
+    )
+    state_schema = "vals array<string>, counts array<long>, delta long, rows long"
+
+    prep = stream_df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("string").alias("v"),
+    )
+
+    def update(key_tuple, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            vals, counts, delta, rows = state.get
+            summary = {v: int(c) for v, c in zip(vals, counts)}
+            delta = int(delta)
+        else:
+            summary, delta, rows = {}, 0, 0
+        for pdf in pdfs:
+            rows += len(pdf)
+            batch = pdf["v"].value_counts()  # vectorized fold per batch
+            for v, c in batch.items():
+                summary[v] = summary.get(v, 0) + int(c)
+            if len(summary) > k:
+                # MG compaction: subtract the (k+1)-th largest counter,
+                # drop non-positives. The cumulative subtraction DELTA is
+                # the one-sided error bound for EVERY item — including a
+                # value readmitted after an earlier eviction, whose missed
+                # occurrences are also <= delta (the classic analysis;
+                # tracking per-item errors would under-report exactly that
+                # readmission case).
+                cut = sorted(summary.values(), reverse=True)[k]
+                delta += cut
+                summary = {
+                    v: c - cut for v, c in summary.items() if c - cut > 0
+                }
+        items = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update(
+            ([v for v, _ in items], [c for _, c in items], delta, rows)
+        )
+        grp = str(key_tuple[0])
+        yield pd.DataFrame(
+            {
+                "grp": [grp] * len(items),
+                "value": [v for v, _ in items],
+                "est_count": [c for _, c in items],
+                "max_error": [delta] * len(items),
+                "rows_seen": [rows] * len(items),
+            }
+        )
+
+    return prep.groupBy("grp").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1288,3 +1288,81 @@ def test_drift_monitor_feeds_alert_sink(spark, sf_dir):
     sent = []
     sinks.alert_sink(sent.append, throttle_rows=10)(alerts, 0)
     assert len(sent) == 1 and sent[0].startswith("DRIFT moved psi=")
+
+
+def test_heavy_hitters_misra_gries_guarantees(spark):
+    """The MG summary's classic guarantees over a real multi-batch replay,
+    per group: (a) bounded state (<= k survivors); (b) every value whose
+    true frequency exceeds N/(k+1) is reported; (c) every reported count
+    is an UNDERestimate by at most its own error column, and that error
+    is <= N/(k+1). Checked against exact batch counts."""
+    import random
+
+    rng = random.Random(42)
+    k = 8
+    rows = []
+    # zipf-ish: values 0..3 hot, long tail of rare values
+    for i in range(3000):
+        grp = f"t{i % 2}"
+        r = rng.random()
+        if r < 0.55:
+            v = rng.randint(0, 3)
+        else:
+            v = rng.randint(10, 400)
+        rows.append((i, grp, v))
+    df = spark.createDataFrame(rows, "seq long, event_type string, user_id long")
+
+    stream = runtime.replayed_stream(spark, df, n_slices=5, order_col="seq")
+    rev = runtime.run_available_now(
+        runtime.heavy_hitters_stateful(stream, k=k), output_mode="update"
+    )
+    final = {}
+    for r in rev.collect():
+        cur = final.setdefault(r.grp, {"rows": -1, "items": {}})
+        if r.rows_seen > cur["rows"]:
+            cur["rows"] = r.rows_seen
+            cur["items"] = {}
+        if r.rows_seen == cur["rows"]:
+            cur["items"][r.value] = (r.est_count, r.max_error)
+
+    truth = {
+        (r.event_type, str(r.user_id)): r.c
+        for r in df.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    n_per_grp = {}
+    for (g, _), c in truth.items():
+        n_per_grp[g] = n_per_grp.get(g, 0) + c
+
+    assert set(final) == {"t0", "t1"}
+    for g, cur in final.items():
+        n = n_per_grp[g]
+        bound = n / (k + 1)
+        assert cur["rows"] == n
+        assert len(cur["items"]) <= k                      # (a) bounded state
+        for v, c in truth.items():
+            if v[0] == g and c > bound:
+                assert v[1] in cur["items"], (v, c, bound)  # (b) no missed hitter
+        for v, (cnt, err) in cur["items"].items():
+            true_c = truth[(g, v)]
+            assert cnt <= true_c <= cnt + err, (g, v)       # (c) one-sided error
+            assert err <= bound + 1e-9
+
+
+def test_heavy_hitters_underfilled_summary_is_exact(spark):
+    """Fewer distinct values than k: the summary IS the exact count table
+    (zero error), independent of replay slicing."""
+    rows = [(i, "a", i % 3) for i in range(90)]
+    df = spark.createDataFrame(rows, "seq long, event_type string, user_id long")
+    stream = runtime.replayed_stream(spark, df, n_slices=3, order_col="seq")
+    rev = runtime.run_available_now(
+        runtime.heavy_hitters_stateful(stream, k=8), output_mode="update"
+    )
+    last = max(r.rows_seen for r in rev.collect())
+    items = {
+        r.value: (r.est_count, r.max_error)
+        for r in rev.collect()
+        if r.rows_seen == last
+    }
+    assert items == {"0": (30, 0), "1": (30, 0), "2": (30, 0)}
