@@ -909,6 +909,7 @@ REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_quality_threshold_sweep",
     "x_corpus_length_histogram",
     "x_events_key_skew_profile",
+    "h16_supplier_part_breadth",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (

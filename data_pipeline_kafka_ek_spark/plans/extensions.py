@@ -4728,3 +4728,49 @@ def x_events_key_skew_profile(spark, sf_dir):
         F.round(top10 / total, 4).alias("top10_share"),
         ((top1 / total) > 0.2).alias("salt_recommended"),
     )
+
+
+@register(
+    "h16_supplier_part_breadth",
+    """
+    WITH excluded AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    LIMIT 20
+    """,
+    survey_ids=("A1", "J1", "L4"),
+    doc="TPC-H Q16-shaped supplier-breadth report: distinct suppliers per "
+    "(brand, type, size) after excluding a blocklisted supplier set — "
+    "the NOT-IN anti-join + DISTINCT-aggregation + multi-column-group "
+    "plan family Q16 exists to exercise. Scale shape: the exclusion "
+    "list and the part dimension BROADCAST (anti-join and equi-join "
+    "pay no fact shuffle); the fact then shuffles once for the "
+    "two-phase distinct (partial dedup map-side), and the top-20 is a "
+    "TakeOrdered, never a global sort.",
+)
+def h16_supplier_breadth(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    excluded = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        l.join(
+            F.broadcast(excluded),
+            l["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(20)
+    )

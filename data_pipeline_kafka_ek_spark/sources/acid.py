@@ -295,8 +295,12 @@ class TxnLogTable:
     ) -> int:
         """Upsert (and optionally delete) by key — the MERGE statement's
         semantics: latest row per key wins by ``order_col`` (changes beat
-        existing rows on ties). Only files whose [min,max] key range
-        overlaps the incoming keys are rewritten (stats pruning); a
+        existing rows on ties; two CHANGE rows tying on both key and
+        ``order_col`` are an input-contract violation — the winner among
+        them is arbitrary, same caveat as any CDC apply, so feed batches
+        with a strictly ordered ``order_col`` per key). Only files whose
+        [min,max] key range overlaps the incoming keys are rewritten
+        (stats pruning); a
         competing commit that removes one of those files between snapshot
         and commit raises ``ConcurrentModification`` (retry re-runs the
         merge on the new snapshot)."""

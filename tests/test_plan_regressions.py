@@ -271,3 +271,13 @@ def test_r7_profiling_trio_shuffle_bounds(spark, sf_dir):
         p = _plan(qs[name](spark, sf_dir))
         assert _shuffles(p) <= max_shuffles, f"{name}:\n{p}"
         assert p.count("Scan parquet") == 1, f"{name}:\n{p}"
+
+
+def test_h16_broadcasts_and_two_phase_distinct(spark, sf_dir):
+    """Q16 shape: exclusion list and part dimension broadcast (no fact
+    shuffle for either join); the DISTINCT aggregation pays its two-phase
+    dedup+agg shuffles and the top-20 is TakeOrdered, never a sort."""
+    p = _plan(em.queries()["h16_supplier_part_breadth"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert _shuffles(p) <= 2, p
+    assert "TakeOrdered" in p, p
