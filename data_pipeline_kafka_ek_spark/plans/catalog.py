@@ -910,6 +910,8 @@ REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_corpus_length_histogram",
     "x_events_key_skew_profile",
     "h16_supplier_part_breadth",
+    "x_pipeline_epoch_shuffle",
+    "x_dedup_recall_eval",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (

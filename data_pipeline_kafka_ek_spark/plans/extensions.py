@@ -4774,3 +4774,91 @@ def h16_supplier_breadth(spark, sf_dir):
         )
         .limit(20)
     )
+
+
+@register(
+    "x_pipeline_epoch_shuffle",
+    """
+    WITH ranked AS (
+      SELECT e.epoch, d.doc_id,
+             md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR))
+               AS rk
+      FROM documents d, (SELECT unnest(range(0, 2)) AS epoch) e
+    ),
+    pos AS (
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY rk) AS position
+      FROM ranked
+    )
+    SELECT CAST(epoch AS INT) AS epoch, CAST(position AS BIGINT) AS position,
+           doc_id
+    FROM pos WHERE position <= 50
+    ORDER BY epoch, position
+    """,
+    survey_ids=("EXT-pipeline", "L3"),
+    doc="deterministic per-epoch corpus shuffle: training order for epoch "
+    "e is the sort of md5(e || ':' || doc_id) — reshuffled every epoch, "
+    "reproducible from (seed, id) alone, no RNG state to checkpoint. "
+    "The query materializes the first 50 positions of two epochs as "
+    "proof. At 100 TB you never globally sort: repartitionByRange on "
+    "the hash key gives ~uniform shards whose concatenation IS the "
+    "epoch order, and the window here becomes a per-shard "
+    "monotonically_increasing position — the hash ordering is the "
+    "whole trick.",
+)
+def x_pipeline_epoch_shuffle(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    epochs = F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch")
+    ranked = d.select("doc_id").select(epochs, "doc_id").withColumn(
+        "rk",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        ),
+    )
+    w = Window.partitionBy("epoch").orderBy("rk")
+    return (
+        ranked.withColumn("position", F.row_number().over(w).cast("long"))
+        .filter(F.col("position") <= 50)
+        .select(F.col("epoch").cast("int").alias("epoch"), "position", "doc_id")
+    )
+
+
+@register(
+    "x_dedup_recall_eval",
+    f"""
+    WITH {_MINHASH_CTES},
+    exact AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+    )
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+           CAST((SELECT count(*) FROM mh_pairs) AS BIGINT) AS n_lsh_pairs,
+           round((SELECT count(*) FROM mh_pairs) * 1.0
+                 / greatest((SELECT count(*) FROM exact), 1), 4) AS recall
+    """,
+    survey_ids=("EXT-dedup", "A1"),
+    doc="dedup-index quality eval as a first-class query (the dedup twin "
+    "of x_ann_recall_eval): recall of the MinHash+LSH banding against "
+    "exact all-pairs Jaccard >= 0.8 ground truth. LSH precision is 1.0 "
+    "by construction (the verify stage recomputes true Jaccard), so "
+    "banding recall is the one number that monitors the index — run it "
+    "on a sample after every signature/banding change. greatest(.,1) "
+    "guards the empty-corpus division (ANSI-safe on both engines).",
+)
+def x_dedup_recall_eval(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.jaccard_pairs(docs, threshold=0.8)
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    # two bounded counts -> one literal row (the eval is a scalar report;
+    # counts are distributed, only the 2 totals reach the driver)
+    return _t(spark, sf_dir, "region").limit(1).select(
+        F.lit(n_exact).cast("long").alias("n_exact_pairs"),
+        F.lit(n_lsh).cast("long").alias("n_lsh_pairs"),
+        F.round(F.lit(float(n_lsh) / max(n_exact, 1)), 4).alias("recall"),
+    )
