@@ -5,14 +5,17 @@ plus an ordered JSON commit log — no external table-format dependency,
 same interface shape as ``sources/cdc.py::MaterializedTable`` but with the
 four properties that class's bucketed-rewrite twin documents as missing:
 
-* **Atomic commits** — a commit is a single JSON file created by atomic
-  rename into ``_txn_log/<version>.json``; readers either see the whole
-  commit or none of it. Data files are immutable once referenced.
-* **Optimistic concurrency** — two writers racing to the same version:
-  exactly one rename wins; the loser re-reads the log and either retries
-  on top (blind append) or raises ``ConcurrentModification`` (merge whose
-  rewritten files were removed under it) — the Delta/Iceberg conflict
-  rule.
+* **Atomic commits** — a commit version is claimed with an O_EXCL
+  ``createNewFile`` marker, then its JSON body renamed into
+  ``_txn_log/<version>.json``; readers either see the whole commit or
+  none of it (POSIX rename silently replaces, so the claim — not the
+  rename — is the arbiter; see ``_write_text_atomic``). Data files are
+  immutable once referenced.
+* **Optimistic concurrency** — writers racing to the same version:
+  exactly one claim wins; the loser re-reads the log and either retries
+  on top (blind append, thread-pool-race tested) or raises
+  ``ConcurrentModification`` (merge whose rewritten files were removed
+  under it) — the Delta/Iceberg conflict rule.
 * **Snapshot isolation + time travel** — ``read(version=k)`` reconstructs
   the live file set at any retained version; concurrent commits never
   tear an in-flight read (its file list is pinned when the snapshot is
@@ -83,9 +86,30 @@ class TxnLogTable:
         return fs, jpath
 
     def _write_text_atomic(self, dest: str, body: str) -> bool:
-        """Create ``dest`` atomically via temp-write + rename; returns False
-        if ``dest`` already exists (the optimistic-concurrency signal)."""
+        """Create ``dest`` atomically; returns False if another writer owns
+        the version (the optimistic-concurrency signal).
+
+        The claim is ``createNewFile(dest + '.claim')`` — O_CREAT|O_EXCL
+        on POSIX, atomic create-if-absent on HDFS — because a plain
+        rename race is NOT safe on the local filesystem: POSIX rename(2)
+        silently REPLACES an existing destination, so two racers could
+        both believe they won (observed as a duplicated version under a
+        thread-pool append race before this). The winner then writes a
+        temp file and renames it into place, so readers listing ``*.json``
+        never observe a partial commit. A claim whose owner crashed
+        before the rename parks that version number permanently — retry
+        loops therefore bump PAST their failed attempt
+        (``max(latest+1, attempted+1)``) instead of re-deriving it from
+        the committed log, and snapshot replay iterates the versions
+        that actually exist, so a parked number is just a harmless gap;
+        a real deployment would also age out orphaned claims (Delta's
+        per-filesystem LogStore makes the same trade explicit)."""
         fs, dpath = self._fs(dest)
+        if fs.exists(dpath):
+            return False
+        _, cpath = self._fs(dest + ".claim")
+        if not fs.createNewFile(cpath):
+            return False
         tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
         _, tpath = self._fs(tmp)
         out = fs.create(tpath, False)
@@ -93,9 +117,6 @@ class TxnLogTable:
             out.write(bytearray(body.encode("utf-8")))
         finally:
             out.close()
-        if fs.exists(dpath):
-            fs.delete(tpath, False)
-            return False
         ok = fs.rename(tpath, dpath)
         if not ok:
             fs.delete(tpath, False)
@@ -278,10 +299,14 @@ class TxnLogTable:
             return self.latest_version()
         adds = self._write_data_files(df)
         actions = [{"add": a} for a in adds]
+        v = self.latest_version() + 1
         for _ in range(max_retries):
-            v = self.latest_version() + 1
             if self._try_commit(v, "append", actions, txn):
                 return v
+            # bump past the failed attempt too: a claim whose owner died
+            # before renaming never produces a .json, so deriving the next
+            # version from the committed log alone would spin forever
+            v = max(self.latest_version() + 1, v + 1)
         raise ConcurrentModification(
             f"append lost the commit race {max_retries} times"
         )
@@ -314,6 +339,7 @@ class TxnLogTable:
             return self.latest_version()  # empty change set: no-op
 
         last_err = None
+        attempted = -1
         for _ in range(max_retries):
             base_version = self.latest_version()
             live = self._snapshot_adds(base_version if base_version >= 0 else None)
@@ -359,7 +385,10 @@ class TxnLogTable:
             actions = [{"add": a} for a in adds] + [
                 {"remove": {"path": a["path"]}} for a in touched
             ]
-            v = base_version + 1
+            # bump past a previously failed attempt (an orphaned claim
+            # never yields a .json; see _write_text_atomic)
+            v = max(base_version + 1, attempted + 1)
+            attempted = v
             if self._try_commit(v, "merge", actions, txn):
                 return v
             # lost the race: legal only if the winner didn't touch our files
