@@ -78,6 +78,12 @@ def main() -> None:
         "h14_promo_revenue_share",
         "x_multimodal_pixel_stats",
     }
+    # r7: the calibration/profiling additions + the Q16-shaped proof
+    added_r07 = {
+        "x_quality_threshold_sweep",
+        "x_events_key_skew_profile",
+        "h16_supplier_part_breadth",
+    }
     print(
         json.dumps(
             {
@@ -90,7 +96,7 @@ def main() -> None:
                         sum(
                             v
                             for k, v in timings.items()
-                            if k not in added_r04 | added_r06
+                            if k not in added_r04 | added_r06 | added_r07
                         ),
                         3,
                     ),
@@ -99,6 +105,9 @@ def main() -> None:
                     ),
                     "added_in_r06": round(
                         sum(v for k, v in timings.items() if k in added_r06), 3
+                    ),
+                    "added_in_r07": round(
+                        sum(v for k, v in timings.items() if k in added_r07), 3
                     ),
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -4601,6 +4601,7 @@ def t_streaming_cms(spark, sf_dir):
     FROM clf_raw c CROSS JOIN grid g
     GROUP BY g.threshold
     """,
+    bench=True,  # r7 headline addition (added_in_r07 subtotal)
     survey_ids=("EXT-text", "EXT-pipeline", "A1"),
     doc="classifier-threshold calibration curve: keep rate of the hashed "
     "quality classifier at each of five candidate thresholds — the sweep "
@@ -4702,6 +4703,7 @@ def x_corpus_length_histogram(spark, sf_dir):
     FROM ranked
     GROUP BY grp
     """,
+    bench=True,  # r7 headline addition (added_in_r07 subtotal)
     survey_ids=("EXT-pipeline", "A1", "A7"),
     doc="join/agg-key skew diagnostics per stream: distinct-key count and "
     "the row share of the hottest 1 and 10 keys, plus the salt flag the "
@@ -4745,6 +4747,7 @@ def x_events_key_skew_profile(spark, sf_dir):
     ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
     LIMIT 20
     """,
+    bench=True,  # r7 headline addition (added_in_r07 subtotal)
     survey_ids=("A1", "J1", "L4"),
     doc="TPC-H Q16-shaped supplier-breadth report: distinct suppliers per "
     "(brand, type, size) after excluding a blocklisted supplier set — "
