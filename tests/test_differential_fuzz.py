@@ -82,15 +82,18 @@ def _gen_events(rng, n):
     for i in range(n):
         et = rng.choice(["click", "view", "flat", None])
         uid = None if rng.random() < 0.1 else rng.randint(1, 25)
+        day = rng.randint(1, 30)
         if et == "flat":
-            # constant-value stream: the degenerate-PSI / zero-variance case
-            value = 5.0 if rng.random() < 0.8 else 9.0
+            # zero-width PSI baseline (every pre-split value identical)
+            # whose post-split window moves to a DIFFERENT constant — the
+            # degenerate branch must bin on equality in BOTH engines
+            value = 5.0 if day < 16 else 9.0
         else:
             value = rng.choice([-3.5, 0.0, 1.25, 7.75, 100.0])
         import datetime
 
         ts = datetime.datetime(
-            2024, 1, rng.randint(1, 30), rng.randint(0, 23), rng.randint(0, 59)
+            2024, 1, day, rng.randint(0, 23), rng.randint(0, 59)
         )
         rows.append((i, ts, uid, et, value, "{}"))
     return (
