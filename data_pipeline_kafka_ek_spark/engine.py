@@ -148,6 +148,43 @@ class Engine:
         return {"name": name, "kind": kind, "schema": self.describe(name),
                 "lastProgress": progress}
 
+    # -- ACID-backed tables (sources/acid.py) --------------------------------
+
+    def create_acid_table(self, name: str, path: str, key: str, order_col: str,
+                          **kw: Any):
+        """CTAS onto durable ACID storage: register a TxnLogTable so the
+        control surface can serve its current snapshot as the named table
+        (each ``describe``/``sql`` access reads the LATEST snapshot — the
+        ksqlDB current-table-state semantics on a transaction log instead
+        of a compacted topic). Returns the TxnLogTable handle for writers
+        (append/merge/foreach_batch_writer)."""
+        from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
+
+        t = TxnLogTable(self.spark, path, key=key, order_col=order_col, **kw)
+        self._acid = getattr(self, "_acid", {})
+        self._acid[name] = t
+        if t.latest_version() >= 0:
+            self.create_table(name, t.read())
+        return t
+
+    def describe_history(self, name: str) -> list[dict[str, Any]]:
+        """DESCRIBE HISTORY twin for ACID tables: the commit log (version,
+        op, txn, file deltas), oldest first. Log-only metadata, no data
+        scan."""
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        return acid[name].history()
+
+    def refresh_acid_table(self, name: str) -> DataFrame:
+        """Re-pin the registered view to the table's newest snapshot (a
+        reader holding the old DataFrame keeps its pinned file list —
+        snapshot isolation; this is the explicit advance)."""
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        return self.create_table(name, acid[name].read())
+
     # -- PRINT 'topic' probe (reference: README.md:73,185) -------------------
 
     def print_rows(self, name: str, n: int = 5) -> list[dict[str, Any]]:

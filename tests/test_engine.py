@@ -214,3 +214,30 @@ def test_ksql_named_sql_functions(spark):
         df._jdf.queryExecution(), "simple"
     )
     assert "Python" not in plan  # expression macro, not a UDF
+
+
+def test_engine_acid_table_registration_and_history(spark, tmp_path):
+    """The control surface serves an ACID-backed table: CTAS registers the
+    TxnLogTable snapshot as a SQL-addressable view, DESCRIBE HISTORY
+    exposes the commit log, and refresh re-pins the view to the newest
+    snapshot after a merge while an old handle keeps its pinned files."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "dim_users", str(tmp_path / "t"), key="k", order_col="seq"
+    )
+    t.append(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k long, seq long, v string")
+    )
+    eng.refresh_acid_table("dim_users")
+    assert {r.k for r in eng.sql("SELECT k FROM dim_users").collect()} == {1, 2}
+
+    old_handle = t.read()
+    t.merge(spark.createDataFrame([(2, 9, "b2")], "k long, seq long, v string"))
+    hist = eng.describe_history("dim_users")
+    assert [h["op"] for h in hist] == ["append", "merge"]
+    # snapshot isolation: the pre-merge handle still reads the old value
+    assert {r.v for r in old_handle.collect()} == {"a", "b"}
+    eng.refresh_acid_table("dim_users")
+    assert {r.v for r in eng.sql("SELECT v FROM dim_users").collect()} == {"a", "b2"}
