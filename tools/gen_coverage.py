@@ -100,8 +100,11 @@ ADAPTER_COVERAGE: dict[str, tuple[str, str, str]] = {
             "streaming/runtime.py:stream_table + operators/relational.py:latest_per_key",
             "tests/test_streaming.py:test_cdc_apply_update_propagation"),
     "§2.12": ("SHOW TOPICS/TABLES/CONNECTORS/QUERIES, DESCRIBE [EXTENDED], INSERT upstream",
-              "engine.py:Engine (registry + describe + show_queries + sql entry point)",
-              "tests/test_engine.py (full suite)"),
+              "engine.py:Engine (registry + describe + show_queries + sql entry "
+              "point + ACID-table CTAS/DESCRIBE HISTORY/refresh over "
+              "sources/acid.py)",
+              "tests/test_engine.py (full suite incl. the acid "
+              "append/merge/refresh/history cycle)"),
 }
 
 SECTION_ORDER = [
