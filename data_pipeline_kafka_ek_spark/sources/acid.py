@@ -438,6 +438,22 @@ class TxnLogTable:
                     out.append(p)
         return out
 
+    def orphaned_claims(self) -> "list[str]":
+        """Claim markers whose version never published a commit — the
+        debris a crashed writer leaves (see ``_write_text_atomic``).
+        Each parks only its own version number (writers skip past), so
+        cleanup is hygiene, not correctness; a deployment would age
+        these out alongside ``unreferenced_files``."""
+        fs, jdir = self._fs(self.log_dir)
+        if not fs.exists(jdir):
+            return []
+        names = {st.getPath().getName() for st in fs.listStatus(jdir)}
+        return sorted(
+            f"{self.log_dir}/{n}"
+            for n in names
+            if n.endswith(".json.claim") and n[: -len(".claim")] not in names
+        )
+
     def foreach_batch_writer(self, app_id: str, delete_col: "str | None" = None):
         """``foreachBatch`` target: exactly-once idempotent MERGE of each
         micro-batch (replayed batch ids are skipped via the txn action)."""

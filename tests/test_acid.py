@@ -331,3 +331,21 @@ def test_cdc_stream_into_acid_table_feeds_enrichment_join(spark, tmp_path):
         i: latest[i % 7] for i in range(50) if (i % 7) in latest
     }
     assert got == expect and len(got) > 0
+
+
+def test_orphaned_claims_detected_and_skipped(spark, tmp_path):
+    """A claim whose owner died before publishing parks only its own
+    version: the next writer lands at the following number (a log gap,
+    tolerated by replay), and the orphan is listed for cleanup while
+    claims of PUBLISHED commits are not."""
+    t = _table(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    assert t.orphaned_claims() == []
+    # simulate a crashed writer: claim version 1, never publish
+    fs, cpath = t._fs(t._commit_path(1) + ".claim")
+    assert fs.createNewFile(cpath)
+    v = t.append(spark.createDataFrame([(2, 1, "b")], "k long, seq long, v string"))
+    assert v == 2  # skipped the parked number
+    assert _rows(t) == {1: (1, "a"), 2: (1, "b")}
+    orphans = t.orphaned_claims()
+    assert len(orphans) == 1 and orphans[0].endswith("00000000000000000001.json.claim")
