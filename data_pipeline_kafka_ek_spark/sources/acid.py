@@ -89,12 +89,12 @@ class TxnLogTable:
         """Create ``dest`` atomically; returns False if another writer owns
         the version (the optimistic-concurrency signal).
 
-        The claim is ``createNewFile(dest + '.claim')`` — O_CREAT|O_EXCL
-        on POSIX, atomic create-if-absent on HDFS — because a plain
-        rename race is NOT safe on the local filesystem: POSIX rename(2)
-        silently REPLACES an existing destination, so two racers could
-        both believe they won (observed as a duplicated version under a
-        thread-pool append race before this). The winner then writes a
+        The claim is an atomic create-if-absent of ``dest + '.claim'``
+        (see :meth:`_claim` for the per-filesystem primitive) because a
+        plain rename race is NOT safe on the local filesystem: POSIX
+        rename(2) silently REPLACES an existing destination, so two
+        racers could both believe they won (observed as a duplicated
+        version under a thread-pool append race). The winner then writes a
         temp file and renames it into place, so readers listing ``*.json``
         never observe a partial commit. A claim whose owner crashed
         before the rename parks that version number permanently — retry
@@ -107,8 +107,7 @@ class TxnLogTable:
         fs, dpath = self._fs(dest)
         if fs.exists(dpath):
             return False
-        _, cpath = self._fs(dest + ".claim")
-        if not fs.createNewFile(cpath):
+        if not self._claim(fs, dest + ".claim"):
             return False
         tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
         _, tpath = self._fs(tmp)
@@ -121,6 +120,37 @@ class TxnLogTable:
         if not ok:
             fs.delete(tpath, False)
         return bool(ok)
+
+    def _claim(self, fs, claim_path: str) -> bool:
+        """Atomically create the claim marker; False = another writer owns
+        the version. Per-filesystem primitive, LogStore-style: Hadoop's
+        LOCAL createNewFile is exists-then-create (a TOCTOU window — two
+        thread-pool racers both got the claim under load, and the loser
+        path surfaces as FileAlreadyExistsException), so for file: we use
+        POSIX ``O_CREAT|O_EXCL`` directly; remote filesystems (HDFS) get
+        ``createNewFile``, which is atomic server-side there."""
+        scheme = fs.getUri().getScheme()
+        if scheme == "file":
+            import errno
+            import os as _os
+
+            local = claim_path[5:] if claim_path.startswith("file:") else claim_path
+            _os.makedirs(_os.path.dirname(local), exist_ok=True)
+            try:
+                fd = _os.open(local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            except OSError as exc:
+                if exc.errno == errno.EEXIST:
+                    return False
+                raise
+            _os.close(fd)
+            return True
+        _, cpath = self._fs(claim_path)
+        try:
+            return bool(fs.createNewFile(cpath))
+        except Exception as exc:  # races surface as FileAlreadyExists
+            if "AlreadyExists" in str(exc) or "already exists" in str(exc):
+                return False
+            raise
 
     def _read_text(self, p: str) -> str:
         # py4j cannot fill a Python bytearray in place (readFully mutates
