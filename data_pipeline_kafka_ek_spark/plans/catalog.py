@@ -872,214 +872,232 @@ def h5(spark, sf_dir):
 #              covered by the in-window session twins). All displaced
 #              entries stay green in the full local oracle run.
 
-#   r7 window (this round): staleness-driven, computed from the committed
-#              CORRECTNESS_r*.json ground truth (the test now checks this
-#              instead of trusting the comment): ALL 23 queries whose last
-#              driver-green row is r3 (includes the eleven whose hot paths
-#              the r6 performance pass rewrote: the bench dedup/ANN/text
-#              tier and h1/h3/h5/h_window), then ALL 16 r4-green queries
-#              (the tier the r6 verdict asked to rotate back in), then
-#              x_dedup_minhash_xxh (the one never-hash-green rows-only
-#              entry; its LOCAL gate gained a DuckDB xxhash64 UDF oracle
-#              this round), then the 10 queries whose hot paths were
-#              REWRITTEN in r7 (sketch NULL semantics, PSI degenerate-
-#              baseline rule, vectorized streaming automata, raw-score
-#              scorecard mean) — attested r5/r6 but their code changed, so
-#              the rewritten-code-first rule applies. 23+16+1+10 = 50.
-#              Demoted: everything else — every demoted entry carries an
-#              r5 or r6 driver-green hash row (asserted from the
-#              CORRECTNESS files by test_driver_window_rotation_invariants).
+#   r8 window (this round): the six queries REGISTERED_AFTER_WINDOW in r7
+#              (never driver-attested — the r7 verdict's #1 ask) go first,
+#              then the r5-green tier, which is now three rounds stale and
+#              MUST re-attest to keep the R-1/R-2 staleness bound. The
+#              arithmetic collides this round: 6 never-attested + 48
+#              r5-stale = 54 must-attest queries for 50 slots. The four
+#              that overflow are named one-by-one in WINDOW_OVERFLOW below
+#              (chosen as the most trivial, transitively-covered entries),
+#              sit exactly ONE round past the bound, and are first in line
+#              for the r9 window; the rotation test computes the genuine
+#              excess from ground truth and refuses an overflow list any
+#              larger. x_dedup_minhash_xxh moves to the permanent
+#              ROWS_ONLY_NO_ORACLE exception (the driver's oracle channel
+#              cannot run the xxhash64 UDF twin, so a window slot can
+#              never turn its row green — the hash gate lives in
+#              tools/check_correctness.py + tests/test_xxh64_twin.py).
 
 # The round this rotation was authored for: the regression test checks that
 # every DRIVER_DEMOTED entry has a driver-green hash row within the two
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
 # promises), pinned here so evidence files landing later don't shift the
 # baseline under the test. Bump when re-authoring the rotation.
-DRIVER_ROTATION_ROUND = 7
+DRIVER_ROTATION_ROUND = 8
 
 # Queries registered AFTER this round's window was already committed to
-# re-attestation work (the r6-rewritten tier + the r4 rotation the verdict
-# ordered + the r7-rewritten tier = exactly 50 slots). They sit in
-# DRIVER_DEMOTED without a prior driver-green row — the explicitly
-# documented exception the staleness test names one by one — and are
-# first in line for the r8 window as never-attested. Until then they are
-# oracle-checked every round by the full-catalog local gates (pytest at
-# sf0.001, check_correctness at sf0.01).
+# re-attestation work. They sit in DRIVER_DEMOTED without a prior
+# driver-green row — the explicitly documented exception the staleness
+# test names one by one — and are first in line for the next window as
+# never-attested. Until then they are oracle-checked every round by the
+# full-catalog local gates (pytest at sf0.001, check_correctness at
+# sf0.01). r8: the Misra-Gries batch twin, registered after the 50 slots
+# were consumed by the six r7 late registrations + the 44-of-48 r5 tier.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
+    "x_events_heavy_hitters",
+)
+
+# Queries whose driver row can NEVER be hash-green: their only exact
+# oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's
+# oracle channel cannot execute. Permanently exempt from the staleness
+# bound — attestation lives in the LOCAL hash gate
+# (tools/check_correctness.py LOCAL_ONLY_ORACLES + tests/test_xxh64_twin.py),
+# which runs every round. The rotation test asserts these names have no
+# driver-green row in ANY committed round (a name that gains one must
+# leave this list).
+ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
+    "x_dedup_minhash_xxh",
+)
+
+# The r8 must-attest set exceeded the 50-slot window by exactly four
+# (54 = 6 never-attested + 48 three-rounds-stale). These four sit ONE
+# round past the R-1/R-2 staleness bound — the least-risky choices: p1/p2
+# are trivial projections transitively covered by the in-window p4 and
+# every scan in the window, f2 is the positive twin of the in-window f1
+# LIKE filter, a8 is a bare count covered by the in-window a1 grouped
+# count. First in line for the r9 window. The rotation test recomputes
+# the excess from the committed CORRECTNESS files and fails if this list
+# is larger than the genuine overflow (or if any entry is more than one
+# round past the bound).
+WINDOW_OVERFLOW: tuple[str, ...] = (
+    "p1_project_columns",
+    "p2_star_filter",
+    "f2_pattern_filter_positive",
+    "a8_count_metric",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-attested: the six r7 REGISTERED_AFTER_WINDOW entries
+    # (threshold sweep, length histogram, key-skew profile, h16, epoch
+    # shuffle, dedup recall eval) — the r7 verdict's #1 ask
     "x_quality_threshold_sweep",
     "x_corpus_length_histogram",
     "x_events_key_skew_profile",
     "h16_supplier_part_breadth",
     "x_pipeline_epoch_shuffle",
     "x_dedup_recall_eval",
-)
-
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # last driver-green r3 AND rewritten by the r6 performance pass
-    # (dense-int verify, shared token sets, xxhash64 signatures, bench
-    # h-query plan work) - the verdict's #1 ask: re-attest through the
-    # driver window
-    "x_dedup_jaccard",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
-    "x_dedup_embedding_lsh",
-    "x_dedup_exact",
-    "x_ann_topk_blocked",
-    "x_text_quality",
-    "h1_pricing_summary",
-    "h3_top_revenue_orders",
-    "h5_nation_revenue",
-    "h_window_cumulative_revenue",
-    # remaining r3-green tier, least-recently-attested order
-    "x_text_langid",
-    "t_streaming_windowed_counts",
-    "t_streaming_hopping_counts",
-    "x_pipeline_corpus_prep",
-    "x_text_repetition",
-    "x_text_fingerprint",
-    "x_text_token_stats",
-    "x_explode_top_tokens",
-    "x_corpus_stats",
-    "t_streaming_session_append",
-    "x_embedding_quantize",
-    "x_ann_lsh_bucketed",
-    # the full r4-green tier (verdict #3): staleness bound back to one
-    # ... two rounds max after this window lands
-    "j_semi_join",
-    "j_anti_join",
-    "a_pivot_lang_quality",
-    "a_count_distinct",
-    "s2_latest_per_key",
-    "x_contamination_ngram",
-    "x_pipeline_mixture_sample",
-    "x_pipeline_seq_packing",
-    "x_deterministic_sample",
-    "x_ann_ivf_trained_topk",
-    "p3_computed_projection",
-    "l2_limit_probe",
-    "x_text_chunking",
-    "x_multimodal_stdlib_codecs",
-    "x_dedup_components",
-    "x_ann_pq_topk",
-    # never hash-green in a driver file (rows-only: Spark xxhash64 has
-    # no built-in DuckDB twin); round 7 gave the LOCAL gate a Python-UDF
-    # xxhash64 oracle (tools/check_correctness.py), driver parity stays
-    # rows-only
-    "x_dedup_minhash_xxh",
-    # rewritten in r7 (attested r5/r6, but the code changed: NULL-value
-    # exclusion + null-safe exact joins in every sketch, the PSI
-    # degenerate-baseline equality rule, vectorized streaming automata,
-    # raw-score scorecard mean) - rewritten-code-first, same rule that
-    # put the r6-rewritten dedup tier at the head of this window
-    "x_sketch_kmv_distinct",
-    "x_sketch_countmin_freq",
-    "x_sketch_hll_distinct",
-    "t_streaming_kmv_distinct",
-    "t_streaming_hll_distinct",
-    "t_streaming_cms_freq",
-    "t_streaming_psi_drift",
-    "x_events_distribution_drift",
-    "x_corpus_source_scorecard",
-    "x_quality_clf_score",
-)
-
-DRIVER_DEMOTED: tuple[str, ...] = (
-    # registered after the r7 window filled (REGISTERED_AFTER_WINDOW
-    # above): no driver row yet, locally oracle-green, first in line r8
-    *REGISTERED_AFTER_WINDOW,
-    # every entry below carries an r5 or r6 driver-green hash row in the
-    # committed CORRECTNESS files - the invariant the rotation test now
-    # asserts from ground truth instead of trusting this comment; all stay
-    # oracle-green in the per-round full-catalog local runs
-    "x_text_repeated_spans",
-    "x_pipeline_stratified_sample",
-    "t_streaming_funnel",
-    "x_events_anomaly_zscore",
-    "x_events_max_drawdown",
-    "x_ann_pq_trained_topk",
-    "x_dedup_semantic",
-    "t_streaming_neardup",
-    "x_quality_gopher_rules",
-    "x_dedup_semantic_keep",
-    "x_pipeline_bpe_merges",
-    "x_pipeline_bpe_encode",
-    "t_streaming_ann_assign",
-    "x_text_bigram_logprob",
-    "x_window_sliding_stats",
-    "j_full_outer_join",
-    "x_pipeline_token_budget",
-    "x_pipeline_corpus_prep_v2",
-    "x_pipeline_dsir_select",
-    "x_text_langid_confusion",
-    "t_streaming_session_counts",
-    "x_dedup_embedding",
-    "x_ann_cosine_topk",
-    "x_dedup_jaccard_3gram",
-    "q_sql_scalar_subquery",
-    "x_salted_hotkey_collect",
-    "a_rollup_revenue",
-    "x_pipeline_corpus_prep_v3",
-    "x_multimodal_pixel_stats",
-    "x_multimodal_audio_stats",
-    "x_multimodal_video_motion",
-    "x_ann_recall_eval",
-    "t_streaming_quality_gate",
-    "x_corpus_overlap_minhash",
-    "x_pipeline_tokenizer_fertility",
-    "x_text_remove_dup_spans",
-    "x_quality_ppl_buckets",
-    "x_cluster_topics",
-    "h4_late_shipment_priority",
-    "h10_returned_item_revenue",
-    "h14_promo_revenue_share",
-    "p1_project_columns",
-    "p2_star_filter",
-    "p4_time_format_projection",
+    # the r5-green tier (last driver row r5, three rounds stale), minus
+    # the four WINDOW_OVERFLOW entries — alphabetical within the tier
+    "a1_count_by_group",
+    "a2_a3_windowed_collect",
+    "a3_tumbling_1min_counts",
+    "a5_median_by_group",
+    "a6_date_histogram",
+    "a7_top_terms",
+    "a_cascade_rollup",
     "f1_pattern_filter_negated",
-    "f2_pattern_filter_positive",
     "f5_conjunctive_filter",
     "f6_left_join_null_reject",
     "f7_cast_then_compare",
     "f8_dimension_equality",
     "f9_window_time_predicate",
+    "j1_enrichment_join",
     "j1a_join_unfiltered_variant",
-    "set_union_roundtrip",
     "l3_l4_sorted_topk",
-    "x7_json_extract",
-    "x8_alert_template",
-    "a1_count_by_group",
-    "a5_median_by_group",
-    "a6_date_histogram",
-    "a7_top_terms",
-    "a8_count_metric",
+    "p4_time_format_projection",
+    "set_except_intersect",
+    "set_union_roundtrip",
+    "t3_hopping_30m15m_counts",
+    "t4_session_5m_counts",
     "t_streaming_dedup",
     "t_streaming_stateful_counts",
     "t_streaming_stream_stream_join",
-    "j1_enrichment_join",
     "unhappy_vip_customers",
-    "a2_a3_windowed_collect",
-    "a3_tumbling_1min_counts",
-    "t3_hopping_30m15m_counts",
-    "t4_session_5m_counts",
-    "x_window_running_total",
-    "set_except_intersect",
-    "a_cascade_rollup",
+    "x7_json_extract",
+    "x8_alert_template",
+    "x_ann_ivf_topk",
+    "x_asof_join",
     "x_dedup_editdistance",
-    "x_text_bm25",
+    "x_dedup_keep_list",
+    "x_events_cohort_retention",
     "x_events_funnel",
     "x_events_sessionize",
-    "x_events_cohort_retention",
+    "x_interval_join",
+    "x_multimodal_features",
+    "x_pipeline_encode",
     "x_pipeline_hash_split",
     "x_pipeline_vocab",
-    "x_pipeline_encode",
     "x_sketch_quantile_grid",
-    "x_text_unigram_logprob",
+    "x_text_bm25",
     "x_text_redact_pii",
-    "x_dedup_keep_list",
-    "x_asof_join",
-    "x_interval_join",
-    "x_ann_ivf_topk",
-    "x_multimodal_features",
+    "x_text_unigram_logprob",
+    "x_window_running_total",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # registered after the r8 window filled: no driver row yet, locally
+    # oracle-green, first in line with the overflow for r9
+    *REGISTERED_AFTER_WINDOW,
+    # the four-entry overflow (see WINDOW_OVERFLOW above): last green r5,
+    # exactly one round past the bound, next window's first tier
+    *WINDOW_OVERFLOW,
+    # permanently rows-only in driver files (local-UDF oracle only)
+    *ROWS_ONLY_NO_ORACLE,
+    # every entry below carries an r6 or r7 driver-green hash row in the
+    # committed CORRECTNESS files — the invariant the rotation test
+    # asserts from ground truth; all stay oracle-green in the per-round
+    # full-catalog local runs
+    "a_rollup_revenue",
+    "h10_returned_item_revenue",
+    "h14_promo_revenue_share",
+    "h4_late_shipment_priority",
+    "j_full_outer_join",
+    "q_sql_scalar_subquery",
+    "t_streaming_ann_assign",
+    "t_streaming_funnel",
+    "t_streaming_neardup",
+    "t_streaming_quality_gate",
+    "t_streaming_session_counts",
+    "x_ann_cosine_topk",
+    "x_ann_pq_trained_topk",
+    "x_ann_recall_eval",
+    "x_cluster_topics",
+    "x_corpus_overlap_minhash",
+    "x_dedup_embedding",
+    "x_dedup_jaccard_3gram",
+    "x_dedup_semantic",
+    "x_dedup_semantic_keep",
+    "x_events_anomaly_zscore",
+    "x_events_max_drawdown",
+    "x_multimodal_audio_stats",
+    "x_multimodal_pixel_stats",
+    "x_multimodal_video_motion",
+    "x_pipeline_bpe_encode",
+    "x_pipeline_bpe_merges",
+    "x_pipeline_corpus_prep_v2",
+    "x_pipeline_corpus_prep_v3",
+    "x_pipeline_dsir_select",
+    "x_pipeline_stratified_sample",
+    "x_pipeline_token_budget",
+    "x_pipeline_tokenizer_fertility",
+    "x_quality_gopher_rules",
+    "x_quality_ppl_buckets",
+    "x_salted_hotkey_collect",
+    "x_text_bigram_logprob",
+    "x_text_langid_confusion",
+    "x_text_remove_dup_spans",
+    "x_text_repeated_spans",
+    "x_window_sliding_stats",
+    "a_count_distinct",
+    "a_pivot_lang_quality",
+    "h1_pricing_summary",
+    "h3_top_revenue_orders",
+    "h5_nation_revenue",
+    "h_window_cumulative_revenue",
+    "j_anti_join",
+    "j_semi_join",
+    "l2_limit_probe",
+    "p3_computed_projection",
+    "s2_latest_per_key",
+    "t_streaming_cms_freq",
+    "t_streaming_hll_distinct",
+    "t_streaming_hopping_counts",
+    "t_streaming_kmv_distinct",
+    "t_streaming_psi_drift",
+    "t_streaming_session_append",
+    "t_streaming_windowed_counts",
+    "x_ann_ivf_trained_topk",
+    "x_ann_lsh_bucketed",
+    "x_ann_pq_topk",
+    "x_ann_topk_blocked",
+    "x_contamination_ngram",
+    "x_corpus_source_scorecard",
+    "x_corpus_stats",
+    "x_dedup_components",
+    "x_dedup_embedding_lsh",
+    "x_dedup_exact",
+    "x_dedup_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_deterministic_sample",
+    "x_embedding_quantize",
+    "x_events_distribution_drift",
+    "x_explode_top_tokens",
+    "x_multimodal_stdlib_codecs",
+    "x_pipeline_corpus_prep",
+    "x_pipeline_mixture_sample",
+    "x_pipeline_seq_packing",
+    "x_quality_clf_score",
+    "x_sketch_countmin_freq",
+    "x_sketch_hll_distinct",
+    "x_sketch_kmv_distinct",
+    "x_text_chunking",
+    "x_text_fingerprint",
+    "x_text_langid",
+    "x_text_quality",
+    "x_text_repetition",
+    "x_text_token_stats",
 )
 
 

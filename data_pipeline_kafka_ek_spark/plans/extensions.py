@@ -4865,3 +4865,58 @@ def x_dedup_recall_eval(spark, sf_dir):
         F.lit(n_lsh).cast("long").alias("n_lsh_pairs"),
         F.round(F.lit(float(n_lsh) / max(n_exact, 1)), 4).alias("recall"),
     )
+
+
+@register(
+    "x_events_heavy_hitters",
+    """
+    WITH counts AS (
+      SELECT event_type AS grp, user_id AS val, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT grp, val, c,
+             sum(c) OVER (PARTITION BY grp) AS n,
+             row_number() OVER (PARTITION BY grp ORDER BY c DESC, val ASC)
+               AS rnk
+      FROM counts
+    )
+    SELECT grp, CAST(rnk AS INT) AS rnk, val, CAST(c AS BIGINT) AS cnt,
+           round(c * 1.0 / n, 4) AS share,
+           (c * 9 > n) AS mg_guaranteed
+    FROM ranked
+    WHERE rnk <= 8
+    """,
+    survey_ids=("EXT-pipeline", "A7", "L4"),
+    doc="exact per-stream heavy hitters: the batch twin of the streaming "
+    "Misra-Gries automaton (streaming/runtime.py heavy_hitters_stateful, "
+    "k=8) — top-8 values per key with exact counts, row share, and the "
+    "mg_guaranteed flag marking values the MG summary PROVABLY retains "
+    "(true frequency > N/(k+1), i.e. 9c > N in exact integers — no "
+    "float compare crosses the engine boundary). The stream keeps "
+    "bounded state forever; this query is the exact answer you "
+    "reconcile it against, and the only heavy-hitter form a hash "
+    "oracle can check (the MG survivor SET is arrival-order-dependent "
+    "in tie cases). Plan: one key-count aggregation, then window "
+    "top-k + share over COUNT rows only, never raw rows.",
+)
+def x_events_heavy_hitters(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.col("event_type").alias("grp"), F.col("user_id").alias("val")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wn = Window.partitionBy("grp")
+    wr = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("val"))
+    return (
+        counts.withColumn("n", F.sum("c").over(wn))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 8)
+        .select(
+            "grp",
+            F.col("rnk").cast("int").alias("rnk"),
+            "val",
+            F.col("c").cast("long").alias("cnt"),
+            F.round(F.col("c") * 1.0 / F.col("n"), 4).alias("share"),
+            (F.col("c") * 9 > F.col("n")).alias("mg_guaranteed"),
+        )
+    )

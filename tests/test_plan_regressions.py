@@ -116,17 +116,53 @@ def test_driver_window_rotation_invariants():
                 last_green[name] = max(rnd, last_green.get(name, 0))
     fresh = (catalog.DRIVER_ROTATION_ROUND - 2, catalog.DRIVER_ROTATION_ROUND - 1)
     late = set(catalog.REGISTERED_AFTER_WINDOW)
+    rows_only = set(catalog.ROWS_ONLY_NO_ORACLE)
+    overflow = set(catalog.WINDOW_OVERFLOW)
+    exempt = late | rows_only | overflow
     stale = [
-        n for n in demoted if last_green.get(n) not in fresh and n not in late
+        n for n in demoted if last_green.get(n) not in fresh and n not in exempt
     ]
     assert stale == [], (
         "demoted queries whose last driver-green row predates rounds "
         f"{fresh}: {[(n, last_green.get(n)) for n in stale]}"
     )
-    # the exception list is exactly the post-window registrations: a name
-    # with a driver-green row must not hide behind it
+    # REGISTERED_AFTER_WINDOW is exactly the post-window registrations: a
+    # name with a driver-green row must not hide behind it
     abused = [n for n in late if last_green.get(n) in fresh]
     assert abused == [], f"REGISTERED_AFTER_WINDOW entries with green rows: {abused}"
+    # ROWS_ONLY_NO_ORACLE is for queries the driver can NEVER hash-check:
+    # a name with ANY driver-green row must leave the list
+    hashable = [n for n in rows_only if last_green.get(n) is not None]
+    assert hashable == [], f"ROWS_ONLY_NO_ORACLE entries with green rows: {hashable}"
+    # WINDOW_OVERFLOW is honest only if (a) the must-attest set genuinely
+    # exceeded the 50 slots, (b) the list is no larger than that excess,
+    # and (c) every overflow entry is exactly ONE round past the bound
+    # (anything older has been hiding for more than one re-authoring)
+    must_attest = [
+        n
+        for n in names
+        if last_green.get(n) not in fresh and n not in late and n not in rows_only
+    ]
+    genuine_excess = max(0, len(must_attest) - 50)
+    assert len(overflow) <= genuine_excess, (
+        f"WINDOW_OVERFLOW has {len(overflow)} entries but the must-attest "
+        f"set ({len(must_attest)}) only overflows the window by {genuine_excess}"
+    )
+    too_old = [
+        n
+        for n in overflow
+        if last_green.get(n) != catalog.DRIVER_ROTATION_ROUND - 3
+    ]
+    assert too_old == [], (
+        "WINDOW_OVERFLOW entries more than one round past the staleness "
+        f"bound: {[(n, last_green.get(n)) for n in too_old]}"
+    )
+    # overflow + late entries lead the demoted ordering: first in line for
+    # the next window re-authoring
+    head = list(catalog.DRIVER_DEMOTED)[: len(late) + len(overflow)]
+    assert set(head) == late | overflow, (
+        f"never/one-round-over entries must lead DRIVER_DEMOTED, got {head}"
+    )
 
 
 def test_funnel_is_single_pass(spark, sf_dir):

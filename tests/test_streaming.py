@@ -1366,3 +1366,40 @@ def test_heavy_hitters_underfilled_summary_is_exact(spark):
         if r.rows_seen == last
     }
     assert items == {"0": (30, 0), "1": (30, 0), "2": (30, 0)}
+
+
+def test_heavy_hitters_batch_twin_reconciles_with_mg_stream(spark, sf_dir):
+    """x_events_heavy_hitters (the exact batch twin, hash-oracle-checked)
+    and the Misra-Gries automaton must agree where MG makes a promise:
+    every batch row flagged mg_guaranteed (true frequency > N/(k+1),
+    k=8) is present in the MG summary after a multi-batch replay of the
+    same events, with est_count <= exact cnt <= est_count + max_error.
+    This is the reconciliation the operator docs tell users to run."""
+    import __spark_entry__ as em
+
+    batch = {
+        (r.grp, str(r.val)): r.cnt
+        for r in em.queries()["x_events_heavy_hitters"](spark, sf_dir).collect()
+        if r.mg_guaranteed
+    }
+    assert batch, "fixture must produce at least one MG-guaranteed value"
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("seq"), "event_type", "user_id"
+    )
+    stream = runtime.replayed_stream(spark, events, n_slices=4, order_col="seq")
+    rev = runtime.run_available_now(
+        runtime.heavy_hitters_stateful(stream, k=8), output_mode="update"
+    )
+    final = {}
+    for r in rev.collect():
+        cur = final.setdefault(r.grp, {"rows": -1, "items": {}})
+        if r.rows_seen > cur["rows"]:
+            cur["rows"] = r.rows_seen
+            cur["items"] = {}
+        if r.rows_seen == cur["rows"]:
+            cur["items"][r.value] = (r.est_count, r.max_error)
+    for (grp, val), cnt in batch.items():
+        assert val in final[grp]["items"], f"guaranteed {grp}/{val} missing from MG"
+        est, err = final[grp]["items"][val]
+        assert est <= cnt <= est + err, (grp, val, est, cnt, err)
