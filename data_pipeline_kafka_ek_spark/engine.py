@@ -151,16 +151,24 @@ class Engine:
     # -- ACID-backed tables (sources/acid.py) --------------------------------
 
     def create_acid_table(self, name: str, path: str, key: str, order_col: str,
-                          **kw: Any):
+                          schema: Any = None, **kw: Any):
         """CTAS onto durable ACID storage: register a TxnLogTable so the
         control surface can serve its current snapshot as the named table
         (each ``describe``/``sql`` access reads the LATEST snapshot — the
         ksqlDB current-table-state semantics on a transaction log instead
         of a compacted topic). Returns the TxnLogTable handle for writers
-        (append/merge/foreach_batch_writer)."""
+        (append/merge/foreach_batch_writer).
+
+        ``schema`` (a StructType) makes CTAS-onto-a-new-path immediately
+        queryable: the table publishes a data-free ``create`` commit
+        carrying the schema, and the registered view is an empty DataFrame
+        of that shape until the first write. Without it, a brand-new path
+        yields the handle only (there is no shape to register)."""
         from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
 
         t = TxnLogTable(self.spark, path, key=key, order_col=order_col, **kw)
+        if schema is not None:
+            t.initialize(schema)
         self._acid = getattr(self, "_acid", {})
         self._acid[name] = t
         if t.latest_version() >= 0:

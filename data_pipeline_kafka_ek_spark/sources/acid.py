@@ -5,32 +5,48 @@ plus an ordered JSON commit log — no external table-format dependency,
 same interface shape as ``sources/cdc.py::MaterializedTable`` but with the
 four properties that class's bucketed-rewrite twin documents as missing:
 
-* **Atomic commits** — a commit version is claimed with an O_EXCL
-  ``createNewFile`` marker, then its JSON body renamed into
-  ``_txn_log/<version>.json``; readers either see the whole commit or
-  none of it (POSIX rename silently replaces, so the claim — not the
-  rename — is the arbiter; see ``_write_text_atomic``). Data files are
-  immutable once referenced.
-* **Optimistic concurrency** — writers racing to the same version:
-  exactly one claim wins; the loser re-reads the log and either retries
-  on top (blind append, thread-pool-race tested) or raises
-  ``ConcurrentModification`` (merge whose rewritten files were removed
-  under it) — the Delta/Iceberg conflict rule.
+* **Atomic commits** — a commit is published with a true put-if-absent of
+  its fully-written JSON body (``_write_text_atomic``): on the local
+  filesystem a hard ``link(2)`` of a complete temp file (link fails with
+  EEXIST if the destination exists and never exposes partial content); on
+  HDFS a ``rename`` (atomic server-side, fails when the destination
+  exists). Readers either see the whole commit or none of it; data files
+  are immutable once referenced.
+* **Dense versions / optimistic concurrency** — the publish primitive IS
+  the arbiter: version ``v`` exists only if its writer observed ``v-1``
+  published, so the log never has gaps (Delta's dense-version rule). A
+  writer that loses the publish race re-reads the log tail, re-runs
+  conflict detection against the *published* winner (never against an
+  unpublished in-flight writer — there is no claimed-but-unpublished
+  state to mis-judge), and either retries on top (blind append, or a
+  merge whose read set is intact) or raises ``ConcurrentModification``
+  (a merge whose rewritten files were removed under it). A crashed
+  writer leaves only an unlinked temp file — the next writer reuses the
+  same version number; no version is ever parked.
 * **Snapshot isolation + time travel** — ``read(version=k)`` reconstructs
   the live file set at any retained version; concurrent commits never
   tear an in-flight read (its file list is pinned when the snapshot is
-  taken).
+  taken). ``vacuum(retain_versions=k)`` deletes data files only older
+  snapshots reference and advances a watermark so time travel below it
+  raises cleanly instead of failing mid-scan.
 * **Idempotent streaming writes** — each commit can carry a
   ``(app_id, batch_id)`` transaction action; a replayed foreachBatch
   micro-batch with an already-recorded batch id is skipped, giving
-  exactly-once sinks over at-least-once replays.
+  exactly-once sinks over at-least-once replays. The guard re-checks
+  after every lost commit race, so two concurrent replays of the same
+  batch cannot both land.
 
 Scale design (the part that must survive 100 TB):
 
 * The log is O(commits) tiny JSON files; every ``checkpoint_interval``
   commits a ``<v>.checkpoint.json`` file materializes the full live add
-  set and ``_last_checkpoint`` points at it, so snapshot construction
-  reads one checkpoint + the tail — never the whole history.
+  set, the per-app txn high-water marks, and the current schema. Snapshot
+  construction, ``txn_seen`` and schema lookup all read one checkpoint +
+  the log tail — never the whole history. Checkpoints are discovered from
+  the same directory listing as the commits themselves (no mutable
+  pointer file to half-read). Because versions are dense, a checkpoint at
+  ``v`` provably covers every commit ``<= v`` — no late-publishing lower
+  version can appear after the fact and be silently excluded.
 * Each commit's data files are key-RANGE clustered
   (``repartitionByRange`` on the merge key) and every add action records
   the file's ``[min_key, max_key]``. MERGE prunes with those stats: only
@@ -38,6 +54,9 @@ Scale design (the part that must survive 100 TB):
   merge cost is proportional to the touched key range, not table size
   (same motivation as MaterializedTable's bucket rewrite, but with
   file-level stats instead of a fixed bucket grid).
+* Per-commit file statistics come from ONE Spark job grouped by
+  ``input_file_name()`` over the commit directory — never one job per
+  file.
 * All metadata passes run driver-side over the log only (file counts,
   never row counts); all data passes are DataFrame plans.
 
@@ -51,11 +70,27 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 
 class ConcurrentModification(Exception):
     """A competing commit removed or rewrote files this merge depends on."""
+
+
+def _canon(p: str) -> str:
+    """Canonical path form for identity comparisons: the ``file:`` scheme
+    is stripped (Hadoop prints ``file:/x``, ``input_file_name`` prints
+    ``file:///x`` — same file, three spellings); other schemes pass
+    through untouched. Every stored add/remove path and every membership
+    check goes through here, so conflict detection and vacuum compare
+    exact normalized paths, never suffixes."""
+    if p.startswith("file:"):
+        rest = p[len("file:"):]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return p
 
 
 class TxnLogTable:
@@ -78,7 +113,7 @@ class TxnLogTable:
         self.checkpoint_interval = checkpoint_interval
         self.log_dir = f"{self.path}/_txn_log"
 
-    # -- Hadoop FS plumbing (works on file:/, HDFS, object stores) ---------
+    # -- Hadoop FS plumbing (works on file:/, HDFS) -------------------------
 
     def _fs(self, p: str):
         jpath = self.spark._jvm.org.apache.hadoop.fs.Path(p)
@@ -86,71 +121,60 @@ class TxnLogTable:
         return fs, jpath
 
     def _write_text_atomic(self, dest: str, body: str) -> bool:
-        """Create ``dest`` atomically; returns False if another writer owns
-        the version (the optimistic-concurrency signal).
+        """Publish ``body`` at ``dest`` with put-if-absent semantics;
+        False = another writer already published this version (the
+        optimistic-concurrency signal).
 
-        The claim is an atomic create-if-absent of ``dest + '.claim'``
-        (see :meth:`_claim` for the per-filesystem primitive) because a
-        plain rename race is NOT safe on the local filesystem: POSIX
-        rename(2) silently REPLACES an existing destination, so two
-        racers could both believe they won (observed as a duplicated
-        version under a thread-pool append race). The winner then writes a
-        temp file and renames it into place, so readers listing ``*.json``
-        never observe a partial commit. A claim whose owner crashed
-        before the rename parks that version number permanently — retry
-        loops therefore bump PAST their failed attempt
-        (``max(latest+1, attempted+1)``) instead of re-deriving it from
-        the committed log, and snapshot replay iterates the versions
-        that actually exist, so a parked number is just a harmless gap;
-        a real deployment would also age out orphaned claims (Delta's
-        per-filesystem LogStore makes the same trade explicit)."""
+        The body is first written COMPLETELY to a temp file, then made
+        visible in one atomic step, so a reader can never observe partial
+        content:
+
+        * ``file:`` — POSIX ``link(2)``: creating a hard link fails with
+          EEXIST when the destination exists and is atomic. (A plain
+          rename is NOT a publish arbiter here: rename(2) silently
+          REPLACES an existing destination, so two racers would both
+          believe they won.)
+        * other schemes — Hadoop ``rename``, which on HDFS is atomic
+          server-side and fails when the destination exists. Object
+          stores whose rename is copy-or-replace (raw S3A) need an
+          external coordination service, exactly as Delta's LogStore
+          documents; this module targets posix/HDFS semantics.
+
+        A writer that crashes before the link/rename leaves only an
+        orphan temp file (cleaned by :meth:`vacuum`); the version number
+        it was attempting stays available, keeping the log dense."""
         fs, dpath = self._fs(dest)
         if fs.exists(dpath):
             return False
-        if not self._claim(fs, dest + ".claim"):
-            return False
         tmp = f"{self.log_dir}/.tmp-{uuid.uuid4().hex}"
+        if fs.getUri().getScheme() == "file":
+            import errno
+            import os as _os
+
+            local_tmp = _canon(tmp)
+            local_dst = _canon(dest)
+            _os.makedirs(_os.path.dirname(local_tmp), exist_ok=True)
+            with open(local_tmp, "w", encoding="utf-8") as fh:
+                fh.write(body)
+            try:
+                _os.link(local_tmp, local_dst)
+                ok = True
+            except OSError as exc:
+                if exc.errno != errno.EEXIST:
+                    raise
+                ok = False
+            _os.unlink(local_tmp)
+            return ok
         _, tpath = self._fs(tmp)
         out = fs.create(tpath, False)
         try:
             out.write(bytearray(body.encode("utf-8")))
         finally:
             out.close()
-        ok = fs.rename(tpath, dpath)
+        ok = bool(fs.rename(tpath, dpath))
         if not ok:
             fs.delete(tpath, False)
-        return bool(ok)
-
-    def _claim(self, fs, claim_path: str) -> bool:
-        """Atomically create the claim marker; False = another writer owns
-        the version. Per-filesystem primitive, LogStore-style: Hadoop's
-        LOCAL createNewFile is exists-then-create (a TOCTOU window — two
-        thread-pool racers both got the claim under load, and the loser
-        path surfaces as FileAlreadyExistsException), so for file: we use
-        POSIX ``O_CREAT|O_EXCL`` directly; remote filesystems (HDFS) get
-        ``createNewFile``, which is atomic server-side there."""
-        scheme = fs.getUri().getScheme()
-        if scheme == "file":
-            import errno
-            import os as _os
-
-            local = claim_path[5:] if claim_path.startswith("file:") else claim_path
-            _os.makedirs(_os.path.dirname(local), exist_ok=True)
-            try:
-                fd = _os.open(local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
-            except OSError as exc:
-                if exc.errno == errno.EEXIST:
-                    return False
-                raise
-            _os.close(fd)
-            return True
-        _, cpath = self._fs(claim_path)
-        try:
-            return bool(fs.createNewFile(cpath))
-        except Exception as exc:  # races surface as FileAlreadyExists
-            if "AlreadyExists" in str(exc) or "already exists" in str(exc):
-                return False
-            raise
+        return ok
 
     def _read_text(self, p: str) -> str:
         # py4j cannot fill a Python bytearray in place (readFully mutates
@@ -166,17 +190,27 @@ class TxnLogTable:
 
     # -- log access ---------------------------------------------------------
 
-    def _list_versions(self) -> "list[int]":
+    def _log_listing(self) -> "tuple[list[int], list[int]]":
+        """One directory listing -> (commit versions, checkpoint versions),
+        both sorted. Checkpoints are found from the same listing as the
+        commits — there is no mutable pointer file whose half-written
+        state a reader could trip over."""
         fs, jpath = self._fs(self.log_dir)
         if not fs.exists(jpath):
-            return []
-        out = []
+            return [], []
+        commits, ckpts = [], []
         for st in fs.listStatus(jpath):
             name = st.getPath().getName()
-            if name.endswith(".json") and not name.endswith(".checkpoint.json") \
-                    and not name.startswith((".", "_")):
-                out.append(int(name[: -len(".json")]))
-        return sorted(out)
+            if name.startswith((".", "_")):
+                continue
+            if name.endswith(".checkpoint.json"):
+                ckpts.append(int(name[: -len(".checkpoint.json")]))
+            elif name.endswith(".json"):
+                commits.append(int(name[: -len(".json")]))
+        return sorted(commits), sorted(ckpts)
+
+    def _list_versions(self) -> "list[int]":
+        return self._log_listing()[0]
 
     def latest_version(self) -> int:
         vs = self._list_versions()
@@ -188,20 +222,33 @@ class TxnLogTable:
     def _read_commit(self, version: int) -> dict:
         return json.loads(self._read_text(self._commit_path(version)))
 
-    def _last_checkpoint(self) -> "tuple[int, list[dict]] | None":
-        marker = f"{self.log_dir}/_last_checkpoint"
-        fs, jpath = self._fs(marker)
-        if not fs.exists(jpath):
+    def _read_checkpoint(self, version: int) -> "dict | None":
+        """Checkpoint body at ``version``, or None if unreadable — a
+        corrupt/in-flight checkpoint only costs replay time, never
+        correctness (the caller falls back to a longer log replay)."""
+        try:
+            return json.loads(
+                self._read_text(f"{self.log_dir}/{version:020d}.checkpoint.json")
+            )
+        except Exception:
             return None
-        v = int(json.loads(self._read_text(marker))["version"])
-        body = json.loads(
-            self._read_text(f"{self.log_dir}/{v:020d}.checkpoint.json")
-        )
-        return v, body["adds"]
+
+    def _base_checkpoint(self, version: int) -> "tuple[int, dict] | None":
+        """Newest readable checkpoint at or before ``version``."""
+        _, ckpts = self._log_listing()
+        for cv in reversed(ckpts):
+            if cv <= version:
+                body = self._read_checkpoint(cv)
+                if body is not None:
+                    return cv, body
+        return None
 
     def _snapshot_adds(self, version: "int | None" = None) -> "list[dict]":
         """Live add actions at ``version`` (default: latest): replay the
-        log from the newest checkpoint at or before it."""
+        log from the newest checkpoint at or before it. The log is dense
+        (see ``_write_text_atomic``), so a checkpoint at ``c`` covers
+        exactly the commits ``0..c`` and the tail replay ``c+1..version``
+        misses nothing."""
         versions = self._list_versions()
         if version is None:
             if not versions:
@@ -209,10 +256,10 @@ class TxnLogTable:
             version = versions[-1]
         live: dict[str, dict] = {}
         start = 0
-        ckpt = self._last_checkpoint()
-        if ckpt is not None and ckpt[0] <= version:
+        ckpt = self._base_checkpoint(version)
+        if ckpt is not None:
             start = ckpt[0] + 1
-            live = {a["path"]: a for a in ckpt[1]}
+            live = {a["path"]: a for a in ckpt[1]["adds"]}
         for v in versions:
             if v < start or v > version:
                 continue
@@ -242,50 +289,81 @@ class TxnLogTable:
 
     def txn_seen(self, app_id: str, batch_id: int) -> bool:
         """Has ``(app_id, batch_id)`` (or a later batch of the same app)
-        already committed? The exactly-once guard for replayed batches."""
+        already committed? The exactly-once guard for replayed batches.
+        Reads ONE checkpoint (which carries per-app high-water marks) plus
+        the log tail — O(tail), never O(commits)."""
+        versions = self._list_versions()
+        if not versions:
+            return False
         best = -1
-        for v in self._list_versions():
+        start = 0
+        ckpt = self._base_checkpoint(versions[-1])
+        if ckpt is not None:
+            start = ckpt[0] + 1
+            best = int(ckpt[1].get("txns", {}).get(app_id, -1))
+        for v in versions:
+            if v < start:
+                continue
             txn = self._read_commit(v).get("txn")
             if txn and txn["app_id"] == app_id:
                 best = max(best, int(txn["batch_id"]))
         return batch_id <= best
 
-    # -- data-file writing ----------------------------------------------------
+    def _latest_schema(self, version: "int | None" = None) -> "StructType | None":
+        """Schema recorded at or before ``version`` (checkpoint + tail),
+        or None for a never-written table."""
+        versions = self._list_versions()
+        if not versions:
+            return None
+        if version is None:
+            version = versions[-1]
+        ckpt = self._base_checkpoint(version)
+        start = 0
+        found = None
+        if ckpt is not None:
+            start = ckpt[0] + 1
+            found = ckpt[1].get("schema")
+        for v in versions:
+            if v < start or v > version:
+                continue
+            s = self._read_commit(v).get("schema")
+            if s is not None:
+                found = s
+        return StructType.fromJson(json.loads(found)) if found else None
+
+    # -- data-file writing --------------------------------------------------
 
     def _write_data_files(self, df: DataFrame) -> "list[dict]":
         """Write ``df`` key-range clustered into a fresh immutable commit
         directory; return add actions carrying per-file [min,max] key
-        stats (what MERGE prunes on)."""
+        stats (what MERGE prunes on). Stats come from ONE job grouped by
+        ``input_file_name()`` over the commit directory — O(1) jobs per
+        commit, not one scan per file."""
         commit_dir = f"{self.path}/files/c-{uuid.uuid4().hex}"
         clustered = df.repartitionByRange(self.files_per_commit, F.col(self.key))
         clustered.write.mode("overwrite").parquet(commit_dir)
-        fs, jdir = self._fs(commit_dir)
-        adds = []
-        for st in fs.listStatus(jdir):
-            name = st.getPath().getName()
-            if not name.startswith("part-"):
-                continue
-            fpath = f"{commit_dir}/{name}"
-            stats = (
-                self.spark.read.parquet(fpath)
-                .agg(
-                    F.min(self.key).alias("lo"),
-                    F.max(self.key).alias("hi"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-                .collect()[0]
+        stats = (
+            # schema passed explicitly: skips the footer-inference job
+            self.spark.read.schema(clustered.schema).parquet(commit_dir)
+            .groupBy(F.input_file_name().alias("path"))
+            .agg(
+                F.min(self.key).alias("lo"),
+                F.max(self.key).alias("hi"),
+                F.count(F.lit(1)).alias("n"),
             )
-            if stats["n"] == 0:
-                continue
-            adds.append(
-                {
-                    "path": fpath,
-                    "min_key": stats["lo"],
-                    "max_key": stats["hi"],
-                    "rows": stats["n"],
-                }
-            )
-        return adds
+            .collect()
+        )
+        # empty output files never appear in the group-by: exactly the
+        # files a snapshot should not reference
+        return [
+            {
+                "path": _canon(r["path"]),
+                "min_key": r["lo"],
+                "max_key": r["hi"],
+                "rows": r["n"],
+            }
+            for r in sorted(stats, key=lambda r: r["path"])
+        ]
 
     def _try_commit(
         self,
@@ -293,28 +371,68 @@ class TxnLogTable:
         op: str,
         actions: "list[dict]",
         txn: "dict | None",
+        schema: "str | None" = None,
     ) -> bool:
         body = json.dumps(
-            {"version": version, "op": op, "actions": actions, "txn": txn}
+            {
+                "version": version,
+                "op": op,
+                "actions": actions,
+                "txn": txn,
+                "schema": schema,
+            }
         )
         ok = self._write_text_atomic(self._commit_path(version), body)
         if ok and version % self.checkpoint_interval == 0 and version > 0:
-            adds = self._snapshot_adds(version)
-            self._write_text_atomic(
-                f"{self.log_dir}/{version:020d}.checkpoint.json",
-                json.dumps({"version": version, "adds": adds}),
-            )
-            # _last_checkpoint is a pointer, overwritten in place (its loss
-            # or staleness only costs log-replay time, never correctness)
-            fs, marker = self._fs(f"{self.log_dir}/_last_checkpoint")
-            out = fs.create(marker, True)
-            try:
-                out.write(bytearray(json.dumps({"version": version}).encode()))
-            finally:
-                out.close()
+            self._write_checkpoint(version)
         return ok
 
-    # -- public write ops -----------------------------------------------------
+    def _write_checkpoint(self, version: int) -> None:
+        """Materialize the full state at ``version``: live adds, per-app
+        txn high-water marks, current schema. The log is dense, so every
+        commit ``<= version`` is published at this point and the fold
+        misses nothing. Content is a pure function of the immutable
+        commits ``0..version`` — two writers racing the same checkpoint
+        produce identical bodies and put-if-absent keeps one."""
+        adds = self._snapshot_adds(version)
+        txns: dict[str, int] = {}
+        schema = None
+        ckpt = self._base_checkpoint(version - 1)
+        start = 0
+        if ckpt is not None:
+            start = ckpt[0] + 1
+            txns = {k: int(v) for k, v in ckpt[1].get("txns", {}).items()}
+            schema = ckpt[1].get("schema")
+        for v in self._list_versions():
+            if v < start or v > version:
+                continue
+            c = self._read_commit(v)
+            txn = c.get("txn")
+            if txn:
+                app = txn["app_id"]
+                txns[app] = max(int(txn["batch_id"]), txns.get(app, -1))
+            if c.get("schema") is not None:
+                schema = c["schema"]
+        self._write_text_atomic(
+            f"{self.log_dir}/{version:020d}.checkpoint.json",
+            json.dumps(
+                {"version": version, "adds": adds, "txns": txns, "schema": schema}
+            ),
+        )
+
+    # -- public write ops ---------------------------------------------------
+
+    def initialize(self, schema: StructType) -> int:
+        """CTAS on a new/empty path: publish a data-free ``create`` commit
+        carrying the schema, so ``read()`` of the empty table returns an
+        empty DataFrame of the right shape instead of raising. No-op if
+        the table already has commits."""
+        v = self.latest_version()
+        if v >= 0:
+            return v
+        if self._try_commit(0, "create", [], None, schema.json()):
+            return 0
+        return self.latest_version()
 
     def append(
         self,
@@ -324,19 +442,20 @@ class TxnLogTable:
     ) -> int:
         """Blind append: new files only, conflicts never destroy work —
         on a version race the writer re-reads the log and retries the
-        commit (the data files are already safely in place)."""
+        commit (the data files are already safely in place). The txn
+        guard re-checks after every lost race so a duplicate replay that
+        wins the race is detected, not doubled."""
         if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
             return self.latest_version()
         adds = self._write_data_files(df)
         actions = [{"add": a} for a in adds]
-        v = self.latest_version() + 1
+        schema = df.schema.json()
         for _ in range(max_retries):
-            if self._try_commit(v, "append", actions, txn):
+            v = self.latest_version() + 1
+            if self._try_commit(v, "append", actions, txn, schema):
                 return v
-            # bump past the failed attempt too: a claim whose owner died
-            # before renaming never produces a .json, so deriving the next
-            # version from the committed log alone would spin forever
-            v = max(self.latest_version() + 1, v + 1)
+            if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
+                return self.latest_version()
         raise ConcurrentModification(
             f"append lost the commit race {max_retries} times"
         )
@@ -355,10 +474,13 @@ class TxnLogTable:
         them is arbitrary, same caveat as any CDC apply, so feed batches
         with a strictly ordered ``order_col`` per key). Only files whose
         [min,max] key range overlaps the incoming keys are rewritten
-        (stats pruning); a
-        competing commit that removes one of those files between snapshot
-        and commit raises ``ConcurrentModification`` (retry re-runs the
-        merge on the new snapshot)."""
+        (stats pruning). Losing the publish race re-runs conflict
+        detection against the PUBLISHED winner — the log has no
+        claimed-but-unpublished state, so the check can never pass
+        spuriously while a slow competitor is still in flight: if the
+        winner removed a file this merge read, ``ConcurrentModification``
+        is raised; otherwise the whole merge re-runs on the new
+        snapshot."""
         if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
             return self.latest_version()
         changes = changes.localCheckpoint(eager=True)
@@ -368,9 +490,13 @@ class TxnLogTable:
         if bounds["lo"] is None:
             return self.latest_version()  # empty change set: no-op
 
-        last_err = None
-        attempted = -1
-        for _ in range(max_retries):
+        for attempt in range(max_retries):
+            if (
+                attempt > 0
+                and txn is not None
+                and self.txn_seen(txn["app_id"], txn["batch_id"])
+            ):
+                return self.latest_version()
             base_version = self.latest_version()
             live = self._snapshot_adds(base_version if base_version >= 0 else None)
             touched = [
@@ -415,74 +541,162 @@ class TxnLogTable:
             actions = [{"add": a} for a in adds] + [
                 {"remove": {"path": a["path"]}} for a in touched
             ]
-            # bump past a previously failed attempt (an orphaned claim
-            # never yields a .json; see _write_text_atomic)
-            v = max(base_version + 1, attempted + 1)
-            attempted = v
-            if self._try_commit(v, "merge", actions, txn):
-                return v
-            # lost the race: legal only if the winner didn't touch our files
+            if self._try_commit(
+                base_version + 1, "merge", actions, txn, merged.schema.json()
+            ):
+                return base_version + 1
+            # lost the publish race: the winner IS published (dense log),
+            # so this check is against real state, never an in-flight claim
             now_live = {a["path"] for a in self._snapshot_adds()}
             if any(a["path"] not in now_live for a in touched):
-                last_err = ConcurrentModification(
+                raise ConcurrentModification(
                     "a competing commit rewrote files this merge read"
                 )
-                raise last_err
             # winner was a blind append elsewhere — re-run on new snapshot
         raise ConcurrentModification(
             f"merge lost the commit race {max_retries} times"
         )
 
-    # -- read ops ---------------------------------------------------------------
+    # -- read ops -----------------------------------------------------------
+
+    def _vacuum_watermark(self) -> int:
+        """Lowest version whose snapshot is still fully on disk (0 if no
+        vacuum ever ran). Unreadable marker degrades to 0 — reads below a
+        lost watermark fail at scan time instead of cleanly, never
+        silently succeed with wrong data."""
+        marker = f"{self.log_dir}/_vacuum_watermark"
+        fs, jpath = self._fs(marker)
+        try:
+            if not fs.exists(jpath):
+                return 0
+            return int(json.loads(self._read_text(marker))["min_version"])
+        except Exception:
+            return 0
 
     def read(self, version: "int | None" = None) -> DataFrame:
         """Snapshot read (time travel with ``version=k``). The file list is
-        pinned here — later commits can't tear this DataFrame."""
+        pinned here — later commits can't tear this DataFrame. A valid but
+        empty snapshot (freshly created table, or every row deleted)
+        returns an empty DataFrame with the recorded schema; only a table
+        with no commits at all raises."""
+        latest = self.latest_version()
+        if latest < 0:
+            raise ValueError("table has no commits")
+        effective = latest if version is None else version
+        if effective > latest:
+            raise ValueError(f"version {effective} does not exist (latest {latest})")
+        wm = self._vacuum_watermark()
+        if effective < wm:
+            raise ValueError(
+                f"version {effective} was vacuumed (earliest retained: {wm})"
+            )
         adds = self._snapshot_adds(version)
         if not adds:
-            raise ValueError(f"no snapshot at version {version!r} (empty table)")
+            schema = self._latest_schema(version)
+            if schema is None:
+                raise ValueError(f"no schema recorded at version {version!r}")
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(*[a["path"] for a in adds])
 
     def file_count(self, version: "int | None" = None) -> int:
         return len(self._snapshot_adds(version))
 
+    # -- maintenance --------------------------------------------------------
+
     def unreferenced_files(self) -> "list[str]":
-        """Data files no LIVE snapshot references (vacuum candidates).
-        Conservative: a file referenced by ANY retained historical version
-        is kept, so time travel over the whole log keeps working."""
+        """Data files no retained snapshot references (vacuum candidates).
+        Conservative: a file referenced by ANY commit in the log is kept,
+        so time travel over the whole retained log keeps working. Exact
+        canonical-path set membership — no suffix matching."""
         referenced: set[str] = set()
         for v in self._list_versions():
             for action in self._read_commit(v)["actions"]:
                 if "add" in action:
-                    referenced.add(action["add"]["path"])
+                    referenced.add(_canon(action["add"]["path"]))
         fs, jdir = self._fs(f"{self.path}/files")
         out = []
         if fs.exists(jdir):
             it = fs.listFiles(jdir, True)
             while it.hasNext():
-                p = it.next().getPath().toString()
+                p = _canon(it.next().getPath().toString())
                 name = p.rsplit("/", 1)[-1]
-                if name.startswith("part-") and not any(
-                    p.endswith(r.split("/files/", 1)[-1]) for r in referenced
-                ):
+                if name.startswith("part-") and p not in referenced:
                     out.append(p)
         return out
 
-    def orphaned_claims(self) -> "list[str]":
-        """Claim markers whose version never published a commit — the
-        debris a crashed writer leaves (see ``_write_text_atomic``).
-        Each parks only its own version number (writers skip past), so
-        cleanup is hygiene, not correctness; a deployment would age
-        these out alongside ``unreferenced_files``."""
+    def orphaned_tmp_files(self, older_than_s: float = 3600.0) -> "list[str]":
+        """Unpublished temp bodies a crashed writer left in the log dir.
+        Age-gated: an in-flight writer's temp (written, not yet linked)
+        must not be swept from under it."""
+        import time as _time
+
         fs, jdir = self._fs(self.log_dir)
         if not fs.exists(jdir):
             return []
-        names = {st.getPath().getName() for st in fs.listStatus(jdir)}
-        return sorted(
-            f"{self.log_dir}/{n}"
-            for n in names
-            if n.endswith(".json.claim") and n[: -len(".claim")] not in names
-        )
+        cutoff_ms = (_time.time() - older_than_s) * 1000.0
+        out = []
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            if name.startswith(".tmp-") and st.getModificationTime() <= cutoff_ms:
+                out.append(f"{self.log_dir}/{name}")
+        return sorted(out)
+
+    def vacuum(
+        self, retain_versions: int = 10, retain_tmp_s: float = 3600.0
+    ) -> "dict[str, int]":
+        """Delete data files referenced ONLY by snapshots older than the
+        last ``retain_versions`` versions, plus aged orphan temp files.
+        Advances the watermark so time travel below it raises cleanly.
+        Returns counts. The protected set is the exact union of the
+        retained snapshots' canonical add paths — a file shared between an
+        old and a retained snapshot survives."""
+        latest = self.latest_version()
+        if latest < 0:
+            return {"data_files_deleted": 0, "tmp_files_deleted": 0}
+        wm = max(0, latest - retain_versions + 1)
+        protected: set[str] = set()
+        for v in range(wm, latest + 1):
+            for a in self._snapshot_adds(v):
+                protected.add(_canon(a["path"]))
+        fs, jdir = self._fs(f"{self.path}/files")
+        deleted = 0
+        if fs.exists(jdir):
+            doomed = []
+            it = fs.listFiles(jdir, True)
+            while it.hasNext():
+                p = _canon(it.next().getPath().toString())
+                if p.rsplit("/", 1)[-1].startswith("part-") and p not in protected:
+                    doomed.append(p)
+            for p in doomed:
+                _, jp = self._fs(p)
+                fs.delete(jp, False)
+                deleted += 1
+        tmp_deleted = 0
+        for p in self.orphaned_tmp_files(older_than_s=retain_tmp_s):
+            tfs, jp = self._fs(p)
+            tfs.delete(jp, False)
+            tmp_deleted += 1
+        # watermark: temp + atomic replace (single writer per vacuum is the
+        # deployment contract; a torn marker degrades to 0, see
+        # _vacuum_watermark)
+        marker = f"{self.log_dir}/_vacuum_watermark"
+        body = json.dumps({"min_version": wm})
+        mfs, mpath = self._fs(marker)
+        if mfs.getUri().getScheme() == "file":
+            import os as _os
+
+            tmp = f"{self.log_dir}/.wm-{uuid.uuid4().hex}"
+            local_tmp = _canon(tmp)
+            with open(local_tmp, "w", encoding="utf-8") as fh:
+                fh.write(body)
+            _os.replace(local_tmp, _canon(marker))
+        else:
+            out = mfs.create(mpath, True)
+            try:
+                out.write(bytearray(body.encode("utf-8")))
+            finally:
+                out.close()
+        return {"data_files_deleted": deleted, "tmp_files_deleted": tmp_deleted}
 
     def foreach_batch_writer(self, app_id: str, delete_col: "str | None" = None):
         """``foreachBatch`` target: exactly-once idempotent MERGE of each

@@ -101,7 +101,7 @@ def _inject_racing_commit(t, actions_fn):
     orig = t._try_commit
     state = {"fired": False}
 
-    def sabotaged(version, op, actions, txn):
+    def sabotaged(version, op, actions, txn, schema=None):
         if not state["fired"]:
             state["fired"] = True
             evil = {
@@ -111,7 +111,7 @@ def _inject_racing_commit(t, actions_fn):
                 "txn": None,
             }
             assert t._write_text_atomic(t._commit_path(version), json.dumps(evil))
-        return orig(version, op, actions, txn)
+        return orig(version, op, actions, txn, schema)
 
     t._try_commit = sabotaged
     return state
@@ -178,7 +178,7 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path):
         t.append(
             spark.createDataFrame([(i, 1, f"v{i}")], "k long, seq long, v string")
         )
-    ckpt = t._last_checkpoint()
+    ckpt = t._base_checkpoint(t.latest_version())
     assert ckpt is not None and ckpt[0] == 10
     # snapshot from checkpoint+tail equals full-log replay
     full = {}
@@ -333,19 +333,277 @@ def test_cdc_stream_into_acid_table_feeds_enrichment_join(spark, tmp_path):
     assert got == expect and len(got) > 0
 
 
-def test_orphaned_claims_detected_and_skipped(spark, tmp_path):
-    """A claim whose owner died before publishing parks only its own
-    version: the next writer lands at the following number (a log gap,
-    tolerated by replay), and the orphan is listed for cleanup while
-    claims of PUBLISHED commits are not."""
-    t = _table(spark, tmp_path)
-    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
-    assert t.orphaned_claims() == []
-    # simulate a crashed writer: claim version 1, never publish
-    fs, cpath = t._fs(t._commit_path(1) + ".claim")
-    assert fs.createNewFile(cpath)
-    v = t.append(spark.createDataFrame([(2, 1, "b")], "k long, seq long, v string"))
-    assert v == 2  # skipped the parked number
-    assert _rows(t) == {1: (1, "a"), 2: (1, "b")}
-    orphans = t.orphaned_claims()
-    assert len(orphans) == 1 and orphans[0].endswith("00000000000000000001.json.claim")
+def test_inflight_merge_race_never_double_applies(spark, tmp_path):
+    """The slow-publisher scenario: writer A computes a merge from base
+    version v-1, and BEFORE A publishes, writer B lands its own merge at
+    v (touching the same key range). A's publish must lose (put-if-absent
+    arbiter), and because B removed the file A read, A must raise
+    ConcurrentModification rather than land a sibling commit whose adds
+    double-apply the key. A clean retry then merges on top of B."""
+    t_a = _table(spark, tmp_path)
+    t_b = _table(spark, tmp_path)
+    t_a.append(
+        spark.createDataFrame(
+            [(1, 1, "base1"), (2, 1, "base2")], "k long, seq long, v string"
+        )
+    )
+
+    orig = t_a._try_commit
+    state = {"fired": False}
+
+    def slow_publish(version, op, actions, txn, schema=None):
+        if not state["fired"]:
+            state["fired"] = True
+            # B's merge fully publishes while A is "in flight"
+            t_b.merge(
+                spark.createDataFrame(
+                    [(1, 5, "b-wins")], "k long, seq long, v string"
+                )
+            )
+        return orig(version, op, actions, txn, schema)
+
+    t_a._try_commit = slow_publish
+    with pytest.raises(ConcurrentModification):
+        t_a.merge(
+            spark.createDataFrame([(1, 3, "a-loses")], "k long, seq long, v string"),
+            max_retries=1,
+        )
+    # the log is dense and B's state is intact
+    vs = t_a._list_versions()
+    assert vs == list(range(len(vs)))
+    assert _rows(t_a)[1] == (5, "b-wins")
+    # a clean retry applies on top of the published winner
+    t_a._try_commit = orig
+    t_a.merge(
+        spark.createDataFrame([(1, 9, "a-retry")], "k long, seq long, v string")
+    )
+    got = _rows(t_a)
+    assert got[1] == (9, "a-retry") and got[2] == (1, "base2")
+    # exactly one row per key: nothing double-applied
+    assert t_a.read().groupBy("k").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_inflight_append_race_stays_dense(spark, tmp_path):
+    """A blind append losing to a concurrent merge at its version must
+    land at the NEXT version — no gaps, no lost rows (versions are dense
+    by construction; there is no claim that can park a number)."""
+    t_a = _table(spark, tmp_path)
+    t_b = _table(spark, tmp_path)
+    t_a.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+
+    orig = t_a._try_commit
+    state = {"fired": False}
+
+    def slow_publish(version, op, actions, txn, schema=None):
+        if not state["fired"]:
+            state["fired"] = True
+            t_b.append(
+                spark.createDataFrame([(50, 1, "b")], "k long, seq long, v string")
+            )
+        return orig(version, op, actions, txn, schema)
+
+    t_a._try_commit = slow_publish
+    v = t_a.append(spark.createDataFrame([(60, 1, "c")], "k long, seq long, v string"))
+    assert v == 2
+    assert t_a._list_versions() == [0, 1, 2]
+    assert set(_rows(t_a)) == {1, 50, 60}
+
+
+def test_checkpoint_complete_under_concurrent_writers(spark, tmp_path):
+    """Checkpoints written mid-race must cover every commit at or below
+    their version (the dense log makes this structural): for EVERY
+    version, snapshot-via-checkpoint equals brute-force full-log replay."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _table(spark, tmp_path, checkpoint_interval=2)
+    dfs = [
+        spark.createDataFrame([(10 * w, 1, f"w{w}")], "k long, seq long, v string")
+        for w in range(6)
+    ]
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(lambda df: t.append(df, max_retries=50), dfs))
+    versions = t._list_versions()
+    assert versions == list(range(6))
+    _, ckpts = t._log_listing()
+    assert ckpts, "interval=2 over 6 commits must have produced checkpoints"
+    for v in versions:
+        full = {}
+        for w in versions:
+            if w > v:
+                continue
+            for a in t._read_commit(w)["actions"]:
+                if "add" in a:
+                    full[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    full.pop(a["remove"]["path"], None)
+        assert {a["path"] for a in t._snapshot_adds(v)} == set(full), v
+
+
+def test_txn_seen_reads_checkpoint_plus_tail_only(spark, tmp_path):
+    """The exactly-once guard must not replay the whole log per probe:
+    with per-app high-water marks folded into checkpoints, txn_seen
+    touches one checkpoint + the post-checkpoint tail."""
+    t = _table(spark, tmp_path, files_per_commit=1, checkpoint_interval=10)
+    df = spark.createDataFrame([(1, 1, "x")], "k long, seq long, v string")
+    n_commits = 24
+    for b in range(n_commits):
+        t.append(df, txn={"app_id": "app", "batch_id": b})
+    assert t.latest_version() == n_commits - 1  # checkpoint at 20, tail 21..23
+
+    reads = {"n": 0}
+    orig = t._read_text
+
+    def counted(p):
+        reads["n"] += 1
+        return orig(p)
+
+    t._read_text = counted
+    assert t.txn_seen("app", n_commits - 1) is True
+    assert t.txn_seen("app", n_commits) is False
+    assert t.txn_seen("ghost-app", 0) is False
+    # 3 probes x (1 checkpoint + 3-commit tail) = 12; full replay would be
+    # 3 x 24 = 72. Generous bound still catches O(commits) regressions.
+    assert reads["n"] <= 15, reads["n"]
+    t._read_text = orig
+    # and replay is still exactly-once
+    v_before = t.latest_version()
+    t.append(df, txn={"app_id": "app", "batch_id": 5})
+    assert t.latest_version() == v_before
+
+
+def test_write_data_files_single_stats_job(spark, tmp_path):
+    """Per-commit file stats must come from ONE job over the commit
+    directory (grouped by input_file_name), not one scan per file: with 8
+    files the old shape was 1 write + 8 stat jobs."""
+    t = _table(spark, tmp_path, files_per_commit=8)
+    df = spark.createDataFrame(
+        [(k, 1, f"v{k}") for k in range(400)], "k long, seq long, v string"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("acid-stats-probe", "stats job count probe")
+    try:
+        adds = t._write_data_files(df)
+    finally:
+        sc.setJobGroup("acid-stats-probe-done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("acid-stats-probe")
+    # repartitionByRange samples + write + one stats pass (AQE may split
+    # the agg into a couple of jobs); the old per-file loop added 2 jobs
+    # PER FILE (schema inference + agg), i.e. 16+ here
+    assert len(jobs) <= 6, jobs
+    assert len(adds) >= 6
+    assert sum(a["rows"] for a in adds) == 400
+    for a in adds:
+        assert a["min_key"] <= a["max_key"]
+
+
+def test_vacuum_retention_and_watermark(spark, tmp_path):
+    """vacuum(retain_versions=k) deletes data files only pre-retention
+    snapshots reference, keeps shared files, sweeps aged temp debris, and
+    reads below the watermark raise cleanly (never a mid-scan failure)."""
+    import os
+
+    t = _table(spark, tmp_path, files_per_commit=1)
+    for i in range(5):
+        # merges rewrite the single file each time -> 4 dead files by v4
+        t.merge(
+            spark.createDataFrame([(1, i + 1, f"s{i}")], "k long, seq long, v string")
+        )
+    assert t.latest_version() == 4
+    dead_before = t.unreferenced_files()
+    assert dead_before == []  # log still references history
+    # a crashed writer's temp body
+    orphan_tmp = os.path.join(str(tmp_path / "tbl"), "_txn_log", ".tmp-deadbeef")
+    with open(orphan_tmp, "w") as fh:
+        fh.write("{}")
+    res = t.vacuum(retain_versions=2, retain_tmp_s=0.0)
+    assert res["tmp_files_deleted"] >= 1 and not os.path.exists(orphan_tmp)
+    assert res["data_files_deleted"] == 3  # files live only at v0/v1/v2
+    # retained versions still read
+    assert _rows(t, version=4)[1] == (5, "s4")
+    assert _rows(t, version=3)[1] == (4, "s3")
+    # vacuumed versions raise cleanly
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=1)
+    # a second vacuum is a no-op
+    res2 = t.vacuum(retain_versions=2, retain_tmp_s=0.0)
+    assert res2["data_files_deleted"] == 0
+
+
+def test_duplicate_replay_race_commits_once(spark, tmp_path):
+    """Two replays of the SAME (app_id, batch_id) racing: the loser of
+    the publish race must detect the winner's txn action on retry and
+    return WITHOUT committing (the check-then-act hole: a single upfront
+    txn_seen check passes for both)."""
+    t_a = _table(spark, tmp_path)
+    t_b = _table(spark, tmp_path)
+    t_a.append(spark.createDataFrame([(1, 1, "base")], "k long, seq long, v string"))
+
+    txn = {"app_id": "app", "batch_id": 7}
+    orig = t_a._try_commit
+    state = {"fired": False}
+
+    def slow_publish(version, op, actions, txn_arg, schema=None):
+        if not state["fired"]:
+            state["fired"] = True
+            # the duplicate replay fully lands while we're in flight
+            t_b.merge(
+                spark.createDataFrame([(2, 1, "dup")], "k long, seq long, v string"),
+                txn=dict(txn),
+            )
+        return orig(version, op, actions, txn_arg, schema)
+
+    t_a._try_commit = slow_publish
+    t_a.merge(
+        spark.createDataFrame([(2, 1, "dup")], "k long, seq long, v string"),
+        txn=dict(txn),
+    )
+    # exactly one commit carries the txn
+    with_txn = [h for h in t_a.history() if h["txn"] == txn]
+    assert len(with_txn) == 1, t_a.history()
+    assert _rows(t_a)[2] == (1, "dup")
+
+
+def test_empty_table_schema_and_engine_ctas(spark, tmp_path):
+    """CTAS onto a new path: initialize() publishes a schema-bearing
+    create commit, read() of the empty table returns an empty DataFrame
+    of that shape, the engine registers a queryable view, and a table
+    whose rows were ALL deleted still reads (empty) and refreshes."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("seq", LongType()),
+            StructField("v", StringType()),
+        ]
+    )
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "acid_empty", str(tmp_path / "tbl"), key="k", order_col="seq",
+        schema=schema,
+    )
+    assert t.latest_version() == 0
+    assert t.read().schema == schema and t.read().count() == 0
+    assert spark.sql("SELECT * FROM acid_empty").count() == 0
+    # initialize is idempotent
+    assert t.initialize(schema) == 0
+    # first real write, then delete everything: still a valid empty snapshot
+    t.merge(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    t.merge(
+        spark.createDataFrame([(1, 2, "a", True)], "k long, seq long, v string, d boolean"),
+        delete_col="d",
+    )
+    assert t.read().count() == 0
+    assert [f.name for f in t.read().schema.fields] == ["k", "seq", "v"]
+    assert eng.refresh_acid_table("acid_empty").count() == 0
+    # a never-initialized, never-written table still raises
+    t2 = TxnLogTable(spark, str(tmp_path / "t2"), key="k", order_col="seq")
+    with pytest.raises(ValueError):
+        t2.read()
