@@ -38,6 +38,24 @@ from data_pipeline_kafka_ek_spark.operators.parallelism import spread
 # ---------------------------------------------------------------------------
 
 
+def hash_sample(df: DataFrame, cap: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic ~``cap``-row sample: keep rows whose
+    ``xxhash64(id)`` falls below the cap/total fraction of the hash
+    space. Unlike ``df.sample`` this is reproducible across runs, plans
+    and partitionings (the keep-set is a pure function of the ids), and
+    unlike a rank-and-limit it needs no global sort — one count job plus
+    a map-side filter. Row count is approximately ``cap`` (binomial
+    around it), which is what evaluation sampling needs; exact-k would
+    cost a full ordering. Returns ``df`` unchanged when it already fits
+    the cap, so small-fixture runs (and their oracle hashes) are exact."""
+    n = df.count()
+    if n <= cap:
+        return df
+    denom = 1_000_000
+    thresh = int(denom * cap / n)
+    return df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < thresh)
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest id per distinct content tuple.
 

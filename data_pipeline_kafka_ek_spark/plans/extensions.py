@@ -4850,10 +4850,15 @@ def x_pipeline_epoch_shuffle(spark, sf_dir):
     "by construction (the verify stage recomputes true Jaccard), so "
     "banding recall is the one number that monitors the index — run it "
     "on a sample after every signature/banding change. greatest(.,1) "
-    "guards the empty-corpus division (ANSI-safe on both engines).",
+    "guards the empty-corpus division (ANSI-safe on both engines). The "
+    "eval self-samples: above sample_cap docs, a deterministic "
+    "xxhash64 id-sample (operators/dedup.py::hash_sample) bounds BOTH "
+    "sides before any pair join, so a naive invocation on a full-size "
+    "corpus can never go quadratic; the fixture tables sit far below "
+    "the cap, so the driver-checked result stays exact.",
 )
-def x_dedup_recall_eval(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+def x_dedup_recall_eval(spark, sf_dir, sample_cap=50_000):
+    docs = dedup.hash_sample(_t(spark, sf_dir, "documents"), sample_cap)
     exact = dedup.jaccard_pairs(docs, threshold=0.8)
     lsh = dedup.minhash_lsh_pairs(docs, threshold=0.8)
     n_exact = exact.count()

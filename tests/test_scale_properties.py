@@ -490,3 +490,47 @@ def test_stateful_automaton_matches_under_rocksdb_state_store(spark):
         spark.conf.set(key, prior)
     assert got == default
     assert set(got) == {"t0", "t1", "t2"}
+
+
+def test_recall_eval_sample_cap_bounds_pair_join(spark, sf_dir):
+    """x_dedup_recall_eval must be safe to point at any corpus size: when
+    the table exceeds sample_cap, a deterministic hash-sample bounds the
+    docs BOTH pair generators see, so the exact-truth side can never go
+    quadratic in the full corpus. The fixture run (cap above table size)
+    stays exact — the oracle hash does not move."""
+    from data_pipeline_kafka_ek_spark.operators import dedup
+    from data_pipeline_kafka_ek_spark.plans import extensions as ext
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    assert n >= 100
+
+    # determinism + bound of the sampler itself
+    cap = 60
+    s1 = sorted(r.doc_id for r in dedup.hash_sample(docs, cap).select("doc_id").collect())
+    s2 = sorted(r.doc_id for r in dedup.hash_sample(docs, cap).select("doc_id").collect())
+    assert s1 == s2
+    assert 0 < len(s1) <= 2 * cap
+    # cap >= table size: the sample IS the table (fixture exactness)
+    assert dedup.hash_sample(docs, n).count() == n
+
+    # the eval feeds the SAMPLED docs to both pair generators
+    seen = []
+    orig_j, orig_m = dedup.jaccard_pairs, dedup.minhash_lsh_pairs
+
+    def spy_j(d, **kw):
+        seen.append(("jaccard", d.count()))
+        return orig_j(d, **kw)
+
+    def spy_m(d, **kw):
+        seen.append(("minhash", d.count()))
+        return orig_m(d, **kw)
+
+    dedup.jaccard_pairs, dedup.minhash_lsh_pairs = spy_j, spy_m
+    try:
+        ext.x_dedup_recall_eval(spark, sf_dir, sample_cap=cap).collect()
+    finally:
+        dedup.jaccard_pairs, dedup.minhash_lsh_pairs = orig_j, orig_m
+    assert {name for name, _ in seen} == {"jaccard", "minhash"}
+    for name, n_in in seen:
+        assert n_in <= 2 * cap, (name, n_in)
