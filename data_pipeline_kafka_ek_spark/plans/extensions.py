@@ -4362,7 +4362,11 @@ def x_ann_recall(spark, sf_dir):
 def t_streaming_psi(spark, sf_dir):
     from data_pipeline_kafka_ek_spark.streaming import runtime as srt
 
-    e = _t(spark, sf_dir, "events")
+    # a NULL routing key has no stream identity (same convention as the
+    # KMV/HLL/CMS twins); the oracle drops NULL groups structurally via
+    # its USING (grp) bounds join, the driver-side baseline map here
+    # cannot hold a NULL key — filter explicitly so both sides agree
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     split = F.lit("2024-01-16").cast("timestamp")
     base = e.filter(F.col("ts") < split)
     bounds = {
@@ -4882,7 +4886,8 @@ def x_dedup_recall_eval(spark, sf_dir, sample_cap=50_000):
     ranked AS (
       SELECT grp, val, c,
              sum(c) OVER (PARTITION BY grp) AS n,
-             row_number() OVER (PARTITION BY grp ORDER BY c DESC, val ASC)
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY c DESC, val ASC NULLS LAST)
                AS rnk
       FROM counts
     )
@@ -4911,7 +4916,9 @@ def x_events_heavy_hitters(spark, sf_dir):
         F.col("event_type").alias("grp"), F.col("user_id").alias("val")
     ).agg(F.count(F.lit(1)).alias("c"))
     wn = Window.partitionBy("grp")
-    wr = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc("val"))
+    # explicit NULLS LAST: Spark's asc default is nulls-first, DuckDB's
+    # is nulls-last — a NULL group key tying on count would swap ranks
+    wr = Window.partitionBy("grp").orderBy(F.desc("c"), F.asc_nulls_last("val"))
     return (
         counts.withColumn("n", F.sum("c").over(wn))
         .withColumn("rnk", F.row_number().over(wr))

@@ -50,6 +50,27 @@ EVENT_QUERIES = [
     "x_events_key_skew_profile",
     "x_events_distribution_drift",
     "x_events_anomaly_zscore",
+    "x_events_heavy_hitters",
+]
+# streaming automata twins: the stateful applyInPandasWithState operators
+# replayed over the generated events, compared to the same batch oracles
+# the driver uses — constant streams, NULL keys/values and hot keys are
+# exactly the shapes a fold-state bug would hide in
+STREAMING_EVENT_QUERIES = [
+    "t_streaming_kmv_distinct",
+    "t_streaming_hll_distinct",
+    "t_streaming_cms_freq",
+    "t_streaming_psi_drift",
+]
+# multi-table join/agg queries: NULL and duplicate join keys, hot-key
+# skew, NOT-IN against a set, and predicate-boundary dates — the largest
+# previously-unfuzzed surface
+JOIN_QUERIES = [
+    "h3_top_revenue_orders",
+    "h4_late_shipment_priority",
+    "h10_returned_item_revenue",
+    "h14_promo_revenue_share",
+    "h16_supplier_part_breadth",
 ]
 
 WORDS = ["the", "cat", "sat", "mat", "on", "a", "and", "données", "测试", "naïve"]
@@ -183,4 +204,148 @@ def test_event_queries_match_oracles_on_adversarial_streams(
         f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
     )
     for name in EVENT_QUERIES:
+        _compare(spark, con, sf_dir, name)
+
+
+def _gen_tpch(rng):
+    """Adversarial TPC-H-shaped micro-warehouse. Deliberate shapes:
+    NULL foreign keys (dropped by inner joins, trap for NOT IN),
+    duplicate o_orderkey rows (join multiplication), one hot orderkey
+    carrying ~25% of lineitems (skew), dates EXACTLY on every predicate
+    boundary (>= vs > off-by-one), all summed money on exact binary
+    fractions — integer prices times {1, 0.75, 0.5} discounts — so sums
+    are EXACT doubles and round() can never sit on a half boundary
+    where the engines' rounding modes diverge, suppliers
+    with negative AND NULL acctbal feeding the h16 exclusion subquery."""
+    import datetime
+
+    D = datetime.datetime
+    nations = [(i, f"NATION{i}", i % 2) for i in range(4)]
+    customers = []
+    for c in range(1, 31):
+        seg = rng.choice(["BUILDING", "AUTO", None])
+        nk = None if rng.random() < 0.1 else rng.randint(0, 3)
+        customers.append((c, f"Customer#{c:03d}", nk, round(rng.uniform(-50, 50), 2), seg))
+    suppliers = []
+    for s in range(1, 13):
+        bal = rng.choice([None, -10.0, -0.25, 0.0, 5.5, 42.0])
+        suppliers.append((s, f"Supplier#{s:03d}", s % 4, bal))
+    parts = []
+    for p in range(1, 21):
+        parts.append(
+            (p, f"part{p}", f"Brand#{p % 3}", rng.choice(["PROMO", "STD"]),
+             rng.choice([1, 5, 9]), round(rng.uniform(10, 90), 2))
+        )
+    orders = []
+    boundary_days = [D(1996, 1, 1), D(1996, 12, 31), D(1997, 1, 1), D(1995, 12, 31)]
+    for o in range(1, 81):
+        ck = None if rng.random() < 0.08 else rng.randint(1, 30)
+        od = (
+            rng.choice(boundary_days)
+            if rng.random() < 0.3
+            else D(1996, rng.randint(1, 12), rng.randint(1, 28))
+        )
+        orders.append(
+            (o, ck, rng.choice(["O", "F"]), round(rng.uniform(100, 900), 2), od,
+             rng.choice(["1-URGENT", "3-MEDIUM", "5-LOW"]))
+        )
+    if rng.random() < 0.7:
+        orders.append(orders[0])  # duplicate primary key row
+    lineitems = []
+    hot_order = rng.randint(1, 80)
+    for i in range(400):
+        ok = hot_order if rng.random() < 0.25 else rng.randint(1, 80)
+        pk = None if rng.random() < 0.05 else rng.randint(1, 20)
+        sk = None if rng.random() < 0.05 else rng.randint(1, 12)
+        odate = next(o[4] for o in orders if o[0] == ok)
+        if rng.random() < 0.25:
+            # EXACTLY +60 days: h4's strict > must exclude it, and the
+            # h14 window boundaries
+            sd = rng.choice(
+                [odate + datetime.timedelta(days=60),
+                 D(1997, 1, 1), D(1997, 3, 31), D(1997, 4, 1)]
+            )
+        else:
+            sd = odate + datetime.timedelta(days=rng.randint(1, 120))
+        lineitems.append(
+            (ok, pk, sk, i, float(rng.randint(1, 40)),
+             float(rng.randint(10, 500)), rng.choice([0.0, 0.25, 0.5]),
+             0.0, rng.choice(["R", "N", None]), rng.choice(["O", "F"]), sd)
+        )
+    return {
+        "nation": (nations, "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": (
+            customers,
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ),
+        "supplier": (
+            suppliers, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+        ),
+        "part": (
+            parts,
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ),
+        "orders": (
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ),
+        "lineitem": (
+            lineitems,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, "
+            "l_tax double, l_returnflag string, l_linestatus string, "
+            "l_shipdate timestamp",
+        ),
+    }
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_join_queries_match_oracles_on_adversarial_warehouse(
+    spark, tmp_path, seed
+):
+    import random
+
+    import duckdb
+
+    rng = random.Random(200 + seed)
+    tables = _gen_tpch(rng)
+    sf_dir = str(tmp_path / "sf")
+    con = duckdb.connect()
+    cc.register_local_udfs(con)
+    for tname, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(2).write.parquet(
+            f"{sf_dir}/{tname}.parquet"
+        )
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{tname}.parquet/*.parquet')"
+        )
+    for name in JOIN_QUERIES:
+        _compare(spark, con, sf_dir, name)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_streaming_twins_match_oracles_on_adversarial_streams(
+    spark, tmp_path, seed
+):
+    import random
+
+    import duckdb
+
+    rng = random.Random(300 + seed)
+    rows, schema = _gen_events(rng, 400)
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(
+        f"{sf_dir}/events.parquet"
+    )
+    con = duckdb.connect()
+    cc.register_local_udfs(con)
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+    )
+    for name in STREAMING_EVENT_QUERIES:
         _compare(spark, con, sf_dir, name)
