@@ -184,6 +184,19 @@ class Engine:
             raise KeyError(f"unknown acid table {name!r}")
         return acid[name].history()
 
+    def optimize_acid_table(self, name: str) -> "int | None":
+        """Compact the named ACID table's live file set (see
+        ``TxnLogTable.optimize``) and re-pin the registered view to the
+        compacted snapshot. Returns the optimize commit's version, or
+        None if the table was already compact."""
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        v = acid[name].optimize()
+        if v is not None:
+            self.create_table(name, acid[name].read())
+        return v
+
     def refresh_acid_table(self, name: str) -> DataFrame:
         """Re-pin the registered view to the table's newest snapshot (a
         reader holding the old DataFrame keeps its pinned file list —

@@ -557,6 +557,46 @@ class TxnLogTable:
             f"merge lost the commit race {max_retries} times"
         )
 
+    def optimize(self, min_files: int = 2, max_retries: int = 5) -> "int | None":
+        """Compaction: rewrite the CURRENT live file set into
+        ``files_per_commit`` key-range-clustered files as one
+        transactional commit (op ``optimize``: adds the compacted files,
+        removes every prior live file; row content is untouched). This is
+        the maintenance op continuous streaming MERGE makes necessary —
+        every micro-batch adds files, so fragmentation grows without
+        bound and with it both scan task count and stats-pruning
+        selectivity (many overlapping [min,max] ranges). Returns the new
+        version, or None when the live file count is already at or below
+        ``max(min_files, files_per_commit)`` (compacting again would just
+        rewrite the same files). Concurrency: same optimistic
+        rule as MERGE — losing the publish race to a commit that removed
+        a source file raises ``ConcurrentModification``; losing to a
+        blind append re-runs on the new snapshot."""
+        for _ in range(max_retries):
+            base_version = self.latest_version()
+            if base_version < 0:
+                return None
+            live = self._snapshot_adds(base_version)
+            if len(live) <= max(min_files, self.files_per_commit):
+                return None
+            df = self.spark.read.parquet(*[a["path"] for a in live])
+            adds = self._write_data_files(df)
+            actions = [{"add": a} for a in adds] + [
+                {"remove": {"path": a["path"]}} for a in live
+            ]
+            if self._try_commit(
+                base_version + 1, "optimize", actions, None, df.schema.json()
+            ):
+                return base_version + 1
+            now_live = {a["path"] for a in self._snapshot_adds()}
+            if any(a["path"] not in now_live for a in live):
+                raise ConcurrentModification(
+                    "a competing commit rewrote files this optimize read"
+                )
+        raise ConcurrentModification(
+            f"optimize lost the commit race {max_retries} times"
+        )
+
     # -- read ops -----------------------------------------------------------
 
     def _vacuum_watermark(self) -> int:
@@ -600,6 +640,61 @@ class TxnLogTable:
 
     def file_count(self, version: "int | None" = None) -> int:
         return len(self._snapshot_adds(version))
+
+    def read_changes(self, since_version: int = -1) -> DataFrame:
+        """The commit log as an incremental feed — the table-side half of
+        the reference's stream/table duality (a ksqlDB TABLE is a
+        changelog you can re-consume; here the transaction log IS that
+        changelog). Returns every row ADDED by commits after
+        ``since_version``, tagged with ``_commit_version`` and
+        ``_commit_op``, so a downstream consumer can advance a cursor
+        with exactly-once batch semantics (process commits ``(v, v']``,
+        persist ``v'``, repeat).
+
+        Semantics per op: for ``append`` commits these are exactly the
+        inserted rows; for ``merge``/``optimize`` commits they are the
+        POST-IMAGE of the rewritten key range (upsert-image feed —
+        unchanged rows of rewritten files reappear under the new
+        version, the standard trade of add-file-level change feeds;
+        row-level pre/post change files are the next refinement).
+        ``create`` commits contribute nothing. Maintenance ops that only
+        reorganize bytes (``optimize``) can be skipped by the consumer
+        via ``_commit_op``. Raises below the vacuum watermark: reclaimed
+        versions cannot be replayed."""
+        latest = self.latest_version()
+        if since_version >= latest:
+            schema = self._latest_schema()
+            if schema is None:
+                raise ValueError("table has no commits")
+            empty = self.spark.createDataFrame([], schema)
+            return empty.withColumn(
+                "_commit_version", F.lit(None).cast("long")
+            ).withColumn("_commit_op", F.lit(None).cast("string"))
+        wm = self._vacuum_watermark()
+        if since_version + 1 < wm:
+            raise ValueError(
+                f"changes since {since_version} include vacuumed versions "
+                f"(earliest retained: {wm})"
+            )
+        parts = []
+        for v in self._list_versions():
+            if v <= since_version:
+                continue
+            c = self._read_commit(v)
+            paths = [a["add"]["path"] for a in c["actions"] if "add" in a]
+            if not paths:
+                continue
+            parts.append(
+                self.spark.read.parquet(*paths)
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn("_commit_op", F.lit(c["op"]))
+            )
+        if not parts:
+            return self.read_changes(latest)  # typed empty frame
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     # -- maintenance --------------------------------------------------------
 

@@ -607,3 +607,71 @@ def test_empty_table_schema_and_engine_ctas(spark, tmp_path):
     t2 = TxnLogTable(spark, str(tmp_path / "t2"), key="k", order_col="seq")
     with pytest.raises(ValueError):
         t2.read()
+
+
+def test_optimize_compacts_without_changing_data(spark, tmp_path):
+    """optimize() must shrink the live file set to files_per_commit,
+    leave row content bit-identical, keep time travel to the
+    pre-compaction version working, and be a no-op below min_files."""
+    t = _table(spark, tmp_path, files_per_commit=2)
+    for i in range(6):
+        t.append(
+            spark.createDataFrame(
+                [(10 * i + j, 1, f"v{i}.{j}") for j in range(5)],
+                "k long, seq long, v string",
+            )
+        )
+    pre_version = t.latest_version()
+    before = _rows(t)
+    assert t.file_count() >= 6  # one+ file per append
+    v = t.optimize()
+    assert v == pre_version + 1
+    assert t.file_count() <= 2
+    assert _rows(t) == before
+    # history records the op; pre-compaction snapshot is untouched
+    assert t.history()[-1]["op"] == "optimize"
+    assert _rows(t, version=pre_version) == before
+    # already compact: no-op, no empty commit
+    assert t.optimize() is None
+    assert t.latest_version() == v
+    # stats pruning works on the compacted files
+    t.merge(spark.createDataFrame([(0, 9, "upd")], "k long, seq long, v string"))
+    c = t._read_commit(t.latest_version())
+    assert sum(1 for a in c["actions"] if "remove" in a) == 1
+
+
+def test_read_changes_incremental_feed(spark, tmp_path):
+    """read_changes(since) is a consumable changelog: appends surface
+    exactly the inserted rows, merges surface the post-image of the
+    rewritten range, a cursor loop sees every commit exactly once, and
+    replay below the vacuum watermark raises."""
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.append(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k long, seq long, v string"))
+    t.append(spark.createDataFrame([(3, 1, "c")], "k long, seq long, v string"))
+    t.merge(spark.createDataFrame([(2, 5, "b2")], "k long, seq long, v string"))
+
+    feed = t.read_changes(-1)
+    assert set(feed.columns) == {"k", "seq", "v", "_commit_version", "_commit_op"}
+    by_version = {
+        (r._commit_version, r.k): (r._commit_op, r.seq, r.v) for r in feed.collect()
+    }
+    assert by_version[(0, 1)] == ("append", 1, "a")
+    assert by_version[(1, 3)] == ("append", 1, "c")
+    # merge post-image: the rewritten file's range (keys 1 and 2 were
+    # clustered together at files_per_commit=1? no — one file per commit,
+    # so the whole table rewrote only the touched file holding key 2)
+    assert by_version[(2, 2)] == ("merge", 5, "b2")
+
+    # cursor semantics: nothing before/at the cursor reappears
+    tail = t.read_changes(1)
+    assert {r._commit_version for r in tail.collect()} == {2}
+    # caught-up consumer: typed empty frame, not an error
+    assert t.read_changes(t.latest_version()).count() == 0
+    # vacuumed history cannot be replayed
+    for i in range(4, 10):
+        t.merge(spark.createDataFrame([(2, i + 10, f"s{i}")], "k long, seq long, v string"))
+    t.vacuum(retain_versions=2, retain_tmp_s=0.0)
+    with pytest.raises(ValueError, match="vacuum"):
+        t.read_changes(0)
+    # within retention the feed still serves
+    assert t.read_changes(t.latest_version() - 1).count() >= 1

@@ -241,3 +241,13 @@ def test_engine_acid_table_registration_and_history(spark, tmp_path):
     assert {r.v for r in old_handle.collect()} == {"a", "b"}
     eng.refresh_acid_table("dim_users")
     assert {r.v for r in eng.sql("SELECT v FROM dim_users").collect()} == {"a", "b2"}
+    # OPTIMIZE through the control surface: data unchanged, view re-pinned
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([(10 + i, 1, f"x{i}")], "k long, seq long, v string")
+        )
+    before = {r.k for r in eng.sql("SELECT k FROM dim_users").collect()}
+    assert eng.optimize_acid_table("dim_users") is not None
+    assert eng.describe_history("dim_users")[-1]["op"] == "optimize"
+    got = {r.k for r in eng.sql("SELECT k FROM dim_users").collect()}
+    assert got == before | {10 + i for i in range(6)}
