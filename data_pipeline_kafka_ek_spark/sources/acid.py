@@ -519,8 +519,12 @@ class TxnLogTable:
                 if delete_col is not None and delete_col not in base_side.columns:
                     # stored rows carry no tombstone column: align schemas
                     base_side = base_side.withColumn(delete_col, F.lit(False))
+                # allowMissingColumns = schema evolution: a change set
+                # with NEW columns widens the table (old rows read NULL);
+                # a change row MISSING a column upserts NULL there — the
+                # row image IS the change (CDC post-image semantics)
                 ranked = base_side.withColumn("__src", F.lit(0)).unionByName(
-                    ranked
+                    ranked, allowMissingColumns=True
                 )
             w = Window.partitionBy(self.key).orderBy(
                 F.desc(self.order_col), F.desc("__src")
@@ -536,7 +540,7 @@ class TxnLogTable:
                 if untouched_rows is not None and delete_col in untouched_rows.columns:
                     untouched_rows = untouched_rows.drop(delete_col)
             if untouched_rows is not None:
-                merged = merged.unionByName(untouched_rows)
+                merged = merged.unionByName(untouched_rows, allowMissingColumns=True)
             adds = self._write_data_files(merged)
             actions = [{"add": a} for a in adds] + [
                 {"remove": {"path": a["path"]}} for a in touched
@@ -631,11 +635,20 @@ class TxnLogTable:
                 f"version {effective} was vacuumed (earliest retained: {wm})"
             )
         adds = self._snapshot_adds(version)
+        schema = self._latest_schema(version)
         if not adds:
-            schema = self._latest_schema(version)
             if schema is None:
                 raise ValueError(f"no schema recorded at version {version!r}")
             return self.spark.createDataFrame([], schema)
+        if schema is not None:
+            # the recorded schema AT this version pins the read: after
+            # schema evolution, files written pre-widening simply surface
+            # NULL for the newer columns (parquet reader fills missing
+            # columns), and time travel to an old version reads the OLD
+            # schema — per-version fidelity without mergeSchema footers
+            return self.spark.read.schema(schema).parquet(
+                *[a["path"] for a in adds]
+            )
         return self.spark.read.parquet(*[a["path"] for a in adds])
 
     def file_count(self, version: "int | None" = None) -> int:

@@ -675,3 +675,36 @@ def test_read_changes_incremental_feed(spark, tmp_path):
         t.read_changes(0)
     # within retention the feed still serves
     assert t.read_changes(t.latest_version() - 1).count() >= 1
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """A change set with NEW columns widens the table: old rows surface
+    NULL for the new column, the recorded schema advances, time travel
+    to a pre-evolution version reads the OLD schema, and a change row
+    missing a column upserts NULL there (the row image IS the change —
+    CDC post-image semantics)."""
+    t = _table(spark, tmp_path)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b")], "k long, seq long, v string"
+        )
+    )
+    pre = t.latest_version()
+    # evolve: new column `score`
+    t.merge(
+        spark.createDataFrame(
+            [(2, 5, "b2", 0.9), (3, 1, "c", 0.1)],
+            "k long, seq long, v string, score double",
+        )
+    )
+    got = {r.k: (r.seq, r.v, r.score) for r in t.read().collect()}
+    assert got[2] == (5, "b2", 0.9) and got[3] == (1, "c", 0.1)
+    assert got[1] == (1, "a", None)  # untouched old row: NULL backfill
+    assert [f.name for f in t.read().schema.fields] == ["k", "seq", "v", "score"]
+    # pre-evolution time travel reads the old, narrower schema
+    assert [f.name for f in t.read(version=pre).schema.fields] == ["k", "seq", "v"]
+    # a later change row MISSING the evolved column upserts NULL there
+    t.merge(spark.createDataFrame([(2, 9, "b3")], "k long, seq long, v string"))
+    got2 = {r.k: (r.seq, r.v, r.score) for r in t.read().collect()}
+    assert got2[2] == (9, "b3", None)
+    assert got2[3] == (1, "c", 0.1)
