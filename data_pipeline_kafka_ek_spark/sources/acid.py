@@ -287,14 +287,15 @@ class TxnLogTable:
             )
         return out
 
-    def txn_seen(self, app_id: str, batch_id: int) -> bool:
-        """Has ``(app_id, batch_id)`` (or a later batch of the same app)
-        already committed? The exactly-once guard for replayed batches.
+    def txn_high_water(self, app_id: str) -> int:
+        """Highest committed ``batch_id`` for ``app_id`` (-1 if none).
         Reads ONE checkpoint (which carries per-app high-water marks) plus
-        the log tail — O(tail), never O(commits)."""
+        the log tail — O(tail), never O(commits). Doubles as the durable
+        CURSOR for incremental consumers that stamp their progress as the
+        txn batch id (see ``sources/incremental.py``)."""
         versions = self._list_versions()
         if not versions:
-            return False
+            return -1
         best = -1
         start = 0
         ckpt = self._base_checkpoint(versions[-1])
@@ -307,7 +308,12 @@ class TxnLogTable:
             txn = self._read_commit(v).get("txn")
             if txn and txn["app_id"] == app_id:
                 best = max(best, int(txn["batch_id"]))
-        return batch_id <= best
+        return best
+
+    def txn_seen(self, app_id: str, batch_id: int) -> bool:
+        """Has ``(app_id, batch_id)`` (or a later batch of the same app)
+        already committed? The exactly-once guard for replayed batches."""
+        return batch_id <= self.txn_high_water(app_id)
 
     def _latest_schema(self, version: "int | None" = None) -> "StructType | None":
         """Schema recorded at or before ``version`` (checkpoint + tail),
@@ -707,6 +713,65 @@ class TxnLogTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        return out
+
+    def read_deltas(self, since_version: int = -1) -> DataFrame:
+        """Signed row deltas for commits after ``since_version``: rows of
+        ADDED files carry ``_weight`` +1, rows of REMOVED files -1, so
+        ``sum(_weight * x)`` over the feed is EXACTLY the change any
+        distributive aggregate (count, sum, and through them mean)
+        experienced — the retraction-carrying feed incremental
+        materialized-view maintenance needs (``read_changes`` alone is
+        post-image only and cannot retract a rewritten row's old value).
+        ``optimize`` commits are skipped outright: they add and remove
+        identical row sets, so their net delta is zero by construction
+        and replaying them would only cost I/O.
+
+        Stricter vacuum bound than ``read_changes``: a commit's REMOVED
+        files were live only BEFORE it, so replaying deltas needs
+        ``since_version >= watermark`` (the removed files of commit
+        ``wm`` itself may already be reclaimed)."""
+        latest = self.latest_version()
+        if since_version >= latest:
+            empty = self.read_changes(latest).drop("_commit_op")
+            return empty.withColumn("_weight", F.lit(None).cast("int"))
+        wm = self._vacuum_watermark()
+        # commit c's REMOVED files were live only at c-1; after a vacuum
+        # to watermark wm, the first commit whose pre-image is guaranteed
+        # on disk is wm+1 — so the earliest safe cursor is wm (wm == 0
+        # means never vacuumed: every image exists and cursor -1 is fine)
+        if wm > 0 and since_version < wm:
+            raise ValueError(
+                f"deltas since {since_version} need pre-{wm} file images "
+                f"that vacuum may have reclaimed (earliest safe cursor: {wm})"
+            )
+        parts = []
+        for v in self._list_versions():
+            if v <= since_version:
+                continue
+            c = self._read_commit(v)
+            if c["op"] == "optimize":
+                continue
+            added = [a["add"]["path"] for a in c["actions"] if "add" in a]
+            removed = [a["remove"]["path"] for a in c["actions"] if "remove" in a]
+            schema = self._latest_schema(v)
+            for paths, w in ((added, 1), (removed, -1)):
+                if not paths:
+                    continue
+                reader = (
+                    self.spark.read.schema(schema) if schema is not None
+                    else self.spark.read
+                )
+                parts.append(
+                    reader.parquet(*paths)
+                    .withColumn("_commit_version", F.lit(v).cast("long"))
+                    .withColumn("_weight", F.lit(w).cast("int"))
+                )
+        if not parts:
+            return self.read_deltas(latest)  # typed empty frame
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     # -- maintenance --------------------------------------------------------

@@ -1,0 +1,141 @@
+"""Incremental materialized aggregate over the ACID change feed.
+
+The reference materializes continuously-updated aggregates by replaying a
+Kafka changelog into ksqlDB table state (ksqldb-statements.sql:42-43, the
+CTAS-over-stream pattern); this module is the lake-side twin: a grouped
+count/sum aggregate of a :class:`~.acid.TxnLogTable` maintained
+INCREMENTALLY from the source's transaction log, never recomputed.
+
+Why this is the 100 TB design: a nightly ``GROUP BY`` over a 100 TB fact
+table costs a full scan regardless of how little changed; this refresh
+costs O(rows changed since the cursor) + a stats-pruned MERGE into the
+aggregate table that rewrites only the files whose group-key range the
+delta touches. The machinery composes three existing pieces:
+
+* ``TxnLogTable.read_deltas`` — signed rows (+1 adds / -1 removed-file
+  retractions), so ``sum(_weight * x)`` IS the change each distributive
+  aggregate experienced. Post-image feeds alone cannot retract an
+  updated row's old value; the remove set is exactly the pre-image.
+* ``TxnLogTable.txn_high_water`` — the refresh stamps the source version
+  it folded as its txn batch id on the TARGET table, making the cursor
+  durable, crash-safe and exactly-once: a replayed refresh of the same
+  span is a no-op inside ``merge`` itself, and the cursor is read back
+  from the target's own log (no side-channel state files).
+* ``TxnLogTable.merge`` — the delta lands transactionally; concurrent
+  readers of the aggregate see the old or the new snapshot, never a
+  partial fold.
+
+Groups whose row count reaches zero are deleted (tombstoned through the
+merge's ``delete_col``), so the aggregate never accumulates dead groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
+
+
+class IncrementalAggregate:
+    """Maintain ``SELECT group_col, count(*), sum(c) FOR c IN sum_cols``
+    over a source :class:`TxnLogTable`, refreshed incrementally.
+
+    The target is itself a ``TxnLogTable`` keyed by the group column
+    (ordered by the source version each row was last folded at), so the
+    aggregate inherits snapshot reads, time travel, and history for
+    free — ``DESCRIBE HISTORY`` on the aggregate shows one merge per
+    refresh span.
+    """
+
+    def __init__(
+        self,
+        source: TxnLogTable,
+        path: str,
+        group_col: str,
+        sum_cols: "list[str] | None" = None,
+        app_id: "str | None" = None,
+        **target_kw,
+    ):
+        self.source = source
+        self.group_col = group_col
+        self.sum_cols = list(sum_cols or [])
+        self.app_id = app_id or f"mv:{path.rstrip('/').rsplit('/', 1)[-1]}"
+        self.target = TxnLogTable(
+            source.spark, path, key=group_col, order_col="__v", **target_kw
+        )
+
+    def cursor(self) -> int:
+        """Source version folded so far (-1 before the first refresh) —
+        read from the target's own txn log, so it survives restarts and
+        advances atomically with the data it describes."""
+        return self.target.txn_high_water(self.app_id)
+
+    def _sum_alias(self, c: str) -> str:
+        return f"sum_{c}"
+
+    def refresh(self) -> "int | None":
+        """Fold source commits ``(cursor, latest]`` into the aggregate.
+        Returns the target version written, or None when already caught
+        up. Replay-safe: the merge carries ``(app_id, batch_id=latest)``,
+        so a duplicate refresh of the same span is skipped inside the
+        commit protocol itself."""
+        spark = self.source.spark
+        v_now = self.source.latest_version()
+        cur = self.cursor()
+        if v_now < 0 or cur >= v_now:
+            return None
+        deltas = self.source.read_deltas(cur).filter(
+            F.col("_commit_version") <= v_now
+        )
+        g = self.group_col
+        agg_exprs = [
+            F.sum("_weight").cast("long").alias("__d_rows"),
+        ] + [
+            F.sum(F.col("_weight") * F.coalesce(F.col(c), F.lit(0)))
+            .alias(f"__d_{c}")
+            for c in self.sum_cols
+        ]
+        grouped = deltas.groupBy(g).agg(*agg_exprs)
+
+        if self.target.latest_version() >= 0:
+            current = self.target.read().select(
+                g,
+                F.col("n_rows").alias("__c_rows"),
+                *[
+                    F.col(self._sum_alias(c)).alias(f"__c_{c}")
+                    for c in self.sum_cols
+                ],
+            )
+            # only groups the delta touches matter; the full-outer keeps
+            # brand-new groups from the delta side (current side rows of
+            # untouched groups never enter the plan: inner-join current
+            # onto the delta's group set)
+            merged = grouped.join(current, g, "left")
+        else:
+            merged = grouped
+            for c in ["__c_rows"] + [f"__c_{c}" for c in self.sum_cols]:
+                merged = merged.withColumn(c, F.lit(None))
+        new_rows = merged.select(
+            g,
+            F.lit(v_now).cast("long").alias("__v"),
+            (F.coalesce(F.col("__c_rows"), F.lit(0)) + F.col("__d_rows"))
+            .cast("long")
+            .alias("n_rows"),
+            *[
+                (
+                    F.coalesce(F.col(f"__c_{c}"), F.lit(0.0))
+                    + F.col(f"__d_{c}")
+                ).alias(self._sum_alias(c))
+                for c in self.sum_cols
+            ],
+        ).withColumn("__deleted", F.col("n_rows") <= 0)
+        self.target.merge(
+            new_rows,
+            delete_col="__deleted",
+            txn={"app_id": self.app_id, "batch_id": int(v_now)},
+        )
+        return self.target.latest_version()
+
+    def read(self) -> DataFrame:
+        """Current aggregate snapshot (group, n_rows, sum_* columns)."""
+        return self.target.read().drop("__v")
