@@ -715,6 +715,27 @@ class TxnLogTable:
             out = out.unionByName(p)
         return out
 
+    def stream_changes(self, since_version: int = -1) -> DataFrame:
+        """The change feed as a Structured Streaming source: one
+        micro-batch per source commit (available-now replay, commit
+        order preserved). This closes the reference's stream/table dual
+        read (T11 — the same name readable as current state AND as a
+        changelog stream) for the ACID table: ``read()`` is the table
+        side, this is the stream side, and both are views of the same
+        transaction log. Downstream stateful operators (windowed aggs,
+        the sketch automata, ``foreachBatch`` sinks) consume it like any
+        other stream; pair with ``read_deltas``-style cursors for
+        exactly-once hand-off."""
+        from data_pipeline_kafka_ek_spark.streaming import runtime as _rt
+
+        feed = self.read_changes(since_version)
+        n_commits = max(
+            1, len([v for v in self._list_versions() if v > since_version])
+        )
+        return _rt.replayed_stream(
+            self.spark, feed, n_slices=n_commits, order_col="_commit_version"
+        )
+
     def read_deltas(self, since_version: int = -1) -> DataFrame:
         """Signed row deltas for commits after ``since_version``: rows of
         ADDED files carry ``_weight`` +1, rows of REMOVED files -1, so

@@ -798,3 +798,42 @@ def test_incremental_aggregate_equals_recompute(spark, tmp_path):
     )
     assert mv2.cursor() == mv.cursor() == src.latest_version()
     assert mv2.refresh() is None
+
+
+def test_stream_changes_replays_commit_feed(spark, tmp_path):
+    """stream_changes: the ACID table's T11 dual read — the change feed
+    consumed as a real Structured Streaming source, one micro-batch per
+    commit in commit order, such that a streaming stateful aggregate
+    over it equals the batch aggregate over read_changes."""
+    from data_pipeline_kafka_ek_spark.streaming import runtime
+
+    t = _table(spark, tmp_path, files_per_commit=1)
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(10 * i + j, 1, f"v{i}{j}") for j in range(4)],
+                "k long, seq long, v string",
+            )
+        )
+    t.merge(spark.createDataFrame([(0, 9, "upd")], "k long, seq long, v string"))
+
+    stream = t.stream_changes(-1)
+    assert stream.isStreaming
+    got = runtime.run_available_now(
+        stream.groupBy("_commit_version").count(), output_mode="complete"
+    )
+    per_commit = {r._commit_version: r["count"] for r in got.collect()}
+    batch = {
+        r._commit_version: r.n
+        for r in t.read_changes(-1)
+        .groupBy("_commit_version")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_commit == batch and set(per_commit) == {0, 1, 2, 3}
+    # cursor-style consumption: only commits past the cursor replay
+    tail = runtime.run_available_now(
+        t.stream_changes(2).groupBy("_commit_version").count(),
+        output_mode="complete",
+    )
+    assert {r._commit_version for r in tail.collect()} == {3}
