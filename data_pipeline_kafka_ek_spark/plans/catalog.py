@@ -906,6 +906,8 @@ DRIVER_ROTATION_ROUND = 8
 # were consumed by the six r7 late registrations + the 44-of-48 r5 tier.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_events_heavy_hitters",
+    "h18_large_volume_customers",
+    "h21_waiting_supplier",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact
@@ -996,8 +998,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
-    # registered after the r8 window filled: no driver row yet, locally
-    # oracle-green, first in line with the overflow for r9
+    # registered after the r8 window filled (heavy-hitters batch twin,
+    # Q18/Q21 plan families): no driver row yet, locally oracle-green,
+    # first in line with the overflow for r9
     *REGISTERED_AFTER_WINDOW,
     # the four-entry overflow (see WINDOW_OVERFLOW above): last green r5,
     # exactly one round past the bound, next window's first tier

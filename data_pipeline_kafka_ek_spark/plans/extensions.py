@@ -4932,3 +4932,136 @@ def x_events_heavy_hitters(spark, sf_dir):
             (F.col("c") * 9 > F.col("n")).alias("mg_guaranteed"),
         )
     )
+
+
+@register(
+    "h18_large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(b.total_qty AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    ORDER BY b.total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    survey_ids=("A1", "J1", "L4"),
+    doc="TPC-H Q18-shaped large-volume-customer report: aggregate the "
+    "fact, HAVING-filter to the rare heavy orders, then join the "
+    "survivors BACK to orders and customer — the "
+    "aggregate-then-semi-join-back plan family Q18 exists to exercise. "
+    "Scale shape: one fact shuffle for the per-order quantity sum "
+    "(partial map-side), after which the HAVING survivors are tiny and "
+    "BROADCAST into orders (no second fact-sized shuffle), customer "
+    "joins broadcast, and the top-20 is a TakeOrdered. Quantities are "
+    "integer-valued doubles, so the sums and the >200 threshold are "
+    "exact on both engines.",
+)
+def h18_large_volume(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return (
+        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "h21_waiting_supplier",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey IS DISTINCT FROM l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey IS DISTINCT FROM l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+    survey_ids=("A1", "J1", "F5", "L4"),
+    doc="TPC-H Q21-shaped waiting-supplier report (l_shipdate 30+ days "
+    "past order date stands in for the receipt-commit lateness; the "
+    "reference schema has no receiptdate): suppliers who were the SOLE "
+    "late supplier on a multi-supplier finished order. The oracle keeps "
+    "Q21's literal double correlation (EXISTS + NOT EXISTS against the "
+    "same fact); the Spark plan REFORMULATES it as one per-order "
+    "aggregation — distinct suppliers, distinct LATE suppliers, and "
+    "the single late suppkey captured in the same pass — because two "
+    "correlated re-scans of a 100 TB fact is exactly the plan you "
+    "cannot run. One orderkey join + one grouped shuffle replaces both "
+    "correlations; rows with NULL suppkey count via the null-safe "
+    "distinct-from in the oracle and a when() guard here. Supplier "
+    "lookup broadcasts; top-10 is a TakeOrdered.",
+)
+def h21_waiting_supplier(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey", late.alias("__late")
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__ns"),
+        (F.max(F.col("l_suppkey").isNull().cast("int")) == 1).alias("__has_null"),
+        F.count_distinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("__nl"),
+        (
+            F.max((F.col("__late") & F.col("l_suppkey").isNull()).cast("int")) == 1
+        ).alias("__null_late"),
+        F.max(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__late_supp"),
+        # Q21's count(*) counts qualifying LINE ITEMS, not orders: when
+        # the sole late supplier shipped several late lines in one order,
+        # each line waits
+        F.sum(F.col("__late").cast("int")).alias("__n_late_rows"),
+    )
+    # the sole late supplier of a multi-supplier order: distinct-supplier
+    # count must include the NULL "supplier" (IS DISTINCT FROM semantics
+    # in the oracle), and a late NULL row disqualifies soleness
+    waiting = per_order.filter(
+        ((F.col("__ns") + F.col("__has_null").cast("int")) > 1)
+        & (F.col("__nl") == 1)
+        & ~F.col("__null_late")
+    )
+    return (
+        waiting.join(
+            F.broadcast(s), waiting["__late_supp"] == s["s_suppkey"]
+        )
+        .groupBy("s_name")
+        .agg(F.sum("__n_late_rows").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )

@@ -85,6 +85,8 @@ JOIN_QUERIES = [
     "h10_returned_item_revenue",
     "h14_promo_revenue_share",
     "h16_supplier_part_breadth",
+    "h18_large_volume_customers",
+    "h21_waiting_supplier",
 ]
 
 WORDS = ["the", "cat", "sat", "mat", "on", "a", "and", "données", "测试", "naïve"]

@@ -317,3 +317,22 @@ def test_h16_broadcasts_and_two_phase_distinct(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 2, p
     assert _shuffles(p) <= 2, p
     assert "TakeOrdered" in p, p
+
+
+def test_h18_h21_plan_shapes(spark, sf_dir):
+    """Q18: one fact shuffle for the per-order sum, HAVING survivors
+    broadcast back (no second fact shuffle), top-20 as TakeOrdered.
+    Q21: the double EXISTS correlation must stay a single per-order
+    aggregation — never correlated re-scans of the fact — with the
+    supplier lookup broadcast and top-10 as TakeOrdered."""
+    p18 = _plan(em.queries()["h18_large_volume_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p18
+    assert p18.count("BroadcastHashJoin") >= 2
+    assert _shuffles(p18) <= 1, p18  # only the per-order aggregation
+
+    p21 = _plan(em.queries()["h21_waiting_supplier"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p21
+    assert "BroadcastHashJoin" in p21
+    # fact scanned for the join once (plus the broadcast sides); the
+    # correlated-subquery formulation would scan lineitem 3x
+    assert p21.count("Scan parquet") <= 3, p21
