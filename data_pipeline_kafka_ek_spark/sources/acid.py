@@ -836,14 +836,27 @@ class TxnLogTable:
         return sorted(out)
 
     def vacuum(
-        self, retain_versions: int = 10, retain_tmp_s: float = 3600.0
+        self,
+        retain_versions: int = 10,
+        retain_tmp_s: float = 3600.0,
+        min_age_s: float = 3600.0,
     ) -> "dict[str, int]":
         """Delete data files referenced ONLY by snapshots older than the
         last ``retain_versions`` versions, plus aged orphan temp files.
         Advances the watermark so time travel below it raises cleanly.
         Returns counts. The protected set is the exact union of the
         retained snapshots' canonical add paths — a file shared between an
-        old and a retained snapshot survives."""
+        old and a retained snapshot survives.
+
+        ``min_age_s`` is the concurrent-writer guard (Delta's retention
+        rule): a writer's data files land on disk BEFORE its commit
+        publishes, so a freshly written file is unreferenced-but-live —
+        deleting it would corrupt the commit that is about to reference
+        it (or a commit that published after the protected set was
+        computed). Only files older than ``min_age_s`` are eligible;
+        size it above the longest plausible write-to-publish window."""
+        import time as _time
+
         latest = self.latest_version()
         if latest < 0:
             return {"data_files_deleted": 0, "tmp_files_deleted": 0}
@@ -852,14 +865,20 @@ class TxnLogTable:
         for v in range(wm, latest + 1):
             for a in self._snapshot_adds(v):
                 protected.add(_canon(a["path"]))
+        age_cutoff_ms = (_time.time() - min_age_s) * 1000.0
         fs, jdir = self._fs(f"{self.path}/files")
         deleted = 0
         if fs.exists(jdir):
             doomed = []
             it = fs.listFiles(jdir, True)
             while it.hasNext():
-                p = _canon(it.next().getPath().toString())
-                if p.rsplit("/", 1)[-1].startswith("part-") and p not in protected:
+                st = it.next()
+                p = _canon(st.getPath().toString())
+                if (
+                    p.rsplit("/", 1)[-1].startswith("part-")
+                    and p not in protected
+                    and st.getModificationTime() <= age_cutoff_ms
+                ):
                     doomed.append(p)
             for p in doomed:
                 _, jp = self._fs(p)

@@ -515,7 +515,7 @@ def test_vacuum_retention_and_watermark(spark, tmp_path):
     orphan_tmp = os.path.join(str(tmp_path / "tbl"), "_txn_log", ".tmp-deadbeef")
     with open(orphan_tmp, "w") as fh:
         fh.write("{}")
-    res = t.vacuum(retain_versions=2, retain_tmp_s=0.0)
+    res = t.vacuum(retain_versions=2, retain_tmp_s=0.0, min_age_s=0.0)
     assert res["tmp_files_deleted"] >= 1 and not os.path.exists(orphan_tmp)
     assert res["data_files_deleted"] == 3  # files live only at v0/v1/v2
     # retained versions still read
@@ -525,7 +525,7 @@ def test_vacuum_retention_and_watermark(spark, tmp_path):
     with pytest.raises(ValueError, match="vacuumed"):
         t.read(version=1)
     # a second vacuum is a no-op
-    res2 = t.vacuum(retain_versions=2, retain_tmp_s=0.0)
+    res2 = t.vacuum(retain_versions=2, retain_tmp_s=0.0, min_age_s=0.0)
     assert res2["data_files_deleted"] == 0
 
 
@@ -670,7 +670,7 @@ def test_read_changes_incremental_feed(spark, tmp_path):
     # vacuumed history cannot be replayed
     for i in range(4, 10):
         t.merge(spark.createDataFrame([(2, i + 10, f"s{i}")], "k long, seq long, v string"))
-    t.vacuum(retain_versions=2, retain_tmp_s=0.0)
+    t.vacuum(retain_versions=2, retain_tmp_s=0.0, min_age_s=0.0)
     with pytest.raises(ValueError, match="vacuum"):
         t.read_changes(0)
     # within retention the feed still serves
@@ -890,3 +890,23 @@ def test_concurrent_merges_disjoint_and_overlapping(spark, tmp_path):
     assert _rows(t) == expect
     dup = t.read().groupBy("k").count().filter(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_vacuum_age_guard_protects_inflight_files(spark, tmp_path):
+    """A data file written but not yet referenced by a published commit
+    (the write-then-publish window) must survive vacuum: with the
+    default-style min_age_s, fresh unreferenced files are kept; with
+    min_age_s=0 (maintenance on a quiesced table) they are reclaimed."""
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.merge(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    # simulate an in-flight writer: files on disk, commit not yet published
+    inflight = t._write_data_files(
+        spark.createDataFrame([(2, 1, "pending")], "k long, seq long, v string")
+    )
+    assert inflight
+    res = t.vacuum(retain_versions=1, retain_tmp_s=3600.0, min_age_s=3600.0)
+    assert res["data_files_deleted"] == 0
+    # the in-flight commit can still publish and read correctly
+    v = t.latest_version() + 1
+    assert t._try_commit(v, "append", [{"add": a} for a in inflight], None)
+    assert _rows(t)[2] == (1, "pending")
