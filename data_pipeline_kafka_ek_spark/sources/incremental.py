@@ -45,6 +45,12 @@ class IncrementalAggregate:
     aggregate inherits snapshot reads, time travel, and history for
     free — ``DESCRIBE HISTORY`` on the aggregate shows one merge per
     refresh span.
+
+    Sum semantics are ``SUM(COALESCE(c, 0))``: NULL measures contribute
+    zero, and a group whose measures are all NULL reports 0, not NULL —
+    the only semantics an incremental signed fold can maintain exactly
+    (a NULL-propagating SUM would need per-group non-NULL counts to know
+    when to flip back to NULL).
     """
 
     def __init__(
