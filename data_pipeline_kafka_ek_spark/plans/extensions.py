@@ -4858,8 +4858,12 @@ def x_pipeline_epoch_shuffle(spark, sf_dir):
     "eval self-samples: above sample_cap docs, a deterministic "
     "xxhash64 id-sample (operators/dedup.py::hash_sample) bounds BOTH "
     "sides before any pair join, so a naive invocation on a full-size "
-    "corpus can never go quadratic; the fixture tables sit far below "
-    "the cap, so the driver-checked result stays exact.",
+    "corpus can never go quadratic. ORACLE PARITY BOUNDARY: the SQL "
+    "oracle has no xxhash64, so it always evaluates the FULL corpus — "
+    "the hash contract therefore holds exactly for corpora within "
+    "sample_cap (every checked fixture: sf0.01 is ~5k docs, the fuzz "
+    "corpora ~120); above the cap the query is BY DESIGN a sampled "
+    "estimate of the same recall, and the oracle is not comparable.",
 )
 def x_dedup_recall_eval(spark, sf_dir, sample_cap=50_000):
     docs = dedup.hash_sample(_t(spark, sf_dir, "documents"), sample_cap)
@@ -4957,8 +4961,10 @@ def x_events_heavy_hitters(spark, sf_dir):
     "aggregate-then-semi-join-back plan family Q18 exists to exercise. "
     "Scale shape: one fact shuffle for the per-order quantity sum "
     "(partial map-side), after which the HAVING survivors are tiny and "
-    "BROADCAST into orders (no second fact-sized shuffle), customer "
-    "joins broadcast, and the top-20 is a TakeOrdered. Quantities are "
+    "BROADCAST into orders, and the resulting rare-order set is in turn "
+    "broadcast into customer (the DIMENSION is never the broadcast side "
+    "— at SF100k customer is billions of rows), so no second fact-sized "
+    "shuffle exists and the top-20 is a TakeOrdered. Quantities are "
     "integer-valued doubles, so the sums and the >200 threshold are "
     "exact on both engines.",
 )
@@ -4971,9 +4977,12 @@ def h18_large_volume(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 200)
     )
+    # broadcast DIRECTION matters at scale: the HAVING survivors (and the
+    # orders they select) are the rare side — broadcast THEM into the
+    # full-size customer dimension, never the dimension itself
+    ob = o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
     return (
-        o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        c.join(F.broadcast(ob), ob["o_custkey"] == c["c_custkey"])
         .select(
             "c_custkey",
             "c_name",

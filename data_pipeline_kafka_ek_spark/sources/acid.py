@@ -243,23 +243,29 @@ class TxnLogTable:
                     return cv, body
         return None
 
-    def _snapshot_adds(self, version: "int | None" = None) -> "list[dict]":
-        """Live add actions at ``version`` (default: latest): replay the
-        log from the newest checkpoint at or before it. The log is dense
-        (see ``_write_text_atomic``), so a checkpoint at ``c`` covers
-        exactly the commits ``0..c`` and the tail replay ``c+1..version``
-        misses nothing."""
+    def _fold_log(self, version: "int | None" = None) -> dict:
+        """ONE checkpoint read + ONE tail pass producing the complete
+        table state at ``version`` (default: latest): live adds, per-app
+        txn high-water marks, and the recorded schema JSON. Every
+        metadata consumer (snapshot, schema lookup, txn guard,
+        checkpoint writer) goes through this single fold, so a read
+        never replays the same tail twice. The log is dense (see
+        ``_write_text_atomic``), so a checkpoint at ``c`` covers exactly
+        the commits ``0..c`` and the tail replay ``c+1..version`` misses
+        nothing."""
         versions = self._list_versions()
         if version is None:
-            if not versions:
-                return []
-            version = versions[-1]
+            version = versions[-1] if versions else -1
         live: dict[str, dict] = {}
+        txns: dict[str, int] = {}
+        schema: "str | None" = None
         start = 0
         ckpt = self._base_checkpoint(version)
         if ckpt is not None:
             start = ckpt[0] + 1
             live = {a["path"]: a for a in ckpt[1]["adds"]}
+            txns = {k: int(v) for k, v in ckpt[1].get("txns", {}).items()}
+            schema = ckpt[1].get("schema")
         for v in versions:
             if v < start or v > version:
                 continue
@@ -269,7 +275,17 @@ class TxnLogTable:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
-        return list(live.values())
+            txn = commit.get("txn")
+            if txn:
+                app = txn["app_id"]
+                txns[app] = max(int(txn["batch_id"]), txns.get(app, -1))
+            if commit.get("schema") is not None:
+                schema = commit["schema"]
+        return {"adds": live, "txns": txns, "schema": schema}
+
+    def _snapshot_adds(self, version: "int | None" = None) -> "list[dict]":
+        """Live add actions at ``version`` (default: latest)."""
+        return list(self._fold_log(version)["adds"].values())
 
     def history(self) -> "list[dict]":
         """Commit metadata, oldest first — op, version, txn, file deltas."""
@@ -293,22 +309,7 @@ class TxnLogTable:
         the log tail — O(tail), never O(commits). Doubles as the durable
         CURSOR for incremental consumers that stamp their progress as the
         txn batch id (see ``sources/incremental.py``)."""
-        versions = self._list_versions()
-        if not versions:
-            return -1
-        best = -1
-        start = 0
-        ckpt = self._base_checkpoint(versions[-1])
-        if ckpt is not None:
-            start = ckpt[0] + 1
-            best = int(ckpt[1].get("txns", {}).get(app_id, -1))
-        for v in versions:
-            if v < start:
-                continue
-            txn = self._read_commit(v).get("txn")
-            if txn and txn["app_id"] == app_id:
-                best = max(best, int(txn["batch_id"]))
-        return best
+        return int(self._fold_log()["txns"].get(app_id, -1))
 
     def txn_seen(self, app_id: str, batch_id: int) -> bool:
         """Has ``(app_id, batch_id)`` (or a later batch of the same app)
@@ -318,23 +319,7 @@ class TxnLogTable:
     def _latest_schema(self, version: "int | None" = None) -> "StructType | None":
         """Schema recorded at or before ``version`` (checkpoint + tail),
         or None for a never-written table."""
-        versions = self._list_versions()
-        if not versions:
-            return None
-        if version is None:
-            version = versions[-1]
-        ckpt = self._base_checkpoint(version)
-        start = 0
-        found = None
-        if ckpt is not None:
-            start = ckpt[0] + 1
-            found = ckpt[1].get("schema")
-        for v in versions:
-            if v < start or v > version:
-                continue
-            s = self._read_commit(v).get("schema")
-            if s is not None:
-                found = s
+        found = self._fold_log(version)["schema"]
         return StructType.fromJson(json.loads(found)) if found else None
 
     # -- data-file writing --------------------------------------------------
@@ -356,6 +341,10 @@ class TxnLogTable:
                 F.min(self.key).alias("lo"),
                 F.max(self.key).alias("hi"),
                 F.count(F.lit(1)).alias("n"),
+                # min/max skip NULL keys, so NULL-key presence is its own
+                # stat: a file of only-NULL keys has lo=hi=None and would
+                # otherwise be unprunable/uncomparable
+                F.sum(F.col(self.key).isNull().cast("long")).alias("nk"),
             )
             .collect()
         )
@@ -367,6 +356,7 @@ class TxnLogTable:
                 "min_key": r["lo"],
                 "max_key": r["hi"],
                 "rows": r["n"],
+                "null_keys": r["nk"],
             }
             for r in sorted(stats, key=lambda r: r["path"])
         ]
@@ -400,29 +390,16 @@ class TxnLogTable:
         misses nothing. Content is a pure function of the immutable
         commits ``0..version`` — two writers racing the same checkpoint
         produce identical bodies and put-if-absent keeps one."""
-        adds = self._snapshot_adds(version)
-        txns: dict[str, int] = {}
-        schema = None
-        ckpt = self._base_checkpoint(version - 1)
-        start = 0
-        if ckpt is not None:
-            start = ckpt[0] + 1
-            txns = {k: int(v) for k, v in ckpt[1].get("txns", {}).items()}
-            schema = ckpt[1].get("schema")
-        for v in self._list_versions():
-            if v < start or v > version:
-                continue
-            c = self._read_commit(v)
-            txn = c.get("txn")
-            if txn:
-                app = txn["app_id"]
-                txns[app] = max(int(txn["batch_id"]), txns.get(app, -1))
-            if c.get("schema") is not None:
-                schema = c["schema"]
+        state = self._fold_log(version)
         self._write_text_atomic(
             f"{self.log_dir}/{version:020d}.checkpoint.json",
             json.dumps(
-                {"version": version, "adds": adds, "txns": txns, "schema": schema}
+                {
+                    "version": version,
+                    "adds": list(state["adds"].values()),
+                    "txns": state["txns"],
+                    "schema": state["schema"],
+                }
             ),
         )
 
@@ -439,6 +416,27 @@ class TxnLogTable:
         if self._try_commit(0, "create", [], None, schema.json()):
             return 0
         return self.latest_version()
+
+    def record_txn(
+        self, app_id: str, batch_id: int, max_retries: int = 20
+    ) -> int:
+        """Publish a data-free commit carrying only a ``(app_id,
+        batch_id)`` txn action — how an incremental consumer advances its
+        durable cursor over a source span that produced no rows to write
+        (e.g. only optimize/create commits). Idempotent: an
+        already-recorded (or later) batch id is a no-op."""
+        if self.txn_seen(app_id, batch_id):
+            return self.latest_version()
+        txn = {"app_id": app_id, "batch_id": int(batch_id)}
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(v, "txn", [], txn):
+                return v
+            if self.txn_seen(app_id, batch_id):
+                return self.latest_version()
+        raise ConcurrentModification(
+            f"record_txn lost the commit race {max_retries} times"
+        )
 
     def append(
         self,
@@ -491,10 +489,30 @@ class TxnLogTable:
             return self.latest_version()
         changes = changes.localCheckpoint(eager=True)
         bounds = changes.agg(
-            F.min(self.key).alias("lo"), F.max(self.key).alias("hi")
+            F.min(self.key).alias("lo"),
+            F.max(self.key).alias("hi"),
+            # min/max skip NULLs: a NULL merge key is a KEY (groupBy/window
+            # semantics), not an absence — track it separately so an
+            # all-NULL change set is not mistaken for an empty one
+            F.max(F.col(self.key).isNull().cast("int")).alias("has_null"),
         ).collect()[0]
-        if bounds["lo"] is None:
+        null_changes = bool(bounds["has_null"])
+        if bounds["lo"] is None and not null_changes:
             return self.latest_version()  # empty change set: no-op
+
+        def _overlaps(a: dict) -> bool:
+            """A live file is touched if its non-NULL key range overlaps
+            the change bounds, or if both sides carry NULL keys. None
+            guards: a file of only-NULL keys has no range (legacy adds
+            without the null_keys stat conservatively count as
+            NULL-carrying)."""
+            if (
+                a["min_key"] is not None
+                and bounds["lo"] is not None
+                and not (a["max_key"] < bounds["lo"] or a["min_key"] > bounds["hi"])
+            ):
+                return True
+            return null_changes and int(a.get("null_keys", 1) or 0) > 0
 
         for attempt in range(max_retries):
             if (
@@ -505,17 +523,17 @@ class TxnLogTable:
                 return self.latest_version()
             base_version = self.latest_version()
             live = self._snapshot_adds(base_version if base_version >= 0 else None)
-            touched = [
-                a
-                for a in live
-                if not (a["max_key"] < bounds["lo"] or a["min_key"] > bounds["hi"])
-            ]
+            touched = [a for a in live if _overlaps(a)]
             if touched:
                 old = self.spark.read.parquet(*[a["path"] for a in touched])
-                # keep rows of untouched keys verbatim; merge the rest
-                keys = changes.select(F.col(self.key)).distinct()
-                untouched_rows = old.join(keys, self.key, "left_anti")
-                contested = old.join(keys, self.key, "left_semi")
+                # keep rows of untouched keys verbatim; merge the rest.
+                # eqNullSafe: plain equality never matches NULL = NULL, so
+                # a NULL-key upsert would both keep the old row (anti-join
+                # passes it) AND write the new one — a duplicate per merge
+                keys = changes.select(F.col(self.key).alias("__mk")).distinct()
+                match = F.col(self.key).eqNullSafe(F.col("__mk"))
+                untouched_rows = old.join(keys, match, "left_anti")
+                contested = old.join(keys, match, "left_semi")
             else:
                 untouched_rows = None
                 contested = None
@@ -640,8 +658,13 @@ class TxnLogTable:
             raise ValueError(
                 f"version {effective} was vacuumed (earliest retained: {wm})"
             )
-        adds = self._snapshot_adds(version)
-        schema = self._latest_schema(version)
+        state = self._fold_log(version)  # ONE checkpoint + tail pass
+        adds = list(state["adds"].values())
+        schema = (
+            StructType.fromJson(json.loads(state["schema"]))
+            if state["schema"]
+            else None
+        )
         if not adds:
             if schema is None:
                 raise ValueError(f"no schema recorded at version {version!r}")
@@ -696,15 +719,31 @@ class TxnLogTable:
                 f"(earliest retained: {wm})"
             )
         parts = []
+        # schema tracked INCREMENTALLY while walking the tail (each commit
+        # is read once; a per-commit _latest_schema would re-fold the log
+        # O(tail) times): seed with the state at the cursor, advance as
+        # commits record evolution
+        schema_json = (
+            self._fold_log(since_version)["schema"] if since_version >= 0 else None
+        )
         for v in self._list_versions():
             if v <= since_version:
                 continue
             c = self._read_commit(v)
+            if c.get("schema") is not None:
+                schema_json = c["schema"]
             paths = [a["add"]["path"] for a in c["actions"] if "add" in a]
             if not paths:
                 continue
+            # pin each commit's files to the schema recorded AT that
+            # commit (pre-evolution files surface NULL for later columns)
+            reader = (
+                self.spark.read.schema(StructType.fromJson(json.loads(schema_json)))
+                if schema_json is not None
+                else self.spark.read
+            )
             parts.append(
-                self.spark.read.parquet(*paths)
+                reader.parquet(*paths)
                 .withColumn("_commit_version", F.lit(v).cast("long"))
                 .withColumn("_commit_op", F.lit(c["op"]))
             )
@@ -712,7 +751,10 @@ class TxnLogTable:
             return self.read_changes(latest)  # typed empty frame
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
+            # allowMissingColumns: a feed spanning a schema-evolution
+            # boundary widens — pre-evolution commits read NULL for the
+            # newer columns, same rule the merge itself applies
+            out = out.unionByName(p, allowMissingColumns=True)
         return out
 
     def stream_changes(self, since_version: int = -1) -> DataFrame:
@@ -767,15 +809,24 @@ class TxnLogTable:
                 f"that vacuum may have reclaimed (earliest safe cursor: {wm})"
             )
         parts = []
+        schema_json = (
+            self._fold_log(since_version)["schema"] if since_version >= 0 else None
+        )
         for v in self._list_versions():
             if v <= since_version:
                 continue
             c = self._read_commit(v)
+            if c.get("schema") is not None:
+                schema_json = c["schema"]
             if c["op"] == "optimize":
                 continue
             added = [a["add"]["path"] for a in c["actions"] if "add" in a]
             removed = [a["remove"]["path"] for a in c["actions"] if "remove" in a]
-            schema = self._latest_schema(v)
+            schema = (
+                StructType.fromJson(json.loads(schema_json))
+                if schema_json is not None
+                else None
+            )
             for paths, w in ((added, 1), (removed, -1)):
                 if not paths:
                     continue
@@ -831,7 +882,11 @@ class TxnLogTable:
         out = []
         for st in fs.listStatus(jdir):
             name = st.getPath().getName()
-            if name.startswith(".tmp-") and st.getModificationTime() <= cutoff_ms:
+            # .tmp- = crashed commit publish; .wm- = crashed vacuum
+            # watermark replace
+            if name.startswith((".tmp-", ".wm-")) and (
+                st.getModificationTime() <= cutoff_ms
+            ):
                 out.append(f"{self.log_dir}/{name}")
         return sorted(out)
 
@@ -866,6 +921,30 @@ class TxnLogTable:
             for a in self._snapshot_adds(v):
                 protected.add(_canon(a["path"]))
         age_cutoff_ms = (_time.time() - min_age_s) * 1000.0
+        # watermark FIRST, deletion second: a vacuum that dies in between
+        # leaves files missing only BELOW the advanced watermark, so reads
+        # still fail with the clean below-watermark ValueError instead of
+        # mid-scan FileNotFound (the ordering the watermark exists for).
+        # Marker write is temp + atomic replace (single writer per vacuum
+        # is the deployment contract; a torn marker degrades to 0, see
+        # _vacuum_watermark)
+        marker = f"{self.log_dir}/_vacuum_watermark"
+        body = json.dumps({"min_version": wm})
+        mfs, mpath = self._fs(marker)
+        if mfs.getUri().getScheme() == "file":
+            import os as _os
+
+            tmp = f"{self.log_dir}/.wm-{uuid.uuid4().hex}"
+            local_tmp = _canon(tmp)
+            with open(local_tmp, "w", encoding="utf-8") as fh:
+                fh.write(body)
+            _os.replace(local_tmp, _canon(marker))
+        else:
+            out = mfs.create(mpath, True)
+            try:
+                out.write(bytearray(body.encode("utf-8")))
+            finally:
+                out.close()
         fs, jdir = self._fs(f"{self.path}/files")
         deleted = 0
         if fs.exists(jdir):
@@ -889,26 +968,6 @@ class TxnLogTable:
             tfs, jp = self._fs(p)
             tfs.delete(jp, False)
             tmp_deleted += 1
-        # watermark: temp + atomic replace (single writer per vacuum is the
-        # deployment contract; a torn marker degrades to 0, see
-        # _vacuum_watermark)
-        marker = f"{self.log_dir}/_vacuum_watermark"
-        body = json.dumps({"min_version": wm})
-        mfs, mpath = self._fs(marker)
-        if mfs.getUri().getScheme() == "file":
-            import os as _os
-
-            tmp = f"{self.log_dir}/.wm-{uuid.uuid4().hex}"
-            local_tmp = _canon(tmp)
-            with open(local_tmp, "w", encoding="utf-8") as fh:
-                fh.write(body)
-            _os.replace(local_tmp, _canon(marker))
-        else:
-            out = mfs.create(mpath, True)
-            try:
-                out.write(bytearray(body.encode("utf-8")))
-            finally:
-                out.close()
         return {"data_files_deleted": deleted, "tmp_files_deleted": tmp_deleted}
 
     def foreach_batch_writer(self, app_id: str, delete_col: "str | None" = None):

@@ -94,6 +94,12 @@ class IncrementalAggregate:
             F.col("_commit_version") <= v_now
         )
         g = self.group_col
+        if deltas.limit(1).count() == 0:
+            # a span of only optimize/create commits produces no deltas:
+            # advance the cursor with a data-free txn commit, else every
+            # future refresh re-replays the same span forever
+            self.target.record_txn(self.app_id, int(v_now))
+            return None
         agg_exprs = [
             F.sum("_weight").cast("long").alias("__d_rows"),
         ] + [

@@ -910,3 +910,96 @@ def test_vacuum_age_guard_protects_inflight_files(spark, tmp_path):
     v = t.latest_version() + 1
     assert t._try_commit(v, "append", [{"add": a} for a in inflight], None)
     assert _rows(t)[2] == (1, "pending")
+
+
+def test_merge_null_keys_upsert_exactly_once(spark, tmp_path):
+    """NULL merge keys are KEYS (groupBy/window semantics), not
+    absences: an all-NULL change set must apply (not be dropped as
+    empty), a NULL-key upsert must replace the old NULL row (null-safe
+    key matching — plain equality duplicated it), and a data file
+    holding ONLY NULL keys (min/max stats both None) must not crash
+    later range pruning."""
+    t = _table(spark, tmp_path, files_per_commit=2)
+    t.merge(
+        spark.createDataFrame(
+            [(None, 1, "n0"), (1, 1, "a"), (2, 1, "b")],
+            "k long, seq long, v string",
+        )
+    )
+    # all-NULL change set: the upsert must land, not no-op
+    t.merge(
+        spark.createDataFrame([(None, 5, "n1")], "k long, seq long, v string")
+    )
+    rows = {r.k: (r.seq, r.v) for r in t.read().collect()}
+    assert rows[None] == (5, "n1") and rows[1] == (1, "a")
+    # exactly one row for the NULL key after repeated upserts
+    t.merge(
+        spark.createDataFrame(
+            [(None, 9, "n2"), (3, 1, "c")], "k long, seq long, v string"
+        )
+    )
+    nulls = t.read().filter(F.col("k").isNull()).collect()
+    assert len(nulls) == 1 and (nulls[0].seq, nulls[0].v) == (9, "n2")
+    # a non-NULL-range merge after NULL-only files exist: no TypeError,
+    # NULL row untouched
+    t.merge(spark.createDataFrame([(1, 9, "a2")], "k long, seq long, v string"))
+    rows = {r.k: (r.seq, r.v) for r in t.read().collect()}
+    assert rows == {None: (9, "n2"), 1: (9, "a2"), 2: (1, "b"), 3: (1, "c")}
+    # NULL-key delete tombstones the row
+    t.merge(
+        spark.createDataFrame(
+            [(None, 11, "gone", True)], "k long, seq long, v string, d boolean"
+        ),
+        delete_col="d",
+    )
+    assert t.read().filter(F.col("k").isNull()).count() == 0
+
+
+def test_change_feed_spans_schema_evolution(spark, tmp_path):
+    """read_changes / stream_changes / read_deltas across an evolution
+    boundary: pre-evolution commits surface NULL for the new column and
+    the union widens instead of raising."""
+    t = _table(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    t.merge(
+        spark.createDataFrame(
+            [(2, 1, "b", 0.5)], "k long, seq long, v string, score double"
+        )
+    )
+    feed = t.read_changes(-1)
+    got = {r.k: (r._commit_version, r.score) for r in feed.collect()}
+    assert got[1] == (0, None) and got[2] == (1, 0.5)
+    deltas = t.read_deltas(-1)
+    assert {r.k for r in deltas.collect()} == {1, 2}
+    from data_pipeline_kafka_ek_spark.streaming import runtime
+
+    rev = runtime.run_available_now(
+        t.stream_changes(-1).groupBy("_commit_version").count(),
+        output_mode="complete",
+    )
+    assert {r._commit_version for r in rev.collect()} == {0, 1}
+
+
+def test_incremental_refresh_advances_cursor_over_datafree_spans(spark, tmp_path):
+    """A span containing only optimize commits yields no deltas; refresh
+    must still advance its durable cursor (via a data-free txn commit)
+    and return None — not loop replaying the span forever."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    src = _table(spark, tmp_path, files_per_commit=1)
+    for i in range(3):
+        src.append(
+            spark.createDataFrame([(i, 1, "g", 1.0)], "k long, seq long, grp string, x double")
+        )
+    mv = IncrementalAggregate(src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"])
+    assert mv.refresh() is not None
+    assert mv.cursor() == src.latest_version()
+    assert src.optimize() is not None  # data-free span for the MV
+    assert mv.refresh() is None
+    assert mv.cursor() == src.latest_version()  # cursor advanced
+    assert mv.refresh() is None  # caught up, no replay loop
+    assert {r.grp: (r.n_rows, r.sum_x) for r in mv.read().collect()} == {
+        "g": (3, 3.0)
+    }
