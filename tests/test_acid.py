@@ -1003,3 +1003,29 @@ def test_incremental_refresh_advances_cursor_over_datafree_spans(spark, tmp_path
     assert {r.grp: (r.n_rows, r.sum_x) for r in mv.read().collect()} == {
         "g": (3, 3.0)
     }
+
+
+def test_read_folds_log_once(spark, tmp_path):
+    """read() must make ONE checkpoint+tail metadata pass (_fold_log):
+    each tail commit file is read at most once per snapshot read — the
+    double-replay shape (adds pass + schema pass) regressed to 2x tail
+    I/O once."""
+    t = _table(spark, tmp_path, checkpoint_interval=5)
+    for i in range(8):  # checkpoint at 5, tail 6..7
+        t.append(
+            spark.createDataFrame([(i, 1, f"v{i}")], "k long, seq long, v string")
+        )
+    reads = []
+    orig = t._read_text
+
+    def counted(p):
+        reads.append(p)
+        return orig(p)
+
+    t._read_text = counted
+    t.read()
+    t._read_text = orig
+    commit_reads = [p for p in reads if p.endswith(".json") and "checkpoint" not in p]
+    assert len(commit_reads) == len(set(commit_reads)), commit_reads
+    ckpt_reads = [p for p in reads if p.endswith(".checkpoint.json")]
+    assert len(ckpt_reads) <= 1, ckpt_reads
