@@ -84,6 +84,10 @@ def main() -> None:
         "x_events_key_skew_profile",
         "h16_supplier_part_breadth",
     }
+    added_r08 = {
+        "h18_large_volume_customers",
+        "h21_waiting_supplier",
+    }
     print(
         json.dumps(
             {
@@ -97,6 +101,7 @@ def main() -> None:
                             v
                             for k, v in timings.items()
                             if k not in added_r04 | added_r06 | added_r07
+                            | added_r08
                         ),
                         3,
                     ),
@@ -108,6 +113,9 @@ def main() -> None:
                     ),
                     "added_in_r07": round(
                         sum(v for k, v in timings.items() if k in added_r07), 3
+                    ),
+                    "added_in_r08": round(
+                        sum(v for k, v in timings.items() if k in added_r08), 3
                     ),
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -4954,6 +4954,7 @@ def x_events_heavy_hitters(spark, sf_dir):
     ORDER BY b.total_qty DESC, o.o_orderkey
     LIMIT 20
     """,
+    bench=True,  # r8 headline addition (added_in_r08 subtotal)
     survey_ids=("A1", "J1", "L4"),
     doc="TPC-H Q18-shaped large-volume-customer report: aggregate the "
     "fact, HAVING-filter to the rare heavy orders, then join the "
@@ -5019,6 +5020,7 @@ def h18_large_volume(spark, sf_dir):
     ORDER BY numwait DESC, s.s_name
     LIMIT 10
     """,
+    bench=True,  # r8 headline addition (added_in_r08 subtotal)
     survey_ids=("A1", "J1", "F5", "L4"),
     doc="TPC-H Q21-shaped waiting-supplier report (l_shipdate 30+ days "
     "past order date stands in for the receipt-commit lateness; the "

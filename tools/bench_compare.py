@@ -56,13 +56,25 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
                 regressions.append(name)
             deltas[name] = {"prior": pq[name], "now": cq[name],
                             "ratio": ratio, "status": status}
+    # totals over the INTERSECTION only: a round that ADDS headline
+    # queries must not read as a regression (and one that drops them must
+    # not read as an improvement) — the raw file totals are kept for
+    # reference, the ratio is shared-set only
+    shared = set(pq) & set(cq)
+    shared_prior = round(sum(pq[n] for n in shared), 3)
+    shared_now = round(sum(cq[n] for n in shared), 3)
     return {
         "metric": "bench_delta_vs_prior",
-        "prior_total": prior.get("value"),
-        "now_total": current.get("value"),
+        "prior_total": shared_prior,
+        "now_total": shared_now,
         "total_ratio": (
-            round(current["value"] / prior["value"], 3)
-            if prior.get("value") and current.get("value") else None
+            round(shared_now / shared_prior, 3) if shared_prior else None
+        ),
+        "file_totals": {
+            "prior": prior.get("value"), "now": current.get("value"),
+        },
+        "added_total": round(
+            sum(cq[n] for n in cq if n not in pq), 3
         ),
         "threshold": threshold,
         "regressions": regressions,
