@@ -888,13 +888,19 @@ def h5(spark, sf_dir):
 #              cannot run the xxhash64 UDF twin, so a window slot can
 #              never turn its row green — the hash gate lives in
 #              tools/check_correctness.py + tests/test_xxh64_twin.py).
+#   r9 window (this round): the attestation debt clears exactly — the
+#              three never-attested r8 late registrations + the four r8
+#              WINDOW_OVERFLOW entries go first, then the full 41-entry
+#              r6-green tier (three rounds stale). 48 must-attest for 50
+#              slots: no overflow, and the two spare slots are consumed
+#              by this round's first new registrations.
 
 # The round this rotation was authored for: the regression test checks that
 # every DRIVER_DEMOTED entry has a driver-green hash row within the two
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
 # promises), pinned here so evidence files landing later don't shift the
 # baseline under the test. Bump when re-authoring the rotation.
-DRIVER_ROTATION_ROUND = 8
+DRIVER_ROTATION_ROUND = 9
 
 # Queries registered AFTER this round's window was already committed to
 # re-attestation work. They sit in DRIVER_DEMOTED without a prior
@@ -902,13 +908,9 @@ DRIVER_ROTATION_ROUND = 8
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r8: the Misra-Gries batch twin, registered after the 50 slots
-# were consumed by the six r7 late registrations + the 44-of-48 r5 tier.
-REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
-    "x_events_heavy_hitters",
-    "h18_large_volume_customers",
-    "h21_waiting_supplier",
-)
+# sf0.01). r9: empty so far — the must-attest arithmetic left two spare
+# window slots, consumed by this round's first two new registrations.
+REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
 
 # Queries whose driver row can NEVER be hash-green: their only exact
 # oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's
@@ -922,95 +924,25 @@ ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
     "x_dedup_minhash_xxh",
 )
 
-# The r8 must-attest set exceeded the 50-slot window by exactly four
-# (54 = 6 never-attested + 48 three-rounds-stale). These four sit ONE
-# round past the R-1/R-2 staleness bound — the least-risky choices: p1/p2
-# are trivial projections transitively covered by the in-window p4 and
-# every scan in the window, f2 is the positive twin of the in-window f1
-# LIKE filter, a8 is a bare count covered by the in-window a1 grouped
-# count. First in line for the r9 window. The rotation test recomputes
-# the excess from the committed CORRECTNESS files and fails if this list
-# is larger than the genuine overflow (or if any entry is more than one
-# round past the bound).
-WINDOW_OVERFLOW: tuple[str, ...] = (
+# r9: the must-attest set fits the window exactly (48 = 3 never-attested
+# + 4 r8-overflow + 41 r6-stale), so there is no overflow this round. The
+# rotation test enforces len(overflow) <= genuine excess = 0.
+WINDOW_OVERFLOW: tuple[str, ...] = ()
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-attested: the three r8 REGISTERED_AFTER_WINDOW entries
+    # (Misra-Gries batch twin, Q18, Q21) — the r8 verdict's #1 ask
+    "x_events_heavy_hitters",
+    "h18_large_volume_customers",
+    "h21_waiting_supplier",
+    # the four r8 WINDOW_OVERFLOW entries (last driver row r5, one round
+    # past the staleness bound — the debt the r8 rotation named)
     "p1_project_columns",
     "p2_star_filter",
     "f2_pattern_filter_positive",
     "a8_count_metric",
-)
-
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-attested: the six r7 REGISTERED_AFTER_WINDOW entries
-    # (threshold sweep, length histogram, key-skew profile, h16, epoch
-    # shuffle, dedup recall eval) — the r7 verdict's #1 ask
-    "x_quality_threshold_sweep",
-    "x_corpus_length_histogram",
-    "x_events_key_skew_profile",
-    "h16_supplier_part_breadth",
-    "x_pipeline_epoch_shuffle",
-    "x_dedup_recall_eval",
-    # the r5-green tier (last driver row r5, three rounds stale), minus
-    # the four WINDOW_OVERFLOW entries — alphabetical within the tier
-    "a1_count_by_group",
-    "a2_a3_windowed_collect",
-    "a3_tumbling_1min_counts",
-    "a5_median_by_group",
-    "a6_date_histogram",
-    "a7_top_terms",
-    "a_cascade_rollup",
-    "f1_pattern_filter_negated",
-    "f5_conjunctive_filter",
-    "f6_left_join_null_reject",
-    "f7_cast_then_compare",
-    "f8_dimension_equality",
-    "f9_window_time_predicate",
-    "j1_enrichment_join",
-    "j1a_join_unfiltered_variant",
-    "l3_l4_sorted_topk",
-    "p4_time_format_projection",
-    "set_except_intersect",
-    "set_union_roundtrip",
-    "t3_hopping_30m15m_counts",
-    "t4_session_5m_counts",
-    "t_streaming_dedup",
-    "t_streaming_stateful_counts",
-    "t_streaming_stream_stream_join",
-    "unhappy_vip_customers",
-    "x7_json_extract",
-    "x8_alert_template",
-    "x_ann_ivf_topk",
-    "x_asof_join",
-    "x_dedup_editdistance",
-    "x_dedup_keep_list",
-    "x_events_cohort_retention",
-    "x_events_funnel",
-    "x_events_sessionize",
-    "x_interval_join",
-    "x_multimodal_features",
-    "x_pipeline_encode",
-    "x_pipeline_hash_split",
-    "x_pipeline_vocab",
-    "x_sketch_quantile_grid",
-    "x_text_bm25",
-    "x_text_redact_pii",
-    "x_text_unigram_logprob",
-    "x_window_running_total",
-)
-
-DRIVER_DEMOTED: tuple[str, ...] = (
-    # registered after the r8 window filled (heavy-hitters batch twin,
-    # Q18/Q21 plan families): no driver row yet, locally oracle-green,
-    # first in line with the overflow for r9
-    *REGISTERED_AFTER_WINDOW,
-    # the four-entry overflow (see WINDOW_OVERFLOW above): last green r5,
-    # exactly one round past the bound, next window's first tier
-    *WINDOW_OVERFLOW,
-    # permanently rows-only in driver files (local-UDF oracle only)
-    *ROWS_ONLY_NO_ORACLE,
-    # every entry below carries an r6 or r7 driver-green hash row in the
-    # committed CORRECTNESS files — the invariant the rotation test
-    # asserts from ground truth; all stay oracle-green in the per-round
-    # full-catalog local runs
+    # the r6-green tier (last driver row r6, three rounds stale at r9),
+    # alphabetical within the tier
     "a_rollup_revenue",
     "h10_returned_item_revenue",
     "h14_promo_revenue_share",
@@ -1052,6 +984,15 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_remove_dup_spans",
     "x_text_repeated_spans",
     "x_window_sliding_stats",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # permanently rows-only in driver files (local-UDF oracle only)
+    *ROWS_ONLY_NO_ORACLE,
+    # every entry below carries an r7 or r8 driver-green hash row in the
+    # committed CORRECTNESS files — the invariant the rotation test
+    # asserts from ground truth; all stay oracle-green in the per-round
+    # full-catalog local runs. r7 tier first, then the r8 tier.
     "a_count_distinct",
     "a_pivot_lang_quality",
     "h1_pricing_summary",
@@ -1101,6 +1042,56 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_quality",
     "x_text_repetition",
     "x_text_token_stats",
+    "a1_count_by_group",
+    "a2_a3_windowed_collect",
+    "a3_tumbling_1min_counts",
+    "a5_median_by_group",
+    "a6_date_histogram",
+    "a7_top_terms",
+    "a_cascade_rollup",
+    "f1_pattern_filter_negated",
+    "f5_conjunctive_filter",
+    "f6_left_join_null_reject",
+    "f7_cast_then_compare",
+    "f8_dimension_equality",
+    "f9_window_time_predicate",
+    "h16_supplier_part_breadth",
+    "j1_enrichment_join",
+    "j1a_join_unfiltered_variant",
+    "l3_l4_sorted_topk",
+    "p4_time_format_projection",
+    "set_except_intersect",
+    "set_union_roundtrip",
+    "t3_hopping_30m15m_counts",
+    "t4_session_5m_counts",
+    "t_streaming_dedup",
+    "t_streaming_stateful_counts",
+    "t_streaming_stream_stream_join",
+    "unhappy_vip_customers",
+    "x7_json_extract",
+    "x8_alert_template",
+    "x_ann_ivf_topk",
+    "x_asof_join",
+    "x_corpus_length_histogram",
+    "x_dedup_editdistance",
+    "x_dedup_keep_list",
+    "x_dedup_recall_eval",
+    "x_events_cohort_retention",
+    "x_events_funnel",
+    "x_events_key_skew_profile",
+    "x_events_sessionize",
+    "x_interval_join",
+    "x_multimodal_features",
+    "x_pipeline_encode",
+    "x_pipeline_epoch_shuffle",
+    "x_pipeline_hash_split",
+    "x_pipeline_vocab",
+    "x_quality_threshold_sweep",
+    "x_sketch_quantile_grid",
+    "x_text_bm25",
+    "x_text_redact_pii",
+    "x_text_unigram_logprob",
+    "x_window_running_total",
 )
 
 
