@@ -51,8 +51,11 @@ def hash_sample(df: DataFrame, cap: int, id_col: str = "doc_id") -> DataFrame:
     n = df.count()
     if n <= cap:
         return df
-    denom = 1_000_000
-    thresh = int(denom * cap / n)
+    # modulus sized so the threshold never truncates to 0 (int() at 1e6
+    # returned an EMPTY sample whenever n > cap * 1e6) and round() keeps
+    # the expected sample size centered on cap instead of biased below it
+    denom = 2**31
+    thresh = max(1, round(denom * cap / n))
     return df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < thresh)
 
 

@@ -78,6 +78,15 @@ class ConcurrentModification(Exception):
     """A competing commit removed or rewrote files this merge depends on."""
 
 
+class CursorAdvanced(ConcurrentModification):
+    """The txn high-water mark for the writer's app_id moved past the
+    value the writer read its input span against — a concurrent consumer
+    of the same app_id already folded (part of) this span, so committing
+    would double-apply it. Raised only when the txn dict carries an
+    ``expect`` entry (see :meth:`TxnLogTable.merge`); the caller should
+    re-read its cursor and restart from the new position."""
+
+
 def _canon(p: str) -> str:
     """Canonical path form for identity comparisons: the ``file:`` scheme
     is stripped (Hadoop prints ``file:/x``, ``input_file_name`` prints
@@ -369,6 +378,10 @@ class TxnLogTable:
         txn: "dict | None",
         schema: "str | None" = None,
     ) -> bool:
+        if txn is not None and "expect" in txn:
+            # ``expect`` is the caller's compare-and-set input, not part of
+            # the durable txn action — strip it from the committed body
+            txn = {k: v for k, v in txn.items() if k != "expect"}
         body = json.dumps(
             {
                 "version": version,
@@ -418,18 +431,37 @@ class TxnLogTable:
         return self.latest_version()
 
     def record_txn(
-        self, app_id: str, batch_id: int, max_retries: int = 20
+        self,
+        app_id: str,
+        batch_id: int,
+        max_retries: int = 20,
+        expect: "int | None" = None,
     ) -> int:
         """Publish a data-free commit carrying only a ``(app_id,
         batch_id)`` txn action — how an incremental consumer advances its
         durable cursor over a source span that produced no rows to write
         (e.g. only optimize/create commits). Idempotent: an
-        already-recorded (or later) batch id is a no-op."""
+        already-recorded (or later) batch id is a no-op. ``expect`` is a
+        compare-and-set on the app's current high-water mark (same
+        contract as :meth:`merge`): raise :class:`CursorAdvanced` when a
+        concurrent consumer of the same app_id moved it first."""
         if self.txn_seen(app_id, batch_id):
             return self.latest_version()
         txn = {"app_id": app_id, "batch_id": int(batch_id)}
         for _ in range(max_retries):
-            v = self.latest_version() + 1
+            base = self.latest_version()
+            if expect is not None:
+                hw = int(
+                    self._fold_log(base if base >= 0 else None)["txns"].get(
+                        app_id, -1
+                    )
+                )
+                if hw != int(expect):
+                    raise CursorAdvanced(
+                        f"txn cursor for {app_id!r} advanced to {hw} "
+                        f"(expected {expect})"
+                    )
+            v = base + 1
             if self._try_commit(v, "txn", [], txn):
                 return v
             if self.txn_seen(app_id, batch_id):
@@ -522,10 +554,41 @@ class TxnLogTable:
             ):
                 return self.latest_version()
             base_version = self.latest_version()
-            live = self._snapshot_adds(base_version if base_version >= 0 else None)
+            state = self._fold_log(base_version if base_version >= 0 else None)
+            # compare-and-set on the txn cursor: when the caller read its
+            # input span at high-water ``expect``, any OTHER writer of the
+            # same app_id landing first makes this merge a double-apply.
+            # The check runs against the same fold the commit attempt is
+            # based on, and a lost publish race loops back here — so the
+            # guard is atomic with the put-if-absent publish itself.
+            if txn is not None and txn.get("expect") is not None:
+                hw = int(state["txns"].get(txn["app_id"], -1))
+                if hw != int(txn["expect"]):
+                    raise CursorAdvanced(
+                        f"txn cursor for {txn['app_id']!r} advanced to {hw} "
+                        f"(expected {txn['expect']}): a concurrent consumer "
+                        "already folded this span"
+                    )
+            live = list(state["adds"].values())
+            base_schema = (
+                StructType.fromJson(json.loads(state["schema"]))
+                if state["schema"]
+                else None
+            )
             touched = [a for a in live if _overlaps(a)]
             if touched:
-                old = self.spark.read.parquet(*[a["path"] for a in touched])
+                # read touched files under the RECORDED schema, not footer
+                # inference: after schema evolution the touched set can mix
+                # pre- and post-widening files, and an arbitrary narrow
+                # footer would silently drop the evolved column from the
+                # rewrite (permanent column loss once vacuum reclaims the
+                # wide originals)
+                reader = (
+                    self.spark.read.schema(base_schema)
+                    if base_schema is not None
+                    else self.spark.read
+                )
+                old = reader.parquet(*[a["path"] for a in touched])
                 # keep rows of untouched keys verbatim; merge the rest.
                 # eqNullSafe: plain equality never matches NULL = NULL, so
                 # a NULL-key upsert would both keep the old row (anti-join
@@ -604,10 +667,20 @@ class TxnLogTable:
             base_version = self.latest_version()
             if base_version < 0:
                 return None
-            live = self._snapshot_adds(base_version)
+            state = self._fold_log(base_version)
+            live = list(state["adds"].values())
             if len(live) <= max(min_files, self.files_per_commit):
                 return None
-            df = self.spark.read.parquet(*[a["path"] for a in live])
+            # recorded schema pins the compaction read — same evolution
+            # hazard as merge: a mixed narrow/wide live set read via footer
+            # inference would rewrite (and record) the narrow schema
+            sch = (
+                StructType.fromJson(json.loads(state["schema"]))
+                if state["schema"]
+                else None
+            )
+            reader = self.spark.read.schema(sch) if sch is not None else self.spark.read
+            df = reader.parquet(*[a["path"] for a in live])
             adds = self._write_data_files(df)
             actions = [{"add": a} for a in adds] + [
                 {"remove": {"path": a["path"]}} for a in live
@@ -658,7 +731,9 @@ class TxnLogTable:
             raise ValueError(
                 f"version {effective} was vacuumed (earliest retained: {wm})"
             )
-        state = self._fold_log(version)  # ONE checkpoint + tail pass
+        # fold at the PINNED version just validated — folding at None would
+        # re-list and could observe a newer latest than the one checked
+        state = self._fold_log(effective)  # ONE checkpoint + tail pass
         adds = list(state["adds"].values())
         schema = (
             StructType.fromJson(json.loads(state["schema"]))
@@ -929,7 +1004,14 @@ class TxnLogTable:
         # is the deployment contract; a torn marker degrades to 0, see
         # _vacuum_watermark)
         marker = f"{self.log_dir}/_vacuum_watermark"
-        body = json.dumps({"min_version": wm})
+        # monotonic clamp: a later vacuum with a LARGER retain_versions
+        # computes a smaller wm; writing it verbatim would move the marker
+        # backwards below versions whose files are already reclaimed, so
+        # those reads would pass the watermark check and die mid-scan with
+        # FileNotFound — the exact failure the marker exists to prevent.
+        # Deletion still uses the newly computed protected set (keeping
+        # MORE files than the marker promises is safe).
+        body = json.dumps({"min_version": max(self._vacuum_watermark(), wm)})
         mfs, mpath = self._fs(marker)
         if mfs.getUri().getScheme() == "file":
             import os as _os

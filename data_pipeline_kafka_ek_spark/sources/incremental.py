@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
+from data_pipeline_kafka_ek_spark.sources.acid import CursorAdvanced, TxnLogTable
 
 
 class IncrementalAggregate:
@@ -79,27 +79,60 @@ class IncrementalAggregate:
     def _sum_alias(self, c: str) -> str:
         return f"sum_{c}"
 
-    def refresh(self) -> "int | None":
+    def _span_has_deltas(self, cur: int, v_now: int) -> bool:
+        """Metadata-only emptiness probe for the span ``(cur, v_now]``:
+        replays the same skip rules ``read_deltas`` applies (optimize
+        commits net to zero; create/txn commits carry no actions) over
+        the commit JSONs alone — zero Spark jobs. A span is non-empty
+        exactly when some surviving commit has an add or remove action,
+        which is exactly when ``read_deltas`` would build a scan."""
+        for v in self.source._list_versions():
+            if v <= cur or v > v_now:
+                continue
+            c = self.source._read_commit(v)
+            if c["op"] == "optimize":
+                continue
+            if any("add" in a or "remove" in a for a in c["actions"]):
+                return True
+        return False
+
+    def refresh(self, max_restarts: int = 3) -> "int | None":
         """Fold source commits ``(cursor, latest]`` into the aggregate.
         Returns the target version written, or None when already caught
-        up. Replay-safe: the merge carries ``(app_id, batch_id=latest)``,
-        so a duplicate refresh of the same span is skipped inside the
-        commit protocol itself."""
-        spark = self.source.spark
+        up. Replay-safe TWO ways: the merge carries ``(app_id,
+        batch_id=latest)`` so a duplicate refresh of the same span is
+        skipped inside the commit protocol itself, and it carries
+        ``expect=cursor`` so a CONCURRENT refresher that read the same
+        cursor cannot double-apply an overlapping span — the loser's
+        commit raises :class:`~.acid.CursorAdvanced` atomically with the
+        publish race and the refresh restarts from the advanced cursor
+        (overlap is folded exactly once)."""
+        for _ in range(max_restarts):
+            try:
+                return self._refresh_once()
+            except CursorAdvanced:
+                continue  # re-read the cursor and fold only the remainder
+        raise CursorAdvanced(
+            f"refresh restarted {max_restarts} times without winning the "
+            "cursor race"
+        )
+
+    def _refresh_once(self) -> "int | None":
         v_now = self.source.latest_version()
         cur = self.cursor()
         if v_now < 0 or cur >= v_now:
             return None
+        g = self.group_col
+        if not self._span_has_deltas(cur, v_now):
+            # a span of only optimize/create commits produces no deltas:
+            # advance the cursor with a data-free txn commit (zero Spark
+            # jobs — the probe above is metadata-only), else every future
+            # refresh re-replays the same span forever
+            self.target.record_txn(self.app_id, int(v_now), expect=cur)
+            return None
         deltas = self.source.read_deltas(cur).filter(
             F.col("_commit_version") <= v_now
         )
-        g = self.group_col
-        if deltas.limit(1).count() == 0:
-            # a span of only optimize/create commits produces no deltas:
-            # advance the cursor with a data-free txn commit, else every
-            # future refresh re-replays the same span forever
-            self.target.record_txn(self.app_id, int(v_now))
-            return None
         agg_exprs = [
             F.sum("_weight").cast("long").alias("__d_rows"),
         ] + [
@@ -144,7 +177,14 @@ class IncrementalAggregate:
         self.target.merge(
             new_rows,
             delete_col="__deleted",
-            txn={"app_id": self.app_id, "batch_id": int(v_now)},
+            txn={
+                "app_id": self.app_id,
+                "batch_id": int(v_now),
+                # compare-and-set: abort (and restart) if a concurrent
+                # refresher advanced the cursor past the span start we
+                # read the deltas against
+                "expect": int(cur),
+            },
         )
         return self.target.latest_version()
 

@@ -1029,3 +1029,171 @@ def test_read_folds_log_once(spark, tmp_path):
     assert len(commit_reads) == len(set(commit_reads)), commit_reads
     ckpt_reads = [p for p in reads if p.endswith(".checkpoint.json")]
     assert len(ckpt_reads) <= 1, ckpt_reads
+
+
+def test_merge_reads_recorded_schema_after_evolution(spark, tmp_path):
+    """A merge whose touched set mixes pre- and post-evolution files must
+    read them under the RECORDED wide schema, not an arbitrary parquet
+    footer: footer inference from a narrow file silently drops the
+    evolved column from the rewrite (and records the narrowed schema),
+    losing the column permanently once vacuum reclaims the originals."""
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.append(
+        spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], "k long, seq long, v string")
+    )
+    # schema evolution: a non-overlapping merge adds `extra`
+    t.merge(
+        spark.createDataFrame(
+            [(100, 1, "z", "E100"), (101, 1, "y", "E101")],
+            "k long, seq long, v string, extra string",
+        )
+    )
+    # touches BOTH the narrow file (key 1) and the wide file (key 100)
+    t.merge(
+        spark.createDataFrame([(1, 2, "a2"), (100, 2, "z2")], "k long, seq long, v string")
+    )
+    got = t.read()
+    assert "extra" in got.columns
+    by_k = {r.k: r for r in got.collect()}
+    # the untouched-key row of the rewritten wide file keeps its value
+    assert by_k[101].extra == "E101"
+    # contested keys upsert NULL for the missing column (row image IS the change)
+    assert by_k[1].extra is None and by_k[100].extra is None
+    assert by_k[1].v == "a2" and by_k[100].v == "z2"
+
+
+def test_optimize_reads_recorded_schema_after_evolution(spark, tmp_path):
+    """optimize() compacts a mixed narrow/wide live set: same evolution
+    hazard as merge — the rewrite must carry the recorded wide schema."""
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    t.append(spark.createDataFrame([(2, 1, "b")], "k long, seq long, v string"))
+    t.merge(
+        spark.createDataFrame(
+            [(100, 1, "z", "E100")], "k long, seq long, v string, extra string"
+        )
+    )
+    assert t.file_count() == 3
+    assert t.optimize(min_files=1) is not None
+    got = t.read()
+    assert "extra" in got.columns
+    by_k = {r.k: r for r in got.collect()}
+    assert by_k[100].extra == "E100"
+    assert by_k[1].extra is None and by_k[2].extra is None
+    # the compaction commit recorded the wide schema, so future merges
+    # keep evolving from it
+    assert "extra" in [f.name for f in t.read().schema.fields]
+
+
+def test_vacuum_watermark_never_moves_backwards(spark, tmp_path):
+    """A later vacuum with a LARGER retain_versions must not move the
+    watermark below versions whose files were already reclaimed — those
+    reads would pass the check and die mid-scan with FileNotFound."""
+    t = _table(spark, tmp_path, files_per_commit=1)
+    for i in range(5):
+        t.merge(
+            spark.createDataFrame([(1, i + 1, f"s{i}")], "k long, seq long, v string")
+        )
+    t.vacuum(retain_versions=2, retain_tmp_s=0.0, min_age_s=0.0)
+    assert t._vacuum_watermark() == 3
+    # larger retention later: computed wm would be 0 — marker must hold
+    t.vacuum(retain_versions=100, retain_tmp_s=0.0, min_age_s=0.0)
+    assert t._vacuum_watermark() == 3
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=1)
+
+
+def test_txn_expect_guard_rejects_stale_cursor(spark, tmp_path):
+    """merge/record_txn with txn ``expect`` are a compare-and-set on the
+    app's high-water mark: a writer whose input span was read against a
+    stale cursor raises CursorAdvanced instead of double-applying, and
+    the committed txn action never carries the transient ``expect``."""
+    from data_pipeline_kafka_ek_spark.sources.acid import CursorAdvanced
+
+    t = _table(spark, tmp_path)
+    t.append(
+        spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"),
+        txn={"app_id": "mv", "batch_id": 0},
+    )
+    ch = spark.createDataFrame([(1, 2, "b")], "k long, seq long, v string")
+    with pytest.raises(CursorAdvanced):
+        t.merge(ch, txn={"app_id": "mv", "batch_id": 5, "expect": -1})
+    with pytest.raises(CursorAdvanced):
+        t.record_txn("mv", 6, expect=-1)
+    # matching expect commits, and the durable action is expect-free
+    v = t.merge(ch, txn={"app_id": "mv", "batch_id": 5, "expect": 0})
+    commit = json.loads(t._read_text(t._commit_path(v)))
+    assert commit["txn"] == {"app_id": "mv", "batch_id": 5}
+    assert t.txn_high_water("mv") == 5
+    v2 = t.record_txn("mv", 7, expect=5)
+    commit2 = json.loads(t._read_text(t._commit_path(v2)))
+    assert commit2["txn"] == {"app_id": "mv", "batch_id": 7}
+
+
+def test_concurrent_refresh_does_not_double_apply(spark, tmp_path):
+    """The ADVICE race: a refresher that read its cursor BEFORE a
+    concurrent refresh committed passes the batch-id guard (its batch id
+    exceeds the new high-water mark) and would re-fold the span the
+    other refresh already applied. The ``expect`` compare-and-set aborts
+    that commit; refresh() restarts from the advanced cursor and folds
+    only the remainder — aggregate stays equal to a recompute."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    src = _table(spark, tmp_path, files_per_commit=1)
+    src.append(
+        spark.createDataFrame(
+            [(1, 1, "g", 2.0), (2, 1, "h", 3.0)], "k long, seq long, grp string, x double"
+        )
+    )
+    mv1 = IncrementalAggregate(src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"])
+    mv2 = IncrementalAggregate(src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"])
+    assert mv1.refresh() is not None
+    src.append(
+        spark.createDataFrame([(3, 2, "g", 5.0)], "k long, seq long, grp string, x double")
+    )
+    # mv2 read its cursor BEFORE mv1's next commit (simulated: first
+    # cursor() call returns the stale pre-refresh value)
+    stale = -1  # what a refresher that never saw mv1's commit would read
+    real_cursor = mv2.cursor
+    calls = {"n": 0}
+
+    def racing_cursor():
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real_cursor()
+
+    mv2.cursor = racing_cursor
+    mv2.refresh()  # stale attempt -> CursorAdvanced -> restart on remainder
+    assert calls["n"] >= 2
+    got = {r.grp: (r.n_rows, r.sum_x) for r in mv2.read().collect()}
+    assert got == {"g": (2, 7.0), "h": (1, 3.0)}  # NOT double-applied
+
+
+def test_empty_span_refresh_launches_zero_spark_jobs(spark, tmp_path):
+    """A refresh over a span of only optimize/txn commits must detect
+    emptiness from the commit JSONs alone (the actions carry the file
+    sets) — zero Spark jobs — while still advancing the durable cursor."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    src = _table(spark, tmp_path, files_per_commit=1)
+    for i in range(3):
+        src.append(
+            spark.createDataFrame(
+                [(i, 1, "g", 1.0)], "k long, seq long, grp string, x double"
+            )
+        )
+    mv = IncrementalAggregate(src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"])
+    assert mv.refresh() is not None
+    assert src.optimize() is not None  # data-free span for the MV
+    sc = spark.sparkContext
+    sc.setJobGroup("mv-empty-span-probe", "empty-span refresh job count")
+    try:
+        assert mv.refresh() is None
+    finally:
+        sc.setJobGroup("mv-empty-span-probe-done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("mv-empty-span-probe")
+    assert list(jobs) == [], jobs
+    assert mv.cursor() == src.latest_version()
