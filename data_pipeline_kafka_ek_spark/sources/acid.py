@@ -70,7 +70,7 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -113,6 +113,7 @@ class TxnLogTable:
         order_col: str,
         files_per_commit: int = 4,
         checkpoint_interval: int = 10,
+        change_feed: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -120,6 +121,14 @@ class TxnLogTable:
         self.order_col = order_col
         self.files_per_commit = files_per_commit
         self.checkpoint_interval = checkpoint_interval
+        # change_feed=True makes every MERGE also write row-level change
+        # files (pre/post images tagged _change_type) computed from the
+        # join the merge already performs; read_changes/read_deltas then
+        # replay O(changed rows) for that commit instead of re-emitting
+        # every row of the rewritten files. Reading is data-driven (a
+        # commit with cdc actions uses them regardless of this flag), so
+        # feeds spanning the flag being turned on stay correct.
+        self.change_feed = change_feed
         self.log_dir = f"{self.path}/_txn_log"
 
     # -- Hadoop FS plumbing (works on file:/, HDFS) -------------------------
@@ -616,11 +625,12 @@ class TxnLogTable:
             w = Window.partitionBy(self.key).orderBy(
                 F.desc(self.order_col), F.desc("__src")
             )
-            merged = (
+            winners = (
                 ranked.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
-                .drop("__rn", "__src")
+                .drop("__rn")
             )
+            merged = winners.drop("__src")
             if delete_col is not None:
                 merged = merged.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
                 merged = merged.drop(delete_col)
@@ -628,10 +638,17 @@ class TxnLogTable:
                     untouched_rows = untouched_rows.drop(delete_col)
             if untouched_rows is not None:
                 merged = merged.unionByName(untouched_rows, allowMissingColumns=True)
+            cdc_files = (
+                self._write_change_files(winners, contested, delete_col)
+                if self.change_feed
+                else []
+            )
             adds = self._write_data_files(merged)
-            actions = [{"add": a} for a in adds] + [
-                {"remove": {"path": a["path"]}} for a in touched
-            ]
+            actions = (
+                [{"add": a} for a in adds]
+                + [{"remove": {"path": a["path"]}} for a in touched]
+                + [{"cdc": {"path": p}} for p in cdc_files]
+            )
             if self._try_commit(
                 base_version + 1, "merge", actions, txn, merged.schema.json()
             ):
@@ -647,6 +664,103 @@ class TxnLogTable:
         raise ConcurrentModification(
             f"merge lost the commit race {max_retries} times"
         )
+
+    def _write_change_files(
+        self,
+        winners: DataFrame,
+        contested: "DataFrame | None",
+        delete_col: "str | None",
+    ) -> "list[str]":
+        """Materialize this merge's ROW-LEVEL change images (Delta CDF's
+        ``_change_type`` convention: insert / update_preimage /
+        update_postimage / delete) from the per-key winner frame the
+        merge has already computed. Only keys whose table state actually
+        moves appear: keys the change set won, plus keys whose stored
+        duplicates collapse (a blind-append table can hold several rows
+        per key; the merge keeps one winner, so ALL stored rows are the
+        pre-image even when the winner is stored). A key whose single
+        stored row out-ordered the change contributes nothing, and the
+        untouched rows of rewritten files never enter the frame — so
+        the files are O(changed rows), the
+        property that lets a merge touching 1% of a file's rows move 1%
+        of the rows through a downstream incremental refresh. Returns
+        the written part-file paths (referenced from the commit as
+        ``cdc`` actions; attempt files orphaned by a lost commit race
+        are swept by vacuum's change-file pass)."""
+        k = self.key
+        tomb = (
+            F.coalesce(F.col(delete_col), F.lit(False))
+            if delete_col is not None
+            else F.lit(False)
+        )
+        winner = winners.withColumn("__gone", tomb)
+        if delete_col is not None:
+            winner = winner.drop(delete_col)
+        if contested is not None:
+            # per-key stored-row count: a blind-append table can hold
+            # SEVERAL rows per key, and the merge collapses all of them
+            # to the single winner — so a key changes materially when the
+            # change set won it OR when duplicates collapse (even under a
+            # stored winner), and its pre-images are ALL stored rows
+            old_info = contested.groupBy(F.col(k).alias("__ok")).agg(
+                F.count(F.lit(1)).alias("__oldn")
+            )
+            winner = winner.join(
+                old_info, F.col(k).eqNullSafe(F.col("__ok")), "left"
+            ).drop("__ok")
+        else:
+            winner = winner.withColumn("__oldn", F.lit(None).cast("long"))
+        winner = winner.withColumn(
+            "__oldn", F.coalesce(F.col("__oldn"), F.lit(0))
+        )
+        material = winner.filter(
+            (F.col("__src") == 1) | (F.col("__oldn") > 1)
+        )
+        meta_cols = ["__src", "__gone", "__oldn"]
+        post = material.filter(~F.col("__gone"))
+        parts = [
+            post.filter(F.col("__oldn") == 0)
+            .drop(*meta_cols)
+            .withColumn("_change_type", F.lit("insert")),
+            post.filter(F.col("__oldn") > 0)
+            .drop(*meta_cols)
+            .withColumn("_change_type", F.lit("update_postimage")),
+        ]
+        if contested is not None:
+            upd_keys = (
+                material.filter(~F.col("__gone") & (F.col("__oldn") > 0))
+                .select(F.col(k).alias("__uk"))
+            )
+            del_keys = (
+                material.filter(F.col("__gone") & (F.col("__oldn") > 0))
+                .select(F.col(k).alias("__dk"))
+            )
+            parts.append(
+                contested.join(
+                    upd_keys, F.col(k).eqNullSafe(F.col("__uk")), "left_semi"
+                ).withColumn("_change_type", F.lit("update_preimage"))
+            )
+            parts.append(
+                contested.join(
+                    del_keys, F.col(k).eqNullSafe(F.col("__dk")), "left_semi"
+                ).withColumn("_change_type", F.lit("delete"))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        cdc_dir = f"{self.path}/changes/c-{uuid.uuid4().hex}"
+        out.coalesce(self.files_per_commit).write.mode("overwrite").parquet(
+            cdc_dir
+        )
+        fs, jdir = self._fs(cdc_dir)
+        paths = []
+        it = fs.listFiles(jdir, False)
+        while it.hasNext():
+            st = it.next()
+            p = _canon(st.getPath().toString())
+            if p.rsplit("/", 1)[-1].startswith("part-"):
+                paths.append(p)
+        return sorted(paths)
 
     def optimize(self, min_files: int = 2, max_retries: int = 5) -> "int | None":
         """Compaction: rewrite the CURRENT live file set into
@@ -769,15 +883,23 @@ class TxnLogTable:
         persist ``v'``, repeat).
 
         Semantics per op: for ``append`` commits these are exactly the
-        inserted rows; for ``merge``/``optimize`` commits they are the
-        POST-IMAGE of the rewritten key range (upsert-image feed —
-        unchanged rows of rewritten files reappear under the new
-        version, the standard trade of add-file-level change feeds;
-        row-level pre/post change files are the next refinement).
+        inserted rows; for ``merge`` commits with row-level change files
+        (``change_feed=True`` at merge time) they are exactly the
+        changed rows (insert + update post-images — unchanged rows of
+        rewritten files never appear); for legacy add-file-level merges
+        and ``optimize`` they are the POST-IMAGE of the rewritten key
+        range (the whole-file trade this feed's cdc path removes).
         ``create`` commits contribute nothing. Maintenance ops that only
         reorganize bytes (``optimize``) can be skipped by the consumer
         via ``_commit_op``. Raises below the vacuum watermark: reclaimed
-        versions cannot be replayed."""
+        versions cannot be replayed.
+
+        Plan size is O(schema epochs), not O(commits in span): contiguous
+        same-schema commits are read by ONE multi-path scan and each
+        row's ``_commit_version``/``_commit_op`` is recovered from a
+        broadcast path->version map joined on ``input_file_name()`` —
+        a full-history replay over thousands of commits stays a
+        handful of scan nodes."""
         latest = self.latest_version()
         if since_version >= latest:
             schema = self._latest_schema()
@@ -793,7 +915,6 @@ class TxnLogTable:
                 f"changes since {since_version} include vacuumed versions "
                 f"(earliest retained: {wm})"
             )
-        parts = []
         # schema tracked INCREMENTALLY while walking the tail (each commit
         # is read once; a per-commit _latest_schema would re-fold the log
         # O(tail) times): seed with the state at the cursor, advance as
@@ -801,29 +922,35 @@ class TxnLogTable:
         schema_json = (
             self._fold_log(since_version)["schema"] if since_version >= 0 else None
         )
+        groups: "dict[tuple, list]" = {}
         for v in self._list_versions():
             if v <= since_version:
                 continue
             c = self._read_commit(v)
             if c.get("schema") is not None:
                 schema_json = c["schema"]
-            paths = [a["add"]["path"] for a in c["actions"] if "add" in a]
-            if not paths:
-                continue
-            # pin each commit's files to the schema recorded AT that
-            # commit (pre-evolution files surface NULL for later columns)
-            reader = (
-                self.spark.read.schema(StructType.fromJson(json.loads(schema_json)))
-                if schema_json is not None
-                else self.spark.read
-            )
-            parts.append(
-                reader.parquet(*paths)
-                .withColumn("_commit_version", F.lit(v).cast("long"))
-                .withColumn("_commit_op", F.lit(c["op"]))
-            )
-        if not parts:
+            cdc = [a["cdc"]["path"] for a in c["actions"] if "cdc" in a]
+            adds = [a["add"]["path"] for a in c["actions"] if "add" in a]
+            if cdc:
+                # a commit carrying row-level change files replays THEM,
+                # never its (whole-file post-image) adds
+                groups.setdefault(("cdc", schema_json), []).extend(
+                    (p, v, c["op"]) for p in cdc
+                )
+            elif adds:
+                groups.setdefault(("add", schema_json), []).extend(
+                    (p, v, c["op"]) for p in adds
+                )
+        if not groups:
             return self.read_changes(latest)  # typed empty frame
+        parts = []
+        for (kind, sj), entries in groups.items():
+            scan = self._grouped_scan(kind, sj, entries, with_op=True)
+            if kind == "cdc":
+                scan = scan.filter(
+                    F.col("_change_type").isin("insert", "update_postimage")
+                ).drop("_change_type")
+            parts.append(scan)
         out = parts[0]
         for p in parts[1:]:
             # allowMissingColumns: a feed spanning a schema-evolution
@@ -831,6 +958,48 @@ class TxnLogTable:
             # newer columns, same rule the merge itself applies
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def _grouped_scan(
+        self,
+        kind: str,
+        schema_json: "str | None",
+        entries: "list[tuple]",
+        with_op: bool,
+    ) -> DataFrame:
+        """ONE multi-path scan over every file of a (action kind, schema
+        epoch) group, with each row's commit version (and op) recovered
+        by joining canonicalized ``input_file_name()`` against a
+        broadcast path->version map — the construction that keeps feed
+        plans O(schema epochs) instead of O(commits). ``kind='cdc'``
+        widens the recorded schema with the ``_change_type`` tag the
+        change files carry."""
+        sch = (
+            StructType.fromJson(json.loads(schema_json))
+            if schema_json is not None
+            else None
+        )
+        if kind == "cdc" and sch is not None:
+            sch = StructType(
+                list(sch.fields) + [StructField("_change_type", StringType())]
+            )
+        reader = self.spark.read.schema(sch) if sch is not None else self.spark.read
+        map_schema = "__path string, _commit_version long" + (
+            ", _commit_op string" if with_op else ""
+        )
+        pmap = self.spark.createDataFrame(
+            [
+                (p, int(v), str(op))[: 3 if with_op else 2]
+                for (p, v, op) in entries
+            ],
+            map_schema,
+        )
+        scan = reader.parquet(*[p for (p, _, _) in entries]).withColumn(
+            # same normalization as _canon: 'file:///x' and 'file:/x'
+            # both become '/x', matching the stored canonical paths
+            "__path",
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        )
+        return scan.join(F.broadcast(pmap), "__path").drop("__path")
 
     def stream_changes(self, since_version: int = -1) -> DataFrame:
         """The change feed as a Structured Streaming source: one
@@ -865,6 +1034,15 @@ class TxnLogTable:
         identical row sets, so their net delta is zero by construction
         and replaying them would only cost I/O.
 
+        A merge that wrote row-level change files (``change_feed=True``)
+        replays THEM: +1 for insert/update_postimage rows, -1 for
+        update_preimage/delete rows — exactly the row-level delta, so a
+        merge touching 1% of a file's rows moves ~1% of the rows through
+        a downstream fold instead of retracting and re-adding the whole
+        rewritten file. Legacy merges without change files keep the
+        add/remove whole-file form. Same O(schema epochs) plan bound as
+        ``read_changes``.
+
         Stricter vacuum bound than ``read_changes``: a commit's REMOVED
         files were live only BEFORE it, so replaying deltas needs
         ``since_version >= watermark`` (the removed files of commit
@@ -883,10 +1061,10 @@ class TxnLogTable:
                 f"deltas since {since_version} need pre-{wm} file images "
                 f"that vacuum may have reclaimed (earliest safe cursor: {wm})"
             )
-        parts = []
         schema_json = (
             self._fold_log(since_version)["schema"] if since_version >= 0 else None
         )
+        groups: "dict[tuple, list]" = {}
         for v in self._list_versions():
             if v <= since_version:
                 continue
@@ -895,25 +1073,42 @@ class TxnLogTable:
                 schema_json = c["schema"]
             if c["op"] == "optimize":
                 continue
+            cdc = [a["cdc"]["path"] for a in c["actions"] if "cdc" in a]
+            if cdc:
+                groups.setdefault(("cdc", schema_json), []).extend(
+                    (p, v, c["op"]) for p in cdc
+                )
+                continue
             added = [a["add"]["path"] for a in c["actions"] if "add" in a]
             removed = [a["remove"]["path"] for a in c["actions"] if "remove" in a]
-            schema = (
-                StructType.fromJson(json.loads(schema_json))
-                if schema_json is not None
-                else None
+            groups.setdefault(("add", schema_json), []).extend(
+                (p, v, c["op"]) for p in added
             )
-            for paths, w in ((added, 1), (removed, -1)):
-                if not paths:
-                    continue
-                reader = (
-                    self.spark.read.schema(schema) if schema is not None
-                    else self.spark.read
+            groups.setdefault(("remove", schema_json), []).extend(
+                (p, v, c["op"]) for p in removed
+            )
+        parts = []
+        for (kind, sj), entries in groups.items():
+            if not entries:
+                continue
+            scan = self._grouped_scan(kind, sj, entries, with_op=False)
+            if kind == "cdc":
+                scan = scan.withColumn(
+                    "_weight",
+                    F.when(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        ),
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("int"),
+                ).drop("_change_type")
+            else:
+                scan = scan.withColumn(
+                    "_weight", F.lit(1 if kind == "add" else -1).cast("int")
                 )
-                parts.append(
-                    reader.parquet(*paths)
-                    .withColumn("_commit_version", F.lit(v).cast("long"))
-                    .withColumn("_weight", F.lit(w).cast("int"))
-                )
+            parts.append(scan)
         if not parts:
             return self.read_deltas(latest)  # typed empty frame
         out = parts[0]
@@ -989,7 +1184,11 @@ class TxnLogTable:
 
         latest = self.latest_version()
         if latest < 0:
-            return {"data_files_deleted": 0, "tmp_files_deleted": 0}
+            return {
+                "data_files_deleted": 0,
+                "tmp_files_deleted": 0,
+                "change_files_deleted": 0,
+            }
         wm = max(0, latest - retain_versions + 1)
         protected: set[str] = set()
         for v in range(wm, latest + 1):
@@ -1011,7 +1210,8 @@ class TxnLogTable:
         # FileNotFound — the exact failure the marker exists to prevent.
         # Deletion still uses the newly computed protected set (keeping
         # MORE files than the marker promises is safe).
-        body = json.dumps({"min_version": max(self._vacuum_watermark(), wm)})
+        wm_marker = max(self._vacuum_watermark(), wm)
+        body = json.dumps({"min_version": wm_marker})
         mfs, mpath = self._fs(marker)
         if mfs.getUri().getScheme() == "file":
             import os as _os
@@ -1045,12 +1245,46 @@ class TxnLogTable:
                 _, jp = self._fs(p)
                 fs.delete(jp, False)
                 deleted += 1
+        # change-file sweep: row-level cdc files are replayable only for
+        # commits at/above the watermark (read_changes raises below it),
+        # so cdc files referenced only by sub-watermark commits — plus
+        # attempt directories orphaned by lost merge races, which no
+        # commit references at all — are reclaimed once past the same
+        # in-flight age guard as data files
+        cdc_protected: set[str] = set()
+        for v in self._list_versions():
+            if v >= wm_marker:
+                for a in self._read_commit(v)["actions"]:
+                    if "cdc" in a:
+                        cdc_protected.add(_canon(a["cdc"]["path"]))
+        change_deleted = 0
+        cfs, cdir = self._fs(f"{self.path}/changes")
+        if cfs.exists(cdir):
+            doomed_cdc = []
+            it = cfs.listFiles(cdir, True)
+            while it.hasNext():
+                st = it.next()
+                p = _canon(st.getPath().toString())
+                if (
+                    p.rsplit("/", 1)[-1].startswith("part-")
+                    and p not in cdc_protected
+                    and st.getModificationTime() <= age_cutoff_ms
+                ):
+                    doomed_cdc.append(p)
+            for p in doomed_cdc:
+                _, jp = self._fs(p)
+                cfs.delete(jp, False)
+                change_deleted += 1
         tmp_deleted = 0
         for p in self.orphaned_tmp_files(older_than_s=retain_tmp_s):
             tfs, jp = self._fs(p)
             tfs.delete(jp, False)
             tmp_deleted += 1
-        return {"data_files_deleted": deleted, "tmp_files_deleted": tmp_deleted}
+        return {
+            "data_files_deleted": deleted,
+            "tmp_files_deleted": tmp_deleted,
+            "change_files_deleted": change_deleted,
+        }
 
     def foreach_batch_writer(self, app_id: str, delete_col: "str | None" = None):
         """``foreachBatch`` target: exactly-once idempotent MERGE of each

@@ -1197,3 +1197,195 @@ def test_empty_span_refresh_launches_zero_spark_jobs(spark, tmp_path):
     jobs = sc.statusTracker().getJobIdsForGroup("mv-empty-span-probe")
     assert list(jobs) == [], jobs
     assert mv.cursor() == src.latest_version()
+
+
+def test_row_level_change_feed_is_o_changed_rows(spark, tmp_path):
+    """change_feed=True: a merge touching a handful of keys in a large
+    file must move O(changed rows) through read_deltas/read_changes —
+    the pre/post images of the changed keys — never retract-and-re-add
+    the whole rewritten file."""
+    t = TxnLogTable(
+        spark, str(tmp_path / "tbl"), key="k", order_col="seq",
+        files_per_commit=1, change_feed=True,
+    )
+    big = spark.createDataFrame(
+        [(k, 1, f"v{k}") for k in range(400)], "k long, seq long, v string"
+    )
+    t.append(big)  # v0: one 400-row file
+    ch = spark.createDataFrame(
+        [(5, 2, "u5", False), (6, 2, "u6", False), (7, 2, "u7", False),
+         (900, 2, "new", False), (8, 2, None, True)],
+        "k long, seq long, v string, dead boolean",
+    )
+    t.merge(ch, delete_col="dead")  # v1: 3 updates + 1 insert + 1 delete
+    deltas = t.read_deltas(0)
+    rows = deltas.collect()
+    # 3 updates (pre+post) + 1 insert + 1 delete pre-image = 8 rows,
+    # NOT ~800 (whole-file retraction + re-add)
+    assert len(rows) == 8, len(rows)
+    by_weight = {}
+    for r in rows:
+        by_weight.setdefault(r._weight, []).append(r.k)
+    assert sorted(by_weight[1]) == [5, 6, 7, 900]
+    assert sorted(by_weight[-1]) == [5, 6, 7, 8]
+    # post-image feed: only the changed keys' new rows
+    changed = t.read_changes(0)
+    got = {r.k: r.v for r in changed.collect()}
+    assert got == {5: "u5", 6: "u6", 7: "u7", 900: "new"}
+    # the signed fold over the feed reproduces the table's net change
+    assert t.read().count() == 400  # 400 - 1 delete + 1 insert
+    assert deltas.agg(F.sum("_weight")).collect()[0][0] == 0
+
+
+def test_change_file_classification_on_disk(spark, tmp_path):
+    """The cdc files themselves carry Delta-CDF _change_type tags with
+    the right classification per key (insert vs update pre/post vs
+    delete), and a key whose STORED row out-orders the change set
+    contributes no image at all."""
+    t = TxnLogTable(
+        spark, str(tmp_path / "tbl"), key="k", order_col="seq",
+        files_per_commit=1, change_feed=True,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 5, "keep"), (2, 1, "old2"), (3, 1, "old3")],
+            "k long, seq long, v string",
+        )
+    )
+    v = t.merge(
+        spark.createDataFrame(
+            [(1, 2, "loser", False),   # stored seq 5 wins: NO image
+             (2, 2, "new2", False),    # update
+             (3, 2, None, True),       # delete
+             (4, 2, "new4", False)],   # insert
+            "k long, seq long, v string, dead boolean",
+        ),
+        delete_col="dead",
+    )
+    commit = json.loads(t._read_text(t._commit_path(v)))
+    cdc_paths = [a["cdc"]["path"] for a in commit["actions"] if "cdc" in a]
+    assert cdc_paths
+    images = spark.read.parquet(*cdc_paths).collect()
+    tagged = sorted((r.k, r._change_type) for r in images)
+    assert tagged == [
+        (2, "update_postimage"),
+        (2, "update_preimage"),
+        (3, "delete"),
+        (4, "insert"),
+    ]
+    pre = {r.k: r.v for r in images if r._change_type == "update_preimage"}
+    assert pre == {2: "old2"}
+
+
+def test_incremental_refresh_over_change_feed_matches_recompute(spark, tmp_path):
+    """The flagship equivalence again, with the SOURCE writing row-level
+    change files: the incremental fold consumes pre/post images instead
+    of whole-file retractions and still equals a full recompute at every
+    refresh point."""
+    import random
+
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    rng = random.Random(43)
+    src = TxnLogTable(
+        spark, str(tmp_path / "tbl"), key="k", order_col="seq",
+        files_per_commit=2, change_feed=True,
+    )
+    mv = IncrementalAggregate(
+        src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"],
+        files_per_commit=2,
+    )
+
+    def recompute():
+        return {
+            (r.grp): (r.n, r.s)
+            for r in src.read()
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+            .collect()
+        }
+
+    seq = 0
+    schema = "k long, seq long, grp string, x double, dead boolean"
+    for step in range(5):
+        batch = []
+        for _ in range(rng.randint(3, 8)):
+            seq += 1
+            batch.append(
+                (rng.randint(1, 10), seq, rng.choice(["a", "b"]),
+                 float(rng.randint(1, 9)), rng.random() < 0.2)
+            )
+        df = spark.createDataFrame(batch, schema)
+        if step % 3 == 0:
+            src.append(df.drop("dead"))
+        else:
+            src.merge(df, delete_col="dead")
+        mv.refresh()
+        got = {r.grp: (r.n_rows, r.sum_x) for r in mv.read().collect()}
+        assert got == recompute(), f"step {step}"
+
+
+def test_feed_plan_size_bounded_by_schema_epochs(spark, tmp_path):
+    """A feed replaying 200 commits must build O(schema epochs) parquet
+    scan nodes (multi-path scans + a broadcast path->version map), not
+    one scan per commit — the thousand-node union plan a full-history
+    replay used to build."""
+    t = _table(spark, tmp_path, checkpoint_interval=10**6)
+    # fabricate 200 one-file commits from ONE spark write: 200 partitions
+    # -> 200 part files, then hand-author one commit per file
+    base = str(tmp_path / "tbl")
+    data_dir = f"{base}/files/c-fab"
+    df = spark.createDataFrame(
+        [(k, 1, f"v{k}") for k in range(200)], "k long, seq long, v string"
+    )
+    df.repartition(200).write.parquet(data_dir)  # round-robin: 200 1-row files
+    stats = (
+        spark.read.schema(df.schema).parquet(data_dir)
+        .groupBy(F.input_file_name().alias("p"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    narrow = df.schema.json()
+    from pyspark.sql.types import StructType as _ST
+
+    wide = _ST.fromJson(json.loads(narrow)).add("extra", "string").json()
+    n_commits = len(stats)
+    assert n_commits >= 100  # enough one-file commits to make the point
+    per_version_rows = {}
+    for i, r in enumerate(sorted(stats, key=lambda r: r["p"])):
+        from data_pipeline_kafka_ek_spark.sources.acid import _canon
+
+        add = {
+            "path": _canon(r["p"]), "min_key": r["lo"], "max_key": r["hi"],
+            "rows": r["n"], "null_keys": 0,
+        }
+        per_version_rows[i] = r["n"]
+        # schema evolves once halfway: exactly two epochs
+        assert t._try_commit(
+            i, "append", [{"add": add}], None,
+            narrow if i < n_commits // 2 else wide,
+        )
+    assert t.latest_version() == n_commits - 1
+
+    feed = t.read_changes(-1)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 4, f"expected O(epochs) scans, got {n_scans}"
+    rows = feed.collect()
+    assert len(rows) == 200
+    got_per_version = {}
+    for r in rows:
+        got_per_version[r._commit_version] = (
+            got_per_version.get(r._commit_version, 0) + 1
+        )
+    assert got_per_version == per_version_rows  # every row tagged right
+    # rows of the widened epoch surface the evolved column as NULL
+    assert {r.extra for r in rows} == {None}
+
+    deltas = t.read_deltas(-1)
+    dplan = deltas._jdf.queryExecution().executedPlan().toString()
+    assert dplan.count("Scan parquet") <= 4
+    assert deltas.count() == 200
+    assert deltas.agg(F.sum("_weight")).collect()[0][0] == 200
