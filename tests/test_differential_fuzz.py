@@ -403,3 +403,145 @@ def test_streaming_twins_match_oracles_on_adversarial_streams(
     )
     for name in STREAMING_EVENT_QUERIES:
         _compare(spark, con, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# ACID history fuzz: randomized interleaved writer histories, differential
+# against a full recompute (no SQL oracle exists for a transaction log)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
+    """Adversarial ACID histories: two writer threads interleave
+    append / merge (NULL keys, tombstones, schema evolution) / optimize
+    — with vacuum in the mix on the last seed — while an incremental
+    materialized aggregate refreshes concurrently. Invariants, for EVERY
+    interleaving the race produces: the maintained aggregate equals a
+    full recompute of the source, a replayed refresh is a no-op, the
+    cursor is durable across handles, and (when nothing was vacuumed)
+    the signed full-history delta fold reproduces the same aggregate
+    from row-level change files alone."""
+    import random
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_kafka_ek_spark.sources.acid import (
+        ConcurrentModification,
+        TxnLogTable,
+    )
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    rng = random.Random(1000 + seed)
+    with_vacuum = seed == 13
+    src = TxnLogTable(
+        spark, str(tmp_path / "tbl"), key="k", order_col="seq",
+        files_per_commit=2, change_feed=True,
+    )
+    mv = IncrementalAggregate(
+        src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"],
+        files_per_commit=2,
+    )
+    seq_lock = threading.Lock()
+    seq_box = {"n": 0}
+
+    def next_seq():
+        with seq_lock:
+            seq_box["n"] += 1
+            return seq_box["n"]
+
+    def gen_batch(r, evolved):
+        rows = []
+        for _ in range(r.randint(3, 7)):
+            rows.append(
+                (
+                    None if r.random() < 0.12 else r.randint(1, 15),
+                    next_seq(),
+                    None if r.random() < 0.1 else r.choice(["a", "b", "c"]),
+                    float(r.randint(-5, 9)),
+                    r.random() < 0.2,
+                    float(r.randint(0, 3)) if evolved else None,
+                )
+            )
+        cols = "k long, seq long, grp string, x double, dead boolean, y double"
+        df = spark.createDataFrame(rows, cols)
+        if not evolved:
+            df = df.drop("y")
+        return df
+
+    def writer(thread_seed):
+        r = random.Random(thread_seed)
+        for step in range(5):
+            evolved = step >= 3  # schema evolves mid-history
+            df = gen_batch(r, evolved)
+            op = r.random()
+            for attempt in range(6):
+                try:
+                    if op < 0.35:
+                        src.append(df.drop("dead"))
+                    elif op < 0.9:
+                        src.merge(df, delete_col="dead")
+                    else:
+                        src.optimize()
+                    break
+                except ConcurrentModification:
+                    continue
+
+    threads = [
+        threading.Thread(target=writer, args=(2000 + seed * 10 + i,))
+        for i in range(2)
+    ]
+    for th in threads:
+        th.start()
+    # refresh concurrently with the writers (its own restart loop absorbs
+    # cursor races); ignore transient vacuum-bound errors mid-history
+    for _ in range(4):
+        try:
+            mv.refresh()
+        except ValueError:
+            pass
+    for th in threads:
+        th.join()
+    if with_vacuum:
+        mv.refresh()  # cursor to head so vacuum can't strand the replay
+        src.vacuum(retain_versions=3, retain_tmp_s=0.0, min_age_s=0.0)
+    mv.refresh()
+
+    def recompute():
+        return {
+            (r.grp): (r.n, round(r.s, 6))
+            for r in src.read()
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+            .collect()
+        }
+
+    got = {r.grp: (r.n_rows, round(r.sum_x, 6)) for r in mv.read().collect()}
+    assert got == recompute(), f"seed {seed}"
+    # replay idempotence + durable cursor
+    v_final = mv.target.latest_version()
+    assert mv.refresh() is None
+    assert mv.target.latest_version() == v_final
+    mv2 = IncrementalAggregate(
+        src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"],
+        files_per_commit=2,
+    )
+    assert mv2.cursor() == mv.cursor() == src.latest_version()
+    if not with_vacuum:
+        # change-feed consistency: the signed fold of the FULL history's
+        # row-level deltas alone reproduces the aggregate
+        folded = {
+            r.grp: (r.n, round(r.s, 6))
+            for r in src.read_deltas(-1)
+            .groupBy("grp")
+            .agg(
+                F.sum("_weight").cast("long").alias("n"),
+                F.sum(F.col("_weight") * F.coalesce(F.col("x"), F.lit(0.0))).alias("s"),
+            )
+            .filter(F.col("n") > 0)
+            .collect()
+        }
+        assert folded == recompute(), f"seed {seed} delta fold"
