@@ -28,6 +28,11 @@ from data_pipeline_kafka_ek_spark.sources.tables import TABLES, load_table
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # machine-load telemetry: recorded into the JSON so a reviewer (and
+    # tools/bench_compare.py) can adjudicate whether a round-over-round
+    # delta is code or a busy box, instead of inferring it from uniform
+    # per-query inflation after the fact
+    load_start = os.getloadavg()
     spark = get_spark("bench")
 
     # warmup: JVM + parquet footers at the target SF, then one tiny-SF run of
@@ -88,6 +93,7 @@ def main() -> None:
         "h18_large_volume_customers",
         "h21_waiting_supplier",
     }
+    load_end = os.getloadavg()
     print(
         json.dumps(
             {
@@ -119,6 +125,16 @@ def main() -> None:
                     ),
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load": {
+                    # 1m/5m load averages straddling the run + the cpu
+                    # count they normalize against; start_1m reflects
+                    # pre-existing box load, end_5m smooths the run itself
+                    "start_1m": round(load_start[0], 2),
+                    "start_5m": round(load_start[1], 2),
+                    "end_1m": round(load_end[0], 2),
+                    "end_5m": round(load_end[1], 2),
+                    "cpus": os.cpu_count(),
+                },
             }
         )
     )

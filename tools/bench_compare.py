@@ -78,7 +78,43 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
         ),
         "threshold": threshold,
         "regressions": regressions,
+        "load": _load_note(prior, current),
         "queries": deltas,
+    }
+
+
+def _load_note(prior: dict, current: dict) -> "dict | None":
+    """Adjudicate environmental noise: when either run recorded machine
+    load (bench.py's ``load`` block), normalize the pre-run 1-minute
+    average by the cpu count and flag a comparison whose two runs saw
+    materially different box load — per-query ratios from such a pair
+    are environmental until proven otherwise."""
+    lp, lc = prior.get("load"), current.get("load")
+    if not lp or not lc:
+        missing = (
+            "either" if not lp and not lc else "prior" if not lp else "current"
+        )
+        return {"verdict": f"no-load-telemetry-in-{missing}"}
+
+    def norm(entry: dict) -> float:
+        cpus = max(1, int(entry.get("cpus") or 1))
+        return max(
+            float(entry.get("start_1m") or 0.0),
+            float(entry.get("end_5m") or 0.0),
+        ) / cpus
+
+    np_, nc = norm(lp), norm(lc)
+    noisy = abs(nc - np_) >= 0.25 or (
+        max(np_, nc) >= 0.3 and max(np_, nc) >= 2.5 * max(min(np_, nc), 0.04)
+    )
+    return {
+        "prior_norm_load": round(np_, 3),
+        "now_norm_load": round(nc, 3),
+        "verdict": (
+            "load-mismatch: timing ratios may be environmental"
+            if noisy
+            else "comparable"
+        ),
     }
 
 
