@@ -4967,9 +4967,14 @@ def x_events_heavy_hitters(spark, sf_dir):
     "— at SF100k customer is billions of rows), so no second fact-sized "
     "shuffle exists and the top-20 is a TakeOrdered. Quantities are "
     "integer-valued doubles, so the sums and the >200 threshold are "
-    "exact on both engines.",
+    "exact on both engines. The survivor set grows O(SF), so the "
+    "broadcast is SIZE-GUARDED by design rather than by AQE surprise: "
+    "the survivors are localCheckpoint-ed (one fact shuffle, reused by "
+    "both the count and the join), and above broadcast_limit rows the "
+    "hint is dropped so the plan degrades to a shuffle join on the "
+    "already-tiny-relative-to-fact survivor set.",
 )
-def h18_large_volume(spark, sf_dir):
+def h18_large_volume(spark, sf_dir, broadcast_limit=5_000_000):
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -4977,13 +4982,23 @@ def h18_large_volume(spark, sf_dir):
         l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 200)
+        # materialize the survivors ONCE: the count below and the join
+        # both read the checkpoint, never a second fact-sized shuffle
+        .localCheckpoint(eager=True)
     )
+    n_big = big.count()  # O(survivors), served from the checkpoint
+
+    def _rare(df):
+        # explicit guard, not AQE: survivors are O(SF), so past the limit
+        # the broadcast hint is dropped and Spark plans a shuffle join
+        return F.broadcast(df) if n_big <= broadcast_limit else df
+
     # broadcast DIRECTION matters at scale: the HAVING survivors (and the
     # orders they select) are the rare side — broadcast THEM into the
     # full-size customer dimension, never the dimension itself
-    ob = o.join(F.broadcast(big), o["o_orderkey"] == big["l_orderkey"])
+    ob = o.join(_rare(big), o["o_orderkey"] == big["l_orderkey"])
     return (
-        c.join(F.broadcast(ob), ob["o_custkey"] == c["c_custkey"])
+        c.join(_rare(ob), ob["o_custkey"] == c["c_custkey"])
         .select(
             "c_custkey",
             "c_name",
