@@ -941,6 +941,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "p2_star_filter",
     "f2_pattern_filter_positive",
     "a8_count_metric",
+    # r9 registration taking the first spare slot (48 must-attest for 50
+    # slots): the ACID change-feed streaming twin — never attested, its
+    # oracle match is the end-to-end row-level-cdc attestation
+    "t_streaming_acid_changes",
     # the r6-green tier (last driver row r6, three rounds stale at r9),
     # alphabetical within the tier
     "a_rollup_revenue",

@@ -1001,6 +1001,106 @@ def t_streaming_stateful_counts(spark, sf_dir):
 
 
 @register(
+    "t_streaming_acid_changes",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 3 AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT p.*, row_number() OVER (
+          PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+        FROM p
+      ) WHERE rn = 1
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_changes,
+           round(sum(value), 4) AS value_total
+    FROM u GROUP BY user_id
+    """,
+    survey_ids=("T1", "T5", "T7", "T11", "EXT-streaming"),
+    doc="the ACID change feed driving a stateful streaming operator, "
+    "attested end to end: three deterministic CDC batches (purchases "
+    "bucketed by epoch%3, deduped latest-per-user within each) are "
+    "MERGEd into a change_feed TxnLogTable, its transaction log is "
+    "consumed as a Structured Streaming source (stream_changes: one "
+    "micro-batch per commit), and a per-user applyInPandasWithState "
+    "automaton folds the feed into running (n_changes, value_total). "
+    "The oracle counts exactly one post-image per (user, batch "
+    "present) — a match is only possible because the feed is ROW-LEVEL "
+    "(a whole-file post-image feed would re-emit unchanged rows of "
+    "rewritten files and over-count), so this query IS the end-to-end "
+    "attestation of lineage ACID log -> row-level cdc -> stream -> "
+    "stateful agg == batch SQL.",
+)
+def t_streaming_acid_changes(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.pmod(
+            F.floor(F.col("ts").cast("double")).cast("long"), F.lit(3)
+        ).alias("__b"),
+    )
+    wb = Window.partitionBy("user_id", "__b").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    upserts = (
+        p.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        # materialize the deduped upsert set ONCE: each of the three
+        # merges below filters this checkpoint instead of re-running the
+        # events scan + dedup window per batch
+        .localCheckpoint(eager=True)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_acid_feed_")
+    try:
+        t = TxnLogTable(
+            spark,
+            f"{scratch}/tbl",
+            key="user_id",
+            order_col="__b",
+            files_per_commit=2,
+            change_feed=True,
+        )
+        # batch 0 lands as a plain append (the table is empty — merge
+        # machinery buys nothing); batches 1 and 2 are true upsert MERGEs
+        # whose row-level change files the feed replays
+        t.append(upserts.filter(F.col("__b") == 0))
+        for b in (1, 2):
+            t.merge(upserts.filter(F.col("__b") == b))
+        feed = t.stream_changes(-1).select("user_id", "ts", "value")
+        revisions = srt.run_available_now(
+            srt.running_counts_stateful(feed, watermark="3650 days"),
+            output_mode="update",
+        )
+    finally:
+        # the streaming run completed inside this call and the memory-sink
+        # result no longer reads the scratch table
+        shutil.rmtree(scratch, ignore_errors=True)
+    wf = Window.partitionBy("user_id").orderBy(F.desc("event_count"))
+    return (
+        revisions.withColumn("__rn", F.row_number().over(wf))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_count").alias("n_changes"),
+            F.round("value_total", 4).alias("value_total"),
+        )
+    )
+
+
+@register(
     "t_streaming_funnel",
     """
     WITH e AS (
