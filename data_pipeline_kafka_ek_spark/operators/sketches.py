@@ -151,6 +151,106 @@ def kmv_distinct(
     )
 
 
+def kmv_set_ops(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ga,
+    gb,
+    k: int = 64,
+    with_exact: bool = True,
+    n_salt: int = 32,
+) -> DataFrame:
+    """KMV sketch SET OPERATIONS between the two groups ``ga``/``gb``:
+    union cardinality, intersection cardinality and Jaccard estimated
+    from the k-minimum-value sketches alone — the classic KMV identity
+    that any union-sketch element below the union's kth value that
+    appears in BOTH per-group sketches is an intersection witness, so
+    ``J ≈ n_both / k`` and ``|A∩B| ≈ J · D_union``.
+
+    Scale shape: per-group k-smallest is computed in TWO phases — a
+    salted local top-k (``n_salt`` subgroups, each ranking only its own
+    slice) then a global top-k over the ``n_salt·k`` survivors — so no
+    window ever ranks a group's full distinct-value set; the estimate
+    stage then runs on ≤ 2k sketch rows. md5 + lexicographic order keep
+    every intermediate identical across engines, so the approximate
+    result is exactly hash-checkable (one rounded division chain at the
+    end, mirrored operation-for-operation by the SQL oracle).
+
+    Returns ONE row: ``(n_sketch_union, union_est, inter_est,
+    jaccard_est[, union_exact, inter_exact])``. When the union sketch
+    did not fill (< k distinct values) every estimate is exact by
+    construction.
+    """
+    vals = (
+        df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
+        .filter(F.col("v").isNotNull() & F.col("grp").isin(ga, gb))
+        .distinct()
+    )
+    hashed = vals.select("grp", F.md5(F.col("v").cast("string")).alias("h"))
+    salted = hashed.withColumn(
+        "__s", F.pmod(F.xxhash64("h"), F.lit(n_salt))
+    )
+    w_local = Window.partitionBy("grp", "__s").orderBy("h")
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .select("grp", "h")
+    )
+    w_grp = Window.partitionBy("grp").orderBy("h")
+    topk = (
+        local.withColumn("__rn", F.row_number().over(w_grp))
+        .filter(F.col("__rn") <= k)
+        .select("grp", "h")
+    )
+    memb = topk.groupBy("h").agg(
+        F.max((F.col("grp") == F.lit(ga)).cast("int")).alias("in_a"),
+        F.max((F.col("grp") == F.lit(gb)).cast("int")).alias("in_b"),
+    )
+    union_sketch = (
+        memb.withColumn("__rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("__rn") <= k)
+    )
+    stats = union_sketch.agg(
+        F.count("*").alias("n_u"),
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    d_union = F.lit(float(k - 1)) / _hash_frac(F.col("hk"))
+    full = F.col("n_u") >= k
+    out = stats.select(
+        F.col("n_u").cast("long").alias("n_sketch_union"),
+        F.round(
+            F.when(full, d_union).otherwise(F.col("n_u").cast("double"))
+        )
+        .cast("long")
+        .alias("union_est"),
+        F.when(
+            full,
+            F.round(
+                d_union * (F.col("n_both") * F.lit(1.0) / F.col("n_u"))
+            ).cast("long"),
+        )
+        .otherwise(F.col("n_both").cast("long"))
+        .alias("inter_est"),
+        F.round(F.col("n_both") * F.lit(1.0) / F.col("n_u"), 4).alias(
+            "jaccard_est"
+        ),
+    )
+    if not with_exact:
+        return out
+    exu = vals.select("v").distinct().agg(
+        F.count("*").cast("long").alias("union_exact")
+    )
+    exi = (
+        vals.groupBy("v")
+        .agg(F.count_distinct("grp").alias("__g"))
+        .filter(F.col("__g") == 2)
+        .agg(F.count("*").cast("long").alias("inter_exact"))
+    )
+    return out.crossJoin(F.broadcast(exu)).crossJoin(F.broadcast(exi))
+
+
 def quantile_grid(
     df: DataFrame,
     group_col: str,

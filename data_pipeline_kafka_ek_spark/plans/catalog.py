@@ -941,10 +941,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "p2_star_filter",
     "f2_pattern_filter_positive",
     "a8_count_metric",
-    # r9 registration taking the first spare slot (48 must-attest for 50
-    # slots): the ACID change-feed streaming twin — never attested, its
-    # oracle match is the end-to-end row-level-cdc attestation
+    # r9 registrations taking the two spare slots (48 must-attest for 50
+    # slots): the ACID change-feed streaming twin (its oracle match is
+    # the end-to-end row-level-cdc attestation) and the KMV set-operation
+    # sketch — both never attested
     "t_streaming_acid_changes",
+    "x_sketch_kmv_setops",
     # the r6-green tier (last driver row r6, three rounds stale at r9),
     # alphabetical within the tier
     "a_rollup_revenue",

@@ -2581,6 +2581,78 @@ def x_sketch_kmv_distinct(spark, sf_dir):
 
 
 @register(
+    "x_sketch_kmv_setops",
+    """
+    WITH tok AS (
+      SELECT CAST(substr(source, 4) AS INT) % 2 AS g,
+             unnest(list_distinct(string_split(text, ' '))) AS v
+      FROM documents
+    ),
+    vals AS (SELECT DISTINCT g, v FROM tok),
+    hashed AS (SELECT g, md5(v) AS h FROM vals),
+    topk AS (
+      SELECT g, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM hashed)
+      WHERE rn <= 64),
+    memb AS (
+      SELECT h,
+             max(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS in_b
+      FROM topk GROUP BY h),
+    u AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (ORDER BY h) AS rn FROM memb)
+      WHERE rn <= 64),
+    s AS (SELECT count(*) AS n_u, max(h) AS hk,
+                 sum(in_a * in_b) AS n_both FROM u),
+    exu AS (SELECT count(DISTINCT v) AS union_exact FROM vals),
+    exi AS (SELECT count(*) AS inter_exact FROM (
+      SELECT v FROM vals GROUP BY v HAVING count(DISTINCT g) = 2))
+    SELECT CAST(n_u AS BIGINT) AS n_sketch_union,
+           CAST(round(CASE WHEN n_u >= 64
+                THEN 63.0 / (('0x' || substr(hk, 1, 15))::UBIGINT
+                             / power(16, 15))
+                ELSE n_u * 1.0 END) AS BIGINT) AS union_est,
+           CASE WHEN n_u >= 64
+                THEN CAST(round((63.0 / (('0x' || substr(hk, 1, 15))::UBIGINT
+                                         / power(16, 15)))
+                                * (n_both * 1.0 / n_u)) AS BIGINT)
+                ELSE CAST(n_both AS BIGINT) END AS inter_est,
+           round(n_both * 1.0 / n_u, 4) AS jaccard_est,
+           CAST(union_exact AS BIGINT) AS union_exact,
+           CAST(inter_exact AS BIGINT) AS inter_exact
+    FROM s, exu, exi
+    """,
+    survey_ids=("EXT-sketch", "EXT-dedup", "A1"),
+    doc="KMV sketch SET OPERATIONS, k=64: distinct-token union, "
+    "intersection and Jaccard between two corpus halves (sources split "
+    "by parity) estimated from the k-minimum-value sketches alone — the "
+    "cross-corpus overlap-cardinality question ('how much of source B "
+    "is already in A?') answered without ever joining the full token "
+    "sets. Any union-sketch element present in BOTH per-group sketches "
+    "is an intersection witness, so J ~= n_both/k and |A∩B| ~= "
+    "J*D_union — mergeable, one pass, sketch rows only after the "
+    "distinct. Scale shape: per-group k-smallest runs as a salted local "
+    "top-k then a global top-k over n_salt*k survivors, so no window "
+    "ranks a full distinct-token set (operators/sketches.py::"
+    "kmv_set_ops). md5 + lexicographic order + a mirrored rounded "
+    "division chain make the approximate result exactly hash-checkable; "
+    "exact union/intersection ride along so the row attests its own "
+    "error.",
+)
+def x_sketch_kmv_setops(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators import sketches
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(2)).alias("g"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("v"),
+    )
+    return sketches.kmv_set_ops(toks, "g", "v", ga=0, gb=1, k=64)
+
+
+@register(
     "x_sketch_quantile_grid",
     """
     WITH b AS (
