@@ -83,9 +83,22 @@ def kmv_distinct(
     )
     hashed = vals.select("grp", F.md5(F.col("v").cast("string")).alias("h"))
 
+    # two-phase k-smallest (same construction as kmv_set_ops): a salted
+    # local top-k so no window ever ranks a group's FULL distinct-hash
+    # set, then the global top-k over the n_salt*k survivors — the
+    # result is identical (the k smallest of a set are among the k
+    # smallest of any partition of it), only the shuffle shape changes
+    n_salt = 32
+    salted = hashed.withColumn("__s", F.pmod(F.xxhash64("h"), F.lit(n_salt)))
+    w_local = Window.partitionBy("grp", "__s").orderBy("h")
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .select("grp", "h")
+    )
     w = Window.partitionBy("grp").orderBy("h")
     topk = (
-        hashed.withColumn("__rn", F.row_number().over(w))
+        local.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("grp", "h")
     )
