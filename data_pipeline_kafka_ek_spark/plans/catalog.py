@@ -908,9 +908,13 @@ DRIVER_ROTATION_ROUND = 9
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r9: empty so far — the must-attest arithmetic left two spare
-# window slots, consumed by this round's first two new registrations.
-REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
+# sf0.01). r9: the must-attest arithmetic left two spare window slots,
+# consumed by the first two new registrations (t_streaming_acid_changes,
+# x_sketch_kmv_setops, both in DRIVER_PRIORITY); the third registration
+# — the incremental-MV oracle query — landed after the window filled.
+REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
+    "x_acid_incremental_mv",
+)
 
 # Queries whose driver row can NEVER be hash-green: their only exact
 # oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's
@@ -993,6 +997,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
+    # registered after the r9 window filled: no driver row yet, locally
+    # oracle-green, first in line for the r10 window
+    *REGISTERED_AFTER_WINDOW,
     # permanently rows-only in driver files (local-UDF oracle only)
     *ROWS_ONLY_NO_ORACLE,
     # every entry below carries an r7 or r8 driver-green hash row in the

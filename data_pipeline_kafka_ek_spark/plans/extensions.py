@@ -1101,6 +1101,104 @@ def t_streaming_acid_changes(spark, sf_dir):
 
 
 @register(
+    "x_acid_incremental_mv",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS vq,
+             user_id % 5 AS seg,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 3 AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT p.*, row_number() OVER (
+          PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+        FROM p
+      ) WHERE rn = 1
+    ),
+    w AS (
+      SELECT * FROM (
+        SELECT u.*, row_number() OVER (
+          PARTITION BY user_id ORDER BY b DESC, ts DESC, event_id DESC
+        ) AS rw FROM u
+      ) WHERE rw = 1
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(vq) / 10000.0, 4) AS sum_value
+    FROM w GROUP BY seg
+    """,
+    survey_ids=("A4", "T7", "T11", "EXT-streaming"),
+    doc="the incrementally maintained materialized aggregate "
+    "(sources/incremental.py) attested by a SQL oracle, end to end: the "
+    "same three CDC batches as t_streaming_acid_changes land in a "
+    "change_feed TxnLogTable (append + two MERGEs) with a refresh() "
+    "after every commit, so the aggregate is built purely from signed "
+    "row-level delta folds — never a recompute — and its final snapshot "
+    "must equal the oracle's groupBy over the table's end state "
+    "(winner-per-user across batches). Values are pre-scaled to "
+    "integer ten-thousandths so every incremental sum is exact in "
+    "int64 range and the final division is the only float op — the "
+    "fixed-point trick that makes an order-dependent incremental fold "
+    "hash-identical to a one-shot SQL aggregate. The scratch table is "
+    "left on disk until the returned snapshot is collected.",
+)
+def x_acid_incremental_mv(spark, sf_dir):
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+        F.pmod(F.col("user_id"), F.lit(5)).alias("seg"),
+        F.pmod(
+            F.floor(F.col("ts").cast("double")).cast("long"), F.lit(3)
+        ).alias("__b"),
+    )
+    wb = Window.partitionBy("user_id", "__b").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    upserts = (
+        p.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_acid_mv_")
+    src = TxnLogTable(
+        spark,
+        f"{scratch}/tbl",
+        key="user_id",
+        order_col="__b",
+        files_per_commit=2,
+        change_feed=True,
+    )
+    mv = IncrementalAggregate(
+        src, f"{scratch}/mv", group_col="seg", sum_cols=["vq"],
+        files_per_commit=2,
+    )
+    src.append(upserts.filter(F.col("__b") == 0))
+    mv.refresh()
+    for b in (1, 2):
+        src.merge(upserts.filter(F.col("__b") == b))
+        mv.refresh()
+    # the MV snapshot is parquet-backed in the scratch dir, so the dir
+    # stays on disk for the caller's collect (tmp-dir lifecycle)
+    return mv.read().select(
+        "seg",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("sum_vq") / F.lit(10000.0), 4).alias("sum_value"),
+    )
+
+
+@register(
     "t_streaming_funnel",
     """
     WITH e AS (
