@@ -449,3 +449,32 @@ def test_distribution_drift_detects_shift_and_ignores_stable(spark):
     assert "newgroup" not in rows
     # identical distributions -> psi exactly 0 after rounding
     assert rows["stable"].n_baseline == 100 and rows["stable"].n_current == 100
+
+
+def test_kmv_set_ops_exact_when_underfilled_and_estimates_when_full(spark):
+    from data_pipeline_kafka_ek_spark.operators.sketches import kmv_set_ops
+
+    # |A|=30, |B|=25, |A∩B|=15 (values 15..29), |A∪B|=40
+    df = spark.createDataFrame(
+        [("a", i) for i in range(30)] + [("b", i) for i in range(15, 40)],
+        "grp string, v long",
+    )
+    # k above the union size: everything is exact by construction
+    r = kmv_set_ops(df, "grp", "v", ga="a", gb="b", k=64).collect()[0]
+    assert r.n_sketch_union == 40
+    assert r.union_est == 40 and r.union_exact == 40
+    assert r.inter_est == 15 and r.inter_exact == 15
+    assert abs(r.jaccard_est - round(15 / 40, 4)) < 1e-9
+
+    # k below the union size: estimator engages; loose 3/sqrt(k) bands
+    r2 = kmv_set_ops(df, "grp", "v", ga="a", gb="b", k=16).collect()[0]
+    assert r2.n_sketch_union == 16
+    assert abs(r2.union_est - 40) <= 0.75 * 40
+    assert 0.0 <= r2.jaccard_est <= 1.0
+
+    # one side empty: union collapses to A, intersection is zero
+    r3 = kmv_set_ops(
+        df.filter(F.col("grp") == "a"), "grp", "v", ga="a", gb="b", k=64
+    ).collect()[0]
+    assert r3.union_est == 30 and r3.inter_est == 0 and r3.jaccard_est == 0.0
+    assert r3.inter_exact == 0
