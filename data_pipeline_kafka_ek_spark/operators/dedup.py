@@ -123,24 +123,48 @@ def _int_token_sets(sets: DataFrame) -> DataFrame:
     off the candidate-verify stage at 3M pairs, with bit-identical
     output values.
 
-    Id assignment here is a single vocab-sized window — fine while the
-    vocabulary fits one task (fixture through mid scale). At 100 TB the
-    dictionary is not a per-query artifact at all: it is a PERSISTED lake
-    table (token -> id) maintained at ingest alongside the corpus, and
-    the verify stage just joins it — the same pattern warehouses use for
-    dictionary-encoded columns. Determinism of the assignment matters
-    either way: a recomputed partition must reassign identical ids, which
-    row_number over the sorted vocabulary (or a persisted table) gives
-    and a zipWithIndex-style offset scheme does not.
+    Id assignment is SALTED two-phase so no window ever ranks the full
+    vocabulary in one task: tokens hash into 64 salt groups, each group
+    ranks only its own slice, and the group offsets come from a 64-row
+    cumulative sum broadcast back in. The ids are a deterministic pure
+    function of the token set (hash + within-group token order — a
+    recomputed partition reassigns identical ids, unlike a
+    partition-order-dependent zipWithIndex), dense, and bijective —
+    which is all Jaccard needs. At 100 TB the dictionary would be a
+    PERSISTED lake table (token -> id) maintained at ingest alongside
+    the corpus, and the verify stage just joins it — the same pattern
+    warehouses use for dictionary-encoded columns.
     """
     from pyspark.sql import Window
 
-    vocab = (
+    n_salt = 64
+    toks = (
         sets.select(F.explode("toks").alias("tok"))
         .distinct()
+        .withColumn("__s", F.pmod(F.xxhash64("tok"), F.lit(n_salt)))
+    )
+    local = toks.withColumn(
+        "__r", F.row_number().over(Window.partitionBy("__s").orderBy("tok"))
+    )
+    # 64-row cumulative offsets: bounded regardless of vocabulary size
+    offsets = (
+        local.groupBy("__s")
+        .agg(F.max("__r").alias("__n"))
         .withColumn(
-            "tid", F.row_number().over(Window.partitionBy().orderBy("tok"))
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__s").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
         )
+        .select("__s", "__off")
+    )
+    vocab = local.join(F.broadcast(offsets), "__s").select(
+        "tok", (F.col("__off") + F.col("__r")).cast("long").alias("tid")
     )
     return (
         sets.select("doc_id", F.explode("toks").alias("tok"))
