@@ -264,6 +264,126 @@ def kmv_set_ops(
     return out.crossJoin(F.broadcast(exu)).crossJoin(F.broadcast(exi))
 
 
+def kmv_rollup(
+    df: DataFrame,
+    dim_cols: "list[str]",
+    value_col: str,
+    k: int = 64,
+    with_exact: bool = True,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Grouping-sets distinct-count sketches from ONE raw pass: build a
+    KMV sketch per base cell ``(d1, d2)``, then derive the per-``d1``,
+    per-``d2`` and grand-total sketches by MERGING cell sketches (k
+    smallest of their deduped union) — the cascading-rollup shape
+    (``a_cascade_rollup``) applied to a mergeable sketch, so every
+    coarser level reads ≤ k rows per base cell, never the raw data
+    again. The same md5/lexicographic construction as
+    :func:`kmv_distinct` keeps every level exactly hash-checkable.
+
+    Returns one row per (grouping set, key):
+    ``(gset, key, n_sketch, kmv_estimate[, n_exact, rel_err])`` where
+    ``gset`` ∈ {"cell", d1, d2, "all"} and ``key`` is the stringified
+    group value ("d1|d2" for cells, "*" for the grand total).
+    """
+    d1, d2 = dim_cols
+    vals = (
+        df.select(
+            F.col(d1).alias("g1"),
+            F.col(d2).alias("g2"),
+            F.col(value_col).alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .distinct()
+    )
+    hashed = vals.select(
+        "g1", "g2", F.md5(F.col("v").cast("string")).alias("h")
+    )
+    # base cells: salted two-phase k-smallest (no full-cell ranking task)
+    salted = hashed.withColumn("__s", F.pmod(F.xxhash64("h"), F.lit(n_salt)))
+    w_local = Window.partitionBy("g1", "g2", "__s").orderBy("h")
+    local = (
+        salted.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .select("g1", "g2", "h")
+    )
+    w_cell = Window.partitionBy("g1", "g2").orderBy("h")
+    cell = (
+        local.withColumn("__rn", F.row_number().over(w_cell))
+        .filter(F.col("__rn") <= k)
+        .select("g1", "g2", "h")
+    )
+
+    def _topk(rows: DataFrame, part_cols: "list[str]") -> DataFrame:
+        dedup = rows.dropDuplicates(part_cols + ["h"])
+        w = (
+            Window.partitionBy(*part_cols).orderBy("h")
+            if part_cols
+            else Window.orderBy("h")
+        )
+        return (
+            dedup.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .select(*part_cols, "h")
+        )
+
+    def _estimate(sketch: DataFrame, part_cols: "list[str]", gset, key_expr):
+        agg = sketch.groupBy(*part_cols).agg(
+            F.count("*").alias("n_sketch"), F.max("h").alias("hk")
+        )
+        est = F.round(
+            F.when(
+                F.col("n_sketch") < k, F.col("n_sketch").cast("double")
+            ).otherwise(F.lit(float(k - 1)) / _hash_frac(F.col("hk")))
+        ).cast("long")
+        return agg.select(
+            F.lit(gset).alias("gset"),
+            key_expr.alias("key"),
+            F.col("n_sketch").cast("long").alias("n_sketch"),
+            est.alias("kmv_estimate"),
+        )
+
+    cell_key = F.concat_ws("|", F.col("g1").cast("string"), F.col("g2").cast("string"))
+    parts = [
+        _estimate(cell, ["g1", "g2"], "cell", cell_key),
+        _estimate(_topk(cell, ["g1"]), ["g1"], d1, F.col("g1").cast("string")),
+        _estimate(_topk(cell, ["g2"]), ["g2"], d2, F.col("g2").cast("string")),
+        _estimate(_topk(cell, []), [], "all", F.lit("*")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if not with_exact:
+        return out
+    ex_parts = [
+        vals.groupBy("g1", "g2").agg(F.count("*").alias("n_exact")).select(
+            F.lit("cell").alias("gset"), cell_key.alias("key"), "n_exact"
+        ),
+        vals.dropDuplicates(["g1", "v"]).groupBy("g1").agg(
+            F.count("*").alias("n_exact")
+        ).select(F.lit(d1).alias("gset"), F.col("g1").cast("string").alias("key"), "n_exact"),
+        vals.dropDuplicates(["g2", "v"]).groupBy("g2").agg(
+            F.count("*").alias("n_exact")
+        ).select(F.lit(d2).alias("gset"), F.col("g2").cast("string").alias("key"), "n_exact"),
+        vals.select("v").distinct().groupBy().agg(
+            F.count("*").alias("n_exact")
+        ).select(F.lit("all").alias("gset"), F.lit("*").alias("key"), "n_exact"),
+    ]
+    exact = ex_parts[0]
+    for p in ex_parts[1:]:
+        exact = exact.unionByName(p)
+    return out.join(F.broadcast(exact), ["gset", "key"]).select(
+        "gset",
+        "key",
+        "n_sketch",
+        "kmv_estimate",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(
+            (F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+        ).alias("rel_err"),
+    )
+
+
 def quantile_grid(
     df: DataFrame,
     group_col: str,

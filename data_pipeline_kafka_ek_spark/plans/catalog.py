@@ -914,6 +914,7 @@ DRIVER_ROTATION_ROUND = 9
 # — the incremental-MV oracle query — landed after the window filled.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_acid_incremental_mv",
+    "x_sketch_kmv_rollup",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

@@ -2751,6 +2751,85 @@ def x_sketch_kmv_setops(spark, sf_dir):
 
 
 @register(
+    "x_sketch_kmv_rollup",
+    """
+    WITH vals AS (
+      SELECT DISTINCT event_type AS g1,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS g2,
+             user_id AS v
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    hashed AS (SELECT g1, g2, md5(CAST(v AS VARCHAR)) AS h FROM vals),
+    cell AS (
+      SELECT g1, g2, h FROM (
+        SELECT g1, g2, h,
+               row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+        FROM hashed)
+      WHERE rn <= 64),
+    r1 AS (
+      SELECT g1, h FROM (
+        SELECT g1, h, row_number() OVER (PARTITION BY g1 ORDER BY h) AS rn
+        FROM (SELECT DISTINCT g1, h FROM cell))
+      WHERE rn <= 64),
+    r2 AS (
+      SELECT g2, h FROM (
+        SELECT g2, h, row_number() OVER (PARTITION BY g2 ORDER BY h) AS rn
+        FROM (SELECT DISTINCT g2, h FROM cell))
+      WHERE rn <= 64),
+    rall AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM cell))
+      WHERE rn <= 64),
+    sk AS (
+      SELECT 'cell' AS gset, g1 || '|' || g2 AS key,
+             count(*) AS n_sketch, max(h) AS hk FROM cell GROUP BY g1, g2
+      UNION ALL
+      SELECT 'event_type', g1, count(*), max(h) FROM r1 GROUP BY g1
+      UNION ALL
+      SELECT 'day', g2, count(*), max(h) FROM r2 GROUP BY g2
+      UNION ALL
+      SELECT 'all', '*', count(*), max(h) FROM rall),
+    ex AS (
+      SELECT 'cell' AS gset, g1 || '|' || g2 AS key, count(*) AS n_exact
+      FROM vals GROUP BY g1, g2
+      UNION ALL
+      SELECT 'event_type', g1, count(DISTINCT v) FROM vals GROUP BY g1
+      UNION ALL
+      SELECT 'day', g2, count(DISTINCT v) FROM vals GROUP BY g2
+      UNION ALL
+      SELECT 'all', '*', count(DISTINCT v) FROM vals)
+    SELECT s.gset, s.key, CAST(s.n_sketch AS BIGINT) AS n_sketch,
+           CAST(round(CASE WHEN s.n_sketch < 64 THEN s.n_sketch * 1.0
+                ELSE 63.0 / (('0x' || substr(s.hk, 1, 15))::UBIGINT
+                             / power(16, 15)) END) AS BIGINT) AS kmv_estimate,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           round((kmv_estimate - e.n_exact) * 1.0 / e.n_exact, 4) AS rel_err
+    FROM sk s JOIN ex e ON s.gset = e.gset AND s.key = e.key
+    """,
+    survey_ids=("EXT-sketch", "A1", "A4", "A6"),
+    doc="grouping-sets distinct counts from ONE raw pass: a KMV sketch "
+    "per (event_type, day) base cell, then the per-event_type, per-day "
+    "and grand-total sketches derived by MERGING cell sketches (k "
+    "smallest of their deduped union) — the cascading-rollup shape "
+    "(a_cascade_rollup) applied to a mergeable sketch, so every coarser "
+    "level reads <= k rows per base cell and the raw table is scanned "
+    "exactly once however many grouping sets are reported. Base-cell "
+    "k-smallest is salted two-phase (operators/sketches.py::kmv_rollup); "
+    "md5 + lexicographic order keep all four levels exactly "
+    "hash-checkable, and each row carries its exact count + rel_err so "
+    "the sketch attests its own accuracy per grouping set.",
+)
+def x_sketch_kmv_rollup(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators import sketches
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return sketches.kmv_rollup(e, ["event_type", "day"], "user_id", k=64)
+
+
+@register(
     "x_sketch_quantile_grid",
     """
     WITH b AS (
