@@ -1001,6 +1001,79 @@ class TxnLogTable:
         )
         return scan.join(F.broadcast(pmap), "__path").drop("__path")
 
+    def read_row_changes(self, since_version: int = -1) -> DataFrame:
+        """The TYPED row-level change feed (Delta CDF's consumer shape):
+        every row carries ``_change_type`` ∈ {insert, update_preimage,
+        update_postimage, delete} plus ``_commit_version`` — appends
+        surface their rows as ``insert``, merges surface the pre/post
+        images their change files recorded, ``optimize``/``create``
+        contribute nothing. Because ``(key, _commit_version)`` is unique
+        over the {insert, update_postimage, delete} subset, the feed
+        replicates the table: merge that subset into a target keyed the
+        same way with ``order_col="_commit_version"`` and
+        ``delete_col=(_change_type = 'delete')`` and the target
+        converges to this table's state — the ACID-to-ACID replication
+        primitive (proven in tests/test_acid.py).
+
+        STRICT about fidelity: raises if the span contains a merge
+        commit without change files (``change_feed`` was off) — such a
+        commit's row-level deletes are unrecoverable, and silently
+        degrading to whole-file post-images would corrupt a replica.
+        Same O(schema epochs) plan bound as ``read_changes``."""
+        latest = self.latest_version()
+        if since_version >= latest:
+            base = self.read_changes(latest).drop("_commit_op")
+            return base.withColumn("_change_type", F.lit(None).cast("string"))
+        wm = self._vacuum_watermark()
+        if since_version + 1 < wm:
+            raise ValueError(
+                f"row changes since {since_version} include vacuumed "
+                f"versions (earliest retained: {wm})"
+            )
+        schema_json = (
+            self._fold_log(since_version)["schema"] if since_version >= 0 else None
+        )
+        groups: "dict[tuple, list]" = {}
+        for v in self._list_versions():
+            if v <= since_version:
+                continue
+            c = self._read_commit(v)
+            if c.get("schema") is not None:
+                schema_json = c["schema"]
+            if c["op"] == "optimize":
+                continue
+            cdc = [a["cdc"]["path"] for a in c["actions"] if "cdc" in a]
+            adds = [a["add"]["path"] for a in c["actions"] if "add" in a]
+            if cdc:
+                groups.setdefault(("cdc", schema_json), []).extend(
+                    (p, v, c["op"]) for p in cdc
+                )
+            elif c["op"] == "merge" and (
+                adds or any("remove" in a for a in c["actions"])
+            ):
+                raise ValueError(
+                    f"commit {v} is a merge without row-level change "
+                    "files (change_feed was off); its deletes cannot be "
+                    "reconstructed — replay it via read_changes/"
+                    "read_deltas instead"
+                )
+            elif adds:
+                groups.setdefault(("add", schema_json), []).extend(
+                    (p, v, c["op"]) for p in adds
+                )
+        if not groups:
+            return self.read_row_changes(latest)  # typed empty frame
+        parts = []
+        for (kind, sj), entries in groups.items():
+            scan = self._grouped_scan(kind, sj, entries, with_op=False)
+            if kind != "cdc":
+                scan = scan.withColumn("_change_type", F.lit("insert"))
+            parts.append(scan)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
+
     def stream_changes(self, since_version: int = -1) -> DataFrame:
         """The change feed as a Structured Streaming source: one
         micro-batch per source commit (available-now replay, commit

@@ -1389,3 +1389,90 @@ def test_feed_plan_size_bounded_by_schema_epochs(spark, tmp_path):
     assert dplan.count("Scan parquet") <= 4
     assert deltas.count() == 200
     assert deltas.agg(F.sum("_weight")).collect()[0][0] == 200
+
+
+def test_read_row_changes_replicates_table(spark, tmp_path):
+    """The typed row-level feed is a replication primitive: merging its
+    {insert, update_postimage, delete} subset into a target keyed the
+    same way — order_col = _commit_version, delete flag from
+    _change_type — converges the replica to the source state, applied
+    incrementally from a cursor, across schema evolution."""
+    src = TxnLogTable(
+        spark, str(tmp_path / "a"), key="k", order_col="seq",
+        files_per_commit=2, change_feed=True,
+    )
+    dst = TxnLogTable(
+        spark, str(tmp_path / "b"), key="k", order_col="_commit_version",
+        files_per_commit=2,
+    )
+
+    def replicate(cursor: int) -> int:
+        head = src.latest_version()
+        rows = src.read_row_changes(cursor).filter(
+            F.col("_commit_version") <= head
+        )
+        changes = (
+            rows.filter(
+                F.col("_change_type").isin(
+                    "insert", "update_postimage", "delete"
+                )
+            )
+            .withColumn("__dead", F.col("_change_type") == "delete")
+            .drop("_change_type")
+        )
+        dst.merge(changes, delete_col="__dead")
+        return head
+
+    src.append(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], "k long, seq long, v string"
+        )
+    )
+    cur = replicate(-1)
+    src.merge(
+        spark.createDataFrame(
+            [(2, 2, "b2", False), (3, 2, None, True), (4, 2, "d", False)],
+            "k long, seq long, v string, dead boolean",
+        ),
+        delete_col="dead",
+    )
+    # schema evolution mid-stream + another delete wave
+    src.merge(
+        spark.createDataFrame(
+            [(1, 3, "a3", "X", False), (4, 3, None, None, True)],
+            "k long, seq long, v string, extra string, dead boolean",
+        ),
+        delete_col="dead",
+    )
+    cur = replicate(cur)
+    src.optimize(min_files=1)
+    src.merge(
+        spark.createDataFrame(
+            [(5, 4, "e", "Y", False)],
+            "k long, seq long, v string, extra string, dead boolean",
+        ),
+        delete_col="dead",
+    )
+    replicate(cur)
+
+    def state(t):
+        cols = ["k", "seq", "v"]
+        df = t.read()
+        if "extra" in df.columns:
+            cols.append("extra")
+        return {r.k: tuple(r[c] for c in cols[1:]) for r in df.select(*cols).collect()}
+
+    assert state(dst) == state(src)
+    assert state(src) == {
+        1: (3, "a3", "X"),
+        2: (2, "b2", None),
+        5: (4, "e", "Y"),
+    }
+    # strictness: a cdc-less merge in the span is refused, not degraded
+    plain = TxnLogTable(
+        spark, str(tmp_path / "c"), key="k", order_col="seq", files_per_commit=1
+    )
+    plain.append(spark.createDataFrame([(1, 1, "x")], "k long, seq long, v string"))
+    plain.merge(spark.createDataFrame([(1, 2, "y")], "k long, seq long, v string"))
+    with pytest.raises(ValueError, match="without row-level change"):
+        plain.read_row_changes(-1)
