@@ -157,8 +157,9 @@ def kmv_distinct(
         "kmv_estimate",
         F.col("n_exact").cast("long").alias("n_exact"),
         F.round(
-            (F.col("kmv_estimate") - F.col("n_exact"))
-            / F.col("n_exact"),
+            F.try_divide(
+                F.col("kmv_estimate") - F.col("n_exact"), F.col("n_exact")
+            ),
             4,
         ).alias("rel_err"),
     )
@@ -379,7 +380,10 @@ def kmv_rollup(
         "kmv_estimate",
         F.col("n_exact").cast("long").alias("n_exact"),
         F.round(
-            (F.col("kmv_estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+            F.try_divide(
+                F.col("kmv_estimate") - F.col("n_exact"), F.col("n_exact")
+            ),
+            4,
         ).alias("rel_err"),
     )
 

@@ -140,3 +140,22 @@ def test_multimodal_codec_pipeline_empty(empty_docs):
     assert multimodal.audio_sample_features(wavs).count() == 0
     clips = multimodal.synthetic_video_assets(empty_docs)
     assert multimodal.video_motion_features(clips).count() == 0
+
+
+def test_round9_sketch_setops_and_rollup_empty(spark, empty_docs, empty_events):
+    from data_pipeline_kafka_ek_spark.operators import sketches
+
+    toks = empty_docs.select(
+        F.lit(0).alias("g"), F.explode(F.split("text", " ")).alias("v")
+    )
+    r = sketches.kmv_set_ops(toks, "g", "v", ga=0, gb=1, k=8).collect()
+    assert len(r) == 1
+    assert r[0].n_sketch_union == 0 and r[0].union_est == 0
+    assert r[0].union_exact == 0 and r[0].inter_exact == 0
+
+    e = empty_events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    rows = sketches.kmv_rollup(e, ["event_type", "day"], "user_id", k=8).collect()
+    # only the grand-total grouping set exists on an empty input
+    assert {(r.gset, r.key) for r in rows} == {("all", "*")}
+    assert rows[0].n_sketch == 0 and rows[0].kmv_estimate == 0
+    assert rows[0].n_exact == 0 and rows[0].rel_err is None
