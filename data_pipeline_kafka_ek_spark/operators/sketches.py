@@ -285,7 +285,13 @@ def kmv_rollup(
     Returns one row per (grouping set, key):
     ``(gset, key, n_sketch, kmv_estimate[, n_exact, rel_err])`` where
     ``gset`` ∈ {"cell", d1, d2, "all"} and ``key`` is the stringified
-    group value ("d1|d2" for cells, "*" for the grand total).
+    group value ("d1|d2" for cells, "*" for the grand total). NULL
+    dimension values are real GROUP BY keys: they render as the
+    sentinel ``"<null>"`` inside keys (so a NULL cell coordinate is
+    distinct from an absent one and the with_exact join can never drop
+    a NULL group), which also means a literal "<null>" string in a
+    dimension collides with the sentinel — rename it upstream if that
+    matters.
     """
     d1, d2 = dim_cols
     vals = (
@@ -344,11 +350,15 @@ def kmv_rollup(
             est.alias("kmv_estimate"),
         )
 
-    cell_key = F.concat_ws("|", F.col("g1").cast("string"), F.col("g2").cast("string"))
+    def _ks(col):
+        # null-safe key rendering: NULL is its own group, never dropped
+        return F.coalesce(F.col(col).cast("string"), F.lit("<null>"))
+
+    cell_key = F.concat_ws("|", _ks("g1"), _ks("g2"))
     parts = [
         _estimate(cell, ["g1", "g2"], "cell", cell_key),
-        _estimate(_topk(cell, ["g1"]), ["g1"], d1, F.col("g1").cast("string")),
-        _estimate(_topk(cell, ["g2"]), ["g2"], d2, F.col("g2").cast("string")),
+        _estimate(_topk(cell, ["g1"]), ["g1"], d1, _ks("g1")),
+        _estimate(_topk(cell, ["g2"]), ["g2"], d2, _ks("g2")),
         _estimate(_topk(cell, []), [], "all", F.lit("*")),
     ]
     out = parts[0]
@@ -362,10 +372,10 @@ def kmv_rollup(
         ),
         vals.dropDuplicates(["g1", "v"]).groupBy("g1").agg(
             F.count("*").alias("n_exact")
-        ).select(F.lit(d1).alias("gset"), F.col("g1").cast("string").alias("key"), "n_exact"),
+        ).select(F.lit(d1).alias("gset"), _ks("g1").alias("key"), "n_exact"),
         vals.dropDuplicates(["g2", "v"]).groupBy("g2").agg(
             F.count("*").alias("n_exact")
-        ).select(F.lit(d2).alias("gset"), F.col("g2").cast("string").alias("key"), "n_exact"),
+        ).select(F.lit(d2).alias("gset"), _ks("g2").alias("key"), "n_exact"),
         vals.select("v").distinct().groupBy().agg(
             F.count("*").alias("n_exact")
         ).select(F.lit("all").alias("gset"), F.lit("*").alias("key"), "n_exact"),

@@ -151,11 +151,15 @@ class IncrementalAggregate:
                     for c in self.sum_cols
                 ],
             )
-            # only groups the delta touches matter; the full-outer keeps
-            # brand-new groups from the delta side (current side rows of
-            # untouched groups never enter the plan: inner-join current
-            # onto the delta's group set)
-            merged = grouped.join(current, g, "left")
+            # only groups the delta touches matter (current rows of
+            # untouched groups never enter the plan). eqNullSafe: a NULL
+            # group is a real GROUP BY key — a plain equi-join would
+            # never match its current row and silently RESET the NULL
+            # group's aggregate to just this span's delta
+            current = current.withColumnRenamed(g, "__cg")
+            merged = grouped.join(
+                current, F.col(g).eqNullSafe(F.col("__cg")), "left"
+            ).drop("__cg")
         else:
             merged = grouped
             for c in ["__c_rows"] + [f"__c_{c}" for c in self.sum_cols]:
@@ -167,8 +171,14 @@ class IncrementalAggregate:
             .cast("long")
             .alias("n_rows"),
             *[
+                # coalesce with an INTEGER zero: the neutral element must
+                # not widen the accumulator — lit(0.0) forced integer
+                # measures to double forever, breaking the exact int64
+                # fold x_acid_incremental_mv's fixed-point trick relies
+                # on (type promotion still yields double for double
+                # measures)
                 (
-                    F.coalesce(F.col(f"__c_{c}"), F.lit(0.0))
+                    F.coalesce(F.col(f"__c_{c}"), F.lit(0))
                     + F.col(f"__d_{c}")
                 ).alias(self._sum_alias(c))
                 for c in self.sum_cols

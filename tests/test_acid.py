@@ -1476,3 +1476,48 @@ def test_read_row_changes_replicates_table(spark, tmp_path):
     plain.merge(spark.createDataFrame([(1, 2, "y")], "k long, seq long, v string"))
     with pytest.raises(ValueError, match="without row-level change"):
         plain.read_row_changes(-1)
+
+
+def test_incremental_null_group_accumulates_across_refreshes(spark, tmp_path):
+    """A NULL group key is a real GROUP BY key: a second span touching
+    the NULL group must fold into its current aggregate, not silently
+    reset it (the join onto the current snapshot must be null-safe)."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    src = _table(spark, tmp_path, files_per_commit=1)
+    mv = IncrementalAggregate(
+        src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"]
+    )
+    schema = "k long, seq long, grp string, x double"
+    src.append(spark.createDataFrame([(1, 1, None, 10.0)], schema))
+    mv.refresh()
+    src.append(spark.createDataFrame([(2, 2, None, 7.0), (3, 2, "a", 1.0)], schema))
+    mv.refresh()
+    got = {r.grp: (r.n_rows, r.sum_x) for r in mv.read().collect()}
+    assert got == {None: (2, 17.0), "a": (1, 1.0)}
+
+
+def test_incremental_integer_sums_stay_integral(spark, tmp_path):
+    """Integer measures must accumulate in integer type (the fixed-point
+    exactness x_acid_incremental_mv relies on) — the neutral element in
+    the fold must not widen the accumulator to double."""
+    from pyspark.sql.types import LongType
+
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    src = _table(spark, tmp_path, files_per_commit=1)
+    mv = IncrementalAggregate(
+        src, str(tmp_path / "mv"), group_col="grp", sum_cols=["vq"]
+    )
+    schema = "k long, seq long, grp string, vq long"
+    src.append(spark.createDataFrame([(1, 1, "a", 10)], schema))
+    mv.refresh()
+    src.merge(spark.createDataFrame([(1, 2, "a", 4)], schema))
+    mv.refresh()
+    out = mv.read()
+    assert isinstance(out.schema["sum_vq"].dataType, LongType), out.schema
+    assert {r.grp: (r.n_rows, r.sum_vq) for r in out.collect()} == {"a": (1, 4)}

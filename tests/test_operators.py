@@ -478,3 +478,23 @@ def test_kmv_set_ops_exact_when_underfilled_and_estimates_when_full(spark):
     ).collect()[0]
     assert r3.union_est == 30 and r3.inter_est == 0 and r3.jaccard_est == 0.0
     assert r3.inter_exact == 0
+
+
+def test_kmv_rollup_preserves_null_dimension_groups(spark):
+    from data_pipeline_kafka_ek_spark.operators.sketches import kmv_rollup
+
+    df = spark.createDataFrame(
+        [("a", None, 1), ("a", None, 2), (None, "d1", 2), ("a", "d1", 3)],
+        "g1 string, g2 string, v long",
+    )
+    rows = {(r.gset, r.key): r for r in kmv_rollup(df, ["g1", "g2"], "v", k=8).collect()}
+    # NULL coordinates render as the sentinel and are never dropped
+    assert rows[("cell", "a|<null>")].n_exact == 2
+    assert rows[("cell", "<null>|d1")].n_exact == 1
+    assert rows[("g1", "<null>")].n_exact == 1
+    assert rows[("g2", "<null>")].n_exact == 2
+    assert rows[("g1", "a")].n_exact == 3
+    assert rows[("g2", "d1")].n_exact == 2
+    assert rows[("all", "*")].n_exact == 3
+    # sketches did not fill (k=8 > distinct counts): estimates are exact
+    assert all(r.kmv_estimate == r.n_exact for r in rows.values())
