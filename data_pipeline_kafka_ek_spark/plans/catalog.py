@@ -910,8 +910,9 @@ DRIVER_ROTATION_ROUND = 9
 # full-catalog local gates (pytest at sf0.001, check_correctness at
 # sf0.01). r9: the must-attest arithmetic left two spare window slots,
 # consumed by the first two new registrations (t_streaming_acid_changes,
-# x_sketch_kmv_setops, both in DRIVER_PRIORITY); the third registration
-# — the incremental-MV oracle query — landed after the window filled.
+# x_sketch_kmv_setops, both in DRIVER_PRIORITY); the round's third and
+# fourth registrations — the incremental-MV oracle query and the KMV
+# rollup — landed after the window filled and sit here.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_acid_incremental_mv",
     "x_sketch_kmv_rollup",

@@ -606,6 +606,12 @@ class TxnLogTable:
                 match = F.col(self.key).eqNullSafe(F.col("__mk"))
                 untouched_rows = old.join(keys, match, "left_anti")
                 contested = old.join(keys, match, "left_semi")
+                if self.change_feed:
+                    # materialize the contested rows ONCE: the change-file
+                    # writer reads them three more times (old-count info +
+                    # pre-image joins) — without this the touched-file
+                    # scan and semi-join re-run per consumer
+                    contested = contested.localCheckpoint(eager=True)
             else:
                 untouched_rows = None
                 contested = None
@@ -630,6 +636,10 @@ class TxnLogTable:
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
+            if self.change_feed:
+                # the winner frame feeds BOTH the data write and the four
+                # change-image branches: rank once, not five times
+                winners = winners.localCheckpoint(eager=True)
             merged = winners.drop("__src")
             if delete_col is not None:
                 merged = merged.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
@@ -915,36 +925,13 @@ class TxnLogTable:
                 f"changes since {since_version} include vacuumed versions "
                 f"(earliest retained: {wm})"
             )
-        # schema tracked INCREMENTALLY while walking the tail (each commit
-        # is read once; a per-commit _latest_schema would re-fold the log
-        # O(tail) times): seed with the state at the cursor, advance as
-        # commits record evolution
-        schema_json = (
-            self._fold_log(since_version)["schema"] if since_version >= 0 else None
-        )
-        groups: "dict[tuple, list]" = {}
-        for v in self._list_versions():
-            if v <= since_version:
-                continue
-            c = self._read_commit(v)
-            if c.get("schema") is not None:
-                schema_json = c["schema"]
-            cdc = [a["cdc"]["path"] for a in c["actions"] if "cdc" in a]
-            adds = [a["add"]["path"] for a in c["actions"] if "add" in a]
-            if cdc:
-                # a commit carrying row-level change files replays THEM,
-                # never its (whole-file post-image) adds
-                groups.setdefault(("cdc", schema_json), []).extend(
-                    (p, v, c["op"]) for p in cdc
-                )
-            elif adds:
-                groups.setdefault(("add", schema_json), []).extend(
-                    (p, v, c["op"]) for p in adds
-                )
-        if not groups:
+        groups = self._feed_groups(since_version, skip_optimize=False)
+        if not any(kind != "remove" for (kind, _) in groups):
             return self.read_changes(latest)  # typed empty frame
         parts = []
         for (kind, sj), entries in groups.items():
+            if kind == "remove":
+                continue  # post-image feed: removed files never replay
             scan = self._grouped_scan(kind, sj, entries, with_op=True)
             if kind == "cdc":
                 scan = scan.filter(
@@ -958,6 +945,63 @@ class TxnLogTable:
             # newer columns, same rule the merge itself applies
             out = out.unionByName(p, allowMissingColumns=True)
         return out
+
+    def _feed_groups(
+        self,
+        since_version: int,
+        skip_optimize: bool,
+        require_row_level: bool = False,
+    ) -> "dict[tuple, list]":
+        """ONE commit-tail walk shared by every feed: the skip rules,
+        the incremental schema-epoch tracking, and the
+        cdc-vs-add-vs-remove grouping. Returns
+        ``{(kind, schema_json): [(path, version, op), ...]}`` with kind
+        in {'cdc', 'add', 'remove'} — callers pick the kinds their
+        semantics need. ``require_row_level`` raises on a merge commit
+        without change files (read_row_changes' fidelity contract).
+        Each commit file is read exactly once; the schema is tracked
+        incrementally (a per-commit _latest_schema would re-fold the
+        log O(tail) times)."""
+        schema_json = (
+            self._fold_log(since_version)["schema"] if since_version >= 0 else None
+        )
+        groups: "dict[tuple, list]" = {}
+        for v in self._list_versions():
+            if v <= since_version:
+                continue
+            c = self._read_commit(v)
+            if c.get("schema") is not None:
+                schema_json = c["schema"]
+            if skip_optimize and c["op"] == "optimize":
+                continue
+            cdc = [a["cdc"]["path"] for a in c["actions"] if "cdc" in a]
+            adds = [a["add"]["path"] for a in c["actions"] if "add" in a]
+            removed = [
+                a["remove"]["path"] for a in c["actions"] if "remove" in a
+            ]
+            if cdc:
+                # a commit carrying row-level change files replays THEM,
+                # never its whole-file post-image adds/removes
+                groups.setdefault(("cdc", schema_json), []).extend(
+                    (p, v, c["op"]) for p in cdc
+                )
+                continue
+            if require_row_level and c["op"] == "merge" and (adds or removed):
+                raise ValueError(
+                    f"commit {v} is a merge without row-level change "
+                    "files (change_feed was off); its deletes cannot be "
+                    "reconstructed — replay it via read_changes/"
+                    "read_deltas instead"
+                )
+            if adds:
+                groups.setdefault(("add", schema_json), []).extend(
+                    (p, v, c["op"]) for p in adds
+                )
+            if removed:
+                groups.setdefault(("remove", schema_json), []).extend(
+                    (p, v, c["op"]) for p in removed
+                )
+        return groups
 
     def _grouped_scan(
         self,
@@ -1030,41 +1074,15 @@ class TxnLogTable:
                 f"row changes since {since_version} include vacuumed "
                 f"versions (earliest retained: {wm})"
             )
-        schema_json = (
-            self._fold_log(since_version)["schema"] if since_version >= 0 else None
+        groups = self._feed_groups(
+            since_version, skip_optimize=True, require_row_level=True
         )
-        groups: "dict[tuple, list]" = {}
-        for v in self._list_versions():
-            if v <= since_version:
-                continue
-            c = self._read_commit(v)
-            if c.get("schema") is not None:
-                schema_json = c["schema"]
-            if c["op"] == "optimize":
-                continue
-            cdc = [a["cdc"]["path"] for a in c["actions"] if "cdc" in a]
-            adds = [a["add"]["path"] for a in c["actions"] if "add" in a]
-            if cdc:
-                groups.setdefault(("cdc", schema_json), []).extend(
-                    (p, v, c["op"]) for p in cdc
-                )
-            elif c["op"] == "merge" and (
-                adds or any("remove" in a for a in c["actions"])
-            ):
-                raise ValueError(
-                    f"commit {v} is a merge without row-level change "
-                    "files (change_feed was off); its deletes cannot be "
-                    "reconstructed — replay it via read_changes/"
-                    "read_deltas instead"
-                )
-            elif adds:
-                groups.setdefault(("add", schema_json), []).extend(
-                    (p, v, c["op"]) for p in adds
-                )
-        if not groups:
+        if not any(kind != "remove" for (kind, _) in groups):
             return self.read_row_changes(latest)  # typed empty frame
         parts = []
         for (kind, sj), entries in groups.items():
+            if kind == "remove":
+                continue
             scan = self._grouped_scan(kind, sj, entries, with_op=False)
             if kind != "cdc":
                 scan = scan.withColumn("_change_type", F.lit("insert"))
@@ -1134,32 +1152,7 @@ class TxnLogTable:
                 f"deltas since {since_version} need pre-{wm} file images "
                 f"that vacuum may have reclaimed (earliest safe cursor: {wm})"
             )
-        schema_json = (
-            self._fold_log(since_version)["schema"] if since_version >= 0 else None
-        )
-        groups: "dict[tuple, list]" = {}
-        for v in self._list_versions():
-            if v <= since_version:
-                continue
-            c = self._read_commit(v)
-            if c.get("schema") is not None:
-                schema_json = c["schema"]
-            if c["op"] == "optimize":
-                continue
-            cdc = [a["cdc"]["path"] for a in c["actions"] if "cdc" in a]
-            if cdc:
-                groups.setdefault(("cdc", schema_json), []).extend(
-                    (p, v, c["op"]) for p in cdc
-                )
-                continue
-            added = [a["add"]["path"] for a in c["actions"] if "add" in a]
-            removed = [a["remove"]["path"] for a in c["actions"] if "remove" in a]
-            groups.setdefault(("add", schema_json), []).extend(
-                (p, v, c["op"]) for p in added
-            )
-            groups.setdefault(("remove", schema_json), []).extend(
-                (p, v, c["op"]) for p in removed
-            )
+        groups = self._feed_groups(since_version, skip_optimize=True)
         parts = []
         for (kind, sj), entries in groups.items():
             if not entries:
