@@ -319,6 +319,11 @@ def kmv_rollup(
         local.withColumn("__rn", F.row_number().over(w_cell))
         .filter(F.col("__rn") <= k)
         .select("g1", "g2", "h")
+        # materialize the base-cell sketches ONCE (≤ k rows per cell):
+        # the four rollup branches below read this checkpoint, so the
+        # raw table is scanned exactly once however many grouping sets
+        # are reported — the one-pass claim as an executed-plan fact
+        .localCheckpoint(eager=True)
     )
 
     def _topk(rows: DataFrame, part_cols: "list[str]") -> DataFrame:
@@ -366,32 +371,44 @@ def kmv_rollup(
         out = out.unionByName(p)
     if not with_exact:
         return out
-    ex_parts = [
-        vals.groupBy("g1", "g2").agg(F.count("*").alias("n_exact")).select(
-            F.lit("cell").alias("gset"), cell_key.alias("key"), "n_exact"
-        ),
-        vals.dropDuplicates(["g1", "v"]).groupBy("g1").agg(
-            F.count("*").alias("n_exact")
-        ).select(F.lit(d1).alias("gset"), _ks("g1").alias("key"), "n_exact"),
-        vals.dropDuplicates(["g2", "v"]).groupBy("g2").agg(
-            F.count("*").alias("n_exact")
-        ).select(F.lit(d2).alias("gset"), _ks("g2").alias("key"), "n_exact"),
-        vals.select("v").distinct().groupBy().agg(
-            F.count("*").alias("n_exact")
-        ).select(F.lit("all").alias("gset"), F.lit("*").alias("key"), "n_exact"),
-    ]
-    exact = ex_parts[0]
-    for p in ex_parts[1:]:
-        exact = exact.unionByName(p)
-    return out.join(F.broadcast(exact), ["gset", "key"]).select(
+    # ONE cube pass computes the exact distinct count for all four
+    # grouping sets (Spark plans cube as a single Expand + aggregation);
+    # grouping() flags distinguish a REAL NULL dimension value from a
+    # cube subtotal row
+    cubed = vals.cube("g1", "g2").agg(
+        F.count_distinct("v").alias("n_exact"),
+        F.grouping("g1").alias("__a1"),
+        F.grouping("g2").alias("__a2"),
+    )
+    is_cell = (F.col("__a1") == 0) & (F.col("__a2") == 0)
+    is_d1 = (F.col("__a1") == 0) & (F.col("__a2") == 1)
+    is_d2 = (F.col("__a1") == 1) & (F.col("__a2") == 0)
+    exact = cubed.select(
+        F.when(is_cell, F.lit("cell"))
+        .when(is_d1, F.lit(d1))
+        .when(is_d2, F.lit(d2))
+        .otherwise(F.lit("all"))
+        .alias("gset"),
+        F.when(is_cell, cell_key)
+        .when(is_d1, _ks("g1"))
+        .when(is_d2, _ks("g2"))
+        .otherwise(F.lit("*"))
+        .alias("key"),
+        "n_exact",
+    )
+    # left join: cube over an EMPTY input yields zero rows (no global
+    # aggregate row), so the sketch side's n_sketch=0 'all' row must
+    # surface n_exact=0 rather than vanish through an inner join
+    return out.join(F.broadcast(exact), ["gset", "key"], "left").select(
         "gset",
         "key",
         "n_sketch",
         "kmv_estimate",
-        F.col("n_exact").cast("long").alias("n_exact"),
+        F.coalesce(F.col("n_exact"), F.lit(0)).cast("long").alias("n_exact"),
         F.round(
             F.try_divide(
-                F.col("kmv_estimate") - F.col("n_exact"), F.col("n_exact")
+                F.col("kmv_estimate") - F.coalesce(F.col("n_exact"), F.lit(0)),
+                F.coalesce(F.col("n_exact"), F.lit(0)),
             ),
             4,
         ).alias("rel_err"),

@@ -460,7 +460,7 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
                 (
                     None if r.random() < 0.12 else r.randint(1, 15),
                     next_seq(),
-                    None if r.random() < 0.1 else r.choice(["a", "b", "c"]),
+                    None if r.random() < 0.3 else r.choice(["a", "b", "c"]),
                     float(r.randint(-5, 9)),
                     r.random() < 0.2,
                     float(r.randint(0, 3)) if evolved else None,

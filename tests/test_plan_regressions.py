@@ -363,3 +363,21 @@ def test_h18_broadcast_guard_degrades_to_shuffle_join(spark, sf_dir):
     a = ext.h18_large_volume(spark, sf_dir).collect()
     b = ext.h18_large_volume(spark, sf_dir, broadcast_limit=0).collect()
     assert a == b
+
+
+def test_kmv_rollup_reads_raw_table_once(spark, sf_dir):
+    """The rollup's one-pass claim as an executed-plan fact: the base
+    cell sketches are materialized once, so the returned plan contains
+    NO parquet scan — every grouping-set estimate reads checkpointed
+    sketch rows, never the raw table again."""
+    from data_pipeline_kafka_ek_spark.operators.sketches import kmv_rollup
+    from data_pipeline_kafka_ek_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    est = kmv_rollup(e, ["event_type", "day"], "user_id", k=16, with_exact=False)
+    plan = _plan(est)
+    assert "Scan parquet" not in plan, plan
+    assert est.count() > 0
