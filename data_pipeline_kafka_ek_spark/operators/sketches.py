@@ -253,16 +253,21 @@ def kmv_set_ops(
     )
     if not with_exact:
         return out
-    exu = vals.select("v").distinct().agg(
-        F.count("*").cast("long").alias("union_exact")
-    )
-    exi = (
+    # ONE pass computes both exact counts: per-value group spread, then
+    # union = all values, intersection = values seen in both groups
+    exact = (
         vals.groupBy("v")
         .agg(F.count_distinct("grp").alias("__g"))
-        .filter(F.col("__g") == 2)
-        .agg(F.count("*").cast("long").alias("inter_exact"))
+        .agg(
+            F.count("*").cast("long").alias("union_exact"),
+            F.coalesce(
+                F.sum((F.col("__g") == 2).cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("inter_exact"),
+        )
     )
-    return out.crossJoin(F.broadcast(exu)).crossJoin(F.broadcast(exi))
+    return out.crossJoin(F.broadcast(exact))
 
 
 def kmv_rollup(
