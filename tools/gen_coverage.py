@@ -85,8 +85,9 @@ ADAPTER_COVERAGE: dict[str, tuple[str, str, str]] = {
            "commit log, optimistic concurrency, snapshot/time-travel reads, "
            "stats-pruned MERGE, exactly-once foreachBatch)",
            "tests/test_streaming.py:test_cdc_apply_update_propagation, "
-           "tests/test_acid.py (9 tests: atomicity, conflict, time travel, "
-           "idempotent txn, checkpointed replay, merge pruning)"),
+           "tests/test_acid.py (44 tests: atomicity, conflict, time travel, "
+           "idempotent txn, checkpointed replay, merge pruning, row-level "
+           "change feed + ACID-to-ACID replication via read_row_changes)"),
     "T8": ("reprocessing from earliest",
            "streaming/runtime.py:run_available_now (fresh checkpoint + full replay)",
            "tests/test_streaming.py:test_streaming_windowed_agg_equals_batch"),
@@ -97,8 +98,12 @@ ADAPTER_COVERAGE: dict[str, tuple[str, str, str]] = {
             "streaming/runtime.py:parse_json_tolerant",
             "tests/test_streaming.py:test_parse_json_tolerant_dead_letters"),
     "T11": ("stream/table dual read of one topic",
-            "streaming/runtime.py:stream_table + operators/relational.py:latest_per_key",
-            "tests/test_streaming.py:test_cdc_apply_update_propagation"),
+            "streaming/runtime.py:stream_table + operators/relational.py:"
+            "latest_per_key; ACID form: sources/acid.py:read (table) + "
+            "stream_changes/read_row_changes (changelog)",
+            "tests/test_streaming.py:test_cdc_apply_update_propagation, "
+            "tests/test_acid.py:test_stream_changes_replays_commit_feed, "
+            "test_read_row_changes_replicates_table"),
     "§2.12": ("SHOW TOPICS/TABLES/CONNECTORS/QUERIES, DESCRIBE [EXTENDED], INSERT upstream",
               "engine.py:Engine (registry + describe + show_queries + sql entry "
               "point + ACID-table CTAS/DESCRIBE HISTORY/refresh/OPTIMIZE/"
