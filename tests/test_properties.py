@@ -400,3 +400,43 @@ def test_ansi_ratio_operators_survive_degenerate_inputs(spark):
     ).collect()
     zb = [r.cosine_sim for r in blocked if 1 in (r.query_id, r.neighbor_id)]
     assert zb and all(s == 0.0 for s in zb)
+
+
+@given(
+    st.sets(st.integers(0, 10_000_000), max_size=300),
+    st.sets(st.integers(0, 10_000_000), max_size=300),
+)
+@settings(max_examples=100, deadline=None)
+def test_kmv_setops_merge_law_and_estimator_sanity(a, b):
+    """Pure-Python model of kmv_set_ops' math: (1) the MERGE LAW is
+    exact — the union sketch built from the two per-side sketches
+    equals the sketch of the union set, always; (2) when the union
+    sketch did not fill, every reported number is exactly the truth;
+    (3) when it filled, the estimates stay inside generous 3-sigma-ish
+    bands (md5 behaves as a uniform hash)."""
+    k = 64
+
+    def h(x):
+        return hashlib.md5(str(x).encode()).hexdigest()
+
+    sa = sorted(h(x) for x in a)[:k]
+    sb = sorted(h(x) for x in b)[:k]
+    u = sorted(set(sa) | set(sb))[:k]
+    # (1) merge law: k smallest of the sketch union == k smallest of the
+    # union's full hash set
+    assert u == sorted({h(x) for x in a | b})[:k]
+    n_u = len(u)
+    n_both = sum(1 for x in u if x in set(sa) and x in set(sb))
+    if n_u < k:
+        # (2) under-filled sketch IS the exact union
+        assert n_u == len(a | b)
+        assert n_both == len(a & b)
+    else:
+        frac = int(u[-1][:15], 16) / 16**15
+        d_u = (k - 1) / frac
+        est_inter = d_u * (n_both / n_u)
+        true_u, true_i = len(a | b), len(a & b)
+        # (3) loose bands, same convention as the Spark-side tests
+        assert abs(d_u - true_u) <= 0.75 * true_u + 8
+        assert est_inter <= d_u + 1e-9
+        assert abs(est_inter - true_i) <= 0.75 * true_u + 8
