@@ -206,6 +206,28 @@ class Engine:
             raise KeyError(f"unknown acid table {name!r}")
         return self.create_table(name, acid[name].read())
 
+    def table_changes(
+        self, name: str, since_version: int = -1, mode: str = "changes"
+    ) -> DataFrame:
+        """Delta's ``table_changes`` TVF as a control-surface call: the
+        named ACID table's incremental feed from a cursor. ``mode``
+        picks the flavor — ``changes`` (post-image rows +
+        _commit_version/_commit_op), ``rows`` (the typed row-level feed:
+        _change_type pre/post images, requires change_feed merges), or
+        ``deltas`` (signed ±1 _weight rows for incremental folds)."""
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        t = acid[name]
+        readers = {
+            "changes": t.read_changes,
+            "rows": t.read_row_changes,
+            "deltas": t.read_deltas,
+        }
+        if mode not in readers:
+            raise ValueError(f"mode must be one of {sorted(readers)}")
+        return readers[mode](since_version)
+
     # -- PRINT 'topic' probe (reference: README.md:73,185) -------------------
 
     def print_rows(self, name: str, n: int = 5) -> list[dict[str, Any]]:

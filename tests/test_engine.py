@@ -251,3 +251,14 @@ def test_engine_acid_table_registration_and_history(spark, tmp_path):
     assert eng.describe_history("dim_users")[-1]["op"] == "optimize"
     got = {r.k for r in eng.sql("SELECT k FROM dim_users").collect()}
     assert got == before | {10 + i for i in range(6)}
+    # table_changes TVF twin: the feed from a cursor through the control
+    # surface — version 0 is the first append, so since=0 starts at the
+    # merge; deltas mode carries the signed weights
+    feed = eng.table_changes("dim_users", since_version=0)
+    assert {r.v for r in feed.filter("_commit_op = 'merge'").collect()} == {"b2"}
+    deltas = eng.table_changes("dim_users", since_version=0, mode="deltas")
+    assert set(deltas.select("_weight").distinct().toPandas()["_weight"]) <= {1, -1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        eng.table_changes("dim_users", mode="nope")

@@ -107,7 +107,7 @@ ADAPTER_COVERAGE: dict[str, tuple[str, str, str]] = {
     "§2.12": ("SHOW TOPICS/TABLES/CONNECTORS/QUERIES, DESCRIBE [EXTENDED], INSERT upstream",
               "engine.py:Engine (registry + describe + show_queries + sql entry "
               "point + ACID-table CTAS/DESCRIBE HISTORY/refresh/OPTIMIZE/"
-              "vacuum/change-feed over sources/acid.py)",
+              "vacuum/table_changes TVF over sources/acid.py)",
               "tests/test_engine.py (full suite incl. the acid "
               "append/merge/refresh/history cycle)"),
 }
