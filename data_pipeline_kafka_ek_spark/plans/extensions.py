@@ -2782,21 +2782,28 @@ def x_sketch_kmv_setops(spark, sf_dir):
         FROM (SELECT DISTINCT h FROM cell))
       WHERE rn <= 64),
     sk AS (
-      SELECT 'cell' AS gset, g1 || '|' || g2 AS key,
+      SELECT 'cell' AS gset,
+             coalesce(g1, '<null>') || '|' || coalesce(g2, '<null>') AS key,
              count(*) AS n_sketch, max(h) AS hk FROM cell GROUP BY g1, g2
       UNION ALL
-      SELECT 'event_type', g1, count(*), max(h) FROM r1 GROUP BY g1
+      SELECT 'event_type', coalesce(g1, '<null>'), count(*), max(h)
+      FROM r1 GROUP BY g1
       UNION ALL
-      SELECT 'day', g2, count(*), max(h) FROM r2 GROUP BY g2
+      SELECT 'day', coalesce(g2, '<null>'), count(*), max(h)
+      FROM r2 GROUP BY g2
       UNION ALL
       SELECT 'all', '*', count(*), max(h) FROM rall),
     ex AS (
-      SELECT 'cell' AS gset, g1 || '|' || g2 AS key, count(*) AS n_exact
+      SELECT 'cell' AS gset,
+             coalesce(g1, '<null>') || '|' || coalesce(g2, '<null>') AS key,
+             count(*) AS n_exact
       FROM vals GROUP BY g1, g2
       UNION ALL
-      SELECT 'event_type', g1, count(DISTINCT v) FROM vals GROUP BY g1
+      SELECT 'event_type', coalesce(g1, '<null>'), count(DISTINCT v)
+      FROM vals GROUP BY g1
       UNION ALL
-      SELECT 'day', g2, count(DISTINCT v) FROM vals GROUP BY g2
+      SELECT 'day', coalesce(g2, '<null>'), count(DISTINCT v)
+      FROM vals GROUP BY g2
       UNION ALL
       SELECT 'all', '*', count(DISTINCT v) FROM vals)
     SELECT s.gset, s.key, CAST(s.n_sketch AS BIGINT) AS n_sketch,
@@ -2817,8 +2824,10 @@ def x_sketch_kmv_setops(spark, sf_dir):
     "exactly once however many grouping sets are reported. Base-cell "
     "k-smallest is salted two-phase (operators/sketches.py::kmv_rollup); "
     "md5 + lexicographic order keep all four levels exactly "
-    "hash-checkable, and each row carries its exact count + rel_err so "
-    "the sketch attests its own accuracy per grouping set.",
+    "hash-checkable, NULL dimension values render as the '<null>' "
+    "sentinel on BOTH engines (real NULL groups are kept, never "
+    "conflated with absence), and each row carries its exact count + "
+    "rel_err so the sketch attests its own accuracy per grouping set.",
 )
 def x_sketch_kmv_rollup(spark, sf_dir):
     from data_pipeline_kafka_ek_spark.operators import sketches

@@ -925,32 +925,28 @@ class TxnLogTable:
                 f"changes since {since_version} include vacuumed versions "
                 f"(earliest retained: {wm})"
             )
-        groups = self._feed_groups(since_version, skip_optimize=False)
-        if not any(kind != "remove" for (kind, _) in groups):
+        # post-image feed: removed files never replay
+        groups = self._feed_groups(
+            since_version, skip_optimize=False, kinds=("cdc", "add")
+        )
+        if not groups:
             return self.read_changes(latest)  # typed empty frame
-        parts = []
-        for (kind, sj), entries in groups.items():
-            if kind == "remove":
-                continue  # post-image feed: removed files never replay
-            scan = self._grouped_scan(kind, sj, entries, with_op=True)
+
+        def _post_images(kind, scan):
             if kind == "cdc":
-                scan = scan.filter(
+                return scan.filter(
                     F.col("_change_type").isin("insert", "update_postimage")
                 ).drop("_change_type")
-            parts.append(scan)
-        out = parts[0]
-        for p in parts[1:]:
-            # allowMissingColumns: a feed spanning a schema-evolution
-            # boundary widens — pre-evolution commits read NULL for the
-            # newer columns, same rule the merge itself applies
-            out = out.unionByName(p, allowMissingColumns=True)
-        return out
+            return scan
+
+        return self._assemble_feed(groups, with_op=True, transform=_post_images)
 
     def _feed_groups(
         self,
         since_version: int,
         skip_optimize: bool,
         require_row_level: bool = False,
+        kinds: "tuple[str, ...]" = ("cdc", "add", "remove"),
     ) -> "dict[tuple, list]":
         """ONE commit-tail walk shared by every feed: the skip rules,
         the incremental schema-epoch tracking, and the
@@ -993,15 +989,35 @@ class TxnLogTable:
                     "reconstructed — replay it via read_changes/"
                     "read_deltas instead"
                 )
-            if adds:
+            if adds and "add" in kinds:
                 groups.setdefault(("add", schema_json), []).extend(
                     (p, v, c["op"]) for p in adds
                 )
-            if removed:
+            if removed and "remove" in kinds:
                 groups.setdefault(("remove", schema_json), []).extend(
                     (p, v, c["op"]) for p in removed
                 )
         return groups
+
+    def _assemble_feed(
+        self,
+        groups: "dict[tuple, list]",
+        with_op: bool,
+        transform,
+    ) -> DataFrame:
+        """Shared parts assembly for the three feeds: one grouped scan
+        per (kind, schema epoch), a per-kind row transform, and the
+        allowMissingColumns union that widens across schema-evolution
+        boundaries (pre-evolution commits read NULL for newer columns,
+        the same rule merge itself applies)."""
+        parts = [
+            transform(kind, self._grouped_scan(kind, sj, entries, with_op))
+            for (kind, sj), entries in groups.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def _grouped_scan(
         self,
@@ -1051,13 +1067,18 @@ class TxnLogTable:
         update_postimage, delete} plus ``_commit_version`` — appends
         surface their rows as ``insert``, merges surface the pre/post
         images their change files recorded, ``optimize``/``create``
-        contribute nothing. Because ``(key, _commit_version)`` is unique
-        over the {insert, update_postimage, delete} subset, the feed
-        replicates the table: merge that subset into a target keyed the
-        same way with ``order_col="_commit_version"`` and
+        contribute nothing. The feed replicates the table: merge the
+        {insert, update_postimage, delete} subset into a target keyed
+        the same way with ``order_col="_commit_version"`` and
         ``delete_col=(_change_type = 'delete')`` and the target
-        converges to this table's state — the ACID-to-ACID replication
-        primitive (proven in tests/test_acid.py).
+        converges to the source's LATEST-ROW-PER-KEY state — identical
+        to the full table whenever keys are unique, which is the
+        invariant merge-maintained tables keep. A source that stacks
+        duplicate keys via blind appends replicates as its newest row
+        per key (same-commit duplicates: arbitrary winner, the standard
+        CDC-apply caveat) — the merge-shaped replica cannot represent
+        duplicate keys. The ACID-to-ACID replication primitive, proven
+        in tests/test_acid.py.
 
         STRICT about fidelity: raises if the span contains a merge
         commit without change files (``change_feed`` was off) — such a
@@ -1075,22 +1096,26 @@ class TxnLogTable:
                 f"versions (earliest retained: {wm})"
             )
         groups = self._feed_groups(
-            since_version, skip_optimize=True, require_row_level=True
+            since_version,
+            skip_optimize=True,
+            require_row_level=True,
+            kinds=("cdc", "add"),
         )
-        if not any(kind != "remove" for (kind, _) in groups):
+        if not groups:
             return self.read_row_changes(latest)  # typed empty frame
-        parts = []
-        for (kind, sj), entries in groups.items():
-            if kind == "remove":
-                continue
-            scan = self._grouped_scan(kind, sj, entries, with_op=False)
+
+        def _typed(kind, scan):
             if kind != "cdc":
-                scan = scan.withColumn("_change_type", F.lit("insert"))
-            parts.append(scan)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
-        return out
+                return scan.withColumn("_change_type", F.lit("insert"))
+            return scan
+
+        out = self._assemble_feed(groups, with_op=False, transform=_typed)
+        # stable column order regardless of which kind led the union:
+        # data columns first, then the two feed metadata columns
+        meta = ["_commit_version", "_change_type"]
+        return out.select(
+            *[c for c in out.columns if c not in meta], *meta
+        )
 
     def stream_changes(self, since_version: int = -1) -> DataFrame:
         """The change feed as a Structured Streaming source: one
@@ -1153,13 +1178,12 @@ class TxnLogTable:
                 f"that vacuum may have reclaimed (earliest safe cursor: {wm})"
             )
         groups = self._feed_groups(since_version, skip_optimize=True)
-        parts = []
-        for (kind, sj), entries in groups.items():
-            if not entries:
-                continue
-            scan = self._grouped_scan(kind, sj, entries, with_op=False)
+        if not groups:
+            return self.read_deltas(latest)  # typed empty frame
+
+        def _signed(kind, scan):
             if kind == "cdc":
-                scan = scan.withColumn(
+                return scan.withColumn(
                     "_weight",
                     F.when(
                         F.col("_change_type").isin(
@@ -1170,17 +1194,11 @@ class TxnLogTable:
                     .otherwise(F.lit(-1))
                     .cast("int"),
                 ).drop("_change_type")
-            else:
-                scan = scan.withColumn(
-                    "_weight", F.lit(1 if kind == "add" else -1).cast("int")
-                )
-            parts.append(scan)
-        if not parts:
-            return self.read_deltas(latest)  # typed empty frame
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
-        return out
+            return scan.withColumn(
+                "_weight", F.lit(1 if kind == "add" else -1).cast("int")
+            )
+
+        return self._assemble_feed(groups, with_op=False, transform=_signed)
 
     # -- maintenance --------------------------------------------------------
 

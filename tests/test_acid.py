@@ -1521,3 +1521,41 @@ def test_incremental_integer_sums_stay_integral(spark, tmp_path):
     out = mv.read()
     assert isinstance(out.schema["sum_vq"].dataType, LongType), out.schema
     assert {r.grp: (r.n_rows, r.sum_vq) for r in out.collect()} == {"a": (1, 4)}
+
+
+def test_row_changes_replication_contract_under_duplicate_appends(spark, tmp_path):
+    """The replica is merge-shaped, so it converges to the source's
+    LATEST-ROW-PER-KEY state: a source stacking duplicate keys via
+    blind appends replicates as its newest row per key (the documented
+    contract), identical to the full table when keys are unique."""
+    src = TxnLogTable(
+        spark, str(tmp_path / "a"), key="k", order_col="seq",
+        files_per_commit=1, change_feed=True,
+    )
+    dst = TxnLogTable(
+        spark, str(tmp_path / "b"), key="k", order_col="_commit_version",
+        files_per_commit=1,
+    )
+    src.append(spark.createDataFrame([(1, 1, "x")], "k long, seq long, v string"))
+    src.append(spark.createDataFrame([(1, 2, "y")], "k long, seq long, v string"))
+    rows = src.read_row_changes(-1).filter(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    )
+    dst.merge(
+        rows.withColumn("__dead", F.col("_change_type") == "delete").drop(
+            "_change_type"
+        ),
+        delete_col="__dead",
+    )
+    # source keeps both physical rows; the replica holds the newest per key
+    assert src.read().count() == 2
+    assert {(r.k, r.v) for r in dst.read().select("k", "v").collect()} == {(1, "y")}
+    # and the feed itself is order-stable: metadata columns always last
+    assert src.read_row_changes(-1).columns[-2:] == [
+        "_commit_version",
+        "_change_type",
+    ]
+    assert src.read_row_changes(src.latest_version()).columns[-2:] == [
+        "_commit_version",
+        "_change_type",
+    ]
