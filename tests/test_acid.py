@@ -1559,3 +1559,30 @@ def test_row_changes_replication_contract_under_duplicate_appends(spark, tmp_pat
         "_commit_version",
         "_change_type",
     ]
+
+
+def test_read_row_changes_respects_vacuum_watermark(spark, tmp_path):
+    """The typed feed obeys the same replay bound as read_changes: a
+    cursor below the vacuum watermark raises cleanly instead of dying
+    mid-scan on reclaimed change files."""
+    t = TxnLogTable(
+        spark, str(tmp_path / "tbl"), key="k", order_col="seq",
+        files_per_commit=1, change_feed=True,
+    )
+    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    for i in range(4):
+        t.merge(
+            spark.createDataFrame(
+                [(1, i + 2, f"s{i}")], "k long, seq long, v string"
+            )
+        )
+    t.vacuum(retain_versions=2, retain_tmp_s=0.0, min_age_s=0.0)
+    wm = t._vacuum_watermark()
+    assert wm > 0
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read_row_changes(-1)
+    # at/above the bound the feed replays and stays typed
+    ok = t.read_row_changes(wm - 1)
+    assert set(ok.select("_change_type").distinct().toPandas()["_change_type"]) <= {
+        "insert", "update_preimage", "update_postimage", "delete"
+    }
