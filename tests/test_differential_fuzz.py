@@ -411,7 +411,7 @@ def test_streaming_twins_match_oracles_on_adversarial_streams(
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("seed", [11, 12, 13])
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
 def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
     """Adversarial ACID histories: two writer threads interleave
     append / merge (NULL keys, tombstones, schema evolution) / optimize
@@ -436,7 +436,7 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
     )
 
     rng = random.Random(1000 + seed)
-    with_vacuum = seed == 13
+    with_vacuum = seed >= 13 and seed % 2 == 1
     src = TxnLogTable(
         spark, str(tmp_path / "tbl"), key="k", order_col="seq",
         files_per_commit=2, change_feed=True,
