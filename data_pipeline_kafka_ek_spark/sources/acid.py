@@ -102,6 +102,22 @@ def _canon(p: str) -> str:
     return p
 
 
+def _canon_uri(p: str) -> str:
+    """Canonicalize a path that arrived in URI SPELLING — Hadoop
+    ``Path.toString()`` and Spark ``input_file_name()`` percent-encode
+    special characters ('sp ace' prints as 'sp%20ace'). Applied exactly
+    at those boundaries and nowhere else: stored log paths are the raw
+    filesystem spelling, so re-canonicalizing a stored path (plain
+    ``_canon``) never double-decodes a file whose literal name contains
+    a %XX sequence. Without the decode, a table under any directory with
+    an encodable character records unreadable add paths — plain
+    ``read()`` dies with PATH_NOT_FOUND on a spelling that is not on
+    disk."""
+    from urllib.parse import unquote
+
+    return _canon(unquote(p))
+
+
 class TxnLogTable:
     """Delta-style ACID table over parquet + an ordered JSON commit log."""
 
@@ -370,7 +386,7 @@ class TxnLogTable:
         # files a snapshot should not reference
         return [
             {
-                "path": _canon(r["path"]),
+                "path": _canon_uri(r["path"]),
                 "min_key": r["lo"],
                 "max_key": r["hi"],
                 "rows": r["n"],
@@ -378,6 +394,32 @@ class TxnLogTable:
             }
             for r in sorted(stats, key=lambda r: r["path"])
         ]
+
+    def _widened_schema_json(
+        self, prev_json: "str | None", df_schema: StructType
+    ) -> str:
+        """Schema evolution only WIDENS (Delta's mergeSchema rule): the
+        recorded table schema after a commit is the previous recorded
+        schema plus any genuinely new columns of the batch, never the
+        batch schema verbatim. Recording a narrow batch's schema as-is
+        silently NARROWS the table — and because merge/optimize read
+        touched/live files under the recorded schema, the next rewrite
+        physically destroys every row's values in the dropped column
+        (found by the r10 ACID history fuzz: a non-evolved append after
+        an evolved merge erased the evolved column from unrelated keys).
+        Names match by exact string; a same-named column keeps its
+        previously recorded type (no type evolution — the data files on
+        disk are what they are)."""
+        if not prev_json:
+            return df_schema.json()
+        prev = StructType.fromJson(json.loads(prev_json))
+        names = {f.name for f in prev.fields}
+        extra = [f for f in df_schema.fields if f.name not in names]
+        if not extra:
+            # keep the stored json verbatim: stable schema-epoch keys for
+            # the feeds (a byte-identical epoch groups into one scan)
+            return prev_json
+        return StructType(list(prev.fields) + extra).json()
 
     def _try_commit(
         self,
@@ -494,11 +536,14 @@ class TxnLogTable:
             return self.latest_version()
         adds = self._write_data_files(df)
         actions = [{"add": a} for a in adds]
-        schema = df.schema.json()
         for _ in range(max_retries):
-            v = self.latest_version() + 1
-            if self._try_commit(v, "append", actions, txn, schema):
-                return v
+            base = self.latest_version()
+            # widen, never narrow: an append whose batch lacks an evolved
+            # column must not drop that column from the recorded schema
+            prev = self._fold_log(base)["schema"] if base >= 0 else None
+            schema = self._widened_schema_json(prev, df.schema)
+            if self._try_commit(base + 1, "append", actions, txn, schema):
+                return base + 1
             if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
                 return self.latest_version()
         raise ConcurrentModification(
@@ -539,7 +584,18 @@ class TxnLogTable:
         ).collect()[0]
         null_changes = bool(bounds["has_null"])
         if bounds["lo"] is None and not null_changes:
-            return self.latest_version()  # empty change set: no-op
+            # empty change set: no data to write, but a caller that passed
+            # txn semantics still needs its cursor advanced — silently
+            # dropping the txn action strands the cursor forever (an
+            # incremental consumer re-reads the same span every refresh,
+            # and once vacuum moves the watermark past the stranded cursor
+            # every refresh raises). record_txn carries the same
+            # compare-and-set contract (``expect``) as the merge itself.
+            if txn is not None:
+                self.record_txn(
+                    txn["app_id"], txn["batch_id"], expect=txn.get("expect")
+                )
+            return self.latest_version()
 
         def _overlaps(a: dict) -> bool:
             """A live file is touched if its non-NULL key range overlaps
@@ -660,7 +716,14 @@ class TxnLogTable:
                 + [{"cdc": {"path": p}} for p in cdc_files]
             )
             if self._try_commit(
-                base_version + 1, "merge", actions, txn, merged.schema.json()
+                base_version + 1,
+                "merge",
+                actions,
+                txn,
+                # widen, never narrow: a merge whose touched set missed the
+                # wide files (or touched nothing) must not drop evolved
+                # columns from the recorded schema
+                self._widened_schema_json(state["schema"], merged.schema),
             ):
                 return base_version + 1
             # lost the publish race: the winner IS published (dense log),
@@ -767,7 +830,7 @@ class TxnLogTable:
         it = fs.listFiles(jdir, False)
         while it.hasNext():
             st = it.next()
-            p = _canon(st.getPath().toString())
+            p = _canon_uri(st.getPath().toString())
             if p.rsplit("/", 1)[-1].startswith("part-"):
                 paths.append(p)
         return sorted(paths)
@@ -1055,11 +1118,47 @@ class TxnLogTable:
         )
         scan = reader.parquet(*[p for (p, _, _) in entries]).withColumn(
             # same normalization as _canon: 'file:///x' and 'file:/x'
-            # both become '/x', matching the stored canonical paths
+            # both become '/x', matching the stored canonical paths.
+            # input_file_name() returns the URI-encoded spelling (a space
+            # is '%20') while the stored paths are Path.toString forms —
+            # percent-decode first or every file with an encodable
+            # character silently misses the map (try_url_decode: a path
+            # with a bare '%' that is not an escape falls back verbatim
+            # rather than erroring the whole scan). url_decode is
+            # query-string flavored — a literal '+' would decode to a
+            # space — so '+' is re-escaped to %2B first: this is PATH
+            # decoding, where '+' means '+'
             "__path",
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+            F.regexp_replace(
+                F.coalesce(
+                    F.try_url_decode(
+                        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+                    ),
+                    F.input_file_name(),
+                ),
+                "^file:/+",
+                "/",
+            ),
         )
-        return scan.join(F.broadcast(pmap), "__path").drop("__path")
+        # LEFT join + fail-fast, never inner: an inner join would make any
+        # residual spelling mismatch SILENTLY DROP those files' rows from
+        # the feed — replica corruption with no error. A NULL
+        # _commit_version now raises with the offending path instead.
+        joined = scan.join(F.broadcast(pmap), "__path", "left")
+        guarded = F.when(
+            F.col("_commit_version").isNotNull(), F.col("_commit_version")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "feed scan file missing from the commit path map "
+                        "(path spelling mismatch would corrupt the feed): "
+                    ),
+                    F.col("__path"),
+                )
+            )
+        )
+        return joined.withColumn("_commit_version", guarded).drop("__path")
 
     def read_row_changes(self, since_version: int = -1) -> DataFrame:
         """The TYPED row-level change feed (Delta CDF's consumer shape):
@@ -1217,7 +1316,7 @@ class TxnLogTable:
         if fs.exists(jdir):
             it = fs.listFiles(jdir, True)
             while it.hasNext():
-                p = _canon(it.next().getPath().toString())
+                p = _canon_uri(it.next().getPath().toString())
                 name = p.rsplit("/", 1)[-1]
                 if name.startswith("part-") and p not in referenced:
                     out.append(p)
@@ -1318,7 +1417,7 @@ class TxnLogTable:
             it = fs.listFiles(jdir, True)
             while it.hasNext():
                 st = it.next()
-                p = _canon(st.getPath().toString())
+                p = _canon_uri(st.getPath().toString())
                 if (
                     p.rsplit("/", 1)[-1].startswith("part-")
                     and p not in protected
@@ -1348,7 +1447,7 @@ class TxnLogTable:
             it = cfs.listFiles(cdir, True)
             while it.hasNext():
                 st = it.next()
-                p = _canon(st.getPath().toString())
+                p = _canon_uri(st.getPath().toString())
                 if (
                     p.rsplit("/", 1)[-1].startswith("part-")
                     and p not in cdc_protected

@@ -1586,3 +1586,169 @@ def test_read_row_changes_respects_vacuum_watermark(spark, tmp_path):
     assert set(ok.select("_change_type").distinct().toPandas()["_change_type"]) <= {
         "insert", "update_preimage", "update_postimage", "delete"
     }
+
+
+def test_all_losing_merge_does_not_strand_incremental_cursor(spark, tmp_path):
+    """Advisor repro (incremental.py cursor stall): a change_feed merge
+    whose rows ALL lose to stored rows rewrites the touched files
+    (add/remove actions in the commit) but records EMPTY change files —
+    so the span looks non-empty to the metadata probe while read_deltas
+    replays zero rows. The refresh's target.merge() then sees an empty
+    change set; it must still advance the txn cursor (via a data-free
+    txn commit) or the cursor is stranded forever and, once vacuum moves
+    the watermark past it, every refresh raises permanently."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    src = TxnLogTable(
+        spark, str(tmp_path / "src"), key="k", order_col="seq",
+        change_feed=True, files_per_commit=1,
+    )
+    src.append(
+        spark.createDataFrame(
+            [(1, 5, 10.0), (2, 5, 20.0)], "k long, seq long, x double"
+        )
+    )
+    mv = IncrementalAggregate(
+        src, str(tmp_path / "mv"), group_col="k", sum_cols=["x"],
+        files_per_commit=1,
+    )
+    mv.refresh()
+    assert mv.cursor() == src.latest_version() == 0
+
+    # every change row is stale (seq 1 < stored seq 5): files rewritten,
+    # CDC empty — the poisonous commit shape
+    src.merge(
+        spark.createDataFrame(
+            [(1, 1, -99.0), (2, 1, -99.0)], "k long, seq long, x double"
+        )
+    )
+    v_poison = src.latest_version()
+    c = src._read_commit(v_poison)
+    assert any("cdc" in a for a in c["actions"])          # change files recorded
+    assert any("add" in a for a in c["actions"])          # files were rewritten
+    assert src.read_deltas(0).count() == 0                # ...but zero delta rows
+
+    mv.refresh()
+    assert mv.cursor() == v_poison, "cursor stranded on empty-delta span"
+    assert mv.refresh() is None  # caught up, not re-replaying forever
+    # aggregate state is untouched and still equals a recompute
+    assert {r.k: (r.n_rows, r.sum_x) for r in mv.read().collect()} == {
+        1: (1, 10.0),
+        2: (1, 20.0),
+    }
+    # and the stall's worst consequence is gone: vacuuming past the old
+    # stranded position no longer breaks future refreshes
+    for i in range(4):
+        src.append(
+            spark.createDataFrame(
+                [(10 + i, 1, 1.0)], "k long, seq long, x double"
+            )
+        )
+        mv.refresh()
+    src.vacuum(retain_versions=2, retain_tmp_s=0.0, min_age_s=0.0)
+    assert mv.refresh() is None
+
+
+def test_feed_paths_survive_url_encodable_characters(spark, tmp_path):
+    """Advisor repro (_grouped_scan silent row loss): input_file_name()
+    returns the URI-ENCODED path spelling ('sp ace' -> 'sp%20ace') while
+    the commit log stores Path.toString forms. The old inner join against
+    the path map silently dropped every row of every file under such a
+    directory from all three feeds. Now: the spelling is percent-decoded
+    (with '+' preserved — path semantics, not query-string), and any
+    residual mismatch RAISES instead of dropping rows."""
+    d = tmp_path / "sp ace+plus"
+    t = TxnLogTable(
+        spark, str(d / "tbl"), key="k", order_col="seq",
+        change_feed=True, files_per_commit=1,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b")], "k long, seq long, v string"
+        )
+    )
+    t.merge(
+        spark.createDataFrame([(1, 2, "a2")], "k long, seq long, v string")
+    )
+    changes = t.read_changes(-1)
+    assert changes.count() > 0, "feed silently dropped url-encodable paths"
+    assert {r._commit_version for r in changes.select("_commit_version").distinct().collect()} == {0, 1}
+    typed = t.read_row_changes(-1)
+    assert {
+        (r.k, r._change_type, r._commit_version)
+        for r in typed.select("k", "_change_type", "_commit_version").collect()
+    } == {
+        (1, "insert", 0),
+        (2, "insert", 0),
+        (1, "update_preimage", 1),
+        (1, "update_postimage", 1),
+    }
+    # signed deltas balance: net per key == live row count
+    net = {
+        r.k: r.n
+        for r in t.read_deltas(-1)
+        .groupBy("k")
+        .agg(F.sum("_weight").alias("n"))
+        .collect()
+    }
+    assert net == {1: 1, 2: 1}
+
+
+def test_schema_never_narrows_and_rewrites_preserve_evolved_columns(
+    spark, tmp_path
+):
+    """r10 fuzz find: a commit whose batch LACKS an evolved column used to
+    record the narrow batch schema as the table schema — and because
+    merge/optimize read their touched/live files under the RECORDED
+    schema, the next rewrite physically destroyed the evolved column's
+    values on unrelated keys (the CDC files kept the truth, so a typed-
+    feed replica diverged from its own source). Schema evolution must
+    only widen."""
+    t = _table(spark, tmp_path, files_per_commit=1, change_feed=True)
+    # evolved merge introduces column y; keys 5 and 8 share ONE data file
+    t.append(
+        spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string")
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(5, 2, "p", 1.5), (8, 2, "w", 0.5)],
+            "k long, seq long, v string, y double",
+        )
+    )
+    assert {r.k: r.y for r in t.read().collect()} == {1: None, 5: 1.5, 8: 0.5}
+    # a NARROW append must not drop y from the recorded schema...
+    t.append(
+        spark.createDataFrame([(2, 3, "b")], "k long, seq long, v string")
+    )
+    assert "y" in t.read().columns
+    # ...and a narrow merge touching key 5 rewrites the [5,8] file: key 8
+    # is an UNTOUCHED key passing through verbatim — its y must survive
+    # the rewrite (it was read back as NULL under the narrowed schema
+    # before the fix). Key 5 itself upserts y=NULL: the row image IS the
+    # change (documented CDC post-image semantics), consistently in the
+    # table and the feed.
+    t.merge(
+        spark.createDataFrame([(5, 4, "p2")], "k long, seq long, v string")
+    )
+    assert {r.k: r.y for r in t.read().collect()}[8] == 0.5
+    t.optimize(min_files=1)
+    state = {r.k: (r.v, r.y) for r in t.read().collect()}
+    assert state == {
+        1: ("a", None),
+        2: ("b", None),
+        5: ("p2", None),
+        8: ("w", 0.5),
+    }
+    # and the typed feed agrees with the table (the divergence the fuzz
+    # caught was feed-vs-table)
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        TableReplicator,
+    )
+
+    rep = TableReplicator(t, str(tmp_path / "replica"), files_per_commit=1)
+    rep.replicate()
+    assert {
+        r.k: (r.v, r.y) for r in rep.read().select("k", "v", "y").collect()
+    } == state
