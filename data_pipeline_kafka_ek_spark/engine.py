@@ -228,6 +228,41 @@ class Engine:
             raise ValueError(f"mode must be one of {sorted(readers)}")
         return readers[mode](since_version)
 
+    def replicate_table(
+        self,
+        name: str,
+        dst_path: str,
+        register_as: "str | None" = None,
+        **target_kw: Any,
+    ):
+        """One-call ACID-to-ACID replication: advance (or create) the
+        keyed replica of the named ACID table at ``dst_path`` from its
+        typed row-level change feed (``sources/incremental.py::
+        TableReplicator`` — read_row_changes composed with the keyed
+        merge, exactly-once via the target-side txn cursor). Carries the
+        feed's span/epoch guards verbatim: refuses vacuumed spans and
+        cdc-less merges instead of silently corrupting the replica.
+        Idempotent per call — a caught-up replica is a no-op — and
+        restartable: the cursor lives in the replica's own log. When
+        ``register_as`` is given the replica snapshot is registered as a
+        queryable table after the advance. Returns the replicator handle
+        (``.target`` is the replica TxnLogTable, ``.cursor()`` the source
+        version replicated so far)."""
+        from data_pipeline_kafka_ek_spark.sources.incremental import (
+            TableReplicator,
+        )
+
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        rep = TableReplicator(acid[name], dst_path, **target_kw)
+        rep.replicate()
+        if register_as is not None:
+            self._acid = getattr(self, "_acid", {})
+            self._acid[register_as] = rep.target
+            self.create_table(register_as, rep.read())
+        return rep
+
     # -- PRINT 'topic' probe (reference: README.md:73,185) -------------------
 
     def print_rows(self, name: str, n: int = 5) -> list[dict[str, Any]]:

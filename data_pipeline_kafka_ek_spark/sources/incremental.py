@@ -201,3 +201,118 @@ class IncrementalAggregate:
     def read(self) -> DataFrame:
         """Current aggregate snapshot (group, n_rows, sum_* columns)."""
         return self.target.read().drop("__v")
+
+
+class TableReplicator:
+    """Maintain a keyed REPLICA of a ``change_feed`` :class:`TxnLogTable`
+    from its typed row-level change feed, incrementally and exactly-once —
+    the one-call product form of the replication contract proven in
+    tests/test_acid.py (``read_row_changes`` → keyed merge with
+    ``order_col="_commit_version"`` and a delete flag from
+    ``_change_type``).
+
+    Same cursor mechanics as :class:`IncrementalAggregate`: the source
+    version folded so far is recorded as a txn action on the TARGET
+    table (durable, crash-safe, no side-channel state), every merge
+    carries ``expect=cursor`` so concurrent replicators of the same
+    app_id are exactly-once, and a span that produces no row changes
+    still advances the cursor through a data-free txn commit.
+
+    Semantics (the typed feed's documented contract): the replica
+    converges to the source's LATEST-ROW-PER-KEY state — identical to
+    the full table whenever keys are unique (the invariant
+    merge-maintained tables keep); a source stacking duplicate keys via
+    blind appends replicates as its newest row per key. Inherits the
+    feed's span guards: raises if the span includes vacuumed versions or
+    a cdc-less merge (fidelity is refused, never silently degraded).
+    """
+
+    def __init__(
+        self,
+        source: TxnLogTable,
+        path: str,
+        app_id: "str | None" = None,
+        **target_kw,
+    ):
+        self.source = source
+        self.app_id = app_id or f"repl:{source.path}"
+        self.target = TxnLogTable(
+            source.spark,
+            path,
+            key=source.key,
+            order_col="_commit_version",
+            **target_kw,
+        )
+
+    def cursor(self) -> int:
+        """Source version replicated so far (-1 before the first call)."""
+        return self.target.txn_high_water(self.app_id)
+
+    def replicate(self, max_restarts: int = 3) -> "int | None":
+        """Apply source commits ``(cursor, latest]`` to the replica.
+        Returns the target version written, or None when already caught
+        up. Restarts on a lost cursor race, same as
+        :meth:`IncrementalAggregate.refresh`."""
+        for _ in range(max_restarts):
+            try:
+                return self._replicate_once()
+            except CursorAdvanced:
+                continue
+        raise CursorAdvanced(
+            f"replicate restarted {max_restarts} times without winning "
+            "the cursor race"
+        )
+
+    def _span_has_changes(self, cur: int, v_now: int) -> bool:
+        """Metadata-only emptiness probe, same construction as
+        :meth:`IncrementalAggregate._span_has_deltas`: a span of only
+        optimize/create/txn commits feeds the replica nothing — advance
+        the cursor with zero Spark jobs."""
+        for v in self.source._list_versions():
+            if v <= cur or v > v_now:
+                continue
+            c = self.source._read_commit(v)
+            if c["op"] == "optimize":
+                continue
+            if any(
+                "add" in a or "remove" in a or "cdc" in a
+                for a in c["actions"]
+            ):
+                return True
+        return False
+
+    def _replicate_once(self) -> "int | None":
+        v_now = self.source.latest_version()
+        cur = self.cursor()
+        if v_now < 0 or cur >= v_now:
+            return None
+        if not self._span_has_changes(cur, v_now):
+            self.target.record_txn(self.app_id, int(v_now), expect=cur)
+            return None
+        rows = self.source.read_row_changes(cur).filter(
+            F.col("_commit_version") <= v_now
+        )
+        changes = (
+            rows.filter(
+                F.col("_change_type").isin(
+                    "insert", "update_postimage", "delete"
+                )
+            )
+            .withColumn("__dead", F.col("_change_type") == "delete")
+            .drop("_change_type")
+        )
+        self.target.merge(
+            changes,
+            delete_col="__dead",
+            txn={
+                "app_id": self.app_id,
+                "batch_id": int(v_now),
+                "expect": int(cur),
+            },
+        )
+        return self.target.latest_version()
+
+    def read(self) -> DataFrame:
+        """Current replica snapshot (source columns, without the
+        ``_commit_version`` bookkeeping column)."""
+        return self.target.read().drop("_commit_version")

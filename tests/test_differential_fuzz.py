@@ -416,12 +416,22 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
     """Adversarial ACID histories: two writer threads interleave
     append / merge (NULL keys, tombstones, schema evolution) / optimize
     — with vacuum in the mix on the last seed — while an incremental
-    materialized aggregate refreshes concurrently. Invariants, for EVERY
+    materialized aggregate refreshes concurrently AND a typed-feed
+    replica (TableReplicator) follows along. Invariants, for EVERY
     interleaving the race produces: the maintained aggregate equals a
-    full recompute of the source, a replayed refresh is a no-op, the
-    cursor is durable across handles, and (when nothing was vacuumed)
-    the signed full-history delta fold reproduces the same aggregate
-    from row-level change files alone."""
+    full recompute of the source, the replica equals the source
+    snapshot, a replayed refresh/replicate is a no-op, the cursors are
+    durable across handles, and (when nothing was vacuumed) the signed
+    full-history delta fold reproduces the same aggregate from
+    row-level change files alone.
+
+    Key discipline: MERGE batches draw from a small hot key range
+    (1..15, NULLs included) so upserts/deletes/collapses are exercised;
+    APPEND batches use globally fresh unique keys — duplicate-key blind
+    appends are deliberately excluded HERE because the typed feed's
+    documented contract replicates a duplicate-key source as newest-row
+    -per-key (covered by its own fixed-history test), which would make
+    'replica == source snapshot' the wrong assertion."""
     import random
     import threading
 
@@ -433,6 +443,7 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
     )
     from data_pipeline_kafka_ek_spark.sources.incremental import (
         IncrementalAggregate,
+        TableReplicator,
     )
 
     rng = random.Random(1000 + seed)
@@ -445,20 +456,32 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
         src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"],
         files_per_commit=2,
     )
+    rep = TableReplicator(
+        src, str(tmp_path / "replica"), files_per_commit=2
+    )
     seq_lock = threading.Lock()
-    seq_box = {"n": 0}
+    seq_box = {"n": 0, "fresh_k": 100}
 
     def next_seq():
         with seq_lock:
             seq_box["n"] += 1
             return seq_box["n"]
 
-    def gen_batch(r, evolved):
+    def fresh_key():
+        with seq_lock:
+            seq_box["fresh_k"] += 1
+            return seq_box["fresh_k"]
+
+    def gen_batch(r, evolved, for_append):
         rows = []
         for _ in range(r.randint(3, 7)):
+            if for_append:
+                k = fresh_key()  # unique forever: appends never stack dups
+            else:
+                k = None if r.random() < 0.12 else r.randint(1, 15)
             rows.append(
                 (
-                    None if r.random() < 0.12 else r.randint(1, 15),
+                    k,
                     next_seq(),
                     None if r.random() < 0.3 else r.choice(["a", "b", "c"]),
                     float(r.randint(-5, 9)),
@@ -476,8 +499,8 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
         r = random.Random(thread_seed)
         for step in range(5):
             evolved = step >= 3  # schema evolves mid-history
-            df = gen_batch(r, evolved)
             op = r.random()
+            df = gen_batch(r, evolved, for_append=op < 0.35)
             for attempt in range(6):
                 try:
                     if op < 0.35:
@@ -496,19 +519,25 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
     ]
     for th in threads:
         th.start()
-    # refresh concurrently with the writers (its own restart loop absorbs
-    # cursor races); ignore transient vacuum-bound errors mid-history
+    # refresh + replicate concurrently with the writers (their restart
+    # loops absorb cursor races); ignore transient vacuum-bound errors
     for _ in range(4):
         try:
             mv.refresh()
         except ValueError:
             pass
+        try:
+            rep.replicate()
+        except ValueError:
+            pass
     for th in threads:
         th.join()
     if with_vacuum:
-        mv.refresh()  # cursor to head so vacuum can't strand the replay
+        mv.refresh()  # cursors to head so vacuum can't strand the replay
+        rep.replicate()
         src.vacuum(retain_versions=3, retain_tmp_s=0.0, min_age_s=0.0)
     mv.refresh()
+    rep.replicate()
 
     def recompute():
         return {
@@ -521,15 +550,37 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
 
     got = {r.grp: (r.n_rows, round(r.sum_x, 6)) for r in mv.read().collect()}
     assert got == recompute(), f"seed {seed}"
-    # replay idempotence + durable cursor
+    # the typed-feed replica converges to the source snapshot across the
+    # whole randomized history (upserts, NULL keys, tombstones, schema
+    # evolution, compaction, vacuum) — the replication contract under
+    # adversarial interleavings, not just fixed histories
+    def snapshot(df):
+        cols = ["k", "grp", "x"] + (["y"] if "y" in df.columns else [])
+        return {
+            tuple(
+                round(r[c], 6) if isinstance(r[c], float) else r[c]
+                for c in cols
+            )
+            for r in df.select(*cols).collect()
+        }
+
+    assert snapshot(rep.read()) == snapshot(src.read()), f"seed {seed} replica"
+    # replay idempotence + durable cursors
     v_final = mv.target.latest_version()
     assert mv.refresh() is None
     assert mv.target.latest_version() == v_final
+    v_rep = rep.target.latest_version()
+    assert rep.replicate() is None
+    assert rep.target.latest_version() == v_rep
     mv2 = IncrementalAggregate(
         src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"],
         files_per_commit=2,
     )
     assert mv2.cursor() == mv.cursor() == src.latest_version()
+    rep2 = TableReplicator(
+        src, str(tmp_path / "replica"), files_per_commit=2
+    )
+    assert rep2.cursor() == rep.cursor() == src.latest_version()
     if not with_vacuum:
         # change-feed consistency: the signed fold of the FULL history's
         # row-level deltas alone reproduces the aggregate

@@ -262,3 +262,74 @@ def test_engine_acid_table_registration_and_history(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="mode"):
         eng.table_changes("dim_users", mode="nope")
+
+
+def test_engine_replicate_table_across_evolution_and_compaction(spark, tmp_path):
+    """replicate_table: the typed row-level feed composed with the keyed
+    merge as ONE control-surface call — the replica converges to the
+    source across upserts, deletes, schema evolution and compaction,
+    applied incrementally (a second call from the durable cursor moves
+    only the new span), and a caught-up replica is a no-op."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    src = eng.create_acid_table(
+        "src_tbl", str(tmp_path / "src"), key="k", order_col="seq",
+        change_feed=True, files_per_commit=2,
+    )
+    src.append(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")],
+            "k long, seq long, v string",
+        )
+    )
+    rep = eng.replicate_table(
+        "src_tbl", str(tmp_path / "dst"), register_as="replica_tbl",
+        files_per_commit=2,
+    )
+    assert rep.cursor() == src.latest_version()
+    assert {r.k for r in eng.sql("SELECT k FROM replica_tbl").collect()} == {1, 2, 3}
+
+    # upsert + delete + schema evolution, then compaction
+    src.merge(
+        spark.createDataFrame(
+            [(2, 2, "b2", None, False), (3, 2, None, None, True),
+             (4, 2, "d", "X", False)],
+            "k long, seq long, v string, extra string, dead boolean",
+        ),
+        delete_col="dead",
+    )
+    for i in range(6):
+        src.append(
+            spark.createDataFrame(
+                [(10 + i, 3, f"x{i}", None)],
+                "k long, seq long, v string, extra string",
+            )
+        )
+    assert src.optimize(min_files=1) is not None
+
+    rep2 = eng.replicate_table(
+        "src_tbl", str(tmp_path / "dst"), register_as="replica_tbl",
+        files_per_commit=2,
+    )
+    assert rep2.cursor() == src.latest_version()
+
+    def state(t_read):
+        return {
+            r.k: (r.v, r.extra)
+            for r in t_read.select("k", "v", "extra").collect()
+        }
+
+    assert state(rep2.read()) == state(src.read())
+    assert state(src.read())[2] == ("b2", None)
+    assert 3 not in state(src.read())
+    # caught up: replicate() inside the call was a no-op (no new target
+    # version), and the registered view serves the replica through SQL
+    v_dst = rep2.target.latest_version()
+    assert rep2.replicate() is None
+    assert rep2.target.latest_version() == v_dst
+    got = {r.k for r in eng.sql("SELECT k FROM replica_tbl").collect()}
+    assert got == {1, 2, 4} | {10 + i for i in range(6)}
+    # guard rails: unknown source name raises
+    with pytest.raises(KeyError):
+        eng.replicate_table("nope", str(tmp_path / "zzz"))
