@@ -113,10 +113,11 @@ def kmv_distinct(
     merged = (
         topk.select("h")
         .distinct()
-        .withColumn(
-            "__rn", F.row_number().over(Window.orderBy("h"))
-        )
-        .filter(F.col("__rn") <= k)
+        # global top-k as orderBy+limit: Spark plans TakeOrderedAndProject
+        # (distributed per-partition top-k, merged on the driver) — no
+        # partition-less window ever enters the plan
+        .orderBy("h")
+        .limit(k)
         .groupBy()
         .agg(F.count("*").alias("n_sketch"), F.max("h").alias("hk"))
         .select(F.lit("__all__").alias("grp"), "n_sketch", "hk")
@@ -221,10 +222,9 @@ def kmv_set_ops(
         F.max((F.col("grp") == F.lit(ga)).cast("int")).alias("in_a"),
         F.max((F.col("grp") == F.lit(gb)).cast("int")).alias("in_b"),
     )
-    union_sketch = (
-        memb.withColumn("__rn", F.row_number().over(Window.orderBy("h")))
-        .filter(F.col("__rn") <= k)
-    )
+    # global top-k over the ≤2k membership rows via TakeOrdered — never a
+    # partition-less window
+    union_sketch = memb.orderBy("h").limit(k)
     stats = union_sketch.agg(
         F.count("*").alias("n_u"),
         F.max("h").alias("hk"),
@@ -294,9 +294,10 @@ def kmv_rollup(
     dimension values are real GROUP BY keys: they render as the
     sentinel ``"<null>"`` inside keys (so a NULL cell coordinate is
     distinct from an absent one and the with_exact join can never drop
-    a NULL group), which also means a literal "<null>" string in a
-    dimension collides with the sentinel — rename it upstream if that
-    matters.
+    a NULL group). Real values are escaped (``\\`` → ``\\\\``, ``|`` →
+    ``\\|``, ``<`` → ``\\<``) before rendering, so a literal "<null>"
+    string stays distinct from a real NULL and a literal ``|`` cannot
+    shift the cell-key split — no collision caveat.
     """
     d1, d2 = dim_cols
     vals = (
@@ -332,15 +333,31 @@ def kmv_rollup(
     )
 
     def _topk(rows: DataFrame, part_cols: "list[str]") -> DataFrame:
+        # salted two-phase, same construction as the base-cell phase: the
+        # marginal/grand-total merges rank the deduped union of cell
+        # sketch rows, which is (#cells × k) rows for the 'all' level —
+        # a single-task funnel at high cell cardinality if ranked flat.
+        # Phase 1 ranks each salt slice locally; phase 2 ranks the
+        # ≤ n_salt·k survivors (bounded regardless of cell count). The
+        # global window partitions on a constant when part_cols is empty
+        # so no WindowExec in the plan is ever partition-less.
         dedup = rows.dropDuplicates(part_cols + ["h"])
-        w = (
-            Window.partitionBy(*part_cols).orderBy("h")
-            if part_cols
-            else Window.orderBy("h")
+        salted = dedup.withColumn(
+            "__s", F.pmod(F.xxhash64("h"), F.lit(n_salt))
         )
-        return (
-            dedup.withColumn("__rn", F.row_number().over(w))
+        w_local = Window.partitionBy(*(part_cols + ["__s"])).orderBy("h")
+        local = (
+            salted.withColumn("__rn", F.row_number().over(w_local))
             .filter(F.col("__rn") <= k)
+        )
+        if not part_cols:
+            # grand-total level: global top-k of the ≤ n_salt·k survivors
+            # as TakeOrderedAndProject — no partition-less window
+            return local.orderBy("h").limit(k).select("h")
+        w_global = Window.partitionBy(*part_cols).orderBy("h")
+        return (
+            local.withColumn("__rg", F.row_number().over(w_global))
+            .filter(F.col("__rg") <= k)
             .select(*part_cols, "h")
         )
 
@@ -361,8 +378,24 @@ def kmv_rollup(
         )
 
     def _ks(col):
-        # null-safe key rendering: NULL is its own group, never dropped
-        return F.coalesce(F.col(col).cast("string"), F.lit("<null>"))
+        # null-safe key rendering: NULL is its own group, never dropped.
+        # Real values are ESCAPED (backslash, then the '|' separator and
+        # the sentinel's '<') so a literal "<null>" string stays a
+        # distinct group from a real NULL, and a literal '|' inside a
+        # value can never shift the cell-key split — mirrored
+        # replace-for-replace in the SQL oracle
+        esc = F.replace(
+            F.replace(
+                F.replace(
+                    F.col(col).cast("string"), F.lit("\\"), F.lit("\\\\")
+                ),
+                F.lit("|"),
+                F.lit("\\|"),
+            ),
+            F.lit("<"),
+            F.lit("\\<"),
+        )
+        return F.coalesce(esc, F.lit("<null>"))
 
     cell_key = F.concat_ws("|", _ks("g1"), _ks("g2"))
     parts = [

@@ -498,3 +498,62 @@ def test_kmv_rollup_preserves_null_dimension_groups(spark):
     assert rows[("all", "*")].n_exact == 3
     # sketches did not fill (k=8 > distinct counts): estimates are exact
     assert all(r.kmv_estimate == r.n_exact for r in rows.values())
+
+
+def test_kmv_rollup_escapes_sentinel_and_separator_collisions(spark):
+    """A literal "<null>" string and a real NULL are DISTINCT groups, and
+    a literal '|' inside a dimension value cannot shift the cell-key
+    split — real values are escaped before rendering. Verified
+    cross-engine: DuckDB runs the mirrored replace chain on the same
+    rows and the (gset, key, n_exact) sets must be identical."""
+    import duckdb
+
+    from data_pipeline_kafka_ek_spark.operators.sketches import kmv_rollup
+
+    rows = [
+        ("<null>", "x", 1),
+        ("<null>", "x", 2),
+        (None, "x", 3),
+        ("a|b", None, 4),
+        ("a", "|b", 4),
+        ("back\\slash", "x", 5),
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v long")
+    got = {
+        (r.gset, r.key): r.n_exact
+        for r in kmv_rollup(df, ["g1", "g2"], "v", k=8).collect()
+    }
+    # the literal string and the real NULL are separate groups
+    assert got[("g1", "\\<null>")] == 2
+    assert got[("g1", "<null>")] == 1
+    # escaped separator: the two distinct cells cannot merge
+    assert got[("cell", "a\\|b|<null>")] == 1
+    assert got[("cell", "a|\\|b")] == 1
+    assert got[("g1", "back\\\\slash")] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (g1 VARCHAR, g2 VARCHAR, v BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    esc = (
+        "coalesce(replace(replace(replace({c}, '\\', '\\\\'), "
+        "'|', '\\|'), '<', '\\<'), '<null>')"
+    )
+    oracle = con.execute(
+        f"""
+        WITH vals AS (SELECT DISTINCT g1, g2, v FROM t WHERE v IS NOT NULL)
+        SELECT 'cell' AS gset,
+               {esc.format(c='g1')} || '|' || {esc.format(c='g2')} AS key,
+               count(*) AS n FROM vals GROUP BY g1, g2
+        UNION ALL
+        SELECT 'g1', {esc.format(c='g1')}, count(DISTINCT v)
+        FROM vals GROUP BY g1
+        UNION ALL
+        SELECT 'g2', {esc.format(c='g2')}, count(DISTINCT v)
+        FROM vals GROUP BY g2
+        UNION ALL
+        SELECT 'all', '*', count(DISTINCT v) FROM vals
+        """
+    ).fetchall()
+    assert {(g, k): n for (g, k, n) in oracle} == got

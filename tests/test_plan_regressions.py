@@ -365,11 +365,25 @@ def test_h18_broadcast_guard_degrades_to_shuffle_join(spark, sf_dir):
     assert a == b
 
 
+def _assert_no_partitionless_window(plan: str):
+    """Every WindowExec must carry partition columns: a partition-less
+    window funnels ALL rows into one task — the single-task-rank shape
+    the salted two-phase construction exists to avoid. A Window line
+    prints `Window [exprs], [partCols], [order]`; without partitioning
+    the middle bracket group is missing (two groups, not three)."""
+    for line in plan.splitlines():
+        if re.search(r"\bWindow \[", line):
+            assert line.count("], [") >= 2, f"partition-less window:\n{line}"
+
+
 def test_kmv_rollup_reads_raw_table_once(spark, sf_dir):
     """The rollup's one-pass claim as an executed-plan fact: the base
     cell sketches are materialized once, so the returned plan contains
     NO parquet scan — every grouping-set estimate reads checkpointed
-    sketch rows, never the raw table again."""
+    sketch rows, never the raw table again. And since r10, the MERGE
+    levels are salted two-phase with the grand total as TakeOrdered:
+    no window in the plan — any level — ranks without partition columns
+    (the 'all' level used to rank #cells × k rows in one task)."""
     from data_pipeline_kafka_ek_spark.operators.sketches import kmv_rollup
     from data_pipeline_kafka_ek_spark.sources.tables import load_table
     from pyspark.sql import functions as F
@@ -380,4 +394,29 @@ def test_kmv_rollup_reads_raw_table_once(spark, sf_dir):
     est = kmv_rollup(e, ["event_type", "day"], "user_id", k=16, with_exact=False)
     plan = _plan(est)
     assert "Scan parquet" not in plan, plan
+    _assert_no_partitionless_window(plan)
     assert est.count() > 0
+
+
+def test_kmv_sketch_plans_have_no_partitionless_windows(spark, sf_dir):
+    """Same guard for the other two KMV surfaces: kmv_distinct's merged
+    __all__ sketch and kmv_set_ops' union sketch take their global top-k
+    via TakeOrderedAndProject, never a partition-less rank."""
+    from data_pipeline_kafka_ek_spark.operators.sketches import (
+        kmv_distinct,
+        kmv_set_ops,
+    )
+    from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    d = _plan(kmv_distinct(e, "event_type", "user_id", k=16, with_exact=False))
+    _assert_no_partitionless_window(d)
+    assert "TakeOrdered" in d, d
+    s = _plan(
+        kmv_set_ops(
+            e, "event_type", "user_id", "view", "purchase", k=16,
+            with_exact=False,
+        )
+    )
+    _assert_no_partitionless_window(s)
+    assert "TakeOrdered" in s, s
