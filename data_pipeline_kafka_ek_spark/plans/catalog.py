@@ -895,12 +895,22 @@ def h5(spark, sf_dir):
 #              slots: no overflow, and the two spare slots are consumed
 #              by this round's first new registrations.
 
+#   r10 window (this round): 51 must-attest for 50 slots — the two r9
+#              REGISTERED_AFTER_WINDOW entries (never driver-attested, the
+#              r9 verdict's #1 ask) go first, then 48 of the 49-entry
+#              r7-green tier (three rounds stale at r10). The genuine
+#              excess is exactly 1; the single WINDOW_OVERFLOW pick is
+#              x_text_langid (last green r7, one round past the bound,
+#              transitively covered by the in-window-at-r9
+#              x_text_langid_confusion, which recomputes the same langid
+#              scoring as a confusion view) — first in line for r11.
+
 # The round this rotation was authored for: the regression test checks that
 # every DRIVER_DEMOTED entry has a driver-green hash row within the two
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
 # promises), pinned here so evidence files landing later don't shift the
 # baseline under the test. Bump when re-authoring the rotation.
-DRIVER_ROTATION_ROUND = 9
+DRIVER_ROTATION_ROUND = 10
 
 # Queries registered AFTER this round's window was already committed to
 # re-attestation work. They sit in DRIVER_DEMOTED without a prior
@@ -908,14 +918,10 @@ DRIVER_ROTATION_ROUND = 9
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r9: the must-attest arithmetic left two spare window slots,
-# consumed by the first two new registrations (t_streaming_acid_changes,
-# x_sketch_kmv_setops, both in DRIVER_PRIORITY); the round's third and
-# fourth registrations — the incremental-MV oracle query and the KMV
-# rollup — landed after the window filled and sit here.
+# sf0.01). r10: the window was already oversubscribed by the stale tier
+# (51 must-attest for 50 slots), so every new r10 registration lands here.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
-    "x_acid_incremental_mv",
-    "x_sketch_kmv_rollup",
+    "x_acid_replica_convergence",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact
@@ -930,84 +936,23 @@ ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
     "x_dedup_minhash_xxh",
 )
 
-# r9: the must-attest set fits the window exactly (48 = 3 never-attested
-# + 4 r8-overflow + 41 r6-stale), so there is no overflow this round. The
-# rotation test enforces len(overflow) <= genuine excess = 0.
-WINDOW_OVERFLOW: tuple[str, ...] = ()
-
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-attested: the three r8 REGISTERED_AFTER_WINDOW entries
-    # (Misra-Gries batch twin, Q18, Q21) — the r8 verdict's #1 ask
-    "x_events_heavy_hitters",
-    "h18_large_volume_customers",
-    "h21_waiting_supplier",
-    # the four r8 WINDOW_OVERFLOW entries (last driver row r5, one round
-    # past the staleness bound — the debt the r8 rotation named)
-    "p1_project_columns",
-    "p2_star_filter",
-    "f2_pattern_filter_positive",
-    "a8_count_metric",
-    # r9 registrations taking the two spare slots (48 must-attest for 50
-    # slots): the ACID change-feed streaming twin (its oracle match is
-    # the end-to-end row-level-cdc attestation) and the KMV set-operation
-    # sketch — both never attested
-    "t_streaming_acid_changes",
-    "x_sketch_kmv_setops",
-    # the r6-green tier (last driver row r6, three rounds stale at r9),
-    # alphabetical within the tier
-    "a_rollup_revenue",
-    "h10_returned_item_revenue",
-    "h14_promo_revenue_share",
-    "h4_late_shipment_priority",
-    "j_full_outer_join",
-    "q_sql_scalar_subquery",
-    "t_streaming_ann_assign",
-    "t_streaming_funnel",
-    "t_streaming_neardup",
-    "t_streaming_quality_gate",
-    "t_streaming_session_counts",
-    "x_ann_cosine_topk",
-    "x_ann_pq_trained_topk",
-    "x_ann_recall_eval",
-    "x_cluster_topics",
-    "x_corpus_overlap_minhash",
-    "x_dedup_embedding",
-    "x_dedup_jaccard_3gram",
-    "x_dedup_semantic",
-    "x_dedup_semantic_keep",
-    "x_events_anomaly_zscore",
-    "x_events_max_drawdown",
-    "x_multimodal_audio_stats",
-    "x_multimodal_pixel_stats",
-    "x_multimodal_video_motion",
-    "x_pipeline_bpe_encode",
-    "x_pipeline_bpe_merges",
-    "x_pipeline_corpus_prep_v2",
-    "x_pipeline_corpus_prep_v3",
-    "x_pipeline_dsir_select",
-    "x_pipeline_stratified_sample",
-    "x_pipeline_token_budget",
-    "x_pipeline_tokenizer_fertility",
-    "x_quality_gopher_rules",
-    "x_quality_ppl_buckets",
-    "x_salted_hotkey_collect",
-    "x_text_bigram_logprob",
-    "x_text_langid_confusion",
-    "x_text_remove_dup_spans",
-    "x_text_repeated_spans",
-    "x_window_sliding_stats",
+# r10: must-attest = 2 never-attested + 49 r7-stale = 51 for 50 slots.
+# Genuine excess 1; the overflow pick per the policy (most trivial,
+# transitively covered): x_text_langid — its n-gram langid scoring is
+# recomputed verbatim inside x_text_langid_confusion (green r9). The
+# rotation test enforces len(overflow) <= genuine excess and last-green
+# == R-3 exactly.
+WINDOW_OVERFLOW: tuple[str, ...] = (
+    "x_text_langid",
 )
 
-DRIVER_DEMOTED: tuple[str, ...] = (
-    # registered after the r9 window filled: no driver row yet, locally
-    # oracle-green, first in line for the r10 window
-    *REGISTERED_AFTER_WINDOW,
-    # permanently rows-only in driver files (local-UDF oracle only)
-    *ROWS_ONLY_NO_ORACLE,
-    # every entry below carries an r7 or r8 driver-green hash row in the
-    # committed CORRECTNESS files — the invariant the rotation test
-    # asserts from ground truth; all stay oracle-green in the per-round
-    # full-catalog local runs. r7 tier first, then the r8 tier.
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-attested: the two r9 REGISTERED_AFTER_WINDOW entries
+    # (incremental-MV oracle query, KMV rollup) — the r9 verdict's #1 ask
+    "x_acid_incremental_mv",
+    "x_sketch_kmv_rollup",
+    # the r7-green tier (last driver row r7, three rounds stale at r10),
+    # alphabetical within the tier; x_text_langid overflows to r11
     "a_count_distinct",
     "a_pivot_lang_quality",
     "h1_pricing_summary",
@@ -1053,10 +998,22 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_sketch_kmv_distinct",
     "x_text_chunking",
     "x_text_fingerprint",
-    "x_text_langid",
     "x_text_quality",
     "x_text_repetition",
     "x_text_token_stats",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # the single r10 overflow (one round past the bound, first in line
+    # for the r11 window) leads, then any post-window registrations
+    *WINDOW_OVERFLOW,
+    *REGISTERED_AFTER_WINDOW,
+    # permanently rows-only in driver files (local-UDF oracle only)
+    *ROWS_ONLY_NO_ORACLE,
+    # every entry below carries an r8 or r9 driver-green hash row in the
+    # committed CORRECTNESS files — the invariant the rotation test
+    # asserts from ground truth; all stay oracle-green in the per-round
+    # full-catalog local runs. r8 tier first, then the r9 tier.
     "a1_count_by_group",
     "a2_a3_windowed_collect",
     "a3_tumbling_1min_counts",
@@ -1107,6 +1064,56 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_redact_pii",
     "x_text_unigram_logprob",
     "x_window_running_total",
+    "a8_count_metric",
+    "a_rollup_revenue",
+    "f2_pattern_filter_positive",
+    "h10_returned_item_revenue",
+    "h14_promo_revenue_share",
+    "h18_large_volume_customers",
+    "h21_waiting_supplier",
+    "h4_late_shipment_priority",
+    "j_full_outer_join",
+    "p1_project_columns",
+    "p2_star_filter",
+    "q_sql_scalar_subquery",
+    "t_streaming_acid_changes",
+    "t_streaming_ann_assign",
+    "t_streaming_funnel",
+    "t_streaming_neardup",
+    "t_streaming_quality_gate",
+    "t_streaming_session_counts",
+    "x_ann_cosine_topk",
+    "x_ann_pq_trained_topk",
+    "x_ann_recall_eval",
+    "x_cluster_topics",
+    "x_corpus_overlap_minhash",
+    "x_dedup_embedding",
+    "x_dedup_jaccard_3gram",
+    "x_dedup_semantic",
+    "x_dedup_semantic_keep",
+    "x_events_anomaly_zscore",
+    "x_events_heavy_hitters",
+    "x_events_max_drawdown",
+    "x_multimodal_audio_stats",
+    "x_multimodal_pixel_stats",
+    "x_multimodal_video_motion",
+    "x_pipeline_bpe_encode",
+    "x_pipeline_bpe_merges",
+    "x_pipeline_corpus_prep_v2",
+    "x_pipeline_corpus_prep_v3",
+    "x_pipeline_dsir_select",
+    "x_pipeline_stratified_sample",
+    "x_pipeline_token_budget",
+    "x_pipeline_tokenizer_fertility",
+    "x_quality_gopher_rules",
+    "x_quality_ppl_buckets",
+    "x_salted_hotkey_collect",
+    "x_sketch_kmv_setops",
+    "x_text_bigram_logprob",
+    "x_text_langid_confusion",
+    "x_text_remove_dup_spans",
+    "x_text_repeated_spans",
+    "x_window_sliding_stats",
 )
 
 

@@ -1020,6 +1020,7 @@ def t_streaming_stateful_counts(spark, sf_dir):
     FROM u GROUP BY user_id
     """,
     survey_ids=("T1", "T5", "T7", "T11", "EXT-streaming"),
+    bench=True,
     doc="the ACID change feed driving a stateful streaming operator, "
     "attested end to end: three deterministic CDC batches (purchases "
     "bucketed by epoch%3, deduped latest-per-user within each) are "
@@ -1129,6 +1130,7 @@ def t_streaming_acid_changes(spark, sf_dir):
     FROM w GROUP BY seg
     """,
     survey_ids=("A4", "T7", "T11", "EXT-streaming"),
+    bench=True,
     doc="the incrementally maintained materialized aggregate "
     "(sources/incremental.py) attested by a SQL oracle, end to end: the "
     "same three CDC batches as t_streaming_acid_changes land in a "
@@ -1140,10 +1142,12 @@ def t_streaming_acid_changes(spark, sf_dir):
     "integer ten-thousandths so every incremental sum is exact in "
     "int64 range and the final division is the only float op — the "
     "fixed-point trick that makes an order-dependent incremental fold "
-    "hash-identical to a one-shot SQL aggregate. The scratch table is "
-    "left on disk until the returned snapshot is collected.",
+    "hash-identical to a one-shot SQL aggregate. The 5-row snapshot is "
+    "collected eagerly so the scratch table is removed before returning "
+    "(no tmp-dir leak across bench/correctness runs).",
 )
 def x_acid_incremental_mv(spark, sf_dir):
+    import shutil
     import tempfile
 
     from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
@@ -1172,30 +1176,148 @@ def x_acid_incremental_mv(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     scratch = tempfile.mkdtemp(prefix="spark_graft_acid_mv_")
-    src = TxnLogTable(
-        spark,
-        f"{scratch}/tbl",
-        key="user_id",
-        order_col="__b",
-        files_per_commit=2,
-        change_feed=True,
-    )
-    mv = IncrementalAggregate(
-        src, f"{scratch}/mv", group_col="seg", sum_cols=["vq"],
-        files_per_commit=2,
-    )
-    src.append(upserts.filter(F.col("__b") == 0))
-    mv.refresh()
-    for b in (1, 2):
-        src.merge(upserts.filter(F.col("__b") == b))
+    try:
+        src = TxnLogTable(
+            spark,
+            f"{scratch}/tbl",
+            key="user_id",
+            order_col="__b",
+            files_per_commit=2,
+            change_feed=True,
+        )
+        mv = IncrementalAggregate(
+            src, f"{scratch}/mv", group_col="seg", sum_cols=["vq"],
+            files_per_commit=2,
+        )
+        src.append(upserts.filter(F.col("__b") == 0))
         mv.refresh()
-    # the MV snapshot is parquet-backed in the scratch dir, so the dir
-    # stays on disk for the caller's collect (tmp-dir lifecycle)
-    return mv.read().select(
-        "seg",
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.round(F.col("sum_vq") / F.lit(10000.0), 4).alias("sum_value"),
+        for b in (1, 2):
+            src.merge(upserts.filter(F.col("__b") == b))
+            mv.refresh()
+        snapshot = mv.read().select(
+            "seg",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("sum_vq") / F.lit(10000.0), 4).alias("sum_value"),
+        )
+        # ≤5 rows (seg is user_id mod 5): collect eagerly and rebuild the
+        # frame driver-side so the parquet-backed scratch MV can be
+        # deleted HERE instead of leaking two tables per invocation
+        return spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "x_acid_replica_convergence",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS vq,
+             user_id % 5 AS seg,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 3 AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT p.*, row_number() OVER (
+          PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+        FROM p
+      ) WHERE rn = 1
+    ),
+    w AS (
+      SELECT * FROM (
+        SELECT u.*, row_number() OVER (
+          PARTITION BY user_id ORDER BY b DESC) AS rw
+        FROM u
+      ) WHERE rw = 1
+    ),
+    alive AS (
+      SELECT * FROM w WHERE NOT (b = 2 AND user_id % 7 = 0)
     )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(vq) / 10000.0, 4) AS sum_value
+    FROM alive GROUP BY seg
+    """,
+    survey_ids=("T7", "T11", "EXT-streaming"),
+    doc="the ACID-to-ACID replication primitive "
+    "(sources/incremental.py::TableReplicator / Engine.replicate_table) "
+    "attested by a SQL oracle, end to end: three deterministic CDC "
+    "batches (purchases bucketed by epoch%3, deduped latest-per-user "
+    "within each) land in a change_feed TxnLogTable — an append, then "
+    "two MERGEs, the last tombstoning every user_id % 7 == 0 it "
+    "touches — with replicate() after EVERY commit, so the replica is "
+    "built purely from incremental typed-feed spans (insert / "
+    "update_postimage / delete row images merged by _commit_version), "
+    "never a copy. Its final per-segment rollup must equal the oracle's "
+    "winner-per-user fold of the same batches with the b=2 tombstones "
+    "removed — deletes included, which a post-image-only feed could "
+    "not replicate. Fixed-point vq keeps sums exact in int64.",
+)
+def x_acid_replica_convergence(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        TableReplicator,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+        F.pmod(F.col("user_id"), F.lit(5)).alias("seg"),
+        F.pmod(
+            F.floor(F.col("ts").cast("double")).cast("long"), F.lit(3)
+        ).alias("__b"),
+    )
+    wb = Window.partitionBy("user_id", "__b").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    upserts = (
+        p.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn(
+            "__dead",
+            (F.col("__b") == 2) & (F.pmod(F.col("user_id"), F.lit(7)) == 0),
+        )
+        .localCheckpoint(eager=True)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_acid_repl_")
+    try:
+        src = TxnLogTable(
+            spark,
+            f"{scratch}/src",
+            key="user_id",
+            order_col="__b",
+            files_per_commit=2,
+            change_feed=True,
+        )
+        rep = TableReplicator(
+            src, f"{scratch}/replica", files_per_commit=2
+        )
+        src.append(upserts.filter(F.col("__b") == 0).drop("__dead"))
+        rep.replicate()
+        for b in (1, 2):
+            src.merge(
+                upserts.filter(F.col("__b") == b), delete_col="__dead"
+            )
+            rep.replicate()
+        snapshot = (
+            rep.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.round(F.sum("vq") / F.lit(10000.0), 4).alias("sum_value"),
+            )
+        )
+        # ≤5 rows: collect eagerly so the scratch tables are removed here
+        return spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 @register(
@@ -2723,6 +2845,7 @@ def x_sketch_kmv_distinct(spark, sf_dir):
     FROM s, exu, exi
     """,
     survey_ids=("EXT-sketch", "EXT-dedup", "A1"),
+    bench=True,
     doc="KMV sketch SET OPERATIONS, k=64: distinct-token union, "
     "intersection and Jaccard between two corpus halves (sources split "
     "by parity) estimated from the k-minimum-value sketches alone — the "
@@ -2783,26 +2906,32 @@ def x_sketch_kmv_setops(spark, sf_dir):
       WHERE rn <= 64),
     sk AS (
       SELECT 'cell' AS gset,
-             coalesce(g1, '<null>') || '|' || coalesce(g2, '<null>') AS key,
+             coalesce(replace(replace(replace(g1, '\', '\\'), '|', '\|'), '<', '\<'), '<null>') || '|' ||
+             coalesce(replace(replace(replace(g2, '\', '\\'), '|', '\|'), '<', '\<'), '<null>') AS key,
              count(*) AS n_sketch, max(h) AS hk FROM cell GROUP BY g1, g2
       UNION ALL
-      SELECT 'event_type', coalesce(g1, '<null>'), count(*), max(h)
+      SELECT 'event_type', coalesce(replace(replace(replace(g1, '\', '\\'), '|', '\|'), '<', '\<'), '<null>'),
+             count(*), max(h)
       FROM r1 GROUP BY g1
       UNION ALL
-      SELECT 'day', coalesce(g2, '<null>'), count(*), max(h)
+      SELECT 'day', coalesce(replace(replace(replace(g2, '\', '\\'), '|', '\|'), '<', '\<'), '<null>'),
+             count(*), max(h)
       FROM r2 GROUP BY g2
       UNION ALL
       SELECT 'all', '*', count(*), max(h) FROM rall),
     ex AS (
       SELECT 'cell' AS gset,
-             coalesce(g1, '<null>') || '|' || coalesce(g2, '<null>') AS key,
+             coalesce(replace(replace(replace(g1, '\', '\\'), '|', '\|'), '<', '\<'), '<null>') || '|' ||
+             coalesce(replace(replace(replace(g2, '\', '\\'), '|', '\|'), '<', '\<'), '<null>') AS key,
              count(*) AS n_exact
       FROM vals GROUP BY g1, g2
       UNION ALL
-      SELECT 'event_type', coalesce(g1, '<null>'), count(DISTINCT v)
+      SELECT 'event_type', coalesce(replace(replace(replace(g1, '\', '\\'), '|', '\|'), '<', '\<'), '<null>'),
+             count(DISTINCT v)
       FROM vals GROUP BY g1
       UNION ALL
-      SELECT 'day', coalesce(g2, '<null>'), count(DISTINCT v)
+      SELECT 'day', coalesce(replace(replace(replace(g2, '\', '\\'), '|', '\|'), '<', '\<'), '<null>'),
+             count(DISTINCT v)
       FROM vals GROUP BY g2
       UNION ALL
       SELECT 'all', '*', count(DISTINCT v) FROM vals)
@@ -2815,19 +2944,22 @@ def x_sketch_kmv_setops(spark, sf_dir):
     FROM sk s JOIN ex e ON s.gset = e.gset AND s.key = e.key
     """,
     survey_ids=("EXT-sketch", "A1", "A4", "A6"),
+    bench=True,
     doc="grouping-sets distinct counts from ONE raw pass: a KMV sketch "
     "per (event_type, day) base cell, then the per-event_type, per-day "
     "and grand-total sketches derived by MERGING cell sketches (k "
     "smallest of their deduped union) — the cascading-rollup shape "
     "(a_cascade_rollup) applied to a mergeable sketch, so every coarser "
     "level reads <= k rows per base cell and the raw table is scanned "
-    "exactly once however many grouping sets are reported. Base-cell "
-    "k-smallest is salted two-phase (operators/sketches.py::kmv_rollup); "
+    "exactly once however many grouping sets are reported. Base-cell AND "
+    "merge-level k-smallest are salted two-phase (operators/sketches.py::"
+    "kmv_rollup — no window ever ranks #cells x k rows in one task); "
     "md5 + lexicographic order keep all four levels exactly "
     "hash-checkable, NULL dimension values render as the '<null>' "
-    "sentinel on BOTH engines (real NULL groups are kept, never "
-    "conflated with absence), and each row carries its exact count + "
-    "rel_err so the sketch attests its own accuracy per grouping set.",
+    "sentinel on BOTH engines with real values escaped so a literal "
+    "'<null>' or '|' can never collide, and each row carries its exact "
+    "count + rel_err so the sketch attests its own accuracy per "
+    "grouping set.",
 )
 def x_sketch_kmv_rollup(spark, sf_dir):
     from data_pipeline_kafka_ek_spark.operators import sketches
