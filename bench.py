@@ -93,6 +93,15 @@ def main() -> None:
         "h18_large_volume_customers",
         "h21_waiting_supplier",
     }
+    # r9: the ACID feed twins (the first benched queries that WRITE scratch
+    # tables — their trend measures the transactional feed path, not just
+    # reads) + the two KMV sketch compositions
+    added_r09 = {
+        "t_streaming_acid_changes",
+        "x_acid_incremental_mv",
+        "x_sketch_kmv_setops",
+        "x_sketch_kmv_rollup",
+    }
     load_end = os.getloadavg()
     print(
         json.dumps(
@@ -107,7 +116,7 @@ def main() -> None:
                             v
                             for k, v in timings.items()
                             if k not in added_r04 | added_r06 | added_r07
-                            | added_r08
+                            | added_r08 | added_r09
                         ),
                         3,
                     ),
@@ -122,6 +131,9 @@ def main() -> None:
                     ),
                     "added_in_r08": round(
                         sum(v for k, v in timings.items() if k in added_r08), 3
+                    ),
+                    "added_in_r09": round(
+                        sum(v for k, v in timings.items() if k in added_r09), 3
                     ),
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1,0 +1,105 @@
+"""Unit tests for the round-over-round tooling (tools/bench_compare.py) —
+no Spark session needed, these run in milliseconds. The load-adjudication
+path matters because r9 was the first round with telemetry on both sides:
+the comparison must actually FIRE on a materially-loaded run and say
+which side was loaded, not just carry the fields."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from bench_compare import _load_note, compare, load_bench  # noqa: E402
+
+
+def _bench(queries, load=None, value=None):
+    obj = {
+        "metric": "headline_queries_total_runtime",
+        "value": value if value is not None else round(sum(queries.values()), 3),
+        "queries": queries,
+    }
+    if load is not None:
+        obj["load"] = load
+    return obj
+
+
+def _load(start_1m, end_5m, cpus=32):
+    return {
+        "start_1m": start_1m,
+        "start_5m": start_1m,
+        "end_1m": end_5m,
+        "end_5m": end_5m,
+        "cpus": cpus,
+    }
+
+
+def test_load_note_comparable_when_both_quiet():
+    note = _load_note(
+        _bench({}, load=_load(2.0, 3.0)), _bench({}, load=_load(2.5, 3.5))
+    )
+    assert note["verdict"] == "comparable"
+    assert note["loaded_side"] is None
+    assert "rule" in note  # the definition of "materially" is recorded
+
+
+def test_load_note_flags_loaded_current_side():
+    # quiet prior (3/32 ≈ 0.09) vs loaded current (16/32 = 0.5):
+    # delta 0.41 >= 0.25 → mismatch, current named as the loaded run
+    note = _load_note(
+        _bench({}, load=_load(2.0, 3.0)), _bench({}, load=_load(14.0, 16.0))
+    )
+    assert note["verdict"].startswith("load-mismatch")
+    assert note["loaded_side"] == "current"
+    assert "current run was the loaded one" in note["verdict"]
+
+
+def test_load_note_flags_loaded_prior_side_via_ratio_rule():
+    # prior 12/32 = 0.375 vs current 2/32 ≈ 0.06: delta < 0.25 but the
+    # larger side is >= 0.3 and >= 2.5x the smaller → still a mismatch
+    note = _load_note(
+        _bench({}, load=_load(10.0, 12.0)), _bench({}, load=_load(1.0, 2.0))
+    )
+    assert note["verdict"].startswith("load-mismatch")
+    assert note["loaded_side"] == "prior"
+
+
+def test_load_note_missing_telemetry_sides():
+    assert _load_note(_bench({}), _bench({}))["verdict"] == (
+        "no-load-telemetry-in-either"
+    )
+    assert _load_note(_bench({}), _bench({}, load=_load(1, 1)))["verdict"] == (
+        "no-load-telemetry-in-prior"
+    )
+    assert _load_note(_bench({}, load=_load(1, 1)), _bench({}))["verdict"] == (
+        "no-load-telemetry-in-current"
+    )
+
+
+def test_compare_totals_are_intersection_honest():
+    prior = _bench({"a": 1.0, "b": 2.0})
+    current = _bench({"a": 1.1, "b": 1.8, "c": 5.0})  # c is new coverage
+    out = compare(prior, current, threshold=1.25)
+    # the new query's 5s must not read as a regression of the total
+    assert out["prior_total"] == 3.0
+    assert out["now_total"] == 2.9
+    assert out["added_total"] == 5.0
+    assert out["queries"]["c"]["status"] == "new"
+    assert out["regressions"] == []
+
+
+def test_compare_flags_per_query_regression():
+    out = compare(
+        _bench({"a": 1.0, "b": 1.0}),
+        _bench({"a": 1.5, "b": 0.5}),
+        threshold=1.25,
+    )
+    assert out["regressions"] == ["a"]
+    assert out["queries"]["a"]["status"] == "regressed"
+    assert out["queries"]["b"]["status"] == "improved"
+
+
+def test_load_bench_unwraps_driver_format():
+    wrapped = {"parsed": _bench({"a": 1.0})}
+    assert load_bench(wrapped)["queries"] == {"a": 1.0}

@@ -104,14 +104,26 @@ def _load_note(prior: dict, current: dict) -> "dict | None":
         ) / cpus
 
     np_, nc = norm(lp), norm(lc)
+    # "materially different" — the recorded rule: normalized load delta
+    # >= 0.25 (a quarter of the box), OR the larger side is both >= 0.3
+    # absolute and >= 2.5x the smaller (one quiet run vs one busy run)
     noisy = abs(nc - np_) >= 0.25 or (
         max(np_, nc) >= 0.3 and max(np_, nc) >= 2.5 * max(min(np_, nc), 0.04)
     )
+    loaded_side = None
+    if noisy:
+        loaded_side = "current" if nc > np_ else "prior"
     return {
         "prior_norm_load": round(np_, 3),
         "now_norm_load": round(nc, 3),
+        "rule": (
+            "normalized = max(start_1m, end_5m)/cpus; mismatch when "
+            "|delta| >= 0.25 or larger >= 0.3 and >= 2.5x smaller"
+        ),
+        "loaded_side": loaded_side,
         "verdict": (
-            "load-mismatch: timing ratios may be environmental"
+            f"load-mismatch ({loaded_side} run was the loaded one): "
+            "timing ratios may be environmental"
             if noisy
             else "comparable"
         ),
