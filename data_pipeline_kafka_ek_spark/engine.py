@@ -184,15 +184,21 @@ class Engine:
             raise KeyError(f"unknown acid table {name!r}")
         return acid[name].history()
 
-    def optimize_acid_table(self, name: str) -> "int | None":
+    def optimize_acid_table(
+        self, name: str, cluster_by: "list[str] | None" = None
+    ) -> "int | None":
         """Compact the named ACID table's live file set (see
         ``TxnLogTable.optimize``) and re-pin the registered view to the
-        compacted snapshot. Returns the optimize commit's version, or
-        None if the table was already compact."""
+        compacted snapshot. ``cluster_by`` is OPTIMIZE ZORDER BY: the
+        rewrite clusters on the interleaved-bit z-value of the listed
+        columns so filters on any of them prune files/row-groups at scan
+        time. Returns the optimize commit's version, or None if the
+        table was already compact (plain compaction only — a z-order
+        request always re-lays-out)."""
         acid = getattr(self, "_acid", {})
         if name not in acid:
             raise KeyError(f"unknown acid table {name!r}")
-        v = acid[name].optimize()
+        v = acid[name].optimize(cluster_by=cluster_by)
         if v is not None:
             self.create_table(name, acid[name].read())
         return v

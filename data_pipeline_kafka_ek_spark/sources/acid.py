@@ -321,8 +321,55 @@ class TxnLogTable:
         """Live add actions at ``version`` (default: latest)."""
         return list(self._fold_log(version)["adds"].values())
 
+    def _commit_mtimes(self) -> "list[tuple[int, float]]":
+        """(version, publish-time epoch seconds) per commit, oldest first,
+        from ONE directory listing. Times are made MONOTONE non-decreasing
+        (each stamped at least its predecessor — Delta's rule for AS OF
+        resolution), so a commit file whose mtime was disturbed (copy,
+        clock skew) can never make timestamp travel non-deterministic."""
+        fs, jpath = self._fs(self.log_dir)
+        if not fs.exists(jpath):
+            return []
+        raw = {}
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith((".", "_")) or not name.endswith(".json"):
+                continue
+            if name.endswith(".checkpoint.json"):
+                continue
+            raw[int(name[: -len(".json")])] = st.getModificationTime() / 1000.0
+        out = []
+        prev = float("-inf")
+        for v in sorted(raw):
+            prev = max(prev, raw[v])
+            out.append((v, prev))
+        return out
+
+    def version_at(self, timestamp) -> int:
+        """AS OF TIMESTAMP resolution: the greatest version published at
+        or before ``timestamp`` (epoch seconds, a datetime, or an ISO
+        string). Raises if the timestamp predates the table's first
+        commit — there is no state to read there."""
+        import datetime as _dt
+
+        if isinstance(timestamp, str):
+            ts = _dt.datetime.fromisoformat(timestamp).timestamp()
+        elif isinstance(timestamp, _dt.datetime):
+            ts = timestamp.timestamp()
+        else:
+            ts = float(timestamp)
+        candidates = [v for v, t in self._commit_mtimes() if t <= ts]
+        if not candidates:
+            raise ValueError(
+                f"no commit at or before timestamp {timestamp!r} "
+                "(the table did not exist yet)"
+            )
+        return candidates[-1]
+
     def history(self) -> "list[dict]":
-        """Commit metadata, oldest first — op, version, txn, file deltas."""
+        """Commit metadata, oldest first — op, version, txn, file deltas,
+        publish timestamp (monotone, epoch seconds)."""
+        mtimes = dict(self._commit_mtimes())
         out = []
         for v in self._list_versions():
             c = self._read_commit(v)
@@ -333,6 +380,7 @@ class TxnLogTable:
                     "txn": c.get("txn"),
                     "n_add": sum(1 for a in c["actions"] if "add" in a),
                     "n_remove": sum(1 for a in c["actions"] if "remove" in a),
+                    "timestamp": mtimes.get(v),
                 }
             )
         return out
@@ -358,14 +406,26 @@ class TxnLogTable:
 
     # -- data-file writing --------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame) -> "list[dict]":
+    def _write_data_files(self, df: DataFrame, cluster_expr=None) -> "list[dict]":
         """Write ``df`` key-range clustered into a fresh immutable commit
         directory; return add actions carrying per-file [min,max] key
         stats (what MERGE prunes on). Stats come from ONE job grouped by
         ``input_file_name()`` over the commit directory — O(1) jobs per
-        commit, not one scan per file."""
+        commit, not one scan per file. ``cluster_expr`` overrides the
+        default key-range clustering (used by Z-order optimize); files
+        are additionally sorted within partitions on the cluster
+        expression so parquet row-group min/max stats stay tight."""
         commit_dir = f"{self.path}/files/c-{uuid.uuid4().hex}"
-        clustered = df.repartitionByRange(self.files_per_commit, F.col(self.key))
+        cluster = cluster_expr if cluster_expr is not None else F.col(self.key)
+        clustered = df.repartitionByRange(
+            self.files_per_commit, cluster
+        ).sortWithinPartitions(cluster)
+        # __zorder_* are clustering scaffolding (bucket ids + z-value),
+        # projected away after the range partition + sort consumed them —
+        # they never land in the data files
+        clustered = clustered.drop(
+            *[c for c in clustered.columns if c.startswith("__zorder_")]
+        )
         clustered.write.mode("overwrite").parquet(commit_dir)
         stats = (
             # schema passed explicitly: skips the footer-inference job
@@ -835,7 +895,77 @@ class TxnLogTable:
                 paths.append(p)
         return sorted(paths)
 
-    def optimize(self, min_files: int = 2, max_retries: int = 5) -> "int | None":
+    def _with_zvalue(
+        self, df: DataFrame, cols: "list[str]", bits: int = 6
+    ) -> DataFrame:
+        """Attach the Z-ORDER clustering key as ``__zorder_z``: per-column
+        bucket ids (``2**bits`` buckets each) with their bits interleaved
+        — the multi-dimensional locality key OPTIMIZE clusters files by,
+        so parquet footer min/max stats stay tight on EVERY listed
+        dimension at once (a single-dimension range clustering leaves
+        every other dimension's per-file range full-width, so filters on
+        those dimensions prune nothing).
+
+        Bucketing per column: numeric/date/timestamp columns are rank-
+        bucketed against ``approxQuantile`` boundaries collected in ONE
+        cheap driver-side pass (boundaries ride into the expression as
+        codegen literals — no join, no window); other types hash-bucket
+        via xxhash64, which clusters equal values for equality pruning
+        but carries no range locality. NULL sorts to bucket 0. Bucket ids
+        are STAGED as ``__zorder_b{i}`` columns so the interleave terms
+        reference named columns — inlining the bucket chain into all
+        ``bits × dims`` terms blows past janino's method-size limit and
+        forces interpreted evaluation. Everything is deterministic and
+        shuffle-free; ``__zorder_*`` columns are dropped by the writer
+        after clustering."""
+        n_buckets = 1 << bits
+        numeric_like = (
+            "byte", "short", "int", "bigint", "long", "float", "double",
+            "decimal", "date", "timestamp", "timestamp_ntz",
+        )
+        names = []
+        for i, c in enumerate(cols):
+            dt = dict(df.dtypes)[c]
+            base = dt.split("(")[0]
+            if base in numeric_like:
+                as_num = F.col(c).cast("double")
+                probs = [j / n_buckets for j in range(1, n_buckets)]
+                bounds = df.select(as_num.alias("__q")).stat.approxQuantile(
+                    "__q", probs, 0.01
+                )
+                # strictly increasing boundaries only: constant/skewed
+                # columns collapse duplicates (fewer effective buckets)
+                uniq = []
+                for b in bounds:
+                    if b is not None and (not uniq or b > uniq[-1]):
+                        uniq.append(b)
+                bucket = F.lit(0)
+                for b in uniq:
+                    bucket = bucket + (as_num > F.lit(b)).cast("int")
+                bucket = F.coalesce(bucket, F.lit(0))
+            else:
+                bucket = F.coalesce(
+                    F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets)),
+                    F.lit(0),
+                ).cast("int")
+            name = f"__zorder_b{i}"
+            df = df.withColumn(name, bucket.cast("long"))
+            names.append(name)
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for i, name in enumerate(names):
+                pos = bit * len(names) + i
+                z = z + F.shiftleft(
+                    F.shiftright(F.col(name), bit) % 2, pos
+                )
+        return df.withColumn("__zorder_z", z)
+
+    def optimize(
+        self,
+        min_files: int = 2,
+        max_retries: int = 5,
+        cluster_by: "list[str] | None" = None,
+    ) -> "int | None":
         """Compaction: rewrite the CURRENT live file set into
         ``files_per_commit`` key-range-clustered files as one
         transactional commit (op ``optimize``: adds the compacted files,
@@ -849,14 +979,31 @@ class TxnLogTable:
         rewrite the same files). Concurrency: same optimistic
         rule as MERGE — losing the publish race to a commit that removed
         a source file raises ``ConcurrentModification``; losing to a
-        blind append re-runs on the new snapshot."""
+        blind append re-runs on the new snapshot.
+
+        ``cluster_by=[c1, c2, ...]`` is OPTIMIZE ZORDER BY: the rewrite
+        clusters files on the interleaved-bit z-value of the listed
+        columns (see :meth:`_zvalue_expr`) instead of the merge key's
+        range, so parquet min/max footer stats stay tight on every
+        listed dimension and a filter on ANY of them skips whole
+        files/row-groups at scan time — the layout a 100 TB fact needs
+        when queries slice on more than one column. Trade-off, recorded
+        deliberately: per-file ranges of the MERGE key widen (the add
+        stats still record them truthfully), so z-order favors read
+        pruning over merge rewrite pruning; re-cluster requests run even
+        when the file count is already compact (the point is layout, not
+        file count)."""
         for _ in range(max_retries):
             base_version = self.latest_version()
             if base_version < 0:
                 return None
             state = self._fold_log(base_version)
             live = list(state["adds"].values())
-            if len(live) <= max(min_files, self.files_per_commit):
+            if not live:
+                return None
+            if cluster_by is None and len(live) <= max(
+                min_files, self.files_per_commit
+            ):
                 return None
             # recorded schema pins the compaction read — same evolution
             # hazard as merge: a mixed narrow/wide live set read via footer
@@ -868,12 +1015,18 @@ class TxnLogTable:
             )
             reader = self.spark.read.schema(sch) if sch is not None else self.spark.read
             df = reader.parquet(*[a["path"] for a in live])
-            adds = self._write_data_files(df)
+            # the recorded schema must never include __zorder_* scaffolding
+            commit_schema = df.schema.json()
+            cluster_expr = None
+            if cluster_by is not None:
+                df = self._with_zvalue(df, cluster_by)
+                cluster_expr = F.col("__zorder_z")
+            adds = self._write_data_files(df, cluster_expr=cluster_expr)
             actions = [{"add": a} for a in adds] + [
                 {"remove": {"path": a["path"]}} for a in live
             ]
             if self._try_commit(
-                base_version + 1, "optimize", actions, None, df.schema.json()
+                base_version + 1, "optimize", actions, None, commit_schema
             ):
                 return base_version + 1
             now_live = {a["path"] for a in self._snapshot_adds()}
@@ -901,12 +1054,20 @@ class TxnLogTable:
         except Exception:
             return 0
 
-    def read(self, version: "int | None" = None) -> DataFrame:
-        """Snapshot read (time travel with ``version=k``). The file list is
-        pinned here — later commits can't tear this DataFrame. A valid but
-        empty snapshot (freshly created table, or every row deleted)
+    def read(
+        self, version: "int | None" = None, timestamp=None
+    ) -> DataFrame:
+        """Snapshot read (time travel with ``version=k`` or AS OF
+        ``timestamp`` — epoch seconds, datetime, or ISO string, resolved
+        to the greatest version published at or before it). The file list
+        is pinned here — later commits can't tear this DataFrame. A valid
+        but empty snapshot (freshly created table, or every row deleted)
         returns an empty DataFrame with the recorded schema; only a table
         with no commits at all raises."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         latest = self.latest_version()
         if latest < 0:
             raise ValueError("table has no commits")

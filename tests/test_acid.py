@@ -1752,3 +1752,113 @@ def test_schema_never_narrows_and_rewrites_preserve_evolved_columns(
     assert {
         r.k: (r.v, r.y) for r in rep.read().select("k", "v", "y").collect()
     } == state
+
+
+def test_optimize_zorder_clusters_every_listed_dimension(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: single-dimension range clustering makes a
+    narrow predicate on the merge key skip most files but a predicate on
+    any OTHER dimension skip none (every file's d-range is full-width).
+    After cluster_by=["k", "d"], file-level min/max stats prune on BOTH
+    dimensions — the z-curve trades a little key-pruning selectivity for
+    pruning on every listed column. Data is bit-identical, time travel
+    intact, the recorded merge-key stats stay truthful about the (wider)
+    post-z-order key ranges, scaffolding columns never land in the data
+    files, and merges still work against the new layout."""
+    import random
+
+    rng = random.Random(7)
+    t = _table(spark, tmp_path, files_per_commit=16)
+    rows = [
+        (rng.randrange(1000), i, rng.randrange(1000), f"v{i}")
+        for i in range(8000)
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, d long, v string")
+    t.append(df)
+
+    def per_file_ranges(col):
+        paths = [a["path"] for a in t._snapshot_adds()]
+        stats = (
+            spark.read.parquet(*paths)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        return [(r.lo, r.hi) for r in stats]
+
+    def files_overlapping(col, lo, hi):
+        return sum(
+            1 for flo, fhi in per_file_ranges(col) if not (fhi < lo or flo > hi)
+        )
+
+    n_files = len(t._snapshot_adds())
+    assert n_files >= 12
+    # default layout: a 10%-wide k predicate prunes hard, a d predicate
+    # prunes NOTHING (every file overlaps)
+    assert files_overlapping("k", 0, 99) <= max(3, n_files // 4)
+    assert files_overlapping("d", 0, 99) == n_files
+    before = {(r.k, r.seq, r.d, r.v) for r in t.read().collect()}
+
+    v = t.optimize(cluster_by=["k", "d"])
+    assert v is not None  # z-order re-layout runs even when compact
+    after_read = t.read()
+    # scaffolding never lands in the data files
+    assert [c for c in after_read.columns if c.startswith("__zorder")] == []
+    after = {(r.k, r.seq, r.d, r.v) for r in after_read.collect()}
+    assert after == before  # row content untouched
+    assert {(r.k, r.seq) for r in t.read(version=v - 1).collect()} == {
+        (k, s) for (k, s, _, _) in before
+    }  # time travel intact
+
+    # z-order: the SAME 10%-wide predicate prunes on BOTH dimensions
+    n_files_z = len(t._snapshot_adds())
+    assert files_overlapping("k", 0, 99) <= n_files_z // 2
+    assert files_overlapping("d", 0, 99) <= n_files_z // 2
+    # recorded merge-key stats stay truthful per file
+    actual = sorted(per_file_ranges("k"))
+    recorded = sorted(
+        (a["min_key"], a["max_key"]) for a in t._snapshot_adds()
+    )
+    assert recorded == actual
+    # merges still work against the z-ordered layout
+    t.merge(
+        spark.createDataFrame(
+            [(rows[0][0], 99999, 5, "upd")], "k long, seq long, d long, v string"
+        )
+    )
+    got = {
+        r.v
+        for r in t.read().filter(F.col("k") == rows[0][0]).collect()
+    }
+    assert "upd" in got
+
+
+def test_time_travel_as_of_timestamp(spark, tmp_path):
+    """AS OF TIMESTAMP: commit publish times resolve to versions with
+    Delta's monotone rule, a timestamp between commits reads the earlier
+    snapshot, one at/after the head reads the head, and one before the
+    first commit raises. history() carries the same timestamps."""
+    import time
+
+    t = _table(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    time.sleep(1.1)
+    t_mid = time.time()
+    time.sleep(1.1)
+    t.merge(spark.createDataFrame([(1, 2, "b")], "k long, seq long, v string"))
+
+    assert t.version_at(t_mid) == 0
+    assert {r.v for r in t.read(timestamp=t_mid).collect()} == {"a"}
+    assert {r.v for r in t.read(timestamp=time.time()).collect()} == {"b"}
+    # datetime + ISO spellings resolve identically
+    import datetime as dt
+
+    as_dt = dt.datetime.fromtimestamp(t_mid)
+    assert t.version_at(as_dt) == 0
+    assert t.version_at(as_dt.isoformat()) == 0
+    with pytest.raises(ValueError, match="did not exist"):
+        t.read(timestamp=t_mid - 3600)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=0, timestamp=t_mid)
+    h = t.history()
+    assert [x["version"] for x in h] == [0, 1]
+    assert h[0]["timestamp"] <= h[1]["timestamp"]  # monotone

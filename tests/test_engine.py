@@ -333,3 +333,29 @@ def test_engine_replicate_table_across_evolution_and_compaction(spark, tmp_path)
     # guard rails: unknown source name raises
     with pytest.raises(KeyError):
         eng.replicate_table("nope", str(tmp_path / "zzz"))
+
+
+def test_engine_optimize_zorder_passthrough(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY through the control surface: re-lays-out
+    even when the file count is already compact, records an optimize
+    commit, keeps the data identical, and re-pins the registered view."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "zt", str(tmp_path / "zt"), key="k", order_col="seq",
+        files_per_commit=2,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, 1, i % 7, f"v{i}") for i in range(200)],
+            "k long, seq long, d long, v string",
+        )
+    )
+    eng.refresh_acid_table("zt")
+    before = {r.k for r in eng.sql("SELECT k FROM zt").collect()}
+    # plain compaction declines (already compact) — z-order proceeds
+    assert eng.optimize_acid_table("zt") is None
+    assert eng.optimize_acid_table("zt", cluster_by=["k", "d"]) is not None
+    assert eng.describe_history("zt")[-1]["op"] == "optimize"
+    assert {r.k for r in eng.sql("SELECT k FROM zt").collect()} == before
