@@ -234,6 +234,34 @@ class Engine:
             raise ValueError(f"mode must be one of {sorted(readers)}")
         return readers[mode](since_version)
 
+    def delete_from_acid_table(
+        self, name: str, condition, **kw: Any
+    ) -> "int | None":
+        """Predicate DELETE through the control surface (see
+        ``TxnLogTable.delete_where``); re-pins the registered view when
+        rows were deleted. Returns the commit version or None."""
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        v = acid[name].delete_where(condition, **kw)
+        if v is not None:
+            self.create_table(name, acid[name].read())
+        return v
+
+    def update_acid_table(
+        self, name: str, condition, assignments: dict, **kw: Any
+    ) -> "int | None":
+        """Predicate UPDATE through the control surface (see
+        ``TxnLogTable.update_where``); re-pins the registered view when
+        rows changed. Returns the commit version or None."""
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        v = acid[name].update_where(condition, assignments, **kw)
+        if v is not None:
+            self.create_table(name, acid[name].read())
+        return v
+
     def replicate_table(
         self,
         name: str,

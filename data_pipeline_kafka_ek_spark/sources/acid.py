@@ -798,6 +798,193 @@ class TxnLogTable:
             f"merge lost the commit race {max_retries} times"
         )
 
+    @staticmethod
+    def _canon_path_col():
+        """input_file_name() in stored-path spelling: percent-decoded
+        (path semantics — '+' preserved) and scheme-stripped, the same
+        normalization ``_canon_uri`` applies driver-side."""
+        return F.regexp_replace(
+            F.coalesce(
+                F.try_url_decode(
+                    F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+                ),
+                F.input_file_name(),
+            ),
+            "^file:/+",
+            "/",
+        )
+
+    def delete_where(
+        self,
+        condition,
+        txn: "dict | None" = None,
+        max_retries: int = 5,
+    ) -> "int | None":
+        """Predicate DELETE (the lakehouse ``DELETE FROM t WHERE ...``):
+        rewrite ONLY the files that contain matching rows, keeping their
+        non-matching rows verbatim. SQL NULL semantics: rows where the
+        predicate is NULL are KEPT (only TRUE deletes). Returns the new
+        version, or None when nothing matched (no commit — and a
+        provided txn cursor still advances via a data-free commit).
+        File discovery is one filter-pushdown scan — parquet footer
+        min/max stats skip whole files/row-groups, so a predicate
+        aligned with the clustering (merge key, or any OPTIMIZE ZORDER
+        BY dimension) touches only the files it must. With
+        ``change_feed=True`` the commit records row-level ``delete``
+        images, so feeds and replicas move O(deleted rows). Concurrency:
+        same optimistic rule as MERGE."""
+        return self._rewrite_where("delete", condition, None, txn, max_retries)
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict,
+        txn: "dict | None" = None,
+        max_retries: int = 5,
+    ) -> "int | None":
+        """Predicate UPDATE (``UPDATE t SET c = expr WHERE ...``):
+        rewrite only the files containing matching rows, applying
+        ``assignments`` (column -> Column | SQL string | literal) to the
+        matches and keeping everything else verbatim. Assignments must
+        target EXISTING columns — UPDATE never evolves the schema.
+        NULL-predicate rows are untouched (only TRUE updates). Returns
+        the new version, or None when nothing matched. With
+        ``change_feed=True`` the commit records ``update_preimage`` /
+        ``update_postimage`` row images. Same pruning and concurrency
+        shape as :meth:`delete_where`."""
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        return self._rewrite_where(
+            "update", condition, assignments, txn, max_retries
+        )
+
+    def _rewrite_where(
+        self, op, condition, assignments, txn, max_retries
+    ) -> "int | None":
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
+            return self.latest_version()
+        for attempt in range(max_retries):
+            if (
+                attempt > 0
+                and txn is not None
+                and self.txn_seen(txn["app_id"], txn["batch_id"])
+            ):
+                return self.latest_version()
+            base_version = self.latest_version()
+            if base_version < 0:
+                return None
+            state = self._fold_log(base_version)
+            live = list(state["adds"].values())
+            if not live:
+                if txn is not None:
+                    self.record_txn(
+                        txn["app_id"], txn["batch_id"],
+                        expect=txn.get("expect"),
+                    )
+                return None
+            sch = (
+                StructType.fromJson(json.loads(state["schema"]))
+                if state["schema"]
+                else None
+            )
+            if assignments is not None:
+                cols = (
+                    [f.name for f in sch.fields]
+                    if sch is not None
+                    else None
+                )
+                if cols is not None:
+                    unknown = sorted(set(assignments) - set(cols))
+                    if unknown:
+                        raise ValueError(
+                            f"UPDATE assigns unknown columns {unknown} "
+                            "(assignments must target existing columns)"
+                        )
+            reader = (
+                self.spark.read.schema(sch)
+                if sch is not None
+                else self.spark.read
+            )
+            # ONE pushdown scan finds the files that hold matches —
+            # parquet footer stats prune files/row-groups before any row
+            # is read, so a clustered predicate touches few files
+            match = F.coalesce(cond.cast("boolean"), F.lit(False))
+            hit = {
+                r["__path"]
+                for r in reader.parquet(*[a["path"] for a in live])
+                .filter(match)
+                .select(self._canon_path_col().alias("__path"))
+                .distinct()
+                .collect()
+            }
+            if not hit:
+                if txn is not None:
+                    self.record_txn(
+                        txn["app_id"], txn["batch_id"],
+                        expect=txn.get("expect"),
+                    )
+                return None
+            touched = [a for a in live if a["path"] in hit]
+            old = reader.parquet(*[a["path"] for a in touched])
+            if self.change_feed:
+                old = old.localCheckpoint(eager=True)
+            kept = old.filter(~match)
+            if assignments is None:
+                new_df = kept
+                matched = old.filter(match)
+                cdc_frames = (
+                    [matched.withColumn("_change_type", F.lit("delete"))]
+                    if self.change_feed
+                    else []
+                )
+            else:
+                matched = old.filter(match)
+                updated = matched
+                for c, v in assignments.items():
+                    expr = (
+                        v
+                        if hasattr(v, "_jc")
+                        else F.expr(v) if isinstance(v, str) else F.lit(v)
+                    )
+                    updated = updated.withColumn(c, expr)
+                new_df = kept.unionByName(updated)
+                cdc_frames = (
+                    [
+                        matched.withColumn(
+                            "_change_type", F.lit("update_preimage")
+                        ),
+                        updated.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        ),
+                    ]
+                    if self.change_feed
+                    else []
+                )
+            cdc_files = self._write_cdc(cdc_frames) if cdc_frames else []
+            adds = self._write_data_files(new_df)
+            actions = (
+                [{"add": a} for a in adds]
+                + [{"remove": {"path": a["path"]}} for a in touched]
+                + [{"cdc": {"path": p}} for p in cdc_files]
+            )
+            if self._try_commit(
+                base_version + 1,
+                op,
+                actions,
+                txn,
+                self._widened_schema_json(state["schema"], new_df.schema),
+            ):
+                return base_version + 1
+            now_live = {a["path"] for a in self._snapshot_adds()}
+            if any(a["path"] not in now_live for a in touched):
+                raise ConcurrentModification(
+                    f"a competing commit rewrote files this {op} read"
+                )
+        raise ConcurrentModification(
+            f"{op} lost the commit race {max_retries} times"
+        )
+
     def _write_change_files(
         self,
         winners: DataFrame,
@@ -878,8 +1065,15 @@ class TxnLogTable:
                     del_keys, F.col(k).eqNullSafe(F.col("__dk")), "left_semi"
                 ).withColumn("_change_type", F.lit("delete"))
             )
-        out = parts[0]
-        for p in parts[1:]:
+        return self._write_cdc(parts)
+
+    def _write_cdc(self, frames: "list[DataFrame]") -> "list[str]":
+        """Union ``_change_type``-tagged frames and materialize them as
+        this commit's change files; returns the part-file paths (stored
+        as ``cdc`` actions; attempt files orphaned by a lost commit race
+        are swept by vacuum's change-file pass)."""
+        out = frames[0]
+        for p in frames[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
         cdc_dir = f"{self.path}/changes/c-{uuid.uuid4().hex}"
         out.coalesce(self.files_per_commit).write.mode("overwrite").parquet(
@@ -1206,12 +1400,16 @@ class TxnLogTable:
                     (p, v, c["op"]) for p in cdc
                 )
                 continue
-            if require_row_level and c["op"] == "merge" and (adds or removed):
+            if (
+                require_row_level
+                and c["op"] in ("merge", "delete", "update")
+                and (adds or removed)
+            ):
                 raise ValueError(
-                    f"commit {v} is a merge without row-level change "
-                    "files (change_feed was off); its deletes cannot be "
-                    "reconstructed — replay it via read_changes/"
-                    "read_deltas instead"
+                    f"commit {v} is a {c['op']} without row-level change "
+                    "files (change_feed was off); its row-level effects "
+                    "cannot be reconstructed — replay it via "
+                    "read_changes/read_deltas instead"
                 )
             if adds and "add" in kinds:
                 groups.setdefault(("add", schema_json), []).extend(
@@ -1278,28 +1476,12 @@ class TxnLogTable:
             map_schema,
         )
         scan = reader.parquet(*[p for (p, _, _) in entries]).withColumn(
-            # same normalization as _canon: 'file:///x' and 'file:/x'
-            # both become '/x', matching the stored canonical paths.
-            # input_file_name() returns the URI-encoded spelling (a space
-            # is '%20') while the stored paths are Path.toString forms —
-            # percent-decode first or every file with an encodable
-            # character silently misses the map (try_url_decode: a path
-            # with a bare '%' that is not an escape falls back verbatim
-            # rather than erroring the whole scan). url_decode is
-            # query-string flavored — a literal '+' would decode to a
-            # space — so '+' is re-escaped to %2B first: this is PATH
-            # decoding, where '+' means '+'
+            # input_file_name() in stored-path spelling (_canon_path_col:
+            # percent-decoded with '+' preserved, scheme stripped) — a
+            # URI-encoded spelling mismatch would otherwise silently drop
+            # every row of the affected files from the feed
             "__path",
-            F.regexp_replace(
-                F.coalesce(
-                    F.try_url_decode(
-                        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
-                    ),
-                    F.input_file_name(),
-                ),
-                "^file:/+",
-                "/",
-            ),
+            self._canon_path_col(),
         )
         # LEFT join + fail-fast, never inner: an inner join would make any
         # residual spelling mismatch SILENTLY DROP those files' rows from

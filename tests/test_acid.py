@@ -1862,3 +1862,140 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
     h = t.history()
     assert [x["version"] for x in h] == [0, 1]
     assert h[0]["timestamp"] <= h[1]["timestamp"]  # monotone
+
+
+def test_delete_where_predicate_semantics_and_feeds(spark, tmp_path):
+    """Predicate DELETE: only files holding matches are rewritten, SQL
+    NULL semantics keep NULL-predicate rows, the typed feed records
+    row-level delete images (a replica follows), signed deltas balance,
+    and a no-match predicate commits nothing."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        TableReplicator,
+    )
+
+    t = _table(spark, tmp_path, files_per_commit=2, change_feed=True)
+    t.append(
+        spark.createDataFrame(
+            [
+                (1, 1, "a", 10.0),
+                (2, 1, "b", None),   # NULL predicate -> kept
+                (3, 1, "c", 99.0),
+                (4, 1, "d", 5.0),
+            ],
+            "k long, seq long, v string, x double",
+        )
+    )
+    rep = TableReplicator(t, str(tmp_path / "rep"), files_per_commit=2)
+    rep.replicate()
+
+    files_before = {a["path"] for a in t._snapshot_adds()}
+    v = t.delete_where(F.col("x") > 50)
+    assert v is not None
+    assert {r.k for r in t.read().collect()} == {1, 2, 4}
+    # only the file(s) holding k=3 were rewritten
+    files_after = {a["path"] for a in t._snapshot_adds()}
+    assert files_before & files_after, "untouched files must survive verbatim"
+    # typed feed carries the delete image; the replica converges
+    typed = t.read_row_changes(v - 1)
+    assert {(r.k, r._change_type) for r in typed.collect()} == {(3, "delete")}
+    rep.replicate()
+    assert {r.k for r in rep.read().collect()} == {1, 2, 4}
+    # signed deltas over the whole history net to the live rows
+    net = {
+        r.k: r.n
+        for r in t.read_deltas(-1)
+        .groupBy("k")
+        .agg(F.sum("_weight").alias("n"))
+        .collect()
+    }
+    assert net == {1: 1, 2: 1, 3: 0, 4: 1}
+    # SQL string predicates work; no match -> no commit
+    head = t.latest_version()
+    assert t.delete_where("x > 1000") is None
+    assert t.latest_version() == head
+    assert t.delete_where("v = 'd'") == head + 1
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    # history names the op
+    assert [h["op"] for h in t.history()][-2:] == ["delete", "delete"]
+
+
+def test_update_where_assignments_and_feeds(spark, tmp_path):
+    """Predicate UPDATE: assignments (Column / SQL string / literal)
+    apply only to TRUE-predicate rows, pre/post images land in the typed
+    feed, a replica converges, unknown assignment columns are refused,
+    and time travel still reads the pre-update state."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        TableReplicator,
+    )
+
+    t = _table(spark, tmp_path, files_per_commit=2, change_feed=True)
+    t.append(
+        spark.createDataFrame(
+            [
+                (1, 1, "a", 10.0),
+                (2, 1, "b", None),  # NULL predicate -> untouched
+                (3, 1, "c", 99.0),
+            ],
+            "k long, seq long, v string, x double",
+        )
+    )
+    rep = TableReplicator(t, str(tmp_path / "rep"), files_per_commit=2)
+    rep.replicate()
+    v = t.update_where(
+        F.col("x") >= 10,
+        {"v": "upper(v)", "x": F.col("x") * 2, "seq": 2},
+    )
+    assert v is not None
+    state = {r.k: (r.seq, r.v, r.x) for r in t.read().collect()}
+    assert state == {
+        1: (2, "A", 20.0),
+        2: (1, "b", None),
+        3: (2, "C", 198.0),
+    }
+    # pre/post images, one pair per matched row
+    typed = t.read_row_changes(v - 1)
+    got = {(r.k, r._change_type, r.x) for r in typed.collect()}
+    assert got == {
+        (1, "update_preimage", 10.0),
+        (1, "update_postimage", 20.0),
+        (3, "update_preimage", 99.0),
+        (3, "update_postimage", 198.0),
+    }
+    rep.replicate()
+    assert {
+        r.k: (r.v, r.x) for r in rep.read().select("k", "v", "x").collect()
+    } == {1: ("A", 20.0), 2: ("b", None), 3: ("C", 198.0)}
+    # pre-update snapshot intact (time travel)
+    assert {r.k: r.x for r in t.read(version=v - 1).collect()} == {
+        1: 10.0, 2: None, 3: 99.0,
+    }
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.update_where(F.lit(True), {"nope": 1})
+    with pytest.raises(ValueError, match="at least one assignment"):
+        t.update_where(F.lit(True), {})
+
+
+def test_cdcless_delete_update_refused_by_typed_feed(spark, tmp_path):
+    """A delete/update commit without change files (change_feed off) is
+    refused by read_row_changes — silently degrading to whole-file
+    post-images would replicate kept rows as inserts and corrupt a
+    replica — while read_deltas still replays the whole-file signed form
+    correctly."""
+    t = _table(spark, tmp_path, files_per_commit=1)  # no change_feed
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 1.0), (2, 1, "b", 2.0)],
+            "k long, seq long, v string, x double",
+        )
+    )
+    assert t.delete_where("k = 2") is not None
+    with pytest.raises(ValueError, match="without row-level change"):
+        t.read_row_changes(-1)
+    net = {
+        r.k: r.n
+        for r in t.read_deltas(-1)
+        .groupBy("k")
+        .agg(F.sum("_weight").alias("n"))
+        .collect()
+    }
+    assert net == {1: 1, 2: 0}

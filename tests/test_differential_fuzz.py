@@ -414,7 +414,8 @@ def test_streaming_twins_match_oracles_on_adversarial_streams(
 @pytest.mark.parametrize("seed", [11, 12, 13, 14, 15])
 def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
     """Adversarial ACID histories: two writer threads interleave
-    append / merge (NULL keys, tombstones, schema evolution) / optimize
+    append / merge (NULL keys, tombstones, schema evolution) / predicate
+    DELETE / predicate UPDATE / optimize
     — with vacuum in the mix on the last seed — while an incremental
     materialized aggregate refreshes concurrently AND a typed-feed
     replica (TableReplicator) follows along. Invariants, for EVERY
@@ -500,13 +501,24 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
         for step in range(5):
             evolved = step >= 3  # schema evolves mid-history
             op = r.random()
-            df = gen_batch(r, evolved, for_append=op < 0.35)
+            df = gen_batch(r, evolved, for_append=op < 0.3)
             for attempt in range(6):
                 try:
-                    if op < 0.35:
+                    if op < 0.3:
                         src.append(df.drop("dead"))
-                    elif op < 0.9:
+                    elif op < 0.75:
                         src.merge(df, delete_col="dead")
+                    elif op < 0.85:
+                        # predicate DELETE joins the history: prunes to
+                        # the files holding matches, records row-level
+                        # delete images the mv/replica must absorb
+                        src.delete_where(F.col("x") > 8)
+                    elif op < 0.95:
+                        # predicate UPDATE: pre/post images through the
+                        # same feeds (keys untouched, measures shift)
+                        src.update_where(
+                            F.col("x") < -4, {"x": F.col("x") + 1.0}
+                        )
                     else:
                         src.optimize()
                     break

@@ -359,3 +359,31 @@ def test_engine_optimize_zorder_passthrough(spark, tmp_path):
     assert eng.optimize_acid_table("zt", cluster_by=["k", "d"]) is not None
     assert eng.describe_history("zt")[-1]["op"] == "optimize"
     assert {r.k for r in eng.sql("SELECT k FROM zt").collect()} == before
+
+
+def test_engine_delete_and_update_passthrough(spark, tmp_path):
+    """Predicate DELETE/UPDATE through the control surface: views re-pin
+    on change, no-match calls leave version and view untouched."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "du", str(tmp_path / "du"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 5.0), (2, 1, "b", 50.0)],
+            "k long, seq long, v string, x double",
+        )
+    )
+    eng.refresh_acid_table("du")
+    assert eng.update_acid_table("du", "x > 10", {"v": "'big'"}) is not None
+    assert {
+        (r.k, r.v) for r in eng.sql("SELECT k, v FROM du").collect()
+    } == {(1, "a"), (2, "big")}
+    assert eng.delete_from_acid_table("du", "k = 1") is not None
+    assert {r.k for r in eng.sql("SELECT k FROM du").collect()} == {2}
+    head = t.latest_version()
+    assert eng.delete_from_acid_table("du", "k = 99") is None
+    assert t.latest_version() == head
