@@ -875,6 +875,16 @@ class TxnLogTable:
             if base_version < 0:
                 return None
             state = self._fold_log(base_version)
+            # same compare-and-set contract as merge: a caller that read
+            # its input at cursor ``expect`` must not double-apply after
+            # a concurrent consumer of the same app_id advanced it
+            if txn is not None and txn.get("expect") is not None:
+                hw = int(state["txns"].get(txn["app_id"], -1))
+                if hw != int(txn["expect"]):
+                    raise CursorAdvanced(
+                        f"txn cursor for {txn['app_id']!r} advanced to "
+                        f"{hw} (expected {txn['expect']})"
+                    )
             live = list(state["adds"].values())
             if not live:
                 if txn is not None:
@@ -940,14 +950,25 @@ class TxnLogTable:
                 )
             else:
                 matched = old.filter(match)
-                updated = matched
-                for c, v in assignments.items():
-                    expr = (
-                        v
-                        if hasattr(v, "_jc")
-                        else F.expr(v) if isinstance(v, str) else F.lit(v)
-                    )
-                    updated = updated.withColumn(c, expr)
+                # ALL right-hand sides evaluate against the OLD row (one
+                # select, never chained withColumn): SQL UPDATE semantics
+                # — {"x": col("y"), "y": col("x")} swaps, an assignment
+                # never observes another assignment's new value
+                from pyspark.sql import Column as _Col
+
+                def _as_expr(v):
+                    if isinstance(v, _Col):
+                        return v
+                    return F.expr(v) if isinstance(v, str) else F.lit(v)
+
+                updated = matched.select(
+                    *[
+                        _as_expr(assignments[c]).alias(c)
+                        if c in assignments
+                        else F.col(c)
+                        for c in matched.columns
+                    ]
+                )
                 new_df = kept.unionByName(updated)
                 cdc_frames = (
                     [

@@ -1999,3 +1999,49 @@ def test_cdcless_delete_update_refused_by_typed_feed(spark, tmp_path):
         .collect()
     }
     assert net == {1: 1, 2: 0}
+
+
+def test_update_where_rhs_evaluates_against_old_row(spark, tmp_path):
+    """SQL UPDATE semantics: every assignment's right-hand side reads the
+    OLD row — a column swap must actually swap, not see the other
+    assignment's new value (the chained-withColumn formulation broke
+    this)."""
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, 10.0, 20.0)], "k long, seq long, a double, b double"
+        )
+    )
+    t.update_where("k = 1", {"a": F.col("b"), "b": F.col("a")})
+    r = t.read().collect()[0]
+    assert (r.a, r.b) == (20.0, 10.0)
+
+
+def test_rewrite_where_expect_cas_guards_concurrent_consumers(spark, tmp_path):
+    """delete_where/update_where honor the same expect compare-and-set
+    contract as merge: a stale cursor raises CursorAdvanced instead of
+    double-applying, on both the commit path and the no-match path."""
+    from data_pipeline_kafka_ek_spark.sources.acid import CursorAdvanced
+
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 5.0)], "k long, seq long, v string, x double"
+        )
+    )
+    t.record_txn("app", 7)
+    with pytest.raises(CursorAdvanced):
+        t.delete_where(
+            "x > 1", txn={"app_id": "app", "batch_id": 9, "expect": 3}
+        )
+    with pytest.raises(CursorAdvanced):
+        t.update_where(
+            "x > 1000", {"x": 0.0},
+            txn={"app_id": "app", "batch_id": 9, "expect": 3},
+        )
+    # correct expect commits and advances the cursor
+    v = t.delete_where(
+        "x > 1", txn={"app_id": "app", "batch_id": 9, "expect": 7}
+    )
+    assert v is not None
+    assert t.txn_high_water("app") == 9
