@@ -234,6 +234,22 @@ class Engine:
             raise ValueError(f"mode must be one of {sorted(readers)}")
         return readers[mode](since_version)
 
+    def add_table_constraint(self, name: str, cname: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK through the control
+        surface (see ``TxnLogTable.add_constraint``): validates existing
+        rows first, then gates every subsequent write."""
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        return acid[name].add_constraint(cname, expr)
+
+    def drop_table_constraint(self, name: str, cname: str) -> int:
+        """ALTER TABLE DROP CONSTRAINT through the control surface."""
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        return acid[name].drop_constraint(cname)
+
     def delete_from_acid_table(
         self, name: str, condition, **kw: Any
     ) -> "int | None":

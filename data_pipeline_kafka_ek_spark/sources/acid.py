@@ -78,6 +78,11 @@ class ConcurrentModification(Exception):
     """A competing commit removed or rewrote files this merge depends on."""
 
 
+class ConstraintViolation(Exception):
+    """A write contained rows that make a table CHECK constraint FALSE
+    (SQL CHECK semantics: NULL passes, only FALSE violates)."""
+
+
 class CursorAdvanced(ConcurrentModification):
     """The txn high-water mark for the writer's app_id moved past the
     value the writer read its input span against — a concurrent consumer
@@ -293,6 +298,7 @@ class TxnLogTable:
         live: dict[str, dict] = {}
         txns: dict[str, int] = {}
         schema: "str | None" = None
+        constraints: dict[str, str] = {}
         start = 0
         ckpt = self._base_checkpoint(version)
         if ckpt is not None:
@@ -300,6 +306,7 @@ class TxnLogTable:
             live = {a["path"]: a for a in ckpt[1]["adds"]}
             txns = {k: int(v) for k, v in ckpt[1].get("txns", {}).items()}
             schema = ckpt[1].get("schema")
+            constraints = dict(ckpt[1].get("constraints", {}))
         for v in versions:
             if v < start or v > version:
                 continue
@@ -309,13 +316,23 @@ class TxnLogTable:
                     live[action["add"]["path"]] = action["add"]
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+                elif "constraint_add" in action:
+                    c = action["constraint_add"]
+                    constraints[c["name"]] = c["expr"]
+                elif "constraint_drop" in action:
+                    constraints.pop(action["constraint_drop"]["name"], None)
             txn = commit.get("txn")
             if txn:
                 app = txn["app_id"]
                 txns[app] = max(int(txn["batch_id"]), txns.get(app, -1))
             if commit.get("schema") is not None:
                 schema = commit["schema"]
-        return {"adds": live, "txns": txns, "schema": schema}
+        return {
+            "adds": live,
+            "txns": txns,
+            "schema": schema,
+            "constraints": constraints,
+        }
 
     def _snapshot_adds(self, version: "int | None" = None) -> "list[dict]":
         """Live add actions at ``version`` (default: latest)."""
@@ -523,6 +540,7 @@ class TxnLogTable:
                     "adds": list(state["adds"].values()),
                     "txns": state["txns"],
                     "schema": state["schema"],
+                    "constraints": state["constraints"],
                 }
             ),
         )
@@ -581,6 +599,85 @@ class TxnLogTable:
             f"record_txn lost the commit race {max_retries} times"
         )
 
+    # -- CHECK constraints ----------------------------------------------------
+
+    def constraints(self) -> "dict[str, str]":
+        """Active CHECK constraints (name -> SQL expression)."""
+        return dict(self._fold_log()["constraints"])
+
+    def add_constraint(
+        self, name: str, expr: str, max_retries: int = 20
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK (expr): refuses if any
+        EXISTING row violates the expression (one aggregate pass — the
+        Delta rule: a constraint is only ever true of the whole table),
+        then publishes a data-free ``alter`` commit. Every subsequent
+        append/merge/update validates its written rows in one aggregate
+        job and raises :class:`ConstraintViolation` instead of
+        committing. SQL CHECK semantics: NULL passes, only FALSE
+        violates."""
+        if self.latest_version() >= 0:
+            self._enforce_constraints(self.read(), {name: expr}, "existing rows")
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v, "alter", [{"constraint_add": {"name": name, "expr": expr}}],
+                None,
+            ):
+                return v
+        raise ConcurrentModification(
+            f"add_constraint lost the commit race {max_retries} times"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 20) -> int:
+        """ALTER TABLE DROP CONSTRAINT: data-free ``alter`` commit."""
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v, "alter", [{"constraint_drop": {"name": name}}], None
+            ):
+                return v
+        raise ConcurrentModification(
+            f"drop_constraint lost the commit race {max_retries} times"
+        )
+
+    def _enforce_constraints(
+        self,
+        df: DataFrame,
+        constraints: "dict[str, str]",
+        what: str,
+        schema_json: "str | None" = None,
+    ) -> None:
+        """ONE aggregate job counts FALSE rows for every constraint at
+        once over the write set; raises :class:`ConstraintViolation`
+        naming each violated constraint with its row count. Columns the
+        batch lacks (narrow batch after evolution) surface as NULL —
+        they land NULL on disk, and CHECK-NULL passes."""
+        if not constraints:
+            return
+        if schema_json:
+            recorded = StructType.fromJson(json.loads(schema_json))
+            for f in recorded.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        aggs = [
+            F.sum(
+                F.when(F.expr(e) == F.lit(False), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias(n)
+            for n, e in sorted(constraints.items())
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {n: int(row[n]) for n in sorted(constraints) if row[n]}
+        if bad:
+            detail = ", ".join(
+                f"{n!r} ({constraints[n]}): {c} row(s)" for n, c in bad.items()
+            )
+            raise ConstraintViolation(
+                f"CHECK constraint(s) violated by {what}: {detail}"
+            )
+
     def append(
         self,
         df: DataFrame,
@@ -594,6 +691,12 @@ class TxnLogTable:
         wins the race is detected, not doubled."""
         if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
             return self.latest_version()
+        base0 = self.latest_version()
+        if base0 >= 0:
+            st0 = self._fold_log(base0)
+            self._enforce_constraints(
+                df, st0["constraints"], "append batch", st0["schema"]
+            )
         adds = self._write_data_files(df)
         actions = [{"add": a} for a in adds]
         for _ in range(max_retries):
@@ -634,6 +737,21 @@ class TxnLogTable:
         if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
             return self.latest_version()
         changes = changes.localCheckpoint(eager=True)
+        base0 = self.latest_version()
+        if base0 >= 0:
+            st0 = self._fold_log(base0)
+            if st0["constraints"]:
+                to_check = changes
+                if delete_col is not None and delete_col in changes.columns:
+                    # tombstones delete rows — their payload values never
+                    # land, so CHECK does not apply to them
+                    to_check = changes.filter(
+                        ~F.coalesce(F.col(delete_col), F.lit(False))
+                    )
+                self._enforce_constraints(
+                    to_check, st0["constraints"], "merge change set",
+                    st0["schema"],
+                )
         bounds = changes.agg(
             F.min(self.key).alias("lo"),
             F.max(self.key).alias("hi"),
@@ -968,6 +1086,10 @@ class TxnLogTable:
                         else F.col(c)
                         for c in matched.columns
                     ]
+                )
+                self._enforce_constraints(
+                    updated, state["constraints"], "updated rows",
+                    state["schema"],
                 )
                 new_df = kept.unionByName(updated)
                 cdc_frames = (

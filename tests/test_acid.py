@@ -2045,3 +2045,96 @@ def test_rewrite_where_expect_cas_guards_concurrent_consumers(spark, tmp_path):
     )
     assert v is not None
     assert t.txn_high_water("app") == 9
+
+
+def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
+    """CHECK constraints (Delta parity): add_constraint validates the
+    EXISTING table first; append/merge/update then validate their write
+    sets in one aggregate job and raise ConstraintViolation instead of
+    committing (version unchanged); NULL passes (SQL CHECK); tombstone
+    change rows are exempt; drop_constraint lifts the gate; constraints
+    survive checkpoints and fresh handles; narrow batches after
+    evolution check as NULL."""
+    from data_pipeline_kafka_ek_spark.sources.acid import (
+        ConstraintViolation,
+    )
+
+    t = _table(spark, tmp_path, files_per_commit=1, checkpoint_interval=4)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 5.0), (2, 1, "b", None)],
+            "k long, seq long, v string, x double",
+        )
+    )
+    # existing NULL passes; existing violation refuses the ALTER itself
+    t.add_constraint("x_nonneg", "x >= 0")
+    with pytest.raises(ConstraintViolation, match="x_under_4"):
+        t.add_constraint("x_under_4", "x < 4")
+    assert t.constraints() == {"x_nonneg": "x >= 0"}
+
+    head = t.latest_version()
+    with pytest.raises(ConstraintViolation, match="x_nonneg"):
+        t.append(
+            spark.createDataFrame(
+                [(3, 2, "c", -1.0)], "k long, seq long, v string, x double"
+            )
+        )
+    with pytest.raises(ConstraintViolation, match="2 row"):
+        t.merge(
+            spark.createDataFrame(
+                [(1, 3, "a2", -9.0, False), (4, 3, "d", -2.0, False)],
+                "k long, seq long, v string, x double, dead boolean",
+            ),
+            delete_col="dead",
+        )
+    with pytest.raises(ConstraintViolation, match="updated rows"):
+        t.update_where("k = 1", {"x": -5.0})
+    assert t.latest_version() == head, "failed writes must not commit"
+
+    # tombstones are exempt (their payload never lands)
+    t.merge(
+        spark.createDataFrame(
+            [(2, 4, None, -999.0, True)],
+            "k long, seq long, v string, x double, dead boolean",
+        ),
+        delete_col="dead",
+    )
+    assert {r.k for r in t.read().collect()} == {1}
+    # NULL measure passes on the write path too
+    t.append(
+        spark.createDataFrame(
+            [(5, 5, "e", None)], "k long, seq long, v string, x double"
+        )
+    )
+    # constraints survive checkpoints (interval=4 has published one) and
+    # fresh handles
+    t2 = _table(spark, tmp_path, files_per_commit=1, checkpoint_interval=4)
+    assert t2.constraints() == {"x_nonneg": "x >= 0"}
+    with pytest.raises(ConstraintViolation):
+        t2.append(
+            spark.createDataFrame(
+                [(6, 6, "f", -1.0)], "k long, seq long, v string, x double"
+            )
+        )
+    # narrow batch after evolution: missing column checks as NULL -> passes
+    t2.merge(
+        spark.createDataFrame(
+            [(7, 7, "g", 1.0, 2.0)],
+            "k long, seq long, v string, x double, y double",
+        )
+    )
+    t2.add_constraint("y_pos", "y > 0")  # rows without y are NULL -> pass
+    t2.append(
+        spark.createDataFrame(
+            [(8, 8, "h", 3.0)], "k long, seq long, v string, x double"
+        )
+    )
+    t2.drop_constraint("x_nonneg")
+    t2.append(
+        spark.createDataFrame(
+            [(9, 9, "i", -50.0)], "k long, seq long, v string, x double"
+        )
+    )
+    assert set(t2.constraints()) == {"y_pos"}
+    # the alter commits are visible, data-free history entries
+    assert "alter" in {h["op"] for h in t2.history()}

@@ -387,3 +387,23 @@ def test_engine_delete_and_update_passthrough(spark, tmp_path):
     head = t.latest_version()
     assert eng.delete_from_acid_table("du", "k = 99") is None
     assert t.latest_version() == head
+
+
+def test_engine_constraint_passthrough(spark, tmp_path):
+    from data_pipeline_kafka_ek_spark.engine import Engine
+    from data_pipeline_kafka_ek_spark.sources.acid import ConstraintViolation
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "ct", str(tmp_path / "ct"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(spark.createDataFrame([(1, 1, 5.0)], "k long, seq long, x double"))
+    eng.add_table_constraint("ct", "x_pos", "x > 0")
+    with pytest.raises(ConstraintViolation):
+        t.append(
+            spark.createDataFrame([(2, 2, -1.0)], "k long, seq long, x double")
+        )
+    eng.drop_table_constraint("ct", "x_pos")
+    t.append(spark.createDataFrame([(2, 2, -1.0)], "k long, seq long, x double"))
+    assert t.constraints() == {}
