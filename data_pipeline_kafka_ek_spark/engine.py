@@ -64,8 +64,125 @@ class Engine:
 
     def sql(self, statement: str) -> DataFrame:
         """REST/CLI SQL entry point twin (reference: rest_example.sh:6-16) —
-        one planner for both APIs."""
+        one planner for both APIs. Statements Spark SQL cannot execute
+        against plain views — DELETE FROM / UPDATE ... SET / OPTIMIZE
+        [ZORDER BY] / VACUUM / DESCRIBE HISTORY — are routed to the
+        named ACID table's transactional ops when the target is a
+        registered acid table (everything else passes straight to
+        ``spark.sql``). DML returns a one-row ``(version)`` frame (NULL
+        version = no-op), VACUUM returns its counts, DESCRIBE HISTORY
+        the commit log."""
+        routed = self._route_acid_dml(statement)
+        if routed is not None:
+            return routed
         return self.spark.sql(statement)
+
+    # -- ACID DML statement routing ------------------------------------------
+
+    @staticmethod
+    def _split_top(s: str, want: str) -> "list[str]":
+        """Split ``s`` on top-level occurrences of ``want`` (a keyword
+        like WHERE, matched case-insensitively as a whole word, or the
+        literal ','), ignoring anything inside quotes or parentheses."""
+        parts, depth, i, last, out = [], 0, 0, 0, []
+        n = len(s)
+        while i < n:
+            ch = s[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if s[j] == "'" and not (j + 1 < n and s[j + 1] == "'"):
+                        break
+                    j += 2 if s[j] == "'" else 1
+                i = j + 1
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif depth == 0:
+                if want == "," and ch == ",":
+                    out.append(s[last:i])
+                    last = i + 1
+                elif want != "," and s[i : i + len(want)].upper() == want:
+                    before = s[i - 1] if i else " "
+                    after = s[i + len(want)] if i + len(want) < n else " "
+                    if not (before.isalnum() or before == "_") and not (
+                        after.isalnum() or after == "_"
+                    ):
+                        out.append(s[last:i])
+                        last = i + len(want)
+            i += 1
+        out.append(s[last:])
+        return out
+
+    def _route_acid_dml(self, statement: str) -> "DataFrame | None":
+        import re as _re
+
+        acid = getattr(self, "_acid", {})
+        s = statement.strip().rstrip(";").strip()
+
+        def _version_frame(v):
+            return self.spark.createDataFrame(
+                [(None if v is None else int(v),)], "version long"
+            )
+
+        m = _re.match(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$", s, _re.I | _re.S)
+        if m and m.group(1) in acid:
+            return _version_frame(
+                self.delete_from_acid_table(m.group(1), m.group(2))
+            )
+        m = _re.match(r"UPDATE\s+(\w+)\s+SET\s+(.+)$", s, _re.I | _re.S)
+        if m and m.group(1) in acid:
+            set_where = self._split_top(m.group(2), "WHERE")
+            cond = set_where[1].strip() if len(set_where) > 1 else "true"
+            assignments = {}
+            for part in self._split_top(set_where[0], ","):
+                am = _re.match(r"\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$", part, _re.S)
+                if not am:
+                    raise ValueError(f"cannot parse SET assignment: {part!r}")
+                assignments[am.group(1)] = am.group(2)
+            return _version_frame(
+                self.update_acid_table(m.group(1), cond, assignments)
+            )
+        m = _re.match(
+            r"OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$", s, _re.I
+        )
+        if m and m.group(1) in acid:
+            cluster = (
+                [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+            )
+            return _version_frame(
+                self.optimize_acid_table(m.group(1), cluster_by=cluster)
+            )
+        m = _re.match(r"VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", s, _re.I)
+        if m and m.group(1) in acid:
+            kw = {}
+            if m.group(2) is not None:
+                kw["retain_versions"] = int(m.group(2))
+            counts = acid[m.group(1)].vacuum(**kw)
+            return self.spark.createDataFrame(
+                [tuple(int(counts[k]) for k in sorted(counts))],
+                ", ".join(f"{k} long" for k in sorted(counts)),
+            )
+        m = _re.match(r"DESCRIBE\s+HISTORY\s+(\w+)$", s, _re.I)
+        if m and m.group(1) in acid:
+            hist = acid[m.group(1)].history()
+            return self.spark.createDataFrame(
+                [
+                    (
+                        int(h["version"]),
+                        str(h["op"]),
+                        int(h["n_add"]),
+                        int(h["n_remove"]),
+                        float(h["timestamp"]) if h["timestamp"] else None,
+                    )
+                    for h in hist
+                ],
+                "version long, op string, n_add long, n_remove long, "
+                "timestamp double",
+            )
+        return None
 
     def start_stream(
         self,

@@ -407,3 +407,51 @@ def test_engine_constraint_passthrough(spark, tmp_path):
     eng.drop_table_constraint("ct", "x_pos")
     t.append(spark.createDataFrame([(2, 2, -1.0)], "k long, seq long, x double"))
     assert t.constraints() == {}
+
+
+def test_engine_sql_routes_acid_dml_statements(spark, tmp_path):
+    """The SQL string surface is whole for ACID tables: DELETE FROM /
+    UPDATE ... SET [WHERE] / OPTIMIZE [ZORDER BY] / VACUUM [RETAIN n
+    VERSIONS] / DESCRIBE HISTORY route to the transactional ops (views
+    re-pin), while ordinary SELECTs — and DML naming non-acid views —
+    still go to spark.sql. The SET parser honors quotes/parens: commas
+    and WHERE inside strings or function calls never split."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "sq", str(tmp_path / "sq"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 5.0), (2, 1, "b", 50.0), (3, 1, "c", 500.0)],
+            "k long, seq long, v string, x double",
+        )
+    )
+    eng.refresh_acid_table("sq")
+
+    v = eng.sql("UPDATE sq SET v = concat(v, ',WHERE'), x = x * 2 WHERE x >= 50").collect()
+    assert v[0].version is not None
+    assert {
+        (r.k, r.v, r.x) for r in eng.sql("SELECT k, v, x FROM sq").collect()
+    } == {(1, "a", 5.0), (2, "b,WHERE", 100.0), (3, "c,WHERE", 1000.0)}
+    # UPDATE without WHERE hits every row
+    eng.sql("UPDATE sq SET seq = 9")
+    assert {r.seq for r in eng.sql("SELECT seq FROM sq").collect()} == {9}
+
+    assert eng.sql("DELETE FROM sq WHERE k = 3").collect()[0].version is not None
+    assert {r.k for r in eng.sql("SELECT k FROM sq").collect()} == {1, 2}
+    # no-op DML returns a NULL version
+    assert eng.sql("DELETE FROM sq WHERE k = 99").collect()[0].version is None
+
+    hist = eng.sql("DESCRIBE HISTORY sq").collect()
+    assert [h.op for h in hist][:2] == ["append", "update"]
+    assert eng.sql("OPTIMIZE sq ZORDER BY (k, x)").collect()[0].version is not None
+    vac = eng.sql("VACUUM sq RETAIN 50 VERSIONS").collect()[0]
+    assert vac.data_files_deleted == 0  # everything retained
+
+    # a non-acid target passes through to spark.sql and fails there
+    spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("plainv")
+    with pytest.raises(Exception):
+        eng.sql("DELETE FROM plainv WHERE k = 1")
