@@ -142,7 +142,16 @@ class IncrementalAggregate:
         ]
         grouped = deltas.groupBy(g).agg(*agg_exprs)
 
-        if self.target.latest_version() >= 0:
+        # the target is foldable only once it holds data or a schema: a
+        # target whose ONLY commits are data-free txn cursor advances
+        # (possible when the source history STARTS with alter/optimize
+        # commits) has no snapshot to read — that is still the first fold
+        t_state = (
+            self.target._fold_log()
+            if self.target.latest_version() >= 0
+            else None
+        )
+        if t_state is not None and (t_state["adds"] or t_state["schema"]):
             current = self.target.read().select(
                 g,
                 F.col("n_rows").alias("__c_rows"),

@@ -2138,3 +2138,36 @@ def test_check_constraints_enforced_on_every_write_path(spark, tmp_path):
     assert set(t2.constraints()) == {"y_pos"}
     # the alter commits are visible, data-free history entries
     assert "alter" in {h["op"] for h in t2.history()}
+
+
+def test_incremental_target_survives_txn_only_first_commit(spark, tmp_path):
+    """r10 fuzz find: when the SOURCE history starts with data-free
+    commits (an alter/constraint at v0), the first refresh advances the
+    cursor with a data-free txn commit — the target then has
+    latest_version() >= 0 but neither data nor schema, and the next
+    refresh's target.read() used to die with 'no schema recorded'. A
+    schema-less, add-less target is still the FIRST fold."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        IncrementalAggregate,
+    )
+
+    src = _table(spark, tmp_path, files_per_commit=1, change_feed=True)
+    src.add_constraint("x_bound", "x > -1000")  # v0: data-free alter
+    mv = IncrementalAggregate(
+        src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"],
+        files_per_commit=1,
+    )
+    assert mv.refresh() is None          # empty span: cursor-only commit
+    assert mv.cursor() == 0
+    assert mv.target.latest_version() == 0  # txn commit, no data/schema
+    src.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 2.0), (2, 1, "a", 3.0), (3, 1, "b", 4.0)],
+            "k long, seq long, grp string, x double",
+        )
+    )
+    mv.refresh()                          # used to raise ValueError here
+    assert {r.grp: (r.n_rows, r.sum_x) for r in mv.read().collect()} == {
+        "a": (2, 5.0),
+        "b": (1, 4.0),
+    }

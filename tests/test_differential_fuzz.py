@@ -453,6 +453,12 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
         spark, str(tmp_path / "tbl"), key="k", order_col="seq",
         files_per_commit=2, change_feed=True,
     )
+    # a benign CHECK constraint rides along from version 0: every
+    # generated x is in [-5, 9] and updates only add +1, so enforcement
+    # (one extra aggregate per write) runs on every concurrent
+    # append/merge/update without ever changing an outcome — the alter
+    # commit also proves data-free commits flow through feeds/cursors
+    src.add_constraint("x_bound", "x > -1000")
     mv = IncrementalAggregate(
         src, str(tmp_path / "mv"), group_col="grp", sum_cols=["x"],
         files_per_commit=2,
