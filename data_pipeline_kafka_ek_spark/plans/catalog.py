@@ -922,6 +922,7 @@ DRIVER_ROTATION_ROUND = 10
 # (51 must-attest for 50 slots), so every new r10 registration lands here.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_acid_replica_convergence",
+    "x_acid_dml_lifecycle",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

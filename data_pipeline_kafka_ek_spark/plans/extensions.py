@@ -1321,6 +1321,76 @@ def x_acid_replica_convergence(spark, sf_dir):
 
 
 @register(
+    "x_acid_dml_lifecycle",
+    """
+    WITH p AS (
+      SELECT event_id, user_id % 5 AS seg,
+             CAST(round(value * 10000) AS BIGINT) AS vq
+      FROM events WHERE event_type = 'purchase'
+    ),
+    kept AS (SELECT * FROM p WHERE event_id % 10 >= 3),
+    capped AS (
+      SELECT seg,
+             CASE WHEN vq > 1000000 THEN 1000000 ELSE vq END AS vq
+      FROM kept
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(vq) / 10000.0, 4) AS sum_value
+    FROM capped GROUP BY seg
+    """,
+    survey_ids=("T7", "§2.12", "EXT-streaming"),
+    doc="predicate DELETE and UPDATE attested by a SQL oracle, end to "
+    "end and THROUGH THE SQL STRING SURFACE: purchases land in an ACID "
+    "table via three epoch-bucketed appends, then Engine.sql routes "
+    "'DELETE FROM t WHERE event_id % 10 < 3' (a retention-style purge) "
+    "and 'UPDATE t SET vq = 1000000 WHERE vq > 1000000' (outlier "
+    "winsorization) to the transactional ops — pushdown-pruned file "
+    "rewrites with row-level change images. The final per-segment "
+    "rollup must equal the oracle's filter+cap over the same rows; "
+    "fixed-point vq keeps sums exact in int64. A user can run the "
+    "whole lakehouse lifecycle from SQL strings.",
+)
+def x_acid_dml_lifecycle(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(5)).alias("seg"),
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+        F.pmod(
+            F.floor(F.col("ts").cast("double")).cast("long"), F.lit(3)
+        ).alias("__b"),
+    ).localCheckpoint(eager=True)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_acid_dml_")
+    try:
+        eng = Engine(spark)
+        t = eng.create_acid_table(
+            "dml_t", f"{scratch}/tbl", key="event_id", order_col="vq",
+            files_per_commit=2, change_feed=True,
+        )
+        for b in (0, 1, 2):
+            t.append(p.filter(F.col("__b") == b).drop("__b"))
+        eng.sql("DELETE FROM dml_t WHERE event_id % 10 < 3")
+        eng.sql("UPDATE dml_t SET vq = 1000000 WHERE vq > 1000000")
+        snapshot = (
+            t.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("vq") / F.lit(10000.0), 4).alias("sum_value"),
+            )
+        )
+        # ≤5 rows: collect eagerly so the scratch table is removed here
+        return spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
     "t_streaming_funnel",
     """
     WITH e AS (
