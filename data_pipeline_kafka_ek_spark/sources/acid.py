@@ -362,6 +362,25 @@ class TxnLogTable:
             out.append((v, prev))
         return out
 
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL twin: current snapshot shape from LOG METADATA
+        alone (zero data jobs — file and row counts come from the add
+        stats every commit records)."""
+        state = self._fold_log()
+        adds = list(state["adds"].values())
+        return {
+            "path": self.path,
+            "version": self.latest_version(),
+            "num_files": len(adds),
+            "num_rows": sum(int(a.get("rows") or 0) for a in adds),
+            "key": self.key,
+            "order_col": self.order_col,
+            "schema": state["schema"],
+            "constraints": dict(state["constraints"]),
+            "change_feed": self.change_feed,
+            "vacuum_watermark": self._vacuum_watermark(),
+        }
+
     def version_at(self, timestamp) -> int:
         """AS OF TIMESTAMP resolution: the greatest version published at
         or before ``timestamp`` (epoch seconds, a datetime, or an ISO
@@ -484,19 +503,77 @@ class TxnLogTable:
         physically destroys every row's values in the dropped column
         (found by the r10 ACID history fuzz: a non-evolved append after
         an evolved merge erased the evolved column from unrelated keys).
-        Names match by exact string; a same-named column keeps its
-        previously recorded type (no type evolution — the data files on
-        disk are what they are)."""
+        Names match by exact string. There is NO type evolution: a batch
+        whose same-named column carries a DIFFERENT type is rejected
+        before any data file lands — silently accepting it would write
+        files the recorded schema cannot read back (the vectorized
+        parquet reader errors on a long file read as int), i.e. a
+        poisoned table. NullType (uncast ``lit(None)``) columns never
+        reach this check: ``_align_void_columns`` casts them to the
+        recorded type first (parquet would otherwise store them as
+        BOOLEAN — unreadable under any real type)."""
         if not prev_json:
             return df_schema.json()
         prev = StructType.fromJson(json.loads(prev_json))
-        names = {f.name for f in prev.fields}
-        extra = [f for f in df_schema.fields if f.name not in names]
+        by_name = {f.name: f for f in prev.fields}
+        conflicts = [
+            (f.name, by_name[f.name].dataType.simpleString(),
+             f.dataType.simpleString())
+            for f in df_schema.fields
+            if f.name in by_name
+            # simpleString comparison: nullability-insensitive (nested
+            # containsNull/valueContainsNull flags differ harmlessly
+            # between createDataFrame and parquet round-trips)
+            and f.dataType.simpleString()
+            != by_name[f.name].dataType.simpleString()
+        ]
+        if conflicts:
+            detail = ", ".join(
+                f"{n!r} is {old}, batch has {new}" for n, old, new in conflicts
+            )
+            raise ValueError(
+                f"batch column type conflicts with the recorded table "
+                f"schema ({detail}); schema evolution adds columns, never "
+                "changes a column's type"
+            )
+        extra = [f for f in df_schema.fields if f.name not in by_name]
         if not extra:
             # keep the stored json verbatim: stable schema-epoch keys for
             # the feeds (a byte-identical epoch groups into one scan)
             return prev_json
         return StructType(list(prev.fields) + extra).json()
+
+    def _align_void_columns(
+        self, df: DataFrame, schema_json: "str | None"
+    ) -> DataFrame:
+        """Cast NullType (uncast ``lit(None)``) batch columns to the
+        RECORDED type — parquet stores a void column as BOOLEAN, which no
+        real type can read back, so left alone it poisons the file. A
+        void column the table does not know is rejected outright: there
+        is no type to land it as."""
+        voids = [
+            f.name for f in df.schema.fields if f.dataType.typeName() == "void"
+        ]
+        if not voids:
+            return df
+        recorded = (
+            {
+                f.name: f.dataType
+                for f in StructType.fromJson(json.loads(schema_json)).fields
+            }
+            if schema_json
+            else {}
+        )
+        unknown = sorted(set(voids) - set(recorded))
+        if unknown:
+            raise ValueError(
+                f"column(s) {unknown} are untyped NULL (void) and not in "
+                "the table schema — cast them to a concrete type "
+                "(F.lit(None).cast(...))"
+            )
+        for c in voids:
+            df = df.withColumn(c, F.col(c).cast(recorded[c]))
+        return df
 
     def _try_commit(
         self,
@@ -692,11 +769,16 @@ class TxnLogTable:
         if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
             return self.latest_version()
         base0 = self.latest_version()
-        if base0 >= 0:
-            st0 = self._fold_log(base0)
+        st0 = self._fold_log(base0) if base0 >= 0 else None
+        df = self._align_void_columns(df, st0["schema"] if st0 else None)
+        if st0 is not None:
             self._enforce_constraints(
                 df, st0["constraints"], "append batch", st0["schema"]
             )
+            # fail type conflicts BEFORE any data file lands (the in-loop
+            # widen would refuse the commit anyway, but only after
+            # writing orphan files for vacuum to sweep)
+            self._widened_schema_json(st0["schema"], df.schema)
         adds = self._write_data_files(df)
         actions = [{"add": a} for a in adds]
         for _ in range(max_retries):
@@ -736,10 +818,17 @@ class TxnLogTable:
         snapshot."""
         if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
             return self.latest_version()
-        changes = changes.localCheckpoint(eager=True)
         base0 = self.latest_version()
-        if base0 >= 0:
-            st0 = self._fold_log(base0)
+        st0 = self._fold_log(base0) if base0 >= 0 else None
+        changes = self._align_void_columns(
+            changes, st0["schema"] if st0 else None
+        )
+        changes = changes.localCheckpoint(eager=True)
+        if st0 is not None:
+            # clean type-conflict refusal up front: without it the
+            # union/rank below surfaces as an opaque runtime CAST error
+            # (or worse, a silent coercion) deep inside the merge plan
+            self._widened_schema_json(st0["schema"], changes.schema)
             if st0["constraints"]:
                 to_check = changes
                 if delete_col is not None and delete_col in changes.columns:
@@ -1087,6 +1176,8 @@ class TxnLogTable:
                         for c in matched.columns
                     ]
                 )
+                # an assignment of an uncast NULL lands as the recorded type
+                updated = self._align_void_columns(updated, state["schema"])
                 self._enforce_constraints(
                     updated, state["constraints"], "updated rows",
                     state["schema"],

@@ -2171,3 +2171,72 @@ def test_incremental_target_survives_txn_only_first_commit(spark, tmp_path):
         "a": (2, 5.0),
         "b": (1, 4.0),
     }
+
+
+def test_type_conflicting_batches_are_rejected_before_writing(spark, tmp_path):
+    """No type evolution: a batch whose same-named column carries a
+    different type is refused up front — silently committing it would
+    write files the recorded schema cannot read back (a poisoned
+    table). NullType columns are compatible (they land as NULLs);
+    adding genuinely new columns still widens; nested nullability
+    differences never false-positive."""
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, 5, [0.5])],
+            "k long, seq long, x int, emb array<float>",
+        )
+    )
+    head = t.latest_version()
+    with pytest.raises(ValueError, match="type conflicts"):
+        t.append(
+            spark.createDataFrame(
+                [(2, 2, 5.5, [0.5])],
+                "k long, seq long, x double, emb array<float>",
+            )
+        )
+    assert t.latest_version() == head
+    with pytest.raises(ValueError, match="type conflicts"):
+        t.merge(
+            spark.createDataFrame(
+                [(1, 3, "not an int")], "k long, seq long, x string"
+            )
+        )
+    # uncast NULL (void) columns the table KNOWS are auto-cast to the
+    # recorded type and land as readable NULLs (parquet would otherwise
+    # store them as BOOLEAN — unreadable under the int schema); a void
+    # column the table does NOT know is rejected with guidance
+    t.append(
+        spark.createDataFrame([(3, 4)], "k long, seq long")
+        .withColumn("x", F.lit(None))
+        .withColumn("emb", F.lit(None).cast("array<float>"))
+    )
+    assert {r.k: r.x for r in t.read().collect()} == {1: 5, 3: None}
+    with pytest.raises(ValueError, match="untyped NULL"):
+        t.append(
+            spark.createDataFrame([(9, 9)], "k long, seq long")
+            .withColumn("mystery", F.lit(None))
+        )
+    # widening by NEW columns still works after the guard
+    t.append(
+        spark.createDataFrame(
+            [(4, 5, 7, "extra")], "k long, seq long, x int, note string"
+        )
+    )
+    assert "note" in t.read().columns
+
+
+def test_describe_detail_is_metadata_only(spark, tmp_path):
+    t = _table(spark, tmp_path, files_per_commit=2, change_feed=True)
+    t.append(
+        spark.createDataFrame(
+            [(i, 1, float(i)) for i in range(10)], "k long, seq long, x double"
+        )
+    )
+    t.add_constraint("x_nonneg", "x >= 0")
+    d = t.detail()
+    assert d["version"] == 1 and d["num_rows"] == 10
+    assert d["num_files"] == len(t._snapshot_adds())
+    assert d["constraints"] == {"x_nonneg": "x >= 0"}
+    assert d["key"] == "k" and d["change_feed"] is True
+    assert d["vacuum_watermark"] == 0
