@@ -121,6 +121,11 @@ def register_local_udfs(con) -> None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # SPARK_GRAFT_CHECK_JOBS=N runs N queries concurrently (Spark handles
+    # concurrent actions on one session; each worker thread gets its OWN
+    # DuckDB connection — connections are not thread-safe). Default 1 =
+    # byte-identical behavior and output order to the sequential gate.
+    jobs = max(1, int(os.environ.get("SPARK_GRAFT_CHECK_JOBS", "1")))
 
     import __spark_entry__ as entrymod
 
@@ -136,31 +141,42 @@ def main() -> int:
         spark.sparkContext.setLogLevel("ERROR")
     else:
         spark = get_spark("check_correctness")
-    con = duckdb.connect()
-    register_local_udfs(con)
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+
+    import threading
+
+    tl = threading.local()
+
+    def _con():
+        if getattr(tl, "con", None) is None:
+            c = duckdb.connect()
+            register_local_udfs(c)
+            for t in TABLES:
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            tl.con = c
+        return tl.con
+
     # splice in the local-only UDF oracles for entries the driver can only
     # rows-check (their registered oracle is None)
     for name, sql in LOCAL_ONLY_ORACLES.items():
         oracles.setdefault(name, sql)
 
-    failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    def check_one(name, fn) -> "tuple[list[str], bool]":
+        out: list[str] = []
         t0 = time.time()
         sdf = fn(spark, sf_dir)
         srows = [tuple(r) for r in sdf.collect()]
         scols = list(sdf.columns)
         spark_s = time.time() - t0
         if name not in oracles:
-            print(f"  {name:35s} rows-only: {len(srows):7d} rows  ({spark_s:.1f}s)")
-            continue
+            out.append(
+                f"  {name:35s} rows-only: {len(srows):7d} rows  ({spark_s:.1f}s)"
+            )
+            return out, False
         t0 = time.time()
-        rel = con.sql(oracles[name])
+        rel = _con().sql(oracles[name])
         ocols = list(rel.columns)
         orows = rel.fetchall()
         duck_s = time.time() - t0
@@ -189,20 +205,37 @@ def main() -> int:
                     for r in orows
                 }
                 for x in list(sset - oset)[:2]:
-                    print(f"      spark-only: {x[:160]}")
+                    out.append(f"      spark-only: {x[:160]}")
                 for x in list(oset - sset)[:2]:
-                    print(f"      duck-only:  {x[:160]}")
+                    out.append(f"      duck-only:  {x[:160]}")
         status = "OK " if not problems else "FAIL"
-        print(
+        out.append(
             f"  {name:35s} {status} {len(srows):7d} rows  "
             f"(spark {spark_s:.1f}s, duck {duck_s:.1f}s)"
             + ("  " + "; ".join(problems) if problems else "")
         )
-        if problems:
-            failures.append(name)
+        return out, bool(problems)
+
+    todo = [(n, f) for n, f in qs.items() if not only or n in only]
+    failures = []
+    if jobs == 1:
+        for name, fn in todo:
+            lines, failed = check_one(name, fn)
+            print("\n".join(lines))
+            if failed:
+                failures.append(name)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            results = list(pool.map(lambda nf: check_one(*nf), todo))
+        for (name, _), (lines, failed) in zip(todo, results):
+            print("\n".join(lines))
+            if failed:
+                failures.append(name)
 
     print()
-    total = len([n for n in qs if not only or n in only])
+    total = len(todo)
     print(f"{total - len(failures)}/{total} queries match")
     if failures:
         print("FAILURES:", ", ".join(failures))
