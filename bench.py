@@ -35,6 +35,29 @@ def main() -> None:
     load_start = os.getloadavg()
     spark = get_spark("bench")
 
+    # machine-speed canary: a FIXED pure-CPU workload (no I/O, no code
+    # under test) timed before anything else. Load averages only see
+    # processes on this box — host-level throttling/steal (a VM slowing
+    # down between rounds) inflates every query uniformly while loadavg
+    # reads idle. The canary's round-over-round ratio separates "code got
+    # slower" from "machine got slower"; tools/bench_compare.py
+    # adjudicates it when both sides carry one.
+    def _canary() -> float:
+        import pyspark.sql.functions as F
+
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spark.range(0, 150_000_000, 1, 32).select(
+                F.xxhash64("id").alias("h")
+                # avg, not sum: summing 150M 64-bit hashes overflows
+                # int64 under ANSI mode
+            ).agg(F.avg("h")).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    canary_sec = _canary()
+
     # warmup: JVM + parquet footers at the target SF, then one tiny-SF run of
     # each headline query so codegen/plan compilation is outside the timed
     # region (standard warmup iteration; the timed runs still plan + execute
@@ -146,6 +169,9 @@ def main() -> None:
                     "end_1m": round(load_end[0], 2),
                     "end_5m": round(load_end[1], 2),
                     "cpus": os.cpu_count(),
+                    # fixed pure-CPU microbenchmark (see _canary): the
+                    # machine-speed reference loadavg cannot provide
+                    "canary_sec": canary_sec,
                 },
             }
         )

@@ -103,3 +103,32 @@ def test_compare_flags_per_query_regression():
 def test_load_bench_unwraps_driver_format():
     wrapped = {"parsed": _bench({"a": 1.0})}
     assert load_bench(wrapped)["queries"] == {"a": 1.0}
+
+
+def test_canary_mismatch_overrides_loadavg_comparable():
+    """Host-level throttling slows the whole machine while loadavg reads
+    idle — the pure-CPU canary must flag it (and name the slow side)
+    even when the loadavg rule says comparable."""
+    quiet = _load(2.0, 3.0)
+    prior = dict(quiet, canary_sec=1.0)
+    slow_now = dict(quiet, canary_sec=1.9)
+    note = _load_note(_bench({}, load=prior), _bench({}, load=slow_now))
+    assert note["canary_ratio"] == 1.9
+    assert note["verdict"].startswith("machine-speed-mismatch")
+    assert note["loaded_side"] == "current"
+    # fast-now direction names the prior side
+    note2 = _load_note(
+        _bench({}, load=dict(quiet, canary_sec=2.0)),
+        _bench({}, load=dict(quiet, canary_sec=1.0)),
+    )
+    assert note2["loaded_side"] == "prior"
+    # in-band canary keeps the loadavg verdict
+    note3 = _load_note(
+        _bench({}, load=dict(quiet, canary_sec=1.0)),
+        _bench({}, load=dict(quiet, canary_sec=1.1)),
+    )
+    assert note3["verdict"] == "comparable"
+    assert note3["canary_ratio"] == 1.1
+    # canary on one side only: no canary verdict, loadavg rule stands
+    note4 = _load_note(_bench({}, load=quiet), _bench({}, load=prior))
+    assert "canary_ratio" not in note4

@@ -113,12 +113,13 @@ def _load_note(prior: dict, current: dict) -> "dict | None":
     loaded_side = None
     if noisy:
         loaded_side = "current" if nc > np_ else "prior"
-    return {
+    out = {
         "prior_norm_load": round(np_, 3),
         "now_norm_load": round(nc, 3),
         "rule": (
             "normalized = max(start_1m, end_5m)/cpus; mismatch when "
-            "|delta| >= 0.25 or larger >= 0.3 and >= 2.5x smaller"
+            "|delta| >= 0.25 or larger >= 0.3 and >= 2.5x smaller; "
+            "canary mismatch when its ratio is outside [0.8, 1.25]"
         ),
         "loaded_side": loaded_side,
         "verdict": (
@@ -128,6 +129,23 @@ def _load_note(prior: dict, current: dict) -> "dict | None":
             else "comparable"
         ),
     }
+    # the pure-CPU canary sees what loadavg cannot: host-level
+    # throttling/steal slowing the whole machine while it reads idle.
+    # A canary mismatch overrides a loadavg-comparable verdict — every
+    # per-query ratio is scaled by machine speed.
+    cp, cc = lp.get("canary_sec"), lc.get("canary_sec")
+    if cp and cc:
+        cr = round(float(cc) / float(cp), 3)
+        out["canary_ratio"] = cr
+        if cr > 1.25 or cr < 0.8:
+            slow = "current" if cr > 1 else "prior"
+            out["loaded_side"] = slow
+            out["verdict"] = (
+                f"machine-speed-mismatch (canary x{cr}: the {slow} run's "
+                "machine was slower): timing ratios are environmental "
+                "until rescaled"
+            )
+    return out
 
 
 def main() -> int:
