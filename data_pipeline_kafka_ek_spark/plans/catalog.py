@@ -905,12 +905,31 @@ def h5(spark, sf_dir):
 #              x_text_langid_confusion, which recomputes the same langid
 #              scoring as a confusion view) — first in line for r11.
 
+#   r11 window (this round): 53 must-attest for 50 slots — the two r10
+#              REGISTERED_AFTER_WINDOW entries (x_acid_dml_lifecycle,
+#              x_acid_replica_convergence: never driver-attested, the r10
+#              verdict's #1 ask) go first, then x_text_langid (the r10
+#              overflow pick, last green r7 — two rounds past the bound
+#              now, it cannot overflow again), then 47 of the 50-entry
+#              r8-green tier (three rounds stale at r11), alphabetical.
+#              Genuine excess is exactly 3; the WINDOW_OVERFLOW picks are
+#              the three batch windowed-aggregation queries whose
+#              streaming twins were driver-attested green in r10 and
+#              recompute the same window semantics (the twin suites
+#              assert streaming == batch):
+#                a3_tumbling_1min_counts  <- t_streaming_windowed_counts
+#                t3_hopping_30m15m_counts <- t_streaming_hopping_counts
+#                t4_session_5m_counts     <- t_streaming_session_append
+#              All three are first in line for the r12 window. New r11
+#              registrations land in REGISTERED_AFTER_WINDOW (the window
+#              is fully subscribed by the stale tier).
+
 # The round this rotation was authored for: the regression test checks that
 # every DRIVER_DEMOTED entry has a driver-green hash row within the two
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
 # promises), pinned here so evidence files landing later don't shift the
 # baseline under the test. Bump when re-authoring the rotation.
-DRIVER_ROTATION_ROUND = 10
+DRIVER_ROTATION_ROUND = 11
 
 # Queries registered AFTER this round's window was already committed to
 # re-attestation work. They sit in DRIVER_DEMOTED without a prior
@@ -918,12 +937,9 @@ DRIVER_ROTATION_ROUND = 10
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r10: the window was already oversubscribed by the stale tier
-# (51 must-attest for 50 slots), so every new r10 registration lands here.
-REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
-    "x_acid_replica_convergence",
-    "x_acid_dml_lifecycle",
-)
+# sf0.01). r11: the window is again oversubscribed by the stale tier
+# (53 must-attest for 50 slots), so every new r11 registration lands here.
+REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
 
 # Queries whose driver row can NEVER be hash-green: their only exact
 # oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's
@@ -937,87 +953,30 @@ ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
     "x_dedup_minhash_xxh",
 )
 
-# r10: must-attest = 2 never-attested + 49 r7-stale = 51 for 50 slots.
-# Genuine excess 1; the overflow pick per the policy (most trivial,
-# transitively covered): x_text_langid — its n-gram langid scoring is
-# recomputed verbatim inside x_text_langid_confusion (green r9). The
-# rotation test enforces len(overflow) <= genuine excess and last-green
-# == R-3 exactly.
+# r11: must-attest = 2 never-attested + x_text_langid (r7) + 50 r8-stale
+# = 53 for 50 slots. Genuine excess 3; the overflow picks per the policy
+# (most trivial, transitively covered): the three batch windowed-agg
+# queries whose streaming twins were driver-attested r10 and whose suites
+# assert streaming == batch on the same windows. The rotation test
+# enforces len(overflow) <= genuine excess and last-green == R-3 exactly.
 WINDOW_OVERFLOW: tuple[str, ...] = (
-    "x_text_langid",
+    "a3_tumbling_1min_counts",
+    "t3_hopping_30m15m_counts",
+    "t4_session_5m_counts",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-attested: the two r9 REGISTERED_AFTER_WINDOW entries
-    # (incremental-MV oracle query, KMV rollup) — the r9 verdict's #1 ask
-    "x_acid_incremental_mv",
-    "x_sketch_kmv_rollup",
-    # the r7-green tier (last driver row r7, three rounds stale at r10),
-    # alphabetical within the tier; x_text_langid overflows to r11
-    "a_count_distinct",
-    "a_pivot_lang_quality",
-    "h1_pricing_summary",
-    "h3_top_revenue_orders",
-    "h5_nation_revenue",
-    "h_window_cumulative_revenue",
-    "j_anti_join",
-    "j_semi_join",
-    "l2_limit_probe",
-    "p3_computed_projection",
-    "s2_latest_per_key",
-    "t_streaming_cms_freq",
-    "t_streaming_hll_distinct",
-    "t_streaming_hopping_counts",
-    "t_streaming_kmv_distinct",
-    "t_streaming_psi_drift",
-    "t_streaming_session_append",
-    "t_streaming_windowed_counts",
-    "x_ann_ivf_trained_topk",
-    "x_ann_lsh_bucketed",
-    "x_ann_pq_topk",
-    "x_ann_topk_blocked",
-    "x_contamination_ngram",
-    "x_corpus_source_scorecard",
-    "x_corpus_stats",
-    "x_dedup_components",
-    "x_dedup_embedding_lsh",
-    "x_dedup_exact",
-    "x_dedup_jaccard",
-    "x_dedup_minhash_lsh",
-    "x_dedup_simhash",
-    "x_deterministic_sample",
-    "x_embedding_quantize",
-    "x_events_distribution_drift",
-    "x_explode_top_tokens",
-    "x_multimodal_stdlib_codecs",
-    "x_pipeline_corpus_prep",
-    "x_pipeline_mixture_sample",
-    "x_pipeline_seq_packing",
-    "x_quality_clf_score",
-    "x_sketch_countmin_freq",
-    "x_sketch_hll_distinct",
-    "x_sketch_kmv_distinct",
-    "x_text_chunking",
-    "x_text_fingerprint",
-    "x_text_quality",
-    "x_text_repetition",
-    "x_text_token_stats",
-)
-
-DRIVER_DEMOTED: tuple[str, ...] = (
-    # the single r10 overflow (one round past the bound, first in line
-    # for the r11 window) leads, then any post-window registrations
-    *WINDOW_OVERFLOW,
-    *REGISTERED_AFTER_WINDOW,
-    # permanently rows-only in driver files (local-UDF oracle only)
-    *ROWS_ONLY_NO_ORACLE,
-    # every entry below carries an r8 or r9 driver-green hash row in the
-    # committed CORRECTNESS files — the invariant the rotation test
-    # asserts from ground truth; all stay oracle-green in the per-round
-    # full-catalog local runs. r8 tier first, then the r9 tier.
+    # never driver-attested: the two r10 REGISTERED_AFTER_WINDOW entries
+    # (DML-lifecycle oracle, replica convergence) — the r10 verdict's #1
+    # ask — then x_text_langid (the r10 overflow pick, two rounds past
+    # the bound, promised first in line), then the r8-green tier (last
+    # driver row r8, three rounds stale at r11), alphabetical; the three
+    # WINDOW_OVERFLOW picks wait for r12
+    "x_acid_dml_lifecycle",
+    "x_acid_replica_convergence",
+    "x_text_langid",
     "a1_count_by_group",
     "a2_a3_windowed_collect",
-    "a3_tumbling_1min_counts",
     "a5_median_by_group",
     "a6_date_histogram",
     "a7_top_terms",
@@ -1035,8 +994,6 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "p4_time_format_projection",
     "set_except_intersect",
     "set_union_roundtrip",
-    "t3_hopping_30m15m_counts",
-    "t4_session_5m_counts",
     "t_streaming_dedup",
     "t_streaming_stateful_counts",
     "t_streaming_stream_stream_join",
@@ -1065,6 +1022,19 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_redact_pii",
     "x_text_unigram_logprob",
     "x_window_running_total",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # the three r11 overflow picks (one round past the bound, first in
+    # line for the r12 window) lead, then any post-window registrations
+    *WINDOW_OVERFLOW,
+    *REGISTERED_AFTER_WINDOW,
+    # permanently rows-only in driver files (local-UDF oracle only)
+    *ROWS_ONLY_NO_ORACLE,
+    # every entry below carries an r9 or r10 driver-green hash row in the
+    # committed CORRECTNESS files — the invariant the rotation test
+    # asserts from ground truth; all stay oracle-green in the per-round
+    # full-catalog local runs. r9 tier first, then the r10 tier.
     "a8_count_metric",
     "a_rollup_revenue",
     "f2_pattern_filter_positive",
@@ -1115,6 +1085,56 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_remove_dup_spans",
     "x_text_repeated_spans",
     "x_window_sliding_stats",
+    "a_count_distinct",
+    "a_pivot_lang_quality",
+    "h1_pricing_summary",
+    "h3_top_revenue_orders",
+    "h5_nation_revenue",
+    "h_window_cumulative_revenue",
+    "j_anti_join",
+    "j_semi_join",
+    "l2_limit_probe",
+    "p3_computed_projection",
+    "s2_latest_per_key",
+    "t_streaming_cms_freq",
+    "t_streaming_hll_distinct",
+    "t_streaming_hopping_counts",
+    "t_streaming_kmv_distinct",
+    "t_streaming_psi_drift",
+    "t_streaming_session_append",
+    "t_streaming_windowed_counts",
+    "x_acid_incremental_mv",
+    "x_ann_ivf_trained_topk",
+    "x_ann_lsh_bucketed",
+    "x_ann_pq_topk",
+    "x_ann_topk_blocked",
+    "x_contamination_ngram",
+    "x_corpus_source_scorecard",
+    "x_corpus_stats",
+    "x_dedup_components",
+    "x_dedup_embedding_lsh",
+    "x_dedup_exact",
+    "x_dedup_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_dedup_simhash",
+    "x_deterministic_sample",
+    "x_embedding_quantize",
+    "x_events_distribution_drift",
+    "x_explode_top_tokens",
+    "x_multimodal_stdlib_codecs",
+    "x_pipeline_corpus_prep",
+    "x_pipeline_mixture_sample",
+    "x_pipeline_seq_packing",
+    "x_quality_clf_score",
+    "x_sketch_countmin_freq",
+    "x_sketch_hll_distinct",
+    "x_sketch_kmv_distinct",
+    "x_sketch_kmv_rollup",
+    "x_text_chunking",
+    "x_text_fingerprint",
+    "x_text_quality",
+    "x_text_repetition",
+    "x_text_token_stats",
 )
 
 
@@ -1219,7 +1239,7 @@ def a_count_distinct(spark, sf_dir):
              ROWS UNBOUNDED PRECEDING), 4) AS running_total
     FROM events
     """,
-    survey_ids=("A1",),
+    survey_ids=("A1", "§2.6"),
     doc="OVER-clause analytic (running sum per key in event-time order) — "
     "absent from ksqlDB 0.20 entirely (SURVEY.md §2.6); one shuffle on the "
     "partition key, sort within partitions, single pass",
@@ -1474,7 +1494,7 @@ def x_explode_tokens(spark, sf_dir):
              ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_revenue
     FROM lineitem
     """,
-    survey_ids=("A1",),
+    survey_ids=("A1", "§2.6"),
     bench=True,
     doc="heavyweight analytic window over the full fact table: cumulative "
     "discounted revenue per supplier in ship-date order — one hash "

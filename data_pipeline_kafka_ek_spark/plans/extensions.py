@@ -2945,7 +2945,7 @@ def x_sketch_kmv_setops(spark, sf_dir):
 
 @register(
     "x_sketch_kmv_rollup",
-    """
+    r"""
     WITH vals AS (
       SELECT DISTINCT event_type AS g1,
              strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS g2,
@@ -3561,7 +3561,7 @@ def x_text_bigram_logprob(spark, sf_dir):
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
     bench=True,
-    survey_ids=("A1",),
+    survey_ids=("A1", "§2.6"),
     doc="bounded sliding-frame analytics (trailing-4 moving average/min/"
     "max per key in event-time order) — the smoothing/alert-baseline "
     "companion to x_window_running_total's unbounded frame; same "

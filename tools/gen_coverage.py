@@ -104,6 +104,13 @@ ADAPTER_COVERAGE: dict[str, tuple[str, str, str]] = {
             "tests/test_streaming.py:test_cdc_apply_update_propagation, "
             "tests/test_acid.py:test_stream_changes_replays_commit_feed, "
             "test_read_row_changes_replicates_table"),
+    "§2.6": ("window functions / OVER-clause analytics (absent from ksqlDB "
+             "0.20 entirely — a Spark-side capability the survey calls out)",
+             "plans/catalog.py:x_window_running_total, "
+             "h_window_cumulative_revenue; plans/extensions.py:"
+             "x_window_sliding_stats, x_events_max_drawdown",
+             "oracle-checked catalog queries (unbounded + bounded frames, "
+             "running-max drawdown)"),
     "§2.12": ("SHOW TOPICS/TABLES/CONNECTORS/QUERIES, DESCRIBE [EXTENDED], INSERT upstream",
               "engine.py:Engine (registry + describe + show_queries + sql entry "
               "point + ACID-table CTAS/DESCRIBE HISTORY/refresh/OPTIMIZE/"
@@ -118,6 +125,7 @@ SECTION_ORDER = [
     ("Projections/filters (§2.3)", [f"P{i}" for i in range(1, 5)] + [f"F{i}" for i in range(1, 10)]),
     ("Joins (§2.4)", ["J1", "J1a"]),
     ("Aggregations (§2.5)", [f"A{i}" for i in range(1, 9)]),
+    ("Window functions (§2.6)", ["§2.6"]),
     ("Sorts/limits (§2.7)", [f"L{i}" for i in range(1, 5)]),
     ("Set ops (§2.8)", ["§2.8"]),
     ("Scalar functions (§2.9)", [f"X{i}" for i in range(1, 12)]),
