@@ -22,7 +22,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 @dataclass
@@ -83,17 +83,23 @@ class Engine:
     def _split_top(s: str, want: str) -> "list[str]":
         """Split ``s`` on top-level occurrences of ``want`` (a keyword
         like WHERE, matched case-insensitively as a whole word, or the
-        literal ','), ignoring anything inside quotes or parentheses."""
+        literal ','), ignoring anything inside quotes or parentheses.
+        All three Spark SQL quoting forms are skipped: ``'...'`` string
+        literals, ``"..."`` (a string literal under the default
+        ``spark.sql.ansi.doubleQuotedIdentifiers=false``), and
+        `` `...` `` quoted identifiers — each with the doubled-char
+        escape (``''``, ``""``, ``` `` ```)."""
         parts, depth, i, last, out = [], 0, 0, 0, []
         n = len(s)
         while i < n:
             ch = s[i]
-            if ch == "'":
+            if ch in "'\"`":
+                q = ch
                 j = i + 1
                 while j < n:
-                    if s[j] == "'" and not (j + 1 < n and s[j + 1] == "'"):
+                    if s[j] == q and not (j + 1 < n and s[j + 1] == q):
                         break
-                    j += 2 if s[j] == "'" else 1
+                    j += 2 if s[j] == q else 1
                 i = j + 1
                 continue
             if ch in "([":
@@ -127,21 +133,82 @@ class Engine:
                 [(None if v is None else int(v),)], "version long"
             )
 
-        m = _re.match(r"DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$", s, _re.I | _re.S)
+        m = _re.match(
+            r"DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+))?$", s, _re.I | _re.S
+        )
         if m and m.group(1) in acid:
+            # no WHERE deletes every row (standard SQL), same rule as the
+            # UPDATE path's defaulted condition
             return _version_frame(
-                self.delete_from_acid_table(m.group(1), m.group(2))
+                self.delete_from_acid_table(m.group(1), m.group(2) or "true")
             )
+        m = _re.match(
+            r"INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*(VALUES\s+.+|SELECT\s+.+)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m and m.group(1) in acid:
+            t = acid[m.group(1)]
+            body = m.group(4)
+            batch = self.spark.sql(
+                body
+                if body[:6].upper() == "SELECT"
+                else f"SELECT * FROM ( {body} )"
+            )
+            # positional alignment, SQL INSERT semantics: an explicit
+            # column list names the targets (unnamed table columns land
+            # NULL via append's narrow-batch rule); without one the
+            # values map to the recorded schema in order. Each value is
+            # cast to the recorded column type so VALUES literals (int
+            # vs long, NULL) never trip the append type-conflict guard.
+            sch = t._latest_schema()
+            if m.group(3):
+                names = [
+                    c.strip().strip("`").replace("``", "`")
+                    for c in self._split_top(m.group(3), ",")
+                ]
+            elif sch is not None:
+                names = [f.name for f in sch.fields]
+            else:
+                raise ValueError(
+                    f"INSERT INTO {m.group(1)} needs a column list: the "
+                    "table has no recorded schema to align values to"
+                )
+            if len(names) != len(batch.columns):
+                raise ValueError(
+                    f"INSERT INTO {m.group(1)}: {len(batch.columns)} "
+                    f"value column(s) for {len(names)} target column(s)"
+                )
+            typed = {f.name: f.dataType for f in sch.fields} if sch else {}
+            batch = batch.select(
+                *[
+                    (
+                        F.col(c).cast(typed[n]) if n in typed else F.col(c)
+                    ).alias(n)
+                    for c, n in zip(batch.columns, names)
+                ]
+            )
+            v = t.append(batch)
+            self.create_table(m.group(1), t.read())
+            return _version_frame(v)
         m = _re.match(r"UPDATE\s+(\w+)\s+SET\s+(.+)$", s, _re.I | _re.S)
         if m and m.group(1) in acid:
             set_where = self._split_top(m.group(2), "WHERE")
             cond = set_where[1].strip() if len(set_where) > 1 else "true"
             assignments = {}
             for part in self._split_top(set_where[0], ","):
-                am = _re.match(r"\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$", part, _re.S)
+                am = _re.match(
+                    r"\s*(`(?:[^`]|``)+`|[A-Za-z_]\w*)\s*=\s*(.+?)\s*$",
+                    part,
+                    _re.S,
+                )
                 if not am:
                     raise ValueError(f"cannot parse SET assignment: {part!r}")
-                assignments[am.group(1)] = am.group(2)
+                col = am.group(1)
+                if col.startswith("`"):
+                    # unquote: update_where keys are real column names
+                    col = col[1:-1].replace("``", "`")
+                assignments[col] = am.group(2)
             return _version_frame(
                 self.update_acid_table(m.group(1), cond, assignments)
             )
@@ -288,7 +355,11 @@ class Engine:
             t.initialize(schema)
         self._acid = getattr(self, "_acid", {})
         self._acid[name] = t
-        if t.latest_version() >= 0:
+        # a log holding only data-free commits (e.g. an ALTER ADD
+        # CONSTRAINT before the first write) has versions but no recorded
+        # schema — there is no shape to register yet; the first DML
+        # through sql() re-pins the view once one exists
+        if t.latest_version() >= 0 and t._latest_schema() is not None:
             self.create_table(name, t.read())
         return t
 

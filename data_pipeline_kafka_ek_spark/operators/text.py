@@ -713,7 +713,11 @@ def _doc_symbol_string(text_col: str) -> Column:
 
 
 def bpe_train_merges(
-    docs: DataFrame, n_merges: int = 8, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    max_ranks: int = 512,
+    sample_words: "int | None" = None,
 ) -> "list[tuple[int, str, str, int]]":
     """Deterministic BPE merge training (Sennrich et al. 2016,
     arXiv:1508.07909): start from characters plus a ``</w>`` word-end
@@ -733,13 +737,46 @@ def bpe_train_merges(
     rule application pass (deterministic, and DuckDB's ``replace`` agrees
     byte-for-byte, which is what makes the whole trainer oracle-checkable
     — see plans/extensions.py::_bpe_merge_ctes).
+
+    COST CONTRACT (the part a 30k-vocab production run must read): each
+    rank is one Spark job over the word table — the loop is driver-
+    sequenced BY THE ALGORITHM (rank k's counts depend on merge k-1;
+    batching count-disjoint picks changes the learned table, because a
+    pair created by merge k can outrank the batch's next pick). The cost
+    knobs are therefore explicit, not implicit:
+
+    * ``max_ranks`` — hard ceiling on ``n_merges`` (default 512). A
+      larger vocabulary is a deliberate act: raise the ceiling AND size
+      the word table with ``sample_words``.
+    * ``sample_words`` — train on the top-``sample_words`` distinct
+      words by corpus frequency (ties broken by word, so the sample is
+      deterministic). This is the standard sample-training trick: the
+      per-rank job touches a fixed-size table regardless of corpus
+      scale, and high-frequency words dominate pair counts, so the
+      learned table converges to the full-vocab one long before the
+      sample stops covering the mass. ``None`` trains on the full
+      distinct-word table (exact; right whenever vocab << corpus).
     """
+    if n_merges > max_ranks:
+        raise ValueError(
+            f"n_merges={n_merges} exceeds max_ranks={max_ranks}: each "
+            "rank is one Spark job (driver-sequenced by the algorithm) "
+            "— raise max_ranks deliberately and bound the per-rank cost "
+            "with sample_words"
+        )
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
+    )
+    if sample_words is not None:
+        # deterministic head of the frequency table: exact top-N with a
+        # total order (count desc, word asc) — not a random sample, so
+        # retraining is reproducible
+        words = words.orderBy(F.desc("cnt"), F.asc("w")).limit(sample_words)
+    words = (
+        words.withColumn(
             "sym",
             F.concat(
                 F.lit(" "), F.concat_ws(" ", F.split("w", "")), F.lit(" </w> ")

@@ -939,7 +939,9 @@ DRIVER_ROTATION_ROUND = 11
 # full-catalog local gates (pytest at sf0.001, check_correctness at
 # sf0.01). r11: the window is again oversubscribed by the stale tier
 # (53 must-attest for 50 slots), so every new r11 registration lands here.
-REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
+REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
+    "t_streaming_dml_replica",
+)
 
 # Queries whose driver row can NEVER be hash-green: their only exact
 # oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's

@@ -1391,6 +1391,127 @@ def x_acid_dml_lifecycle(spark, sf_dir):
 
 
 @register(
+    "t_streaming_dml_replica",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(round(value * 10000) AS BIGINT) AS vq,
+             user_id % 5 AS seg,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) % 3 AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT p.*, row_number() OVER (
+          PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+        FROM p
+      ) WHERE rn = 1
+    ),
+    w AS (
+      SELECT * FROM (
+        SELECT u.*, row_number() OVER (
+          PARTITION BY user_id ORDER BY b DESC) AS rw
+        FROM u
+      ) WHERE rw = 1
+    ),
+    alive AS (
+      SELECT * FROM w WHERE NOT (b = 2 AND user_id % 7 = 0)
+    ),
+    kept AS (SELECT * FROM alive WHERE vq % 7 >= 2),
+    capped AS (
+      SELECT seg,
+             CASE WHEN vq > 1000000 THEN 1000000 ELSE vq END AS vq
+      FROM kept
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(vq) / 10000.0, 4) AS sum_value
+    FROM capped GROUP BY seg
+    """,
+    survey_ids=("T1", "T7", "T11", "EXT-streaming"),
+    doc="the full DML history — append, two MERGEs (the second "
+    "tombstoning every user_id % 7 == 0 it touches), a retention-style "
+    "predicate DELETE (vq % 7 < 2) and a winsorizing predicate UPDATE "
+    "(vq capped at 1000000) — consumed by a replica as a STANDING "
+    "streaming query: TableReplicator.replicate_stream reads the typed "
+    "row-level change feed as a Structured Streaming source (one "
+    "micro-batch per commit) and merges each batch into the replica "
+    "inside foreachBatch, exactly-once via the target-side txn cursor. "
+    "The replica's per-segment rollup must equal the oracle's "
+    "winner-per-user fold with tombstoned users removed, the DELETE's "
+    "rows dropped and the UPDATE's cap applied — only possible because "
+    "delete and update_preimage/postimage row images flow through the "
+    "stream (reference behavior twinned: the CDC update-propagation "
+    "demo, README.md:204-210). Fixed-point vq keeps sums exact.",
+)
+def t_streaming_dml_replica(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        TableReplicator,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+        F.pmod(F.col("user_id"), F.lit(5)).alias("seg"),
+        F.pmod(
+            F.floor(F.col("ts").cast("double")).cast("long"), F.lit(3)
+        ).alias("__b"),
+    )
+    wb = Window.partitionBy("user_id", "__b").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    upserts = (
+        p.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn(
+            "__dead",
+            (F.col("__b") == 2) & (F.pmod(F.col("user_id"), F.lit(7)) == 0),
+        )
+        .localCheckpoint(eager=True)
+    )
+    scratch = tempfile.mkdtemp(prefix="spark_graft_dml_repl_")
+    try:
+        src = TxnLogTable(
+            spark,
+            f"{scratch}/src",
+            key="user_id",
+            order_col="__b",
+            files_per_commit=2,
+            change_feed=True,
+        )
+        src.append(upserts.filter(F.col("__b") == 0).drop("__dead"))
+        for b in (1, 2):
+            src.merge(
+                upserts.filter(F.col("__b") == b), delete_col="__dead"
+            )
+        src.delete_where("vq % 7 < 2")
+        src.update_where("vq > 1000000", {"vq": F.lit(1000000)})
+        rep = TableReplicator(
+            src, f"{scratch}/replica", files_per_commit=2
+        )
+        rep.replicate_stream()  # the standing query follows all 5 commits
+        snapshot = (
+            rep.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.round(F.sum("vq") / F.lit(10000.0), 4).alias("sum_value"),
+            )
+        )
+        # ≤5 rows: collect eagerly so the scratch tables are removed here
+        return spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
     "t_streaming_funnel",
     """
     WITH e AS (

@@ -67,6 +67,7 @@ topics + ksqlDB internal state; this module is the lake-side twin.
 from __future__ import annotations
 
 import json
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -339,11 +340,16 @@ class TxnLogTable:
         return list(self._fold_log(version)["adds"].values())
 
     def _commit_mtimes(self) -> "list[tuple[int, float]]":
-        """(version, publish-time epoch seconds) per commit, oldest first,
-        from ONE directory listing. Times are made MONOTONE non-decreasing
-        (each stamped at least its predecessor — Delta's rule for AS OF
-        resolution), so a commit file whose mtime was disturbed (copy,
-        clock skew) can never make timestamp travel non-deterministic."""
+        """(version, publish-time epoch seconds) per commit, oldest first.
+        The authoritative time is the ``ts`` recorded INSIDE the commit
+        body at publish (UTC epoch, immune to copy/rsync disturbing file
+        mtimes); commits from before that field existed fall back to the
+        file mtime from the directory listing. Times are made MONOTONE
+        non-decreasing (each stamped at least its predecessor — Delta's
+        rule for AS OF resolution), so clock skew between writers can
+        never make timestamp travel non-deterministic. Commit bodies are
+        immutable, so parsed timestamps are cached per instance — the
+        steady-state cost is one listing + the unseen tail."""
         fs, jpath = self._fs(self.log_dir)
         if not fs.exists(jpath):
             return []
@@ -355,10 +361,16 @@ class TxnLogTable:
             if name.endswith(".checkpoint.json"):
                 continue
             raw[int(name[: -len(".json")])] = st.getModificationTime() / 1000.0
+        cache = getattr(self, "_commit_ts_cache", None)
+        if cache is None:
+            cache = self._commit_ts_cache = {}
         out = []
         prev = float("-inf")
         for v in sorted(raw):
-            prev = max(prev, raw[v])
+            if v not in cache:
+                body_ts = self._read_commit(v).get("ts")
+                cache[v] = float(body_ts) if body_ts is not None else raw[v]
+            prev = max(prev, cache[v])
             out.append((v, prev))
         return out
 
@@ -384,8 +396,13 @@ class TxnLogTable:
     def version_at(self, timestamp) -> int:
         """AS OF TIMESTAMP resolution: the greatest version published at
         or before ``timestamp`` (epoch seconds, a datetime, or an ISO
-        string). Raises if the timestamp predates the table's first
-        commit — there is no state to read there."""
+        string). Naive datetimes/strings are interpreted in the DRIVER's
+        local timezone (the same rule Delta applies with the session
+        timezone) — pass tz-aware values (``...+00:00``) for behavior
+        that is portable across machines. Resolution reads the publish
+        time recorded inside each commit body, so it does not depend on
+        filesystem mtimes. Raises if the timestamp predates the table's
+        first commit — there is no state to read there."""
         import datetime as _dt
 
         if isinstance(timestamp, str):
@@ -594,6 +611,12 @@ class TxnLogTable:
                 "actions": actions,
                 "txn": txn,
                 "schema": schema,
+                # in-commit publish time (UTC epoch): AS OF resolution and
+                # history() read THIS, not the commit file's mtime, so
+                # copying/rsyncing a table does not rewrite its timeline
+                # (Delta's in-commit-timestamp rule). Legacy commits
+                # without it fall back to mtime in _commit_mtimes.
+                "ts": round(time.time(), 6),
             }
         )
         ok = self._write_text_atomic(self._commit_path(version), body)
@@ -692,16 +715,30 @@ class TxnLogTable:
         append/merge/update validates its written rows in one aggregate
         job and raises :class:`ConstraintViolation` instead of
         committing. SQL CHECK semantics: NULL passes, only FALSE
-        violates."""
-        if self.latest_version() >= 0:
-            self._enforce_constraints(self.read(), {name: expr}, "existing rows")
+        violates.
+
+        Commit-time conflict rule: the validated snapshot is PINNED to a
+        version, and the alter commits only directly on top of it —
+        winning the publish race at ``validated + 1`` proves (dense log)
+        that no write interleaved between the scan and the alter. If the
+        table advanced, the whole current snapshot is re-validated and
+        the commit re-attempted; a racing writer can therefore never land
+        rows the new constraint has not seen (Delta's metadata-conflict
+        rule, mirrored from the writer side in append/merge)."""
+        validated = None  # version whose full row set passed the check
         for _ in range(max_retries):
-            v = self.latest_version() + 1
+            base = self.latest_version()
+            if base != validated and base >= 0:
+                self._enforce_constraints(
+                    self.read(version=base), {name: expr}, "existing rows"
+                )
+            validated = base
             if self._try_commit(
-                v, "alter", [{"constraint_add": {"name": name, "expr": expr}}],
+                base + 1, "alter",
+                [{"constraint_add": {"name": name, "expr": expr}}],
                 None,
             ):
-                return v
+                return base + 1
         raise ConcurrentModification(
             f"add_constraint lost the commit race {max_retries} times"
         )
@@ -771,10 +808,18 @@ class TxnLogTable:
         base0 = self.latest_version()
         st0 = self._fold_log(base0) if base0 >= 0 else None
         df = self._align_void_columns(df, st0["schema"] if st0 else None)
+        checked: dict = {}
         if st0 is not None:
+            if st0["constraints"]:
+                # pin the rows: the CHECK aggregate and the data-file write
+                # are two evaluations of this plan — a non-deterministic
+                # input (rand(), a re-read of a moving source) must not
+                # pass the check and then write different rows
+                df = df.localCheckpoint(eager=True)
             self._enforce_constraints(
                 df, st0["constraints"], "append batch", st0["schema"]
             )
+            checked = dict(st0["constraints"])
             # fail type conflicts BEFORE any data file lands (the in-loop
             # widen would refuse the commit anyway, but only after
             # writing orphan files for vacuum to sweep)
@@ -783,9 +828,31 @@ class TxnLogTable:
         actions = [{"add": a} for a in adds]
         for _ in range(max_retries):
             base = self.latest_version()
+            state = self._fold_log(base) if base >= 0 else None
+            prev = state["schema"] if state else None
+            # a constraint added between the validated snapshot and this
+            # commit base must hold for the batch too (Delta's metadata-
+            # conflict rule): validate the delta against the WRITTEN
+            # files — exactly the rows being committed, immune to a
+            # non-deterministic source
+            if state is not None:
+                fresh = {
+                    n: e
+                    for n, e in state["constraints"].items()
+                    if checked.get(n) != e
+                }
+                if fresh and adds:
+                    written = self.spark.read.schema(df.schema).parquet(
+                        *[a["path"] for a in adds]
+                    )
+                    self._enforce_constraints(
+                        written, fresh,
+                        "append batch (constraint added concurrently)",
+                        state["schema"],
+                    )
+                checked.update(fresh)
             # widen, never narrow: an append whose batch lacks an evolved
             # column must not drop that column from the recorded schema
-            prev = self._fold_log(base)["schema"] if base >= 0 else None
             schema = self._widened_schema_json(prev, df.schema)
             if self._try_commit(base + 1, "append", actions, txn, schema):
                 return base + 1
@@ -824,23 +891,25 @@ class TxnLogTable:
             changes, st0["schema"] if st0 else None
         )
         changes = changes.localCheckpoint(eager=True)
+        to_check = changes
+        if delete_col is not None and delete_col in changes.columns:
+            # tombstones delete rows — their payload values never
+            # land, so CHECK does not apply to them
+            to_check = changes.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            )
+        checked: dict = {}
         if st0 is not None:
             # clean type-conflict refusal up front: without it the
             # union/rank below surfaces as an opaque runtime CAST error
             # (or worse, a silent coercion) deep inside the merge plan
             self._widened_schema_json(st0["schema"], changes.schema)
             if st0["constraints"]:
-                to_check = changes
-                if delete_col is not None and delete_col in changes.columns:
-                    # tombstones delete rows — their payload values never
-                    # land, so CHECK does not apply to them
-                    to_check = changes.filter(
-                        ~F.coalesce(F.col(delete_col), F.lit(False))
-                    )
                 self._enforce_constraints(
                     to_check, st0["constraints"], "merge change set",
                     st0["schema"],
                 )
+            checked = dict(st0["constraints"])
         bounds = changes.agg(
             F.min(self.key).alias("lo"),
             F.max(self.key).alias("hi"),
@@ -887,6 +956,22 @@ class TxnLogTable:
                 return self.latest_version()
             base_version = self.latest_version()
             state = self._fold_log(base_version if base_version >= 0 else None)
+            # a constraint added since the snapshot this merge validated
+            # against must hold for the change set too — winning the CAS
+            # at base_version + 1 proves (dense log) the fold here is the
+            # commit's direct parent, so nothing can slip between
+            fresh_c = {
+                n: e
+                for n, e in state["constraints"].items()
+                if checked.get(n) != e
+            }
+            if fresh_c:
+                self._enforce_constraints(
+                    to_check, fresh_c,
+                    "merge change set (constraint added concurrently)",
+                    state["schema"],
+                )
+                checked.update(fresh_c)
             # compare-and-set on the txn cursor: when the caller read its
             # input span at high-water ``expect``, any OTHER writer of the
             # same app_id landing first makes this merge a double-apply.

@@ -325,3 +325,67 @@ class TableReplicator:
         """Current replica snapshot (source columns, without the
         ``_commit_version`` bookkeeping column)."""
         return self.target.read().drop("_commit_version")
+
+    def replicate_stream(self, since_version: int = -1) -> None:
+        """The replica as a STANDING query: the source's typed row-level
+        change feed consumed as a Structured Streaming source (one
+        micro-batch per source commit, commit order preserved — the
+        same replay machinery as ``TxnLogTable.stream_changes``), each
+        micro-batch applied through the same keyed merge as
+        :meth:`replicate`, exactly-once via the target-side txn cursor
+        (a replayed micro-batch with an already-folded high-water commit
+        is skipped inside ``merge`` itself). This is the reference's
+        CDC update-propagation demo (README.md:204-210, a MySQL UPDATE
+        flowing through Debezium into the materialized table) re-expressed
+        as lake-side change-feed -> foreachBatch -> transactional merge.
+
+        Runs to completion over all available commits
+        (``trigger(availableNow=True)``) — the streaming twin of a
+        ``replicate()`` catch-up. A later call resumes from the durable
+        cursor. Multi-commit micro-batches stay correct: the merge ranks
+        on ``_commit_version``, so a key's newest change in the batch
+        wins and a delete in a later commit beats an earlier upsert."""
+        import tempfile as _tempfile
+
+        from data_pipeline_kafka_ek_spark.streaming import runtime as _rt
+
+        cur = max(self.cursor(), since_version)
+        rows = self.source.read_row_changes(cur)
+        n_commits = max(
+            1,
+            len([v for v in self.source._list_versions() if v > cur]),
+        )
+        stream = _rt.replayed_stream(
+            self.source.spark, rows, n_slices=n_commits,
+            order_col="_commit_version",
+        )
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            changes = (
+                batch_df.filter(
+                    F.col("_change_type").isin(
+                        "insert", "update_postimage", "delete"
+                    )
+                )
+                .withColumn("__dead", F.col("_change_type") == "delete")
+                .drop("_change_type")
+            )
+            head = changes.agg(
+                F.max("_commit_version").alias("hi")
+            ).first()["hi"]
+            if head is None:
+                return  # nothing but pre-images in this batch
+            self.target.merge(
+                changes,
+                delete_col="__dead",
+                txn={"app_id": self.app_id, "batch_id": int(head)},
+            )
+
+        ckpt = _tempfile.mkdtemp(prefix="repl_stream_ckpt_")
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

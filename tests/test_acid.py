@@ -2240,3 +2240,268 @@ def test_describe_detail_is_metadata_only(spark, tmp_path):
     assert d["constraints"] == {"x_nonneg": "x >= 0"}
     assert d["key"] == "k" and d["change_feed"] is True
     assert d["vacuum_watermark"] == 0
+
+
+def test_constraint_added_concurrently_blocks_append_and_merge(spark, tmp_path):
+    """Delta's metadata-conflict rule from the writer side: a CHECK
+    constraint that lands AFTER a writer validated its snapshot but
+    BEFORE its commit must still gate that writer — the retry loop
+    re-folds the constraint set at its commit base (winning the CAS
+    proves the fold was the direct parent), so a racing ALTER can never
+    be outrun. Simulated by injecting the ALTER from a second handle
+    while the writer is mid-flight (between its snapshot check and its
+    commit attempt)."""
+    from data_pipeline_kafka_ek_spark.sources.acid import (
+        ConstraintViolation,
+    )
+
+    t1 = _table(spark, tmp_path, files_per_commit=1)
+    t1.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 5.0)], "k long, seq long, v string, x double"
+        )
+    )
+    t2 = TxnLogTable(spark, t1.path, key="k", order_col="seq", files_per_commit=1)
+
+    real_write = t1._write_data_files
+    fired = {"n": 0}
+
+    def inject_alter(df, cluster_expr=None):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            t2.add_constraint("x_nonneg", "x >= 0")
+        return real_write(df, cluster_expr)
+
+    t1._write_data_files = inject_alter
+    head = t1.latest_version()
+    with pytest.raises(ConstraintViolation, match="concurrently"):
+        t1.append(
+            spark.createDataFrame(
+                [(2, 2, "b", -1.0)], "k long, seq long, v string, x double"
+            )
+        )
+    assert t1.latest_version() == head + 1  # only the ALTER landed
+    assert {r.k for r in t1.read().collect()} == {1}
+
+    # same race against MERGE: the change set re-validates in-loop
+    t2.drop_constraint("x_nonneg")
+    fired["n"] = 0
+
+    def inject_alter_merge(df, cluster_expr=None):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            t2.add_constraint("x_pos", "x > 0")
+        return real_write(df, cluster_expr)
+
+    t1._write_data_files = inject_alter_merge
+    head = t1.latest_version()
+    with pytest.raises(ConstraintViolation, match="concurrently"):
+        t1.merge(
+            spark.createDataFrame(
+                [(3, 3, "c", -2.0)], "k long, seq long, v string, x double"
+            )
+        )
+    assert {r.k for r in t1.read().collect()} == {1}
+    t1._write_data_files = real_write
+    # a compliant batch passes under the now-active constraints
+    t1.append(
+        spark.createDataFrame(
+            [(4, 4, "d", 4.0)], "k long, seq long, v string, x double"
+        )
+    )
+    assert {r.k for r in t1.read().collect()} == {1, 4}
+
+
+def test_add_constraint_revalidates_when_the_table_advances(spark, tmp_path):
+    """The symmetric race: ALTER TABLE ADD CONSTRAINT validates a pinned
+    snapshot and commits only directly on top of it — if a violating
+    write lands first, the retry re-validates the advanced snapshot and
+    raises instead of publishing a constraint that is false of the
+    table."""
+    from data_pipeline_kafka_ek_spark.sources.acid import (
+        ConstraintViolation,
+    )
+
+    t1 = _table(spark, tmp_path, files_per_commit=1)
+    t1.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 5.0)], "k long, seq long, v string, x double"
+        )
+    )
+    t2 = TxnLogTable(spark, t1.path, key="k", order_col="seq", files_per_commit=1)
+
+    real_commit = t1._try_commit
+    fired = {"n": 0}
+
+    def inject_violating_append(version, op, actions, txn, schema=None):
+        if op == "alter" and fired["n"] == 0:
+            fired["n"] += 1
+            t2.append(
+                spark.createDataFrame(
+                    [(2, 2, "b", -1.0)], "k long, seq long, v string, x double"
+                )
+            )
+        return real_commit(version, op, actions, txn, schema)
+
+    t1._try_commit = inject_violating_append
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        t1.add_constraint("x_nonneg", "x >= 0")
+    t1._try_commit = real_commit
+    assert t1.constraints() == {}  # the ALTER never published
+    assert {r.k for r in t1.read().collect()} == {1, 2}
+
+
+def test_append_checks_the_rows_it_actually_writes(spark, tmp_path):
+    """A non-deterministic batch must not pass the CHECK aggregate and
+    then materialize different rows: append pins the batch
+    (localCheckpoint) before validating, so the rows checked ARE the
+    rows committed. The probe UDF returns how many times the plan has
+    been evaluated (file-backed counter): unpinned, the write re-runs
+    the plan and lands generation 2+ on disk."""
+    from data_pipeline_kafka_ek_spark.functions.udfs import make_series_udf
+
+    counter = tmp_path / "evals"
+
+    def bump(_):
+        n = int(counter.read_text()) if counter.exists() else 0
+        counter.write_text(str(n + 1))
+        return n
+
+    generation = make_series_udf(bump, "long")
+
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 0.0)], "k long, seq long, v string, x double"
+        )
+    )
+    t.add_constraint("x_is_gen0", "x = 0")
+    batch = (
+        spark.createDataFrame([(2, 2, "b")], "k long, seq long, v string")
+        .repartition(1)
+        .withColumn("x", generation(F.col("k")).cast("double"))
+    )
+    t.append(batch)  # checked rows == written rows
+    assert {r.k: r.x for r in t.read().collect()} == {1: 0.0, 2: 0.0}
+
+
+def test_timestamp_travel_survives_a_table_copy(spark, tmp_path):
+    """AS OF resolution reads the publish time recorded INSIDE each
+    commit, so rsync/copy (which rewrites file mtimes) does not shift
+    the table's timeline. The copied table resolves the same historical
+    timestamp to the same version even though every mtime is 'now'."""
+    import shutil
+    import time
+
+    t = _table(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    time.sleep(1.1)
+    t_mid = time.time()
+    time.sleep(1.1)
+    t.merge(spark.createDataFrame([(1, 2, "b")], "k long, seq long, v string"))
+
+    copy_path = str(tmp_path / "copied")
+    shutil.copytree(t.path, copy_path)
+    c = TxnLogTable(spark, copy_path, key="k", order_col="seq")
+    # the copy's data-file paths in the log still point at the ORIGINAL
+    # table dir (paths are absolute) — resolution is what's under test
+    assert c.version_at(t_mid) == 0
+    assert c.version_at(time.time()) == 1
+    assert [h["timestamp"] for h in c.history()] == [
+        h["timestamp"] for h in t.history()
+    ]
+
+
+def test_zorder_clustering_shrinks_the_dml_rewrite_set(spark, tmp_path):
+    """OPTIMIZE ZORDER BY must actually concentrate a clustered
+    dimension: before, a predicate on d matches rows in EVERY file (d is
+    uncorrelated with the merge-key ranges files are split on); after
+    z-ordering on (k, d), the same predicate's matched-file set shrinks,
+    and a predicate DELETE rewrites exactly that smaller set (n_remove
+    in the commit log)."""
+    t = _table(spark, tmp_path, files_per_commit=16)
+    t.append(
+        spark.createDataFrame(
+            [(i, 1, "v", float(i % 50)) for i in range(2000)],
+            "k long, seq long, v string, d double",
+        )
+    )
+
+    def matched_files(cond):
+        live = [a["path"] for a in t._snapshot_adds()]
+        return (
+            spark.read.parquet(*live)
+            .filter(cond)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    before = matched_files("d = 7.0")
+    assert before == 16  # d spreads across every key-range file
+    assert t.optimize(cluster_by=["k", "d"]) is not None
+    assert t.file_count() == 16  # same fragmentation, new layout
+    after = matched_files("d = 7.0")
+    assert after < before, f"zorder did not concentrate d: {after} files"
+    rows_before = t.read().count()
+    t.delete_where("d = 7.0")
+    h = t.history()[-1]
+    assert h["op"] == "delete" and h["n_remove"] == after
+    assert t.read().count() == rows_before - 40
+
+
+def test_replicate_stream_follows_dml_history_as_standing_query(
+    spark, tmp_path
+):
+    """The streaming twin of TableReplicator.replicate(): the typed
+    row-level feed consumed as a Structured Streaming source (one
+    micro-batch per commit), each batch merged into the replica inside
+    foreachBatch. A full merge+DELETE+UPDATE history must converge the
+    replica to the source snapshot; a second run resumes from the
+    durable cursor and is a no-op; commits landing later are picked up
+    by the next run."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        TableReplicator,
+    )
+
+    src = TxnLogTable(
+        spark, str(tmp_path / "src"), key="k", order_col="seq",
+        files_per_commit=2, change_feed=True,
+    )
+    src.append(
+        spark.createDataFrame(
+            [(i, 1, "a", float(i)) for i in range(10)],
+            "k long, seq long, v string, x double",
+        )
+    )
+    src.merge(
+        spark.createDataFrame(
+            [(1, 2, "b", 100.0, False), (3, 2, None, 3.5, True), (20, 2, "n", 0.5, False)],
+            "k long, seq long, v string, x double, dead boolean",
+        ),
+        delete_col="dead",
+    )
+    src.delete_where("x >= 7.0 AND x < 100.0")   # k in {7, 8, 9}
+    src.update_where("k = 1", {"x": F.col("x") / 2})
+
+    rep = TableReplicator(src, str(tmp_path / "rep"), files_per_commit=2)
+    rep.replicate_stream()
+
+    def snap(df):
+        return {(r.k, r.seq, r.v, r.x) for r in df.select("k", "seq", "v", "x").collect()}
+
+    assert snap(rep.read()) == snap(src.read())
+    assert {r.k: r.x for r in rep.read().collect()}[1] == 50.0
+    assert rep.cursor() == src.latest_version()
+    # standing-query replay: a second run is a cursor-guarded no-op
+    v = rep.target.latest_version()
+    rep.replicate_stream()
+    assert rep.target.latest_version() == v
+    # new commits stream in on the next run
+    src.append(
+        spark.createDataFrame(
+            [(50, 3, "z", 1.0)], "k long, seq long, v string, x double"
+        )
+    )
+    rep.replicate_stream()
+    assert snap(rep.read()) == snap(src.read())

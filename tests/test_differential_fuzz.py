@@ -453,6 +453,15 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
         spark, str(tmp_path / "tbl"), key="k", order_col="seq",
         files_per_commit=2, change_feed=True,
     )
+    # CTAS-style initialize records the schema in a data-free create
+    # commit BEFORE any writer runs: the SQL INSERT route casts VALUES
+    # literals (int, decimal) to the recorded types, so the first write
+    # winning the race can never be an untyped literal batch
+    src.initialize(
+        spark.createDataFrame(
+            [], "k long, seq long, grp string, x double"
+        ).schema
+    )
     # a benign CHECK constraint rides along from version 0: every
     # generated x is in [-5, 9] and updates only add +1, so enforcement
     # (one extra aggregate per write) runs on every concurrent
@@ -466,6 +475,41 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
     rep = TableReplicator(
         src, str(tmp_path / "replica"), files_per_commit=2
     )
+    # odd seeds route DML through the Engine SQL STRING surface
+    # (INSERT INTO ... VALUES / DELETE FROM / UPDATE ... SET), so the
+    # parser+router sees randomized statements — NULL literals, quoted
+    # strings, narrow column lists after evolution — not just the fixed
+    # statements of the engine tests; even seeds keep the Python API so
+    # both surfaces stay fuzzed
+    use_sql = seed % 2 == 1
+    if use_sql:
+        from data_pipeline_kafka_ek_spark.engine import Engine
+
+        eng = Engine(spark)
+        eng.create_acid_table(
+            "fz", str(tmp_path / "tbl"), key="k", order_col="seq",
+            files_per_commit=2, change_feed=True,
+        )
+
+    def _sql_lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            # explicit type: a bare 2.0 parses as DECIMAL(2,1) and, for a
+            # column the recorded schema does not know yet (y before
+            # evolution), would record the wrong type forever
+            return f"CAST({v!r} AS DOUBLE)"
+        return repr(v)
+
+    def sql_insert(rows, evolved):
+        cols = "(k, seq, grp, x" + (", y)" if evolved else ")")
+        vals = ", ".join(
+            "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
+        )
+        return f"INSERT INTO fz {cols} VALUES {vals}"
+
     seq_lock = threading.Lock()
     seq_box = {"n": 0, "fresh_k": 100}
 
@@ -500,31 +544,50 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
         df = spark.createDataFrame(rows, cols)
         if not evolved:
             df = df.drop("y")
-        return df
+        return df, rows
 
     def writer(thread_seed):
         r = random.Random(thread_seed)
         for step in range(5):
             evolved = step >= 3  # schema evolves mid-history
             op = r.random()
-            df = gen_batch(r, evolved, for_append=op < 0.3)
+            df, rows = gen_batch(r, evolved, for_append=op < 0.3)
             for attempt in range(6):
                 try:
                     if op < 0.3:
-                        src.append(df.drop("dead"))
+                        if use_sql:
+                            # randomized INSERT INTO ... VALUES through
+                            # the SQL parser (narrow list pre-evolution)
+                            eng.sql(sql_insert(
+                                [
+                                    row[:4] + ((row[5],) if evolved else ())
+                                    for row in rows
+                                ],
+                                evolved,
+                            ))
+                        else:
+                            src.append(df.drop("dead"))
                     elif op < 0.75:
                         src.merge(df, delete_col="dead")
                     elif op < 0.85:
                         # predicate DELETE joins the history: prunes to
                         # the files holding matches, records row-level
                         # delete images the mv/replica must absorb
-                        src.delete_where(F.col("x") > 8)
+                        if use_sql:
+                            eng.sql("DELETE FROM fz WHERE x > 8")
+                        else:
+                            src.delete_where(F.col("x") > 8)
                     elif op < 0.95:
                         # predicate UPDATE: pre/post images through the
                         # same feeds (keys untouched, measures shift)
-                        src.update_where(
-                            F.col("x") < -4, {"x": F.col("x") + 1.0}
-                        )
+                        if use_sql:
+                            eng.sql(
+                                "UPDATE fz SET x = x + 1.0 WHERE x < -4"
+                            )
+                        else:
+                            src.update_where(
+                                F.col("x") < -4, {"x": F.col("x") + 1.0}
+                            )
                     else:
                         src.optimize()
                     break

@@ -455,3 +455,94 @@ def test_engine_sql_routes_acid_dml_statements(spark, tmp_path):
     spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("plainv")
     with pytest.raises(Exception):
         eng.sql("DELETE FROM plainv WHERE k = 1")
+
+
+def test_engine_sql_dml_honors_all_three_quote_forms(spark, tmp_path):
+    """Spark SQL's three quoting forms must not confuse the DML router:
+    a double-quoted string literal (default
+    spark.sql.ansi.doubleQuotedIdentifiers=false) or a backtick-quoted
+    identifier containing ',' or 'WHERE' never splits the SET clause or
+    the condition; and DELETE FROM with no WHERE deletes every row (the
+    same defaulted-condition rule as UPDATE)."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "qt", str(tmp_path / "qt"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b")],
+            "k long, seq long, `v, WHERE me` string",
+        )
+    )
+    eng.refresh_acid_table("qt")
+
+    # double-quoted string literal carrying both a comma and WHERE
+    eng.sql('UPDATE qt SET `v, WHERE me` = "a, b WHERE c" WHERE k = 1')
+    got = {
+        (r.k, r[1])
+        for r in eng.sql("SELECT k, `v, WHERE me` FROM qt").collect()
+    }
+    assert got == {(1, "a, b WHERE c"), (2, "b")}
+    # backtick-quoted column on the LEFT of an assignment comma-splits
+    # correctly alongside a second assignment
+    eng.sql("UPDATE qt SET `v, WHERE me` = 'z', seq = 7 WHERE k = 2")
+    assert {
+        (r.k, r.seq, r[2])
+        for r in eng.sql("SELECT k, seq, `v, WHERE me` FROM qt").collect()
+    } == {(1, 1, "a, b WHERE c"), (2, 7, "z")}
+
+    # DELETE with no WHERE clears the table transactionally
+    v = eng.sql("DELETE FROM qt").collect()[0].version
+    assert v is not None
+    assert eng.sql("SELECT count(*) AS n FROM qt").first()["n"] == 0
+
+
+def test_engine_sql_routes_insert_into_acid_table(spark, tmp_path):
+    """INSERT INTO (VALUES and SELECT forms) routes to a transactional
+    append: literals are cast to the recorded schema positionally, an
+    explicit column list inserts a narrow batch (missing columns land
+    NULL), and inserting into a non-acid view still passes through to
+    spark.sql (and fails there, as views are not insertable)."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "ins", str(tmp_path / "ins"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a", 5.0)], "k long, seq long, v string, x double"
+        )
+    )
+    eng.refresh_acid_table("ins")
+
+    v = eng.sql(
+        "INSERT INTO ins VALUES (2, 1, 'b', 6.5), (3, 1, NULL, 7.0)"
+    ).collect()[0].version
+    assert v == t.latest_version()
+    # narrow insert via explicit column list; x lands NULL
+    eng.sql("INSERT INTO ins (k, seq, v) VALUES (4, 2, 'd, WHERE')")
+    # SELECT form
+    eng.sql(
+        "INSERT INTO ins SELECT 10 + k, seq, v, x FROM ins WHERE k = 1"
+    )
+    got = {
+        r.k: (r.seq, r.v, r.x)
+        for r in eng.sql("SELECT * FROM ins").collect()
+    }
+    assert got == {
+        1: (1, "a", 5.0),
+        2: (1, "b", 6.5),
+        3: (1, None, 7.0),
+        4: (2, "d, WHERE", None),
+        11: (1, "a", 5.0),
+    }
+    assert t.history()[-1]["op"] == "append"
+
+    spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("plainw")
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO plainw VALUES (2)")

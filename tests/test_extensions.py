@@ -1300,3 +1300,31 @@ def test_bpe_train_deep_merge_chain_stays_flat(spark):
     # 40 ranks x (one vocab-table agg + 1-row collect): generous ceiling
     # that a quadratic analysis blowup would smash through
     assert elapsed < 120, f"deep BPE train took {elapsed:.0f}s"
+
+
+def test_bpe_trainer_cost_contract(spark, sf_dir):
+    """The BPE trainer's driver-sequenced loop is bounded BY CONTRACT:
+    n_merges above max_ranks is refused with an actionable error (each
+    rank is one Spark job — 30k merges is 30k jobs, a deliberate act);
+    sample_words trains on the deterministic top-N of the frequency
+    table, and a sample covering the whole vocabulary learns exactly
+    the full-table merges."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(0, "low low low low lower lower newest newest newest"),
+         (1, "newest newest newest")],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="max_ranks"):
+        text.bpe_train_merges(docs, n_merges=9, max_ranks=8)
+    # a covering sample (4 distinct words) is exact
+    full = text.bpe_train_merges(docs, n_merges=3)
+    sampled = text.bpe_train_merges(docs, n_merges=3, sample_words=4)
+    assert sampled == full
+    # a head sample keeps the high-frequency mass: top-2 = 'newest' (6)
+    # and 'low' (4); 'lower' drops out, so (w,e) falls from 8 to 6 and
+    # ties with newest's other pairs — lexicographic tiebreak picks
+    # ('e','s') at count 6
+    head = text.bpe_train_merges(docs, n_merges=1, sample_words=2)
+    assert head[0][1:] == ("e", "s", 6)
