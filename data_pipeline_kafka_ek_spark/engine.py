@@ -19,6 +19,8 @@ so the facade adds zero distributed work.
 
 from __future__ import annotations
 
+import json
+
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -231,6 +233,44 @@ class Engine:
             return self.spark.createDataFrame(
                 [tuple(int(counts[k]) for k in sorted(counts))],
                 ", ".join(f"{k} long" for k in sorted(counts)),
+            )
+        m = _re.match(r"DESCRIBE\s+DETAIL\s+(\w+)$", s, _re.I)
+        if m and m.group(1) in acid:
+            d = acid[m.group(1)].detail()
+            return self.spark.createDataFrame(
+                [
+                    (
+                        str(d["path"]),
+                        int(d["version"]),
+                        int(d["num_files"]),
+                        int(d["num_rows"]),
+                        str(d["key"]),
+                        str(d["order_col"]),
+                        json.dumps(d["constraints"], sort_keys=True),
+                        bool(d["change_feed"]),
+                        int(d["vacuum_watermark"]),
+                    )
+                ],
+                "path string, version long, num_files long, num_rows long, "
+                "key string, order_col string, constraints string, "
+                "change_feed boolean, vacuum_watermark long",
+            )
+        m = _re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
+            r"CHECK\s*\((.+)\)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m and m.group(1) in acid:
+            return _version_frame(
+                acid[m.group(1)].add_constraint(m.group(2), m.group(3))
+            )
+        m = _re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)$", s, _re.I
+        )
+        if m and m.group(1) in acid:
+            return _version_frame(
+                acid[m.group(1)].drop_constraint(m.group(2))
             )
         m = _re.match(r"DESCRIBE\s+HISTORY\s+(\w+)$", s, _re.I)
         if m and m.group(1) in acid:

@@ -385,6 +385,7 @@ def ivf_centroids_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    max_cells: int = 1024,
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer: DETERMINISTIC spherical k-means —
     maximin (farthest-first) seeding from the lowest-id vector, then
@@ -407,9 +408,24 @@ def ivf_centroids_lloyd(
     ``n_cells x dim`` floats ever reach the driver. At 100 TB you train on
     a bounded ``.sample()`` of the corpus — exactly how production IVF
     quantizers are trained — and the same jobs run on the sample.
+
+    COST CONTRACT: maximin seeding is SEQUENTIAL by definition — seed k
+    depends on seeds 1..k-1, so it is one Spark job (a 1-row argmin
+    collect over the cached corpus) per cell. ``max_cells`` (default
+    1024) is the hard ceiling; a caller wanting 10^4+ cells must raise
+    it deliberately AND train on a sample sized so n_cells scans of it
+    are acceptable — or seed differently (ivf_topk's lowest-id pivots
+    are one job total) and accept looser cluster coverage.
     """
     import math
 
+    if n_cells > max_cells:
+        raise ValueError(
+            f"n_cells={n_cells} exceeds max_cells={max_cells}: maximin "
+            "seeding is one Spark job per cell (sequential by "
+            "definition) — raise max_cells deliberately and train on a "
+            "sample, or use the one-job lowest-id pivot seeding"
+        )
     nv = normalize_embeddings(corpus, vec_col, "__u").select(
         F.col(id_col).alias("__vid"), F.col("__u").alias("__u")
     )

@@ -546,3 +546,44 @@ def test_engine_sql_routes_insert_into_acid_table(spark, tmp_path):
     spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("plainw")
     with pytest.raises(Exception):
         eng.sql("INSERT INTO plainw VALUES (2)")
+
+
+def test_engine_sql_routes_detail_and_constraint_ddl(spark, tmp_path):
+    """DESCRIBE DETAIL and ALTER TABLE ADD/DROP CONSTRAINT complete the
+    statement surface: detail is a one-row metadata frame (zero data
+    jobs), ADD CONSTRAINT validates existing rows then gates writes
+    (a violating INSERT through SQL is refused), DROP lifts the gate."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+    from data_pipeline_kafka_ek_spark.sources.acid import (
+        ConstraintViolation,
+    )
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "ddlq", str(tmp_path / "ddlq"), key="k", order_col="seq",
+        files_per_commit=1, change_feed=True,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, 5.0), (2, 1, 7.5)], "k long, seq long, x double"
+        )
+    )
+    eng.refresh_acid_table("ddlq")
+
+    v = eng.sql(
+        "ALTER TABLE ddlq ADD CONSTRAINT x_nonneg CHECK (x >= 0)"
+    ).collect()[0].version
+    assert v == t.latest_version()
+    d = eng.sql("DESCRIBE DETAIL ddlq").collect()[0]
+    assert d.version == v and d.num_rows == 2 and d.key == "k"
+    assert d.change_feed is True
+    assert '"x_nonneg"' in d.constraints
+    with pytest.raises(ConstraintViolation, match="x_nonneg"):
+        eng.sql("INSERT INTO ddlq VALUES (3, 2, -1.0)")
+    # a violating existing row refuses the ALTER itself
+    with pytest.raises(ConstraintViolation, match="existing rows"):
+        eng.sql("ALTER TABLE ddlq ADD CONSTRAINT x_small CHECK (x < 6)")
+    eng.sql("ALTER TABLE ddlq DROP CONSTRAINT x_nonneg")
+    eng.sql("INSERT INTO ddlq VALUES (3, 2, -1.0)")
+    assert eng.sql("SELECT count(*) AS n FROM ddlq").first()["n"] == 3
+    assert eng.sql("DESCRIBE DETAIL ddlq").collect()[0].constraints == "{}"

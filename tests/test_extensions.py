@@ -1328,3 +1328,16 @@ def test_bpe_trainer_cost_contract(spark, sf_dir):
     # ('e','s') at count 6
     head = text.bpe_train_merges(docs, n_merges=1, sample_words=2)
     assert head[0][1:] == ("e", "s", 6)
+
+
+def test_ivf_lloyd_seeding_cost_contract(spark, sf_dir):
+    """Maximin seeding is one Spark job per cell by definition — the
+    max_cells ceiling turns a 10^4-cell surprise into an actionable
+    refusal instead of 10^4 sequential jobs."""
+    import pytest as _pytest
+
+    from data_pipeline_kafka_ek_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="max_cells"):
+        sim.ivf_centroids_lloyd(emb, n_cells=10, max_cells=4)
