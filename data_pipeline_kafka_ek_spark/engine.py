@@ -234,6 +234,20 @@ class Engine:
                 [tuple(int(counts[k]) for k in sorted(counts))],
                 ", ".join(f"{k} long" for k in sorted(counts)),
             )
+        m = _re.match(
+            r"RESTORE\s+(?:TABLE\s+)?(\w+)\s+TO\s+"
+            r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')$",
+            s,
+            _re.I,
+        )
+        if m and m.group(1) in acid:
+            return _version_frame(
+                self.restore_acid_table(
+                    m.group(1),
+                    version=int(m.group(2)) if m.group(2) else None,
+                    timestamp=m.group(3),
+                )
+            )
         m = _re.match(r"DESCRIBE\s+DETAIL\s+(\w+)$", s, _re.I)
         if m and m.group(1) in acid:
             d = acid[m.group(1)].detail()
@@ -502,6 +516,24 @@ class Engine:
         if name not in acid:
             raise KeyError(f"unknown acid table {name!r}")
         v = acid[name].update_where(condition, assignments, **kw)
+        if v is not None:
+            self.create_table(name, acid[name].read())
+        return v
+
+    def restore_acid_table(
+        self,
+        name: str,
+        version: "int | None" = None,
+        timestamp=None,
+    ) -> "int | None":
+        """RESTORE through the control surface (see
+        ``TxnLogTable.restore``); re-pins the registered view when the
+        snapshot changed. Returns the restore commit's version or None
+        (target == current)."""
+        acid = getattr(self, "_acid", {})
+        if name not in acid:
+            raise KeyError(f"unknown acid table {name!r}")
+        v = acid[name].restore(version=version, timestamp=timestamp)
         if v is not None:
             self.create_table(name, acid[name].read())
         return v

@@ -941,6 +941,7 @@ DRIVER_ROTATION_ROUND = 11
 # (53 must-attest for 50 slots), so every new r11 registration lands here.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "t_streaming_dml_replica",
+    "x_acid_restore_rewind",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

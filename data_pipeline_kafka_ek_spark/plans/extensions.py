@@ -1391,6 +1391,70 @@ def x_acid_dml_lifecycle(spark, sf_dir):
 
 
 @register(
+    "x_acid_restore_rewind",
+    """
+    SELECT user_id % 5 AS seg, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 4)
+             AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id % 5
+    """,
+    survey_ids=("§2.12", "EXT-streaming"),
+    doc="RESTORE TO VERSION AS OF attested by a SQL oracle: purchases "
+    "land in an ACID table over three appends, a destructive span runs "
+    "— a retention DELETE, a winsorizing UPDATE and an OPTIMIZE "
+    "rewrite — and then Engine.sql routes 'RESTORE TABLE t TO VERSION "
+    "AS OF <pre-DML head>'. One metadata commit re-adds the pre-DML "
+    "files and removes the rewritten ones (data files are immutable, "
+    "so the undo moves no data), history keeps the bad span "
+    "time-travelable, and the final per-segment rollup must equal the "
+    "oracle's rollup over ALL purchases — only true if the revert is "
+    "exact. Fixed-point vq keeps sums exact in int64.",
+)
+def x_acid_restore_rewind(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(5)).alias("seg"),
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+        F.pmod(
+            F.floor(F.col("ts").cast("double")).cast("long"), F.lit(3)
+        ).alias("__b"),
+    ).localCheckpoint(eager=True)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_acid_restore_")
+    try:
+        eng = Engine(spark)
+        t = eng.create_acid_table(
+            "rewind_t", f"{scratch}/tbl", key="event_id", order_col="vq",
+            files_per_commit=2,
+        )
+        for b in (0, 1, 2):
+            t.append(p.filter(F.col("__b") == b).drop("__b"))
+        head = t.latest_version()
+        eng.sql("DELETE FROM rewind_t WHERE vq % 7 < 2")
+        eng.sql("UPDATE rewind_t SET vq = 1000000 WHERE vq > 1000000")
+        eng.sql("OPTIMIZE rewind_t")
+        eng.sql(f"RESTORE TABLE rewind_t TO VERSION AS OF {head}")
+        snapshot = (
+            t.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("vq") / F.lit(10000.0), 4).alias("sum_value"),
+            )
+        )
+        # ≤5 rows: collect eagerly so the scratch table is removed here
+        return spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
     "t_streaming_dml_replica",
     """
     WITH p AS (

@@ -1551,6 +1551,199 @@ class TxnLogTable:
             f"optimize lost the commit race {max_retries} times"
         )
 
+    def restore(
+        self,
+        version: "int | None" = None,
+        timestamp=None,
+        max_retries: int = 5,
+    ) -> "int | None":
+        """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (Delta parity):
+        publish ONE commit that makes the current snapshot equal the
+        snapshot at the target version — the undo for a bad DML/merge.
+        Data files are immutable, so the commit is pure metadata at the
+        file level: re-add the target's files that are no longer live,
+        remove the live files the target did not have. The RECORDED
+        SCHEMA reverts too (restore is the one op exempt from the
+        widen-never-narrow rule — reverting an evolution is its point).
+        Returns the new version, or None when the target IS the current
+        snapshot. Raises for a future version or one below the vacuum
+        watermark (its files may be reclaimed). History stays intact:
+        this is a new commit on top, so the bad span remains
+        time-travelable and the restore itself is auditable (op
+        ``restore``).
+
+        With ``change_feed=True`` the commit also records row-level
+        change images so replicas/feeds follow the revert at O(changed
+        rows): a keyed diff of the two snapshots (full outer join on the
+        merge key over the UNION of both schemas' columns, missing
+        columns read as the NULL they become) emits ``insert`` for keys
+        only in the target, ``delete`` for keys only in the current
+        snapshot, and ``update_preimage``/``update_postimage`` for keys
+        whose row differs — the same image vocabulary MERGE writes, so
+        every consumer (typed feed, signed deltas, TableReplicator,
+        replicate_stream) works unchanged. The diff describes the
+        LATEST-ROW-PER-KEY view of each snapshot (exact for unique-key
+        tables — the invariant merge-maintained tables keep; a dup-key
+        blind-append table replicates as its keyed view, the typed
+        feed's documented contract). Without change_feed the restore
+        commit is file-level only, and the typed feed refuses the span
+        (same fidelity rule as a cdc-less merge). Known race, shared
+        with every lakehouse: a vacuum running CONCURRENTLY with a
+        restore to a near-watermark version can reclaim a file the
+        restore re-references — schedule maintenance ops apart."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
+        if version is None:
+            raise ValueError("restore needs a version or timestamp")
+        for _ in range(max_retries):
+            base = self.latest_version()
+            if version > base:
+                raise ValueError(
+                    f"cannot restore to version {version} (latest {base})"
+                )
+            wm = self._vacuum_watermark()
+            if version < wm:
+                raise ValueError(
+                    f"version {version} was vacuumed (earliest retained: "
+                    f"{wm})"
+                )
+            if version == base:
+                return None
+            cur_state = self._fold_log(base)
+            tgt_state = self._fold_log(version)
+            cur_adds = cur_state["adds"]
+            tgt_adds = tgt_state["adds"]
+            if set(cur_adds) == set(tgt_adds):
+                return None  # intervening commits were data-free
+            actions = [
+                {"add": a} for p, a in tgt_adds.items() if p not in cur_adds
+            ] + [
+                {"remove": {"path": p}}
+                for p in cur_adds
+                if p not in tgt_adds
+            ]
+            cdc_files: "list[str]" = []
+            if self.change_feed:
+                frames = self._restore_change_frames(
+                    cur_state, tgt_state, base, version
+                )
+                if frames:
+                    cdc_files = self._write_cdc(frames)
+                    actions += [{"cdc": {"path": p}} for p in cdc_files]
+            if self._try_commit(
+                base + 1, "restore", actions, None, tgt_state["schema"]
+            ):
+                return base + 1
+            # lost the publish race: recompute the whole diff against the
+            # new head (the winner changed what "current" means)
+        raise ConcurrentModification(
+            f"restore lost the commit race {max_retries} times"
+        )
+
+    def _restore_change_frames(
+        self, cur_state: dict, tgt_state: dict, base: int, version: int
+    ) -> "list[DataFrame]":
+        """Row-level images for a restore commit: keyed diff of the
+        current snapshot against the target snapshot (see
+        :meth:`restore`). One full-outer join on the merge key; row
+        equality is NULL-safe over the union of both schemas' columns."""
+
+        def _snap(state):
+            adds = list(state["adds"].values())
+            sch = (
+                StructType.fromJson(json.loads(state["schema"]))
+                if state["schema"]
+                else None
+            )
+            if not adds:
+                return (
+                    self.spark.createDataFrame([], sch)
+                    if sch is not None
+                    else None
+                )
+            reader = (
+                self.spark.read.schema(sch)
+                if sch is not None
+                else self.spark.read
+            )
+            return reader.parquet(*[a["path"] for a in adds])
+
+        cur = _snap(cur_state)
+        tgt = _snap(tgt_state)
+        if cur is None and tgt is None:
+            return []
+        if cur is None:
+            return [tgt.withColumn("_change_type", F.lit("insert"))]
+        if tgt is None:
+            return [cur.withColumn("_change_type", F.lit("delete"))]
+        # union of columns, in a stable order; missing columns read NULL
+        # of the OTHER side's recorded type
+        all_cols = list(
+            dict.fromkeys(list(tgt.columns) + list(cur.columns))
+        )
+        types = {f.name: f.dataType for f in tgt.schema.fields}
+        for f in cur.schema.fields:
+            types.setdefault(f.name, f.dataType)
+
+        def _aligned(df):
+            out = df
+            for c in all_cols:
+                if c not in df.columns:
+                    out = out.withColumn(c, F.lit(None).cast(types[c]))
+            return out.select(*all_cols)
+
+        def _latest(df):
+            w = Window.partitionBy(self.key).orderBy(F.desc(self.order_col))
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+
+        t = _latest(_aligned(tgt))
+        c = _latest(_aligned(cur))
+        # presence must be decided by something that cannot be NULL in a
+        # present row — the key can (NULL keys are keys here). Wrap each
+        # side's whole row as a struct: a full-outer miss leaves the
+        # struct itself NULL, a present row never does
+        joined = (
+            t.select(F.struct(*[F.col(col) for col in all_cols]).alias("tr"))
+            .join(
+                c.select(
+                    F.struct(*[F.col(col) for col in all_cols]).alias("cr")
+                ),
+                F.col(f"tr.{self.key}").eqNullSafe(F.col(f"cr.{self.key}")),
+                "full_outer",
+            )
+            # the four image frames below each filter this join — pin it
+            # once instead of re-running two snapshot scans per frame
+            .localCheckpoint(eager=True)
+        )
+        differs = ~F.col("tr").eqNullSafe(F.col("cr"))
+        inserts = (
+            joined.filter(F.col("cr").isNull() & F.col("tr").isNotNull())
+            .select("tr.*")
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        deletes = (
+            joined.filter(F.col("tr").isNull() & F.col("cr").isNotNull())
+            .select("cr.*")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        both = joined.filter(
+            F.col("tr").isNotNull() & F.col("cr").isNotNull() & differs
+        )
+        pre = both.select("cr.*").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = both.select("tr.*").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        frames = [inserts, deletes, pre, post]
+        return frames
+
     # -- read ops -----------------------------------------------------------
 
     def _vacuum_watermark(self) -> int:
@@ -1721,7 +1914,7 @@ class TxnLogTable:
                 continue
             if (
                 require_row_level
-                and c["op"] in ("merge", "delete", "update")
+                and c["op"] in ("merge", "delete", "update", "restore")
                 and (adds or removed)
             ):
                 raise ValueError(

@@ -2505,3 +2505,140 @@ def test_replicate_stream_follows_dml_history_as_standing_query(
     )
     rep.replicate_stream()
     assert snap(rep.read()) == snap(src.read())
+
+
+def test_restore_reverts_dml_and_replica_follows(spark, tmp_path):
+    """RESTORE TO VERSION AS OF is the undo for a bad DML: one commit
+    re-adds the target snapshot's files and removes the rest, the
+    recorded schema reverts, history stays time-travelable, and — with
+    change_feed on — the commit carries row-level images so a replica
+    (and the signed delta fold) follows the revert without a rebuild."""
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        TableReplicator,
+    )
+
+    src = TxnLogTable(
+        spark, str(tmp_path / "src"), key="k", order_col="seq",
+        files_per_commit=2, change_feed=True,
+    )
+    src.append(
+        spark.createDataFrame(
+            [(i, 1, float(i)) for i in range(8)], "k long, seq long, x double"
+        )
+    )
+    src.merge(
+        spark.createDataFrame(
+            [(1, 2, 100.0), (20, 2, 0.5)], "k long, seq long, x double"
+        )
+    )
+    good_version = src.latest_version()
+    good = {(r.k, r.seq, r.x) for r in src.read().collect()}
+
+    # the bad span: a destructive delete + a wrong update + evolution
+    src.delete_where("x < 3.0")
+    src.update_where("k >= 6", {"x": F.lit(-1.0)})
+    src.merge(
+        spark.createDataFrame(
+            [(30, 3, 1.0, "oops")], "k long, seq long, x double, y string"
+        )
+    )
+    assert "y" in src.read().columns
+
+    rep = TableReplicator(src, str(tmp_path / "rep"), files_per_commit=2)
+    rep.replicate()  # replica has followed the BAD state
+
+    v = src.restore(version=good_version)
+    assert v == src.latest_version()
+    assert {(r.k, r.seq, r.x) for r in src.read().collect()} == good
+    assert "y" not in src.read().columns  # schema reverted
+    assert src.history()[-1]["op"] == "restore"
+    # the bad span is still auditable/time-travelable
+    assert "y" in src.read(version=v - 1).columns
+    # idempotent: restoring to the now-current snapshot is a no-op
+    assert src.restore(version=good_version) is None
+
+    # the replica follows the restore through the typed feed
+    rep.replicate()
+    rows = {(r.k, r.seq, r.x) for r in rep.read().select("k", "seq", "x").collect()}
+    assert rows == good
+    # y on the replica is all-NULL post-restore (the post-images carry
+    # the reverted row, and a missing column upserts NULL)
+    assert {r.y for r in rep.target.read().select("y").collect()} == {None}
+
+    # signed delta fold across the whole history (incl. restore) equals
+    # a recompute
+    folded = {
+        r.k: (r.n, round(r.s, 6))
+        for r in src.read_deltas(-1)
+        .groupBy("k")
+        .agg(
+            F.sum("_weight").cast("long").alias("n"),
+            F.sum(F.col("_weight") * F.col("x")).alias("s"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    want = {
+        r.k: (1, round(r.x, 6)) for r in src.read().collect()
+    }
+    assert folded == want
+
+    with pytest.raises(ValueError, match="cannot restore"):
+        src.restore(version=src.latest_version() + 5)
+
+
+def test_restore_without_change_feed_is_file_level_and_feed_refuses(
+    spark, tmp_path
+):
+    """A cdc-less restore still reverts the snapshot transactionally,
+    but the typed row-level feed refuses the span (same fidelity rule
+    as a cdc-less merge); a vacuumed target is refused."""
+    t = _table(spark, tmp_path, files_per_commit=2)
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b")], "k long, seq long, v string"
+        )
+    )
+    v0 = t.latest_version()
+    t.delete_where("k = 1")
+    assert t.restore(version=v0) is not None
+    assert {r.k for r in t.read().collect()} == {1, 2}
+    with pytest.raises(ValueError, match="row-level"):
+        t.read_row_changes(v0).collect()
+    # restore below the vacuum watermark is refused
+    for i in range(3, 9):
+        t.append(
+            spark.createDataFrame([(i, 1, "x")], "k long, seq long, v string")
+        )
+    t.vacuum(retain_versions=2, retain_tmp_s=0.0, min_age_s=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.restore(version=0)
+
+
+def test_engine_sql_routes_restore(spark, tmp_path):
+    """RESTORE [TABLE] t TO VERSION AS OF k and TO TIMESTAMP AS OF 'ts'
+    route to the transactional restore and re-pin the registered view."""
+    import time
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "rt", str(tmp_path / "rt"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(spark.createDataFrame([(1, 1, 5.0)], "k long, seq long, x double"))
+    time.sleep(1.1)
+    mid = time.time()
+    time.sleep(1.1)
+    eng.sql("DELETE FROM rt")
+    assert eng.sql("SELECT count(*) AS n FROM rt").first()["n"] == 0
+    v = eng.sql("RESTORE TABLE rt TO VERSION AS OF 0").collect()[0].version
+    assert v is not None
+    assert eng.sql("SELECT count(*) AS n FROM rt").first()["n"] == 1
+    eng.sql("DELETE FROM rt WHERE k = 1")
+    from datetime import datetime
+
+    ts = datetime.fromtimestamp(mid).isoformat()
+    eng.sql(f"RESTORE rt TO TIMESTAMP AS OF '{ts}'")
+    assert eng.sql("SELECT count(*) AS n FROM rt").first()["n"] == 1
