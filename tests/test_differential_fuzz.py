@@ -677,3 +677,44 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
             .collect()
         }
         assert folded == recompute(), f"seed {seed} delta fold"
+        # RESTORE arm: rewind to mid-history on top of the randomized
+        # interleaving — the restore commit's keyed-diff row images must
+        # carry the maintained aggregate AND the replica back to the
+        # restored state incrementally (no rebuild), and the signed fold
+        # over the now-restore-bearing history must still reproduce it
+        mid = src.latest_version() // 2
+        if src.restore(version=mid) is not None:
+            mv.refresh()
+            rep.replicate()
+            got = {
+                r.grp: (r.n_rows, round(r.sum_x, 6))
+                for r in mv.read().collect()
+            }
+            assert got == recompute(), f"seed {seed} post-restore mv"
+            # compare on the SOURCE's (possibly reverted) column set: a
+            # restore below the evolution point narrows the source schema,
+            # while the replica keeps its widened y column — as all-NULL,
+            # which the post-images guarantee (asserted separately)
+            s = src.read()
+            src_cols = ["k", "grp", "x"] + (
+                ["y"] if "y" in s.columns else []
+            )
+            rep_rows = {
+                tuple(
+                    round(r[c], 6) if isinstance(r[c], float) else r[c]
+                    for c in src_cols
+                )
+                for r in rep.read().select(*src_cols).collect()
+            }
+            src_rows = {
+                tuple(
+                    round(r[c], 6) if isinstance(r[c], float) else r[c]
+                    for c in src_cols
+                )
+                for r in s.select(*src_cols).collect()
+            }
+            assert rep_rows == src_rows, f"seed {seed} post-restore replica"
+            if "y" not in s.columns and "y" in rep.read().columns:
+                assert {
+                    r.y for r in rep.read().select("y").collect()
+                } <= {None}, f"seed {seed} replica y not nullified"
