@@ -58,6 +58,33 @@ def main() -> None:
 
     canary_sec = _canary()
 
+    # filesystem-metadata canary: the ACID-table queries' wall time is
+    # dominated by commit-protocol latency (hundreds of tiny JSON/parquet
+    # creates + atomic renames on the scratch filesystem), which varies
+    # with box state in ways NEITHER loadavg nor the CPU canary sees —
+    # page-cache pressure, dirty-writeback stalls, overlay-fs state. A
+    # fixed create+write+rename loop timed on the same tempdir the
+    # scratch tables use gives the adjudicator the I/O-side machine-speed
+    # reference (bench_compare reads it as canary_io_sec).
+    def _canary_io() -> float:
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        best = float("inf")
+        for _ in range(2):
+            d = _tempfile.mkdtemp(prefix="bench_io_canary_")
+            t0 = time.time()
+            for i in range(400):
+                tmp = os.path.join(d, f".t{i}")
+                with open(tmp, "w", encoding="utf-8") as fh:
+                    fh.write("x" * 512)
+                os.replace(tmp, os.path.join(d, f"c{i}.json"))
+            best = min(best, time.time() - t0)
+            _shutil.rmtree(d, ignore_errors=True)
+        return round(best, 4)
+
+    canary_io_sec = _canary_io()
+
     # warmup: JVM + parquet footers at the target SF, then one tiny-SF run of
     # each headline query so codegen/plan compilation is outside the timed
     # region (standard warmup iteration; the timed runs still plan + execute
@@ -172,6 +199,10 @@ def main() -> None:
                     # fixed pure-CPU microbenchmark (see _canary): the
                     # machine-speed reference loadavg cannot provide
                     "canary_sec": canary_sec,
+                    # fixed small-file create+rename loop (see
+                    # _canary_io): the scratch-filesystem latency
+                    # reference the ACID commit protocol depends on
+                    "canary_io_sec": canary_io_sec,
                 },
             }
         )

@@ -145,6 +145,23 @@ def _load_note(prior: dict, current: dict) -> "dict | None":
                 "machine was slower): timing ratios are environmental "
                 "until rescaled"
             )
+    # the filesystem-metadata canary sees what BOTH the above cannot:
+    # scratch-FS latency (page-cache pressure, writeback stalls) that
+    # dominates the ACID-table queries' commit-protocol wall time while
+    # CPU and loadavg read healthy. Wider band than the CPU canary —
+    # metadata latency is inherently noisier.
+    ip, ic = lp.get("canary_io_sec"), lc.get("canary_io_sec")
+    if ip and ic:
+        ir = round(float(ic) / float(ip), 3)
+        out["canary_io_ratio"] = ir
+        if (ir > 2.0 or ir < 0.5) and out["verdict"] == "comparable":
+            slow = "current" if ir > 1 else "prior"
+            out["loaded_side"] = slow
+            out["verdict"] = (
+                f"scratch-io-mismatch (io canary x{ir}: the {slow} run's "
+                "filesystem was slower): commit-latency-bound query "
+                "ratios are environmental until rescaled"
+            )
     return out
 
 
