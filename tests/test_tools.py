@@ -132,3 +132,26 @@ def test_canary_mismatch_overrides_loadavg_comparable():
     # canary on one side only: no canary verdict, loadavg rule stands
     note4 = _load_note(_bench({}, load=quiet), _bench({}, load=prior))
     assert "canary_ratio" not in note4
+
+
+def test_io_canary_flags_scratch_fs_mismatch():
+    """Scratch-FS metadata latency (which commit-latency-bound ACID
+    queries ride) can stall while CPU canary and loadavg read healthy —
+    the io canary must flag it; a healthy io canary changes nothing,
+    and a CPU-canary verdict is never overwritten."""
+    quiet = _load(2.0, 3.0)
+    prior = dict(quiet, canary_sec=1.0, canary_io_sec=0.01)
+    slow_io = dict(quiet, canary_sec=1.0, canary_io_sec=0.03)
+    note = _load_note(_bench({}, load=prior), _bench({}, load=slow_io))
+    assert note["canary_io_ratio"] == 3.0
+    assert note["verdict"].startswith("scratch-io-mismatch")
+    assert note["loaded_side"] == "current"
+    # in-band io canary keeps the loadavg verdict
+    ok = dict(quiet, canary_sec=1.0, canary_io_sec=0.012)
+    note2 = _load_note(_bench({}, load=prior), _bench({}, load=ok))
+    assert note2["verdict"] == "comparable"
+    # a CPU mismatch verdict wins over the io note
+    slow_both = dict(quiet, canary_sec=2.0, canary_io_sec=0.03)
+    note3 = _load_note(_bench({}, load=prior), _bench({}, load=slow_both))
+    assert note3["verdict"].startswith("machine-speed-mismatch")
+    assert note3["canary_io_ratio"] == 3.0
