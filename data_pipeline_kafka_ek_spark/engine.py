@@ -77,7 +77,44 @@ class Engine:
         routed = self._route_acid_dml(statement)
         if routed is not None:
             return routed
-        return self.spark.sql(statement)
+        return self.spark.sql(self._rewrite_time_travel(statement))
+
+    def _rewrite_time_travel(self, statement: str) -> str:
+        """SELECT-side time travel through the SQL string surface
+        (Delta's syntax): every ``FROM/JOIN <acid_table> VERSION AS OF
+        k`` (or ``TIMESTAMP AS OF 'ts'``) is rewritten to a temp view
+        pinned at that snapshot before the statement reaches
+        ``spark.sql``. Only names registered as ACID tables rewrite —
+        anything else (including Spark catalog tables that support the
+        syntax natively) passes through untouched. The pinned view's
+        file list is resolved HERE (snapshot isolation: later commits
+        cannot tear the query), and the view name encodes table+version
+        so repeated travel to the same snapshot reuses one view."""
+        import re as _re
+
+        acid = getattr(self, "_acid", {})
+        if not acid:
+            return statement
+
+        def _pin(m: "_re.Match") -> str:
+            name = m.group(2)
+            if name not in acid:
+                return m.group(0)
+            if m.group(3) is not None:
+                v = int(m.group(3))
+            else:
+                v = acid[name].version_at(m.group(4))
+            view = f"__asof_{name}_v{v}"
+            acid[name].read(version=v).createOrReplaceTempView(view)
+            return f"{m.group(1)}{view}"
+
+        return _re.sub(
+            r"(\b(?:FROM|JOIN)\s+)(\w+)\s+(?:VERSION\s+AS\s+OF\s+(\d+)"
+            r"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')",
+            _pin,
+            statement,
+            flags=_re.I,
+        )
 
     # -- ACID DML statement routing ------------------------------------------
 

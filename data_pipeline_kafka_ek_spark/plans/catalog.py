@@ -942,6 +942,7 @@ DRIVER_ROTATION_ROUND = 11
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "t_streaming_dml_replica",
     "x_acid_restore_rewind",
+    "x_acid_time_travel_diff",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

@@ -1455,6 +1455,93 @@ def x_acid_restore_rewind(spark, sf_dir):
 
 
 @register(
+    "x_acid_time_travel_diff",
+    """
+    WITH p AS (
+      SELECT event_id, user_id % 5 AS seg,
+             CAST(round(value * 10000) AS BIGINT) AS vq
+      FROM events WHERE event_type = 'purchase'
+    ),
+    now_state AS (
+      SELECT seg,
+             CASE WHEN vq > 1000000 THEN 1000000 ELSE vq END AS vq
+      FROM p WHERE vq % 7 >= 2
+    ),
+    now_agg AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n, sum(vq) AS s
+      FROM now_state GROUP BY seg
+    ),
+    before_agg AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n, sum(vq) AS s
+      FROM p GROUP BY seg
+    )
+    SELECT b.seg AS seg,
+           CAST(b.n - n.n AS BIGINT) AS rows_removed,
+           round((b.s - n.s) / 10000.0, 4) AS value_removed
+    FROM before_agg b JOIN now_agg n ON b.seg = n.seg
+    """,
+    survey_ids=("§2.12", "EXT-streaming"),
+    doc="SELECT-side time travel through the SQL string surface "
+    "(Delta's FROM t VERSION AS OF k syntax), attested by an oracle: "
+    "after a retention DELETE and a winsorizing UPDATE, ONE SQL "
+    "statement joins the current snapshot against the pre-DML version "
+    "of the same table name and reports the per-segment rows/value the "
+    "DML removed. The cross-version self-join is only possible because "
+    "each travel clause pins its own snapshot (file lists resolved at "
+    "rewrite time — snapshot isolation inside a single statement). "
+    "Fixed-point vq keeps sums exact in int64.",
+)
+def x_acid_time_travel_diff(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(5)).alias("seg"),
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+        F.pmod(
+            F.floor(F.col("ts").cast("double")).cast("long"), F.lit(3)
+        ).alias("__b"),
+    ).localCheckpoint(eager=True)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_acid_tt_")
+    try:
+        eng = Engine(spark)
+        t = eng.create_acid_table(
+            "tt_t", f"{scratch}/tbl", key="event_id", order_col="vq",
+            files_per_commit=2,
+        )
+        for b in (0, 1, 2):
+            t.append(p.filter(F.col("__b") == b).drop("__b"))
+        head = t.latest_version()
+        eng.sql("DELETE FROM tt_t WHERE vq % 7 < 2")
+        eng.sql("UPDATE tt_t SET vq = 1000000 WHERE vq > 1000000")
+        eng.refresh_acid_table("tt_t")
+        snapshot = eng.sql(
+            "WITH now_agg AS ("
+            "  SELECT seg, CAST(count(*) AS BIGINT) AS n, sum(vq) AS s"
+            "  FROM tt_t GROUP BY seg"
+            "), before_agg AS ("
+            "  SELECT seg, CAST(count(*) AS BIGINT) AS n, sum(vq) AS s"
+            f"  FROM tt_t VERSION AS OF {head} GROUP BY seg"
+            ") "
+            "SELECT b.seg AS seg, CAST(b.n - n.n AS BIGINT) AS rows_removed,"
+            # CAST to DOUBLE: Spark parses the 10000.0 literal as DECIMAL,
+            # and a decimal round formats trailing zeros the oracle's
+            # double does not
+            "       CAST(round((b.s - n.s) / 10000.0, 4) AS DOUBLE)"
+            "         AS value_removed "
+            "FROM before_agg b JOIN now_agg n ON b.seg = n.seg"
+        )
+        # ≤5 rows: collect eagerly so the scratch table is removed here
+        return spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
     "t_streaming_dml_replica",
     """
     WITH p AS (

@@ -587,3 +587,56 @@ def test_engine_sql_routes_detail_and_constraint_ddl(spark, tmp_path):
     eng.sql("INSERT INTO ddlq VALUES (3, 2, -1.0)")
     assert eng.sql("SELECT count(*) AS n FROM ddlq").first()["n"] == 3
     assert eng.sql("DESCRIBE DETAIL ddlq").collect()[0].constraints == "{}"
+
+
+def test_engine_sql_select_time_travel(spark, tmp_path):
+    """SELECT-side time travel (Delta's syntax): FROM/JOIN <acid>
+    VERSION AS OF k and TIMESTAMP AS OF 'ts' pin the named snapshot
+    inside an ordinary SELECT — including a self-join of two versions —
+    while non-acid names pass through untouched."""
+    import time
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "tt", str(tmp_path / "tt"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, 10.0), (2, 1, 20.0)], "k long, seq long, x double"
+        )
+    )
+    time.sleep(1.1)
+    mid = time.time()
+    time.sleep(1.1)
+    eng.sql("UPDATE tt SET x = x * 10 WHERE k = 2")
+    eng.sql("INSERT INTO tt VALUES (3, 2, 30.0)")
+
+    assert eng.sql("SELECT count(*) AS n FROM tt").first()["n"] == 3
+    assert eng.sql(
+        "SELECT count(*) AS n FROM tt VERSION AS OF 0"
+    ).first()["n"] == 2
+    assert eng.sql(
+        "SELECT sum(x) AS s FROM tt VERSION AS OF 0"
+    ).first()["s"] == 30.0
+    from datetime import datetime
+
+    ts = datetime.fromtimestamp(mid).isoformat()
+    assert eng.sql(
+        f"SELECT sum(x) AS s FROM tt TIMESTAMP AS OF '{ts}'"
+    ).first()["s"] == 30.0
+    # cross-version self-join: the per-key delta between two snapshots
+    rows = {
+        (r.k, r.dx)
+        for r in eng.sql(
+            "SELECT now.k AS k, now.x - old.x AS dx "
+            "FROM tt now JOIN tt VERSION AS OF 0 old ON now.k = old.k"
+        ).collect()
+    }
+    assert rows == {(1, 0.0), (2, 180.0)}
+    # a non-acid name with the syntax is left for spark.sql to judge
+    spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("plaintt")
+    with pytest.raises(Exception):
+        eng.sql("SELECT * FROM plaintt VERSION AS OF 0").collect()
