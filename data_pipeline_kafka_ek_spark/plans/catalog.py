@@ -943,6 +943,7 @@ REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "t_streaming_dml_replica",
     "x_acid_restore_rewind",
     "x_acid_time_travel_diff",
+    "x_acid_stats_skipping",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

@@ -1455,6 +1455,69 @@ def x_acid_restore_rewind(spark, sf_dir):
 
 
 @register(
+    "x_acid_stats_skipping",
+    """
+    WITH p AS (
+      SELECT event_id, user_id % 5 AS seg,
+             CAST(round(value * 10000) AS BIGINT) AS vq
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(vq) / 10000.0, 4) AS sum_value
+    FROM p WHERE vq BETWEEN 200000 AND 600000
+    GROUP BY seg
+    """,
+    survey_ids=("§2.12", "EXT-streaming"),
+    doc="log-stats data skipping attested by a SQL oracle: purchases "
+    "land in an ACID table, OPTIMIZE ZORDER BY (event_id, vq) tightens "
+    "per-file vq ranges, and the rollup reads through read_pruned — "
+    "the file list pruned DRIVER-SIDE from the per-column min/max "
+    "stats every add action records (Delta's dataSkipping rule), zero "
+    "Spark jobs for the prune, then the same predicate as a real row "
+    "filter. The hash match proves the prune is a pure optimization; "
+    "the unit test (test_log_stats_data_skipping) proves it actually "
+    "skips files. At 100 TB this is what makes selective scans cheap: "
+    "the scan's FILE LIST shrinks before any task is scheduled.",
+)
+def x_acid_stats_skipping(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.sources.acid import TxnLogTable
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(5)).alias("seg"),
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+        F.pmod(
+            F.floor(F.col("ts").cast("double")).cast("long"), F.lit(3)
+        ).alias("__b"),
+    ).localCheckpoint(eager=True)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_acid_skip_")
+    try:
+        t = TxnLogTable(
+            spark, f"{scratch}/tbl", key="event_id", order_col="vq",
+            files_per_commit=4,
+        )
+        for b in (0, 1, 2):
+            t.append(p.filter(F.col("__b") == b).drop("__b"))
+        t.optimize(cluster_by=["event_id", "vq"])
+        snapshot = (
+            t.read_pruned([("vq", "between", (200000, 600000))])
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("vq") / F.lit(10000.0), 4).alias("sum_value"),
+            )
+        )
+        # ≤5 rows: collect eagerly so the scratch table is removed here
+        return spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
     "x_acid_time_travel_diff",
     """
     WITH p AS (

@@ -127,6 +127,11 @@ def _canon_uri(p: str) -> str:
 class TxnLogTable:
     """Delta-style ACID table over parquet + an ordered JSON commit log."""
 
+    # data-skipping stats cover the first N leaf columns (Delta's
+    # dataSkippingNumIndexedCols default): bounding the per-add payload
+    # keeps the commit log O(files x N), never O(files x width)
+    STATS_COLUMNS = 32
+
     def __init__(
         self,
         spark: SparkSession,
@@ -480,6 +485,33 @@ class TxnLogTable:
             *[c for c in clustered.columns if c.startswith("__zorder_")]
         )
         clustered.write.mode("overwrite").parquet(commit_dir)
+        # per-column data-skipping stats (Delta's dataSkipping rule):
+        # min/max/null-count for the first STATS_COLUMNS leaf columns of
+        # integral/floating/string type, folded into the SAME single
+        # grouped job as the merge-key range stats. Strings are recorded
+        # only when both extremes are short (<= 64 chars) — a truncated
+        # max understates the file's upper bound and would prune files
+        # that DO match, so long-string columns record None (= never
+        # pruned on) instead of lying. JSON-storable by construction.
+        skip_aggs = []
+        skip_cols = []
+        for fld in clustered.schema.fields[: self.STATS_COLUMNS]:
+            base = fld.dataType.simpleString().split("(")[0]
+            c = fld.name
+            if base in ("tinyint", "smallint", "int", "bigint",
+                        "float", "double"):
+                mn, mx = F.min(c), F.max(c)
+            elif base == "string":
+                mn = F.when(F.length(F.min(c)) <= 64, F.min(c))
+                mx = F.when(F.length(F.max(c)) <= 64, F.max(c))
+            else:
+                continue
+            skip_cols.append(c)
+            skip_aggs += [
+                mn.alias(f"__mn__{c}"),
+                mx.alias(f"__mx__{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nu__{c}"),
+            ]
         stats = (
             # schema passed explicitly: skips the footer-inference job
             self.spark.read.schema(clustered.schema).parquet(commit_dir)
@@ -492,6 +524,7 @@ class TxnLogTable:
                 # stat: a file of only-NULL keys has lo=hi=None and would
                 # otherwise be unprunable/uncomparable
                 F.sum(F.col(self.key).isNull().cast("long")).alias("nk"),
+                *skip_aggs,
             )
             .collect()
         )
@@ -504,6 +537,14 @@ class TxnLogTable:
                 "max_key": r["hi"],
                 "rows": r["n"],
                 "null_keys": r["nk"],
+                "stats": {
+                    c: {
+                        "min": r[f"__mn__{c}"],
+                        "max": r[f"__mx__{c}"],
+                        "nulls": int(r[f"__nu__{c}"] or 0),
+                    }
+                    for c in skip_cols
+                },
             }
             for r in sorted(stats, key=lambda r: r["path"])
         ]
@@ -1811,6 +1852,105 @@ class TxnLogTable:
 
     def file_count(self, version: "int | None" = None) -> int:
         return len(self._snapshot_adds(version))
+
+    def prune_files(
+        self, conjuncts: "list[tuple]", version: "int | None" = None
+    ) -> "list[dict]":
+        """Log-stats data skipping (Delta's file-pruning rule): return
+        the live add actions whose recorded per-column min/max stats
+        CANNOT rule out a match for ``conjuncts`` — a list of
+        ``(column, op, value)`` triples AND-ed together, ops in
+        ``= < <= > >= between`` (``between`` takes a ``(lo, hi)``
+        value). Driver-side over log metadata only, zero Spark jobs.
+
+        Soundness rules: a file lacking stats for a column (legacy
+        commit, > STATS_COLUMNS, long-string extremes, unsupported
+        type) is KEPT; an all-NULL column (min/max None with nulls ==
+        rows) is pruned for any comparison conjunct, since NULL
+        satisfies none of these ops; string comparison is Python's
+        code-point order, which equals Spark's binary UTF-8 order.
+
+        Why this exists at 100 TB: Spark's parquet reader skips row
+        groups via footers, but only AFTER scheduling a task per file
+        and reading its footer — at 100k+ files the listing/scheduling
+        overhead dominates selective queries. Pruning from the commit
+        log's stats (one driver-side pass over metadata the log already
+        carries) shrinks the scan's file list itself, which is the
+        entire point of OPTIMIZE ZORDER BY: after clustering, every
+        listed dimension's per-file ranges are tight, so this prune
+        drops most files for predicates on ANY of them."""
+        ops = {"=", "<", "<=", ">", ">=", "between"}
+        for c, op, _ in conjuncts:
+            if op not in ops:
+                raise ValueError(f"unsupported prune op {op!r} on {c!r}")
+
+        def may_match(add: dict) -> bool:
+            stats = add.get("stats") or {}
+            for col, op, val in conjuncts:
+                s = stats.get(col)
+                if s is None:
+                    continue  # unknown column stats: cannot rule out
+                mn, mx = s.get("min"), s.get("max")
+                if mn is None or mx is None:
+                    # no extremes recorded: either unpruneable (long
+                    # strings) or the column is all NULL in this file —
+                    # NULL fails every comparison, so an all-NULL file
+                    # provably has no matching row
+                    if int(s.get("nulls") or 0) == int(add.get("rows") or -1):
+                        return False
+                    continue
+                if op == "=" and (val < mn or val > mx):
+                    return False
+                if op == "<" and mn >= val:
+                    return False
+                if op == "<=" and mn > val:
+                    return False
+                if op == ">" and mx <= val:
+                    return False
+                if op == ">=" and mx < val:
+                    return False
+                if op == "between":
+                    lo, hi = val
+                    if hi < mn or lo > mx:
+                        return False
+            return True
+
+        return [a for a in self._snapshot_adds(version) if may_match(a)]
+
+    def read_pruned(
+        self, conjuncts: "list[tuple]", version: "int | None" = None
+    ) -> DataFrame:
+        """Snapshot read with log-stats file pruning: scan only the
+        files :meth:`prune_files` keeps, then apply ``conjuncts`` as a
+        real row filter (the stats prune is file-granular; surviving
+        files still hold non-matching rows). Result rows are EXACTLY
+        ``read(version).filter(<conjuncts>)`` — the prune is a pure
+        optimization, asserted by tests."""
+        adds = self.prune_files(conjuncts, version)
+        schema = self._latest_schema(version)
+
+        def _filter(df: DataFrame) -> DataFrame:
+            for col, op, val in conjuncts:
+                c = F.col(col)
+                if op == "between":
+                    df = df.filter(c.between(val[0], val[1]))
+                else:
+                    df = df.filter(
+                        {"=": c == val, "<": c < val, "<=": c <= val,
+                         ">": c > val, ">=": c >= val}[op]
+                    )
+            return df
+
+        if not adds:
+            if schema is None:
+                raise ValueError("table has no commits")
+            return _filter(self.spark.createDataFrame([], schema))
+        reader = (
+            self.spark.read.schema(schema)
+            if schema is not None
+            else self.spark.read
+        )
+        return _filter(reader.parquet(*[a["path"] for a in adds]))
 
     def read_changes(self, since_version: int = -1) -> DataFrame:
         """The commit log as an incremental feed — the table-side half of

@@ -2642,3 +2642,83 @@ def test_engine_sql_routes_restore(spark, tmp_path):
     ts = datetime.fromtimestamp(mid).isoformat()
     eng.sql(f"RESTORE rt TO TIMESTAMP AS OF '{ts}'")
     assert eng.sql("SELECT count(*) AS n FROM rt").first()["n"] == 1
+
+
+def test_log_stats_data_skipping(spark, tmp_path):
+    """Per-column min/max/null stats ride every add action (one grouped
+    job, same as the key range), and prune_files/read_pruned skip files
+    from LOG METADATA alone — zero Spark jobs for the prune. After
+    OPTIMIZE ZORDER BY the prune gets selective on every listed
+    dimension; the pruned read always equals the full-scan filter."""
+    t = _table(spark, tmp_path, files_per_commit=16)
+    t.append(
+        spark.createDataFrame(
+            [
+                (i, 1, "v" + str(i % 7), float(i % 50),
+                 None if i % 3 == 0 else "x" * 200)
+                for i in range(2000)
+            ],
+            "k long, seq long, v string, d double, blob string",
+        )
+    )
+    adds = t._snapshot_adds()
+    s = adds[0]["stats"]
+    # key column stats agree with the dedicated merge-key range
+    assert s["k"]["min"] == adds[0]["min_key"]
+    assert s["k"]["max"] == adds[0]["max_key"]
+    assert s["d"]["min"] is not None and s["v"]["min"].startswith("v")
+    # long-string extremes are refused, not truncated (a truncated max
+    # understates the bound and would prune matching files)
+    assert s["blob"]["min"] is None and s["blob"]["max"] is None
+    assert s["blob"]["nulls"] > 0
+
+    def n_files(conj):
+        return len(t.prune_files(conj))
+
+    # key-range clustering makes k selective immediately...
+    assert n_files([("k", "between", (100, 110))]) <= 2
+    # ...but d spreads across every file until z-ordering
+    assert n_files([("d", "=", 7.0)]) == 16
+    assert t.optimize(cluster_by=["k", "d"]) is not None
+    pruned = n_files([("d", "=", 7.0)])
+    assert pruned < 16, "zorder stats did not get selective on d"
+    # conjunction prunes at least as hard as either conjunct
+    both = n_files([("d", "=", 7.0), ("k", ">=", 1000)])
+    assert both <= pruned
+    # pruned read == full-scan filter, on every op
+    for conj in (
+        [("d", "=", 7.0)],
+        [("k", ">=", 1900)],
+        [("k", "<", 60), ("d", ">", 40.0)],
+        [("v", "=", "v3")],
+        [("d", "between", (10.0, 12.0))],
+    ):
+        got = {r.k for r in t.read_pruned(conj).collect()}
+        want_df = t.read()
+        from functools import reduce
+
+        import pyspark.sql.functions as SF
+
+        conds = []
+        for col, op, val in conj:
+            c = SF.col(col)
+            conds.append(
+                c.between(*val) if op == "between"
+                else {"=": c == val, "<": c < val, "<=": c <= val,
+                      ">": c > val, ">=": c >= val}[op]
+            )
+        want = {r.k for r in want_df.filter(reduce(lambda a, b: a & b, conds)).collect()}
+        assert got == want, conj
+    # an all-NULL column in a file proves no comparison can match it
+    t2 = _table(spark, tmp_path / "t2", files_per_commit=1)
+    t2.append(
+        spark.createDataFrame(
+            [(1, 1, None), (2, 1, None)],
+            "k long, seq long, x double",
+        )
+    )
+    assert t2.prune_files([("x", ">", 0.0)]) == []
+    assert t2.read_pruned([("x", ">", 0.0)]).count() == 0
+    # unsupported prune op is refused up front
+    with pytest.raises(ValueError, match="prune op"):
+        t.prune_files([("k", "!=", 5)])
