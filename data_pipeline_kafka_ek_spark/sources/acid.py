@@ -75,6 +75,49 @@ from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 
+def _validate_conjuncts(conjuncts: "list[tuple]") -> None:
+    ops = {"=", "<", "<=", ">", ">=", "between"}
+    for c, op, _ in conjuncts:
+        if op not in ops:
+            raise ValueError(f"unsupported prune op {op!r} on {c!r}")
+
+
+def _stats_may_match(add: dict, conjuncts: "list[tuple]") -> bool:
+    """Can the file behind ``add`` hold a row satisfying every conjunct,
+    judged from its recorded per-column stats? Sound by construction:
+    unknown/unrecorded stats answer yes (keep the file); an all-NULL
+    column answers no for any comparison (NULL satisfies none of the
+    supported ops)."""
+    stats = add.get("stats") or {}
+    for col, op, val in conjuncts:
+        s = stats.get(col)
+        if s is None:
+            continue  # unknown column stats: cannot rule out
+        mn, mx = s.get("min"), s.get("max")
+        if mn is None or mx is None:
+            # no extremes recorded: either unpruneable (long strings) or
+            # the column is all NULL in this file — NULL fails every
+            # comparison, so an all-NULL file provably has no match
+            if int(s.get("nulls") or 0) == int(add.get("rows") or -1):
+                return False
+            continue
+        if op == "=" and (val < mn or val > mx):
+            return False
+        if op == "<" and mn >= val:
+            return False
+        if op == "<=" and mn > val:
+            return False
+        if op == ">" and mx <= val:
+            return False
+        if op == ">=" and mx < val:
+            return False
+        if op == "between":
+            lo, hi = val
+            if hi < mn or lo > mx:
+                return False
+    return True
+
+
 class ConcurrentModification(Exception):
     """A competing commit removed or rewrote files this merge depends on."""
 
@@ -1152,6 +1195,7 @@ class TxnLogTable:
         condition,
         txn: "dict | None" = None,
         max_retries: int = 5,
+        prune: "list[tuple] | None" = None,
     ) -> "int | None":
         """Predicate DELETE (the lakehouse ``DELETE FROM t WHERE ...``):
         rewrite ONLY the files that contain matching rows, keeping their
@@ -1165,8 +1209,19 @@ class TxnLogTable:
         BY dimension) touches only the files it must. With
         ``change_feed=True`` the commit records row-level ``delete``
         images, so feeds and replicas move O(deleted rows). Concurrency:
-        same optimistic rule as MERGE."""
-        return self._rewrite_where("delete", condition, None, txn, max_retries)
+        same optimistic rule as MERGE.
+
+        ``prune``: optional ``(column, op, value)`` conjuncts evaluated
+        against the LOG's per-column stats to shrink the hit-scan's
+        file list before any task is scheduled (see
+        :meth:`prune_files`). CALLER CONTRACT: the conjuncts must be
+        IMPLIED by ``condition`` — a row matching the condition in a
+        pruned-out file is silently kept. At 100k+ files this is the
+        difference between scheduling a scan task per file and touching
+        only the clustered slice the DELETE names."""
+        return self._rewrite_where(
+            "delete", condition, None, txn, max_retries, prune
+        )
 
     def update_where(
         self,
@@ -1174,6 +1229,7 @@ class TxnLogTable:
         assignments: dict,
         txn: "dict | None" = None,
         max_retries: int = 5,
+        prune: "list[tuple] | None" = None,
     ) -> "int | None":
         """Predicate UPDATE (``UPDATE t SET c = expr WHERE ...``):
         rewrite only the files containing matching rows, applying
@@ -1184,17 +1240,20 @@ class TxnLogTable:
         the new version, or None when nothing matched. With
         ``change_feed=True`` the commit records ``update_preimage`` /
         ``update_postimage`` row images. Same pruning and concurrency
-        shape as :meth:`delete_where`."""
+        shape as :meth:`delete_where`, including the optional
+        log-stats ``prune`` (same implied-by-condition contract)."""
         if not assignments:
             raise ValueError("update_where needs at least one assignment")
         return self._rewrite_where(
-            "update", condition, assignments, txn, max_retries
+            "update", condition, assignments, txn, max_retries, prune
         )
 
     def _rewrite_where(
-        self, op, condition, assignments, txn, max_retries
+        self, op, condition, assignments, txn, max_retries, prune=None
     ) -> "int | None":
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if prune is not None:
+            _validate_conjuncts(prune)
         if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
             return self.latest_version()
         for attempt in range(max_retries):
@@ -1219,6 +1278,11 @@ class TxnLogTable:
                         f"{hw} (expected {txn['expect']})"
                     )
             live = list(state["adds"].values())
+            if prune is not None:
+                # log-stats file skipping BEFORE the hit-scan: the
+                # caller promised the conjuncts are implied by the
+                # condition, so files they rule out cannot hold a match
+                live = [a for a in live if _stats_may_match(a, prune)]
             if not live:
                 if txn is not None:
                     self.record_txn(
@@ -1879,43 +1943,12 @@ class TxnLogTable:
         entire point of OPTIMIZE ZORDER BY: after clustering, every
         listed dimension's per-file ranges are tight, so this prune
         drops most files for predicates on ANY of them."""
-        ops = {"=", "<", "<=", ">", ">=", "between"}
-        for c, op, _ in conjuncts:
-            if op not in ops:
-                raise ValueError(f"unsupported prune op {op!r} on {c!r}")
-
-        def may_match(add: dict) -> bool:
-            stats = add.get("stats") or {}
-            for col, op, val in conjuncts:
-                s = stats.get(col)
-                if s is None:
-                    continue  # unknown column stats: cannot rule out
-                mn, mx = s.get("min"), s.get("max")
-                if mn is None or mx is None:
-                    # no extremes recorded: either unpruneable (long
-                    # strings) or the column is all NULL in this file —
-                    # NULL fails every comparison, so an all-NULL file
-                    # provably has no matching row
-                    if int(s.get("nulls") or 0) == int(add.get("rows") or -1):
-                        return False
-                    continue
-                if op == "=" and (val < mn or val > mx):
-                    return False
-                if op == "<" and mn >= val:
-                    return False
-                if op == "<=" and mn > val:
-                    return False
-                if op == ">" and mx <= val:
-                    return False
-                if op == ">=" and mx < val:
-                    return False
-                if op == "between":
-                    lo, hi = val
-                    if hi < mn or lo > mx:
-                        return False
-            return True
-
-        return [a for a in self._snapshot_adds(version) if may_match(a)]
+        _validate_conjuncts(conjuncts)
+        return [
+            a
+            for a in self._snapshot_adds(version)
+            if _stats_may_match(a, conjuncts)
+        ]
 
     def read_pruned(
         self, conjuncts: "list[tuple]", version: "int | None" = None

@@ -2722,3 +2722,41 @@ def test_log_stats_data_skipping(spark, tmp_path):
     # unsupported prune op is refused up front
     with pytest.raises(ValueError, match="prune op"):
         t.prune_files([("k", "!=", 5)])
+
+
+def test_dml_prune_shrinks_hit_scan(spark, tmp_path):
+    """delete_where/update_where accept log-stats prune conjuncts: the
+    hit-scan's file list shrinks before any task is scheduled, results
+    are identical to the unpruned op, and an empty pruned list is a
+    clean no-op that still advances a txn cursor."""
+    t = _table(spark, tmp_path, files_per_commit=8)
+    t.append(
+        spark.createDataFrame(
+            [(i, 1, float(i)) for i in range(800)],
+            "k long, seq long, x double",
+        )
+    )
+    rows_before = t.read().count()
+    # prune implied by the condition: k BETWEEN 100 AND 110 -> only the
+    # file(s) whose recorded k-range overlaps are scanned at all
+    assert len(t.prune_files([("k", "between", (100, 110))])) <= 2
+    v = t.delete_where(
+        "k >= 100 AND k <= 110", prune=[("k", "between", (100, 110))]
+    )
+    assert v is not None
+    h = t.history()[-1]
+    assert h["op"] == "delete" and h["n_remove"] <= 2
+    assert t.read().count() == rows_before - 11
+    # update with prune: values move only inside the pruned slice
+    t.update_where(
+        "k >= 700", {"x": F.col("x") + 0.5}, prune=[("k", ">=", 700)]
+    )
+    assert t.read().filter("k >= 700 AND x = k + 0.5").count() == 100
+    # a prune that rules out every file is a no-op with cursor advance
+    got = t.delete_where(
+        "k = -1", txn={"app_id": "p", "batch_id": 3},
+        prune=[("k", "=", -1)],
+    )
+    assert got is None and t.txn_high_water("p") == 3
+    with pytest.raises(ValueError, match="prune op"):
+        t.delete_where("k = 1", prune=[("k", "!=", 1)])
