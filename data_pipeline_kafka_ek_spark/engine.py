@@ -298,13 +298,15 @@ class Engine:
                         str(d["key"]),
                         str(d["order_col"]),
                         json.dumps(d["constraints"], sort_keys=True),
+                        json.dumps(d["properties"], sort_keys=True),
                         bool(d["change_feed"]),
                         int(d["vacuum_watermark"]),
                     )
                 ],
                 "path string, version long, num_files long, num_rows long, "
                 "key string, order_col string, constraints string, "
-                "change_feed boolean, vacuum_watermark long",
+                "properties string, change_feed boolean, "
+                "vacuum_watermark long",
             )
         m = _re.match(
             r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+CONSTRAINT\s+(\w+)\s+"
@@ -322,6 +324,51 @@ class Engine:
         if m and m.group(1) in acid:
             return _version_frame(
                 acid[m.group(1)].drop_constraint(m.group(2))
+            )
+        m = _re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+SET\s+TBLPROPERTIES\s*\((.+)\)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m and m.group(1) in acid:
+            t = acid[m.group(1)]
+            v = None
+            for part in self._split_top(m.group(2), ","):
+                pm = _re.match(
+                    r"\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$", part
+                )
+                if not pm:
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES entry: {part!r} "
+                        "(expected 'key' = 'value')"
+                    )
+                v = t.set_property(
+                    pm.group(1).replace("''", "'"),
+                    pm.group(2).replace("''", "'"),
+                )
+            return _version_frame(v)
+        m = _re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m and m.group(1) in acid:
+            t = acid[m.group(1)]
+            v = None
+            for part in self._split_top(m.group(2), ","):
+                pm = _re.match(r"\s*'((?:[^']|'')*)'\s*$", part)
+                if not pm:
+                    raise ValueError(
+                        f"cannot parse TBLPROPERTIES key: {part!r}"
+                    )
+                v = t.unset_property(pm.group(1).replace("''", "'"))
+            return _version_frame(v)
+        m = _re.match(r"SHOW\s+TBLPROPERTIES\s+(\w+)$", s, _re.I)
+        if m and m.group(1) in acid:
+            props = acid[m.group(1)].properties()
+            return self.spark.createDataFrame(
+                [(k, v) for k, v in sorted(props.items())],
+                "key string, value string",
             )
         m = _re.match(r"DESCRIBE\s+HISTORY\s+(\w+)$", s, _re.I)
         if m and m.group(1) in acid:

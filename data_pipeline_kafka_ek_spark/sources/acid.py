@@ -348,6 +348,7 @@ class TxnLogTable:
         txns: dict[str, int] = {}
         schema: "str | None" = None
         constraints: dict[str, str] = {}
+        properties: dict[str, str] = {}
         start = 0
         ckpt = self._base_checkpoint(version)
         if ckpt is not None:
@@ -356,6 +357,7 @@ class TxnLogTable:
             txns = {k: int(v) for k, v in ckpt[1].get("txns", {}).items()}
             schema = ckpt[1].get("schema")
             constraints = dict(ckpt[1].get("constraints", {}))
+            properties = dict(ckpt[1].get("properties", {}))
         for v in versions:
             if v < start or v > version:
                 continue
@@ -370,6 +372,11 @@ class TxnLogTable:
                     constraints[c["name"]] = c["expr"]
                 elif "constraint_drop" in action:
                     constraints.pop(action["constraint_drop"]["name"], None)
+                elif "property_set" in action:
+                    p = action["property_set"]
+                    properties[p["key"]] = p["value"]
+                elif "property_unset" in action:
+                    properties.pop(action["property_unset"]["key"], None)
             txn = commit.get("txn")
             if txn:
                 app = txn["app_id"]
@@ -381,6 +388,7 @@ class TxnLogTable:
             "txns": txns,
             "schema": schema,
             "constraints": constraints,
+            "properties": properties,
         }
 
     def _snapshot_adds(self, version: "int | None" = None) -> "list[dict]":
@@ -437,6 +445,7 @@ class TxnLogTable:
             "order_col": self.order_col,
             "schema": state["schema"],
             "constraints": dict(state["constraints"]),
+            "properties": dict(state["properties"]),
             "change_feed": self.change_feed,
             "vacuum_watermark": self._vacuum_watermark(),
         }
@@ -725,6 +734,7 @@ class TxnLogTable:
                     "txns": state["txns"],
                     "schema": state["schema"],
                     "constraints": state["constraints"],
+                    "properties": state["properties"],
                 }
             ),
         )
@@ -827,6 +837,51 @@ class TxnLogTable:
             f"add_constraint lost the commit race {max_retries} times"
         )
 
+    def properties(self) -> "dict[str, str]":
+        """Active table properties (key -> value), folded through the
+        log and checkpoints like constraints."""
+        return dict(self._fold_log()["properties"])
+
+    def set_property(
+        self, key: str, value: str, max_retries: int = 20
+    ) -> int:
+        """ALTER TABLE SET TBLPROPERTIES: data-free ``alter`` commit.
+        Properties are plain strings; the two the engine itself reads:
+
+        * ``zorder.columns`` — comma-separated column list; a plain
+          ``optimize()`` with no ``cluster_by`` re-clusters on it, so a
+          table's chosen layout sticks across maintenance runs instead
+          of living in whichever cron job remembered the argument.
+        * ``auto_optimize.file_threshold`` — integer; after a
+          successful append/merge whose snapshot exceeds this many live
+          files, a best-effort compaction runs inline (lost races are
+          swallowed — the next write retries it). Bounds the
+          fragmentation a continuous-merge workload accumulates without
+          an external maintenance scheduler."""
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v, "alter",
+                [{"property_set": {"key": str(key), "value": str(value)}}],
+                None,
+            ):
+                return v
+        raise ConcurrentModification(
+            f"set_property lost the commit race {max_retries} times"
+        )
+
+    def unset_property(self, key: str, max_retries: int = 20) -> int:
+        """ALTER TABLE UNSET TBLPROPERTIES: data-free ``alter`` commit."""
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if self._try_commit(
+                v, "alter", [{"property_unset": {"key": str(key)}}], None
+            ):
+                return v
+        raise ConcurrentModification(
+            f"unset_property lost the commit race {max_retries} times"
+        )
+
     def drop_constraint(self, name: str, max_retries: int = 20) -> int:
         """ALTER TABLE DROP CONSTRAINT: data-free ``alter`` commit."""
         for _ in range(max_retries):
@@ -875,6 +930,21 @@ class TxnLogTable:
             raise ConstraintViolation(
                 f"CHECK constraint(s) violated by {what}: {detail}"
             )
+
+    def _maybe_auto_optimize(self) -> None:
+        """Best-effort inline compaction after a write: fires only when
+        the ``auto_optimize.file_threshold`` property is set and the
+        live file count exceeds it. Never raises — a lost race or a
+        malformed threshold leaves compaction to the next write (the
+        data is already safely committed)."""
+        try:
+            state = self._fold_log()
+            thr = state["properties"].get("auto_optimize.file_threshold")
+            if not thr or len(state["adds"]) <= int(thr):
+                return
+            self.optimize()
+        except (ConcurrentModification, ValueError):
+            pass
 
     def append(
         self,
@@ -939,6 +1009,7 @@ class TxnLogTable:
             # column must not drop that column from the recorded schema
             schema = self._widened_schema_json(prev, df.schema)
             if self._try_commit(base + 1, "append", actions, txn, schema):
+                self._maybe_auto_optimize()
                 return base + 1
             if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
                 return self.latest_version()
@@ -1161,6 +1232,7 @@ class TxnLogTable:
                 # columns from the recorded schema
                 self._widened_schema_json(state["schema"], merged.schema),
             ):
+                self._maybe_auto_optimize()
                 return base_version + 1
             # lost the publish race: the winner IS published (dense log),
             # so this check is against real state, never an in-flight claim
@@ -1619,6 +1691,14 @@ class TxnLogTable:
             live = list(state["adds"].values())
             if not live:
                 return None
+            if cluster_by is None and state["properties"].get("zorder.columns"):
+                # the table's recorded layout choice sticks across plain
+                # maintenance runs (see set_property)
+                cluster_by = [
+                    c.strip()
+                    for c in state["properties"]["zorder.columns"].split(",")
+                    if c.strip()
+                ]
             if cluster_by is None and len(live) <= max(
                 min_files, self.files_per_commit
             ):

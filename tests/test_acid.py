@@ -2760,3 +2760,72 @@ def test_dml_prune_shrinks_hit_scan(spark, tmp_path):
     assert got is None and t.txn_high_water("p") == 3
     with pytest.raises(ValueError, match="prune op"):
         t.delete_where("k = 1", prune=[("k", "!=", 1)])
+
+
+def test_table_properties_lifecycle_and_consumers(spark, tmp_path):
+    """Table properties fold through the log and checkpoints like
+    constraints; the two the engine reads work end to end: a plain
+    optimize() re-clusters on zorder.columns, and
+    auto_optimize.file_threshold compacts inline after a write pushes
+    the snapshot past it. The SQL surface (SET/UNSET/SHOW TBLPROPERTIES,
+    DESCRIBE DETAIL) round-trips them."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "props", str(tmp_path / "props"), key="k", order_col="seq",
+        files_per_commit=4, checkpoint_interval=4,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, 1, float(i % 50)) for i in range(1000)],
+            "k long, seq long, d double",
+        )
+    )
+    eng.sql(
+        "ALTER TABLE props SET TBLPROPERTIES "
+        "('zorder.columns' = 'k, d', 'owner' = 'it''s me')"
+    )
+    assert t.properties() == {"zorder.columns": "k, d", "owner": "it's me"}
+    # plain optimize honors the recorded layout: d gets selective
+    before = len(t.prune_files([("d", "=", 7.0)]))
+    assert t.optimize() is not None
+    assert len(t.prune_files([("d", "=", 7.0)])) < before
+    # properties survive checkpoints (interval=4) and fresh handles
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(2000 + i, 1, 0.0)], "k long, seq long, d double"
+            )
+        )
+    t2 = _table(spark, tmp_path / "x", files_per_commit=4)  # unrelated
+    fresh = TxnLogTable(
+        spark, str(tmp_path / "props"), key="k", order_col="seq",
+        files_per_commit=4, checkpoint_interval=4,
+    )
+    assert fresh.properties()["owner"] == "it's me"
+    rows = {
+        (r.key, r.value)
+        for r in eng.sql("SHOW TBLPROPERTIES props").collect()
+    }
+    assert ("owner", "it's me") in rows
+    assert '"owner"' in eng.sql("DESCRIBE DETAIL props").first()["properties"]
+    eng.sql("ALTER TABLE props UNSET TBLPROPERTIES ('owner')")
+    assert "owner" not in fresh.properties()
+
+    # auto-compaction: a write that leaves more live files than the
+    # threshold triggers an inline optimize (one extra commit)
+    eng.sql(
+        "ALTER TABLE props SET TBLPROPERTIES "
+        "('auto_optimize.file_threshold' = '6')"
+    )
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(3000 + i, 1, 1.0)], "k long, seq long, d double"
+            )
+        )
+    assert t.file_count() <= 6, "auto-compaction did not fire"
+    assert "optimize" in [h["op"] for h in t.history()][-4:]
+    # rows intact through the whole lifecycle
+    assert t.read().count() == 1006
