@@ -116,6 +116,45 @@ class Engine:
             flags=_re.I,
         )
 
+    def sql_script(self, script: str) -> "list[DataFrame]":
+        """Execute a multi-statement SQL script — the reference's
+        statements-file flow (ksqldb-statements.sql is exactly this: a
+        ``;``-separated script with ``--`` comments, POSTed as one
+        body). Statements split on TOP-LEVEL semicolons (quotes and
+        parens respected, same scanner as the DML router), ``--`` line
+        comments are stripped quote-aware (a ``--`` inside a string
+        literal survives), each statement runs through :meth:`sql` in
+        order, and the per-statement result frames come back as a list.
+        A failing statement raises immediately — statements before it
+        are already applied (scripts are not transactions, the same
+        contract as ksqlDB's statement runner)."""
+        out_chars: "list[str]" = []
+        i, n = 0, len(script)
+        while i < n:
+            ch = script[i]
+            if ch in "'\"`":
+                j = i + 1
+                while j < n:
+                    if script[j] == ch and not (
+                        j + 1 < n and script[j + 1] == ch
+                    ):
+                        break
+                    j += 2 if script[j] == ch else 1
+                out_chars.append(script[i : j + 1])
+                i = j + 1
+                continue
+            if ch == "-" and script[i : i + 2] == "--":
+                while i < n and script[i] != "\n":
+                    i += 1
+                continue
+            out_chars.append(ch)
+            i += 1
+        results = []
+        for stmt in self._split_top("".join(out_chars), ";"):
+            if stmt.strip():
+                results.append(self.sql(stmt.strip()))
+        return results
+
     # -- ACID DML statement routing ------------------------------------------
 
     @staticmethod
@@ -146,7 +185,7 @@ class Engine:
             elif ch in ")]":
                 depth -= 1
             elif depth == 0:
-                if want == "," and ch == ",":
+                if want in (",", ";") and ch == want:
                     out.append(s[last:i])
                     last = i + 1
                 elif want != "," and s[i : i + len(want)].upper() == want:

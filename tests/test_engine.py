@@ -640,3 +640,35 @@ def test_engine_sql_select_time_travel(spark, tmp_path):
     spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("plaintt")
     with pytest.raises(Exception):
         eng.sql("SELECT * FROM plaintt VERSION AS OF 0").collect()
+
+
+def test_engine_sql_script_runs_statement_files(spark, tmp_path):
+    """sql_script is the reference's statements-file flow: top-level
+    ';' splits (quoted ';' survives), '--' comments strip quote-aware,
+    statements run in order through the same router, and the result
+    frames come back per statement."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.create_acid_table(
+        "scr", str(tmp_path / "scr"), key="k", order_col="seq",
+        files_per_commit=1,
+        schema=spark.createDataFrame(
+            [], "k long, seq long, v string"
+        ).schema,
+    )
+    results = eng.sql_script(
+        """
+        -- seed two rows; the second value carries a ; and a --
+        INSERT INTO scr VALUES (1, 1, 'a'), (2, 1, 'x; -- not a comment');
+        UPDATE scr SET v = 'b' WHERE k = 1;  -- trailing comment
+        ALTER TABLE scr SET TBLPROPERTIES ('stage' = 'ready');
+        SELECT k, v FROM scr
+        """
+    )
+    assert len(results) == 4
+    assert {(r.k, r.v) for r in results[-1].collect()} == {
+        (1, "b"),
+        (2, "x; -- not a comment"),
+    }
+    assert eng._acid["scr"].properties() == {"stage": "ready"}
