@@ -300,11 +300,18 @@ class Engine:
             return _version_frame(
                 self.optimize_acid_table(m.group(1), cluster_by=cluster)
             )
-        m = _re.match(r"VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?$", s, _re.I)
+        m = _re.match(
+            r"VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?"
+            r"(\s+DRY\s+RUN)?$",
+            s,
+            _re.I,
+        )
         if m and m.group(1) in acid:
             kw = {}
             if m.group(2) is not None:
                 kw["retain_versions"] = int(m.group(2))
+            if m.group(3) is not None:
+                kw["dry_run"] = True
             counts = acid[m.group(1)].vacuum(**kw)
             return self.spark.createDataFrame(
                 [tuple(int(counts[k]) for k in sorted(counts))],

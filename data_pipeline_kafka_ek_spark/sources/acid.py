@@ -2456,6 +2456,7 @@ class TxnLogTable:
         retain_versions: int = 10,
         retain_tmp_s: float = 3600.0,
         min_age_s: float = 3600.0,
+        dry_run: bool = False,
     ) -> "dict[str, int]":
         """Delete data files referenced ONLY by snapshots older than the
         last ``retain_versions`` versions, plus aged orphan temp files.
@@ -2470,7 +2471,12 @@ class TxnLogTable:
         deleting it would corrupt the commit that is about to reference
         it (or a commit that published after the protected set was
         computed). Only files older than ``min_age_s`` are eligible;
-        size it above the longest plausible write-to-publish window."""
+        size it above the longest plausible write-to-publish window.
+
+        ``dry_run=True`` (Delta's VACUUM ... DRY RUN) computes the same
+        eligible sets and returns the same counts but deletes NOTHING
+        and leaves the watermark untouched — the safe preview to run
+        before handing retention a real table."""
         import time as _time
 
         latest = self.latest_version()
@@ -2504,7 +2510,9 @@ class TxnLogTable:
         wm_marker = max(self._vacuum_watermark(), wm)
         body = json.dumps({"min_version": wm_marker})
         mfs, mpath = self._fs(marker)
-        if mfs.getUri().getScheme() == "file":
+        if dry_run:
+            pass  # preview only: no watermark advance, no deletion
+        elif mfs.getUri().getScheme() == "file":
             import os as _os
 
             tmp = f"{self.log_dir}/.wm-{uuid.uuid4().hex}"
@@ -2533,9 +2541,11 @@ class TxnLogTable:
                 ):
                     doomed.append(p)
             for p in doomed:
+                deleted += 1
+                if dry_run:
+                    continue
                 _, jp = self._fs(p)
                 fs.delete(jp, False)
-                deleted += 1
         # change-file sweep: row-level cdc files are replayable only for
         # commits at/above the watermark (read_changes raises below it),
         # so cdc files referenced only by sub-watermark commits — plus
@@ -2563,14 +2573,18 @@ class TxnLogTable:
                 ):
                     doomed_cdc.append(p)
             for p in doomed_cdc:
+                change_deleted += 1
+                if dry_run:
+                    continue
                 _, jp = self._fs(p)
                 cfs.delete(jp, False)
-                change_deleted += 1
         tmp_deleted = 0
         for p in self.orphaned_tmp_files(older_than_s=retain_tmp_s):
+            tmp_deleted += 1
+            if dry_run:
+                continue
             tfs, jp = self._fs(p)
             tfs.delete(jp, False)
-            tmp_deleted += 1
         return {
             "data_files_deleted": deleted,
             "tmp_files_deleted": tmp_deleted,

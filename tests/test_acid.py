@@ -2829,3 +2829,42 @@ def test_table_properties_lifecycle_and_consumers(spark, tmp_path):
     assert "optimize" in [h["op"] for h in t.history()][-4:]
     # rows intact through the whole lifecycle
     assert t.read().count() == 1006
+
+
+def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
+    """VACUUM ... DRY RUN returns the same counts the real vacuum would
+    but deletes nothing and leaves the watermark untouched; the real
+    vacuum then deletes exactly the previewed data files."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "vdr", str(tmp_path / "vdr"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([(i, 1, "x")], "k long, seq long, v string")
+        )
+    t.optimize(min_files=0)
+    # push the retained window past the pre-compaction files: only then
+    # do they stop being referenced by any retained snapshot
+    for i in (100, 101):
+        t.append(
+            spark.createDataFrame([(i, 1, "y")], "k long, seq long, v string")
+        )
+    # SQL route honors the production min_age guard: fresh files are
+    # not even previewed as deletable
+    sql_preview = eng.sql("VACUUM vdr RETAIN 2 VERSIONS DRY RUN").collect()[0]
+    assert sql_preview.data_files_deleted == 0
+    preview = t.vacuum(
+        retain_versions=2, retain_tmp_s=0.0, min_age_s=0.0, dry_run=True
+    )
+    assert preview["data_files_deleted"] > 0
+    assert t._vacuum_watermark() == 0  # untouched
+    assert t.read(version=0).count() == 1  # nothing reclaimed
+    real = t.vacuum(retain_versions=2, retain_tmp_s=0.0, min_age_s=0.0)
+    assert real["data_files_deleted"] == preview["data_files_deleted"]
+    assert t._vacuum_watermark() > 0
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.read(version=0)
