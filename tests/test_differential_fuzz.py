@@ -718,3 +718,33 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
                 assert {
                     r.y for r in rep.read().select("y").collect()
                 } <= {None}, f"seed {seed} replica y not nullified"
+    # log-stats data skipping is a pure optimization on EVERY history
+    # this fuzz can produce: the pruned read equals the full-scan filter
+    # (files here carry per-column stats from every writer op, including
+    # rewrites and restores)
+    for conj in ([("x", ">", 0.0)], [("k", "between", (1, 8))],
+                 [("x", "<=", -2.0), ("k", ">=", 3)]):
+        pruned_rows = {
+            tuple(r) for r in src.read_pruned(conj).select("k", "seq", "x").collect()
+        }
+        full = src.read()
+        for col, op, val in conj:
+            c = F.col(col)
+            full = full.filter(
+                c.between(*val) if op == "between"
+                else {"=": c == val, "<": c < val, "<=": c <= val,
+                      ">": c > val, ">=": c >= val}[op]
+            )
+        full_rows = {tuple(r) for r in full.select("k", "seq", "x").collect()}
+        assert pruned_rows == full_rows, f"seed {seed} prune {conj}"
+    # SQL time travel resolves any retained version to the same snapshot
+    # the Python API pins
+    if use_sql:
+        wm = src._vacuum_watermark()
+        for v in {wm, (wm + src.latest_version()) // 2, src.latest_version()}:
+            got = eng.sql(
+                f"SELECT count(*) AS n FROM fz VERSION AS OF {v}"
+            ).first()["n"]
+            assert got == src.read(version=v).count(), (
+                f"seed {seed} time travel v{v}"
+            )
