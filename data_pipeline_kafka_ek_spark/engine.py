@@ -221,6 +221,34 @@ class Engine:
                 self.delete_from_acid_table(m.group(1), m.group(2) or "true")
             )
         m = _re.match(
+            r"CREATE\s+ACID\s+TABLE\s+(\w+)\s*\((.+?)\)\s*"
+            r"LOCATION\s+'([^']+)'\s+KEY\s+(\w+)\s+ORDER\s+BY\s+(\w+)"
+            r"(\s+WITH\s+CHANGE\s+FEED)?$",
+            s,
+            _re.I | _re.S,
+        )
+        if m:
+            from pyspark.sql.types import StructType as _StructType
+
+            # the column list is Spark DDL verbatim ("k LONG, v STRING")
+            schema = _StructType.fromDDL(m.group(2))
+            names = {f.name for f in schema.fields}
+            for col, what in ((m.group(4), "KEY"), (m.group(5), "ORDER BY")):
+                if col not in names:
+                    raise ValueError(
+                        f"CREATE ACID TABLE {m.group(1)}: {what} column "
+                        f"{col!r} is not in the declared schema"
+                    )
+            t = self.create_acid_table(
+                m.group(1),
+                m.group(3),
+                key=m.group(4),
+                order_col=m.group(5),
+                schema=schema,
+                change_feed=m.group(6) is not None,
+            )
+            return _version_frame(t.latest_version())
+        m = _re.match(
             r"INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*(VALUES\s+.+|SELECT\s+.+)$",
             s,
             _re.I | _re.S,

@@ -672,3 +672,45 @@ def test_engine_sql_script_runs_statement_files(spark, tmp_path):
         (2, "x; -- not a comment"),
     }
     assert eng._acid["scr"].properties() == {"stage": "ready"}
+
+
+def test_sql_script_bootstraps_a_lakehouse_from_nothing(spark, tmp_path):
+    """Capstone: ONE statements file — the reference's deployment shape
+    — creates the ACID table, loads it, guards it with a CHECK, runs
+    the DML lifecycle, sets its layout policy, and the final SELECT
+    time-travels across its own history. Everything through the same
+    SQL router a REST body would hit."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    loc = str(tmp_path / "boot")
+    results = eng.sql_script(
+        f"""
+        -- create and seed
+        CREATE ACID TABLE boot (k LONG, seq LONG, x DOUBLE)
+          LOCATION '{loc}' KEY k ORDER BY seq WITH CHANGE FEED;
+        INSERT INTO boot VALUES (1, 1, 5.0), (2, 1, 50.0), (3, 1, 500.0);
+        ALTER TABLE boot ADD CONSTRAINT x_nonneg CHECK (x >= 0);
+        ALTER TABLE boot SET TBLPROPERTIES ('zorder.columns' = 'k, x');
+        -- the DML span
+        UPDATE boot SET x = x * 2 WHERE x >= 50;
+        DELETE FROM boot WHERE k = 3;
+        OPTIMIZE boot;
+        -- pre-DML rows seen from after the span (version 1 = the INSERT)
+        SELECT count(*) AS n FROM boot VERSION AS OF 1;
+        SELECT k, x FROM boot
+        """
+    )
+    assert results[0].collect()[0].version == 0  # the create commit
+    assert results[-2].first()["n"] == 3
+    assert {(r.k, r.x) for r in results[-1].collect()} == {
+        (1, 5.0),
+        (2, 100.0),
+    }
+    t = eng._acid["boot"]
+    assert t.constraints() == {"x_nonneg": "x >= 0"}
+    assert t.properties()["zorder.columns"] == "k, x"
+    assert t.change_feed is True
+    assert [h["op"] for h in t.history()][:2] == ["create", "append"]
+    with pytest.raises(Exception):
+        eng.sql("INSERT INTO boot VALUES (9, 9, -1.0)")
