@@ -905,7 +905,7 @@ def h5(spark, sf_dir):
 #              x_text_langid_confusion, which recomputes the same langid
 #              scoring as a confusion view) — first in line for r11.
 
-#   r11 window (this round): 53 must-attest for 50 slots — the two r10
+#   r11 window: 53 must-attest for 50 slots — the two r10
 #              REGISTERED_AFTER_WINDOW entries (x_acid_dml_lifecycle,
 #              x_acid_replica_convergence: never driver-attested, the r10
 #              verdict's #1 ask) go first, then x_text_langid (the r10
@@ -924,12 +924,49 @@ def h5(spark, sf_dir):
 #              registrations land in REGISTERED_AFTER_WINDOW (the window
 #              is fully subscribed by the stale tier).
 
+
+#   r12 window (this round): 57 must-attest for 50 slots — the four r11
+#              REGISTERED_AFTER_WINDOW entries (t_streaming_dml_replica,
+#              x_acid_restore_rewind, x_acid_time_travel_diff,
+#              x_acid_stats_skipping: never driver-attested, the r11
+#              verdict's #1 ask) go first, then the three r11
+#              WINDOW_OVERFLOW picks (a3/t3/t4, last green r8 — two
+#              rounds past the bound now, they cannot overflow again,
+#              promised first in line), then 43 of the 50-entry r9-green
+#              tier (three rounds stale at r12), alphabetical. Genuine
+#              excess is exactly 7; the WINDOW_OVERFLOW picks (each last
+#              green exactly r9, transitively covered, named twin):
+#                f2_pattern_filter_positive  <- f1_pattern_filter_negated
+#                  (r11-green; identical LCASE+LIKE machinery on the same
+#                  column, f1 additionally asserts the negation)
+#                t_streaming_session_counts  <- t_streaming_session_append
+#                  (r10-green; same session-window streaming assignment,
+#                  append vs counts output mode)
+#                x_ann_pq_trained_topk       <- x_ann_pq_topk
+#                  (r10-green; same PQ ADC scoring path, trained-codebook
+#                  variant)
+#                x_dedup_jaccard_3gram       <- x_dedup_jaccard
+#                  (r10-green; same PPJoin prefix+length-filtered join,
+#                  char-3gram tokenizer variant)
+#                x_dedup_semantic_keep       <- x_dedup_semantic
+#                  (in-window at r12; same SRP-bucketed semantic candidate
+#                  generation, keep-list projection on top)
+#                x_pipeline_corpus_prep_v2   <- x_pipeline_corpus_prep_v3
+#                  (in-window at r12; v3 is the superset pipeline over the
+#                  same prep stages)
+#                x_text_langid_confusion     <- x_text_langid
+#                  (r11-green; recomputes the same langid scoring as a
+#                  confusion view — the r10 precedent pair, reversed)
+#              All seven are first in line for the r13 window. New r12
+#              registrations land in REGISTERED_AFTER_WINDOW (the window
+#              is fully subscribed by the stale tier).
+
 # The round this rotation was authored for: the regression test checks that
 # every DRIVER_DEMOTED entry has a driver-green hash row within the two
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
 # promises), pinned here so evidence files landing later don't shift the
 # baseline under the test. Bump when re-authoring the rotation.
-DRIVER_ROTATION_ROUND = 11
+DRIVER_ROTATION_ROUND = 12
 
 # Queries registered AFTER this round's window was already committed to
 # re-attestation work. They sit in DRIVER_DEMOTED without a prior
@@ -937,14 +974,9 @@ DRIVER_ROTATION_ROUND = 11
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r11: the window is again oversubscribed by the stale tier
-# (53 must-attest for 50 slots), so every new r11 registration lands here.
-REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
-    "t_streaming_dml_replica",
-    "x_acid_restore_rewind",
-    "x_acid_time_travel_diff",
-    "x_acid_stats_skipping",
-)
+# sf0.01). r12: empty until this round registers new queries (the window
+# is again oversubscribed by the stale tier: 57 must-attest for 50 slots).
+REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
 
 # Queries whose driver row can NEVER be hash-green: their only exact
 # oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's
@@ -958,91 +990,38 @@ ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
     "x_dedup_minhash_xxh",
 )
 
-# r11: must-attest = 2 never-attested + x_text_langid (r7) + 50 r8-stale
-# = 53 for 50 slots. Genuine excess 3; the overflow picks per the policy
-# (most trivial, transitively covered): the three batch windowed-agg
-# queries whose streaming twins were driver-attested r10 and whose suites
-# assert streaming == batch on the same windows. The rotation test
-# enforces len(overflow) <= genuine excess and last-green == R-3 exactly.
+# r12: must-attest = 4 never-attested + 3 prior-overflow (r8) + 50
+# r9-stale = 57 for 50 slots. Genuine excess 7; the overflow picks per
+# the policy (most trivial, transitively covered — twin named in the
+# window comment above). The rotation test enforces len(overflow) <=
+# genuine excess and last-green == R-3 exactly; prior overflow entries
+# (a3/t3/t4) are IN the window and cannot overflow twice.
 WINDOW_OVERFLOW: tuple[str, ...] = (
-    "a3_tumbling_1min_counts",
-    "t3_hopping_30m15m_counts",
-    "t4_session_5m_counts",
+    "f2_pattern_filter_positive",
+    "t_streaming_session_counts",
+    "x_ann_pq_trained_topk",
+    "x_dedup_jaccard_3gram",
+    "x_dedup_semantic_keep",
+    "x_pipeline_corpus_prep_v2",
+    "x_text_langid_confusion",
 )
 
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-attested: the two r10 REGISTERED_AFTER_WINDOW entries
-    # (DML-lifecycle oracle, replica convergence) — the r10 verdict's #1
-    # ask — then x_text_langid (the r10 overflow pick, two rounds past
-    # the bound, promised first in line), then the r8-green tier (last
-    # driver row r8, three rounds stale at r11), alphabetical; the three
-    # WINDOW_OVERFLOW picks wait for r12
-    "x_acid_dml_lifecycle",
-    "x_acid_replica_convergence",
-    "x_text_langid",
-    "a1_count_by_group",
-    "a2_a3_windowed_collect",
-    "a5_median_by_group",
-    "a6_date_histogram",
-    "a7_top_terms",
-    "a_cascade_rollup",
-    "f1_pattern_filter_negated",
-    "f5_conjunctive_filter",
-    "f6_left_join_null_reject",
-    "f7_cast_then_compare",
-    "f8_dimension_equality",
-    "f9_window_time_predicate",
-    "h16_supplier_part_breadth",
-    "j1_enrichment_join",
-    "j1a_join_unfiltered_variant",
-    "l3_l4_sorted_topk",
-    "p4_time_format_projection",
-    "set_except_intersect",
-    "set_union_roundtrip",
-    "t_streaming_dedup",
-    "t_streaming_stateful_counts",
-    "t_streaming_stream_stream_join",
-    "unhappy_vip_customers",
-    "x7_json_extract",
-    "x8_alert_template",
-    "x_ann_ivf_topk",
-    "x_asof_join",
-    "x_corpus_length_histogram",
-    "x_dedup_editdistance",
-    "x_dedup_keep_list",
-    "x_dedup_recall_eval",
-    "x_events_cohort_retention",
-    "x_events_funnel",
-    "x_events_key_skew_profile",
-    "x_events_sessionize",
-    "x_interval_join",
-    "x_multimodal_features",
-    "x_pipeline_encode",
-    "x_pipeline_epoch_shuffle",
-    "x_pipeline_hash_split",
-    "x_pipeline_vocab",
-    "x_quality_threshold_sweep",
-    "x_sketch_quantile_grid",
-    "x_text_bm25",
-    "x_text_redact_pii",
-    "x_text_unigram_logprob",
-    "x_window_running_total",
-)
-
-DRIVER_DEMOTED: tuple[str, ...] = (
-    # the three r11 overflow picks (one round past the bound, first in
-    # line for the r12 window) lead, then any post-window registrations
-    *WINDOW_OVERFLOW,
-    *REGISTERED_AFTER_WINDOW,
-    # permanently rows-only in driver files (local-UDF oracle only)
-    *ROWS_ONLY_NO_ORACLE,
-    # every entry below carries an r9 or r10 driver-green hash row in the
-    # committed CORRECTNESS files — the invariant the rotation test
-    # asserts from ground truth; all stay oracle-green in the per-round
-    # full-catalog local runs. r9 tier first, then the r10 tier.
+    # never driver-attested: the four r11 REGISTERED_AFTER_WINDOW entries
+    # (DML-history replica, RESTORE rewind, time-travel diff, stats
+    # skipping — the r11 verdict's #1 ask), then the three r11 overflow
+    # picks (batch windowed aggs, last green r8, promised first in line),
+    # then the r9-green tier (last driver row r9, three rounds stale at
+    # r12) minus the seven WINDOW_OVERFLOW picks, alphabetical
+    "t_streaming_dml_replica",
+    "x_acid_restore_rewind",
+    "x_acid_time_travel_diff",
+    "x_acid_stats_skipping",
+    "a3_tumbling_1min_counts",
+    "t3_hopping_30m15m_counts",
+    "t4_session_5m_counts",
     "a8_count_metric",
     "a_rollup_revenue",
-    "f2_pattern_filter_positive",
     "h10_returned_item_revenue",
     "h14_promo_revenue_share",
     "h18_large_volume_customers",
@@ -1057,16 +1036,12 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "t_streaming_funnel",
     "t_streaming_neardup",
     "t_streaming_quality_gate",
-    "t_streaming_session_counts",
     "x_ann_cosine_topk",
-    "x_ann_pq_trained_topk",
     "x_ann_recall_eval",
     "x_cluster_topics",
     "x_corpus_overlap_minhash",
     "x_dedup_embedding",
-    "x_dedup_jaccard_3gram",
     "x_dedup_semantic",
-    "x_dedup_semantic_keep",
     "x_events_anomaly_zscore",
     "x_events_heavy_hitters",
     "x_events_max_drawdown",
@@ -1075,7 +1050,6 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_multimodal_video_motion",
     "x_pipeline_bpe_encode",
     "x_pipeline_bpe_merges",
-    "x_pipeline_corpus_prep_v2",
     "x_pipeline_corpus_prep_v3",
     "x_pipeline_dsir_select",
     "x_pipeline_stratified_sample",
@@ -1086,10 +1060,22 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_salted_hotkey_collect",
     "x_sketch_kmv_setops",
     "x_text_bigram_logprob",
-    "x_text_langid_confusion",
     "x_text_remove_dup_spans",
     "x_text_repeated_spans",
     "x_window_sliding_stats",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # the seven r12 overflow picks (one round past the bound, first in
+    # line for the r13 window) lead, then any post-window registrations
+    *WINDOW_OVERFLOW,
+    *REGISTERED_AFTER_WINDOW,
+    # permanently rows-only in driver files (local-UDF oracle only)
+    *ROWS_ONLY_NO_ORACLE,
+    # every entry below carries an r10 or r11 driver-green hash row in the
+    # committed CORRECTNESS files — the invariant the rotation test
+    # asserts from ground truth; all stay oracle-green in the per-round
+    # full-catalog local runs. r10 tier first, then the r11 tier.
     "a_count_distinct",
     "a_pivot_lang_quality",
     "h1_pricing_summary",
@@ -1140,6 +1126,56 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_quality",
     "x_text_repetition",
     "x_text_token_stats",
+    "a1_count_by_group",
+    "a2_a3_windowed_collect",
+    "a5_median_by_group",
+    "a6_date_histogram",
+    "a7_top_terms",
+    "a_cascade_rollup",
+    "f1_pattern_filter_negated",
+    "f5_conjunctive_filter",
+    "f6_left_join_null_reject",
+    "f7_cast_then_compare",
+    "f8_dimension_equality",
+    "f9_window_time_predicate",
+    "h16_supplier_part_breadth",
+    "j1_enrichment_join",
+    "j1a_join_unfiltered_variant",
+    "l3_l4_sorted_topk",
+    "p4_time_format_projection",
+    "set_except_intersect",
+    "set_union_roundtrip",
+    "t_streaming_dedup",
+    "t_streaming_stateful_counts",
+    "t_streaming_stream_stream_join",
+    "unhappy_vip_customers",
+    "x7_json_extract",
+    "x8_alert_template",
+    "x_acid_dml_lifecycle",
+    "x_acid_replica_convergence",
+    "x_ann_ivf_topk",
+    "x_asof_join",
+    "x_corpus_length_histogram",
+    "x_dedup_editdistance",
+    "x_dedup_keep_list",
+    "x_dedup_recall_eval",
+    "x_events_cohort_retention",
+    "x_events_funnel",
+    "x_events_key_skew_profile",
+    "x_events_sessionize",
+    "x_interval_join",
+    "x_multimodal_features",
+    "x_pipeline_encode",
+    "x_pipeline_epoch_shuffle",
+    "x_pipeline_hash_split",
+    "x_pipeline_vocab",
+    "x_quality_threshold_sweep",
+    "x_sketch_quantile_grid",
+    "x_text_bm25",
+    "x_text_langid",
+    "x_text_redact_pii",
+    "x_text_unigram_logprob",
+    "x_window_running_total",
 )
 
 
