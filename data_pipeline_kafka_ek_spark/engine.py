@@ -89,14 +89,22 @@ class Engine:
         syntax natively) passes through untouched. The pinned view's
         file list is resolved HERE (snapshot isolation: later commits
         cannot tear the query), and the view name encodes table+version
-        so repeated travel to the same snapshot reuses one view."""
+        so repeated travel to the same snapshot reuses one view.
+        Quote-aware: a match starting inside a string literal or quoted
+        identifier (the same three quoting forms ``_split_top`` skips)
+        is left verbatim — ``WHERE note = 'FROM t VERSION AS OF 0'``
+        compares against the literal, it never pins a view."""
         import re as _re
 
         acid = getattr(self, "_acid", {})
         if not acid:
             return statement
 
+        spans = self._quoted_spans(statement)
+
         def _pin(m: "_re.Match") -> str:
+            if any(lo <= m.start() < hi for lo, hi in spans):
+                return m.group(0)
             name = m.group(2)
             if name not in acid:
                 return m.group(0)
@@ -156,6 +164,27 @@ class Engine:
         return results
 
     # -- ACID DML statement routing ------------------------------------------
+
+    @staticmethod
+    def _quoted_spans(s: str) -> "list[tuple[int, int]]":
+        """``[start, end)`` index spans of every quoted region in ``s`` —
+        the same three Spark SQL quoting forms (and doubled-char escapes)
+        that ``_split_top`` skips, as reusable span data for scanners
+        that need "is this offset inside a quote" instead of a split."""
+        spans, i, n = [], 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch in "'\"`":
+                j = i + 1
+                while j < n:
+                    if s[j] == ch and not (j + 1 < n and s[j + 1] == ch):
+                        break
+                    j += 2 if s[j] == ch else 1
+                spans.append((i, min(j + 1, n)))
+                i = j + 1
+                continue
+            i += 1
+        return spans
 
     @staticmethod
     def _split_top(s: str, want: str) -> "list[str]":
@@ -249,13 +278,17 @@ class Engine:
             )
             return _version_frame(t.latest_version())
         m = _re.match(
-            r"INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*(VALUES\s+.+|SELECT\s+.+)$",
+            r"INSERT\s+INTO\s+(\w+)\s*(\(([^)]*)\))?\s*"
+            r"(VALUES\s*\(.+|SELECT\s+.+)$",
             s,
             _re.I | _re.S,
         )
         if m and m.group(1) in acid:
             t = acid[m.group(1)]
-            body = m.group(4)
+            # the body composes with time travel like any SELECT:
+            # INSERT INTO t SELECT ... FROM t VERSION AS OF k pins the
+            # snapshot view before Spark plans the read
+            body = self._rewrite_time_travel(m.group(4))
             batch = self.spark.sql(
                 body
                 if body[:6].upper() == "SELECT"
@@ -273,6 +306,21 @@ class Engine:
                     c.strip().strip("`").replace("``", "`")
                     for c in self._split_top(m.group(3), ",")
                 ]
+                if sch is not None:
+                    # standard SQL: an explicit column list must name
+                    # recorded columns — a typo must error, never widen
+                    # the table's schema forever (same rule as UPDATE's
+                    # unknown-assignment check)
+                    unknown = sorted(
+                        set(names) - {f.name for f in sch.fields}
+                    )
+                    if unknown:
+                        raise ValueError(
+                            f"INSERT INTO {m.group(1)} names unknown "
+                            f"column(s) {unknown}; the recorded schema "
+                            "has "
+                            + ", ".join(f.name for f in sch.fields)
+                        )
             elif sch is not None:
                 names = [f.name for f in sch.fields]
             else:

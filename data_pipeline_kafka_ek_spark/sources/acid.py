@@ -82,6 +82,108 @@ def _validate_conjuncts(conjuncts: "list[tuple]") -> None:
             raise ValueError(f"unsupported prune op {op!r} on {c!r}")
 
 
+# literal forms the mechanical conjunct deriver understands: a signed
+# int/float, or a single-quoted string with the '' escape
+_PRUNE_LIT = r"-?\d+(?:\.\d+)?|'(?:[^']|'')*'"
+_PRUNE_COL = r"[A-Za-z_]\w*|`(?:[^`]|``)+`"
+
+
+def _prune_lit_value(tok: str):
+    tok = tok.strip()
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    return float(tok) if "." in tok else int(tok)
+
+
+def _prune_col_name(tok: str) -> str:
+    tok = tok.strip()
+    if tok.startswith("`"):
+        return tok[1:-1].replace("``", "`")
+    return tok
+
+
+def conjuncts_from_condition(condition: str) -> "list[tuple]":
+    """Mechanically derive log-stats prune conjuncts from a SQL predicate
+    string: the top-level AND conjuncts of the simple shapes
+    ``col op literal`` (op in =,<,<=,>,>=) and ``col BETWEEN lit AND
+    lit``. Everything else (OR branches, NOT, function calls, casts,
+    column-vs-column) contributes nothing — skipping a conjunct only
+    loses pruning, never correctness, because every derived conjunct is
+    implied by the condition by construction. Quote- and paren-aware:
+    ``AND`` inside a string literal or a parenthesized subexpression is
+    never a split point, and column-name case must match the recorded
+    stats exactly (a mismatch just skips that conjunct)."""
+    import re as _re
+
+    # split on top-level AND (outside quotes/parens)
+    parts, depth, i, last = [], 0, 0, 0
+    s = condition
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch in "'\"`":
+            q, j = ch, i + 1
+            while j < n:
+                if s[j] == q and not (j + 1 < n and s[j + 1] == q):
+                    break
+                j += 2 if s[j] == q else 1
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0 and s[i : i + 3].upper() == "AND":
+            before = s[i - 1] if i else " "
+            after = s[i + 3] if i + 3 < n else " "
+            if not (before.isalnum() or before == "_") and not (
+                after.isalnum() or after == "_"
+            ):
+                parts.append(s[last:i])
+                last = i + 3
+                i += 3
+                continue
+        i += 1
+    parts.append(s[last:])
+
+    simple = _re.compile(
+        rf"^\s*({_PRUNE_COL})\s*(>=|<=|=|<|>)\s*({_PRUNE_LIT})\s*$", _re.S
+    )
+    out: "list[tuple]" = []
+    k = 0
+    while k < len(parts):
+        part = parts[k]
+        m = simple.match(part)
+        if m:
+            out.append(
+                (_prune_col_name(m.group(1)), m.group(2),
+                 _prune_lit_value(m.group(3)))
+            )
+            k += 1
+            continue
+        # BETWEEN spans two AND-split parts: "col BETWEEN lo" + "hi"
+        bm = _re.match(
+            rf"^\s*({_PRUNE_COL})\s+BETWEEN\s+({_PRUNE_LIT})\s*$",
+            part,
+            _re.I | _re.S,
+        )
+        if bm and k + 1 < len(parts):
+            hm = _re.match(rf"^\s*({_PRUNE_LIT})\s*$", parts[k + 1], _re.S)
+            if hm:
+                out.append(
+                    (
+                        _prune_col_name(bm.group(1)),
+                        "between",
+                        (_prune_lit_value(bm.group(2)),
+                         _prune_lit_value(hm.group(1))),
+                    )
+                )
+                k += 2
+                continue
+        k += 1
+    return out
+
+
 def _stats_may_match(add: dict, conjuncts: "list[tuple]") -> bool:
     """Can the file behind ``add`` hold a row satisfying every conjunct,
     judged from its recorded per-column stats? Sound by construction:
@@ -101,20 +203,25 @@ def _stats_may_match(add: dict, conjuncts: "list[tuple]") -> bool:
             if int(s.get("nulls") or 0) == int(add.get("rows") or -1):
                 return False
             continue
-        if op == "=" and (val < mn or val > mx):
-            return False
-        if op == "<" and mn >= val:
-            return False
-        if op == "<=" and mn > val:
-            return False
-        if op == ">" and mx <= val:
-            return False
-        if op == ">=" and mx < val:
-            return False
-        if op == "between":
-            lo, hi = val
-            if hi < mn or lo > mx:
+        try:
+            if op == "=" and (val < mn or val > mx):
                 return False
+            if op == "<" and mn >= val:
+                return False
+            if op == "<=" and mn > val:
+                return False
+            if op == ">" and mx <= val:
+                return False
+            if op == ">=" and mx < val:
+                return False
+            if op == "between":
+                lo, hi = val
+                if hi < mn or lo > mx:
+                    return False
+        except TypeError:
+            # value/stat type mismatch (e.g. a string literal compared
+            # against numeric stats): cannot rule the file out soundly
+            continue
     return True
 
 
@@ -453,18 +560,21 @@ class TxnLogTable:
     def version_at(self, timestamp) -> int:
         """AS OF TIMESTAMP resolution: the greatest version published at
         or before ``timestamp`` (epoch seconds, a datetime, or an ISO
-        string). Naive datetimes/strings are interpreted in the DRIVER's
-        local timezone (the same rule Delta applies with the session
-        timezone) — pass tz-aware values (``...+00:00``) for behavior
-        that is portable across machines. Resolution reads the publish
-        time recorded inside each commit body, so it does not depend on
-        filesystem mtimes. Raises if the timestamp predates the table's
-        first commit — there is no state to read there."""
+        string). Naive datetimes/strings are interpreted as UTC — the
+        commit log records publish times as epoch seconds, so resolution
+        is identical on every machine regardless of the driver's TZ
+        environment; pass an explicit offset (``...+05:00``) to resolve
+        in another zone. Resolution reads the publish time recorded
+        inside each commit body, so it does not depend on filesystem
+        mtimes. Raises if the timestamp predates the table's first
+        commit — there is no state to read there."""
         import datetime as _dt
 
         if isinstance(timestamp, str):
-            ts = _dt.datetime.fromisoformat(timestamp).timestamp()
-        elif isinstance(timestamp, _dt.datetime):
+            timestamp = _dt.datetime.fromisoformat(timestamp)
+        if isinstance(timestamp, _dt.datetime):
+            if timestamp.tzinfo is None:
+                timestamp = timestamp.replace(tzinfo=_dt.timezone.utc)
             ts = timestamp.timestamp()
         else:
             ts = float(timestamp)
@@ -943,7 +1053,10 @@ class TxnLogTable:
             if not thr or len(state["adds"]) <= int(thr):
                 return
             self.optimize()
-        except (ConcurrentModification, ValueError):
+        except Exception:
+            # the data commit already published — ANY compaction failure
+            # (lost race, malformed threshold, Spark/IO error) must not
+            # surface as a write failure; the next write retries
             pass
 
     def append(
@@ -1283,14 +1396,18 @@ class TxnLogTable:
         images, so feeds and replicas move O(deleted rows). Concurrency:
         same optimistic rule as MERGE.
 
-        ``prune``: optional ``(column, op, value)`` conjuncts evaluated
-        against the LOG's per-column stats to shrink the hit-scan's
-        file list before any task is scheduled (see
-        :meth:`prune_files`). CALLER CONTRACT: the conjuncts must be
-        IMPLIED by ``condition`` — a row matching the condition in a
-        pruned-out file is silently kept. At 100k+ files this is the
-        difference between scheduling a scan task per file and touching
-        only the clustered slice the DELETE names."""
+        Log-stats file pruning is AUTOMATIC for string conditions: the
+        simple top-level ``col op literal`` / ``col BETWEEN a AND b``
+        conjuncts of the predicate text are derived mechanically
+        (:func:`conjuncts_from_condition` — implied by the condition by
+        construction) and shrink the hit-scan's file list before any
+        task is scheduled (see :meth:`prune_files`). At 100k+ files
+        this is the difference between scheduling a scan task per file
+        and touching only the clustered slice the DELETE names.
+        ``prune`` remains only as an ADVANCED supplement for Column
+        conditions or conjuncts the deriver cannot see; any caller-
+        supplied conjunct must be IMPLIED by ``condition`` — an
+        unsound one silently keeps matching rows."""
         return self._rewrite_where(
             "delete", condition, None, txn, max_retries, prune
         )
@@ -1312,8 +1429,9 @@ class TxnLogTable:
         the new version, or None when nothing matched. With
         ``change_feed=True`` the commit records ``update_preimage`` /
         ``update_postimage`` row images. Same pruning and concurrency
-        shape as :meth:`delete_where`, including the optional
-        log-stats ``prune`` (same implied-by-condition contract)."""
+        shape as :meth:`delete_where`: string conditions derive their
+        log-stats prune conjuncts automatically; ``prune`` is the same
+        advanced implied-by-condition supplement."""
         if not assignments:
             raise ValueError("update_where needs at least one assignment")
         return self._rewrite_where(
@@ -1326,6 +1444,14 @@ class TxnLogTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if prune is not None:
             _validate_conjuncts(prune)
+        if isinstance(condition, str):
+            # mechanical derivation from the predicate text: simple
+            # top-level AND conjuncts are implied by the condition by
+            # construction, so string-condition DML (including the SQL
+            # surface) always file-prunes without any caller contract
+            derived = conjuncts_from_condition(condition)
+            if derived:
+                prune = derived + list(prune or [])
         if txn is not None and self.txn_seen(txn["app_id"], txn["batch_id"]):
             return self.latest_version()
         for attempt in range(max_retries):

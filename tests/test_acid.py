@@ -1832,6 +1832,41 @@ def test_optimize_zorder_clusters_every_listed_dimension(spark, tmp_path):
     assert "upd" in got
 
 
+def test_version_at_naive_is_utc_regardless_of_tz_env(spark, tmp_path):
+    """Naive AS-OF timestamps are UTC by contract: under a non-UTC TZ
+    environment a naive ISO string and the same instant spelled with an
+    explicit +00:00 offset resolve to the SAME version (the old
+    driver-local interpretation skewed naive resolution by the zone
+    offset — machine-dependent results for the same string)."""
+    import datetime as dt
+    import os
+    import time
+
+    t = _table(spark, tmp_path)
+    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    time.sleep(1.1)
+    mid = time.time()
+    time.sleep(1.1)
+    t.append(spark.createDataFrame([(2, 2, "b")], "k long, seq long, v string"))
+
+    aware = dt.datetime.fromtimestamp(mid, dt.timezone.utc)
+    naive_iso = aware.replace(tzinfo=None).isoformat()
+    utc_iso = aware.isoformat()
+    prev = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        assert t.version_at(naive_iso) == t.version_at(utc_iso) == 0
+        # naive datetime objects follow the same rule
+        assert t.version_at(aware.replace(tzinfo=None)) == 0
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        time.tzset()
+
+
 def test_time_travel_as_of_timestamp(spark, tmp_path):
     """AS OF TIMESTAMP: commit publish times resolve to versions with
     Delta's monotone rule, a timestamp between commits reads the earlier
@@ -1849,12 +1884,16 @@ def test_time_travel_as_of_timestamp(spark, tmp_path):
     assert t.version_at(t_mid) == 0
     assert {r.v for r in t.read(timestamp=t_mid).collect()} == {"a"}
     assert {r.v for r in t.read(timestamp=time.time()).collect()} == {"b"}
-    # datetime + ISO spellings resolve identically
+    # datetime + ISO spellings resolve identically; naive values are
+    # UTC by contract, so naive and explicit +00:00 spellings pin the
+    # SAME version regardless of the driver's TZ environment
     import datetime as dt
 
-    as_dt = dt.datetime.fromtimestamp(t_mid)
-    assert t.version_at(as_dt) == 0
-    assert t.version_at(as_dt.isoformat()) == 0
+    aware = dt.datetime.fromtimestamp(t_mid, dt.timezone.utc)
+    naive = aware.replace(tzinfo=None)
+    assert t.version_at(naive) == 0
+    assert t.version_at(naive.isoformat()) == 0
+    assert t.version_at(aware.isoformat()) == t.version_at(naive.isoformat())
     with pytest.raises(ValueError, match="did not exist"):
         t.read(timestamp=t_mid - 3600)
     with pytest.raises(ValueError, match="not both"):
@@ -2637,9 +2676,9 @@ def test_engine_sql_routes_restore(spark, tmp_path):
     assert v is not None
     assert eng.sql("SELECT count(*) AS n FROM rt").first()["n"] == 1
     eng.sql("DELETE FROM rt WHERE k = 1")
-    from datetime import datetime
+    from datetime import datetime, timezone
 
-    ts = datetime.fromtimestamp(mid).isoformat()
+    ts = datetime.fromtimestamp(mid, timezone.utc).replace(tzinfo=None).isoformat()
     eng.sql(f"RESTORE rt TO TIMESTAMP AS OF '{ts}'")
     assert eng.sql("SELECT count(*) AS n FROM rt").first()["n"] == 1
 
@@ -2760,6 +2799,107 @@ def test_dml_prune_shrinks_hit_scan(spark, tmp_path):
     assert got is None and t.txn_high_water("p") == 3
     with pytest.raises(ValueError, match="prune op"):
         t.delete_where("k = 1", prune=[("k", "!=", 1)])
+
+
+def test_conjuncts_from_condition_mechanical_derivation():
+    """The deriver extracts exactly the simple top-level AND conjuncts —
+    and NOTHING from OR branches, NOT, casts, column-vs-column, or
+    quoted text that merely looks like a conjunct."""
+    from data_pipeline_kafka_ek_spark.sources.acid import (
+        conjuncts_from_condition as c,
+    )
+
+    assert c("k = 5") == [("k", "=", 5)]
+    assert c("k >= 100 AND k <= 110") == [("k", ">=", 100), ("k", "<=", 110)]
+    assert c("k BETWEEN 100 AND 110") == [("k", "between", (100, 110))]
+    assert c("x > 0.5 AND grp = 'a'") == [("x", ">", 0.5), ("grp", "=", "a")]
+    assert c("`odd col` = 'it''s'") == [("odd col", "=", "it's")]
+    # OR poisons nothing else: the AND-split part containing it is skipped
+    assert c("k = 1 OR k = 2") == []
+    assert c("k >= 5 AND (grp = 'a' OR grp = 'b')") == [("k", ">=", 5)]
+    # a literal containing ' AND k = 1' is data, not a conjunct boundary
+    assert c("v = 'x AND k = 1'") == [("v", "=", "x AND k = 1")]
+    # unparseable shapes contribute nothing (sound: pruning is optional)
+    assert c("NOT k = 5") == []
+    assert c("abs(x) > 1") == []
+    assert c("k = seq") == []
+    assert c("k BETWEEN 1 AND seq") == []
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_sql_dml_derives_same_prune_as_explicit(spark, tmp_path, seed):
+    """SQL-text DELETE/UPDATE file-prunes automatically: the mechanically
+    derived conjuncts select the same file list as the hand-written
+    explicit ones (prune_files equality), and the DML outcome — surviving
+    rows, files removed — is identical between the SQL string surface
+    (no prune argument anywhere) and the Python API with explicit
+    conjuncts, across randomized conditions."""
+    import random
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+    from data_pipeline_kafka_ek_spark.sources.acid import (
+        TxnLogTable,
+        conjuncts_from_condition,
+    )
+
+    r = random.Random(seed)
+    rows = [
+        (i, 1, float(r.randint(-50, 50)), r.choice(["a", "b", "c"]))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, x double, grp string")
+
+    eng = Engine(spark)
+    eng.create_acid_table(
+        "pz", str(tmp_path / "sql"), key="k", order_col="seq",
+        files_per_commit=8,
+    ).append(df)
+    twin = TxnLogTable(
+        spark, str(tmp_path / "api"), key="k", order_col="seq",
+        files_per_commit=8,
+    )
+    twin.append(df)
+
+    lo = r.randint(50, 300)
+    hi = lo + r.randint(10, 60)
+    thr = float(r.randint(-10, 10))
+    cases = [
+        (f"k >= {lo} AND k <= {hi}", [("k", ">=", lo), ("k", "<=", hi)]),
+        (f"k BETWEEN {lo} AND {hi} AND x > {thr}",
+         [("k", "between", (lo, hi)), ("x", ">", thr)]),
+        (f"grp = 'a' AND k < {lo}", [("grp", "=", "a"), ("k", "<", lo)]),
+    ]
+    cond, explicit = cases[seed % len(cases)]
+    assert conjuncts_from_condition(cond) == explicit
+    t = eng._acid["pz"]
+    assert {a["path"] for a in t.prune_files(explicit)} == {
+        a["path"] for a in t.prune_files(conjuncts_from_condition(cond))
+    }
+    # both tables must prune: fewer files scanned/removed than live
+    live_before = t.file_count()
+    v_sql = eng.sql(f"DELETE FROM pz WHERE {cond}").first().version
+    v_api = twin.delete_where(cond, prune=explicit)
+    assert (v_sql is None) == (v_api is None)
+    if v_sql is not None:
+        h_sql, h_api = t.history()[-1], twin.history()[-1]
+        assert h_sql["op"] == h_api["op"] == "delete"
+        assert h_sql["n_remove"] == h_api["n_remove"] < live_before
+    left_sql = {tuple(x) for x in t.read().collect()}
+    left_api = {tuple(x) for x in twin.read().collect()}
+    assert left_sql == left_api
+    # UPDATE through the same two surfaces
+    upd_cond = f"k >= {hi} AND grp = 'b'"
+    v_sql = eng.sql(
+        f"UPDATE pz SET x = x + 100.0 WHERE {upd_cond}"
+    ).first().version
+    v_api = twin.update_where(
+        upd_cond, {"x": F.col("x") + 100.0},
+        prune=conjuncts_from_condition(upd_cond),
+    )
+    assert (v_sql is None) == (v_api is None)
+    assert {tuple(x) for x in t.read().collect()} == {
+        tuple(x) for x in twin.read().collect()
+    }
 
 
 def test_table_properties_lifecycle_and_consumers(spark, tmp_path):

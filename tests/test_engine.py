@@ -542,6 +542,13 @@ def test_engine_sql_routes_insert_into_acid_table(spark, tmp_path):
         11: (1, "a", 5.0),
     }
     assert t.history()[-1]["op"] == "append"
+    # a typo in the column list must ERROR (standard SQL), never widen
+    # the recorded schema forever
+    with pytest.raises(ValueError, match="unknown column"):
+        eng.sql("INSERT INTO ins (k, nosuch) VALUES (5, 'x')")
+    assert {f.name for f in t._latest_schema().fields} == {
+        "k", "seq", "v", "x"
+    }
 
     spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("plainw")
     with pytest.raises(Exception):
@@ -621,9 +628,9 @@ def test_engine_sql_select_time_travel(spark, tmp_path):
     assert eng.sql(
         "SELECT sum(x) AS s FROM tt VERSION AS OF 0"
     ).first()["s"] == 30.0
-    from datetime import datetime
+    from datetime import datetime, timezone
 
-    ts = datetime.fromtimestamp(mid).isoformat()
+    ts = datetime.fromtimestamp(mid, timezone.utc).replace(tzinfo=None).isoformat()
     assert eng.sql(
         f"SELECT sum(x) AS s FROM tt TIMESTAMP AS OF '{ts}'"
     ).first()["s"] == 30.0
@@ -640,6 +647,27 @@ def test_engine_sql_select_time_travel(spark, tmp_path):
     spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("plaintt")
     with pytest.raises(Exception):
         eng.sql("SELECT * FROM plaintt VERSION AS OF 0").collect()
+    # the rewriter is quote-aware: a string literal that happens to
+    # contain 'FROM tt VERSION AS OF 99' is data, not syntax — it must
+    # compare verbatim (and must not raise on the nonexistent version)
+    eng.sql("INSERT INTO tt VALUES (4, 3, 40.0)")
+    eng.create_table("ttnotes", eng.sql(
+        "SELECT k, 'FROM tt VERSION AS OF 99 is cool' AS note FROM tt"
+    ))
+    assert eng.sql(
+        "SELECT count(*) AS n FROM ttnotes "
+        "WHERE note = 'FROM tt VERSION AS OF 99 is cool'"
+    ).first()["n"] == 4
+    # time travel composes with routed DML: the INSERT body's snapshot
+    # read pins before planning (and VALUES( with no space also routes)
+    eng.sql("INSERT INTO tt SELECT k + 100, seq, x FROM tt VERSION AS OF 0")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM tt WHERE k > 100"
+    ).first()["n"] == 2
+    eng.sql("INSERT INTO tt VALUES(201, 9, 1.0)")
+    assert eng.sql(
+        "SELECT count(*) AS n FROM tt WHERE k = 201"
+    ).first()["n"] == 1
 
 
 def test_engine_sql_script_runs_statement_files(spark, tmp_path):
