@@ -626,19 +626,26 @@ class TxnLogTable:
 
     # -- data-file writing --------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame, cluster_expr=None) -> "list[dict]":
+    def _write_data_files(
+        self, df: DataFrame, cluster_expr=None, n_files: "int | None" = None
+    ) -> "list[dict]":
         """Write ``df`` key-range clustered into a fresh immutable commit
         directory; return add actions carrying per-file [min,max] key
-        stats (what MERGE prunes on). Stats come from ONE job grouped by
-        ``input_file_name()`` over the commit directory — O(1) jobs per
-        commit, not one scan per file. ``cluster_expr`` overrides the
-        default key-range clustering (used by Z-order optimize); files
-        are additionally sorted within partitions on the cluster
-        expression so parquet row-group min/max stats stay tight."""
+        stats (what MERGE prunes on) plus the file's on-disk ``bytes``
+        (what size-targeted compaction bins on). Stats come from ONE job
+        grouped by ``input_file_name()`` over the commit directory —
+        O(1) jobs per commit, not one scan per file; byte sizes come
+        from one driver-side directory listing of the same commit dir.
+        ``cluster_expr`` overrides the default key-range clustering
+        (used by Z-order optimize); files are additionally sorted within
+        partitions on the cluster expression so parquet row-group
+        min/max stats stay tight. ``n_files`` overrides the table's
+        ``files_per_commit`` (used by size-targeted compaction to emit
+        ~target-size outputs)."""
         commit_dir = f"{self.path}/files/c-{uuid.uuid4().hex}"
         cluster = cluster_expr if cluster_expr is not None else F.col(self.key)
         clustered = df.repartitionByRange(
-            self.files_per_commit, cluster
+            n_files or self.files_per_commit, cluster
         ).sortWithinPartitions(cluster)
         # __zorder_* are clustering scaffolding (bucket ids + z-value),
         # projected away after the range partition + sort consumed them —
@@ -690,6 +697,14 @@ class TxnLogTable:
             )
             .collect()
         )
+        # one listing of the commit dir: per-file byte sizes for the add
+        # actions (size-targeted compaction's binning input)
+        fs, jdir = self._fs(commit_dir)
+        sizes = {
+            _canon_uri(st.getPath().toString()): int(st.getLen())
+            for st in fs.listStatus(jdir)
+            if st.getPath().getName().endswith(".parquet")
+        }
         # empty output files never appear in the group-by: exactly the
         # files a snapshot should not reference
         return [
@@ -699,6 +714,7 @@ class TxnLogTable:
                 "max_key": r["hi"],
                 "rows": r["n"],
                 "null_keys": r["nk"],
+                "bytes": sizes.get(_canon_uri(r["path"])),
                 "stats": {
                     c: {
                         "min": r[f"__mn__{c}"],
@@ -1044,15 +1060,26 @@ class TxnLogTable:
     def _maybe_auto_optimize(self) -> None:
         """Best-effort inline compaction after a write: fires only when
         the ``auto_optimize.file_threshold`` property is set and the
-        live file count exceeds it. Never raises — a lost race or a
+        live file count exceeds it — and always through the SIZE-TARGETED
+        bin-packed variant, so an inline trigger after an append/merge
+        rewrites only the small-file debt (O(small files)), never the
+        whole table. ``auto_optimize.target_file_bytes`` (default 128
+        MiB) sets the bin target; files at or above half the target are
+        never rewritten inline. Never raises — a lost race or a
         malformed threshold leaves compaction to the next write (the
         data is already safely committed)."""
         try:
             state = self._fold_log()
-            thr = state["properties"].get("auto_optimize.file_threshold")
+            props = state["properties"]
+            thr = props.get("auto_optimize.file_threshold")
             if not thr or len(state["adds"]) <= int(thr):
                 return
-            self.optimize()
+            self.optimize(
+                target_file_bytes=int(
+                    props.get("auto_optimize.target_file_bytes")
+                    or 128 * 1024 * 1024
+                )
+            )
         except Exception:
             # the data commit already published — ANY compaction failure
             # (lost race, malformed threshold, Spark/IO error) must not
@@ -1781,6 +1808,9 @@ class TxnLogTable:
         min_files: int = 2,
         max_retries: int = 5,
         cluster_by: "list[str] | None" = None,
+        target_file_bytes: "int | None" = None,
+        min_file_bytes: "int | None" = None,
+        max_rewrite_bytes: "int | None" = None,
     ) -> "int | None":
         """Compaction: rewrite the CURRENT live file set into
         ``files_per_commit`` key-range-clustered files as one
@@ -1808,7 +1838,20 @@ class TxnLogTable:
         stats still record them truthfully), so z-order favors read
         pruning over merge rewrite pruning; re-cluster requests run even
         when the file count is already compact (the point is layout, not
-        file count)."""
+        file count).
+
+        ``target_file_bytes`` switches on SIZE-TARGETED BIN-PACKED
+        compaction (Delta OPTIMIZE semantics — the mode a 100 TB table
+        needs): only live files SMALLER than ``min_file_bytes`` (default
+        ``target_file_bytes // 2``) are selected, smallest first, up to
+        the optional ``max_rewrite_bytes`` budget, and rewritten into
+        ``ceil(selected_bytes / target_file_bytes)`` outputs. Files
+        already at or above the floor are NEVER touched — the rewrite is
+        O(small-file debt), not O(table) — and fewer than two candidates
+        is a no-op. Adds from before byte tracking (no recorded size)
+        count as candidates with size 0 so legacy fragmentation still
+        compacts. ``cluster_by`` composes: the selected bin is laid out
+        on the z-value, untouched files keep their layout."""
         for _ in range(max_retries):
             base_version = self.latest_version()
             if base_version < 0:
@@ -1825,10 +1868,36 @@ class TxnLogTable:
                     for c in state["properties"]["zorder.columns"].split(",")
                     if c.strip()
                 ]
-            if cluster_by is None and len(live) <= max(
-                min_files, self.files_per_commit
-            ):
-                return None
+            size_targeted = (
+                target_file_bytes is not None or min_file_bytes is not None
+            )
+            if size_targeted:
+                tgt = target_file_bytes or 128 * 1024 * 1024
+                floor = min_file_bytes if min_file_bytes is not None else tgt // 2
+                rewrite = sorted(
+                    (a for a in live if int(a.get("bytes") or 0) < floor),
+                    key=lambda a: int(a.get("bytes") or 0),
+                )
+                if max_rewrite_bytes is not None:
+                    picked, budget = [], 0
+                    for a in rewrite:
+                        b = int(a.get("bytes") or 0)
+                        if picked and budget + b > max_rewrite_bytes:
+                            break
+                        picked.append(a)
+                        budget += b
+                    rewrite = picked
+                if len(rewrite) < 2:
+                    return None
+                total = sum(int(a.get("bytes") or 0) for a in rewrite)
+                n_out = max(1, -(-total // tgt))
+            else:
+                if cluster_by is None and len(live) <= max(
+                    min_files, self.files_per_commit
+                ):
+                    return None
+                rewrite = live
+                n_out = None
             # recorded schema pins the compaction read — same evolution
             # hazard as merge: a mixed narrow/wide live set read via footer
             # inference would rewrite (and record) the narrow schema
@@ -1838,23 +1907,25 @@ class TxnLogTable:
                 else None
             )
             reader = self.spark.read.schema(sch) if sch is not None else self.spark.read
-            df = reader.parquet(*[a["path"] for a in live])
+            df = reader.parquet(*[a["path"] for a in rewrite])
             # the recorded schema must never include __zorder_* scaffolding
             commit_schema = df.schema.json()
             cluster_expr = None
             if cluster_by is not None:
                 df = self._with_zvalue(df, cluster_by)
                 cluster_expr = F.col("__zorder_z")
-            adds = self._write_data_files(df, cluster_expr=cluster_expr)
+            adds = self._write_data_files(
+                df, cluster_expr=cluster_expr, n_files=n_out
+            )
             actions = [{"add": a} for a in adds] + [
-                {"remove": {"path": a["path"]}} for a in live
+                {"remove": {"path": a["path"]}} for a in rewrite
             ]
             if self._try_commit(
                 base_version + 1, "optimize", actions, None, commit_schema
             ):
                 return base_version + 1
             now_live = {a["path"] for a in self._snapshot_adds()}
-            if any(a["path"] not in now_live for a in live):
+            if any(a["path"] not in now_live for a in rewrite):
                 raise ConcurrentModification(
                     "a competing commit rewrote files this optimize read"
                 )

@@ -640,6 +640,106 @@ def test_optimize_compacts_without_changing_data(spark, tmp_path):
     assert sum(1 for a in c["actions"] if "remove" in a) == 1
 
 
+def test_optimize_size_targeted_bin_packs_small_files(spark, tmp_path):
+    """Size-targeted OPTIMIZE (the 100 TB mode): only files below the
+    floor are selected and bin-packed into ~target-size outputs — files
+    at/above the floor are NEVER rewritten, the rewrite is O(small-file
+    debt), row content is bit-identical, and the pass converges (a
+    second identical call is a no-op instead of re-binning forever)."""
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.append(
+        spark.createDataFrame(
+            [(100000 + i, 1, f"bulk{i}") for i in range(40000)],
+            "k long, seq long, v string",
+        )
+    )
+    for i in range(6):
+        t.append(
+            spark.createDataFrame(
+                [(10 * i + j, 1, f"v{i}.{j}") for j in range(5)],
+                "k long, seq long, v string",
+            )
+        )
+    adds = t._snapshot_adds()
+    assert all(a.get("bytes") for a in adds), "adds must record bytes"
+    large = max(adds, key=lambda a: a["bytes"])
+    smalls = [a for a in adds if a["path"] != large["path"]]
+    assert len(smalls) == 6
+    total = sum(a["bytes"] for a in smalls)
+    floor = max(a["bytes"] for a in smalls) + 1
+    target = max(-(-total // 2), floor)  # 2 bins, floor <= target
+    assert floor <= large["bytes"], "test setup: bulk file must be large"
+    before = _rows(t)
+
+    v = t.optimize(target_file_bytes=target, min_file_bytes=floor)
+    assert v is not None and t.history()[-1]["op"] == "optimize"
+    c = t._read_commit(v)
+    removed = {a["remove"]["path"] for a in c["actions"] if "remove" in a}
+    added = [a["add"] for a in c["actions"] if "add" in a]
+    # exactly the small files were rewritten; the large file is untouched
+    assert removed == {a["path"] for a in smalls}
+    assert large["path"] in {a["path"] for a in t._snapshot_adds()}
+    # outputs cluster at the target: bin count is ceil(total/target)
+    assert len(added) == -(-total // target) == 2
+    assert all(a["bytes"] and a["bytes"] < large["bytes"] for a in added)
+    assert _rows(t) == before
+    # convergence: the surviving bins are too few to re-bin
+    assert t.optimize(target_file_bytes=target, min_file_bytes=floor) is None
+
+    # rewrite budget: only the smallest files up to the cap are selected
+    for i in range(6, 10):
+        t.append(
+            spark.createDataFrame(
+                [(10 * i + j, 1, f"v{i}.{j}") for j in range(5)],
+                "k long, seq long, v string",
+            )
+        )
+    cand = sorted(
+        (a["bytes"] for a in t._snapshot_adds() if a["bytes"] < floor)
+    )
+    budget = cand[0] + cand[1] + cand[2] + 1  # room for ~3 files
+    v2 = t.optimize(
+        target_file_bytes=target, min_file_bytes=floor,
+        max_rewrite_bytes=budget,
+    )
+    assert v2 is not None
+    c2 = t._read_commit(v2)
+    n_rm = sum(1 for a in c2["actions"] if "remove" in a)
+    assert 2 <= n_rm <= 4
+    assert _rows(t) == before | {
+        10 * i + j: (1, f"v{i}.{j}") for i in range(6, 10) for j in range(5)
+    }
+
+
+def test_auto_optimize_is_size_bounded(spark, tmp_path):
+    """The inline auto-compaction after a write routes through the
+    size-targeted variant: a large file in the snapshot is never part of
+    the inline rewrite — only the small-file debt compacts."""
+    t = _table(spark, tmp_path, files_per_commit=1)
+    t.append(
+        spark.createDataFrame(
+            [(100000 + i, 1, f"bulk{i}") for i in range(40000)],
+            "k long, seq long, v string",
+        )
+    )
+    large = max(t._snapshot_adds(), key=lambda a: a["bytes"])
+    t.set_property("auto_optimize.file_threshold", "3")
+    # scale the bin target to the test data: the floor (target/2) sits
+    # above every 1-row file but below the bulk file
+    t.set_property("auto_optimize.target_file_bytes", str(large["bytes"]))
+    for i in range(5):
+        t.append(
+            spark.createDataFrame(
+                [(i, 1, f"s{i}")], "k long, seq long, v string"
+            )
+        )
+    ops = [h["op"] for h in t.history()]
+    assert "optimize" in ops, "auto-compaction did not fire"
+    # the large file survived every inline pass untouched
+    assert large["path"] in {a["path"] for a in t._snapshot_adds()}
+    assert t.read().count() == 40005
+
+
 def test_read_changes_incremental_feed(spark, tmp_path):
     """read_changes(since) is a consumable changelog: appends surface
     exactly the inserted rows, merges surface the post-image of the
