@@ -35,6 +35,13 @@ class Engine:
     _streams: dict[str, DataFrame] = field(default_factory=dict)
     _tables: dict[str, DataFrame] = field(default_factory=dict)
     _connectors: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # SET 'k'='v' session options (reference: ksqldb-statements.sql:48)
+    _options: dict[str, str] = field(default_factory=dict)
+    # PARTITION BY re-key targets per registered name (T6)
+    _keys: dict[str, str] = field(default_factory=dict)
+    # event-time column per source (WITH ('timestamp'='col')) — what the
+    # WINDOW TUMBLING/HOPPING/SESSION rewrite resolves against
+    _event_time: dict[str, str] = field(default_factory=dict)
 
     # -- CREATE ... AS SELECT vocabulary (reference: ksqldb-statements.sql) --
 
@@ -66,18 +73,32 @@ class Engine:
 
     def sql(self, statement: str) -> DataFrame:
         """REST/CLI SQL entry point twin (reference: rest_example.sh:6-16) —
-        one planner for both APIs. Statements Spark SQL cannot execute
-        against plain views — DELETE FROM / UPDATE ... SET / OPTIMIZE
-        [ZORDER BY] / VACUUM / DESCRIBE HISTORY — are routed to the
-        named ACID table's transactional ops when the target is a
-        registered acid table (everything else passes straight to
-        ``spark.sql``). DML returns a one-row ``(version)`` frame (NULL
-        version = no-op), VACUUM returns its counts, DESCRIBE HISTORY
-        the commit log."""
+        one planner for both APIs. Three statement families route before
+        Spark sees the text:
+
+        * the reference's DEPLOYMENT DDL (``CREATE STREAM/TABLE ... AS
+          SELECT`` with EMIT CHANGES / PARTITION BY / WINDOW
+          TUMBLING|HOPPING|SESSION, source declarations with a column
+          list + WITH(...), ``CREATE SOURCE/SINK CONNECTOR``, ``SET``)
+          — so a transliterated ksqldb-statements.sql replays end to
+          end through :meth:`sql_script`;
+        * ACID DML/DDL Spark SQL cannot execute against plain views —
+          DELETE FROM / UPDATE ... SET / OPTIMIZE [ZORDER BY] / VACUUM /
+          RESTORE / DESCRIBE HISTORY — routed to the named ACID table's
+          transactional ops (DML returns a one-row ``(version)`` frame,
+          NULL version = no-op);
+        * everything else passes to ``spark.sql`` after time-travel
+          rewriting and a trailing ``EMIT CHANGES`` strip (a push query
+          runs as its batch twin)."""
+        routed = self._route_ddl(statement)
+        if routed is not None:
+            return routed
         routed = self._route_acid_dml(statement)
         if routed is not None:
             return routed
-        return self.spark.sql(self._rewrite_time_travel(statement))
+        return self.spark.sql(
+            self._rewrite_time_travel(self._strip_emit_changes(statement))
+        )
 
     def _rewrite_time_travel(self, statement: str) -> str:
         """SELECT-side time travel through the SQL string surface
@@ -229,6 +250,339 @@ class Engine:
         out.append(s[last:])
         return out
 
+    # -- deployment DDL routing (the reference's statements-file grammar) ----
+
+    @staticmethod
+    def _strip_emit_changes(statement: str) -> str:
+        """Drop a trailing ``EMIT CHANGES`` — a ksqlDB push query's
+        continuous marker; the batch twin of the same plan is what a
+        one-shot ``sql()`` call means here (quote-aware: a literal
+        ending in the words survives)."""
+        import re as _re
+
+        m = _re.search(r"\s+EMIT\s+CHANGES\s*;?\s*$", statement, _re.I)
+        if m and not any(
+            lo <= m.start() < hi
+            for lo, hi in Engine._quoted_spans(statement)
+        ):
+            return statement[: m.start()]
+        return statement
+
+    def _parse_with_props(self, body: str) -> "dict[str, str]":
+        """``WITH (k='v', 'k2'='v2', n=3)`` property list -> dict with
+        lower-cased keys (ksqlDB property names are case-insensitive).
+        Values are quoted strings (with the ``''`` escape) or bare
+        numeric literals."""
+        import re as _re
+
+        props: dict[str, str] = {}
+        for part in self._split_top(body, ","):
+            if not part.strip():
+                continue
+            m = _re.match(
+                r"\s*(?:'((?:[^']|'')*)'|([A-Za-z_][\w.]*))\s*=\s*"
+                r"(?:'((?:[^']|'')*)'|(-?\d+(?:\.\d+)?))\s*$",
+                part,
+                _re.S,
+            )
+            if not m:
+                raise ValueError(
+                    f"cannot parse WITH property: {part!r} "
+                    "(expected key = 'value')"
+                )
+            key = (m.group(1) or m.group(2)).replace("''", "'").lower()
+            val = (
+                m.group(3).replace("''", "'")
+                if m.group(3) is not None
+                else m.group(4)
+            )
+            props[key] = val
+        return props
+
+    def _strip_partition_by(self, body: str) -> "tuple[str, str | None]":
+        """Peel a trailing ``PARTITION BY col`` off a CSAS body
+        (reference: ksqldb-statements.sql:68 — re-key the derivation;
+        T6). Returns (body-without-clause, column-or-None)."""
+        import re as _re
+
+        m = _re.search(r"\s+PARTITION\s+BY\s+(\w+)\s*$", body, _re.I)
+        if m and not any(
+            lo <= m.start() < hi for lo, hi in self._quoted_spans(body)
+        ):
+            return body[: m.start()], m.group(1)
+        return body, None
+
+    def _rewrite_ksql_windows(self, body: str, props: "dict[str, str]") -> str:
+        """Rewrite the reference's windowed-aggregation clause into
+        Spark's windowing functions (T2/T3/T4 as SQL TEXT):
+
+        * ``WINDOW TUMBLING (SIZE n UNIT)``   -> ``window(ts, 'n unit')``
+        * ``WINDOW HOPPING (SIZE n U, ADVANCE BY m U)``
+                                              -> ``window(ts, .., ..)``
+        * ``WINDOW SESSION (n UNIT)``         -> ``session_window(ts, ..)``
+
+        The window expression is prepended to the statement's GROUP BY,
+        ``WINDOWSTART``/``WINDOWEND`` pseudo-columns rewrite to the
+        struct's start/end, and both are always exposed on the result
+        (ksqlDB materializes them implicitly on every windowed table).
+        The event-time column comes from the statement's
+        ``WITH ('timestamp'='col')`` or the FROM source's declared one.
+        Catalyst plans the rewritten text exactly like the Python-API
+        twins (plans/catalog.py a3/t3/t4), so the same single-shuffle
+        partial+final aggregation shape applies at scale."""
+        import re as _re
+
+        spans = self._quoted_spans(body)
+
+        def _outside(mm):
+            return not any(lo <= mm.start() < hi for lo, hi in spans)
+
+        wm = None
+        for cand in _re.finditer(
+            r"\bWINDOW\s+(TUMBLING|HOPPING|SESSION)\s*\(([^)]*)\)\s*",
+            body,
+            _re.I,
+        ):
+            if _outside(cand):
+                wm = cand
+                break
+        if wm is None:
+            return body
+
+        ts = props.get("timestamp")
+        if ts is None:
+            fm = _re.search(r"\bFROM\s+(\w+)", body, _re.I)
+            if fm is not None:
+                ts = self._event_time.get(fm.group(1))
+        if ts is None:
+            raise ValueError(
+                "windowed statement needs an event-time column: add "
+                "WITH ('timestamp'='col') or declare it on the source"
+            )
+
+        kind = wm.group(1).upper()
+        spec = wm.group(2)
+        if kind == "TUMBLING":
+            sm = _re.match(r"\s*SIZE\s+(\d+)\s+(\w+)\s*$", spec, _re.I)
+            if not sm:
+                raise ValueError(f"cannot parse TUMBLING spec: {spec!r}")
+            wexpr = f"window({ts}, '{sm.group(1)} {sm.group(2).lower()}')"
+            struct = "window"
+        elif kind == "HOPPING":
+            sm = _re.match(
+                r"\s*SIZE\s+(\d+)\s+(\w+)\s*,\s*ADVANCE\s+BY\s+(\d+)\s+(\w+)\s*$",
+                spec,
+                _re.I,
+            )
+            if not sm:
+                raise ValueError(f"cannot parse HOPPING spec: {spec!r}")
+            wexpr = (
+                f"window({ts}, '{sm.group(1)} {sm.group(2).lower()}', "
+                f"'{sm.group(3)} {sm.group(4).lower()}')"
+            )
+            struct = "window"
+        else:
+            sm = _re.match(r"\s*(\d+)\s+(\w+)\s*$", spec, _re.I)
+            if not sm:
+                raise ValueError(f"cannot parse SESSION spec: {spec!r}")
+            wexpr = f"session_window({ts}, '{sm.group(1)} {sm.group(2).lower()}')"
+            struct = "session_window"
+
+        body = body[: wm.start()] + " " + body[wm.end():]
+        spans = self._quoted_spans(body)
+        gm = next(
+            (
+                mm
+                for mm in _re.finditer(r"\bGROUP\s+BY\s+", body, _re.I)
+                if not any(lo <= mm.start() < hi for lo, hi in spans)
+            ),
+            None,
+        )
+        if gm is None:
+            raise ValueError(
+                "a windowed statement must aggregate: GROUP BY is missing"
+            )
+        body = body[: gm.end()] + f"{wexpr}, " + body[gm.end():]
+
+        def _sub_outside(pattern, repl, text):
+            sp = self._quoted_spans(text)
+            return _re.sub(
+                pattern,
+                lambda mm: repl
+                if not any(lo <= mm.start() < hi for lo, hi in sp)
+                else mm.group(0),
+                text,
+                flags=_re.I,
+            )
+
+        body = _sub_outside(r"\bWINDOWSTART\b", f"{struct}.start", body)
+        body = _sub_outside(r"\bWINDOWEND\b", f"{struct}.end", body)
+        # every windowed derivation exposes the bounds (ksqlDB's implicit
+        # WINDOWSTART/WINDOWEND pseudo-columns)
+        return _re.sub(
+            r"^(\s*SELECT\s+)",
+            rf"\g<1>{struct}.start AS windowstart, "
+            rf"{struct}.end AS windowend, ",
+            body,
+            count=1,
+            flags=_re.I,
+        )
+
+    def _route_ddl(self, statement: str) -> "DataFrame | None":
+        """The reference's deployable statement grammar
+        (ksqldb-statements.sql), routed before ACID DML:
+
+        * ``SET 'k' = 'v'`` — session option registry (line 48)
+        * ``CREATE SOURCE/SINK CONNECTOR n WITH (...)`` (19-38, 70-85)
+        * ``CREATE STREAM/TABLE n (cols) WITH (...)`` — source
+          declaration over a path-backed dataset (42-43, 45); a
+          PRIMARY KEY column plus a declared event-time gives the
+          TABLE latest-per-key changelog semantics
+        * ``CREATE STREAM/TABLE n [WITH (...)] AS SELECT ...`` — CSAS /
+          CTAS (13-17, 50-60, 63-68, 88-93) with EMIT CHANGES,
+          PARTITION BY re-key, and WINDOW TUMBLING/HOPPING/SESSION
+
+        Everything registered lands in the same stream/table registry
+        (and temp views) the Python API uses — one planner, one
+        namespace."""
+        import re as _re
+
+        s = self._strip_emit_changes(statement.strip().rstrip(";").strip())
+
+        m = _re.match(
+            r"SET\s+'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'$", s, _re.I
+        )
+        if m:
+            key = m.group(1).replace("''", "'")
+            val = m.group(2).replace("''", "'")
+            self._options[key] = val
+            return self.spark.createDataFrame(
+                [(key, val)], "key string, value string"
+            )
+
+        m = _re.match(
+            r"CREATE\s+(SOURCE|SINK)\s+CONNECTOR\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+WITH\s*\((.+)\)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m:
+            kind = m.group(1).lower()
+            self.create_connector(
+                m.group(2), kind, self._parse_with_props(m.group(3))
+            )
+            return self.spark.createDataFrame(
+                [(m.group(2), kind)], "name string, kind string"
+            )
+
+        m = _re.match(
+            r"CREATE\s+(STREAM|TABLE)\s+(\w+)\s*"
+            r"(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT\s.+)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m:
+            kind, name = m.group(1).upper(), m.group(2)
+            props = self._parse_with_props(m.group(3)) if m.group(3) else {}
+            body, part_col = self._strip_partition_by(m.group(4))
+            body = self._rewrite_ksql_windows(body, props)
+            df = self.spark.sql(self._rewrite_time_travel(body))
+            if part_col is not None:
+                # PARTITION BY re-keys the derivation: co-locate rows by
+                # the new key (the Kafka-key twin) before registration
+                df = df.repartition(F.col(part_col))
+                self._keys[name] = part_col
+            if props.get("timestamp"):
+                self._event_time[name] = props["timestamp"]
+            return (
+                self.create_stream(name, df)
+                if kind == "STREAM"
+                else self.create_table(name, df)
+            )
+
+        m = _re.match(
+            r"CREATE\s+(STREAM|TABLE)\s+(\w+)\s*\((.+)\)\s*"
+            r"WITH\s*\((.+)\)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m:
+            return self._create_source(
+                m.group(1).upper(), m.group(2), m.group(3), m.group(4)
+            )
+        return None
+
+    # ksqlDB column types that differ from Spark DDL spellings
+    _TYPE_MAP = {"VARCHAR": "STRING", "INT": "INT", "INTEGER": "INT"}
+
+    def _create_source(
+        self, kind: str, name: str, coldefs: str, with_body: str
+    ) -> DataFrame:
+        """Source STREAM/TABLE declaration: declared columns + WITH
+        properties. A ``path`` property (engine-native; format defaults
+        to parquet) binds the declaration to a dataset — the sandbox
+        twin of the reference's KAFKA_TOPIC binding, which is recorded
+        verbatim as connector config when present. The declared column
+        list is the CONTRACT: the read is projected and cast to exactly
+        those columns. A TABLE with a PRIMARY KEY column and a declared
+        event-time collapses to latest-per-key (changelog semantics,
+        reference: ksqldb-statements.sql:42-43); without a path the
+        declaration registers an empty typed relation plus the binding
+        (honest: no broker in this environment)."""
+        import re as _re
+
+        props = self._parse_with_props(with_body)
+        cols: "list[tuple[str, str]]" = []
+        key_col = None
+        for part in self._split_top(coldefs, ","):
+            cm = _re.match(
+                r"\s*(`(?:[^`]|``)+`|\w+)\s+(\w+(?:\s*\([^)]*\))?"
+                r"(?:\s*<[^>]*>)?)\s*(PRIMARY\s+KEY|KEY)?\s*$",
+                part,
+                _re.I | _re.S,
+            )
+            if not cm:
+                raise ValueError(f"cannot parse column definition: {part!r}")
+            col = cm.group(1)
+            if col.startswith("`"):
+                col = col[1:-1].replace("``", "`")
+            typ = cm.group(2).strip()
+            typ = self._TYPE_MAP.get(typ.upper(), typ)
+            cols.append((col, typ))
+            if cm.group(3):
+                key_col = col
+        ts_col = props.get("timestamp")
+        path = props.get("path")
+        if path is not None:
+            fmt = props.get("format", props.get("value_format", "parquet"))
+            raw = self.spark.read.format(fmt.lower()).load(path)
+            df = raw.select(
+                *[F.col(c).cast(t).alias(c) for c, t in cols]
+            )
+            if kind == "TABLE" and key_col is not None and ts_col:
+                from data_pipeline_kafka_ek_spark.operators.relational import (
+                    latest_per_key,
+                )
+
+                df = latest_per_key(df, key_col, [F.col(ts_col).desc()])
+        else:
+            # no dataset binding in this environment: typed empty
+            # relation + the recorded connector-style binding
+            ddl = ", ".join(f"{c} {t}" for c, t in cols)
+            df = self.spark.createDataFrame([], ddl)
+            self._connectors.setdefault(
+                name, {"kind": "source", "config": props, "fn": None}
+            )
+        if ts_col:
+            self._event_time[name] = ts_col
+        if key_col is not None:
+            self._keys[name] = key_col
+        return (
+            self.create_stream(name, df)
+            if kind == "STREAM"
+            else self.create_table(name, df)
+        )
+
     def _route_acid_dml(self, statement: str) -> "DataFrame | None":
         import re as _re
 
@@ -249,6 +603,40 @@ class Engine:
             return _version_frame(
                 self.delete_from_acid_table(m.group(1), m.group(2) or "true")
             )
+        m = _re.match(
+            r"CREATE\s+ACID\s+TABLE\s+(\w+)\s+"
+            r"LOCATION\s+'([^']+)'\s+KEY\s+(\w+)\s+ORDER\s+BY\s+(\w+)"
+            r"(\s+WITH\s+CHANGE\s+FEED)?\s+AS\s+(SELECT\s.+)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m:
+            # CTAS into the lakehouse: schema from the SELECT, initial
+            # commit = the query result (completes the statements-file
+            # bootstrap story — one statement creates AND loads)
+            df = self.spark.sql(
+                self._rewrite_time_travel(
+                    self._strip_emit_changes(m.group(6))
+                )
+            )
+            for col, what in ((m.group(3), "KEY"), (m.group(4), "ORDER BY")):
+                if col not in df.columns:
+                    raise ValueError(
+                        f"CREATE ACID TABLE {m.group(1)} AS SELECT: {what} "
+                        f"column {col!r} is not in the query's output "
+                        f"columns {df.columns}"
+                    )
+            t = self.create_acid_table(
+                m.group(1),
+                m.group(2),
+                key=m.group(3),
+                order_col=m.group(4),
+                schema=df.schema,
+                change_feed=m.group(5) is not None,
+            )
+            v = t.append(df)
+            self.create_table(m.group(1), t.read())
+            return _version_frame(v)
         m = _re.match(
             r"CREATE\s+ACID\s+TABLE\s+(\w+)\s*\((.+?)\)\s*"
             r"LOCATION\s+'([^']+)'\s+KEY\s+(\w+)\s+ORDER\s+BY\s+(\w+)"

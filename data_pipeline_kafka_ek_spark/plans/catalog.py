@@ -974,9 +974,12 @@ DRIVER_ROTATION_ROUND = 12
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r12: empty until this round registers new queries (the window
-# is again oversubscribed by the stale tier: 57 must-attest for 50 slots).
-REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
+# sf0.01). r12: the window is again oversubscribed by the stale tier
+# (57 must-attest for 50 slots), so every new r12 registration lands here.
+REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
+    "q_sql_csas_unhappy",
+    "q_sql_windowed_ctas",
+)
 
 # Queries whose driver row can NEVER be hash-green: their only exact
 # oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's

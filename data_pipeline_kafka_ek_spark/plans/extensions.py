@@ -5986,3 +5986,117 @@ def h21_waiting_supplier(spark, sf_dir):
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# §3.5/§2.12 the deployable statements file as an ORACLE-CHECKED plan: both
+# queries below build their ENTIRE plan from SQL text through Engine.sql_script
+# — the reference's ksqldb-statements.sql flow (source declarations with a
+# column-list contract, CSAS chain, windowed CTAS with the reference's WINDOW
+# clause), no Python DataFrame construction anywhere
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sql_csas_unhappy",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_name || ' ' || c.c_mktsegment AS customer_label
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE lower(e.event_type) NOT LIKE '%err%'
+      AND e.value < 50.0 AND c.c_mktsegment = 'BUILDING'
+    """,
+    survey_ids=("J1", "F3", "F4", "F5", "T6", "§2.12"),
+    doc="UNHAPPY_PLATINUM_CUSTOMERS built PURELY from SQL text: a "
+    "transliterated ksqldb-statements.sql (source STREAM/TABLE "
+    "declarations over the test parquet, the RATINGS_LIVE split, the "
+    "enrichment CSAS, the unhappy CSAS with PARTITION BY re-key and "
+    "EMIT CHANGES) replayed through Engine.sql_script (reference: "
+    "ksqldb-statements.sql:13-17,42-45,50-68). The plan Catalyst sees "
+    "is identical to the Python-API twin (unhappy_vip_customers): the "
+    "dimension broadcasts, the fact side never shuffles for the join.",
+)
+def q_sql_csas_unhappy(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    return eng.sql_script(
+        f"""
+        SET 'auto.offset.reset' = 'earliest';
+
+        CREATE STREAM SQLF_RATINGS (event_id BIGINT, ts TIMESTAMP,
+                                    user_id BIGINT, event_type STRING,
+                                    value DOUBLE)
+          WITH (path='{sf_dir}/events.parquet', format='parquet',
+                timestamp='ts');
+
+        CREATE TABLE SQLF_CUSTOMERS (c_custkey BIGINT PRIMARY KEY,
+                                     c_name STRING, c_mktsegment STRING)
+          WITH (path='{sf_dir}/customer.parquet', format='parquet');
+
+        -- RATINGS_LIVE: drop test-like traffic (statements.sql:13-14)
+        CREATE STREAM SQLF_RATINGS_LIVE AS
+          SELECT event_id, ts, user_id, event_type, value
+          FROM SQLF_RATINGS
+          WHERE lcase(event_type) NOT LIKE '%err%' EMIT CHANGES;
+
+        -- the enrichment join (statements.sql:50-60)
+        CREATE STREAM SQLF_ENRICHED WITH (timestamp='ts') AS
+          SELECT r.event_id, r.user_id, r.event_type, r.value,
+                 c.c_name, c.c_mktsegment,
+                 c.c_name || ' ' || c.c_mktsegment AS customer_label
+          FROM SQLF_RATINGS_LIVE r
+          LEFT JOIN SQLF_CUSTOMERS c ON r.user_id = c.c_custkey
+          WHERE c.c_name IS NOT NULL EMIT CHANGES;
+
+        -- the alert slice, re-keyed (statements.sql:63-68)
+        CREATE STREAM SQLF_UNHAPPY AS
+          SELECT event_id, user_id, event_type, value, customer_label
+          FROM SQLF_ENRICHED
+          WHERE value < 50.0 AND c_mktsegment = 'BUILDING'
+          PARTITION BY customer_label;
+        """
+    )[-1]
+
+
+@register(
+    "q_sql_windowed_ctas",
+    """
+    SELECT strftime(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS event_count
+    FROM events GROUP BY 1, 2
+    """,
+    survey_ids=("A3", "T2", "X5", "§2.12"),
+    doc="the reference's windowed CTAS as SQL TEXT: CREATE TABLE ... "
+    "WINDOW TUMBLING (SIZE 15 MINUTE) GROUP BY ... (reference: "
+    "ksqldb-statements.sql:88-93) rewritten mechanically to Spark's "
+    "window() grouping with WINDOWSTART exposed as a column, then "
+    "formatted with the TIMESTAMPTOSTRING twin (statements.sql:96). "
+    "Same single-shuffle partial+final aggregate as the a3 Python twin.",
+)
+def q_sql_windowed_ctas(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    return eng.sql_script(
+        f"""
+        CREATE STREAM SQLF_RATINGS_W (event_id BIGINT, ts TIMESTAMP,
+                                      event_type STRING)
+          WITH (path='{sf_dir}/events.parquet', format='parquet',
+                timestamp='ts');
+
+        CREATE TABLE SQLF_PER_TYPE_15M AS
+          SELECT event_type, count(*) AS event_count
+          FROM SQLF_RATINGS_W
+          WINDOW TUMBLING (SIZE 15 MINUTE)
+          GROUP BY event_type EMIT CHANGES;
+
+        SELECT date_format(windowstart, 'yyyy-MM-dd HH:mm:ss')
+                 AS window_start,
+               event_type, event_count
+        FROM SQLF_PER_TYPE_15M EMIT CHANGES;
+        """
+    )[-1]

@@ -742,3 +742,249 @@ def test_sql_script_bootstraps_a_lakehouse_from_nothing(spark, tmp_path):
     assert [h["op"] for h in t.history()][:2] == ["create", "append"]
     with pytest.raises(Exception):
         eng.sql("INSERT INTO boot VALUES (9, 9, -1.0)")
+
+
+def test_statements_file_replay_matches_python_twins(spark, sf_dir):
+    """The reference's deployable statements file, transliterated,
+    replays END TO END through sql_script: SET, source connector DDL,
+    source STREAM/TABLE declarations with a column-list contract, the
+    RATINGS_LIVE split, the enrichment CSAS, the unhappy CSAS with
+    PARTITION BY + EMIT CHANGES, and the windowed CTAS with the
+    reference's WINDOW TUMBLING clause (reference:
+    ksqldb-statements.sql:13-17,19-45,48-68,88-96). Every derived
+    result matches its Python-API twin row for row."""
+    eng = Engine(spark)
+    results = eng.sql_script(
+        f"""
+        SET 'auto.offset.reset' = 'earliest';
+
+        CREATE SOURCE CONNECTOR REPLAY_SOURCE_01 WITH (
+            'connector.class' = 'events.generator',
+            'kafka.topic' = 'ratings');
+
+        CREATE STREAM REPLAY_RATINGS (event_id BIGINT, ts TIMESTAMP,
+                                      user_id BIGINT, event_type STRING,
+                                      value DOUBLE)
+          WITH (path='{sf_dir}/events.parquet', format='parquet',
+                timestamp='ts');
+
+        CREATE TABLE REPLAY_CUSTOMERS (c_custkey BIGINT PRIMARY KEY,
+                                       c_name STRING, c_mktsegment STRING)
+          WITH (path='{sf_dir}/customer.parquet', format='parquet');
+
+        CREATE STREAM REPLAY_LIVE AS
+          SELECT event_id, ts, user_id, event_type, value
+          FROM REPLAY_RATINGS
+          WHERE lcase(event_type) NOT LIKE '%err%' EMIT CHANGES;
+
+        CREATE STREAM REPLAY_ENRICHED WITH (timestamp='ts') AS
+          SELECT r.event_id, r.ts, r.user_id, r.event_type, r.value,
+                 c.c_name, c.c_mktsegment,
+                 c.c_name || ' ' || c.c_mktsegment AS customer_label
+          FROM REPLAY_LIVE r
+          LEFT JOIN REPLAY_CUSTOMERS c ON r.user_id = c.c_custkey
+          WHERE c.c_name IS NOT NULL EMIT CHANGES;
+
+        CREATE STREAM REPLAY_UNHAPPY AS
+          SELECT event_id, user_id, value, customer_label
+          FROM REPLAY_ENRICHED
+          WHERE value < 50.0 AND c_mktsegment = 'BUILDING'
+          PARTITION BY customer_label;
+
+        CREATE SINK CONNECTOR REPLAY_SINK_ES WITH (
+            'topics' = 'REPLAY_UNHAPPY', 'key.ignore' = 'true');
+
+        CREATE TABLE REPLAY_PER_CUSTOMER_15M AS
+          SELECT customer_label, count(*) AS rating_count,
+                 sort_array(collect_list(event_id)) AS event_ids
+          FROM REPLAY_ENRICHED
+          WINDOW TUMBLING (SIZE 15 MINUTE)
+          GROUP BY customer_label EMIT CHANGES;
+        """
+    )
+    assert len(results) == 9
+    assert eng._options["auto.offset.reset"] == "earliest"
+    assert {c["name"] for c in eng.show_connectors()} >= {
+        "REPLAY_SOURCE_01", "REPLAY_SINK_ES",
+    }
+    assert eng._keys["REPLAY_UNHAPPY"] == "customer_label"
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    # enrichment matches the Python twin
+    want_enriched = {
+        (r.event_id, r.c_name)
+        for r in ref.enriched_events(events, customer).collect()
+    }
+    got_enriched = {
+        (r.event_id, r.c_name)
+        for r in eng.sql("SELECT event_id, c_name FROM REPLAY_ENRICHED")
+        .collect()
+    }
+    assert got_enriched == want_enriched and got_enriched
+    # the unhappy slice matches the flagship twin
+    want_unhappy = {
+        (r.event_id, r.value)
+        for r in ref.unhappy_vip_customers(events, customer).collect()
+    }
+    got_unhappy = {
+        (r.event_id, r.value) for r in results[6].collect()
+    }
+    assert got_unhappy == want_unhappy and got_unhappy
+    # the windowed CTAS matches the Python windowed twin (15m tumbling,
+    # same collect_list content) and exposes WINDOWSTART/WINDOWEND
+    twin = (
+        ref.enriched_events(events, customer)
+        .groupBy(
+            F.window("ts", "15 minutes").alias("w"), "customer_label"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("rating_count"),
+            F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        )
+        .select(
+            F.col("w.start").alias("windowstart"),
+            "customer_label",
+            "rating_count",
+        )
+    )
+    got_windowed = {
+        (r.windowstart, r.customer_label, r.rating_count)
+        for r in eng.sql(
+            "SELECT windowstart, customer_label, rating_count "
+            "FROM REPLAY_PER_CUSTOMER_15M"
+        ).collect()
+    }
+    assert got_windowed == {
+        (r.windowstart, r.customer_label, r.rating_count)
+        for r in twin.collect()
+    }
+    assert "windowend" in [
+        c.lower() for c in eng._tables["REPLAY_PER_CUSTOMER_15M"].columns
+    ]
+
+
+def test_sql_windowed_hopping_and_session_rewrites(spark, sf_dir):
+    """WINDOW HOPPING (SIZE..ADVANCE BY..) and WINDOW SESSION (gap)
+    rewrite to Spark's window()/session_window() — SQL text produces
+    the same frames as the DataFrame API (T3/T4 as statements)."""
+    eng = Engine(spark)
+    eng.sql(
+        f"""CREATE STREAM HOPSRC (ts TIMESTAMP, event_type STRING,
+                user_id BIGINT)
+            WITH (path='{sf_dir}/events.parquet', format='parquet',
+                  timestamp='ts')"""
+    )
+    got_hop = {
+        (r.windowstart, r.event_type, r.n)
+        for r in eng.sql(
+            """CREATE TABLE HOP30_15 AS
+               SELECT event_type, count(*) AS n FROM HOPSRC
+               WINDOW HOPPING (SIZE 30 MINUTES, ADVANCE BY 15 MINUTES)
+               GROUP BY event_type EMIT CHANGES"""
+        ).select("windowstart", "event_type", "n").collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want_hop = {
+        (r.w.start, r.event_type, r.n)
+        for r in events.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_hop == want_hop and got_hop
+
+    got_sess = {
+        (r.windowstart, r.user_id, r.n)
+        for r in eng.sql(
+            """CREATE TABLE SESS5 AS
+               SELECT user_id, count(*) AS n FROM HOPSRC
+               WINDOW SESSION (5 MINUTES)
+               GROUP BY user_id"""
+        ).select("windowstart", "user_id", "n").collect()
+    }
+    want_sess = {
+        (r.w.start, r.user_id, r.n)
+        for r in events.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_sess == want_sess and got_sess
+    # a windowed statement without a resolvable event time errors clearly
+    spark.createDataFrame([(1,)], "k long").createOrReplaceTempView("NOTS")
+    with pytest.raises(ValueError, match="event-time"):
+        eng.sql(
+            "CREATE TABLE X AS SELECT count(*) AS n FROM NOTS "
+            "WINDOW TUMBLING (SIZE 1 MINUTE) GROUP BY k"
+        )
+
+
+def test_create_acid_table_as_select_bootstrap(spark, tmp_path, sf_dir):
+    """CREATE ACID TABLE ... AS SELECT: one statement derives the
+    schema from the SELECT and publishes the result as the initial
+    commits (create + append); DESCRIBE DETAIL reflects it, and the
+    table is immediately queryable and DML-able."""
+    eng = Engine(spark)
+    loc = str(tmp_path / "ctas")
+    res = eng.sql_script(
+        f"""
+        CREATE STREAM CTAS_SRC (event_id BIGINT, user_id BIGINT,
+                                value DOUBLE)
+          WITH (path='{sf_dir}/events.parquet', format='parquet');
+        CREATE ACID TABLE ctas_events LOCATION '{loc}'
+          KEY event_id ORDER BY value WITH CHANGE FEED AS
+          SELECT event_id, user_id, value FROM CTAS_SRC
+          WHERE value >= 90.0;
+        """
+    )
+    v = res[-1].first().version
+    assert v == 1  # 0 = create (schema), 1 = the loading append
+    d = eng.sql("DESCRIBE DETAIL ctas_events").first()
+    want = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") >= 90.0)
+        .count()
+    )
+    assert d.num_rows == want and d.change_feed
+    assert d.key == "event_id"
+    assert eng.sql(
+        "SELECT count(*) AS n FROM ctas_events"
+    ).first()["n"] == want
+    eng.sql("DELETE FROM ctas_events WHERE value < 95.0")
+    assert eng.sql(
+        "SELECT min(value) AS lo FROM ctas_events"
+    ).first()["lo"] >= 95.0
+    # KEY/ORDER BY must come from the SELECT's output
+    with pytest.raises(ValueError, match="not in the query"):
+        eng.sql(
+            f"CREATE ACID TABLE bad LOCATION '{tmp_path / 'bad'}' "
+            "KEY nope ORDER BY value AS SELECT value FROM CTAS_SRC"
+        )
+
+
+def test_source_declaration_without_path_registers_binding(spark):
+    """A source declaration with only broker properties (no path) —
+    the reference's literal shape — registers a typed EMPTY relation
+    plus the connector-style binding: the topology deploys, downstream
+    statements plan, and the binding is inspectable."""
+    eng = Engine(spark)
+    df = eng.sql(
+        """CREATE STREAM BARE_RATINGS (rating_id BIGINT, stars INT,
+               channel VARCHAR)
+           WITH (kafka_topic='ratings', value_format='AVRO')"""
+    )
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "rating_id", "stars", "channel",
+    ]
+    assert df.schema["channel"].dataType.simpleString() == "string"
+    binding = next(
+        c for c in eng.show_connectors() if c["name"] == "BARE_RATINGS"
+    )
+    assert binding["config"]["kafka_topic"] == "ratings"
+    # downstream CSAS over the empty declaration still plans and runs
+    out = eng.sql(
+        "CREATE STREAM BARE_LIVE AS SELECT rating_id, stars "
+        "FROM BARE_RATINGS WHERE stars < 3"
+    )
+    assert out.count() == 0
