@@ -350,6 +350,9 @@ class TableReplicator:
         from data_pipeline_kafka_ek_spark.streaming import runtime as _rt
 
         cur = max(self.cursor(), since_version)
+        # the CAS tracks the TARGET's actual high water (which may trail
+        # ``cur`` when the caller skipped ahead with since_version)
+        expect_box = {"cur": self.cursor()}
         rows = self.source.read_row_changes(cur)
         n_commits = max(
             1,
@@ -375,17 +378,36 @@ class TableReplicator:
             ).first()["hi"]
             if head is None:
                 return  # nothing but pre-images in this batch
+            # same compare-and-set as replicate(): the cursor this run
+            # last advanced to must still be current at merge time, so
+            # two concurrent replicators of one app_id cannot interleave
+            # spans (the high-water txn guard alone only stops exact
+            # replays, not overlapping catch-ups). A replayed batch is
+            # skipped by txn_seen BEFORE the CAS, so restarts stay clean.
             self.target.merge(
                 changes,
                 delete_col="__dead",
-                txn={"app_id": self.app_id, "batch_id": int(head)},
+                txn={
+                    "app_id": self.app_id,
+                    "batch_id": int(head),
+                    "expect": expect_box["cur"],
+                },
             )
+            expect_box["cur"] = max(expect_box["cur"], int(head))
 
         ckpt = _tempfile.mkdtemp(prefix="repl_stream_ckpt_")
-        q = (
-            stream.writeStream.foreachBatch(_apply)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        try:
+            q = (
+                stream.writeStream.foreachBatch(_apply)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            # the durable cursor is the TARGET-side txn — the streaming
+            # checkpoint is disposable scaffolding; keeping it would
+            # accumulate a directory per catch-up call forever
+            import shutil as _shutil
+
+            _shutil.rmtree(ckpt, ignore_errors=True)

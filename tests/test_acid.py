@@ -2623,6 +2623,11 @@ def test_replicate_stream_follows_dml_history_as_standing_query(
     src.delete_where("x >= 7.0 AND x < 100.0")   # k in {7, 8, 9}
     src.update_where("k = 1", {"x": F.col("x") / 2})
 
+    import glob as _glob
+    import tempfile as _tempfile
+
+    _ckpt_glob = f"{_tempfile.gettempdir()}/repl_stream_ckpt_*"
+    ckpts_before = len(_glob.glob(_ckpt_glob))
     rep = TableReplicator(src, str(tmp_path / "rep"), files_per_commit=2)
     rep.replicate_stream()
 
@@ -2644,6 +2649,9 @@ def test_replicate_stream_follows_dml_history_as_standing_query(
     )
     rep.replicate_stream()
     assert snap(rep.read()) == snap(src.read())
+    # checkpoints are disposable scaffolding: three catch-up calls must
+    # not accumulate checkpoint directories in tempdir
+    assert len(_glob.glob(_ckpt_glob)) == ckpts_before
 
 
 def test_restore_reverts_dml_and_replica_follows(spark, tmp_path):
