@@ -712,12 +712,83 @@ def _doc_symbol_string(text_col: str) -> Column:
     return F.concat(F.lit(" "), F.array_join(per_word, " "), F.lit(" "))
 
 
+def _bpe_train_driver(
+    rows: "list[tuple[int, str]]", n_merges: int
+) -> "list[tuple[int, str, str, int]]":
+    """Sequential BPE merge training over an already-aggregated
+    ``(count, symbol-string)`` word table, entirely driver-side — the
+    textbook implementation (Sennrich's reference trains exactly this
+    way: the corpus collapses to a vocab-sized frequency dict, then the
+    merge loop is single-machine). Incremental pair-count maintenance
+    with a lazy-deletion heap: choosing a merge re-counts only the words
+    that contain it, and the argmax never rescans the full pair table.
+    Byte-identical to the Spark per-rank loop and the DuckDB oracle:
+    same sentinel-delimited strings, same left-to-right non-overlapping
+    ``str.replace`` (Python, Spark ``F.replace`` and DuckDB ``replace``
+    all share that contract), same (count DESC, l ASC, r ASC) argmax."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    cnts = [int(c) for c, _ in rows]
+    syms = [s for _, s in rows]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for i, sym in enumerate(syms):
+        toks = sym.split()
+        for p in zip(toks, toks[1:]):
+            pair_counts[p] += cnts[i]
+            pair_words[p].add(i)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: "list[tuple[int, str, str, int]]" = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, l, r = heapq.heappop(heap)
+            if pair_counts.get((l, r), 0) == -negc and -negc > 0:
+                best = (l, r, -negc)
+                break
+        if best is None:
+            break
+        l, r, c = best
+        merges.append((rank, l, r, c))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        touched: Counter = Counter()
+        for wi in list(pair_words.get((l, r), ())):
+            old = syms[wi]
+            new = old.replace(pat, rep)
+            if new == old:
+                pair_words[(l, r)].discard(wi)  # stale index entry
+                continue
+            w = cnts[wi]
+            ot, nt = old.split(), new.split()
+            for p in zip(ot, ot[1:]):
+                pair_counts[p] -= w
+                touched[p] += 1
+            for p in zip(nt, nt[1:]):
+                pair_counts[p] += w
+                pair_words[p].add(wi)
+                touched[p] += 1
+            syms[wi] = new
+        for p in touched:
+            cp = pair_counts.get(p, 0)
+            if cp > 0:
+                heapq.heappush(heap, (-cp, p[0], p[1]))
+            # zero/negative-free by construction; exhausted entries are
+            # skipped by the lazy-deletion check above
+    return merges
+
+
 def bpe_train_merges(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     max_ranks: int = 512,
     sample_words: "int | None" = None,
+    batch_candidates: int = 64,
+    driver_vocab_limit: int = 200_000,
+    stats: "dict | None" = None,
 ) -> "list[tuple[int, str, str, int]]":
     """Deterministic BPE merge training (Sennrich et al. 2016,
     arXiv:1508.07909): start from characters plus a ``</w>`` word-end
@@ -738,12 +809,41 @@ def bpe_train_merges(
     byte-for-byte, which is what makes the whole trainer oracle-checkable
     — see plans/extensions.py::_bpe_merge_ctes).
 
-    COST CONTRACT (the part a 30k-vocab production run must read): each
-    rank is one Spark job over the word table — the loop is driver-
-    sequenced BY THE ALGORITHM (rank k's counts depend on merge k-1;
-    batching count-disjoint picks changes the learned table, because a
-    pair created by merge k can outrank the batch's next pick). The cost
-    knobs are therefore explicit, not implicit:
+    COST CONTRACT (the part a 30k-vocab production run must read): the
+    algorithm sequences on the driver (rank k's counts depend on merge
+    k-1), so the distributed work is bounded two ways:
+
+    * DEFAULT PATH — when the distinct-word table fits
+      ``driver_vocab_limit`` rows (or ``sample_words`` bounds it), the
+      table is collected ONCE and the whole merge loop runs driver-side
+      (``_bpe_train_driver``): 512 ranks cost one Spark job. This is
+      the textbook architecture — the corpus collapses to a vocab-sized
+      frequency dict, and training is single-machine from there — and
+      it is byte-identical to the distributed loop and the oracle.
+    * FALLBACK — a vocabulary too large to collect trains through the
+      distributed per-round loop below, which still BATCHES ranks: the
+      top ``batch_candidates`` pairs are collected together and
+      accepted greedily, in order, while provably identical to
+      sequential training:
+
+    * a candidate must be SYMBOL-DISJOINT from every pair accepted this
+      round (a merge never changes the count of a pair it shares no
+      symbol with, so disjoint counts stay exact), and must not name a
+      symbol an accepted merge is about to create;
+    * a candidate's count must strictly exceed every accepted merge's
+      CREATED-PAIR BOUND: a merge (l, r) can only create pairs
+      ``(x, lr)`` / ``(lr, y)`` with counts bounded by the current
+      ``count(x, l)`` / ``count(r, y)`` (every created occurrence
+      consumes one such occurrence), so the max of those counts — plus
+      the truncation floor for pairs outside the collected head — is a
+      sound ceiling on anything the accepted merges can newly promote.
+
+    The learned table is therefore EXACTLY the sequential one (the
+    oracle CTEs replay it byte-for-byte), but 512 ranks cost a few tens
+    of count rounds instead of 512 driver round-trips. ``stats``, when
+    a dict is passed, records ``{"rounds": <count jobs>, "ranks": N}``
+    so callers (and the regression test) can see the batching factor.
+    The cost knobs stay explicit:
 
     * ``max_ranks`` — hard ceiling on ``n_merges`` (default 512). A
       larger vocabulary is a deliberate act: raise the ceiling AND size
@@ -759,10 +859,11 @@ def bpe_train_merges(
     """
     if n_merges > max_ranks:
         raise ValueError(
-            f"n_merges={n_merges} exceeds max_ranks={max_ranks}: each "
-            "rank is one Spark job (driver-sequenced by the algorithm) "
-            "— raise max_ranks deliberately and bound the per-rank cost "
-            "with sample_words"
+            f"n_merges={n_merges} exceeds max_ranks={max_ranks}: a "
+            "larger vocabulary is a deliberate act — raise max_ranks "
+            "AND bound the word table with sample_words (past "
+            "driver_vocab_limit the loop degrades to one distributed "
+            "count round per few ranks)"
         )
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
@@ -785,9 +886,30 @@ def bpe_train_merges(
         .persist()
     )
     try:
+        if driver_vocab_limit and driver_vocab_limit > 0:
+            # the standard architecture: the corpus collapses to a
+            # vocab-sized frequency table (ONE distributed job), and the
+            # merge loop runs driver-side over it — 512 ranks cost one
+            # Spark job, not 512. collect(limit+1) is the completeness
+            # probe: fewer rows back means the WHOLE table is in hand
+            # (deterministic); more means fall through to the
+            # distributed per-round loop below.
+            rows = [
+                (r["cnt"], r["sym"])
+                for r in words.select("cnt", "sym")
+                .limit(driver_vocab_limit + 1)
+                .collect()
+            ]
+            if len(rows) <= driver_vocab_limit:
+                merges = _bpe_train_driver(rows, n_merges)
+                if stats is not None:
+                    stats["rounds"] = 1
+                    stats["ranks"] = len(merges)
+                return merges
         cur = words
         merges: list[tuple[int, str, str, int]] = []
-        for rank in range(1, n_merges + 1):
+        rounds = 0
+        while len(merges) < n_merges:
             arr = F.split(F.trim(F.col("sym")), " ")
             n = F.size(arr)
             pair = F.explode(
@@ -797,28 +919,76 @@ def bpe_train_merges(
                     lambda l, r: F.struct(l.alias("l"), r.alias("r")),
                 )
             )
-            best = (
+            k = max(2, batch_candidates)
+            head = (
                 cur.select("cnt", pair.alias("p"))
                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
                 .agg(F.sum("cnt").cast("long").alias("c"))
                 .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-                .limit(1)
+                .limit(k)
                 .collect()
             )
-            if not best:
+            rounds += 1
+            if not head:
                 break
-            l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
-            merges.append((rank, l, r, c))
-            cur = cur.withColumn(
-                "sym",
-                F.replace("sym", F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")),
-            )
-            if rank % 10 == 0:
-                # truncate the replace-chain lineage: without this the plan
-                # grows one F.replace deeper per rank and Catalyst analysis
-                # cost goes quadratic in n_merges; the table is vocab-sized
-                # (distinct words), so the materialization is trivial
-                cur = cur.localCheckpoint()
+            exhausted = len(head) < k  # full pair table fits the head
+            # pairs outside the collected head can count at most this
+            floor = 0 if exhausted else int(head[-1]["c"])
+
+            def _hmax(pred):
+                return max(
+                    (int(p["c"]) for p in head if pred(p)), default=floor
+                )
+
+            accepted: "list[tuple[str, str, int]]" = []
+            used: set[str] = set()      # symbols consumed by accepted merges
+            created: set[str] = set()   # symbols the accepted merges create
+            bound = floor               # ceiling on any count an accepted
+            #                             merge could newly promote
+            for row in head:
+                l, r, c = row["l"], row["r"], int(row["c"])
+                if len(merges) + len(accepted) >= n_merges:
+                    break
+                if accepted and c <= bound:
+                    break  # a created pair could outrank everything below
+                if l in used or r in used or l in created or r in created:
+                    # STRICT PREFIX RULE: this candidate's count is no
+                    # longer exact after the earlier accepts, and every
+                    # candidate below it could lose to its updated count
+                    # — stop the batch here, recount next round
+                    break
+                accepted.append((l, r, c))
+                used.update((l, r))
+                concat = l + r
+                created.add(concat)
+                # a merge (l, r) can only raise counts of pairs touching
+                # its new symbol: (x, lr) gains at most the current
+                # count(x, l) on top of any pre-existing count(x, lr)
+                # (the symbol may already exist from an earlier round),
+                # and symmetrically (lr, y) from count(r, y). Pairs not
+                # in the collected head are bounded by the truncation
+                # floor. The sum of both terms is a sound ceiling.
+                cb_right = _hmax(lambda p: p["r"] == l) + _hmax(
+                    lambda p: p["r"] == concat
+                )
+                cb_left = _hmax(lambda p: p["l"] == r) + _hmax(
+                    lambda p: p["l"] == concat
+                )
+                bound = max(bound, cb_right, cb_left)
+            for l, r, c in accepted:
+                merges.append((len(merges) + 1, l, r, c))
+                cur = cur.withColumn(
+                    "sym",
+                    F.replace("sym", F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")),
+                )
+            # truncate the replace-chain lineage: without this the plan
+            # grows one F.replace deeper per rank and Catalyst analysis
+            # cost goes quadratic in n_merges; the table is vocab-sized
+            # (distinct words), so the materialization is trivial
+            cur = cur.localCheckpoint()
+        if stats is not None:
+            stats["rounds"] = rounds
+            stats["ranks"] = len(merges)
         return merges
     finally:
         words.unpersist()

@@ -1271,6 +1271,29 @@ def test_resize_images_real_block_mean(spark):
     assert small["pixels"][1][1] == (125, 0, 255, 128)
 
 
+def test_bpe_driver_training_is_one_job_and_exact(spark, sf_dir):
+    """The default trainer collapses the corpus to the vocab-sized word
+    table in ONE distributed job and runs the merge loop driver-side
+    (the textbook architecture): the learned table is byte-identical to
+    the distributed per-round loop, and the driver-loop round count
+    drops from ~one-per-rank to one — far past the 5x contract."""
+    from data_pipeline_kafka_ek_spark.operators import text
+    from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    st_driver: dict = {}
+    st_spark: dict = {}
+    learned = text.bpe_train_merges(docs, n_merges=24, stats=st_driver)
+    twin = text.bpe_train_merges(
+        docs, n_merges=24, stats=st_spark, driver_vocab_limit=0
+    )
+    assert learned == twin and len(learned) == 24
+    assert st_driver["rounds"] == 1
+    assert st_spark["rounds"] >= 5 * st_driver["rounds"]
+    # the distributed fallback also batches: never more rounds than ranks
+    assert st_spark["rounds"] <= st_spark["ranks"]
+
+
 def test_bpe_train_deep_merge_chain_stays_flat(spark):
     """Round-7 lineage cap: bpe_train_merges localCheckpoints every 10
     ranks, so a deep train (n_merges >> 8) neither blows Catalyst
