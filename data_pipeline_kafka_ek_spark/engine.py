@@ -755,6 +755,15 @@ class Engine:
                 self.update_acid_table(m.group(1), cond, assignments)
             )
         m = _re.match(
+            r"MERGE\s+INTO\s+(\w+)(?:\s+AS\s+(\w+))?\s+USING\s+(.+)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m and m.group(1) in acid:
+            return self._route_merge_into(
+                m.group(1), m.group(2), m.group(3)
+            )
+        m = _re.match(
             r"OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?$", s, _re.I
         )
         if m and m.group(1) in acid:
@@ -805,6 +814,7 @@ class Engine:
                         int(d["version"]),
                         int(d["num_files"]),
                         int(d["num_rows"]),
+                        int(d["size_bytes"]),
                         str(d["key"]),
                         str(d["order_col"]),
                         json.dumps(d["constraints"], sort_keys=True),
@@ -814,7 +824,8 @@ class Engine:
                     )
                 ],
                 "path string, version long, num_files long, num_rows long, "
-                "key string, order_col string, constraints string, "
+                "size_bytes long, key string, order_col string, "
+                "constraints string, "
                 "properties string, change_feed boolean, "
                 "vacuum_watermark long",
             )
@@ -898,6 +909,121 @@ class Engine:
                 "timestamp double",
             )
         return None
+
+    def _route_merge_into(
+        self, name: str, tgt_alias: "str | None", rest: str
+    ) -> DataFrame:
+        """``MERGE INTO`` as SQL text, mapped onto the table's keyed
+        upsert (``TxnLogTable.merge`` — latest row per key wins by the
+        table's ``order_col``). The supported shape is the CDC-apply
+        contract the engine's merge implements, validated explicitly:
+
+        * ``ON`` must be an equality of the table's merge KEY on both
+          sides (any aliases) — MERGE here IS keyed, not arbitrary-join;
+        * ``WHEN MATCHED THEN UPDATE SET *`` and ``WHEN NOT MATCHED
+          THEN INSERT *`` are both required (upsert semantics — the
+          merge inserts unmatched keys and replaces matched ones);
+        * ``WHEN MATCHED AND <cond> THEN DELETE`` (optional) deletes the
+          key when the SOURCE row satisfies ``<cond>`` (the tombstone
+          flavor; the condition reads source columns).
+
+        The USING source is a view name or a parenthesized subquery and
+        composes with time travel (``USING t VERSION AS OF k`` merges a
+        historical snapshot). Differences from Delta's MERGE, stated
+        rather than hidden: multiple source rows per key are resolved by
+        ``order_col`` (CDC latest-wins), never an error; per-column
+        UPDATE SET lists are not supported — the row is replaced."""
+        import re as _re
+
+        acid = self._acid
+        t = acid[name]
+        parts = self._split_top(rest, "ON")
+        if len(parts) < 2:
+            raise ValueError("MERGE INTO needs an ON clause")
+        using = parts[0].strip()
+        after_on = "ON".join(parts[1:])  # later ONs belong to the cond
+        clauses = self._split_top(after_on, "WHEN")
+        cond_text = clauses[0].strip()
+        km = _re.match(
+            r"^(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)$", cond_text
+        )
+        if not km or {km.group(2), km.group(4)} != {t.key}:
+            raise ValueError(
+                f"MERGE INTO {name}: ON must equate the table's merge "
+                f"key {t.key!r} on both sides (got {cond_text!r}) — "
+                "this MERGE is the keyed-upsert contract"
+            )
+        src_alias = None
+        am = _re.match(r"^(.*?)\s+(?:AS\s+)?(\w+)$", using, _re.S)
+        if am and (am.group(1).strip().endswith(")") or _re.match(
+            r"^\w+$", am.group(1).strip()
+        )):
+            using, src_alias = am.group(1).strip(), am.group(2)
+        if using.startswith("("):
+            body = using
+        else:
+            body = f"( SELECT * FROM {using} )"
+        src = self.spark.sql(
+            self._rewrite_time_travel(f"SELECT * FROM {body}")
+        )
+        sch = t._latest_schema()
+        if sch is not None:
+            # source columns the table knows are cast to the recorded
+            # types (same rule as the INSERT route): a VALUES/subquery
+            # literal's narrower type must never trip the append/merge
+            # type-conflict guard or silently coerce
+            typed = {f.name: f.dataType for f in sch.fields}
+            src = src.select(
+                *[
+                    (
+                        F.col(c).cast(typed[c]) if c in typed else F.col(c)
+                    ).alias(c)
+                    for c in src.columns
+                ]
+            )
+
+        has_update = has_insert = False
+        delete_cond: "str | None" = None
+        for cl in clauses[1:]:
+            c = cl.strip().rstrip(";").strip()
+            if _re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$", c, _re.I):
+                has_update = True
+            elif _re.match(
+                r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", c, _re.I
+            ):
+                has_insert = True
+            else:
+                dm = _re.match(
+                    r"MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE$", c,
+                    _re.I | _re.S,
+                )
+                if dm:
+                    delete_cond = dm.group(1)
+                else:
+                    raise ValueError(
+                        f"unsupported MERGE clause: WHEN {c!r} (supported: "
+                        "MATCHED THEN UPDATE SET *, NOT MATCHED THEN "
+                        "INSERT *, MATCHED AND <cond> THEN DELETE)"
+                    )
+        if not (has_update and has_insert):
+            raise ValueError(
+                f"MERGE INTO {name} is the keyed upsert: both WHEN "
+                "MATCHED THEN UPDATE SET * and WHEN NOT MATCHED THEN "
+                "INSERT * are required"
+            )
+        delete_col = None
+        if delete_cond is not None:
+            # the condition reads SOURCE columns; a source-alias prefix
+            # is stripped so 's.flag' and 'flag' both work
+            cond = delete_cond
+            for alias in (src_alias, tgt_alias):
+                if alias:
+                    cond = _re.sub(rf"\b{alias}\.", "", cond)
+            delete_col = "__sql_merge_delete"
+            src = src.withColumn(delete_col, F.expr(cond))
+        v = t.merge(src, delete_col=delete_col)
+        self.create_table(name, t.read())
+        return self.spark.createDataFrame([(int(v),)], "version long")
 
     def start_stream(
         self,

@@ -548,6 +548,7 @@ class TxnLogTable:
             "version": self.latest_version(),
             "num_files": len(adds),
             "num_rows": sum(int(a.get("rows") or 0) for a in adds),
+            "size_bytes": sum(int(a.get("bytes") or 0) for a in adds),
             "key": self.key,
             "order_col": self.order_col,
             "schema": state["schema"],
@@ -1868,6 +1869,18 @@ class TxnLogTable:
                     for c in state["properties"]["zorder.columns"].split(",")
                     if c.strip()
                 ]
+            if (
+                target_file_bytes is None
+                and min_file_bytes is None
+                and state["properties"].get("optimize.target_file_bytes")
+            ):
+                # recorded size policy: a plain optimize()/OPTIMIZE
+                # statement on a table that declared its target file
+                # size runs the bounded bin-packed pass, same as the
+                # zorder.columns layout property above
+                target_file_bytes = int(
+                    state["properties"]["optimize.target_file_bytes"]
+                )
             size_targeted = (
                 target_file_bytes is not None or min_file_bytes is not None
             )

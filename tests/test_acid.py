@@ -711,6 +711,40 @@ def test_optimize_size_targeted_bin_packs_small_files(spark, tmp_path):
     }
 
 
+def test_optimize_honors_recorded_size_policy(spark, tmp_path):
+    """A table that declared optimize.target_file_bytes runs every plain
+    optimize()/OPTIMIZE statement through the bounded bin-packed pass
+    (same sticking rule as zorder.columns): the large file is never
+    rewritten by maintenance, and DESCRIBE DETAIL reports the snapshot's
+    total size from the recorded add stats (zero data jobs)."""
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "szp", str(tmp_path / "szp"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(100000 + i, 1, f"bulk{i}") for i in range(40000)],
+            "k long, seq long, v string",
+        )
+    )
+    large = max(t._snapshot_adds(), key=lambda a: a["bytes"])
+    t.set_property("optimize.target_file_bytes", str(large["bytes"]))
+    for i in range(5):
+        t.append(
+            spark.createDataFrame(
+                [(i, 1, f"s{i}")], "k long, seq long, v string"
+            )
+        )
+    assert eng.sql("OPTIMIZE szp").first().version is not None
+    assert large["path"] in {a["path"] for a in t._snapshot_adds()}
+    d = eng.sql("DESCRIBE DETAIL szp").first()
+    assert d.size_bytes == sum(a["bytes"] for a in t._snapshot_adds())
+    assert d.num_rows == 40005
+
+
 def test_auto_optimize_is_size_bounded(spark, tmp_path):
     """The inline auto-compaction after a write routes through the
     size-targeted variant: a large file in the snapshot is never part of

@@ -988,3 +988,67 @@ def test_source_declaration_without_path_registers_binding(spark):
         "FROM BARE_RATINGS WHERE stars < 3"
     )
     assert out.count() == 0
+
+
+def test_engine_sql_merge_into_keyed_upsert(spark, tmp_path):
+    """MERGE INTO as SQL text: USING view or subquery, upsert + the
+    tombstone DELETE clause, composing with time travel; the restricted
+    contract (ON must equate the merge key; both upsert clauses
+    required) is validated with actionable errors."""
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "mi", str(tmp_path / "mi"), key="k", order_col="seq",
+        files_per_commit=2,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")],
+            "k long, seq long, v string",
+        )
+    )
+    eng.refresh_acid_table("mi")
+    spark.createDataFrame(
+        [(2, 2, "B", False), (4, 2, "d", False), (3, 2, None, True)],
+        "k long, seq long, v string, dead boolean",
+    ).createOrReplaceTempView("mi_src")
+
+    v = eng.sql(
+        """MERGE INTO mi USING mi_src AS s ON mi.k = s.k
+           WHEN MATCHED AND s.dead THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""
+    ).first().version
+    assert v == t.latest_version()
+    got = {r.k: r.v for r in eng.sql("SELECT k, v FROM mi").collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}  # 3 deleted, 2 updated, 4 inserted
+
+    # subquery source + time travel: merge version-0 rows back in
+    eng.sql(
+        """MERGE INTO mi USING (
+             SELECT k, 3 AS seq, v, false AS dead
+             FROM mi VERSION AS OF 0 WHERE k = 3
+           ) old ON old.k = mi.k
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    assert eng.sql(
+        "SELECT v FROM mi WHERE k = 3"
+    ).first()["v"] == "c"
+
+    with pytest.raises(ValueError, match="merge\\s+key|merge key"):
+        eng.sql(
+            "MERGE INTO mi USING mi_src s ON mi.v = s.v "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="required"):
+        eng.sql(
+            "MERGE INTO mi USING mi_src s ON mi.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET *"
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE clause"):
+        eng.sql(
+            "MERGE INTO mi USING mi_src s ON mi.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = 'x' "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
