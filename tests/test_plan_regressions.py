@@ -420,3 +420,25 @@ def test_kmv_sketch_plans_have_no_partitionless_windows(spark, sf_dir):
     )
     _assert_no_partitionless_window(s)
     assert "TakeOrdered" in s, s
+
+
+def test_sql_text_csas_plans_like_the_python_twin(spark, sf_dir):
+    """The statements-file flagship (plan built purely from SQL text
+    through Engine.sql_script) must carry the same scale shape as the
+    Python-API twin: the customer dimension broadcasts (the fact side
+    never shuffles for the join) and the fact-side filters reach the
+    parquet scan."""
+    plan = _plan(em.queries()["q_sql_csas_unhappy"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # the single exchange is the DELIBERATE PARTITION BY re-key (the
+    # Kafka-key twin) — the join itself must not shuffle the fact side
+    assert _shuffles(plan) == 1 and "REPARTITION_BY_COL" in plan, plan
+    assert "PushedFilters" in plan and "IsNotNull" in plan, plan
+
+
+def test_sql_text_windowed_ctas_single_shuffle(spark, sf_dir):
+    """WINDOW TUMBLING rewritten from SQL text plans as one
+    partial+final aggregation — a single shuffle, same as the a3
+    Python twin."""
+    plan = _plan(em.queries()["q_sql_windowed_ctas"](spark, sf_dir))
+    assert _shuffles(plan) <= 1, plan
