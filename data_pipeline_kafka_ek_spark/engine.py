@@ -840,6 +840,16 @@ class Engine:
                 acid[m.group(1)].add_constraint(m.group(2), m.group(3))
             )
         m = _re.match(
+            r"ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMNS\s*\((.+)\)$",
+            s,
+            _re.I | _re.S,
+        )
+        if m and m.group(1) in acid:
+            t = acid[m.group(1)]
+            v = t.add_columns(m.group(2))
+            self.create_table(m.group(1), t.read())
+            return _version_frame(v)
+        m = _re.match(
             r"ALTER\s+TABLE\s+(\w+)\s+DROP\s+CONSTRAINT\s+(\w+)$", s, _re.I
         )
         if m and m.group(1) in acid:
@@ -925,7 +935,10 @@ class Engine:
           merge inserts unmatched keys and replaces matched ones);
         * ``WHEN MATCHED AND <cond> THEN DELETE`` (optional) deletes the
           key when the SOURCE row satisfies ``<cond>`` (the tombstone
-          flavor; the condition reads source columns).
+          flavor; the condition reads source columns). When ``<cond>``
+          is a bare source column it is treated as the CDC tombstone
+          flag: consumed by the merge and never landed as data — exact
+          parity with the Python API's ``delete_col``.
 
         The USING source is a view name or a parenthesized subquery and
         composes with time travel (``USING t VERSION AS OF k`` merges a
@@ -1019,8 +1032,16 @@ class Engine:
             for alias in (src_alias, tgt_alias):
                 if alias:
                     cond = _re.sub(rf"\b{alias}\.", "", cond)
-            delete_col = "__sql_merge_delete"
-            src = src.withColumn(delete_col, F.expr(cond))
+            cond = cond.strip()
+            if _re.match(r"^\w+$", cond) and cond in src.columns:
+                # the CDC-tombstone shape: WHEN MATCHED AND <flag> THEN
+                # DELETE names a boolean source column — it is control
+                # metadata, consumed and DROPPED by the merge (exact
+                # parity with the Python API's delete_col)
+                delete_col = cond
+            else:
+                delete_col = "__sql_merge_delete"
+                src = src.withColumn(delete_col, F.expr(cond))
         v = t.merge(src, delete_col=delete_col)
         self.create_table(name, t.read())
         return self.spark.createDataFrame([(int(v),)], "version long")

@@ -964,6 +964,44 @@ class TxnLogTable:
             f"add_constraint lost the commit race {max_retries} times"
         )
 
+    def add_columns(self, coldefs, max_retries: int = 20) -> int:
+        """ALTER TABLE ADD COLUMNS (Delta's explicit schema-evolution
+        DDL): publish a data-free ``alter`` commit carrying the widened
+        schema. Existing data files stay untouched — readers project the
+        new columns as NULL (the same narrow-file rule appended narrow
+        batches rely on), so the op is O(log), never O(table). Raises if
+        a named column already exists (a typo must never silently no-op
+        — the mirror of the INSERT unknown-column guard) or if the table
+        has no recorded schema yet. ``coldefs`` is a StructType or Spark
+        DDL text ("y DOUBLE, z STRING")."""
+        frag = (
+            StructType.fromDDL(coldefs)
+            if isinstance(coldefs, str)
+            else coldefs
+        )
+        for _ in range(max_retries):
+            base = self.latest_version()
+            state = self._fold_log(base) if base >= 0 else {"schema": None}
+            if not state["schema"]:
+                raise ValueError(
+                    "ADD COLUMNS needs a recorded schema — initialize() "
+                    "or write data first"
+                )
+            cur = StructType.fromJson(json.loads(state["schema"]))
+            have = {f.name for f in cur.fields}
+            dup = sorted(f.name for f in frag.fields if f.name in have)
+            if dup:
+                raise ValueError(
+                    f"ADD COLUMNS: column(s) {dup} already exist in the "
+                    "recorded schema"
+                )
+            widened = StructType(list(cur.fields) + list(frag.fields))
+            if self._try_commit(base + 1, "alter", [], None, widened.json()):
+                return base + 1
+        raise ConcurrentModification(
+            f"add_columns lost the commit race {max_retries} times"
+        )
+
     def properties(self) -> "dict[str, str]":
         """Active table properties (key -> value), folded through the
         log and checkpoints like constraints."""

@@ -557,18 +557,51 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
                     if op < 0.3:
                         if use_sql:
                             # randomized INSERT INTO ... VALUES through
-                            # the SQL parser (narrow list pre-evolution)
-                            eng.sql(sql_insert(
+                            # the SQL parser (narrow list pre-evolution).
+                            # The column-list guard refuses unknown
+                            # columns, so SQL-side evolution is EXPLICIT:
+                            # ALTER TABLE ADD COLUMNS, racing with other
+                            # writers (a concurrent ALTER of the same
+                            # column is an expected already-exists loss)
+                            stmt = sql_insert(
                                 [
                                     row[:4] + ((row[5],) if evolved else ())
                                     for row in rows
                                 ],
                                 evolved,
-                            ))
+                            )
+                            try:
+                                eng.sql(stmt)
+                            except ValueError as e:
+                                if "unknown column" not in str(e):
+                                    raise
+                                try:
+                                    eng.sql(
+                                        "ALTER TABLE fz ADD COLUMNS "
+                                        "(y DOUBLE)"
+                                    )
+                                except ValueError:
+                                    pass  # another writer added it first
+                                eng.sql(stmt)
                         else:
                             src.append(df.drop("dead"))
                     elif op < 0.75:
-                        src.merge(df, delete_col="dead")
+                        if use_sql:
+                            # randomized MERGE INTO through the SQL
+                            # parser: USING view, keyed ON, tombstone
+                            # DELETE clause — must be byte-equivalent to
+                            # merge(df, delete_col="dead")
+                            view = f"fz_src_{thread_seed}_{step}"
+                            df.createOrReplaceTempView(view)
+                            eng.sql(
+                                f"MERGE INTO fz USING {view} AS s "
+                                "ON fz.k = s.k "
+                                "WHEN MATCHED AND s.dead THEN DELETE "
+                                "WHEN MATCHED THEN UPDATE SET * "
+                                "WHEN NOT MATCHED THEN INSERT *"
+                            )
+                        else:
+                            src.merge(df, delete_col="dead")
                     elif op < 0.85:
                         # predicate DELETE joins the history: prunes to
                         # the files holding matches, records row-level

@@ -1052,3 +1052,28 @@ def test_engine_sql_merge_into_keyed_upsert(spark, tmp_path):
             "WHEN MATCHED THEN UPDATE SET v = 'x' "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+
+
+def test_alter_table_add_columns_schema_evolution(spark, tmp_path):
+    """ALTER TABLE ADD COLUMNS is the explicit SQL schema-evolution
+    path (the INSERT column-list guard forbids typo-widening): one
+    data-free O(log) commit widens the schema, existing rows read the
+    new column as NULL, and duplicates/unknown tables error cleanly."""
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "evo", str(tmp_path / "evo"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    eng.refresh_acid_table("evo")
+    pre_files = t.file_count()
+    v = eng.sql("ALTER TABLE evo ADD COLUMNS (y DOUBLE, tag STRING)").first().version
+    assert v == t.latest_version()
+    assert t.file_count() == pre_files  # data-free: no rewrite
+    row = eng.sql("SELECT k, v, y, tag FROM evo").first()
+    assert (row.k, row.v, row.y, row.tag) == (1, "a", None, None)
+    eng.sql("INSERT INTO evo (k, seq, y) VALUES (2, 1, 4.5)")
+    got = {r.k: (r.v, r.y) for r in eng.sql("SELECT k, v, y FROM evo").collect()}
+    assert got == {1: ("a", None), 2: (None, 4.5)}
+    with pytest.raises(ValueError, match="already exist"):
+        eng.sql("ALTER TABLE evo ADD COLUMNS (y DOUBLE)")
