@@ -486,3 +486,108 @@ def test_zvalue_expression_matches_python_twin(spark):
             for a2 in range(a1, n, 5):
                 for b2 in range(b1, n, 5):
                     assert got[(a1, b1)] <= got[(a2, b2)]
+
+
+# -- derived prune-conjunct soundness (acid.conjuncts_from_condition) --------
+
+_LIT_STR = st.text(
+    alphabet="ab 'c%AND_OR", min_size=0, max_size=8
+).map(lambda s: "'" + s.replace("'", "''") + "'")
+_LIT_NUM = st.integers(min_value=-50, max_value=50).map(str)
+
+
+@st.composite
+def _atoms(draw):
+    col = draw(st.sampled_from(["k", "x", "grp"]))
+    lit = {"k": _LIT_NUM, "x": _LIT_NUM, "grp": _LIT_STR}[col]
+    kind = draw(st.integers(0, 5))
+    if kind == 0 and col != "grp":
+        lo = draw(st.integers(-50, 50))
+        hi = lo + draw(st.integers(0, 30))
+        return f"{col} BETWEEN {lo} AND {hi}"
+    op = draw(st.sampled_from(["=", "<", "<=", ">", ">="]))
+    atom = f"{col} {op} {draw(lit)}"
+    if kind == 1:
+        return f"NOT ({atom})"
+    if kind == 2:
+        other = f"{col} {draw(st.sampled_from(['=', '>']))} {draw(lit)}"
+        return f"({atom} OR {other})"
+    return atom
+
+
+_CONDITIONS = st.lists(_atoms(), min_size=1, max_size=4).map(" AND ".join)
+
+
+def _conj_sql(c):
+    col, op, val = c
+    if op == "between":
+        lo, hi = val
+
+        def q(v):
+            return f"'{str(v).replace(chr(39), chr(39) * 2)}'" if isinstance(v, str) else str(v)
+
+        return f"{col} BETWEEN {q(lo)} AND {q(hi)}"
+    v = f"'{str(val).replace(chr(39), chr(39) * 2)}'" if isinstance(val, str) else str(val)
+    return f"{col} {op} {v}"
+
+
+@given(
+    _CONDITIONS,
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-60, 60)),
+            st.one_of(st.none(), st.integers(-60, 60)),
+            st.one_of(st.none(), st.text(alphabet="ab c%", max_size=6)),
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_derived_conjuncts_are_implied_and_prune_soundly(cond, rows):
+    """The mechanical conjunct deriver's SAFETY property, end to end:
+    (1) every derived conjunct is IMPLIED by the condition — no row
+    satisfying the condition fails a conjunct (checked in DuckDB over
+    generated rows, NULLs included); (2) log-stats pruning with the
+    derived conjuncts never drops a file that contains a matching row
+    (chunked rows -> per-chunk min/max/null stats exactly as
+    _write_data_files records them -> _stats_may_match)."""
+    import duckdb
+
+    from data_pipeline_kafka_ek_spark.sources.acid import (
+        _stats_may_match,
+        conjuncts_from_condition,
+    )
+
+    derived = conjuncts_from_condition(cond)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, x BIGINT, grp VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    # (1) implication, SQL three-valued logic: violation = cond TRUE
+    # while the conjunct is not TRUE
+    for c in derived:
+        n = con.execute(
+            f"SELECT count(*) FROM t WHERE ({cond}) "
+            f"AND (NOT ({_conj_sql(c)}) OR ({_conj_sql(c)}) IS NULL)"
+        ).fetchone()[0]
+        assert n == 0, (cond, c)
+    # (2) pruning soundness over synthetic per-file stats
+    chunk = max(1, len(rows) // 3)
+    for i in range(0, len(rows), chunk):
+        part = rows[i : i + chunk]
+        stats = {}
+        for ci, col in enumerate(("k", "x", "grp")):
+            vals = [r[ci] for r in part if r[ci] is not None]
+            stats[col] = {
+                "min": min(vals) if vals else None,
+                "max": max(vals) if vals else None,
+                "nulls": sum(1 for r in part if r[ci] is None),
+            }
+        add = {"rows": len(part), "stats": stats}
+        if not _stats_may_match(add, derived):
+            con.execute("DELETE FROM t")
+            con.executemany("INSERT INTO t VALUES (?, ?, ?)", part)
+            n = con.execute(
+                f"SELECT count(*) FROM t WHERE {cond}"
+            ).fetchone()[0]
+            assert n == 0, (cond, derived, part)
