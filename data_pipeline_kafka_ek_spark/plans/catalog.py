@@ -979,6 +979,8 @@ DRIVER_ROTATION_ROUND = 12
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "q_sql_csas_unhappy",
     "q_sql_windowed_ctas",
+    "x_acid_sized_compaction",
+    "x_acid_merge_sql",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

@@ -6100,3 +6100,143 @@ def q_sql_windowed_ctas(spark, sf_dir):
         FROM SQLF_PER_TYPE_15M EMIT CHANGES;
         """
     )[-1]
+
+
+@register(
+    "x_acid_sized_compaction",
+    """
+    WITH p AS (
+      SELECT event_id, user_id % 5 AS seg,
+             CAST(round(value * 10000) AS BIGINT) AS vq
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(vq) / 10000.0, 4) AS sum_value
+    FROM p GROUP BY seg
+    """,
+    survey_ids=("§2.12", "EXT-streaming"),
+    doc="size-targeted bin-packed compaction attested by a SQL oracle: "
+    "one bulk append plus a tail of tiny appends fragment the table, "
+    "the recorded optimize.target_file_bytes policy routes a plain "
+    "OPTIMIZE statement through the bounded pass (only the small-file "
+    "debt rewrites — the bulk file is asserted untouched in the body, "
+    "the Delta OPTIMIZE shape), and the final rollup must equal the "
+    "oracle over the raw rows: maintenance is a pure layout change. "
+    "At 100 TB this is the difference between an O(small-debt) "
+    "maintenance pass and an O(table) rewrite.",
+)
+def x_acid_sized_compaction(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(5)).alias("seg"),
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+    ).localCheckpoint(eager=True)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_acid_sized_")
+    try:
+        eng = Engine(spark)
+        t = eng.create_acid_table(
+            "szc_t", f"{scratch}/tbl", key="event_id", order_col="vq",
+            files_per_commit=1,
+        )
+        # bulk file + a fragmented tail of tiny appends
+        t.append(p.filter(F.col("event_id") % 10 < 8))
+        for b in (8, 9):
+            t.append(p.filter(F.col("event_id") % 10 == b))
+        bulk = max(t._snapshot_adds(), key=lambda a: a["bytes"])
+        t.set_property("optimize.target_file_bytes", str(bulk["bytes"]))
+        v = eng.sql("OPTIMIZE szc_t").first().version
+        live = {a["path"] for a in t._snapshot_adds()}
+        assert v is not None and bulk["path"] in live, (
+            "bounded compaction must rewrite only the small-file debt"
+        )
+        snapshot = (
+            t.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("vq") / F.lit(10000.0), 4).alias("sum_value"),
+            )
+        )
+        return spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@register(
+    "x_acid_merge_sql",
+    """
+    WITH p AS (
+      SELECT event_id, user_id % 5 AS seg,
+             CAST(round(value * 10000) AS BIGINT) AS vq,
+             event_id % 10 AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    merged AS (
+      SELECT event_id, seg,
+             CASE WHEN b >= 8 THEN vq + 10000 ELSE vq END AS vq
+      FROM p WHERE NOT (b >= 8 AND vq > 900000)
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(vq) / 10000.0, 4) AS sum_value
+    FROM merged GROUP BY seg
+    """,
+    survey_ids=("T7", "§2.12", "EXT-streaming"),
+    doc="MERGE INTO through the SQL string surface, oracle-attested: "
+    "the base purchases land in an ACID table, then one MERGE INTO "
+    "statement (USING a derived view, keyed ON, tombstone clause) "
+    "upserts the b>=8 slice with vq+1.0 and deletes its vq>90 outliers "
+    "— the keyed transactional merge with stats-pruned file rewrites. "
+    "The rollup must equal the oracle's CASE/anti-filter over raw rows. "
+    "Column types cast to the recorded schema (Delta's MERGE rule); "
+    "the tombstone flag is control metadata and never lands.",
+)
+def x_acid_merge_sql(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(5)).alias("seg"),
+        F.round(F.col("value") * 10000).cast("long").alias("vq"),
+    ).localCheckpoint(eager=True)
+    scratch = tempfile.mkdtemp(prefix="spark_graft_acid_msql_")
+    try:
+        eng = Engine(spark)
+        t = eng.create_acid_table(
+            "msql_t", f"{scratch}/tbl", key="event_id", order_col="vq",
+            files_per_commit=2,
+        )
+        t.append(p)
+        p.filter(F.pmod(F.col("event_id"), F.lit(10)) >= 8).select(
+            "event_id",
+            "seg",
+            (F.col("vq") + 10000).alias("vq"),
+            (F.col("vq") > 900000).alias("gone"),
+        ).createOrReplaceTempView("msql_changes")
+        eng.sql(
+            "MERGE INTO msql_t USING msql_changes AS s "
+            "ON msql_t.event_id = s.event_id "
+            "WHEN MATCHED AND s.gone THEN DELETE "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        snapshot = (
+            t.read()
+            .groupBy("seg")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.round(F.sum("vq") / F.lit(10000.0), 4).alias("sum_value"),
+            )
+        )
+        return spark.createDataFrame(snapshot.collect(), snapshot.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
