@@ -510,6 +510,46 @@ class Engine:
             return self._create_source(
                 m.group(1).upper(), m.group(2), m.group(3), m.group(4)
             )
+
+        # the reference CLI's inspection statements (README.md:71,146,
+        # 181,297; PRINT README.md:73,185). SHOW TABLES and DESCRIBE stay
+        # with Spark SQL — they are native there and list the same temp
+        # views this registry creates.
+        if _re.match(r"SHOW\s+STREAMS$", s, _re.I):
+            return self.spark.createDataFrame(
+                [(n,) for n in self.show_streams()] or [], "name string"
+            )
+        if _re.match(r"SHOW\s+CONNECTORS$", s, _re.I):
+            return self.spark.createDataFrame(
+                [
+                    (c["name"], c["kind"])
+                    for c in self.show_connectors()
+                ]
+                or [],
+                "name string, kind string",
+            )
+        if _re.match(r"SHOW\s+QUERIES$", s, _re.I):
+            return self.spark.createDataFrame(
+                [
+                    (q["id"], q["name"], q["isActive"])
+                    for q in self.show_queries()
+                ]
+                or [],
+                "id string, name string, isActive boolean",
+            )
+        m = _re.match(
+            r"PRINT\s+'((?:[^']|'')*)'(?:\s+FROM\s+BEGINNING)?"
+            r"(?:\s+LIMIT\s+(\d+))?$",
+            s,
+            _re.I,
+        )
+        if m:
+            name = m.group(1).replace("''", "'")
+            n = int(m.group(2)) if m.group(2) else 5
+            df = self._streams.get(name) or self._tables.get(name)
+            if df is None:
+                raise KeyError(f"unknown stream/table {name!r}")
+            return df.limit(n)
         return None
 
     # ksqlDB column types that differ from Spark DDL spellings

@@ -1077,3 +1077,25 @@ def test_alter_table_add_columns_schema_evolution(spark, tmp_path):
     assert got == {1: ("a", None), 2: (None, 4.5)}
     with pytest.raises(ValueError, match="already exist"):
         eng.sql("ALTER TABLE evo ADD COLUMNS (y DOUBLE)")
+
+
+def test_sql_show_and_print_statements(spark, sf_dir):
+    """The reference CLI's inspection statements as SQL text: SHOW
+    STREAMS / SHOW CONNECTORS / SHOW QUERIES and PRINT 'name' [FROM
+    BEGINNING] [LIMIT n] (reference: README.md:71,73,181,297). SHOW
+    TABLES / DESCRIBE stay native Spark SQL over the same views."""
+    eng = Engine(spark)
+    eng.create_stream("show_ev", load_table(spark, sf_dir, "events"))
+    eng.create_connector("show_sink", "sink", {"topics": "show_ev"})
+    assert [r.name for r in eng.sql("SHOW STREAMS").collect()] == ["show_ev"]
+    rows = eng.sql("SHOW CONNECTORS").collect()
+    assert [(r.name, r.kind) for r in rows] == [("show_sink", "sink")]
+    assert eng.sql("SHOW QUERIES").count() == 0
+    assert eng.sql("PRINT 'show_ev' FROM BEGINNING LIMIT 3").count() == 3
+    assert eng.sql("PRINT 'show_ev'").count() == 5
+    # native Spark SHOW TABLES still sees the registered view
+    assert "show_ev" in {
+        r.tableName for r in eng.sql("SHOW TABLES").collect()
+    }
+    with pytest.raises(KeyError):
+        eng.sql("PRINT 'nope'")
