@@ -981,6 +981,9 @@ REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "q_sql_windowed_ctas",
     "x_acid_sized_compaction",
     "x_acid_merge_sql",
+    "h17_small_quantity_revenue",
+    "h19_disjunctive_revenue",
+    "h13_order_count_distribution",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

@@ -6240,3 +6240,148 @@ def x_acid_merge_sql(spark, sf_dir):
         return spark.createDataFrame(snapshot.collect(), snapshot.schema)
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 three more TPC-H plan FAMILIES the engine should speak (each a shape
+# the prior h-queries do not cover: correlated aggregate threshold,
+# disjunctive mixed-table predicates, distribution-of-counts over an outer
+# join with an ON-clause filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h17_small_quantity_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 5
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    survey_ids=("J1", "A1"),
+    doc="TPC-H Q17-shaped correlated aggregate threshold: revenue from "
+    "orders below 20% of the part's average quantity. Spark shape: the "
+    "filtered part slice BROADCASTS into the fact scan, the per-part "
+    "average is computed once over that joined subset (the correlation "
+    "key is the join key, so the correlated subquery decorrelates to a "
+    "per-partkey window average over the SAME joined slice) — the "
+    "100 TB fact is scanned ONCE; the only exchange re-keys the "
+    "brand-filtered slice by part for the window, never the full fact.",
+)
+def h17_small_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .withColumn("__qty_cap", F.avg("l_quantity").over(w) * 0.2)
+        .filter(F.col("l_quantity") < F.col("__qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "h19_disjunctive_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey_ids=("J1", "F5", "A1"),
+    doc="TPC-H Q19-shaped disjunctive mixed-table predicate: three OR "
+    "branches, each constraining BOTH sides of the join. Catalyst "
+    "factors the per-table implications of the disjunction out of the "
+    "OR (constraint propagation): the part scan prunes to the three "
+    "brands and the fact scan to the union quantity range BEFORE the "
+    "join, with the residual OR evaluated on the joined row — the "
+    "plan-shape test for 'does a disjunction still push down'. Part "
+    "slice broadcasts; the fact never shuffles.",
+)
+def h19_disjunctive(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(branch).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "h13_order_count_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        AND o.o_orderpriority NOT LIKE '%URGENT%'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    survey_ids=("J1", "A1", "F1"),
+    doc="TPC-H Q13-shaped distribution of counts: how many customers "
+    "placed k qualifying orders, INCLUDING the zero-order customers — "
+    "which is exactly why the priority filter lives in the LEFT JOIN's "
+    "ON clause, not WHERE (a WHERE would silently drop the k=0 row, "
+    "the classic Q13 bug). Spark shape: the customer side broadcasts "
+    "at fixture scale (at 100 TB both sides bucket on the customer key "
+    "and the join+count share one exchange); the distribution aggregate "
+    "and its sort run over the tiny distinct-count-values table. "
+    "count(o_orderkey) counts non-NULL matches only, per SQL.",
+)
+def h13_order_counts(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & ~F.col("o_orderpriority").like("%URGENT%"),
+            "left",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
