@@ -188,67 +188,24 @@ class Engine:
 
     @staticmethod
     def _quoted_spans(s: str) -> "list[tuple[int, int]]":
-        """``[start, end)`` index spans of every quoted region in ``s`` —
-        the same three Spark SQL quoting forms (and doubled-char escapes)
-        that ``_split_top`` skips, as reusable span data for scanners
-        that need "is this offset inside a quote" instead of a split."""
-        spans, i, n = [], 0, len(s)
-        while i < n:
-            ch = s[i]
-            if ch in "'\"`":
-                j = i + 1
-                while j < n:
-                    if s[j] == ch and not (j + 1 < n and s[j + 1] == ch):
-                        break
-                    j += 2 if s[j] == ch else 1
-                spans.append((i, min(j + 1, n)))
-                i = j + 1
-                continue
-            i += 1
-        return spans
+        """``[start, end)`` spans of every quoted region — the shared
+        scanner (see functions/sqltext.py; one tokenizer for every
+        statement-surface consumer, so a quoting edge is fixed once)."""
+        from data_pipeline_kafka_ek_spark.functions.sqltext import (
+            quoted_spans,
+        )
+
+        return quoted_spans(s)
 
     @staticmethod
     def _split_top(s: str, want: str) -> "list[str]":
         """Split ``s`` on top-level occurrences of ``want`` (a keyword
         like WHERE, matched case-insensitively as a whole word, or the
-        literal ','), ignoring anything inside quotes or parentheses.
-        All three Spark SQL quoting forms are skipped: ``'...'`` string
-        literals, ``"..."`` (a string literal under the default
-        ``spark.sql.ansi.doubleQuotedIdentifiers=false``), and
-        `` `...` `` quoted identifiers — each with the doubled-char
-        escape (``''``, ``""``, ``` `` ```)."""
-        parts, depth, i, last, out = [], 0, 0, 0, []
-        n = len(s)
-        while i < n:
-            ch = s[i]
-            if ch in "'\"`":
-                q = ch
-                j = i + 1
-                while j < n:
-                    if s[j] == q and not (j + 1 < n and s[j + 1] == q):
-                        break
-                    j += 2 if s[j] == q else 1
-                i = j + 1
-                continue
-            if ch in "([":
-                depth += 1
-            elif ch in ")]":
-                depth -= 1
-            elif depth == 0:
-                if want in (",", ";") and ch == want:
-                    out.append(s[last:i])
-                    last = i + 1
-                elif want != "," and s[i : i + len(want)].upper() == want:
-                    before = s[i - 1] if i else " "
-                    after = s[i + len(want)] if i + len(want) < n else " "
-                    if not (before.isalnum() or before == "_") and not (
-                        after.isalnum() or after == "_"
-                    ):
-                        out.append(s[last:i])
-                        last = i + len(want)
-            i += 1
-        out.append(s[last:])
-        return out
+        literal ','), ignoring anything inside quotes or parentheses —
+        the shared scanner (functions/sqltext.py)."""
+        from data_pipeline_kafka_ek_spark.functions.sqltext import split_top
+
+        return split_top(s, want)
 
     # -- deployment DDL routing (the reference's statements-file grammar) ----
 
@@ -332,20 +289,20 @@ class Engine:
         partial+final aggregation shape applies at scale."""
         import re as _re
 
-        spans = self._quoted_spans(body)
+        from data_pipeline_kafka_ek_spark.functions.sqltext import (
+            find_top_level,
+        )
 
-        def _outside(mm):
-            return not any(lo <= mm.start() < hi for lo, hi in spans)
-
-        wm = None
-        for cand in _re.finditer(
-            r"\bWINDOW\s+(TUMBLING|HOPPING|SESSION)\s*\(([^)]*)\)\s*",
-            body,
-            _re.I,
-        ):
-            if _outside(cand):
-                wm = cand
-                break
+        wm = next(
+            iter(
+                find_top_level(
+                    body,
+                    r"\bWINDOW\s+(TUMBLING|HOPPING|SESSION)\s*\(([^)]*)\)\s*",
+                    _re.I,
+                )
+            ),
+            None,
+        )
         if wm is None:
             return body
 
@@ -389,14 +346,10 @@ class Engine:
             struct = "session_window"
 
         body = body[: wm.start()] + " " + body[wm.end():]
-        spans = self._quoted_spans(body)
+        # the OUTER query's GROUP BY only: a subquery's GROUP BY sits at
+        # paren depth > 0 and must never receive the window expression
         gm = next(
-            (
-                mm
-                for mm in _re.finditer(r"\bGROUP\s+BY\s+", body, _re.I)
-                if not any(lo <= mm.start() < hi for lo, hi in spans)
-            ),
-            None,
+            iter(find_top_level(body, r"\bGROUP\s+BY\s+", _re.I)), None
         )
         if gm is None:
             raise ValueError(
@@ -418,14 +371,18 @@ class Engine:
         body = _sub_outside(r"\bWINDOWSTART\b", f"{struct}.start", body)
         body = _sub_outside(r"\bWINDOWEND\b", f"{struct}.end", body)
         # every windowed derivation exposes the bounds (ksqlDB's implicit
-        # WINDOWSTART/WINDOWEND pseudo-columns)
-        return _re.sub(
-            r"^(\s*SELECT\s+)",
-            rf"\g<1>{struct}.start AS windowstart, "
-            rf"{struct}.end AS windowend, ",
-            body,
-            count=1,
-            flags=_re.I,
+        # WINDOWSTART/WINDOWEND pseudo-columns) — APPENDED to the select
+        # list, never prepended: GROUP BY/ORDER BY ordinals resolve by
+        # select-list position, so a prepended column would silently
+        # shift every ordinal in the statement
+        fm = next(iter(find_top_level(body, r"\bFROM\b", _re.I)), None)
+        if fm is None:
+            return body
+        return (
+            body[: fm.start()]
+            + f", {struct}.start AS windowstart, "
+            + f"{struct}.end AS windowend "
+            + body[fm.start():]
         )
 
     def _route_ddl(self, statement: str) -> "DataFrame | None":
@@ -494,6 +451,19 @@ class Engine:
                 self._keys[name] = part_col
             if props.get("timestamp"):
                 self._event_time[name] = props["timestamp"]
+            else:
+                # ksqlDB inherits the event-time column through
+                # derivations: if the FROM source declared one and the
+                # projection kept it, the derivation carries it too —
+                # so a chained windowed CTAS needs no repeated WITH
+                fm = _re.search(r"\bFROM\s+(\w+)", body, _re.I)
+                inherited = (
+                    self._event_time.get(fm.group(1)) if fm else None
+                )
+                if inherited and inherited.lower() in {
+                    c.lower() for c in df.columns
+                }:
+                    self._event_time[name] = inherited
             return (
                 self.create_stream(name, df)
                 if kind == "STREAM"
@@ -571,10 +541,15 @@ class Engine:
         (honest: no broker in this environment)."""
         import re as _re
 
+        from data_pipeline_kafka_ek_spark.functions.sqltext import split_top
+
         props = self._parse_with_props(with_body)
         cols: "list[tuple[str, str]]" = []
         key_col = None
-        for part in self._split_top(coldefs, ","):
+        # angle_nesting: generics like MAP<STRING, INT> carry commas —
+        # never split inside them (safe here: '<' is a type bracket in a
+        # column list, not a comparison)
+        for part in split_top(coldefs, ",", angle_nesting=True):
             cm = _re.match(
                 r"\s*(`(?:[^`]|``)+`|\w+)\s+(\w+(?:\s*\([^)]*\))?"
                 r"(?:\s*<[^>]*>)?)\s*(PRIMARY\s+KEY|KEY)?\s*$",
@@ -659,8 +634,9 @@ class Engine:
                     self._strip_emit_changes(m.group(6))
                 )
             )
+            out_cols = {c.lower() for c in df.columns}
             for col, what in ((m.group(3), "KEY"), (m.group(4), "ORDER BY")):
-                if col not in df.columns:
+                if col.lower() not in out_cols:
                     raise ValueError(
                         f"CREATE ACID TABLE {m.group(1)} AS SELECT: {what} "
                         f"column {col!r} is not in the query's output "
@@ -738,9 +714,12 @@ class Engine:
                     # standard SQL: an explicit column list must name
                     # recorded columns — a typo must error, never widen
                     # the table's schema forever (same rule as UPDATE's
-                    # unknown-assignment check)
+                    # unknown-assignment check). Case-INSENSITIVE, like
+                    # Spark's own resolution; names normalize to the
+                    # recorded casing so the batch aligns exactly.
+                    recorded = {f.name.lower(): f.name for f in sch.fields}
                     unknown = sorted(
-                        set(names) - {f.name for f in sch.fields}
+                        n for n in names if n.lower() not in recorded
                     )
                     if unknown:
                         raise ValueError(
@@ -749,6 +728,7 @@ class Engine:
                             "has "
                             + ", ".join(f.name for f in sch.fields)
                         )
+                    names = [recorded[n.lower()] for n in names]
             elif sch is not None:
                 names = [f.name for f in sch.fields]
             else:
@@ -1000,7 +980,11 @@ class Engine:
         km = _re.match(
             r"^(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)$", cond_text
         )
-        if not km or {km.group(2), km.group(4)} != {t.key}:
+        # case-insensitive, like Spark's own identifier resolution
+        if not km or {
+            km.group(2).lower(),
+            km.group(4).lower(),
+        } != {t.key.lower()}:
             raise ValueError(
                 f"MERGE INTO {name}: ON must equate the table's merge "
                 f"key {t.key!r} on both sides (got {cond_text!r}) — "
@@ -1020,17 +1004,24 @@ class Engine:
             self._rewrite_time_travel(f"SELECT * FROM {body}")
         )
         sch = t._latest_schema()
+        recorded_lower: "dict[str, str]" = {}
         if sch is not None:
             # source columns the table knows are cast to the recorded
             # types (same rule as the INSERT route): a VALUES/subquery
             # literal's narrower type must never trip the append/merge
-            # type-conflict guard or silently coerce
-            typed = {f.name: f.dataType for f in sch.fields}
+            # type-conflict guard or silently coerce. Case-insensitive,
+            # normalizing to the recorded casing.
+            typed = {f.name.lower(): (f.name, f.dataType) for f in sch.fields}
+            recorded_lower = {f.name.lower(): f.name for f in sch.fields}
             src = src.select(
                 *[
                     (
-                        F.col(c).cast(typed[c]) if c in typed else F.col(c)
-                    ).alias(c)
+                        F.col(c).cast(typed[c.lower()][1]).alias(
+                            typed[c.lower()][0]
+                        )
+                        if c.lower() in typed
+                        else F.col(c).alias(c)
+                    )
                     for c in src.columns
                 ]
             )
@@ -1073,15 +1064,35 @@ class Engine:
                 if alias:
                     cond = _re.sub(rf"\b{alias}\.", "", cond)
             cond = cond.strip()
-            if _re.match(r"^\w+$", cond) and cond in src.columns:
+            src_lower = {c.lower(): c for c in src.columns}
+            if _re.match(r"^\w+$", cond) and cond.lower() in src_lower:
                 # the CDC-tombstone shape: WHEN MATCHED AND <flag> THEN
                 # DELETE names a boolean source column — it is control
                 # metadata, consumed and DROPPED by the merge (exact
                 # parity with the Python API's delete_col)
-                delete_col = cond
+                delete_col = src_lower[cond.lower()]
             else:
                 delete_col = "__sql_merge_delete"
                 src = src.withColumn(delete_col, F.expr(cond))
+                # source columns the condition references that the table
+                # does NOT record are the same control metadata as the
+                # bare-flag shape (e.g. "gone = true"): drop them after
+                # evaluating the flag, so an expression spelling never
+                # silently widens the table's schema with flag columns
+                refs = {
+                    w.lower()
+                    for w in _re.findall(r"\b[A-Za-z_]\w*\b", cond)
+                }
+                control = [
+                    c
+                    for c in src.columns
+                    if recorded_lower  # only when a schema is recorded
+                    and c != delete_col
+                    and c.lower() in refs
+                    and c.lower() not in recorded_lower
+                ]
+                if control:
+                    src = src.drop(*control)
         v = t.merge(src, delete_col=delete_col)
         self.create_table(name, t.read())
         return self.spark.createDataFrame([(int(v),)], "version long")

@@ -109,42 +109,22 @@ def conjuncts_from_condition(condition: str) -> "list[tuple]":
     lit``. Everything else (OR branches, NOT, function calls, casts,
     column-vs-column) contributes nothing — skipping a conjunct only
     loses pruning, never correctness, because every derived conjunct is
-    implied by the condition by construction. Quote- and paren-aware:
-    ``AND`` inside a string literal or a parenthesized subexpression is
-    never a split point, and column-name case must match the recorded
-    stats exactly (a mismatch just skips that conjunct)."""
+    implied by the condition by construction. A TOP-LEVEL ``OR``
+    anywhere disables derivation entirely: AND binds tighter than OR,
+    so ``a AND b OR c`` is ``(a AND b) OR c`` and NO AND-split part is
+    implied by the whole (an unsound conjunct would silently skip files
+    the DML must touch). Quote- and paren-aware: ``AND``/``OR`` inside
+    a string literal or a parenthesized subexpression is never a
+    boundary, and column-name case must match the recorded stats
+    exactly (a mismatch just skips that conjunct)."""
     import re as _re
 
-    # split on top-level AND (outside quotes/parens)
-    parts, depth, i, last = [], 0, 0, 0
-    s = condition
-    n = len(s)
-    while i < n:
-        ch = s[i]
-        if ch in "'\"`":
-            q, j = ch, i + 1
-            while j < n:
-                if s[j] == q and not (j + 1 < n and s[j + 1] == q):
-                    break
-                j += 2 if s[j] == q else 1
-            i = j + 1
-            continue
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif depth == 0 and s[i : i + 3].upper() == "AND":
-            before = s[i - 1] if i else " "
-            after = s[i + 3] if i + 3 < n else " "
-            if not (before.isalnum() or before == "_") and not (
-                after.isalnum() or after == "_"
-            ):
-                parts.append(s[last:i])
-                last = i + 3
-                i += 3
-                continue
-        i += 1
-    parts.append(s[last:])
+    from data_pipeline_kafka_ek_spark.functions.sqltext import split_top
+
+    # a top-level disjunction poisons every AND-split part: derive nothing
+    if len(split_top(condition, "OR")) > 1:
+        return []
+    parts = split_top(condition, "AND")
 
     simple = _re.compile(
         rf"^\s*({_PRUNE_COL})\s*(>=|<=|=|<|>)\s*({_PRUNE_LIT})\s*$", _re.S
@@ -988,8 +968,14 @@ class TxnLogTable:
                     "or write data first"
                 )
             cur = StructType.fromJson(json.loads(state["schema"]))
-            have = {f.name for f in cur.fields}
-            dup = sorted(f.name for f in frag.fields if f.name in have)
+            # case-INSENSITIVE duplicate check: Spark resolves
+            # identifiers case-insensitively by default, so admitting a
+            # case-variant duplicate (k + K) would make every subsequent
+            # reference ambiguous — a bricked table
+            have = {f.name.lower() for f in cur.fields}
+            dup = sorted(
+                f.name for f in frag.fields if f.name.lower() in have
+            )
             if dup:
                 raise ValueError(
                     f"ADD COLUMNS: column(s) {dup} already exist in the "
@@ -1113,12 +1099,23 @@ class TxnLogTable:
             thr = props.get("auto_optimize.file_threshold")
             if not thr or len(state["adds"]) <= int(thr):
                 return
-            self.optimize(
-                target_file_bytes=int(
-                    props.get("auto_optimize.target_file_bytes")
-                    or 128 * 1024 * 1024
-                )
+            tgt = int(
+                props.get("auto_optimize.target_file_bytes")
+                or 128 * 1024 * 1024
             )
+            # pre-check the candidate set from the state already in hand:
+            # a snapshot whose files are all at/above the floor can sit
+            # above the threshold forever (bounded compaction can't shrink
+            # full-size files, by design) — skip the no-op optimize() so
+            # every subsequent write pays ONE log fold, not two
+            small = [
+                a
+                for a in state["adds"].values()
+                if int(a.get("bytes") or 0) < tgt // 2
+            ]
+            if len(small) < 2:
+                return
+            self.optimize(target_file_bytes=tgt)
         except Exception:
             # the data commit already published — ANY compaction failure
             # (lost race, malformed threshold, Spark/IO error) must not

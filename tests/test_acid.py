@@ -773,6 +773,30 @@ def test_auto_optimize_is_size_bounded(spark, tmp_path):
     assert large["path"] in {a["path"] for a in t._snapshot_adds()}
     assert t.read().count() == 40005
 
+    # a snapshot stuck above the threshold with NO compactable debt
+    # (every file at/above the floor) must not pay a no-op optimize()
+    # on each write: the guard pre-checks candidates from the state it
+    # already folded and skips the call entirely
+    t.set_property("auto_optimize.file_threshold", "0")
+    t.set_property("auto_optimize.target_file_bytes", "1")  # floor = 0
+    calls = {"n": 0}
+    orig = t.optimize
+
+    def counting_optimize(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    t.optimize = counting_optimize
+    try:
+        t.append(
+            spark.createDataFrame(
+                [(9001, 1, "tail")], "k long, seq long, v string"
+            )
+        )
+    finally:
+        t.optimize = orig
+    assert calls["n"] == 0, "no-op inline optimize was not skipped"
+
 
 def test_read_changes_incremental_feed(spark, tmp_path):
     """read_changes(since) is a consumable changelog: appends surface
@@ -2966,6 +2990,17 @@ def test_conjuncts_from_condition_mechanical_derivation():
     assert c("abs(x) > 1") == []
     assert c("k = seq") == []
     assert c("k BETWEEN 1 AND seq") == []
+    # a TOP-LEVEL OR anywhere poisons every AND-split part (AND binds
+    # tighter: "a AND b OR c" is "(a AND b) OR c" — no part is implied;
+    # deriving one silently loses DML rows in pruned-out files)
+    assert c("k >= 10 AND k <= 20 OR grp = 'a'") == []
+    assert c("grp = 'a' OR k = 1 AND x = 2") == []
+    assert c("k BETWEEN 1 AND 5 OR k BETWEEN 8 AND 9") == []
+    # ...but a parenthesized disjunction is just an opaque conjunct
+    assert c("(k >= 10 AND k <= 20 OR grp = 'a') AND x > 1") == [
+        ("x", ">", 1)
+    ]
+    assert c("v = 'a OR b' AND k = 1") == [("v", "=", "a OR b"), ("k", "=", 1)]
 
 
 @pytest.mark.parametrize("seed", [11, 12, 13])

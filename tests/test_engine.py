@@ -1099,3 +1099,140 @@ def test_sql_show_and_print_statements(spark, sf_dir):
     }
     with pytest.raises(KeyError):
         eng.sql("PRINT 'nope'")
+
+
+def test_window_rewrite_subqueries_ordinals_and_inheritance(spark, sf_dir):
+    """Review regressions for the WINDOW rewrite: (a) the window
+    expression lands in the OUTER GROUP BY, never a subquery's; (b)
+    windowstart/windowend are APPENDED so GROUP BY ordinals keep
+    resolving to the user's select list; (c) the event-time column
+    inherits through chained derivations like ksqlDB's timestamp."""
+    eng = Engine(spark)
+    eng.sql(
+        f"""CREATE STREAM WRX (event_id BIGINT, ts TIMESTAMP,
+                event_type STRING, user_id BIGINT)
+            WITH (path='{sf_dir}/events.parquet', format='parquet',
+                  timestamp='ts')"""
+    )
+    # (c) chained CSAS without a repeated WITH still knows its event time
+    eng.sql(
+        "CREATE STREAM WRX_LIVE AS SELECT event_id, ts, event_type "
+        "FROM WRX WHERE event_type IS NOT NULL"
+    )
+    # (b) GROUP BY ordinal 1 must still mean event_type
+    got = {
+        (r.event_type, r.windowstart, r.n)
+        for r in eng.sql(
+            """CREATE TABLE WRX_15M AS
+               SELECT event_type, count(*) AS n FROM WRX_LIVE
+               WINDOW TUMBLING (SIZE 15 MINUTE)
+               GROUP BY 1"""
+        ).select("event_type", "windowstart", "n").collect()
+    }
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    want = {
+        (r.event_type, r.w.start, r.n)
+        for r in events.groupBy(
+            F.window("ts", "15 minutes").alias("w"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and got
+    # columns: the user's select list leads; the bounds are appended
+    cols = eng._tables["WRX_15M"].columns
+    assert cols[0] == "event_type" and cols[1] == "n"
+    assert {"windowstart", "windowend"} <= set(cols)
+    # (a) an aggregating subquery in FROM keeps its own GROUP BY
+    got_sub = {
+        (r.windowstart, r.n)
+        for r in eng.sql(
+            """CREATE TABLE WRX_SUB AS
+               SELECT count(*) AS n
+               FROM (SELECT ts, event_type FROM WRX_LIVE
+                     WHERE event_type IN (SELECT event_type FROM WRX_LIVE
+                                          GROUP BY event_type))
+               WINDOW TUMBLING (SIZE 60 MINUTE)
+               GROUP BY 1 + 0"""
+        ).select("windowstart", "n").collect()
+    }
+    want_sub = {
+        (r.w.start, r.n)
+        for r in events.groupBy(
+            F.window("ts", "60 minutes").alias("w")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got_sub == want_sub and got_sub
+
+
+def test_sql_identifier_resolution_is_case_insensitive(spark, tmp_path):
+    """Spark resolves identifiers case-insensitively; the routed SQL
+    guards must agree: upper-cased INSERT column lists and MERGE ON
+    keys are legal, and ADD COLUMNS refuses a case-variant duplicate
+    instead of bricking the table with an ambiguous pair."""
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "ci", str(tmp_path / "ci"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(spark.createDataFrame([(1, 1, "a")], "k long, seq long, v string"))
+    eng.refresh_acid_table("ci")
+    eng.sql("INSERT INTO ci (K, SEQ, V) VALUES (2, 1, 'b')")
+    assert {f.name for f in t._latest_schema().fields} == {"k", "seq", "v"}
+    spark.createDataFrame(
+        [(2, 2, "B2")], "K long, SEQ long, V string"
+    ).createOrReplaceTempView("ci_src")
+    eng.sql(
+        "MERGE INTO ci USING ci_src s ON ci.K = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert {f.name for f in t._latest_schema().fields} == {"k", "seq", "v"}
+    assert {r.k: r.v for r in eng.sql("SELECT k, v FROM ci").collect()} == {
+        1: "a", 2: "B2",
+    }
+    with pytest.raises(ValueError, match="already exist"):
+        eng.sql("ALTER TABLE ci ADD COLUMNS (V DOUBLE)")
+
+
+def test_merge_expression_tombstone_never_pollutes_schema(spark, tmp_path):
+    """A tombstone condition spelled as an EXPRESSION over a flag column
+    ('s.gone = true') is the same control metadata as the bare-column
+    shape: the flag must never land as table data or widen the recorded
+    schema."""
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "met", str(tmp_path / "met"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(spark.createDataFrame([(1, 1, 10.0), (2, 1, 20.0)],
+                                   "k long, seq long, x double"))
+    eng.refresh_acid_table("met")
+    spark.createDataFrame(
+        [(2, 2, 21.0, True), (3, 2, 30.0, False)],
+        "k long, seq long, x double, gone boolean",
+    ).createOrReplaceTempView("met_src")
+    eng.sql(
+        "MERGE INTO met USING met_src s ON met.k = s.k "
+        "WHEN MATCHED AND s.gone = true THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert {f.name for f in t._latest_schema().fields} == {"k", "seq", "x"}
+    assert {r.k: r.x for r in eng.sql("SELECT k, x FROM met").collect()} == {
+        1: 10.0, 3: 30.0,
+    }
+
+
+def test_source_declaration_parses_generic_column_types(spark):
+    """MAP/ARRAY generics carry commas — the column-list split must not
+    break inside MAP<STRING, INT>."""
+    eng = Engine(spark)
+    df = eng.sql(
+        """CREATE STREAM GEN (k BIGINT, m MAP<STRING, INT>,
+               a ARRAY<DOUBLE>, d DECIMAL(10,2))
+           WITH (kafka_topic='gen')"""
+    )
+    assert [f.name for f in df.schema.fields] == ["k", "m", "a", "d"]
+    assert df.schema["m"].dataType.simpleString() == "map<string,int>"
+    assert df.schema["a"].dataType.simpleString() == "array<double>"

@@ -515,7 +515,18 @@ def _atoms(draw):
     return atom
 
 
-_CONDITIONS = st.lists(_atoms(), min_size=1, max_size=4).map(" AND ".join)
+@st.composite
+def _conditions(draw):
+    cond = " AND ".join(draw(st.lists(_atoms(), min_size=1, max_size=4)))
+    # sometimes a TOP-LEVEL unparenthesized OR tail — AND binds tighter,
+    # so "a AND b OR c" is "(a AND b) OR c" and NO conjunct is implied;
+    # the deriver must return [] (the r12 soundness regression)
+    if draw(st.booleans()):
+        cond = cond + " OR " + draw(_atoms())
+    return cond
+
+
+_CONDITIONS = _conditions()
 
 
 def _conj_sql(c):
