@@ -81,7 +81,11 @@ class Engine:
           TUMBLING|HOPPING|SESSION, source declarations with a column
           list + WITH(...), ``CREATE SOURCE/SINK CONNECTOR``, ``SET``)
           — so a transliterated ksqldb-statements.sql replays end to
-          end through :meth:`sql_script`;
+          end through :meth:`sql_script`. ``CREATE TABLE ... AS
+          SELECT`` routes here only when a ksqlDB marker is present
+          (EMIT CHANGES, WITH props, PARTITION BY, a ksql WINDOW
+          clause, or a FROM over an engine-registered name); vanilla
+          Spark catalog CTAS passes through to ``spark.sql`` untouched;
         * ACID DML/DDL Spark SQL cannot execute against plain views —
           DELETE FROM / UPDATE ... SET / OPTIMIZE [ZORDER BY] / VACUUM /
           RESTORE / DESCRIBE HISTORY — routed to the named ACID table's
@@ -385,6 +389,44 @@ class Engine:
             + body[fm.start():]
         )
 
+    def _is_ksql_ctas(
+        self,
+        statement: str,
+        body: str,
+        props: dict,
+        part_col: "str | None",
+    ) -> bool:
+        """Whether a ``CREATE TABLE ... AS SELECT`` is the ksqlDB-style
+        CTAS (registry/temp-view route) rather than vanilla Spark
+        catalog CTAS. Markers, any one sufficient: ``EMIT CHANGES`` in
+        the original text, ``WITH (...)`` properties, a top-level
+        ``PARTITION BY`` re-key, a ksql ``WINDOW
+        TUMBLING/HOPPING/SESSION`` clause, or the body referencing a
+        name this engine registered (stream, table, or ACID table) —
+        a derivation over engine-managed state must stay in the
+        engine's namespace."""
+        import re as _re
+
+        from .functions.sqltext import find_top_level
+
+        if props or part_col is not None:
+            return True
+        if find_top_level(statement, r"\bEMIT\s+CHANGES\b", _re.I):
+            return True
+        if find_top_level(
+            body, r"\bWINDOW\s+(TUMBLING|HOPPING|SESSION)\b", _re.I
+        ):
+            return True
+        registered = (
+            *self._streams,
+            *self._tables,
+            *getattr(self, "_acid", {}),
+        )
+        return any(
+            _re.search(rf"(?i)\b{_re.escape(n)}\b", body)
+            for n in registered
+        )
+
     def _route_ddl(self, statement: str) -> "DataFrame | None":
         """The reference's deployable statement grammar
         (ksqldb-statements.sql), routed before ACID DML:
@@ -442,6 +484,15 @@ class Engine:
             kind, name = m.group(1).upper(), m.group(2)
             props = self._parse_with_props(m.group(3)) if m.group(3) else {}
             body, part_col = self._strip_partition_by(m.group(4))
+            if kind == "TABLE" and not self._is_ksql_ctas(
+                statement, body, props, part_col
+            ):
+                # plain CREATE TABLE ... AS SELECT with no ksqlDB marker
+                # is valid Spark catalog CTAS — pass it through untouched
+                # instead of silently diverting it into the registry/
+                # temp-view route (CREATE STREAM is never vanilla SQL and
+                # always routes here)
+                return None
             body = self._rewrite_ksql_windows(body, props)
             df = self.spark.sql(self._rewrite_time_travel(body))
             if part_col is not None:
@@ -965,7 +1016,13 @@ class Engine:
         historical snapshot). Differences from Delta's MERGE, stated
         rather than hidden: multiple source rows per key are resolved by
         ``order_col`` (CDC latest-wins), never an error; per-column
-        UPDATE SET lists are not supported — the row is replaced."""
+        UPDATE SET lists are not supported — the row is replaced; and
+        the conditional DELETE always wins over UPDATE SET * for rows
+        satisfying its condition (Delta applies the first matching
+        clause in statement order) — the one clause order under which
+        that could silently diverge (UPDATE written before the
+        conditional DELETE, making the DELETE dead code under
+        first-match semantics) is rejected with an error."""
         import re as _re
 
         acid = self._acid
@@ -1027,11 +1084,14 @@ class Engine:
             )
 
         has_update = has_insert = False
+        update_idx: "int | None" = None
+        delete_idx: "int | None" = None
         delete_cond: "str | None" = None
-        for cl in clauses[1:]:
+        for ci, cl in enumerate(clauses[1:]):
             c = cl.strip().rstrip(";").strip()
             if _re.match(r"MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$", c, _re.I):
                 has_update = True
+                update_idx = ci
             elif _re.match(
                 r"NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$", c, _re.I
             ):
@@ -1043,6 +1103,7 @@ class Engine:
                 )
                 if dm:
                     delete_cond = dm.group(1)
+                    delete_idx = ci
                 else:
                     raise ValueError(
                         f"unsupported MERGE clause: WHEN {c!r} (supported: "
@@ -1055,14 +1116,37 @@ class Engine:
                 "MATCHED THEN UPDATE SET * and WHEN NOT MATCHED THEN "
                 "INSERT * are required"
             )
+        if (
+            delete_idx is not None
+            and update_idx is not None
+            and update_idx < delete_idx
+        ):
+            # Delta/SQL apply the FIRST matching clause in statement
+            # order, so an unconditional UPDATE SET * written before the
+            # conditional DELETE makes the DELETE dead code there — while
+            # this engine's merge is delete-wins regardless of order.
+            # Reject the one ordering under which the two semantics
+            # diverge instead of silently deleting rows Delta would keep.
+            raise ValueError(
+                f"MERGE INTO {name}: WHEN MATCHED AND <cond> THEN DELETE "
+                "must precede WHEN MATCHED THEN UPDATE SET * — written "
+                "after the unconditional UPDATE it would be dead code "
+                "under first-match (Delta) semantics, while this merge "
+                "applies the delete regardless of clause order"
+            )
         delete_col = None
         if delete_cond is not None:
             # the condition reads SOURCE columns; a source-alias prefix
-            # is stripped so 's.flag' and 'flag' both work
+            # is stripped so 's.flag' and 'flag' both work. Quote-aware:
+            # a string literal spelling 's.' (note = 's.tomb') survives.
+            from .functions.sqltext import sub_outside_quotes
+
             cond = delete_cond
             for alias in (src_alias, tgt_alias):
                 if alias:
-                    cond = _re.sub(rf"\b{alias}\.", "", cond)
+                    cond = sub_outside_quotes(
+                        cond, rf"\b{_re.escape(alias)}\.", ""
+                    )
             cond = cond.strip()
             src_lower = {c.lower(): c for c in src.columns}
             if _re.match(r"^\w+$", cond) and cond.lower() in src_lower:

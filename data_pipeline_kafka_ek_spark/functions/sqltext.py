@@ -128,3 +128,23 @@ def find_top_level(s: str, pattern, flags=0) -> "list":
             continue
         out.append(m)
     return out
+
+
+def sub_outside_quotes(s: str, pattern, repl: str, flags=0) -> str:
+    """``re.sub`` that only rewrites matches starting OUTSIDE quoted
+    regions — for mechanical token rewrites (alias stripping, keyword
+    normalization) over predicate text that may contain string literals
+    spelling the same token (``note = 's.tomb'`` must keep its literal
+    when the source alias ``s`` is stripped)."""
+    import re as _re
+
+    spans = quoted_spans(s)
+    out, last = [], 0
+    for m in _re.finditer(pattern, s, flags):
+        if any(lo <= m.start() < hi for lo, hi in spans):
+            continue
+        out.append(s[last : m.start()])
+        out.append(m.expand(repl) if "\\" in repl else repl)
+        last = m.end()
+    out.append(s[last:])
+    return "".join(out)

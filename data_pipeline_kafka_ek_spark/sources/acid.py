@@ -541,11 +541,12 @@ class TxnLogTable:
     def version_at(self, timestamp) -> int:
         """AS OF TIMESTAMP resolution: the greatest version published at
         or before ``timestamp`` (epoch seconds, a datetime, or an ISO
-        string). Naive datetimes/strings are interpreted as UTC — the
-        commit log records publish times as epoch seconds, so resolution
-        is identical on every machine regardless of the driver's TZ
-        environment; pass an explicit offset (``...+05:00``) to resolve
-        in another zone. Resolution reads the publish time recorded
+        string). Naive datetimes/strings are interpreted as UTC — a
+        stated divergence from Delta, which resolves naive timestamps in
+        the SESSION timezone: the commit log records publish times as
+        epoch seconds, so UTC resolution is identical on every machine
+        regardless of the driver's TZ environment; pass an explicit
+        offset (``...+05:00``) to resolve in another zone. Resolution reads the publish time recorded
         inside each commit body, so it does not depend on filesystem
         mtimes. Raises if the timestamp predates the table's first
         commit — there is no state to read there."""

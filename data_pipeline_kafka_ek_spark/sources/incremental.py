@@ -349,10 +349,15 @@ class TableReplicator:
 
         from data_pipeline_kafka_ek_spark.streaming import runtime as _rt
 
-        cur = max(self.cursor(), since_version)
+        # one cursor read for both uses: a concurrent commit landing
+        # between two separate reads would let the CAS pass while the
+        # read span overlaps already-applied commits — the CAS expect
+        # must match the position the span was read at
+        c0 = self.cursor()
+        cur = max(c0, since_version)
         # the CAS tracks the TARGET's actual high water (which may trail
         # ``cur`` when the caller skipped ahead with since_version)
-        expect_box = {"cur": self.cursor()}
+        expect_box = {"cur": c0}
         rows = self.source.read_row_changes(cur)
         n_commits = max(
             1,

@@ -1236,3 +1236,85 @@ def test_source_declaration_parses_generic_column_types(spark):
     assert [f.name for f in df.schema.fields] == ["k", "m", "a", "d"]
     assert df.schema["m"].dataType.simpleString() == "map<string,int>"
     assert df.schema["a"].dataType.simpleString() == "array<double>"
+
+
+def test_merge_sql_rejects_update_before_conditional_delete(spark, tmp_path):
+    """Delta applies the FIRST matching clause, so UPDATE SET * written
+    before a conditional DELETE makes the DELETE dead code there — while
+    this merge is delete-wins regardless of order. The one ordering where
+    the semantics diverge must be rejected, not silently delete-wins."""
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "mord", str(tmp_path / "mord"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(spark.createDataFrame([(1, 1, 10.0)], "k long, seq long, x double"))
+    eng.refresh_acid_table("mord")
+    spark.createDataFrame(
+        [(1, 2, 11.0, True)], "k long, seq long, x double, dead boolean"
+    ).createOrReplaceTempView("mord_src")
+    with pytest.raises(ValueError, match="must precede"):
+        eng.sql(
+            "MERGE INTO mord USING mord_src s ON mord.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN MATCHED AND s.dead THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    # the documented order still works
+    eng.sql(
+        "MERGE INTO mord USING mord_src s ON mord.k = s.k "
+        "WHEN MATCHED AND s.dead THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert eng.sql("SELECT k FROM mord").collect() == []
+
+
+def test_merge_sql_alias_strip_is_quote_aware(spark, tmp_path):
+    """A string literal spelling the source alias prefix ('s.tomb') must
+    survive alias stripping in the delete condition — only identifier
+    uses of the alias are rewritten."""
+    eng = Engine(spark)
+    t = eng.create_acid_table(
+        "mqa", str(tmp_path / "mqa"), key="k", order_col="seq",
+        files_per_commit=1,
+    )
+    t.append(spark.createDataFrame(
+        [(1, 1, "live"), (2, 1, "live")], "k long, seq long, note string"
+    ))
+    eng.refresh_acid_table("mqa")
+    spark.createDataFrame(
+        [(1, 2, "s.tomb"), (2, 2, "keep")], "k long, seq long, note string"
+    ).createOrReplaceTempView("mqa_src")
+    eng.sql(
+        "MERGE INTO mqa USING mqa_src s ON mqa.k = s.k "
+        "WHEN MATCHED AND s.note = 's.tomb' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r.k: r.note for r in eng.sql("SELECT k, note FROM mqa").collect()}
+    assert got == {2: "keep"}
+
+
+def test_vanilla_spark_ctas_passes_through(spark, tmp_path):
+    """CREATE TABLE ... AS SELECT with no ksqlDB marker is vanilla Spark
+    catalog CTAS and must reach spark.sql untouched — only marked
+    statements (EMIT CHANGES / WITH props / PARTITION BY / ksql WINDOW /
+    engine-registered FROM source) divert to the registry route."""
+    eng = Engine(spark)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS vctas LOCATION '{tmp_path}/db'")
+    try:
+        eng.sql(
+            "CREATE TABLE vctas.plain AS SELECT 1 AS k, 'a' AS v"
+        )
+        # landed in the Spark catalog, NOT the engine registry
+        assert spark.table("vctas.plain").count() == 1
+        assert "vctas.plain" not in eng.show_tables()
+        assert "plain" not in eng.show_tables()
+        # a marked statement (registered FROM source) still routes to the
+        # engine registry, not the catalog
+        eng.create_stream("VSRC", spark.createDataFrame([(1,)], "k long"))
+        eng.sql("CREATE TABLE VDERIVED AS SELECT k FROM VSRC")
+        assert "VDERIVED" in eng.show_tables()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS vctas CASCADE")
