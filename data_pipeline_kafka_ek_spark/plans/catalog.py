@@ -925,7 +925,7 @@ def h5(spark, sf_dir):
 #              is fully subscribed by the stale tier).
 
 
-#   r12 window (this round): 57 must-attest for 50 slots — the four r11
+#   r12 window: 57 must-attest for 50 slots — the four r11
 #              REGISTERED_AFTER_WINDOW entries (t_streaming_dml_replica,
 #              x_acid_restore_rewind, x_acid_time_travel_diff,
 #              x_acid_stats_skipping: never driver-attested, the r11
@@ -961,12 +961,61 @@ def h5(spark, sf_dir):
 #              registrations land in REGISTERED_AFTER_WINDOW (the window
 #              is fully subscribed by the stale tier).
 
+#   r13 window (this round): 64 must-attest for 50 slots — the seven r12
+#              REGISTERED_AFTER_WINDOW entries (q_sql_csas_unhappy,
+#              q_sql_windowed_ctas, x_acid_sized_compaction,
+#              x_acid_merge_sql, h17/h19/h13: never driver-attested) go
+#              first, then the seven r12 WINDOW_OVERFLOW picks (last
+#              green r9 — two rounds past the bound now, they cannot
+#              overflow again, promised first in line), then 36 of the
+#              50-entry r10-green tier (three rounds stale at r13),
+#              alphabetical. Genuine excess is exactly 14; the
+#              WINDOW_OVERFLOW picks (each last green exactly r10,
+#              transitively covered, named twin):
+#                j_anti_join              <- h21_waiting_supplier
+#                  (r12-green; the NOT-EXISTS anti-join shape on the
+#                  same fact/dim machinery, plus the null-reject arm)
+#                j_semi_join              <- h18_large_volume_customers
+#                  (r12-green; IN-subquery semi-join over the same keys)
+#                l2_limit_probe           <- l3_l4_sorted_topk
+#                  (r11-green; LIMIT/top-k machinery, sorted variant)
+#                p3_computed_projection   <- p4_time_format_projection
+#                  (r11-green; computed projection + alias machinery)
+#                t_streaming_cms_freq     <- x_sketch_countmin_freq
+#                  (in-window at r13; the twin suite asserts the
+#                  streaming CMS equals the batch sketch)
+#                t_streaming_hll_distinct <- x_sketch_hll_distinct
+#                  (in-window at r13; same HLL register fold)
+#                t_streaming_kmv_distinct <- x_sketch_kmv_distinct
+#                  (in-window at r13; same KMV bottom-k merge)
+#                t_streaming_hopping_counts <- t3_hopping_30m15m_counts
+#                  (r12-green; batch twin, suite asserts equality)
+#                t_streaming_psi_drift    <- x_events_distribution_drift
+#                  (in-window at r13; same PSI computation, batch twin)
+#                t_streaming_session_append <- t4_session_5m_counts
+#                  (r12-green batch twin; t_streaming_session_counts is
+#                  also in-window at r13 on the same session machinery)
+#                t_streaming_windowed_counts <- a3_tumbling_1min_counts
+#                  (r12-green; batch twin, suite asserts equality)
+#                x_ann_pq_topk            <- x_ann_pq_trained_topk
+#                  (in-window at r13; same PQ ADC scoring path — the
+#                  r12 precedent pair, reversed)
+#                x_dedup_jaccard          <- x_dedup_jaccard_3gram
+#                  (in-window at r13; same PPJoin prefix+length-filtered
+#                  join — the r12 precedent pair, reversed)
+#                x_dedup_minhash_lsh      <- x_corpus_overlap_minhash
+#                  (r12-green; same minhash signature + banding
+#                  machinery, corpus-overlap projection on top)
+#              All fourteen are first in line for the r14 window. New
+#              r13 registrations land in REGISTERED_AFTER_WINDOW (the
+#              window is fully subscribed by the stale tier).
+
 # The round this rotation was authored for: the regression test checks that
 # every DRIVER_DEMOTED entry has a driver-green hash row within the two
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
 # promises), pinned here so evidence files landing later don't shift the
 # baseline under the test. Bump when re-authoring the rotation.
-DRIVER_ROTATION_ROUND = 12
+DRIVER_ROTATION_ROUND = 13
 
 # Queries registered AFTER this round's window was already committed to
 # re-attestation work. They sit in DRIVER_DEMOTED without a prior
@@ -974,16 +1023,18 @@ DRIVER_ROTATION_ROUND = 12
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r12: the window is again oversubscribed by the stale tier
-# (57 must-attest for 50 slots), so every new r12 registration lands here.
+# sf0.01). r13: the window is again oversubscribed by the stale tier
+# (64 must-attest for 50 slots), so every new r13 registration lands here.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
-    "q_sql_csas_unhappy",
-    "q_sql_windowed_ctas",
-    "x_acid_sized_compaction",
-    "x_acid_merge_sql",
-    "h17_small_quantity_revenue",
-    "h19_disjunctive_revenue",
-    "h13_order_count_distribution",
+    "h6_forecast_revenue",
+    "h7_volume_shipping",
+    "h8_market_share",
+    "h9_product_profit",
+    "h2_min_acctbal_supplier",
+    "h11_important_parts",
+    "h15_top_supplier",
+    "h20_promotion_suppliers",
+    "h22_dormant_customers",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact
@@ -998,103 +1049,17 @@ ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
     "x_dedup_minhash_xxh",
 )
 
-# r12: must-attest = 4 never-attested + 3 prior-overflow (r8) + 50
-# r9-stale = 57 for 50 slots. Genuine excess 7; the overflow picks per
+# r13: must-attest = 7 never-attested + 7 prior-overflow (r9) + 50
+# r10-stale = 64 for 50 slots. Genuine excess 14; the overflow picks per
 # the policy (most trivial, transitively covered — twin named in the
 # window comment above). The rotation test enforces len(overflow) <=
 # genuine excess and last-green == R-3 exactly; prior overflow entries
-# (a3/t3/t4) are IN the window and cannot overflow twice.
+# (the r12 seven) are IN the window and cannot overflow twice.
 WINDOW_OVERFLOW: tuple[str, ...] = (
-    "f2_pattern_filter_positive",
-    "t_streaming_session_counts",
-    "x_ann_pq_trained_topk",
-    "x_dedup_jaccard_3gram",
-    "x_dedup_semantic_keep",
-    "x_pipeline_corpus_prep_v2",
-    "x_text_langid_confusion",
-)
-
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-attested: the four r11 REGISTERED_AFTER_WINDOW entries
-    # (DML-history replica, RESTORE rewind, time-travel diff, stats
-    # skipping — the r11 verdict's #1 ask), then the three r11 overflow
-    # picks (batch windowed aggs, last green r8, promised first in line),
-    # then the r9-green tier (last driver row r9, three rounds stale at
-    # r12) minus the seven WINDOW_OVERFLOW picks, alphabetical
-    "t_streaming_dml_replica",
-    "x_acid_restore_rewind",
-    "x_acid_time_travel_diff",
-    "x_acid_stats_skipping",
-    "a3_tumbling_1min_counts",
-    "t3_hopping_30m15m_counts",
-    "t4_session_5m_counts",
-    "a8_count_metric",
-    "a_rollup_revenue",
-    "h10_returned_item_revenue",
-    "h14_promo_revenue_share",
-    "h18_large_volume_customers",
-    "h21_waiting_supplier",
-    "h4_late_shipment_priority",
-    "j_full_outer_join",
-    "p1_project_columns",
-    "p2_star_filter",
-    "q_sql_scalar_subquery",
-    "t_streaming_acid_changes",
-    "t_streaming_ann_assign",
-    "t_streaming_funnel",
-    "t_streaming_neardup",
-    "t_streaming_quality_gate",
-    "x_ann_cosine_topk",
-    "x_ann_recall_eval",
-    "x_cluster_topics",
-    "x_corpus_overlap_minhash",
-    "x_dedup_embedding",
-    "x_dedup_semantic",
-    "x_events_anomaly_zscore",
-    "x_events_heavy_hitters",
-    "x_events_max_drawdown",
-    "x_multimodal_audio_stats",
-    "x_multimodal_pixel_stats",
-    "x_multimodal_video_motion",
-    "x_pipeline_bpe_encode",
-    "x_pipeline_bpe_merges",
-    "x_pipeline_corpus_prep_v3",
-    "x_pipeline_dsir_select",
-    "x_pipeline_stratified_sample",
-    "x_pipeline_token_budget",
-    "x_pipeline_tokenizer_fertility",
-    "x_quality_gopher_rules",
-    "x_quality_ppl_buckets",
-    "x_salted_hotkey_collect",
-    "x_sketch_kmv_setops",
-    "x_text_bigram_logprob",
-    "x_text_remove_dup_spans",
-    "x_text_repeated_spans",
-    "x_window_sliding_stats",
-)
-
-DRIVER_DEMOTED: tuple[str, ...] = (
-    # the seven r12 overflow picks (one round past the bound, first in
-    # line for the r13 window) lead, then any post-window registrations
-    *WINDOW_OVERFLOW,
-    *REGISTERED_AFTER_WINDOW,
-    # permanently rows-only in driver files (local-UDF oracle only)
-    *ROWS_ONLY_NO_ORACLE,
-    # every entry below carries an r10 or r11 driver-green hash row in the
-    # committed CORRECTNESS files — the invariant the rotation test
-    # asserts from ground truth; all stay oracle-green in the per-round
-    # full-catalog local runs. r10 tier first, then the r11 tier.
-    "a_count_distinct",
-    "a_pivot_lang_quality",
-    "h1_pricing_summary",
-    "h3_top_revenue_orders",
-    "h5_nation_revenue",
-    "h_window_cumulative_revenue",
     "j_anti_join",
     "j_semi_join",
     "l2_limit_probe",
     "p3_computed_projection",
-    "s2_latest_per_key",
     "t_streaming_cms_freq",
     "t_streaming_hll_distinct",
     "t_streaming_hopping_counts",
@@ -1102,10 +1067,42 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "t_streaming_psi_drift",
     "t_streaming_session_append",
     "t_streaming_windowed_counts",
+    "x_ann_pq_topk",
+    "x_dedup_jaccard",
+    "x_dedup_minhash_lsh",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-attested: the seven r12 REGISTERED_AFTER_WINDOW entries
+    # (SQL-text CSAS/CTAS, sized compaction, SQL MERGE, TPC-H Q17/Q19/Q13
+    # shapes), then the seven r12 overflow picks (last green r9, promised
+    # first in line), then the r10-green tier (last driver row r10, three
+    # rounds stale at r13) minus the fourteen WINDOW_OVERFLOW picks,
+    # alphabetical
+    "q_sql_csas_unhappy",
+    "q_sql_windowed_ctas",
+    "x_acid_sized_compaction",
+    "x_acid_merge_sql",
+    "h17_small_quantity_revenue",
+    "h19_disjunctive_revenue",
+    "h13_order_count_distribution",
+    "f2_pattern_filter_positive",
+    "t_streaming_session_counts",
+    "x_ann_pq_trained_topk",
+    "x_dedup_jaccard_3gram",
+    "x_dedup_semantic_keep",
+    "x_pipeline_corpus_prep_v2",
+    "x_text_langid_confusion",
+    "a_count_distinct",
+    "a_pivot_lang_quality",
+    "h1_pricing_summary",
+    "h3_top_revenue_orders",
+    "h5_nation_revenue",
+    "h_window_cumulative_revenue",
+    "s2_latest_per_key",
     "x_acid_incremental_mv",
     "x_ann_ivf_trained_topk",
     "x_ann_lsh_bucketed",
-    "x_ann_pq_topk",
     "x_ann_topk_blocked",
     "x_contamination_ngram",
     "x_corpus_source_scorecard",
@@ -1113,8 +1110,6 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_dedup_components",
     "x_dedup_embedding_lsh",
     "x_dedup_exact",
-    "x_dedup_jaccard",
-    "x_dedup_minhash_lsh",
     "x_dedup_simhash",
     "x_deterministic_sample",
     "x_embedding_quantize",
@@ -1134,6 +1129,19 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_quality",
     "x_text_repetition",
     "x_text_token_stats",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # the fourteen r13 overflow picks (one round past the bound, first in
+    # line for the r14 window) lead, then any post-window registrations
+    *WINDOW_OVERFLOW,
+    *REGISTERED_AFTER_WINDOW,
+    # permanently rows-only in driver files (local-UDF oracle only)
+    *ROWS_ONLY_NO_ORACLE,
+    # every entry below carries an r11 or r12 driver-green hash row in the
+    # committed CORRECTNESS files — the invariant the rotation test
+    # asserts from ground truth; all stay oracle-green in the per-round
+    # full-catalog local runs. r11 tier first, then the r12 tier.
     "a1_count_by_group",
     "a2_a3_windowed_collect",
     "a5_median_by_group",
@@ -1184,6 +1192,56 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_redact_pii",
     "x_text_unigram_logprob",
     "x_window_running_total",
+    "a3_tumbling_1min_counts",
+    "a8_count_metric",
+    "a_rollup_revenue",
+    "h10_returned_item_revenue",
+    "h14_promo_revenue_share",
+    "h18_large_volume_customers",
+    "h21_waiting_supplier",
+    "h4_late_shipment_priority",
+    "j_full_outer_join",
+    "p1_project_columns",
+    "p2_star_filter",
+    "q_sql_scalar_subquery",
+    "t3_hopping_30m15m_counts",
+    "t4_session_5m_counts",
+    "t_streaming_acid_changes",
+    "t_streaming_ann_assign",
+    "t_streaming_dml_replica",
+    "t_streaming_funnel",
+    "t_streaming_neardup",
+    "t_streaming_quality_gate",
+    "x_acid_restore_rewind",
+    "x_acid_stats_skipping",
+    "x_acid_time_travel_diff",
+    "x_ann_cosine_topk",
+    "x_ann_recall_eval",
+    "x_cluster_topics",
+    "x_corpus_overlap_minhash",
+    "x_dedup_embedding",
+    "x_dedup_semantic",
+    "x_events_anomaly_zscore",
+    "x_events_heavy_hitters",
+    "x_events_max_drawdown",
+    "x_multimodal_audio_stats",
+    "x_multimodal_pixel_stats",
+    "x_multimodal_video_motion",
+    "x_pipeline_bpe_encode",
+    "x_pipeline_bpe_merges",
+    "x_pipeline_corpus_prep_v3",
+    "x_pipeline_dsir_select",
+    "x_pipeline_stratified_sample",
+    "x_pipeline_token_budget",
+    "x_pipeline_tokenizer_fertility",
+    "x_quality_gopher_rules",
+    "x_quality_ppl_buckets",
+    "x_salted_hotkey_collect",
+    "x_sketch_kmv_setops",
+    "x_text_bigram_logprob",
+    "x_text_remove_dup_spans",
+    "x_text_repeated_spans",
+    "x_window_sliding_stats",
 )
 
 

@@ -6385,3 +6385,552 @@ def h13_order_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 r13: the remaining TPC-H plan families expressible over this dataset
+# (no partsupp table exists in the fixtures, so Q2/Q9/Q11/Q20 adapt their
+# supplier-part linkage through lineitem — the PLAN SHAPES are the point:
+# zero-shuffle scan-agg, nation-pair volume, market share, decorrelated
+# min, scalar-threshold HAVING, max-revenue view, grouped semi-join,
+# anti-join + scalar avg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "h6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+    survey_ids=("F3", "F5", "A8"),
+    doc="TPC-H Q6-shaped forecast revenue: a pure filter+aggregate with "
+    "no hash exchange — every predicate (date range, discount band, "
+    "quantity cap) pushes to the parquet scan as a PushedFilter, the "
+    "sum folds map-side into one partial per partition and the only "
+    "exchange is the single-partition final merge. The canonical 'is the scan doing the work' probe: at "
+    "100 TB this reads only row groups whose min/max overlap the one "
+    "ship-year and never moves a row between executors.",
+)
+def h6_forecast(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "h7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    survey_ids=("J1", "A1", "F5"),
+    doc="TPC-H Q7-shaped bilateral shipping volume: revenue between two "
+    "nations by direction and ship year. Spark shape: the big-big "
+    "lineitem-orders join shuffles ONCE on the order key; supplier, "
+    "customer, and both nation probes broadcast (the nation-pair "
+    "disjunction cannot pre-prune either big side alone — it resolves "
+    "on the joined row, the same constraint-propagation family as "
+    "h19); the final rollup groups a handful of (nation, nation, "
+    "year) cells. At 100 TB the orderkey shuffle is the one "
+    "unavoidable exchange; everything else rides broadcasts.",
+)
+def h7_volume_shipping(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.withColumn(
+            "l_year", F.year("l_shipdate").cast("long")
+        )
+        .withColumn(
+            "volume",
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "h8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+        AND o.o_orderdate >= DATE '1995-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    survey_ids=("J1", "A1", "X6"),
+    doc="TPC-H Q8-shaped market share: one nation's fraction of regional "
+    "revenue for a part type, by order year. Spark shape: the share is "
+    "a conditional-sum-over-sum inside ONE aggregation (never two "
+    "passes); part/supplier/customer/nation/region all broadcast into "
+    "the fact, the lineitem-orders shuffle on the order key is the "
+    "single big exchange. The region and part-type predicates prune "
+    "their broadcast sides before the join, so the fact rows that "
+    "survive are the regional slice only.",
+)
+def h8_market_share(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_3", F.col("volume")
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "h9_product_profit",
+    """
+    SELECT nation, o_year,
+           CAST(sum(amount_e4) AS DOUBLE) / 10000.0 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity) * 10000 + 0.5)
+               AS BIGINT) AS amount_e4
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    survey_ids=("J1", "A1", "F2"),
+    doc="TPC-H Q9-shaped product-line profit by supplier nation and "
+    "order year (no partsupp table exists in the fixtures, so supply "
+    "cost adapts to a retail-price fraction — the PLAN is the point). "
+    "Spark shape: the name-LIKE pruned part slice, supplier, and "
+    "nation broadcast; lineitem-orders shuffle once on the order key; "
+    "the profit expression folds into the scan projection. The classic "
+    "Q9 killer — joining the fact to itself per dimension — never "
+    "appears: one fact pass, one exchange, |nations|x|years| output "
+    "cells.",
+)
+def h9_product_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(s), s["s_suppkey"] == li["l_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    # exact-grid amounts: engines summing doubles in different orders (and
+    # rounding ties differently) can land a cent apart, so each row snaps
+    # to an integer 1e-4 grid with floor(x*1e4 + 0.5) — identical IEEE ops
+    # on identical inputs — and the SUM is an order-independent integer
+    amount = F.floor(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+        + 0.5
+    ).cast("long")
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount_e4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            (F.sum("amount_e4").cast("double") / F.lit(10000.0)).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "h2_min_acctbal_supplier",
+    """
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM (
+      SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name,
+             p.p_partkey, p.p_type,
+             min(s.s_acctbal) OVER (PARTITION BY p.p_partkey) AS min_bal
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size <= 5 AND r.r_name = 'ASIA'
+    )
+    WHERE s_acctbal = min_bal
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    """,
+    survey_ids=("J1", "F3", "L4"),
+    doc="TPC-H Q2-shaped minimum-cost supplier (adapted: the part-"
+    "supplier linkage rides lineitem because no partsupp table exists; "
+    "the correlated MIN subquery is the shape under test). The "
+    "correlation key IS the join key, so the subquery decorrelates to "
+    "a per-partkey window MIN over the same joined slice — the h17 "
+    "rule — after DISTINCT-ing the (part, supplier) pairs the shipment "
+    "fan-out duplicates. One fact scan; the size-pruned part slice and "
+    "the region-pruned supplier side broadcast; the only exchanges are "
+    "the distinct and the window re-key, both on the part key.",
+)
+def h2_min_acctbal_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sn = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    pairs = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(F.broadcast(sn), sn["s_suppkey"] == li["l_suppkey"])
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pairs.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .drop("min_bal")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@register(
+    "h11_important_parts",
+    """
+    WITH v AS (
+      SELECT l.l_partkey,
+             sum(l.l_extendedprice * l.l_quantity) AS raw_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 2
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, round(raw_value, 2) AS value
+    FROM v
+    WHERE raw_value > (SELECT sum(raw_value) * 0.005 FROM v)
+    ORDER BY value DESC, l_partkey
+    """,
+    survey_ids=("A1", "F3", "L3"),
+    doc="TPC-H Q11-shaped important stock: parts whose shipped value "
+    "through one region's suppliers exceeds a fraction of the regional "
+    "total (partsupp adapts to lineitem). The threshold is a scalar of "
+    "the SAME aggregation, so the per-part rollup computes ONCE and is "
+    "persisted (it is |parts|-bounded — KB per million parts), the "
+    "grand total reduces from the persisted slice, and the filter is a "
+    "broadcast scalar join — the fact is scanned exactly once at any "
+    "scale. Raw (un-rounded) values feed both the threshold comparison "
+    "and the total so rounding never flips a boundary row.",
+)
+def h11_important_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    per_part = (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * F.col("l_quantity")
+            ).alias("raw_value")
+        )
+        .persist()
+    )
+    cap = per_part.agg(
+        (F.sum("raw_value") * F.lit(0.005)).alias("__cap")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(cap))
+        .filter(F.col("raw_value") > F.col("__cap"))
+        .select(
+            "l_partkey", F.round("raw_value", 2).alias("value")
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "h15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS raw_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(r.raw_revenue, 2) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.raw_revenue = (SELECT max(raw_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    survey_ids=("A1", "J1", "L4"),
+    doc="TPC-H Q15-shaped top supplier: the supplier(s) whose quarterly "
+    "revenue equals the maximum (ties all return — equality against a "
+    "scalar, not top-1). The revenue view is |suppliers|-bounded, so "
+    "it computes once from a date-pruned fact scan, PERSISTS, and both "
+    "consumers (the max scalar and the equality filter) read the "
+    "persisted slice; the supplier dimension broadcasts. Raw revenue "
+    "feeds the comparison so rounding cannot split a tie.",
+)
+def h15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("raw_revenue")
+        )
+        .persist()
+    )
+    top = revenue.agg(F.max("raw_revenue").alias("__max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("raw_revenue") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("raw_revenue", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "h20_promotion_suppliers",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%widget%'
+        AND l.l_shipdate >= DATE '1996-01-01'
+        AND l.l_shipdate < DATE '1997-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 50
+    )
+    ORDER BY s.s_suppkey
+    """,
+    survey_ids=("J1", "A1", "F2"),
+    doc="TPC-H Q20-shaped promotion candidates: suppliers who moved "
+    "more than a threshold quantity of any matching part in the year "
+    "(partsupp availability adapts to shipped quantity). Spark shape: "
+    "the name-pruned part slice broadcasts into the date-pruned fact "
+    "scan, the (supplier, part) rollup is the one exchange, the HAVING "
+    "filters it, and the supplier probe is a LEFT SEMI join against "
+    "the distinct qualifying keys — no supplier row ever duplicates, "
+    "no subquery re-scan.",
+)
+def h20_promotion_suppliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    qualifying = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(qualifying),
+            s["s_suppkey"] == qualifying["l_suppkey"],
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "h22_dormant_customers",
+    """
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= DATE '2000-01-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+    survey_ids=("J1", "A1", "F3"),
+    doc="TPC-H Q22-shaped dormant high-balance customers: above the "
+    "average positive balance and no orders since the cutoff (the "
+    "phone-prefix country code adapts to the nation key — the fixtures "
+    "carry no phone column, and every customer has SOME order, so "
+    "dormancy is date-scoped). Spark shape: the scalar average "
+    "broadcasts into the customer scan; the NOT EXISTS is a LEFT ANTI "
+    "join against the date-pruned orders projection (two columns leave "
+    "the scan), shuffling on the customer key; the final rollup is "
+    "|nations| cells. The anti-join's pruned side is the 100 TB "
+    "concern and the date predicate pushes to its scan.",
+)
+def h22_dormant_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, c["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

@@ -442,3 +442,79 @@ def test_sql_text_windowed_ctas_single_shuffle(spark, sf_dir):
     Python twin."""
     plan = _plan(em.queries()["q_sql_windowed_ctas"](spark, sf_dir))
     assert _shuffles(plan) <= 1, plan
+
+
+def test_h6_is_zero_shuffle_pushed_scan(spark, sf_dir):
+    """Q6 shape: pure filter+agg — every predicate at the scan, no
+    exchange other than the single-partition final agg."""
+    p = _plan(em.queries()["h6_forecast_revenue"](spark, sf_dir))
+    # the only exchange is the SinglePartition final-agg merge; no
+    # hash repartitioning anywhere
+    assert "Exchange hashpartitioning" not in p, p
+    assert p.count("Scan parquet") == 1
+    assert "PushedFilters: [" in p and "l_shipdate" in p.split(
+        "PushedFilters:"
+    )[1].split("]")[0]
+
+
+def test_h7_h8_h9_single_fact_shuffle_all_dims_broadcast(spark, sf_dir):
+    """The Q7/Q8/Q9 family: lineitem-orders is the one hash exchange;
+    every dimension rides a broadcast."""
+    qs = em.queries()
+    for name, min_bcast in (
+        ("h7_volume_shipping", 5),
+        ("h8_market_share", 7),
+        ("h9_product_profit", 4),
+    ):
+        p = _plan(qs[name](spark, sf_dir))
+        assert _shuffles(p) <= 2, f"{name}:\n{p}"
+        assert p.count("BroadcastHashJoin") >= min_bcast, f"{name}:\n{p}"
+        assert "SortMergeJoin" not in p, f"{name}:\n{p}"
+
+
+def test_h2_decorrelates_to_partkey_window(spark, sf_dir):
+    """Q2 shape: the correlated MIN must be a window over the joined
+    slice (the h17 rule), never a second fact scan + self-join."""
+    p = _plan(em.queries()["h2_min_acctbal_supplier"](spark, sf_dir))
+    assert p.count("Scan parquet") <= 5, p
+    assert _shuffles(p) <= 3, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_h11_h15_scalar_threshold_reuses_persisted_rollup(spark, sf_dir):
+    """Q11/Q15 shape: the rollup feeding both the scalar and the filter
+    must come from ONE persisted computation (InMemoryRelation in both
+    branches), and the scalar enters as a broadcast, never a shuffle."""
+    qs = em.queries()
+    for name in ("h11_important_parts", "h15_top_supplier"):
+        p = _plan(qs[name](spark, sf_dir))
+        assert "InMemoryTableScan" in p or "InMemoryRelation" in p, (
+            f"{name}:\n{p}"
+        )
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, (
+            f"{name}:\n{p}"
+        )
+        assert "SortMergeJoin" not in p, f"{name}:\n{p}"
+
+
+def test_h20_semi_join_broadcasts_qualifying_keys(spark, sf_dir):
+    """Q20 shape: the HAVING-filtered (supplier, part) rollup is
+    |suppliers|-bounded, so the supplier probe must be a broadcast
+    LEFT SEMI — an SMJ here means a needless full-side sort+shuffle."""
+    p = _plan(em.queries()["h20_promotion_suppliers"](spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    # one hash exchange: the (supplier, part) rollup; the final ORDER BY
+    # range exchange over |suppliers| rows is not a data shuffle
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+def test_h22_anti_join_prunes_order_scan(spark, sf_dir):
+    """Q22 shape: the NOT EXISTS side must reach the orders scan as a
+    date-pruned two-column projection; the scalar average broadcasts."""
+    p = _plan(em.queries()["h22_dormant_customers"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") <= 2, p
+    seg = p.split("Scan parquet")
+    order_seg = [s for s in seg if "o_custkey" in s.split("ReadSchema")[-1]]
+    assert order_seg, p
+    assert any("o_orderdate" in s.split("PushedFilters:")[1].split("]")[0]
+               for s in order_seg if "PushedFilters:" in s), p
