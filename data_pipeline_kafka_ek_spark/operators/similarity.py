@@ -1039,3 +1039,138 @@ def assign_cells(
         cell.alias("cell"),
         F.round(F.array_max(sims), 4).alias("cell_sim"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k
+    most cosine-similar corpus vectors carrying a DIFFERENT label — the
+    negatives a contrastive trainer wants (similar in embedding space,
+    disagreeing in supervision; random negatives are too easy to teach
+    a margin).
+
+    Same execution contract as :func:`cosine_topk` — the query side
+    broadcasts, the corpus is scanned once with the dot product fused
+    into codegen, the per-query ranking window holds k rows of state —
+    plus the label disagreement folded into the join condition so
+    same-label pairs never reach scoring. For corpora past the
+    brute-force budget, bucket first (``lsh_bucket_topk`` /
+    ``ivf_topk``) and mine within buckets; this exact path is the
+    oracle for those.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    c = spread_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col(label_col).alias("__clabel"),
+        )
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("__clabel") != F.col("__qlabel")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__clabel").alias("neg_label"),
+            _cosine(
+                F.transform("__qv", lambda x: x.cast("double")),
+                F.transform("__cv", lambda x: x.cast("double")),
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def standardize_dims(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening): subtract the
+    corpus mean and divide by the corpus standard deviation, dimension
+    by dimension. The cheap version of PCA-whitening every embedding
+    pipeline runs before quantization or cosine bucketing — dominant
+    dimensions stop owning the distance metric.
+
+    Two passes, both bounded: (1) posexplode to (dim, value) and
+    aggregate mean/m2 per dimension — the shuffle carries |dims| keys
+    (hundreds), each a partial-aggregated pair, NOT the corpus; (2) the
+    |dims|-row stats table broadcasts back and the standardized vector
+    rebuilds in one zip_with-style transform over the original rows —
+    the corpus itself never shuffles. Population std (1/N), matching
+    the oracle; near-constant dimensions clamp to std=1 below ``eps``
+    so they standardize to ~0 instead of exploding.
+    """
+    stats = (
+        emb.select(
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("dim", "x")
+        )
+        .groupBy("dim")
+        .agg(
+            F.avg("x").alias("mu"),
+            F.coalesce(F.stddev_pop("x"), F.lit(0.0)).alias("sigma"),
+        )
+        .withColumn(
+            "sigma",
+            F.when(F.col("sigma") < eps, F.lit(1.0)).otherwise(
+                F.col("sigma")
+            ),
+        )
+        # collect_list carries no ordering guarantee; sort_array over the
+        # (dim, mu, sigma) structs orders by dim — the one-row stats
+        # frame rebuilds the per-dimension arrays positionally
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("dim", "mu", "sigma"))
+            ).alias("__st")
+        )
+        .select(
+            F.col("__st.mu").alias("__mus"),
+            F.col("__st.sigma").alias("__sigmas"),
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.zip_with(
+                F.zip_with(
+                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                    F.col("__mus"),
+                    lambda x, m: x - m,
+                ),
+                F.col("__sigmas"),
+                lambda d, s: d / s,
+            ).alias("standardized"),
+        )
+    )

@@ -1035,6 +1035,10 @@ REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "h15_top_supplier",
     "h20_promotion_suppliers",
     "h22_dormant_customers",
+    "x_ann_hard_negatives",
+    "x_embedding_whitening",
+    "x_pipeline_domain_quota",
+    "x_text_vocab_coverage",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

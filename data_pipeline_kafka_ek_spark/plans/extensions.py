@@ -6934,3 +6934,211 @@ def h22_dormant_customers(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 training-pipeline additions: contrastive mining, diagonal whitening,
+# per-domain quotas, vocabulary coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_ann_hard_negatives",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e, label FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neg_label,
+             list_cosine_similarity(q.e, c.e) AS sim
+      FROM v c JOIN q ON c.vec_id <> q.vec_id AND c.label <> q.label
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label,
+           round(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 8
+    """,
+    survey_ids=("EXT-similarity",),
+    doc="contrastive hard-negative mining: per query vector, the 8 most "
+    "cosine-similar corpus vectors with a DIFFERENT label — similar in "
+    "embedding space, disagreeing in supervision, exactly the negatives "
+    "a contrastive trainer wants. Query side broadcasts with the label "
+    "disagreement folded into the join condition (same-label pairs "
+    "never reach scoring); corpus scanned once, dot product in "
+    "codegen, k rows of window state per query. Bucket first via LSH/"
+    "IVF at corpus scale — this exact path is those paths' oracle.",
+)
+def x_ann_hard_negatives(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), k=8
+    )
+
+
+@register(
+    "x_embedding_whitening",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, unnest(e) AS x,
+             unnest(generate_series(1, len(e))) AS dim
+      FROM v
+    ),
+    st AS (
+      SELECT dim, avg(x) AS mu,
+             CASE WHEN coalesce(stddev_pop(x), 0) < 1e-12 THEN 1.0
+                  ELSE stddev_pop(x) END AS sigma
+      FROM d GROUP BY dim
+    ),
+    z AS (
+      SELECT d.vec_id, (d.x - st.mu) / st.sigma AS zx
+      FROM d JOIN st USING (dim)
+    )
+    SELECT vec_id,
+           floor(sqrt(sum(zx * zx)) * 10000 + 0.5) / 10000.0 AS std_norm,
+           floor(min(zx) * 10000 + 0.5) / 10000.0 AS std_min,
+           floor(max(zx) * 10000 + 0.5) / 10000.0 AS std_max
+    FROM z GROUP BY vec_id
+    """,
+    survey_ids=("EXT-similarity",),
+    doc="per-dimension standardization (diagonal whitening) before "
+    "quantization/bucketing: dominant dimensions stop owning the "
+    "distance metric. Plan: posexplode -> |dims|-key partial-aggregated "
+    "shuffle (hundreds of keys, never the corpus), the one-row stats "
+    "frame broadcasts back, the standardized vector rebuilds in a "
+    "zip_with transform — the corpus itself never shuffles. The "
+    "oracle-visible projection is per-vector scalars (norm/min/max) "
+    "snapped to a 1e-4 floor-grid, because cross-engine aggregation "
+    "order perturbs the last ulp.",
+)
+def x_embedding_whitening(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    std = similarity.standardize_dims(emb)
+    grid = lambda c: F.floor(c * 10000 + F.lit(0.5)) / F.lit(10000.0)
+    sumsq = F.aggregate(
+        F.col("standardized"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return std.select(
+        "vec_id",
+        grid(F.sqrt(sumsq)).alias("std_norm"),
+        grid(F.array_min("standardized")).alias("std_min"),
+        grid(F.array_max("standardized")).alias("std_max"),
+    )
+
+
+@register(
+    "x_pipeline_domain_quota",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             ) AS BIGINT) AS quota_rank
+      FROM documents
+    )
+    SELECT doc_id, source, quota_rank
+    FROM ranked WHERE quota_rank <= 50
+    """,
+    survey_ids=("EXT-pipeline",),
+    doc="per-domain quota sampling: keep at most 50 documents per "
+    "source, chosen by a deterministic multiplicative hash of the doc "
+    "id (stable across runs and machines — no RNG). Spark plan is the "
+    "exact TWO-PHASE quota: phase one ranks within (source, "
+    "hash-salt-bucket) and keeps 50 per bucket — correct because a "
+    "source's global 50 smallest hash keys each sit among their own "
+    "bucket's 50 smallest — so the per-source window in phase two sees "
+    "at most 50x16 survivors per source instead of the source's whole "
+    "corpus; a hot domain (half the web is one CDN) caps its window "
+    "input at 800 rows regardless of its true size.",
+)
+def x_pipeline_domain_quota(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    salted = Window.partitionBy(
+        "source", F.pmod(F.col("__qkey"), F.lit(16))
+    ).orderBy("__qkey", "doc_id")
+    final = Window.partitionBy("source").orderBy("__qkey", "doc_id")
+    return (
+        d.select("doc_id", "source", key.alias("__qkey"))
+        .withColumn("__r1", F.row_number().over(salted))
+        .filter(F.col("__r1") <= 50)
+        .withColumn("quota_rank", F.row_number().over(final).cast("long"))
+        .filter(F.col("quota_rank") <= 50)
+        .select("doc_id", "source", "quota_rank")
+    )
+
+
+@register(
+    "x_text_vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS rn
+      FROM counts
+    ),
+    tot AS (SELECT sum(c) AS t FROM counts)
+    SELECT CAST(k AS BIGINT) AS top_k,
+           CAST((SELECT sum(c) FROM ranked WHERE rn <= k) AS BIGINT)
+             AS covered_tokens,
+           floor((SELECT sum(c) FROM ranked WHERE rn <= k) * 1000000.0
+                 / (SELECT t FROM tot) + 0.5) / 1000000.0 AS coverage
+    FROM (VALUES (10), (100), (1000)) AS ks(k)
+    """,
+    survey_ids=("EXT-text", "EXT-pipeline"),
+    doc="vocabulary coverage curve: the fraction of all token "
+    "occurrences covered by the top-10/100/1000 most frequent tokens — "
+    "the Zipf diagnostic that sizes a tokenizer's vocab before "
+    "training one. Plan: ONE token-count shuffle feeds a persisted "
+    "|vocab|-bounded table; each curve point is a TakeOrderedAndProject "
+    "(limit-k heap, NEVER a global partition-less rank window) reduced "
+    "to a scalar and unioned; the grand total enters as a broadcast. "
+    "Integer token counts keep every division exact-identical across "
+    "engines; the final ratio snaps to a 1e-6 floor-grid.",
+)
+def x_text_vocab_coverage(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    total = counts.agg(F.sum("c").alias("__t"))
+    slices = None
+    for k in (10, 100, 1000):
+        top = (
+            counts.orderBy(F.desc("c"), F.asc("token"))
+            .limit(k)
+            .agg(
+                F.lit(k).cast("long").alias("top_k"),
+                F.sum("c").cast("long").alias("covered_tokens"),
+            )
+        )
+        slices = top if slices is None else slices.unionByName(top)
+    return slices.crossJoin(F.broadcast(total)).select(
+        "top_k",
+        "covered_tokens",
+        (
+            F.floor(
+                F.col("covered_tokens") * F.lit(1000000.0) / F.col("__t")
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("coverage"),
+    )

@@ -1364,3 +1364,65 @@ def test_ivf_lloyd_seeding_cost_contract(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with _pytest.raises(ValueError, match="max_cells"):
         sim.ivf_centroids_lloyd(emb, n_cells=10, max_cells=4)
+
+
+def test_hard_negatives_excludes_same_label_and_self(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    query's, never be the query itself, and rank strictly by cosine
+    within the query group."""
+    from data_pipeline_kafka_ek_spark.operators import similarity
+    from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = similarity.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), k=8
+    ).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert r.neg_label == labels[r.neighbor_id]
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        sims = [r.cosine_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) <= 8
+
+
+def test_standardize_dims_centers_and_scales(spark, sf_dir):
+    """After standardization every dimension's corpus mean is ~0 and
+    population std ~1 (or exactly 0 for a clamped constant dim)."""
+    from data_pipeline_kafka_ek_spark.operators import similarity
+    from data_pipeline_kafka_ek_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    std = similarity.standardize_dims(emb)
+    stats = (
+        std.select(F.posexplode("standardized").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.avg("x").alias("mu"), F.stddev_pop("x").alias("sd"))
+        .collect()
+    )
+    assert stats
+    for r in stats:
+        assert abs(r.mu) < 1e-9, (r.dim, r.mu)
+        assert abs(r.sd - 1.0) < 1e-9 or abs(r.sd) < 1e-9, (r.dim, r.sd)
+
+
+def test_domain_quota_caps_each_source(spark, sf_dir):
+    """No source exceeds its quota, and the kept set is exactly the 50
+    smallest multiplicative-hash keys per source (determinism: rerun
+    yields the identical set)."""
+    import __spark_entry__ as em
+
+    fn = em.queries()["x_pipeline_domain_quota"]
+    got = fn(spark, sf_dir).collect()
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r.source, set()).add(r.doc_id)
+    assert all(len(v) <= 50 for v in per_src.values())
+    again = {(r.doc_id, r.source, r.quota_rank) for r in fn(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.source, r.quota_rank) for r in got}

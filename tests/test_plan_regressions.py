@@ -518,3 +518,39 @@ def test_h22_anti_join_prunes_order_scan(spark, sf_dir):
     assert order_seg, p
     assert any("o_orderdate" in s.split("PushedFilters:")[1].split("]")[0]
                for s in order_seg if "PushedFilters:" in s), p
+
+
+def test_hard_negatives_broadcasts_queries_and_filters_labels(spark, sf_dir):
+    """The label disagreement must live in the broadcast join condition
+    (same-label pairs never reach scoring), with the usual per-query
+    window rank on top."""
+    p = _plan(em.queries()["x_ann_hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p
+
+
+def test_whitening_shuffles_dims_not_corpus(spark, sf_dir):
+    """The only hash exchange carries |dims| keys (the posexploded
+    stats rollup); the corpus re-enters via broadcast, never a shuffle."""
+    p = _plan(em.queries()["x_embedding_whitening"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") <= 1, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_domain_quota_is_two_phase(spark, sf_dir):
+    """Both windows must be partitioned (salted pre-truncation, then the
+    per-source final rank) — a single unsalted per-source window would
+    feed a hot domain's entire corpus through one task."""
+    p = _plan(em.queries()["x_pipeline_domain_quota"](spark, sf_dir))
+    _assert_no_partitionless_window(p)
+    assert p.count("RunningWindowFunction") + p.count("Window") >= 2, p
+
+
+def test_vocab_coverage_uses_topk_heaps_not_global_rank(spark, sf_dir):
+    """Each curve point is a TakeOrderedAndProject over the persisted
+    count table; a global rank window over the vocabulary would be a
+    single-task sort of the whole vocab."""
+    p = _plan(em.queries()["x_text_vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
+    _assert_no_partitionless_window(p)
