@@ -152,6 +152,14 @@ def main() -> None:
         "x_sketch_kmv_setops",
         "x_sketch_kmv_rollup",
     }
+    # r13: the new TPC-H plan families (Q7 one-fact-shuffle, Q2 window
+    # decorrelation, Q22 anti join) + the two-phase domain quota
+    added_r13 = {
+        "h7_volume_shipping",
+        "h2_min_acctbal_supplier",
+        "h22_dormant_customers",
+        "x_pipeline_domain_quota",
+    }
     load_end = os.getloadavg()
     print(
         json.dumps(
@@ -166,7 +174,7 @@ def main() -> None:
                             v
                             for k, v in timings.items()
                             if k not in added_r04 | added_r06 | added_r07
-                            | added_r08 | added_r09
+                            | added_r08 | added_r09 | added_r13
                         ),
                         3,
                     ),
@@ -184,6 +192,9 @@ def main() -> None:
                     ),
                     "added_in_r09": round(
                         sum(v for k, v in timings.items() if k in added_r09), 3
+                    ),
+                    "added_in_r13": round(
+                        sum(v for k, v in timings.items() if k in added_r13), 3
                     ),
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

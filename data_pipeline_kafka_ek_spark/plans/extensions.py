@@ -6452,6 +6452,7 @@ def h6_forecast(spark, sf_dir):
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
+    bench=True,
     survey_ids=("J1", "A1", "F5"),
     doc="TPC-H Q7-shaped bilateral shipping volume: revenue between two "
     "nations by direction and ship year. Spark shape: the big-big "
@@ -6679,6 +6680,7 @@ def h9_product_profit(spark, sf_dir):
     WHERE s_acctbal = min_bal
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     """,
+    bench=True,
     survey_ids=("J1", "F3", "L4"),
     doc="TPC-H Q2-shaped minimum-cost supplier (adapted: the part-"
     "supplier linkage rides lineitem because no partsupp table exists; "
@@ -6902,6 +6904,7 @@ def h20_promotion_suppliers(spark, sf_dir):
     GROUP BY c_nationkey
     ORDER BY cntrycode
     """,
+    bench=True,
     survey_ids=("J1", "A1", "F3"),
     doc="TPC-H Q22-shaped dormant high-balance customers: above the "
     "average positive balance and no orders since the cutoff (the "
@@ -7052,6 +7055,7 @@ def x_embedding_whitening(spark, sf_dir):
     SELECT doc_id, source, quota_rank
     FROM ranked WHERE quota_rank <= 50
     """,
+    bench=True,
     survey_ids=("EXT-pipeline",),
     doc="per-domain quota sampling: keep at most 50 documents per "
     "source, chosen by a deterministic multiplicative hash of the doc "
