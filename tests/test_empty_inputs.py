@@ -159,3 +159,10 @@ def test_round9_sketch_setops_and_rollup_empty(spark, empty_docs, empty_events):
     assert {(r.gset, r.key) for r in rows} == {("all", "*")}
     assert rows[0].n_sketch == 0 and rows[0].kmv_estimate == 0
     assert rows[0].n_exact == 0 and rows[0].rel_err is None
+
+
+def test_r13_additions_empty(empty_emb):
+    assert similarity.hard_negatives(empty_emb, empty_emb, k=5).count() == 0
+    std = similarity.standardize_dims(empty_emb)
+    assert std.count() == 0
+    assert std.columns == ["vec_id", "standardized"]

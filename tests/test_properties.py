@@ -602,3 +602,42 @@ def test_derived_conjuncts_are_implied_and_prune_soundly(cond, rows):
                 f"SELECT count(*) FROM t WHERE {cond}"
             ).fetchone()[0]
             assert n == 0, (cond, derived, part)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s.flag", "note", "x = 1", "AND", "t.v > 2"]),
+            st.sampled_from(["'s.lit'", '"s.dq"', "`s.bq`", "''", "'it''s.x'"]),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_sub_outside_quotes_never_touches_literals(segments):
+    """Interleave identifier text with quoted literals; the alias rewrite
+    must hit every unquoted 's.' and none of the quoted ones (all three
+    Spark quoting forms, including doubled-quote escapes)."""
+    from data_pipeline_kafka_ek_spark.functions.sqltext import (
+        quoted_spans,
+        sub_outside_quotes,
+    )
+
+    text = " ".join(x for pair in segments for x in pair)
+    got = sub_outside_quotes(text, r"\bs\.", "")
+    # rebuild the expectation straight from the span scanner
+    spans = quoted_spans(text)
+    import re
+
+    expect, last = [], 0
+    for m in re.finditer(r"\bs\.", text):
+        if any(lo <= m.start() < hi for lo, hi in spans):
+            continue
+        expect.append(text[last : m.start()])
+        last = m.end()
+    expect.append(text[last:])
+    assert got == "".join(expect)
+    # every quoted region survives verbatim
+    for lo, hi in spans:
+        assert text[lo:hi] in got

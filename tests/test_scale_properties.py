@@ -534,3 +534,61 @@ def test_recall_eval_sample_cap_bounds_pair_join(spark, sf_dir):
     assert {name for name, _ in seen} == {"jaccard", "minhash"}
     for name, n_in in seen:
         assert n_in <= 2 * cap, (name, n_in)
+
+
+def test_domain_quota_phase_one_bounds_hot_source(spark):
+    """The salted pre-truncation is the scale guarantee: feed one source
+    100x the quota and assert (a) the final window's input — the phase-1
+    survivors — is capped at quota x n_salts rows for the hot source,
+    and (b) the kept set is exactly the quota smallest hash keys, i.e.
+    the two-phase rewrite is EXACT, not approximate."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    rows = [(i, "hot") for i in range(5000)] + [
+        (100000 + i, f"cold{i % 7}") for i in range(70)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # phase-1 twin: survivors per source never exceed 50 * 16
+    from pyspark.sql import Window
+
+    salted = Window.partitionBy(
+        "source", F.pmod(F.col("__qkey"), F.lit(16))
+    ).orderBy("__qkey", "doc_id")
+    survivors = (
+        df.select("doc_id", "source", key.alias("__qkey"))
+        .withColumn("__r1", F.row_number().over(salted))
+        .filter(F.col("__r1") <= 50)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 50 * 16 for r in survivors)
+    # exactness: the full pipeline equals the single-window reference
+    import tempfile, os, shutil
+
+    scratch = tempfile.mkdtemp(prefix="quota_scale_")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(scratch, "documents.parquet"))
+        # reuse the registered plan against the scratch dir: it only reads
+        # the documents table
+        got = {
+            (r.doc_id, r.source)
+            for r in em.queries()["x_pipeline_domain_quota"](
+                spark, scratch
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    single = Window.partitionBy("source").orderBy("__qkey", "doc_id")
+    want = {
+        (r.doc_id, r.source)
+        for r in df.select("doc_id", "source", key.alias("__qkey"))
+        .withColumn("rn", F.row_number().over(single))
+        .filter(F.col("rn") <= 50)
+        .collect()
+    }
+    assert got == want
+    hot_kept = [t for t in got if t[1] == "hot"]
+    assert len(hot_kept) == 50
