@@ -1039,6 +1039,8 @@ REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_embedding_whitening",
     "x_pipeline_domain_quota",
     "x_text_vocab_coverage",
+    "x_events_markov_transitions",
+    "x_text_tfidf_keywords",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

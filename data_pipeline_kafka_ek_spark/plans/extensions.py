@@ -7146,3 +7146,168 @@ def x_text_vocab_coverage(spark, sf_dir):
             / F.lit(1000000.0)
         ).alias("coverage"),
     )
+
+
+@register(
+    "x_events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (
+      SELECT from_type, sum(n) AS row_total FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           floor(t.n * 1000000.0 / x.row_total + 0.5) / 1000000.0 AS p
+    FROM trans t JOIN tot x USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    survey_ids=("EXT-events", "A1"),
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current), the navigation/behavior "
+    "profile a product-analytics stack derives from any clickstream. "
+    "Plan: ONE user-keyed exchange feeds the lead() window (the same "
+    "partitioning discipline as sessionize), the transition rollup is "
+    "|event_types|^2 cells, and the row-normalizing totals join back "
+    "as a broadcast over that tiny matrix — the event log is scanned "
+    "once and shuffled once at any scale. Probabilities divide exact "
+    "integer counts and snap to a 1e-6 floor-grid.",
+)
+def x_events_markov_transitions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        # |event_types|^2 cells — persist so the row-total branch reads
+        # the matrix instead of re-scanning the event log
+        .persist()
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n").alias("__row_total")
+    )
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (
+                F.floor(
+                    F.col("n") * F.lit(1000000.0) / F.col("__row_total")
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "x_text_tfidf_keywords",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE token <> '' GROUP BY source, token
+    ),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          FROM documents),
+    scored AS (
+      SELECT tf.source, tf.token, tf.tf,
+             floor(tf.tf * ln((n.n_sources + 1.0) / (df.df + 1.0))
+                   * 10000 + 0.5) / 10000.0 AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT source, token, tf, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY tfidf DESC, token ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT source, token, tf, tfidf, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    survey_ids=("EXT-text",),
+    doc="per-source TF-IDF keyword profile: the 5 terms most "
+    "characteristic of each source (df over SOURCES, smoothed "
+    "ln((N+1)/(df+1)) — corpus profiling for mixture design and "
+    "source-quality review, distinct from BM25's query-relevance "
+    "scoring). Plan: the (source, token) rollup is the one corpus-"
+    "keyed exchange; source-level df aggregates off that rollup (never "
+    "a second scan); the source-count scalar and the per-source top-5 "
+    "window both run over |vocab|-bounded tables. The idf product "
+    "snaps to a 1e-4 floor-grid for cross-engine hash identity.",
+)
+def x_text_tfidf_keywords(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = d.agg(
+        F.countDistinct("source").cast("long").alias("__n_sources")
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "token",
+            "tf",
+            (
+                F.floor(
+                    F.col("tf")
+                    * F.log(
+                        (F.col("__n_sources") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "token", "tf", "tfidf", "rank")
+    )

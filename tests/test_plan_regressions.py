@@ -554,3 +554,25 @@ def test_vocab_coverage_uses_topk_heaps_not_global_rank(spark, sf_dir):
     p = _plan(em.queries()["x_text_vocab_coverage"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
     _assert_no_partitionless_window(p)
+
+
+def test_markov_transitions_shuffles_once_then_broadcasts(spark, sf_dir):
+    """One user-keyed exchange feeds the lead() window; the transition
+    matrix is |event_types|^2 and its row totals join back broadcast."""
+    p = _plan(em.queries()["x_events_markov_transitions"](spark, sf_dir))
+    # the row-total branch reads the persisted matrix, never the log
+    assert p.count("InMemoryTableScan") >= 2, p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p, p
+    _assert_no_partitionless_window(p)
+
+
+def test_tfidf_keywords_reuses_tf_rollup(spark, sf_dir):
+    """df and the scoring join both read the persisted (source, token)
+    rollup — the corpus is scanned once; the source-count scalar enters
+    broadcast; the top-5 window is per-source partitioned."""
+    p = _plan(em.queries()["x_text_tfidf_keywords"](spark, sf_dir))
+    # both the df aggregation and the scoring join read the cache (the
+    # cached relation's plan text repeats its child FileScan, so count
+    # cache READS, not scan strings)
+    assert p.count("InMemoryTableScan") >= 2, p
+    _assert_no_partitionless_window(p)
