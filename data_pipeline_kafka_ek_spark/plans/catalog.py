@@ -1041,6 +1041,7 @@ REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_text_vocab_coverage",
     "x_events_markov_transitions",
     "x_text_tfidf_keywords",
+    "t_streaming_markov_transitions",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

@@ -7311,3 +7311,82 @@ def x_text_tfidf_keywords(spark, sf_dir):
         .filter(F.col("rank") <= 5)
         .select("source", "token", "tf", "tfidf", "rank")
     )
+
+
+@register(
+    "t_streaming_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (
+      SELECT from_type, sum(n) AS row_total FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           floor(t.n * 1000000.0 / x.row_total + 0.5) / 1000000.0 AS p
+    FROM trans t JOIN tot x USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    survey_ids=("T1", "T5", "EXT-streaming", "EXT-events"),
+    doc="streaming twin of x_events_markov_transitions: the per-user "
+    "last-event automaton (markov_transitions_stateful, one string of "
+    "state per key) run as a real 4-micro-batch replay, emitting one "
+    "append-mode row per observed transition; the transition matrix and "
+    "row-normalized probabilities aggregate over its output and must "
+    "hash-equal the batch lead() oracle — the same oracle as the batch "
+    "twin, attesting that a live clickstream and a one-shot scan derive "
+    "the IDENTICAL behavior profile.",
+)
+def t_streaming_markov_transitions(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stream = srt.replayed_stream(spark, e, n_slices=4, order_col="ts")
+    emitted = srt.run_available_now(
+        srt.markov_transitions_stateful(stream, watermark="365 days"),
+        output_mode="append",
+    )
+    trans = (
+        emitted.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    # rename the self-join key: both branches descend from the one memory
+    # sink view, whose reused expr-ids trip Spark's conflicting-reference
+    # check if the totals side keeps the same attribute
+    totals = (
+        trans.select(F.col("from_type").alias("__ft"), "n")
+        .groupBy("__ft")
+        .agg(F.sum("n").alias("__row_total"))
+    )
+    return (
+        trans.join(
+            F.broadcast(totals), trans["from_type"] == totals["__ft"]
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (
+                F.floor(
+                    F.col("n") * F.lit(1000000.0) / F.col("__row_total")
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )

@@ -473,6 +473,64 @@ def funnel_stateful(
     )
 
 
+def markov_transitions_stateful(
+    stream_df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Streaming twin of the batch Markov transition profile
+    (plans/extensions.py::x_events_markov_transitions): a per-key
+    last-event automaton that emits one ``(from_type, to_type)`` row per
+    OBSERVED transition, append-mode — the downstream transition-matrix
+    rollup is a plain streaming-safe groupBy count over its output.
+
+    State per key is ONE value (the key's most recent event type); each
+    micro-batch sorts its rows in event-time order (``ts`` then
+    ``id_col`` — the same total order the batch lead() uses), chains
+    them onto the stored last event, emits the consecutive pairs, and
+    stores the new tail. Ordering contract: in-order arrival across
+    micro-batches (the replay harness slices on the globally-unique
+    event time; a production deployment widens the watermark and sorts
+    buffered windows). Append output keeps the emission monotone — a
+    transition, once observed, is a fact.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "from_type string, to_type string"
+    state_schema = "last_type string"
+
+    def update(key_tuple, pdfs, state):
+        import pandas as pd
+
+        frames = list(pdfs)
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values([ts_col, id_col])
+        types = [str(t) for t in pdf[type_col].values]
+        prev = state.get[0] if state.exists else None
+        seq = ([prev] if prev is not None else []) + types
+        if types:
+            state.update((types[-1],))
+        if len(seq) >= 2:
+            yield pd.DataFrame(
+                {"from_type": seq[:-1], "to_type": seq[1:]}
+            )
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_neardup_minhash(
     stream_df: DataFrame,
     id_col: str = "doc_id",

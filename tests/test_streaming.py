@@ -1403,3 +1403,24 @@ def test_heavy_hitters_batch_twin_reconciles_with_mg_stream(spark, sf_dir):
         assert val in final[grp]["items"], f"guaranteed {grp}/{val} missing from MG"
         est, err = final[grp]["items"][val]
         assert est <= cnt <= est + err, (grp, val, est, cnt, err)
+
+
+def test_streaming_markov_equals_batch(spark, sf_dir):
+    """The per-user last-event automaton over a 4-micro-batch replay
+    must emit exactly the batch lead() transition multiset — including
+    transitions that SPAN micro-batch boundaries (the state hand-off)."""
+    import __spark_entry__ as em
+
+    batch = {
+        (r.from_type, r.to_type, r.n, r.p)
+        for r in em.queries()["x_events_markov_transitions"](
+            spark, sf_dir
+        ).collect()
+    }
+    stream = {
+        (r.from_type, r.to_type, r.n, r.p)
+        for r in em.queries()["t_streaming_markov_transitions"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert batch == stream and batch
