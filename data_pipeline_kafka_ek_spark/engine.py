@@ -422,10 +422,15 @@ class Engine:
             *self._tables,
             *getattr(self, "_acid", {}),
         )
-        return any(
-            _re.search(rf"(?i)\b{_re.escape(n)}\b", body)
-            for n in registered
-        )
+        # quote-aware: a string literal spelling a registered name is
+        # data, not a source reference (any paren depth is fine — the
+        # reference may sit in a subquery)
+        spans = self._quoted_spans(body)
+        for n in registered:
+            for m in _re.finditer(rf"(?i)\b{_re.escape(n)}\b", body):
+                if not any(lo <= m.start() < hi for lo, hi in spans):
+                    return True
+        return False
 
     def _route_ddl(self, statement: str) -> "DataFrame | None":
         """The reference's deployable statement grammar

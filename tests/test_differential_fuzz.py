@@ -781,3 +781,69 @@ def test_acid_history_fuzz_incremental_equals_recompute(spark, tmp_path, seed):
             assert got == src.read(version=v).count(), (
                 f"seed {seed} time travel v{v}"
             )
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_ctas_marker_routing_fuzz(spark, seed):
+    """Randomized CREATE TABLE ... AS SELECT statements: the router must
+    divert to the ksql registry exactly when a marker is present (EMIT
+    CHANGES / WITH props / PARTITION BY / ksql WINDOW / engine-registered
+    FROM source) and otherwise pass the statement to spark.sql — with
+    quoted literals spelling marker keywords never counting as markers."""
+    import random
+
+    from data_pipeline_kafka_ek_spark.engine import Engine
+
+    rng = random.Random(seed)
+    eng = Engine(spark)
+    eng.create_stream(
+        "FUZZSRC", spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    spark.createDataFrame(
+        [(2, "b")], "k long, v string"
+    ).createOrReplaceTempView("plainsrc")
+    spark.sql("CREATE DATABASE IF NOT EXISTS fuzzctas")
+    made = []
+    try:
+        for i in range(12):
+            name = f"fuzzctas.t{seed}_{i}"
+            reg_name = f"FT{seed}_{i}"
+            marker = rng.choice(
+                ["none", "emit", "props", "registered_src", "quoted_decoy"]
+            )
+            if marker == "none":
+                stmt = f"CREATE TABLE {name} AS SELECT k, v FROM plainsrc"
+            elif marker == "emit":
+                stmt = (
+                    f"CREATE TABLE {reg_name} AS SELECT k, v FROM plainsrc "
+                    "EMIT CHANGES"
+                )
+            elif marker == "props":
+                stmt = (
+                    f"CREATE TABLE {reg_name} WITH (kafka_topic='x') "
+                    "AS SELECT k, v FROM plainsrc"
+                )
+            elif marker == "registered_src":
+                stmt = f"CREATE TABLE {reg_name} AS SELECT k, v FROM FUZZSRC"
+            else:  # quoted_decoy: marker words only inside literals —
+                # UNQUALIFIED name so the CSAS regex matches and the
+                # marker scan itself is what decides the route
+                name = f"tdecoy{seed}_{i}"
+                stmt = (
+                    f"CREATE TABLE {name} AS SELECT k, "
+                    "'WINDOW TUMBLING over FUZZSRC' AS v "
+                    "FROM plainsrc"
+                )
+            eng.sql(stmt)
+            if marker in ("none", "quoted_decoy"):
+                made.append(name)
+                # landed in the Spark catalog, absent from the registry
+                assert spark.table(name).count() == 1
+                assert name.split(".")[-1] not in eng.show_tables()
+            else:
+                assert reg_name in eng.show_tables()
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS fuzzctas CASCADE")
+        for t in made:
+            if "." not in t:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
