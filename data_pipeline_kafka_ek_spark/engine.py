@@ -422,12 +422,16 @@ class Engine:
             *self._tables,
             *getattr(self, "_acid", {}),
         )
-        # quote-aware: a string literal spelling a registered name is
-        # data, not a source reference (any paren depth is fine — the
-        # reference may sit in a subquery)
+        # the docstring contract is "a FROM over an engine-registered
+        # name": only FROM/JOIN source position counts — a registered
+        # name reused as a column or alias must not divert a vanilla
+        # catalog CTAS. Quote-aware (a literal spelling the name is
+        # data); any paren depth is fine (the source may sit in a
+        # subquery).
         spans = self._quoted_spans(body)
         for n in registered:
-            for m in _re.finditer(rf"(?i)\b{_re.escape(n)}\b", body):
+            pat = rf"(?i)\b(?:FROM|JOIN)\s+{_re.escape(n)}\b"
+            for m in _re.finditer(pat, body):
                 if not any(lo <= m.start() < hi for lo, hi in spans):
                     return True
         return False

@@ -1163,14 +1163,17 @@ def standardize_dims(
         emb.crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
-            F.zip_with(
-                F.zip_with(
-                    F.transform(F.col(vec_col), lambda x: x.cast("double")),
-                    F.col("__mus"),
-                    lambda x, m: x - m,
-                ),
-                F.col("__sigmas"),
-                lambda d, s: d / s,
+            # index the stats arrays by each vector's OWN positions (a
+            # ragged short vector standardizes only its own dims; the
+            # stats arrays always cover the corpus max, so the lookup
+            # never runs past them — zip_with would null-pad instead)
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: (
+                    x.cast("double")
+                    - F.element_at(F.col("__mus"), i + 1)
+                )
+                / F.element_at(F.col("__sigmas"), i + 1),
             ).alias("standardized"),
         )
     )

@@ -6761,6 +6761,10 @@ def h11_important_parts(spark, sf_dir):
                 F.col("l_extendedprice") * F.col("l_quantity")
             ).alias("raw_value")
         )
+        # returned-plan persist (same convention as dedup.py's token
+        # sets): the caller materializes the returned frame, and the
+        # blocks are reclaimed by Spark's ContextCleaner when the frame
+        # is dropped — repeated bench invocations don't accumulate
         .persist()
     )
     cap = per_part.agg(
@@ -7048,7 +7052,8 @@ def x_embedding_whitening(spark, sf_dir):
       SELECT doc_id, source,
              CAST(row_number() OVER (
                PARTITION BY source
-               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+               ORDER BY ((doc_id % 2147483647) * 2654435761)
+                        % 4294967296, doc_id
              ) AS BIGINT) AS quota_rank
       FROM documents
     )
@@ -7070,7 +7075,12 @@ def x_embedding_whitening(spark, sf_dir):
 )
 def x_pipeline_domain_quota(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    # reduce mod 2^31-1 BEFORE the multiply so the product stays inside
+    # int64 for any doc_id (4e9 * 2654435761 would silently wrap
+    # negative in non-ANSI Spark and overflow-error in the oracle)
+    key = (
+        (F.col("doc_id") % F.lit(2147483647)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
     salted = Window.partitionBy(
         "source", F.pmod(F.col("__qkey"), F.lit(16))
     ).orderBy("__qkey", "doc_id")

@@ -508,14 +508,27 @@ def markov_transitions_stateful(
         frames = list(pdfs)
         pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
         pdf = pdf.sort_values([ts_col, id_col])
-        types = [str(t) for t in pdf[type_col].values]
-        prev = state.get[0] if state.exists else None
-        seq = ([prev] if prev is not None else []) + types
+        # NULL event types stay None (never the string 'None'): the
+        # batch lead() oracle keeps a null as a from_type and drops
+        # transitions INTO null — mirror both rules exactly
+        types = [
+            None if pd.isna(t) else str(t)
+            for t in pdf[type_col].values
+        ]
+        prev_exists = state.exists
+        prev = state.get[0] if prev_exists else None
+        seq = ([prev] if prev_exists else []) + types
         if types:
             state.update((types[-1],))
-        if len(seq) >= 2:
+        pairs = [
+            (a, b) for a, b in zip(seq[:-1], seq[1:]) if b is not None
+        ]
+        if pairs:
             yield pd.DataFrame(
-                {"from_type": seq[:-1], "to_type": seq[1:]}
+                {
+                    "from_type": [a for a, _ in pairs],
+                    "to_type": [b for _, b in pairs],
+                }
             )
 
     return (

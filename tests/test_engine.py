@@ -1318,3 +1318,22 @@ def test_vanilla_spark_ctas_passes_through(spark, tmp_path):
         assert "VDERIVED" in eng.show_tables()
     finally:
         spark.sql("DROP DATABASE IF EXISTS vctas CASCADE")
+
+
+def test_registered_name_as_column_does_not_divert_ctas(spark, tmp_path):
+    """Only FROM/JOIN source position counts as the registered-name
+    marker: a registered stream named like a column must not pull a
+    vanilla catalog CTAS into the registry route."""
+    eng = Engine(spark)
+    eng.create_stream("value", spark.createDataFrame([(1,)], "k long"))
+    spark.createDataFrame([(1, 2.0)], "k long, value double"
+                          ).createOrReplaceTempView("plain_rep_src")
+    try:
+        eng.sql("CREATE TABLE rep_plain AS SELECT value FROM plain_rep_src")
+        assert spark.table("rep_plain").count() == 1
+        assert "rep_plain" not in eng.show_tables()
+        # but FROM the registered name still routes to the registry
+        eng.sql("CREATE TABLE REPDERIV AS SELECT k FROM value")
+        assert "REPDERIV" in eng.show_tables()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rep_plain")

@@ -1426,3 +1426,50 @@ def test_domain_quota_caps_each_source(spark, sf_dir):
     assert all(len(v) <= 50 for v in per_src.values())
     again = {(r.doc_id, r.source, r.quota_rank) for r in fn(spark, sf_dir).collect()}
     assert again == {(r.doc_id, r.source, r.quota_rank) for r in got}
+
+
+def test_domain_quota_hash_survives_huge_doc_ids(spark, tmp_path):
+    """doc_id near int64-overflow territory: the pre-multiply modulus
+    keeps the rank key positive and identical in Spark and DuckDB."""
+    import os
+
+    import duckdb
+
+    rows = [(3_470_000_000 + i * 997, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    df.write.mode("overwrite").parquet(path)
+    import __spark_entry__ as em
+
+    got = sorted(
+        (r.doc_id, r.source, r.quota_rank)
+        for r in em.queries()["x_pipeline_domain_quota"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{path}/*.parquet')"
+    )
+    want = sorted(
+        (int(a), b, int(c))
+        for a, b, c in con.execute(
+            em.oracle_sql()["x_pipeline_domain_quota"]
+        ).fetchall()
+    )
+    assert got == want and got
+
+
+def test_whitening_handles_ragged_vectors(spark):
+    """A short vector standardizes only its own dimensions — no
+    null-padding against the corpus max dim."""
+    from data_pipeline_kafka_ek_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [3.0, 4.0, 5.0]), (3, [5.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r.standardized
+            for r in similarity.standardize_dims(emb).collect()}
+    assert len(rows[3]) == 2 and all(x is not None for x in rows[3])
+    assert len(rows[1]) == 3 and all(x is not None for x in rows[1])

@@ -549,7 +549,9 @@ def test_domain_quota_phase_one_bounds_hot_source(spark):
         (100000 + i, f"cold{i % 7}") for i in range(70)
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string")
-    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    key = (
+        (F.col("doc_id") % F.lit(2147483647)) * F.lit(2654435761)
+    ) % F.lit(4294967296)
     # phase-1 twin: survivors per source never exceed 50 * 16
     from pyspark.sql import Window
 

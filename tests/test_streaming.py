@@ -1424,3 +1424,32 @@ def test_streaming_markov_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert batch == stream and batch
+
+
+def test_streaming_markov_null_event_types_match_batch_semantics(spark):
+    """NULL event types: transitions INTO null are dropped, a null
+    from_type survives — exactly the batch lead() rule, never the
+    string 'None'."""
+    import datetime as dt
+
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(seconds=i), i, t)
+        for i, t in enumerate(["a", None, "b", "a"])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    stream = srt.replayed_stream(spark, df, n_slices=2, order_col="ts")
+    out = srt.run_available_now(
+        srt.markov_transitions_stateful(stream, watermark="365 days"),
+        output_mode="append",
+    )
+    got = sorted(
+        ((r.from_type, r.to_type) for r in out.collect()),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+    )
+    # a->NULL dropped; NULL->b kept with from_type None; b->a kept
+    assert got == [(None, "b"), ("b", "a")]
