@@ -737,3 +737,81 @@ def corpus_overlap_minhash(
             F.round(F.abs(F.col("jaccard_est") - F.col("jaccard_exact")), 4),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_filter: bool = True,
+    ngram: int = 3,
+) -> DataFrame:
+    """Directional set CONTAINMENT: all ordered pairs (a, b), a != b,
+    with C(a in b) = |A∩B| / |A| >= threshold over distinct word-n-gram
+    shingle sets. The asymmetric cousin of :func:`jaccard_pairs` —
+    Jaccard misses a short document wholly quoted inside a long one
+    (the union dilutes the score), which is exactly the boilerplate /
+    quote-inclusion / subset-duplication case a training-data pipeline
+    must catch before mixing sources.
+
+    Same inverted-index + verify architecture. Prefix filtering adapts
+    to the asymmetry: only the CONTAINED side can prefix-prune —
+    C >= t forces an overlap >= ceil(t*|A|), so by pigeonhole any
+    qualifying B holds at least one of A's |A| - ceil(t*|A|) + 1
+    globally-rarest shingles — while the containing side must post its
+    full set (it may cover A through any of its shingles). EXACT, like
+    the Jaccard prefix filter. The one admissible size filter is
+    one-sided: |B| >= t*|A| (a container cannot be t-fold smaller);
+    there is no upper bound on |B| by design. At 100 TB the full-set
+    posting of the containing side is the cost center — shingles are
+    vastly rarer than words, so posting lists stay short, and residual
+    hot-shingle skew is the same AQE skew-join problem as the Jaccard
+    path.
+    """
+    sets = _token_sets(docs, id_col, text_col, ngram).persist()
+    posts = sets.select(
+        "doc_id", F.size("toks").alias("__n"), F.explode("toks").alias("tok")
+    )
+    posts_a = posts
+    if prefix_filter and threshold > 0:
+        from pyspark.sql import Window
+
+        dfreq = posts.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+        order = Window.partitionBy("doc_id").orderBy("__df", "tok")
+        posts_a = (
+            posts.join(dfreq, "tok")
+            .withColumn("__rn", F.row_number().over(order))
+            .filter(
+                F.col("__rn")
+                <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+            )
+            .select("doc_id", "__n", "tok")
+        )
+    a, b = posts_a.alias("a"), posts.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
+    isets = _int_token_sets(sets).persist()
+    sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    containment = F.size(F.array_intersect("toks_a", "toks_b")) / F.size("toks_a")
+    return (
+        spread(cand, "doc_a")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_a", "doc_b", F.round("containment", 4).alias("containment")
+        )
+    )

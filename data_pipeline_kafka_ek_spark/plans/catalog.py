@@ -1042,6 +1042,7 @@ REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_events_markov_transitions",
     "x_text_tfidf_keywords",
     "t_streaming_markov_transitions",
+    "x_dedup_containment",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

@@ -7400,3 +7400,40 @@ def t_streaming_markov_transitions(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "x_dedup_containment",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text,' ') AS w FROM documents
+    ),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+               END) AS s
+      FROM base
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.s,b.s))*1.0 / len(a.s), 4)
+             AS containment
+    FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.s,b.s))*1.0 / len(a.s) >= 0.8
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="directional 3-gram-shingle containment >= 0.8: |A-shingles in "
+    "B| / |A| — the asymmetric near-dup Jaccard misses (a short doc "
+    "quoted whole inside a long one dilutes the union), i.e. the "
+    "boilerplate / quote-inclusion case. Spark side prefix-prunes only "
+    "the CONTAINED side (pigeonhole over the rarest shingles — exact) "
+    "with the one admissible size filter |B| >= t*|A| inside the join "
+    "condition; the containing side posts its full shingle set. Oracle "
+    "is brute-force O(n^2).",
+)
+def x_dedup_containment(spark, sf_dir):
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, ngram=3
+    )

@@ -36,6 +36,7 @@ def test_dedup_family_empty(empty_docs):
     assert dedup.jaccard_pairs(empty_docs, threshold=0.8, ngram=3).count() == 0
     assert dedup.minhash_lsh_pairs(empty_docs, threshold=0.8).count() == 0
     assert dedup.simhash_pairs(empty_docs, max_hamming=3).count() == 0
+    assert dedup.containment_pairs(empty_docs, threshold=0.8).count() == 0
 
 
 def test_similarity_family_empty(empty_emb):

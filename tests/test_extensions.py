@@ -1473,3 +1473,28 @@ def test_whitening_handles_ragged_vectors(spark):
             for r in similarity.standardize_dims(emb).collect()}
     assert len(rows[3]) == 2 and all(x is not None for x in rows[3])
     assert len(rows[1]) == 3 and all(x is not None for x in rows[1])
+
+
+def test_containment_is_directional_and_catches_subset_docs(spark):
+    """A short doc fully shingle-contained in a long one must surface as
+    (short, long) at containment 1.0 — and NOT as (long, short); plain
+    Jaccard at the same threshold misses the pair entirely."""
+    from data_pipeline_kafka_ek_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " eta theta iota kappa " + "x y z w v u t s r q p o n m"
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dedup.containment_pairs(docs, threshold=0.8, ngram=3).collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    assert (2, 1) not in got and (3, 1) not in got and (1, 3) not in got
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.8, ngram=3).collect()
+    }
+    assert (1, 2) not in jac and (2, 1) not in jac

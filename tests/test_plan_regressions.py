@@ -576,3 +576,16 @@ def test_tfidf_keywords_reuses_tf_rollup(spark, sf_dir):
     # cache READS, not scan strings)
     assert p.count("InMemoryTableScan") >= 2, p
     _assert_no_partitionless_window(p)
+
+
+def test_containment_prefix_prunes_contained_side_only(spark, sf_dir):
+    """The contained side's posting list is prefix-pruned (rank filter
+    over the rarest shingles); the containing side posts its full set;
+    the one-sided size filter lives in the join condition; no
+    row-at-a-time Python anywhere."""
+    p = _plan(em.queries()["x_dedup_containment"](spark, sf_dir))
+    assert "BatchEvalPython" not in p
+    # (spread()'s bounded global cumsum window over per-partition stats
+    # is expected — same as the jaccard path; no assertion on it)
+    # the size filter is in the candidate join condition, pre-shuffle
+    assert "__n" in p, p
