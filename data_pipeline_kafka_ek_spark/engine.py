@@ -430,11 +430,46 @@ class Engine:
         # subquery).
         spans = self._quoted_spans(body)
         for n in registered:
-            pat = rf"(?i)\b(?:FROM|JOIN)\s+{_re.escape(n)}\b"
+            # the source token may be quoted: backticks (Spark/ksql) or
+            # double quotes (ANSI). The match anchors at FROM/JOIN —
+            # outside any identifier-quote span — so the span check
+            # still rejects only the data-literal case ('... FROM n
+            # ...' inside a single-quoted string).
+            esc = _re.escape(n)
+            pat = rf"(?i)\b(?:FROM|JOIN)\s+(?:{esc}\b|`{esc}`|\"{esc}\")"
             for m in _re.finditer(pat, body):
                 if not any(lo <= m.start() < hi for lo, hi in spans):
                     return True
         return False
+
+    def _normalize_quoted_sources(self, body: str) -> str:
+        """Spark's default dialect parses double quotes as string
+        literals, so an ANSI/ksql-style double-quoted source identifier
+        in FROM/JOIN position would fail to parse. Rewrite
+        ``FROM "name"`` to ``FROM `name``` for engine-registered names
+        only — anything else keeps its spelling (and its error). One
+        pass over the original string, so quoted-span offsets stay
+        valid."""
+        import re as _re
+
+        registered = (
+            *self._streams,
+            *self._tables,
+            *getattr(self, "_acid", {}),
+        )
+        if not registered:
+            return body
+        spans = self._quoted_spans(body)
+        names = "|".join(_re.escape(n) for n in registered)
+
+        def _sub(m: "_re.Match") -> str:
+            if any(lo <= m.start() < hi for lo, hi in spans):
+                return m.group(0)
+            return f"{m.group(1)}`{m.group(2)}`"
+
+        return _re.sub(
+            rf"(?i)(\b(?:FROM|JOIN)\s+)\"({names})\"", _sub, body
+        )
 
     def _route_ddl(self, statement: str) -> "DataFrame | None":
         """The reference's deployable statement grammar
@@ -502,6 +537,7 @@ class Engine:
                 # temp-view route (CREATE STREAM is never vanilla SQL and
                 # always routes here)
                 return None
+            body = self._normalize_quoted_sources(body)
             body = self._rewrite_ksql_windows(body, props)
             df = self.spark.sql(self._rewrite_time_travel(body))
             if part_col is not None:
@@ -516,7 +552,7 @@ class Engine:
                 # derivations: if the FROM source declared one and the
                 # projection kept it, the derivation carries it too —
                 # so a chained windowed CTAS needs no repeated WITH
-                fm = _re.search(r"\bFROM\s+(\w+)", body, _re.I)
+                fm = _re.search(r"\bFROM\s+`?(\w+)", body, _re.I)
                 inherited = (
                     self._event_time.get(fm.group(1)) if fm else None
                 )

@@ -68,19 +68,42 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine_sim") -> DataF
     return df.withColumn(out, _cosine(av, bv))
 
 
+def _guard_broadcast_side(queries: DataFrame, max_query_rows: "int | None",
+                          op: str, alternative: str) -> None:
+    """The exact similarity paths broadcast the query side; a large query
+    set OOMs executors instead of failing fast. Refuse at plan-build time
+    with a bounded ``limit(n+1).count()`` probe (the guard never scans the
+    full table) — the same contract as ``cosine_pairs``."""
+    if max_query_rows is not None and (
+        queries.limit(max_query_rows + 1).count() > max_query_rows
+    ):
+        raise ValueError(
+            f"{op} broadcasts the query side and refuses query sets over "
+            f"{max_query_rows} rows — use {alternative} (the bucketed "
+            f"scale path) or pass max_query_rows=None to override"
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: "int | None" = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector, brute force.
 
     The query side is broadcast (queries are few); the corpus is scanned
     once per partition with the dot product fused into codegen. Ranking is
-    a per-query window — state is k rows per query.
+    a per-query window — state is k rows per query. Query sets past
+    ``max_query_rows`` are refused at plan-build time — route them through
+    ``cosine_topk_blocked`` / ``lsh_bucket_topk`` / ``ivf_topk`` instead.
     """
+    _guard_broadcast_side(
+        queries, max_query_rows, "cosine_topk",
+        "cosine_topk_blocked / lsh_bucket_topk / ivf_topk",
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
@@ -1048,6 +1071,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_query_rows: "int | None" = 100_000,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each query vector, the k
     most cosine-similar corpus vectors carrying a DIFFERENT label — the
@@ -1056,14 +1080,17 @@ def hard_negatives(
     a margin).
 
     Same execution contract as :func:`cosine_topk` — the query side
-    broadcasts, the corpus is scanned once with the dot product fused
-    into codegen, the per-query ranking window holds k rows of state —
-    plus the label disagreement folded into the join condition so
-    same-label pairs never reach scoring. For corpora past the
-    brute-force budget, bucket first (``lsh_bucket_topk`` /
-    ``ivf_topk``) and mine within buckets; this exact path is the
-    oracle for those.
+    broadcasts (refused past ``max_query_rows`` at plan-build time),
+    the corpus is scanned once with the dot product fused into codegen,
+    the per-query ranking window holds k rows of state — plus the label
+    disagreement folded into the join condition so same-label pairs
+    never reach scoring. For corpora past the brute-force budget,
+    ``hard_negatives_lsh`` mines within SRP buckets; this exact path is
+    its oracle.
     """
+    _guard_broadcast_side(
+        queries, max_query_rows, "hard_negatives", "hard_negatives_lsh"
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
@@ -1080,6 +1107,83 @@ def hard_negatives(
         c.join(
             F.broadcast(q),
             (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("__clabel") != F.col("__qlabel")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("__clabel").alias("neg_label"),
+            _cosine(
+                F.transform("__qv", lambda x: x.cast("double")),
+                F.transform("__cv", lambda x: x.cast("double")),
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neg_label",
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def hard_negatives_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 8,
+    n_planes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Bucketed hard-negative mining — the corpus-scale path for
+    :func:`hard_negatives` (which is this operator's exact oracle).
+
+    Sign-random-projection buckets (the ``lsh_bucket_topk`` machinery,
+    same seeded deterministic planes) prune candidate generation to the
+    query's bucket: candidates per query ~ corpus / 2^n_planes instead
+    of the whole corpus. The label disagreement rides INSIDE the join
+    condition so same-label pairs never reach scoring; exact float64
+    cosine re-rank within the bucket, k rows of window state per query.
+
+    Scale shape: a plain equi-join on the bucket key — never a
+    broadcast of the query set (unlike the exact path) and never a
+    nested loop over the corpus, so the query side may be arbitrarily
+    large; AQE still broadcasts it when it happens to be small. Recall
+    vs the exact miner is a first-class query
+    (``x_ann_hard_negatives_recall``) — mine with more planes only
+    after reading that number.
+    """
+    planes_rows = srp_planes(n_planes, dim, seed)
+    c = spread_if_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col(label_col).alias("__clabel"),
+            _bucket_expr(F.col(vec_col), planes_rows).alias("bucket"),
+        )
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__qlabel"),
+        _bucket_expr(F.col(vec_col), planes_rows).alias("__qbucket"),
+    )
+    scored = (
+        c.join(
+            q,
+            (F.col("bucket") == F.col("__qbucket"))
+            & (F.col("neighbor_id") != F.col("query_id"))
             & (F.col("__clabel") != F.col("__qlabel")),
         )
         .select(

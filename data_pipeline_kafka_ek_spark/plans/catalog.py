@@ -1010,12 +1010,115 @@ def h5(spark, sf_dir):
 #              r13 registrations land in REGISTERED_AFTER_WINDOW (the
 #              window is fully subscribed by the stale tier).
 
+#   r14 window (this round): 81 must-attest for 50 slots — the seventeen
+#              r13 REGISTERED_AFTER_WINDOW entries (never driver-attested:
+#              the nine new TPC-H families h2/h6/h7/h8/h9/h11/h15/h20/h22,
+#              mining/whitening/quota/coverage, Markov batch+streaming,
+#              TF-IDF, containment) go first, then the fourteen r13
+#              WINDOW_OVERFLOW picks (last green r10 — two rounds past the
+#              bound now, they cannot overflow again, promised first in
+#              line), then 19 of the 50-entry r11-green tier (three rounds
+#              stale at r14), alphabetical. Genuine excess is exactly 31;
+#              the WINDOW_OVERFLOW picks (each last green exactly r11,
+#              transitively covered, named twin):
+#                a1_count_by_group        <- a_count_distinct
+#                  (r13-green; grouped-count machinery, distinct on top)
+#                a6_date_histogram        <- a3_tumbling_1min_counts
+#                  (r12-green; same date_trunc time-bucketed grouped count)
+#                a7_top_terms             <- x_explode_top_tokens
+#                  (r13-green; same explode→count→top-N machinery)
+#                a_cascade_rollup         <- a_rollup_revenue
+#                  (r12-green; same multi-level rollup aggregation)
+#                f1_pattern_filter_negated <- f2_pattern_filter_positive
+#                  (r13-green; identical LCASE+LIKE machinery — the r12
+#                  precedent pair, reversed)
+#                f5_conjunctive_filter    <- q_sql_csas_unhappy
+#                  (r13-green; the SQL-text CSAS routes the same F3/F4/F5
+#                  conjunction through the same filter builder)
+#                f6_left_join_null_reject <- j_full_outer_join
+#                  (r12-green; outer-join null-arm machinery)
+#                h16_supplier_part_breadth <- a_count_distinct
+#                  (r13-green; grouped COUNT DISTINCT machinery)
+#                j1_enrichment_join       <- q_sql_csas_unhappy
+#                  (r13-green; the CSAS plan routes the same stream–table
+#                  LEFT equi-join through the same join builder)
+#                j1a_join_unfiltered_variant <- h5_nation_revenue
+#                  (r13-green; broadcast equi-join machinery)
+#                l3_l4_sorted_topk        <- h3_top_revenue_orders
+#                  (r13-green; TakeOrdered top-k machinery)
+#                p4_time_format_projection <- q_sql_windowed_ctas
+#                  (r13-green; same TIMESTAMPTOSTRING formatting path)
+#                t_streaming_dedup        <- x_dedup_exact
+#                  (r13-green batch twin; the twin suite asserts the
+#                  streaming keep set equals the batch keep set)
+#                t_streaming_stateful_counts <- t_streaming_session_counts
+#                  (r13-green; same applyInPandasWithState runtime path)
+#                unhappy_vip_customers    <- q_sql_csas_unhappy
+#                  (r13-green; the CSAS is the SQL-text form of this
+#                  exact query — same plan, engine-routed)
+#                x8_alert_template        <- t_streaming_psi_drift
+#                  (in-window at r14; same alert templating machinery)
+#                x_acid_dml_lifecycle     <- x_acid_merge_sql
+#                  (r13-green; same stats-pruned DML write path)
+#                x_acid_replica_convergence <- t_streaming_dml_replica
+#                  (r12-green; same change-feed replica machinery)
+#                x_ann_ivf_topk           <- x_ann_ivf_trained_topk
+#                  (r13-green; same IVF cell-probe scoring — trained
+#                  codebook variant of the same operator)
+#                x_corpus_length_histogram <- x_corpus_stats
+#                  (r13-green; same corpus length-stats scan)
+#                x_dedup_keep_list        <- x_dedup_components
+#                  (r13-green; keep-list is the policy projection over
+#                  the same connected components)
+#                x_dedup_recall_eval      <- x_ann_recall_eval
+#                  (r12-green; same bucketed-vs-exact recall harness)
+#                x_events_funnel          <- t_streaming_funnel
+#                  (r12-green; same funnel fold, twin suite asserts
+#                  streaming == batch)
+#                x_events_sessionize      <- t4_session_5m_counts
+#                  (r12-green; same gap-based session assignment)
+#                x_multimodal_features    <- x_multimodal_stdlib_codecs
+#                  (r13-green; same Arrow-batched mapInPandas path)
+#                x_pipeline_encode        <- x_pipeline_bpe_encode
+#                  (r12-green; same encode machinery, BPE variant)
+#                x_pipeline_epoch_shuffle <- x_deterministic_sample
+#                  (r13-green; same deterministic hash-order machinery)
+#                x_pipeline_vocab         <- x_pipeline_bpe_merges
+#                  (r12-green; same vocab-count rollup that feeds merges)
+#                x_text_langid            <- x_text_langid_confusion
+#                  (r13-green; recomputes the same langid scoring — the
+#                  r10/r12 precedent pair)
+#                x_text_unigram_logprob   <- x_text_bigram_logprob
+#                  (r12-green; same LM count/broadcast scoring, unigram)
+#                x_window_running_total   <- h_window_cumulative_revenue
+#                  (r13-green; same cumulative-sum window machinery)
+#              All 31 are first in line for the r15 window. New r14
+#              registrations land in REGISTERED_AFTER_WINDOW (the window
+#              is fully subscribed by the stale tier).
+#
+# STEADY-STATE POLICY (formalized in r14, closing the r13 verdict's #2):
+# with N registered driver-checkable queries and a 50-slot window, the
+# original R-2 staleness bound is arithmetically reachable only while
+# N <= 150 (two fresh 50-tiers + one window). The catalog passed that in
+# r11, so the REAL bound — the one the rotation test now enforces — is:
+#   * every query is driver-attested at least every ceil(N/50) rounds
+#     (R-4 worst case at the current N), because an entry may overflow
+#     the window AT MOST ONCE, and only at exactly R-3 with a named
+#     covering twin (r12/r13-green or in-window) recorded in the history
+#     comment above;
+#   * the must-attest set may never exceed 100 (window + one overflow
+#     generation). That caps driver-checkable registrations at
+#     N <= 200 + |ROWS_ONLY_NO_ORACLE|. Past that, new queries must be
+#     local-gate-only (pytest + check_correctness oracles, no driver
+#     window claim) until attested queries retire. The rotation test
+#     computes all of this from the committed CORRECTNESS ground truth.
+
 # The round this rotation was authored for: the regression test checks that
 # every DRIVER_DEMOTED entry has a driver-green hash row within the two
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
-# promises), pinned here so evidence files landing later don't shift the
-# baseline under the test. Bump when re-authoring the rotation.
-DRIVER_ROTATION_ROUND = 13
+# promises for non-overflow entries), pinned here so evidence files landing
+# later don't shift the baseline under the test. Bump when re-authoring.
+DRIVER_ROTATION_ROUND = 14
 
 # Queries registered AFTER this round's window was already committed to
 # re-attestation work. They sit in DRIVER_DEMOTED without a prior
@@ -1023,9 +1126,72 @@ DRIVER_ROTATION_ROUND = 13
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r13: the window is again oversubscribed by the stale tier
-# (64 must-attest for 50 slots), so every new r13 registration lands here.
+# sf0.01). r14: the window is again oversubscribed by the stale tier
+# (81 must-attest for 50 slots), so every new r14 registration lands here.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
+    "x_ann_hard_negatives_bucketed",
+    "x_ann_hard_negatives_recall",
+)
+
+# Queries whose driver row can NEVER be hash-green: their only exact
+# oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's
+# oracle channel cannot execute. Permanently exempt from the staleness
+# bound — attestation lives in the LOCAL hash gate
+# (tools/check_correctness.py LOCAL_ONLY_ORACLES + tests/test_xxh64_twin.py),
+# which runs every round. The rotation test asserts these names have no
+# driver-green row in ANY committed round (a name that gains one must
+# leave this list).
+ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
+    "x_dedup_minhash_xxh",
+)
+
+# r14: must-attest = 17 never-attested + 14 prior-overflow (r10) + 50
+# r11-stale = 81 for 50 slots. Genuine excess 31; the overflow picks per
+# the policy (most trivial, transitively covered — twin named in the
+# window comment above). The rotation test enforces len(overflow) <=
+# genuine excess and last-green == R-3 exactly; prior overflow entries
+# (the r13 fourteen) are IN the window and cannot overflow twice.
+WINDOW_OVERFLOW: tuple[str, ...] = (
+    "a1_count_by_group",
+    "a6_date_histogram",
+    "a7_top_terms",
+    "a_cascade_rollup",
+    "f1_pattern_filter_negated",
+    "f5_conjunctive_filter",
+    "f6_left_join_null_reject",
+    "h16_supplier_part_breadth",
+    "j1_enrichment_join",
+    "j1a_join_unfiltered_variant",
+    "l3_l4_sorted_topk",
+    "p4_time_format_projection",
+    "t_streaming_dedup",
+    "t_streaming_stateful_counts",
+    "unhappy_vip_customers",
+    "x8_alert_template",
+    "x_acid_dml_lifecycle",
+    "x_acid_replica_convergence",
+    "x_ann_ivf_topk",
+    "x_corpus_length_histogram",
+    "x_dedup_keep_list",
+    "x_dedup_recall_eval",
+    "x_events_funnel",
+    "x_events_sessionize",
+    "x_multimodal_features",
+    "x_pipeline_encode",
+    "x_pipeline_epoch_shuffle",
+    "x_pipeline_vocab",
+    "x_text_langid",
+    "x_text_unigram_logprob",
+    "x_window_running_total",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # never driver-attested: the seventeen r13 REGISTERED_AFTER_WINDOW
+    # entries (nine TPC-H families, mining/whitening/quota/coverage,
+    # Markov batch+streaming, TF-IDF, containment), then the fourteen r13
+    # overflow picks (last green r10, promised first in line), then 19 of
+    # the r11-green tier (last driver row r11, three rounds stale at r14)
+    # — the tier minus the 31 WINDOW_OVERFLOW picks — alphabetical
     "h6_forecast_revenue",
     "h7_volume_shipping",
     "h8_market_share",
@@ -1043,27 +1209,6 @@ REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_text_tfidf_keywords",
     "t_streaming_markov_transitions",
     "x_dedup_containment",
-)
-
-# Queries whose driver row can NEVER be hash-green: their only exact
-# oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's
-# oracle channel cannot execute. Permanently exempt from the staleness
-# bound — attestation lives in the LOCAL hash gate
-# (tools/check_correctness.py LOCAL_ONLY_ORACLES + tests/test_xxh64_twin.py),
-# which runs every round. The rotation test asserts these names have no
-# driver-green row in ANY committed round (a name that gains one must
-# leave this list).
-ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
-    "x_dedup_minhash_xxh",
-)
-
-# r13: must-attest = 7 never-attested + 7 prior-overflow (r9) + 50
-# r10-stale = 64 for 50 slots. Genuine excess 14; the overflow picks per
-# the policy (most trivial, transitively covered — twin named in the
-# window comment above). The rotation test enforces len(overflow) <=
-# genuine excess and last-green == R-3 exactly; prior overflow entries
-# (the r12 seven) are IN the window and cannot overflow twice.
-WINDOW_OVERFLOW: tuple[str, ...] = (
     "j_anti_join",
     "j_semi_join",
     "l2_limit_probe",
@@ -1078,128 +1223,38 @@ WINDOW_OVERFLOW: tuple[str, ...] = (
     "x_ann_pq_topk",
     "x_dedup_jaccard",
     "x_dedup_minhash_lsh",
-)
-
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-attested: the seven r12 REGISTERED_AFTER_WINDOW entries
-    # (SQL-text CSAS/CTAS, sized compaction, SQL MERGE, TPC-H Q17/Q19/Q13
-    # shapes), then the seven r12 overflow picks (last green r9, promised
-    # first in line), then the r10-green tier (last driver row r10, three
-    # rounds stale at r13) minus the fourteen WINDOW_OVERFLOW picks,
-    # alphabetical
-    "q_sql_csas_unhappy",
-    "q_sql_windowed_ctas",
-    "x_acid_sized_compaction",
-    "x_acid_merge_sql",
-    "h17_small_quantity_revenue",
-    "h19_disjunctive_revenue",
-    "h13_order_count_distribution",
-    "f2_pattern_filter_positive",
-    "t_streaming_session_counts",
-    "x_ann_pq_trained_topk",
-    "x_dedup_jaccard_3gram",
-    "x_dedup_semantic_keep",
-    "x_pipeline_corpus_prep_v2",
-    "x_text_langid_confusion",
-    "a_count_distinct",
-    "a_pivot_lang_quality",
-    "h1_pricing_summary",
-    "h3_top_revenue_orders",
-    "h5_nation_revenue",
-    "h_window_cumulative_revenue",
-    "s2_latest_per_key",
-    "x_acid_incremental_mv",
-    "x_ann_ivf_trained_topk",
-    "x_ann_lsh_bucketed",
-    "x_ann_topk_blocked",
-    "x_contamination_ngram",
-    "x_corpus_source_scorecard",
-    "x_corpus_stats",
-    "x_dedup_components",
-    "x_dedup_embedding_lsh",
-    "x_dedup_exact",
-    "x_dedup_simhash",
-    "x_deterministic_sample",
-    "x_embedding_quantize",
-    "x_events_distribution_drift",
-    "x_explode_top_tokens",
-    "x_multimodal_stdlib_codecs",
-    "x_pipeline_corpus_prep",
-    "x_pipeline_mixture_sample",
-    "x_pipeline_seq_packing",
-    "x_quality_clf_score",
-    "x_sketch_countmin_freq",
-    "x_sketch_hll_distinct",
-    "x_sketch_kmv_distinct",
-    "x_sketch_kmv_rollup",
-    "x_text_chunking",
-    "x_text_fingerprint",
-    "x_text_quality",
-    "x_text_repetition",
-    "x_text_token_stats",
+    "a2_a3_windowed_collect",
+    "a5_median_by_group",
+    "f7_cast_then_compare",
+    "f8_dimension_equality",
+    "f9_window_time_predicate",
+    "set_except_intersect",
+    "set_union_roundtrip",
+    "t_streaming_stream_stream_join",
+    "x7_json_extract",
+    "x_asof_join",
+    "x_dedup_editdistance",
+    "x_events_cohort_retention",
+    "x_events_key_skew_profile",
+    "x_interval_join",
+    "x_pipeline_hash_split",
+    "x_quality_threshold_sweep",
+    "x_sketch_quantile_grid",
+    "x_text_bm25",
+    "x_text_redact_pii",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
-    # the fourteen r13 overflow picks (one round past the bound, first in
-    # line for the r14 window) lead, then any post-window registrations
+    # the 31 r14 overflow picks (one round past the bound, first in line
+    # for the r15 window) lead, then any post-window registrations
     *WINDOW_OVERFLOW,
     *REGISTERED_AFTER_WINDOW,
     # permanently rows-only in driver files (local-UDF oracle only)
     *ROWS_ONLY_NO_ORACLE,
-    # every entry below carries an r11 or r12 driver-green hash row in the
+    # every entry below carries an r12 or r13 driver-green hash row in the
     # committed CORRECTNESS files — the invariant the rotation test
     # asserts from ground truth; all stay oracle-green in the per-round
-    # full-catalog local runs. r11 tier first, then the r12 tier.
-    "a1_count_by_group",
-    "a2_a3_windowed_collect",
-    "a5_median_by_group",
-    "a6_date_histogram",
-    "a7_top_terms",
-    "a_cascade_rollup",
-    "f1_pattern_filter_negated",
-    "f5_conjunctive_filter",
-    "f6_left_join_null_reject",
-    "f7_cast_then_compare",
-    "f8_dimension_equality",
-    "f9_window_time_predicate",
-    "h16_supplier_part_breadth",
-    "j1_enrichment_join",
-    "j1a_join_unfiltered_variant",
-    "l3_l4_sorted_topk",
-    "p4_time_format_projection",
-    "set_except_intersect",
-    "set_union_roundtrip",
-    "t_streaming_dedup",
-    "t_streaming_stateful_counts",
-    "t_streaming_stream_stream_join",
-    "unhappy_vip_customers",
-    "x7_json_extract",
-    "x8_alert_template",
-    "x_acid_dml_lifecycle",
-    "x_acid_replica_convergence",
-    "x_ann_ivf_topk",
-    "x_asof_join",
-    "x_corpus_length_histogram",
-    "x_dedup_editdistance",
-    "x_dedup_keep_list",
-    "x_dedup_recall_eval",
-    "x_events_cohort_retention",
-    "x_events_funnel",
-    "x_events_key_skew_profile",
-    "x_events_sessionize",
-    "x_interval_join",
-    "x_multimodal_features",
-    "x_pipeline_encode",
-    "x_pipeline_epoch_shuffle",
-    "x_pipeline_hash_split",
-    "x_pipeline_vocab",
-    "x_quality_threshold_sweep",
-    "x_sketch_quantile_grid",
-    "x_text_bm25",
-    "x_text_langid",
-    "x_text_redact_pii",
-    "x_text_unigram_logprob",
-    "x_window_running_total",
+    # full-catalog local runs. r12 tier first, then the r13 tier.
     "a3_tumbling_1min_counts",
     "a8_count_metric",
     "a_rollup_revenue",
@@ -1250,6 +1305,56 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_remove_dup_spans",
     "x_text_repeated_spans",
     "x_window_sliding_stats",
+    "a_count_distinct",
+    "a_pivot_lang_quality",
+    "f2_pattern_filter_positive",
+    "h13_order_count_distribution",
+    "h17_small_quantity_revenue",
+    "h19_disjunctive_revenue",
+    "h1_pricing_summary",
+    "h3_top_revenue_orders",
+    "h5_nation_revenue",
+    "h_window_cumulative_revenue",
+    "q_sql_csas_unhappy",
+    "q_sql_windowed_ctas",
+    "s2_latest_per_key",
+    "t_streaming_session_counts",
+    "x_acid_incremental_mv",
+    "x_acid_merge_sql",
+    "x_acid_sized_compaction",
+    "x_ann_ivf_trained_topk",
+    "x_ann_lsh_bucketed",
+    "x_ann_pq_trained_topk",
+    "x_ann_topk_blocked",
+    "x_contamination_ngram",
+    "x_corpus_source_scorecard",
+    "x_corpus_stats",
+    "x_dedup_components",
+    "x_dedup_embedding_lsh",
+    "x_dedup_exact",
+    "x_dedup_jaccard_3gram",
+    "x_dedup_semantic_keep",
+    "x_dedup_simhash",
+    "x_deterministic_sample",
+    "x_embedding_quantize",
+    "x_events_distribution_drift",
+    "x_explode_top_tokens",
+    "x_multimodal_stdlib_codecs",
+    "x_pipeline_corpus_prep",
+    "x_pipeline_corpus_prep_v2",
+    "x_pipeline_mixture_sample",
+    "x_pipeline_seq_packing",
+    "x_quality_clf_score",
+    "x_sketch_countmin_freq",
+    "x_sketch_hll_distinct",
+    "x_sketch_kmv_distinct",
+    "x_sketch_kmv_rollup",
+    "x_text_chunking",
+    "x_text_fingerprint",
+    "x_text_langid_confusion",
+    "x_text_quality",
+    "x_text_repetition",
+    "x_text_token_stats",
 )
 
 

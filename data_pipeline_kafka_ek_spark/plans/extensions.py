@@ -6400,7 +6400,8 @@ def h13_order_counts(spark, sf_dir):
 @register(
     "h6_forecast_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       AND l_discount BETWEEN 0.02 AND 0.09
@@ -6425,8 +6426,17 @@ def h6_forecast(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            # h9's exact-grid idiom: snap each row to an integer 1e-4 grid
+            # so the SUM is order-independent and the one final division
+            # is bit-identical across engines (no engine-side round)
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                        + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("revenue")
         )
     )
@@ -6435,11 +6445,13 @@ def h6_forecast(spark, sf_dir):
 @register(
     "h7_volume_shipping",
     """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume_e4) AS DOUBLE) / 10000.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+               AS BIGINT) AS volume_e4
       FROM supplier s
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -6500,11 +6512,20 @@ def h7_volume_shipping(spark, sf_dir):
             "l_year", F.year("l_shipdate").cast("long")
         )
         .withColumn(
-            "volume",
-            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            # h9's exact-grid idiom: per-row 1e-4 integer snap makes the
+            # SUM order-independent across engines
+            "volume_e4",
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                + 0.5
+            ).cast("long"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(
+            (F.sum("volume_e4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -6513,11 +6534,13 @@ def h7_volume_shipping(spark, sf_dir):
     "h8_market_share",
     """
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_e4
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume_e4) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
-             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+               AS BIGINT) AS volume_e4,
              n2.n_name AS supp_nation
       FROM part p
       JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -6570,20 +6593,25 @@ def h8_market_share(spark, sf_dir):
         .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1_key"))
         .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # h9's exact-grid idiom: integer 1e-4 snaps make both sums order-
+    # independent; the single long/long-as-double division is then
+    # bit-identical across engines, so no engine-side round is needed
+    vol_e4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
     return (
         joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
-        .withColumn("volume", vol)
+        .withColumn("volume_e4", vol_e4)
         .groupBy("o_year")
         .agg(
-            F.round(
+            (
                 F.sum(
                     F.when(
-                        F.col("supp_nation") == "NATION_3", F.col("volume")
-                    ).otherwise(F.lit(0.0))
-                )
-                / F.sum("volume"),
-                6,
+                        F.col("supp_nation") == "NATION_3",
+                        F.col("volume_e4"),
+                    ).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum("volume_e4").cast("double")
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -6987,6 +7015,149 @@ def x_ann_hard_negatives(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.hard_negatives(
         emb, emb.filter(F.col("vec_id") < 5), k=8
+    )
+
+
+def _hard_neg_lsh_oracle_sql(n_planes: int = 4) -> str:
+    planes = similarity.srp_planes(n_planes, 64, 42)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e, label FROM embeddings
+    ),
+    b AS (SELECT vec_id, e, label, {_sql_bucket(planes)} AS bucket FROM v),
+    q AS (SELECT * FROM b WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neg_label,
+             list_cosine_similarity(q.e, c.e) AS sim
+      FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+                     AND c.label <> q.label
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, neg_label, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neg_label,
+           round(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 8
+    """
+
+
+@register(
+    "x_ann_hard_negatives_bucketed",
+    _hard_neg_lsh_oracle_sql(),
+    survey_ids=("EXT-similarity",),
+    doc="the corpus-scale form of hard-negative mining (closes the r13 "
+    "verdict's missing #2): SRP buckets prune candidate generation to "
+    "the query's bucket before the label-disagreement filter and exact "
+    "re-rank — candidates per query ~ corpus / 2^planes. A plain "
+    "equi-join on the bucket key (the query side is NOT broadcast, so "
+    "it may be arbitrarily large; AQE still broadcasts small sides); "
+    "deterministic seeded planes, so the oracle replays the identical "
+    "bucketing with plane literals. Recall vs the exact miner is the "
+    "x_ann_hard_negatives_recall query.",
+)
+def x_ann_hard_negatives_bucketed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives_lsh(
+        emb, emb.filter(F.col("vec_id") < 5), k=8, n_planes=4
+    )
+
+
+def _hard_neg_recall_oracle_sql(n_planes: int = 4) -> str:
+    planes = similarity.srp_planes(n_planes, 64, 42)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) e, label FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 5),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id ASC
+               ) AS rank
+        FROM v c, q
+        WHERE c.vec_id <> q.vec_id AND c.label <> q.label
+      ) WHERE rank <= 8
+    ),
+    b AS (SELECT vec_id, e, label, {_sql_bucket(planes)} AS bucket FROM v),
+    qb AS (SELECT * FROM b WHERE vec_id < 5),
+    ap AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qb.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY qb.vec_id
+                 ORDER BY list_cosine_similarity(qb.e, c.e) DESC, c.vec_id ASC
+               ) AS rank
+        FROM b c JOIN qb ON c.bucket = qb.bucket AND c.vec_id <> qb.vec_id
+                        AND c.label <> qb.label
+      ) WHERE rank <= 8
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(any_value(na.n) AS BIGINT) AS n_approx,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS recall
+    FROM ex e
+    LEFT JOIN ap a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    JOIN (SELECT query_id, count(*) AS n FROM ap GROUP BY 1) na
+      ON e.query_id = na.query_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "x_ann_hard_negatives_recall",
+    _hard_neg_recall_oracle_sql(),
+    survey_ids=("EXT-similarity", "EXT-pipeline"),
+    doc="recall@8 of the SRP-bucketed hard-negative miner against the "
+    "exact brute-force miner, per query — the same eval pattern "
+    "x_ann_recall_eval establishes for the ANN tier: both tiers are "
+    "already-registered operators, the eval is one (query, neighbor) "
+    "equi-join of two k-row-per-query sets, so evaluating the index "
+    "costs the price of running it. A recall floor is additionally "
+    "asserted in tests/test_extensions.py.",
+)
+def x_ann_hard_negatives_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.hard_negatives(emb, queries, k=8).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.hard_negatives_lsh(
+        emb, queries, k=8, n_planes=4
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    na = approx.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    joined = exact.join(
+        approx,
+        (exact["query_id"] == approx["query_id"])
+        & (exact["neighbor_id"] == approx["a_neighbor"]),
+        "left",
+    ).select(exact["query_id"], "neighbor_id", "a_neighbor")
+    hit = F.sum(F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            hit.cast("long").alias("n_hits"),
+            F.round(hit / F.count(F.lit(1)), 4).alias("recall"),
+        )
+        .join(F.broadcast(na), "query_id")
+        .select(
+            "query_id",
+            "n_exact",
+            F.col("n_approx").cast("long").alias("n_approx"),
+            "n_hits",
+            "recall",
+        )
     )
 
 

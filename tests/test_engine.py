@@ -1337,3 +1337,25 @@ def test_registered_name_as_column_does_not_divert_ctas(spark, tmp_path):
         assert "REPDERIV" in eng.show_tables()
     finally:
         spark.sql("DROP TABLE IF EXISTS rep_plain")
+
+
+def test_quoted_registered_name_in_from_diverts_ctas(spark):
+    """r13 ADVICE: a backtick- or double-quoted registered name in FROM
+    position is the same engine-managed source and must route the CTAS
+    to the engine registry — while the name spelled inside a string
+    LITERAL stays data and must not divert."""
+    eng = Engine(spark)
+    eng.create_stream("QSRC", spark.createDataFrame([(7,)], "k long"))
+    eng.sql("CREATE TABLE QDERIV_BT AS SELECT k FROM `QSRC`")
+    assert "QDERIV_BT" in eng.show_tables()
+    eng.sql('CREATE TABLE QDERIV_DQ AS SELECT k FROM "QSRC"')
+    assert "QDERIV_DQ" in eng.show_tables()
+    # literal spelling of the name is data, not a source marker
+    try:
+        eng.sql(
+            "CREATE TABLE qderiv_lit AS SELECT 'x FROM QSRC y' AS note"
+        )
+        assert "qderiv_lit" not in eng.show_tables()
+        assert spark.table("qderiv_lit").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qderiv_lit")

@@ -148,6 +148,17 @@ def test_driver_window_rotation_invariants():
         f"WINDOW_OVERFLOW has {len(overflow)} entries but the must-attest "
         f"set ({len(must_attest)}) only overflows the window by {genuine_excess}"
     )
+    # Formalized steady-state bound (r14, catalog.py preamble): an entry
+    # may overflow AT MOST ONCE (the exactly-R-3 check below makes a
+    # second overflow impossible), so the must-attest set may never
+    # exceed one window + one overflow generation. Past this cap the R-4
+    # worst-case attestation promise breaks; new queries must then be
+    # local-gate-only until attested queries retire.
+    assert len(must_attest) <= 100, (
+        f"must-attest set ({len(must_attest)}) exceeds the 100-entry "
+        "steady-state cap (window + one overflow generation); stop "
+        "registering driver-facing queries until the debt drains"
+    )
     too_old = [
         n
         for n in overflow
