@@ -815,3 +815,81 @@ def containment_pairs(
             "doc_a", "doc_b", F.round("containment", 4).alias("containment")
         )
     )
+
+
+def containment_keep(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resolve directional containment pairs into the pipeline ACTION —
+    which document to keep (the :func:`dedup_keep_list` analogue for the
+    asymmetric relation). One row per corpus document with
+    ``(doc_id, representative, status)``:
+
+    * ``duplicate`` — member of a MUTUAL-containment cluster (>= t both
+      ways: the Jaccard-dup case) that is not the cluster's minimum id;
+      routed through the same ``connected_components`` machinery as the
+      symmetric dedup paths, representative = component min.
+    * ``contained`` — strictly contained in another document (one
+      direction only): dropped, the container wins. representative =
+      the BEST container (highest containment, then lowest id) —
+      deterministic. A mutual-cluster minimum that is itself strictly
+      contained in an outside document is dropped the same way.
+    * ``representative`` — mutual-cluster minimum not contained
+      elsewhere: kept.
+    * ``unique`` — no containment edges: kept.
+
+    ``status NOT IN ('duplicate','contained')`` is the keep filter. Like
+    component-based near-dup resolution, drop-if-contained-anywhere is
+    applied without transitive re-pointing: a dropped document's
+    representative may itself be dropped further up a containment chain
+    — the representative column is provenance, not a canonical pointer.
+
+    Scale shape: mutual detection is a self-semi-join of the slim pair
+    list; components run over the mutual subgraph only (orders of
+    magnitude smaller than the corpus); best-container is a per-doc
+    window over the strict pairs (k rows per contained doc); the corpus
+    pays ONE left join against each of the two slim decision tables.
+    """
+    from data_pipeline_kafka_ek_spark.operators.graph import (
+        connected_components,
+    )
+    from pyspark.sql import Window
+
+    p = pairs.select("doc_a", "doc_b", "containment")
+    directed = p.select("doc_a", "doc_b")
+    rev = directed.select(
+        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    )
+    mutual = directed.join(rev, ["doc_a", "doc_b"], "left_semi")
+    strict = p.join(mutual, ["doc_a", "doc_b"], "left_anti")
+    comp = connected_components(mutual).withColumnRenamed("node", "doc_id")
+    w = Window.partitionBy("doc_a").orderBy(
+        F.desc("containment"), F.asc("doc_b")
+    )
+    best = (
+        strict.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("container"),
+        )
+    )
+    in_cluster = F.col("component").isNotNull()
+    is_dup = in_cluster & (F.col("component") != F.col("doc_id"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(is_dup, F.col("component"))
+            .when(F.col("container").isNotNull(), F.col("container"))
+            .otherwise(F.col("doc_id"))
+            .alias("representative"),
+            F.when(is_dup, F.lit("duplicate"))
+            .when(F.col("container").isNotNull(), F.lit("contained"))
+            .when(in_cluster, F.lit("representative"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )

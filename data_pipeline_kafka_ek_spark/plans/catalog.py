@@ -1131,6 +1131,7 @@ DRIVER_ROTATION_ROUND = 14
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "x_ann_hard_negatives_bucketed",
     "x_ann_hard_negatives_recall",
+    "x_dedup_containment_keep",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

@@ -7608,3 +7608,83 @@ def x_dedup_containment(spark, sf_dir):
     return dedup.containment_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.8, ngram=3
     )
+
+
+@register(
+    "x_dedup_containment_keep",
+    """
+    WITH RECURSIVE base AS (
+      SELECT doc_id, string_split(text,' ') AS w FROM documents
+    ),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE list_transform(range(1, len(w) - 1),
+                                        i -> array_to_string(w[i:i+2], ' '))
+               END) AS s
+      FROM base
+    ),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(len(list_intersect(a.s,b.s))*1.0 / len(a.s), 4) AS c
+      FROM sets a JOIN sets b ON a.doc_id <> b.doc_id
+      WHERE len(list_intersect(a.s,b.s))*1.0 / len(a.s) >= 0.8
+    ),
+    mutual AS (
+      SELECT p.doc_a, p.doc_b FROM prs p
+      WHERE EXISTS (SELECT 1 FROM prs r
+                    WHERE r.doc_a = p.doc_b AND r.doc_b = p.doc_a)
+    ),
+    strict AS (
+      SELECT * FROM prs p
+      WHERE NOT EXISTS (SELECT 1 FROM mutual m
+                        WHERE m.doc_a = p.doc_a AND m.doc_b = p.doc_b)
+    ),
+    reach AS (
+      SELECT doc_a AS u, doc_b AS v FROM mutual
+      UNION
+      SELECT r.u, s.doc_b FROM reach r JOIN mutual s ON r.v = s.doc_a
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+    ),
+    best AS (
+      SELECT doc_a AS doc_id, doc_b AS container FROM (
+        SELECT doc_a, doc_b,
+               row_number() OVER (
+                 PARTITION BY doc_a ORDER BY c DESC, doc_b ASC
+               ) AS rn
+        FROM strict
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN cp.component IS NOT NULL AND cp.component <> d.doc_id
+                  THEN cp.component
+                WHEN b.container IS NOT NULL THEN b.container
+                ELSE d.doc_id END AS representative,
+           CASE WHEN cp.component IS NOT NULL AND cp.component <> d.doc_id
+                  THEN 'duplicate'
+                WHEN b.container IS NOT NULL THEN 'contained'
+                WHEN cp.component IS NOT NULL THEN 'representative'
+                ELSE 'unique' END AS status
+    FROM documents d
+    LEFT JOIN comp cp ON d.doc_id = cp.doc_id
+    LEFT JOIN best b ON d.doc_id = b.doc_id
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="the containment pipeline ACTION (closes the r13 verdict's "
+    "missing #3): directional pairs resolve to drop-the-contained / "
+    "keep-the-container, with mutual containment (>= t both ways — the "
+    "Jaccard-dup case) routed through the same connected-components "
+    "machinery as the symmetric dedup paths (min-id representative) "
+    "and strict containment resolved to the best container (highest "
+    "containment, then lowest id — deterministic). status NOT IN "
+    "('duplicate','contained') is the keep filter. The mutual subgraph "
+    "is tiny, so the recursive oracle replays components exactly; the "
+    "corpus pays one left join per slim decision table.",
+)
+def x_dedup_containment_keep(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(docs, threshold=0.8, ngram=3)
+    return dedup.containment_keep(docs, pairs)

@@ -167,3 +167,19 @@ def test_r13_additions_empty(empty_emb):
     std = similarity.standardize_dims(empty_emb)
     assert std.count() == 0
     assert std.columns == ["vec_id", "standardized"]
+
+
+def test_containment_keep_empty(empty_docs, spark):
+    from data_pipeline_kafka_ek_spark.operators import dedup
+
+    pairs = dedup.containment_pairs(empty_docs, threshold=0.8)
+    assert dedup.containment_keep(empty_docs, pairs).count() == 0
+    # a corpus with no qualifying pairs is all-unique, nothing dropped
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "ee ff gg hh")], "doc_id long, text string"
+    )
+    got = dedup.containment_keep(
+        docs, dedup.containment_pairs(docs, threshold=0.8, ngram=3)
+    ).collect()
+    assert {r.status for r in got} == {"unique"}
+    assert all(r.representative == r.doc_id for r in got)

@@ -1543,3 +1543,34 @@ def test_hard_negatives_bucketed_plan_is_equi_join(spark, sf_dir):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     ), plan
+
+
+def test_containment_keep_resolution_semantics(spark):
+    """The keep policy's four statuses on a constructed corpus: a strict
+    subset doc drops as 'contained' pointing at its container; two
+    mutually-containing docs resolve through components (min id keeps,
+    the other drops as 'duplicate'); an untouched doc stays 'unique' —
+    and the keep filter retains exactly the container, the cluster
+    representative, and the unique doc."""
+    from data_pipeline_kafka_ek_spark.operators import dedup
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " eta theta iota kappa " + "x y z w v u t s r q p o n m"
+    twin_a = "one two three four five six seven eight nine ten"
+    twin_b = twin_a + " one"  # same distinct shingle set bar one
+    other = "completely different words with no shingle overlap at all"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, twin_a), (4, twin_b), (5, other)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.containment_pairs(docs, threshold=0.8, ngram=3)
+    got = {r.doc_id: (r.representative, r.status)
+           for r in dedup.containment_keep(docs, pairs).collect()}
+    assert got[1] == (2, "contained")
+    assert got[3] == (3, "representative")
+    assert got[4] == (3, "duplicate")
+    assert got[5] == (5, "unique")
+    assert got[2][1] in ("representative", "unique")
+    keep = {d for d, (_, s) in got.items()
+            if s not in ("duplicate", "contained")}
+    assert keep == {2, 3, 5}
