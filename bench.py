@@ -41,7 +41,12 @@ def main() -> None:
     # down between rounds) inflates every query uniformly while loadavg
     # reads idle. The canary's round-over-round ratio separates "code got
     # slower" from "machine got slower"; tools/bench_compare.py
-    # adjudicates it when both sides carry one.
+    # adjudicates it when both sides carry one. Since r14 the JSON also
+    # carries value_canary_norm / subtotals_canary_norm (times scaled by
+    # 0.33 / canary_sec, 0.33s being the healthy-box baseline every past
+    # adjudication normalized against), and bench_compare's regression
+    # verdict reads the canary-corrected per-query ratios directly — the
+    # variance procedure is now in-band, not prose.
     def _canary() -> float:
         import pyspark.sql.functions as F
 
@@ -161,41 +166,56 @@ def main() -> None:
         "x_pipeline_domain_quota",
     }
     load_end = os.getloadavg()
+    subtotals = {
+        "r03_comparable_set": round(
+            sum(
+                v
+                for k, v in timings.items()
+                if k not in added_r04 | added_r06 | added_r07
+                | added_r08 | added_r09 | added_r13
+            ),
+            3,
+        ),
+        "added_in_r04": round(
+            sum(v for k, v in timings.items() if k in added_r04), 3
+        ),
+        "added_in_r06": round(
+            sum(v for k, v in timings.items() if k in added_r06), 3
+        ),
+        "added_in_r07": round(
+            sum(v for k, v in timings.items() if k in added_r07), 3
+        ),
+        "added_in_r08": round(
+            sum(v for k, v in timings.items() if k in added_r08), 3
+        ),
+        "added_in_r09": round(
+            sum(v for k, v in timings.items() if k in added_r09), 3
+        ),
+        "added_in_r13": round(
+            sum(v for k, v in timings.items() if k in added_r13), 3
+        ),
+    }
+    norm = 0.33 / canary_sec
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
+                # canary-normalized total (r13 verdict #8): value scaled
+                # by 0.33 / canary_sec, the healthy-box CPU baseline every
+                # prior adjudication normalized against by hand — so
+                # round-over-round compares read this field and stop
+                # needing manual throttling adjudication prose. Families
+                # get the same treatment in subtotals_canary_norm.
+                "value_canary_norm": round(
+                    sum(timings.values()) * norm, 3
+                ),
+                "canary_baseline_sec": 0.33,
                 "queries": timings,
-                "subtotals": {
-                    "r03_comparable_set": round(
-                        sum(
-                            v
-                            for k, v in timings.items()
-                            if k not in added_r04 | added_r06 | added_r07
-                            | added_r08 | added_r09 | added_r13
-                        ),
-                        3,
-                    ),
-                    "added_in_r04": round(
-                        sum(v for k, v in timings.items() if k in added_r04), 3
-                    ),
-                    "added_in_r06": round(
-                        sum(v for k, v in timings.items() if k in added_r06), 3
-                    ),
-                    "added_in_r07": round(
-                        sum(v for k, v in timings.items() if k in added_r07), 3
-                    ),
-                    "added_in_r08": round(
-                        sum(v for k, v in timings.items() if k in added_r08), 3
-                    ),
-                    "added_in_r09": round(
-                        sum(v for k, v in timings.items() if k in added_r09), 3
-                    ),
-                    "added_in_r13": round(
-                        sum(v for k, v in timings.items() if k in added_r13), 3
-                    ),
+                "subtotals": subtotals,
+                "subtotals_canary_norm": {
+                    k: round(v * norm, 3) for k, v in subtotals.items()
                 },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load": {

@@ -35,10 +35,64 @@ def spread(df: DataFrame, *cols: str | Column) -> DataFrame:
     return df.repartition(_target(df), *cols) if cols else df.repartition(_target(df))
 
 
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("134217728b", "128m",
+    "1g", bare digits) to bytes; fall back to ``default`` on anything
+    unrecognizable."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    if not digits:
+        return default
+    unit = raw.split(digits, 1)[-1].strip()
+    factor = {
+        "": 1, "b": 1,
+        "k": 1 << 10, "kb": 1 << 10,
+        "m": 1 << 20, "mb": 1 << 20,
+        "g": 1 << 30, "gb": 1 << 30,
+    }.get(unit)
+    return int(digits) * factor if factor else default
+
+
 def spread_if_narrow(df: DataFrame) -> DataFrame:
-    """Repartition a (scan-rooted) DataFrame only if it has fewer
-    partitions than the session's parallelism. Accurate for file scans
-    (their partitioning is fixed at planning); cluster-scale inputs with
-    many splits pass through untouched."""
+    """Repartition a (scan-rooted) DataFrame only if its scan would open
+    with fewer input splits than the session's parallelism.
+
+    The split count is ESTIMATED from driver-side file metadata
+    (``inputFiles()`` + one FileSystem stat per file, only taken when
+    the file count is already below parallelism) using Spark's own
+    split-sizing formula — never by materializing the plan
+    (``df.rdd.getNumPartitions`` forced a full analysis pass per call
+    and pinned the plan to a non-AQE RDD conversion; r13 verdict #9).
+    Cluster-scale inputs (file count >= parallelism, or one file large
+    enough to split into >= parallelism pieces) pass through untouched;
+    non-file-rooted frames (in-memory, checkpointed, post-exchange) also
+    pass through — their partitioning already came from
+    ``defaultParallelism`` / ``spark.sql.shuffle.partitions`` at
+    creation, so the single-split hazard this guards against cannot
+    arise there."""
     n = _target(df)
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= n:
+        return df
+    spark = df.sparkSession
+    try:
+        sc = spark.sparkContext
+        hconf = sc._jsc.hadoopConfiguration()
+        jpath = sc._jvm.org.apache.hadoop.fs.Path
+        total = 0
+        for f in files:
+            p = jpath(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    except Exception:
+        # metadata unavailable (exotic FS): a sub-parallelism file count
+        # of unknowable size is exactly the narrow case — spread it
+        return df.repartition(n)
+    mpb = _conf_bytes(spark, "spark.sql.files.maxPartitionBytes", 134217728)
+    open_cost = _conf_bytes(spark, "spark.sql.files.openCostInBytes", 4194304)
+    padded = total + len(files) * open_cost
+    max_split = min(mpb, max(open_cost, padded // n or 1))
+    est_splits = max(1, -(-padded // max_split))
+    return df.repartition(n) if est_splits < n else df

@@ -1025,8 +1025,9 @@ def t_streaming_stateful_counts(spark, sf_dir):
     "attested end to end: three deterministic CDC batches (purchases "
     "bucketed by epoch%3, deduped latest-per-user within each) are "
     "MERGEd into a change_feed TxnLogTable, its transaction log is "
-    "consumed as a Structured Streaming source (stream_changes: one "
-    "micro-batch per commit), and a per-user applyInPandasWithState "
+    "consumed as a Structured Streaming source (stream_changes with "
+    "commit-span batching: three commits in two micro-batches, state "
+    "folding across the batch boundary), and a per-user applyInPandasWithState "
     "automaton folds the feed into running (n_changes, value_total). "
     "The oracle counts exactly one post-image per (user, batch "
     "present) — a match is only possible because the feed is ROW-LEVEL "
@@ -1080,7 +1081,15 @@ def t_streaming_acid_changes(spark, sf_dir):
         t.append(upserts.filter(F.col("__b") == 0))
         for b in (1, 2):
             t.merge(upserts.filter(F.col("__b") == b))
-        feed = t.stream_changes(-1).select("user_id", "ts", "value")
+        # commit-span batching (r13 verdict #5): the three commits replay
+        # as TWO micro-batches — still a real multi-batch incremental run
+        # (state folds across the batch boundary), but per-batch fixed
+        # costs (state-store checkpoint files, planning) are paid twice,
+        # not three times. The final revision per user is identical
+        # because the stateful fold is order-invariant within a batch.
+        feed = t.stream_changes(-1, commits_per_batch=2).select(
+            "user_id", "ts", "value"
+        )
         revisions = srt.run_available_now(
             srt.running_counts_stateful(feed, watermark="3650 days"),
             output_mode="update",
@@ -1135,8 +1144,11 @@ def t_streaming_acid_changes(spark, sf_dir):
     "(sources/incremental.py) attested by a SQL oracle, end to end: the "
     "same three CDC batches as t_streaming_acid_changes land in a "
     "change_feed TxnLogTable (append + two MERGEs) with a refresh() "
-    "after every commit, so the aggregate is built purely from signed "
-    "row-level delta folds — never a recompute — and its final snapshot "
+    "after the append and ONE multi-commit span refresh over both "
+    "merges (commit-span batching: the cursor machinery folds the "
+    "whole span in one scan), so the aggregate is built purely from "
+    "signed row-level delta folds — never a recompute — and its final "
+    "snapshot "
     "must equal the oracle's groupBy over the table's end state "
     "(winner-per-user across batches). Values are pre-scaled to "
     "integer ten-thousandths so every incremental sum is exact in "
@@ -1193,7 +1205,13 @@ def x_acid_incremental_mv(spark, sf_dir):
         mv.refresh()
         for b in (1, 2):
             src.merge(upserts.filter(F.col("__b") == b))
-            mv.refresh()
+        # one refresh folds BOTH merge commits in a single multi-commit
+        # span scan (r13 verdict #5: group adjacent commits where the
+        # cursor allows) — this exercises the span path the per-commit
+        # cadence never did, still purely signed-delta folds (never a
+        # recompute), and the final snapshot is identical because delta
+        # folding is span-associative
+        mv.refresh()
         snapshot = mv.read().select(
             "seg",
             F.col("n_rows").cast("long").alias("n_rows"),
@@ -1647,9 +1665,12 @@ def x_acid_time_travel_diff(spark, sf_dir):
     "predicate DELETE (vq % 7 < 2) and a winsorizing predicate UPDATE "
     "(vq capped at 1000000) — consumed by a replica as a STANDING "
     "streaming query: TableReplicator.replicate_stream reads the typed "
-    "row-level change feed as a Structured Streaming source (one "
-    "micro-batch per commit) and merges each batch into the replica "
-    "inside foreachBatch, exactly-once via the target-side txn cursor. "
+    "row-level change feed as a Structured Streaming source (commit-"
+    "span batching: five commits in three micro-batches, a commit never "
+    "splitting across batches) and merges each batch into the replica "
+    "inside foreachBatch, exactly-once via the target-side txn cursor; "
+    "per-key last-write-wins holds across the span because the merge "
+    "ranks on _commit_version inside the batch. "
     "The replica's per-segment rollup must equal the oracle's "
     "winner-per-user fold with tombstoned users removed, the DELETE's "
     "rows dropped and the UPDATE's cap applied — only possible because "
@@ -1710,7 +1731,13 @@ def t_streaming_dml_replica(spark, sf_dir):
         rep = TableReplicator(
             src, f"{scratch}/replica", files_per_commit=2
         )
-        rep.replicate_stream()  # the standing query follows all 5 commits
+        # the standing query follows all 5 commits, grouped into 3
+        # micro-batches (commit-span batching, r13 verdict #5): each
+        # micro-batch is a full transactional merge on the replica, so
+        # grouping is the difference between 5 and 3 target merges on a
+        # catch-up — identical converged state because the in-batch
+        # ranking on _commit_version preserves per-key last-write-wins
+        rep.replicate_stream(commits_per_batch=2)
         snapshot = (
             rep.read()
             .groupBy("seg")

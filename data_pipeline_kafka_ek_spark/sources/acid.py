@@ -2570,25 +2570,38 @@ class TxnLogTable:
             *[c for c in out.columns if c not in meta], *meta
         )
 
-    def stream_changes(self, since_version: int = -1) -> DataFrame:
+    def stream_changes(
+        self, since_version: int = -1, commits_per_batch: int = 1
+    ) -> DataFrame:
         """The change feed as a Structured Streaming source: one
-        micro-batch per source commit (available-now replay, commit
-        order preserved). This closes the reference's stream/table dual
-        read (T11 — the same name readable as current state AND as a
-        changelog stream) for the ACID table: ``read()`` is the table
-        side, this is the stream side, and both are views of the same
-        transaction log. Downstream stateful operators (windowed aggs,
-        the sketch automata, ``foreachBatch`` sinks) consume it like any
-        other stream; pair with ``read_deltas``-style cursors for
-        exactly-once hand-off."""
+        micro-batch per source commit by default (available-now replay,
+        commit order preserved). This closes the reference's
+        stream/table dual read (T11 — the same name readable as current
+        state AND as a changelog stream) for the ACID table: ``read()``
+        is the table side, this is the stream side, and both are views
+        of the same transaction log. Downstream stateful operators
+        (windowed aggs, the sketch automata, ``foreachBatch`` sinks)
+        consume it like any other stream; pair with
+        ``read_deltas``-style cursors for exactly-once hand-off.
+
+        ``commits_per_batch`` groups ADJACENT commit versions into one
+        micro-batch (range-sliced on ``_commit_version``, so a commit
+        never splits across batches and order is preserved) — the
+        catch-up path for a consumer resuming far behind the head:
+        per-micro-batch fixed costs (state-store checkpoint, planning)
+        amortize over the span instead of replaying one commit at a
+        time. Safe for any order-invariant fold and for consumers that
+        rank on ``_commit_version`` inside the batch; keep the default
+        when per-commit emission granularity is itself the contract."""
         from data_pipeline_kafka_ek_spark.streaming import runtime as _rt
 
         feed = self.read_changes(since_version)
         n_commits = max(
             1, len([v for v in self._list_versions() if v > since_version])
         )
+        n_slices = max(1, -(-n_commits // max(1, commits_per_batch)))
         return _rt.replayed_stream(
-            self.spark, feed, n_slices=n_commits, order_col="_commit_version"
+            self.spark, feed, n_slices=n_slices, order_col="_commit_version"
         )
 
     def read_deltas(self, since_version: int = -1) -> DataFrame:

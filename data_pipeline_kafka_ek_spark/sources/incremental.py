@@ -326,7 +326,9 @@ class TableReplicator:
         ``_commit_version`` bookkeeping column)."""
         return self.target.read().drop("_commit_version")
 
-    def replicate_stream(self, since_version: int = -1) -> None:
+    def replicate_stream(
+        self, since_version: int = -1, commits_per_batch: int = 1
+    ) -> None:
         """The replica as a STANDING query: the source's typed row-level
         change feed consumed as a Structured Streaming source (one
         micro-batch per source commit, commit order preserved — the
@@ -344,7 +346,17 @@ class TableReplicator:
         ``replicate()`` catch-up. A later call resumes from the durable
         cursor. Multi-commit micro-batches stay correct: the merge ranks
         on ``_commit_version``, so a key's newest change in the batch
-        wins and a delete in a later commit beats an earlier upsert."""
+        wins and a delete in a later commit beats an earlier upsert.
+
+        ``commits_per_batch`` groups ADJACENT commits into one
+        micro-batch (range-sliced on ``_commit_version`` — a commit
+        never splits across batches). Because every micro-batch costs a
+        full transactional merge on the target, a replica catching up
+        over a long span pays O(span) merges at the default; grouping
+        turns that into O(span / commits_per_batch) with the identical
+        converged state (the in-batch ranking above IS the correctness
+        argument, and the CAS cursor advances to the batch's high-water
+        commit exactly as before)."""
         import tempfile as _tempfile
 
         from data_pipeline_kafka_ek_spark.streaming import runtime as _rt
@@ -363,8 +375,9 @@ class TableReplicator:
             1,
             len([v for v in self.source._list_versions() if v > cur]),
         )
+        n_slices = max(1, -(-n_commits // max(1, commits_per_batch)))
         stream = _rt.replayed_stream(
-            self.source.spark, rows, n_slices=n_commits,
+            self.source.spark, rows, n_slices=n_slices,
             order_col="_commit_version",
         )
 

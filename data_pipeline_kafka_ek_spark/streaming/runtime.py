@@ -493,9 +493,11 @@ def markov_transitions_stateful(
     them onto the stored last event, emits the consecutive pairs, and
     stores the new tail. Ordering contract: in-order arrival across
     micro-batches (the replay harness slices on the globally-unique
-    event time; a production deployment widens the watermark and sorts
-    buffered windows). Append output keeps the emission monotone — a
-    transition, once observed, is a fact.
+    event time). A production Kafka feed delivering late events across
+    batch boundaries needs :func:`markov_transitions_buffered`, which
+    enforces that contract with a watermark-bounded reorder buffer
+    instead of trusting it. Append output keeps the emission monotone —
+    a transition, once observed, is a fact.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -540,6 +542,116 @@ def markov_transitions_stateful(
             stateStructType=state_schema,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def markov_transitions_buffered(
+    stream_df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """:func:`markov_transitions_stateful` with a BOUNDED REORDER BUFFER
+    — the production-ordering-safe form (r13 verdict #6). The immediate
+    automaton trusts in-order arrival across micro-batches; a real Kafka
+    source delivers late events across batch boundaries, and a one-value
+    state would then emit wrong transitions silently. Here events are
+    held in per-key state while they are still inside the watermark
+    horizon (a later batch may legally deliver an earlier event), and
+    only events STRICTLY BELOW the current watermark — which Spark
+    guarantees no future input can precede — are sorted, chained onto
+    the stored last event, and emitted. The horizon bounds the buffer:
+    state per key is one (type, has_last) pair plus the key's events of
+    the last ``watermark`` window, exactly the reorder slack the
+    deployment declares.
+
+    An ``EventTimeTimeout`` set to the earliest pending event keeps keys
+    draining even when they receive no new rows: the timeout fires once
+    the watermark passes that event, and the expiry pass re-runs on the
+    buffered state alone. The tail inside the final horizon stays
+    provisionally buffered — correct streaming semantics (those events
+    may still be reordered); tests drive the watermark past it with a
+    late null-typed sentinel, which emits nothing (transitions into
+    null are dropped, matching the batch lead() oracle's rule).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "from_type string, to_type string"
+    state_schema = (
+        "last_type string, has_last boolean, "
+        "buf_ts array<bigint>, buf_id array<bigint>, buf_type array<string>"
+    )
+
+    def update(key_tuple, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_type, has_last, buf_ts, buf_id, buf_type = state.get
+            buf = list(zip(buf_ts, buf_id, buf_type))
+        else:
+            last_type, has_last, buf = None, False, []
+        frames = [f for f in pdfs if len(f)]
+        if frames:
+            pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+            # unit-safe ms epoch: casting through datetime64[ms] works
+            # for ns- and us-backed pandas datetime columns alike
+            ts_ms = (
+                pd.to_datetime(pdf[ts_col])
+                .values.astype("datetime64[ms]")
+                .astype("int64")
+            )
+            for t_ms, i, ty in zip(
+                ts_ms, pdf[id_col].values, pdf[type_col].values
+            ):
+                buf.append(
+                    (int(t_ms), int(i), None if pd.isna(ty) else str(ty))
+                )
+        wm_ms = state.getCurrentWatermarkMs()
+        # strictly-below: Spark's late-event filter only guarantees no
+        # FUTURE row with ts < watermark, so ts == watermark must wait
+        expired = sorted(
+            [e for e in buf if e[0] < wm_ms], key=lambda e: (e[0], e[1])
+        )
+        pending = [e for e in buf if e[0] >= wm_ms]
+        if expired:
+            types = [ty for _, _, ty in expired]
+            seq = ([last_type] if has_last else []) + types
+            last_type, has_last = types[-1], True
+            pairs = [
+                (a, b) for a, b in zip(seq[:-1], seq[1:]) if b is not None
+            ]
+            if pairs:
+                yield pd.DataFrame(
+                    {
+                        "from_type": [a for a, _ in pairs],
+                        "to_type": [b for _, b in pairs],
+                    }
+                )
+        state.update(
+            (
+                last_type,
+                has_last,
+                [e[0] for e in pending],
+                [e[1] for e in pending],
+                [e[2] for e in pending],
+            )
+        )
+        if pending:
+            # fire as soon as the earliest buffered event CAN expire
+            state.setTimeoutTimestamp(min(e[0] for e in pending) + 1)
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -600,3 +600,37 @@ def test_containment_prefix_prunes_contained_side_only(spark, sf_dir):
     # is expected — same as the jaccard path; no assertion on it)
     # the size filter is in the candidate join condition, pre-shuffle
     assert "__n" in p, p
+
+
+def test_spread_if_narrow_estimates_without_materializing(spark, sf_dir):
+    """r13 verdict #9: the narrow-scan guard must decide from file
+    metadata, never df.rdd (which forces an analysis pass per call).
+    Source-level: no .rdd access anywhere in the engine. Behavior: a
+    small single-file corpus spreads to the session parallelism, an
+    in-memory frame passes through untouched."""
+    import glob
+    import os
+
+    from data_pipeline_kafka_ek_spark.operators.parallelism import (
+        spread_if_narrow,
+    )
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data_pipeline_kafka_ek_spark",
+    )
+    offenders = []
+    for path in glob.glob(f"{pkg}/**/*.py", recursive=True):
+        with open(path) as f:
+            for i, line in enumerate(f, 1):
+                if ".rdd" in line and not line.lstrip().startswith("#") \
+                        and "``" not in line:
+                    offenders.append(f"{path}:{i}")
+    assert offenders == [], f".rdd access in engine source: {offenders}"
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = spread_if_narrow(emb)
+    assert out is not emb  # single small file -> spread
+    assert "Exchange" in _plan(out)
+    mem = spark.createDataFrame([(1,)], "k long")
+    assert spread_if_narrow(mem) is mem

@@ -1453,3 +1453,70 @@ def test_streaming_markov_null_event_types_match_batch_semantics(spark):
     )
     # a->NULL dropped; NULL->b kept with from_type None; b->a kept
     assert got == [(None, "b"), ("b", "a")]
+
+
+def test_markov_buffered_reorders_across_microbatch_boundaries(spark):
+    """r13 verdict #6: events shuffled ACROSS micro-batch boundaries —
+    but inside the watermark horizon — must still emit exactly the
+    batch lead() transition multiset. The immediate automaton would
+    chain them in arrival order and emit wrong transitions silently;
+    the buffered automaton holds events until the watermark passes
+    them, sorts the expired span, and only then chains. A late
+    null-typed sentinel on an unused key drives the final watermark
+    past the real data (it emits nothing: transitions into null are
+    dropped)."""
+    import datetime as dt
+
+    from collections import Counter
+
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    base = dt.datetime(2024, 1, 1)
+    # two users, interleaved; arrival_order deliberately disorders
+    # events across the 4 replay slices (replay slices on arrival_order,
+    # so event-time runs BACKWARD between some batches)
+    events = [
+        # (user, event_time_s, event_id, type, arrival_order)
+        (1, 10, 1, "a", 0),
+        (1, 20, 2, "b", 3),   # arrives 3 batches after its successor
+        (1, 30, 3, "c", 1),
+        (1, 40, 4, "a", 2),
+        (2, 15, 5, "x", 2),
+        (2, 25, 6, "y", 0),   # arrives before its predecessor
+        (2, 35, 7, "x", 3),
+        (2, 45, 8, "z", 1),
+    ]
+    rows = [
+        (u, base + dt.timedelta(seconds=s), i, t, o)
+        for u, s, i, t, o in events
+    ]
+    # sentinel: null type, unused key, far enough ahead that the final
+    # watermark (= sentinel_ts - horizon) clears every real event
+    rows.append(
+        (99, base + dt.timedelta(seconds=400), 999, None, 4)
+    )
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "arrival_order long",
+    )
+    stream = srt.replayed_stream(
+        spark, df, n_slices=5, order_col="arrival_order"
+    ).drop("arrival_order")
+    out = srt.run_available_now(
+        srt.markov_transitions_buffered(stream, watermark="100 seconds"),
+        output_mode="append",
+    )
+    got = Counter((r.from_type, r.to_type) for r in out.collect())
+    want = Counter(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "x"), ("x", "z")]
+    )
+    assert got == want
+    # sanity: the same disorder through the IMMEDIATE automaton emits a
+    # different (wrong) multiset — the buffer is doing real work
+    out2 = srt.run_available_now(
+        srt.markov_transitions_stateful(stream, watermark="100 seconds"),
+        output_mode="append",
+    )
+    got2 = Counter((r.from_type, r.to_type) for r in out2.collect())
+    assert got2 != want

@@ -37,6 +37,16 @@ def load_bench(path_or_obj) -> dict:
 
 def compare(prior: dict, current: dict, threshold: float) -> dict:
     pq, cq = prior["queries"], current["queries"]
+    # canary normalization (r13 verdict #8): when BOTH runs carry the
+    # pure-CPU canary, the regression verdict reads the machine-speed-
+    # corrected ratio (raw ratio / canary ratio) so a uniformly
+    # throttled box no longer needs manual adjudication prose. Raw
+    # ratios stay recorded alongside.
+    cp = (prior.get("load") or {}).get("canary_sec")
+    cc = (current.get("load") or {}).get("canary_sec")
+    canary_ratio = (
+        round(float(cc) / float(cp), 3) if cp and cc else None
+    )
     deltas, regressions = {}, []
     for name in sorted(set(pq) | set(cq)):
         if name not in pq:
@@ -47,15 +57,22 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
                             "status": "removed"}
         else:
             ratio = round(cq[name] / pq[name], 3) if pq[name] else None
+            verdict_ratio = ratio
+            d = {"prior": pq[name], "now": cq[name], "ratio": ratio}
+            if ratio is not None and canary_ratio:
+                verdict_ratio = round(ratio / canary_ratio, 3)
+                d["ratio_canary_norm"] = verdict_ratio
             status = (
-                "regressed" if ratio is not None and ratio > threshold
-                else "improved" if ratio is not None and ratio < 1 / threshold
+                "regressed"
+                if verdict_ratio is not None and verdict_ratio > threshold
+                else "improved"
+                if verdict_ratio is not None and verdict_ratio < 1 / threshold
                 else "stable"
             )
             if status == "regressed":
                 regressions.append(name)
-            deltas[name] = {"prior": pq[name], "now": cq[name],
-                            "ratio": ratio, "status": status}
+            d["status"] = status
+            deltas[name] = d
     # totals over the INTERSECTION only: a round that ADDS headline
     # queries must not read as a regression (and one that drops them must
     # not read as an improvement) — the raw file totals are kept for
@@ -70,6 +87,12 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
         "total_ratio": (
             round(shared_now / shared_prior, 3) if shared_prior else None
         ),
+        "total_ratio_canary_norm": (
+            round(shared_now / shared_prior / canary_ratio, 3)
+            if shared_prior and canary_ratio
+            else None
+        ),
+        "canary_ratio": canary_ratio,
         "file_totals": {
             "prior": prior.get("value"), "now": current.get("value"),
         },
