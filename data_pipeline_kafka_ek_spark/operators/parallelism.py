@@ -37,20 +37,17 @@ def spread(df: DataFrame, *cols: str | Column) -> DataFrame:
 
 def _conf_bytes(spark, key: str, default: int) -> int:
     """Parse a Spark byte-size conf value ("134217728b", "128m",
-    "1g", bare digits) to bytes; fall back to ``default`` on anything
-    unrecognizable."""
-    raw = str(spark.conf.get(key, str(default))).strip().lower()
-    digits = "".join(ch for ch in raw if ch.isdigit())
-    if not digits:
+    "1.5g") to bytes with SPARK'S OWN parser (Utils.byteStringAsBytes —
+    a hand-rolled parser mis-read fractional sizes Spark itself
+    accepts); fall back to ``default`` when unset or unparsable."""
+    raw = spark.conf.get(key, None)
+    if raw is None:
         return default
-    unit = raw.split(digits, 1)[-1].strip()
-    factor = {
-        "": 1, "b": 1,
-        "k": 1 << 10, "kb": 1 << 10,
-        "m": 1 << 20, "mb": 1 << 20,
-        "g": 1 << 30, "gb": 1 << 30,
-    }.get(unit)
-    return int(digits) * factor if factor else default
+    try:
+        jvm = spark.sparkContext._jvm
+        return int(jvm.org.apache.spark.util.Utils.byteStringAsBytes(str(raw)))
+    except Exception:
+        return default
 
 
 def spread_if_narrow(df: DataFrame) -> DataFrame:
@@ -76,6 +73,23 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
     except Exception:
         return df
     if not files or len(files) >= n:
+        return df
+    # scan-rooted only: inputFiles() reports leaf files for the WHOLE
+    # lineage, so a post-shuffle frame (aggregate, join, window, sort,
+    # repartition, distinct) over a small scan would be misclassified as
+    # narrow and pay a redundant exchange — its partitioning already came
+    # from spark.sql.shuffle.partitions. The ANALYZED logical plan (no
+    # physical planning, no job) names those nodes at line starts.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    exchangey = (
+        "Aggregate", "Join", "Window", "Sort", "Repartition",
+        "RepartitionByExpression", "Deduplicate", "GlobalLimit",
+    )
+    if any(
+        line.lstrip("+- :").startswith(tok)
+        for line in analyzed.splitlines()
+        for tok in exchangey
+    ):
         return df
     spark = df.sparkSession
     try:

@@ -98,11 +98,13 @@ def cosine_topk(
     once per partition with the dot product fused into codegen. Ranking is
     a per-query window — state is k rows per query. Query sets past
     ``max_query_rows`` are refused at plan-build time — route them through
-    ``cosine_topk_blocked`` / ``lsh_bucket_topk`` / ``ivf_topk`` instead.
+    ``lsh_bucket_topk`` / ``ivf_topk`` instead (NOT
+    ``cosine_topk_blocked``: it ships the query matrix in the task
+    closure, the same broadcast-side failure mode at a large query set).
     """
     _guard_broadcast_side(
         queries, max_query_rows, "cosine_topk",
-        "cosine_topk_blocked / lsh_bucket_topk / ivf_topk",
+        "lsh_bucket_topk / ivf_topk",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")

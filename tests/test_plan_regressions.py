@@ -634,3 +634,25 @@ def test_spread_if_narrow_estimates_without_materializing(spark, sf_dir):
     assert "Exchange" in _plan(out)
     mem = spark.createDataFrame([(1,)], "k long")
     assert spread_if_narrow(mem) is mem
+
+
+def test_spread_if_narrow_passes_through_post_shuffle_frames(spark, sf_dir):
+    """A post-shuffle frame over a small scan must NOT be re-spread:
+    inputFiles() reports leaf files for the whole lineage, so without
+    the scan-rooted check an aggregate over one small file would pay a
+    redundant exchange on top of its shuffle-partitioned output."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_kafka_ek_spark.operators.parallelism import (
+        spread_if_narrow,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    agg = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    assert spread_if_narrow(agg) is agg
+    joined = emb.alias("a").join(
+        emb.select(F.col("vec_id").alias("vid")), F.col("vec_id") == F.col("vid")
+    )
+    assert spread_if_narrow(joined) is joined
+    # bare projection over the same small scan still spreads
+    assert spread_if_narrow(emb.select("vec_id")) is not emb

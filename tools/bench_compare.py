@@ -38,10 +38,15 @@ def load_bench(path_or_obj) -> dict:
 def compare(prior: dict, current: dict, threshold: float) -> dict:
     pq, cq = prior["queries"], current["queries"]
     # canary normalization (r13 verdict #8): when BOTH runs carry the
-    # pure-CPU canary, the regression verdict reads the machine-speed-
-    # corrected ratio (raw ratio / canary ratio) so a uniformly
-    # throttled box no longer needs manual adjudication prose. Raw
-    # ratios stay recorded alongside.
+    # pure-CPU canary, the verdict is CONSERVATIVE TWO-SIDED — a query
+    # counts as regressed only if it regresses even after full canary
+    # correction (raw ratio / canary ratio > threshold: a slow box never
+    # fakes a regression), and counts as improved only if the RAW ratio
+    # clears the bar (a slow box never fakes an improvement either; the
+    # division over-credits non-CPU-bound queries — the ACID family
+    # tracks canary_io_sec, not this canary — so corrected ratios must
+    # never award the 'improved' verdict). Everything between is
+    # 'stable'. Raw and corrected ratios are both recorded.
     cp = (prior.get("load") or {}).get("canary_sec")
     cc = (current.get("load") or {}).get("canary_sec")
     canary_ratio = (
@@ -57,16 +62,16 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
                             "status": "removed"}
         else:
             ratio = round(cq[name] / pq[name], 3) if pq[name] else None
-            verdict_ratio = ratio
+            regress_ratio = ratio
             d = {"prior": pq[name], "now": cq[name], "ratio": ratio}
             if ratio is not None and canary_ratio:
-                verdict_ratio = round(ratio / canary_ratio, 3)
-                d["ratio_canary_norm"] = verdict_ratio
+                regress_ratio = round(ratio / canary_ratio, 3)
+                d["ratio_canary_norm"] = regress_ratio
             status = (
                 "regressed"
-                if verdict_ratio is not None and verdict_ratio > threshold
+                if regress_ratio is not None and regress_ratio > threshold
                 else "improved"
-                if verdict_ratio is not None and verdict_ratio < 1 / threshold
+                if ratio is not None and ratio < 1 / threshold
                 else "stable"
             )
             if status == "regressed":
