@@ -155,3 +155,47 @@ def test_io_canary_flags_scratch_fs_mismatch():
     note3 = _load_note(_bench({}, load=prior), _bench({}, load=slow_both))
     assert note3["verdict"].startswith("machine-speed-mismatch")
     assert note3["canary_io_ratio"] == 3.0
+
+
+def test_canary_corrected_verdict_is_conservative_symmetric():
+    """r14: with canaries on both sides a verdict needs BOTH the raw and
+    the canary-corrected ratio to agree — a 2x-slower box can neither
+    fake a regression (raw 2x, corrected 1.0 -> stable) nor fake an
+    improvement, and a 2x-FASTER box cannot inflate non-CPU-bound
+    queries into false regressions (raw 0.9, corrected 1.8 -> stable:
+    the r14 hazard, since the ACID family tracks the io canary, not the
+    CPU one). Genuine changes that clear both bars still flag/credit."""
+    lp = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32, "canary_sec": 0.33}
+    lc = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32, "canary_sec": 0.66}
+    prior = _bench(
+        {"env": 1.0, "realreg": 1.0, "realimp": 1.0}, load=lp
+    )
+    current = _bench(
+        # env: 2x raw = exactly the canary ratio -> corrected 1.0 stable
+        # realreg: 3x raw, corrected 1.5 -> both sides agree: regressed
+        # realimp: 0.5x raw on a SLOWER box (corrected 0.25): improved
+        {"env": 2.0, "realreg": 3.0, "realimp": 0.5}, load=lc
+    )
+    out = compare(prior, current, threshold=1.25)
+    q = out["queries"]
+    assert q["env"]["status"] == "stable"
+    assert q["env"]["ratio_canary_norm"] == 1.0
+    assert q["realreg"]["status"] == "regressed"
+    assert out["regressions"] == ["realreg"]
+    assert q["realimp"]["status"] == "improved"
+    assert out["canary_ratio"] == 2.0
+    # the flip side: a 2x-FASTER box. An untouched io-bound query reads
+    # raw 0.9 / corrected 1.8 -> stable (no false alarm); an untouched
+    # CPU-bound one reads raw 0.5 / corrected 1.0 -> NOT 'improved'
+    # (the speedup is the machine's); a genuine regression that still
+    # shows raw 1.5 on the faster box (corrected 3.0) flags.
+    lf = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32, "canary_sec": 0.165}
+    out2 = compare(
+        prior,
+        _bench({"env": 0.9, "realreg": 1.5, "realimp": 0.5}, load=lf),
+        threshold=1.25,
+    )
+    q2 = out2["queries"]
+    assert q2["env"]["status"] == "stable"
+    assert q2["realimp"]["status"] == "stable"
+    assert out2["regressions"] == ["realreg"]

@@ -38,15 +38,17 @@ def load_bench(path_or_obj) -> dict:
 def compare(prior: dict, current: dict, threshold: float) -> dict:
     pq, cq = prior["queries"], current["queries"]
     # canary normalization (r13 verdict #8): when BOTH runs carry the
-    # pure-CPU canary, the verdict is CONSERVATIVE TWO-SIDED — a query
-    # counts as regressed only if it regresses even after full canary
-    # correction (raw ratio / canary ratio > threshold: a slow box never
-    # fakes a regression), and counts as improved only if the RAW ratio
-    # clears the bar (a slow box never fakes an improvement either; the
-    # division over-credits non-CPU-bound queries — the ACID family
-    # tracks canary_io_sec, not this canary — so corrected ratios must
-    # never award the 'improved' verdict). Everything between is
-    # 'stable'. Raw and corrected ratios are both recorded.
+    # pure-CPU canary, the verdict is CONSERVATIVE SYMMETRIC — a query
+    # counts as regressed only if BOTH the raw ratio and the canary-
+    # corrected ratio exceed the threshold, and improved only if BOTH
+    # clear the improvement bar. Rationale: a slower current box
+    # inflates raw ratios (corrected acquits them), while a FASTER
+    # current box deflates raw ratios and the correction then inflates
+    # non-CPU-bound queries (the ACID family tracks canary_io_sec, not
+    # this canary) — requiring both sides to agree means machine-speed
+    # swings in either direction can neither fake nor award a verdict.
+    # The cost is a miss when a real change is exactly cancelled by an
+    # opposite machine swing; both ratios are recorded for human review.
     cp = (prior.get("load") or {}).get("canary_sec")
     cc = (current.get("load") or {}).get("canary_sec")
     canary_ratio = (
@@ -62,16 +64,18 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
                             "status": "removed"}
         else:
             ratio = round(cq[name] / pq[name], 3) if pq[name] else None
-            regress_ratio = ratio
+            corrected = ratio
             d = {"prior": pq[name], "now": cq[name], "ratio": ratio}
             if ratio is not None and canary_ratio:
-                regress_ratio = round(ratio / canary_ratio, 3)
-                d["ratio_canary_norm"] = regress_ratio
+                corrected = round(ratio / canary_ratio, 3)
+                d["ratio_canary_norm"] = corrected
             status = (
                 "regressed"
-                if regress_ratio is not None and regress_ratio > threshold
+                if ratio is not None
+                and min(ratio, corrected) > threshold
                 else "improved"
-                if ratio is not None and ratio < 1 / threshold
+                if ratio is not None
+                and max(ratio, corrected) < 1 / threshold
                 else "stable"
             )
             if status == "regressed":
