@@ -3261,3 +3261,67 @@ def test_commit_span_batching_groups_commits_and_converges(spark, tmp_path):
     assert snap(rep_g.target) == snap(rep_p.target) == snap(src)
     assert 10 not in {k for k, _, _ in snap(rep_g.target)}
     assert rep_g.cursor() == src.latest_version()
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_span_batched_replication_fuzz_random_histories(spark, tmp_path, seed):
+    """Randomized DML histories (append/merge-with-tombstones/predicate
+    DELETE/predicate UPDATE) replicated with a random commits_per_batch
+    must converge byte-identically to the source snapshot — the grouped
+    path may not diverge from per-commit semantics on ANY history, not
+    just the curated one."""
+    import random
+
+    from data_pipeline_kafka_ek_spark.sources.incremental import (
+        TableReplicator,
+    )
+
+    rng = random.Random(9000 + seed)
+    src = TxnLogTable(
+        spark, str(tmp_path / "src"), key="k", order_col="seq",
+        files_per_commit=1, change_feed=True,
+    )
+    src.append(
+        spark.createDataFrame(
+            [(i, 0, float(i)) for i in range(12)],
+            "k long, seq long, x double",
+        )
+    )
+    for seq in range(1, rng.randint(4, 7)):
+        op = rng.random()
+        if op < 0.55:
+            n = rng.randint(1, 5)
+            ks = rng.sample(range(16), n)
+            src.merge(
+                spark.createDataFrame(
+                    [
+                        (
+                            k,
+                            seq,
+                            round(rng.uniform(0, 100), 2),
+                            rng.random() < 0.25,
+                        )
+                        for k in ks
+                    ],
+                    "k long, seq long, x double, dead boolean",
+                ),
+                delete_col="dead",
+            )
+        elif op < 0.8:
+            src.delete_where(f"k % 11 = {rng.randrange(11)}")
+        else:
+            src.update_where(
+                f"x > {rng.randint(20, 80)}", {"x": F.col("x") / 2}
+            )
+    cpb = rng.choice([2, 3, 5])
+    rep = TableReplicator(src, str(tmp_path / "rep"), files_per_commit=1)
+    rep.replicate_stream(commits_per_batch=cpb)
+
+    def snap(t):
+        return {
+            (r.k, r.seq, round(r.x, 6))
+            for r in t.read().select("k", "seq", "x").collect()
+        }
+
+    assert snap(rep.target) == snap(src), f"cpb={cpb}"
+    assert rep.cursor() == src.latest_version()

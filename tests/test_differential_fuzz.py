@@ -39,6 +39,11 @@ DOC_QUERIES = [
     "x_dedup_minhash_lsh",
     "x_dedup_minhash_xxh",  # via the xxhash64 UDF local oracle
     "x_dedup_simhash",
+    # r14: directional containment + its keep policy — the generator's
+    # exact duplicates are mutual-containment cliques (components path)
+    # and its single-token docs are strict subsets (best-container path)
+    "x_dedup_containment",
+    "x_dedup_containment_keep",
     "x_quality_clf_score",
     "x_quality_gopher_rules",
     "x_quality_threshold_sweep",
