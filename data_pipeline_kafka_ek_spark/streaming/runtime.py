@@ -427,10 +427,11 @@ def funnel_stateful(
     documented per-row-in-Python escape hatch (same tier as CUSUM
     alerting); per-user event counts are small and batches arrive
     Arrow-vectorized. Ordering contract: in-order arrival across
-    micro-batches (the replay harness guarantees it; a production
-    deployment would widen the watermark and sort within
-    buffered windows). Timestamps are held as int64 ns so state rows
-    stay fixed-width.
+    micro-batches (the replay harness guarantees it); a production feed
+    delivering late events across batch boundaries needs
+    :func:`funnel_stateful_buffered`, which enforces the contract with
+    a watermark-bounded reorder buffer. Timestamps are held as int64 ns
+    so state rows stay fixed-width.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -469,6 +470,107 @@ def funnel_stateful(
             stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def funnel_stateful_buffered(
+    stream_df: DataFrame,
+    steps: "list[str]",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_s: int = 7 * 86400,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """:func:`funnel_stateful` with the watermark-bounded REORDER BUFFER
+    (the :func:`markov_transitions_buffered` pattern — see there for the
+    full ordering argument). The funnel fold is order-SENSITIVE (step k
+    must precede step k+1 in event time), so out-of-order arrival across
+    micro-batches would silently miss or fake conversions in the
+    immediate automaton; here events hold in per-key state inside the
+    watermark horizon and only the strictly-expired prefix — which no
+    future input can precede — folds through the step machine, in event-
+    time order. State per key = the batch fold's three numbers plus the
+    horizon's buffered events; an EventTimeTimeout pinned to the
+    earliest pending event keeps quiet keys draining. Emissions are
+    update-mode revisions of the key's current ``reached`` (monotone, so
+    max per user is the final answer — same selection rule as the
+    immediate twin). All other stateful automata in this module fold
+    order-INVARIANTLY (counts, sketches, counters) or ride Spark's
+    native session windows, so the funnel and the Markov chain are the
+    two that need the buffer."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps_list = list(steps)
+    n = len(steps_list)
+    within_ns = int(within_s) * 1_000_000_000
+    out_schema = f"{user_col} long, reached integer"
+    state_schema = (
+        "reached integer, t0 long, tp long, "
+        "buf_ts array<long>, buf_type array<string>"
+    )
+
+    def update(key_tuple, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            reached, t0, tp, bts, btyp = state.get
+            buf = list(zip(bts, btyp))
+        else:
+            reached, t0, tp, buf = 0, 0, 0, []
+        frames = [f for f in pdfs if len(f)]
+        if frames:
+            pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+            ts_ns = (
+                pd.to_datetime(pdf[ts_col])
+                .values.astype("datetime64[ns]")
+                .astype("int64")
+            )
+            for t, y in zip(ts_ns, pdf[type_col].values):
+                buf.append((int(t), None if pd.isna(y) else str(y)))
+        wm_ns = state.getCurrentWatermarkMs() * 1_000_000
+        # strict-below expiry; (ts, type) is the immediate twin's (and
+        # the batch fold's) total order, None types last per timestamp
+        expired = sorted(
+            (e for e in buf if e[0] < wm_ns),
+            key=lambda e: (e[0], e[1] is None, e[1] or ""),
+        )
+        pending = [e for e in buf if e[0] >= wm_ns]
+        for t, y in expired:
+            if (
+                reached < n
+                and y == steps_list[reached]
+                and (reached == 0 or (t > tp and t <= t0 + within_ns))
+            ):
+                if reached == 0:
+                    t0 = t
+                tp = t
+                reached += 1
+        state.update(
+            (
+                reached,
+                int(t0),
+                int(tp),
+                [e[0] for e in pending],
+                [e[1] for e in pending],
+            )
+        )
+        if pending:
+            state.setTimeoutTimestamp(
+                min(e[0] for e in pending) // 1_000_000 + 1
+            )
+        yield pd.DataFrame({user_col: [key_tuple[0]], "reached": [reached]})
+
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
