@@ -828,7 +828,14 @@ def containment_keep(
     * ``duplicate`` — member of a MUTUAL-containment cluster (>= t both
       ways: the Jaccard-dup case) that is not the cluster's minimum id;
       routed through the same ``connected_components`` machinery as the
-      symmetric dedup paths, representative = component min.
+      symmetric dedup paths, representative = component min — UNLESS the
+      min is itself strictly contained in an outside document (it then
+      drops as ``contained`` and would be a dangling pointer), in which
+      case the duplicate re-points to the min's container, the same doc
+      the dropped min's own representative names (r14 ADVICE: without
+      this, a cluster whose min was contained survived the keep filter
+      through no member at all while its duplicates pointed at a
+      dropped doc).
     * ``contained`` — strictly contained in another document (one
       direction only): dropped, the container wins. representative =
       the BEST container (highest containment, then lowest id) —
@@ -840,9 +847,12 @@ def containment_keep(
 
     ``status NOT IN ('duplicate','contained')`` is the keep filter. Like
     component-based near-dup resolution, drop-if-contained-anywhere is
-    applied without transitive re-pointing: a dropped document's
-    representative may itself be dropped further up a containment chain
-    — the representative column is provenance, not a canonical pointer.
+    applied without TRANSITIVE re-pointing: a dropped document's
+    representative may itself be dropped further up a containment CHAIN
+    (a contained doc's container can be contained elsewhere) — the
+    representative column is provenance, not a canonical pointer. The
+    one-level duplicate→container re-pointing above keeps duplicates
+    exactly as resolved as their dropped representative, no more.
 
     Scale shape: mutual detection is a self-semi-join of the slim pair
     list; components run over the mutual subgraph only (orders of
@@ -874,15 +884,26 @@ def containment_keep(
             F.col("doc_b").alias("container"),
         )
     )
+    # a cluster min that is ITSELF strictly contained drops as
+    # 'contained'; its duplicates must not point at a dropped doc —
+    # re-point them one level, to the min's container (slim × slim join)
+    rep_container = best.select(
+        F.col("doc_id").alias("component"),
+        F.col("container").alias("__rep_container"),
+    )
     in_cluster = F.col("component").isNotNull()
     is_dup = in_cluster & (F.col("component") != F.col("doc_id"))
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp, "doc_id", "left")
         .join(best, "doc_id", "left")
+        .join(rep_container, "component", "left")
         .select(
             "doc_id",
-            F.when(is_dup, F.col("component"))
+            F.when(
+                is_dup,
+                F.coalesce(F.col("__rep_container"), F.col("component")),
+            )
             .when(F.col("container").isNotNull(), F.col("container"))
             .otherwise(F.col("doc_id"))
             .alias("representative"),

@@ -50,6 +50,47 @@ def _conf_bytes(spark, key: str, default: int) -> int:
         return default
 
 
+# Logical node names whose physical translation carries (or follows) an
+# exchange: a frame containing any of these is NOT scan-rooted, so its
+# partitioning already came from spark.sql.shuffle.partitions and a
+# further repartition would be a redundant shuffle. Intersect/Except are
+# the set-op spellings (both plan to shuffling joins/aggregates);
+# Distinct analyzes to Deduplicate. Expand (rollup/cube) and Generate
+# (explode) are deliberately absent: both are narrow — Expand only ever
+# appears UNDER an Aggregate (which matches first), and an
+# explode-over-small-scan frame genuinely inherits the scan's split
+# count, i.e. exactly the narrow case this helper exists to spread.
+_EXCHANGE_BEARING_NODES = frozenset({
+    "Aggregate", "Join", "Window", "Sort", "Repartition",
+    "RepartitionByExpression", "RepartitionOperation", "Deduplicate",
+    "GlobalLimit", "Intersect", "Except",
+})
+
+
+def _has_exchange_bearing_node(df: DataFrame) -> bool:
+    """Walk the ANALYZED logical plan tree via the JVM node objects
+    (``nodeName`` per node — Catalyst derives it from the node class, so
+    this is robust to text-format layout changes, unlike parsing
+    ``toString()`` line prefixes) and report whether any node implies an
+    exchange. No physical planning, no job. Falls back to the
+    line-prefix sniff only if the JVM walk itself fails — and that
+    fallback answers True (pass through / don't repartition), the
+    conservative direction: a missed spread costs serial compute on a
+    small scan, a wrong spread costs a redundant shuffle at scale."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if str(node.nodeName()) in _EXCHANGE_BEARING_NODES:
+                return True
+            children = node.children()
+            for i in range(children.length()):
+                stack.append(children.apply(i))
+        return False
+    except Exception:
+        return True
+
+
 def spread_if_narrow(df: DataFrame) -> DataFrame:
     """Repartition a (scan-rooted) DataFrame only if its scan would open
     with fewer input splits than the session's parallelism.
@@ -76,20 +117,10 @@ def spread_if_narrow(df: DataFrame) -> DataFrame:
         return df
     # scan-rooted only: inputFiles() reports leaf files for the WHOLE
     # lineage, so a post-shuffle frame (aggregate, join, window, sort,
-    # repartition, distinct) over a small scan would be misclassified as
-    # narrow and pay a redundant exchange — its partitioning already came
-    # from spark.sql.shuffle.partitions. The ANALYZED logical plan (no
-    # physical planning, no job) names those nodes at line starts.
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    exchangey = (
-        "Aggregate", "Join", "Window", "Sort", "Repartition",
-        "RepartitionByExpression", "Deduplicate", "GlobalLimit",
-    )
-    if any(
-        line.lstrip("+- :").startswith(tok)
-        for line in analyzed.splitlines()
-        for tok in exchangey
-    ):
+    # repartition, set op, distinct) over a small scan would be
+    # misclassified as narrow and pay a redundant exchange — its
+    # partitioning already came from spark.sql.shuffle.partitions.
+    if _has_exchange_bearing_node(df):
         return df
     spark = df.sparkSession
     try:

@@ -73,10 +73,18 @@ def _guard_broadcast_side(queries: DataFrame, max_query_rows: "int | None",
     """The exact similarity paths broadcast the query side; a large query
     set OOMs executors instead of failing fast. Refuse at plan-build time
     with a bounded ``limit(n+1).count()`` probe (the guard never scans the
-    full table) — the same contract as ``cosine_pairs``."""
-    if max_query_rows is not None and (
-        queries.limit(max_query_rows + 1).count() > max_query_rows
-    ):
+    full table) — the same contract as ``cosine_pairs``.
+
+    NOTE the probe is EAGER: it runs a (bounded) Spark job when the plan
+    is BUILT, not when it executes — callers composing plans lazily pay
+    that job up front; pass ``max_query_rows=None`` to skip it and keep
+    the build side-effect-free. A STREAMING query side is skipped
+    outright (``count()`` is unsupported there, and an unbounded stream
+    can never satisfy a row-count budget anyway — route streaming query
+    sides through the bucketed twins, which never broadcast)."""
+    if max_query_rows is None or queries.isStreaming:
+        return
+    if queries.limit(max_query_rows + 1).count() > max_query_rows:
         raise ValueError(
             f"{op} broadcasts the query side and refuses query sets over "
             f"{max_query_rows} rows — use {alternative} (the bucketed "

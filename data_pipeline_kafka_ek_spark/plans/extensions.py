@@ -7687,7 +7687,7 @@ def x_dedup_containment(spark, sf_dir):
     )
     SELECT d.doc_id,
            CASE WHEN cp.component IS NOT NULL AND cp.component <> d.doc_id
-                  THEN cp.component
+                  THEN coalesce(bc.container, cp.component)
                 WHEN b.container IS NOT NULL THEN b.container
                 ELSE d.doc_id END AS representative,
            CASE WHEN cp.component IS NOT NULL AND cp.component <> d.doc_id
@@ -7698,6 +7698,7 @@ def x_dedup_containment(spark, sf_dir):
     FROM documents d
     LEFT JOIN comp cp ON d.doc_id = cp.doc_id
     LEFT JOIN best b ON d.doc_id = b.doc_id
+    LEFT JOIN best bc ON cp.component = bc.doc_id
     """,
     survey_ids=("EXT-dedup",),
     doc="the containment pipeline ACTION (closes the r13 verdict's "
@@ -7706,10 +7707,13 @@ def x_dedup_containment(spark, sf_dir):
     "Jaccard-dup case) routed through the same connected-components "
     "machinery as the symmetric dedup paths (min-id representative) "
     "and strict containment resolved to the best container (highest "
-    "containment, then lowest id — deterministic). status NOT IN "
-    "('duplicate','contained') is the keep filter. The mutual subgraph "
-    "is tiny, so the recursive oracle replays components exactly; the "
-    "corpus pays one left join per slim decision table.",
+    "containment, then lowest id — deterministic). A cluster min that "
+    "is itself contained drops as contained, and its duplicates "
+    "re-point one level to the min's container, never at a dropped "
+    "doc (r15). status NOT IN ('duplicate','contained') is the keep "
+    "filter. The mutual subgraph is tiny, so the recursive oracle "
+    "replays components exactly; the corpus pays one left join per "
+    "slim decision table.",
 )
 def x_dedup_containment_keep(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

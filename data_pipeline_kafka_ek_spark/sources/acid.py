@@ -2585,23 +2585,38 @@ class TxnLogTable:
         ``read_deltas``-style cursors for exactly-once hand-off.
 
         ``commits_per_batch`` groups ADJACENT commit versions into one
-        micro-batch (range-sliced on ``_commit_version``, so a commit
-        never splits across batches and order is preserved) — the
-        catch-up path for a consumer resuming far behind the head:
-        per-micro-batch fixed costs (state-store checkpoint, planning)
-        amortize over the span instead of replaying one commit at a
-        time. Safe for any order-invariant fold and for consumers that
-        rank on ``_commit_version`` inside the batch; keep the default
-        when per-commit emission granularity is itself the contract."""
+        micro-batch — the catch-up path for a consumer resuming far
+        behind the head: per-micro-batch fixed costs (state-store
+        checkpoint, planning) amortize over the span instead of
+        replaying one commit at a time. Safe for any order-invariant
+        fold and for consumers that rank on ``_commit_version`` inside
+        the batch; keep the default when per-commit emission granularity
+        is itself the contract. Grouping is DETERMINISTIC: the slice
+        index is derived per row as
+        ``(_commit_version - min_version) // commits_per_batch`` (r14
+        ADVICE — ``repartitionByRange``'s sampled boundaries only
+        promise non-splitting, not the exact ceil(n/k) grouping the
+        contract states; skewed commit sizes could realize 1+3 instead
+        of 2+2), so a commit never splits across batches, order is
+        preserved, and the batching is the same on every run."""
         from data_pipeline_kafka_ek_spark.streaming import runtime as _rt
 
         feed = self.read_changes(since_version)
-        n_commits = max(
-            1, len([v for v in self._list_versions() if v > since_version])
+        versions = [v for v in self._list_versions() if v > since_version]
+        if not versions:
+            return _rt.replayed_stream(
+                self.spark, feed, n_slices=1, order_col="_commit_version"
+            )
+        k = max(1, commits_per_batch)
+        vmin = min(versions)
+        n_slices = (max(versions) - vmin) // k + 1
+        sliced = feed.withColumn(
+            "__slice",
+            ((F.col("_commit_version") - F.lit(vmin)) / F.lit(k))
+            .cast("int"),
         )
-        n_slices = max(1, -(-n_commits // max(1, commits_per_batch)))
         return _rt.replayed_stream(
-            self.spark, feed, n_slices=n_slices, order_col="_commit_version"
+            self.spark, sliced, n_slices=n_slices, slice_col="__slice"
         )
 
     def read_deltas(self, since_version: int = -1) -> DataFrame:

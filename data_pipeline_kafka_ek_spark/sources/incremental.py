@@ -349,14 +349,17 @@ class TableReplicator:
         wins and a delete in a later commit beats an earlier upsert.
 
         ``commits_per_batch`` groups ADJACENT commits into one
-        micro-batch (range-sliced on ``_commit_version`` — a commit
-        never splits across batches). Because every micro-batch costs a
-        full transactional merge on the target, a replica catching up
-        over a long span pays O(span) merges at the default; grouping
-        turns that into O(span / commits_per_batch) with the identical
-        converged state (the in-batch ranking above IS the correctness
-        argument, and the CAS cursor advances to the batch's high-water
-        commit exactly as before)."""
+        micro-batch (deterministically sliced on
+        ``(_commit_version - min) // commits_per_batch`` — a commit
+        never splits across batches, and the grouping is exact, not
+        left to ``repartitionByRange``'s sampled boundaries). Because
+        every micro-batch costs a full transactional merge on the
+        target, a replica catching up over a long span pays O(span)
+        merges at the default; grouping turns that into
+        O(span / commits_per_batch) with the identical converged state
+        (the in-batch ranking above IS the correctness argument, and
+        the CAS cursor advances to the batch's high-water commit
+        exactly as before)."""
         import tempfile as _tempfile
 
         from data_pipeline_kafka_ek_spark.streaming import runtime as _rt
@@ -371,15 +374,26 @@ class TableReplicator:
         # ``cur`` when the caller skipped ahead with since_version)
         expect_box = {"cur": c0}
         rows = self.source.read_row_changes(cur)
-        n_commits = max(
-            1,
-            len([v for v in self.source._list_versions() if v > cur]),
-        )
-        n_slices = max(1, -(-n_commits // max(1, commits_per_batch)))
-        stream = _rt.replayed_stream(
-            self.source.spark, rows, n_slices=n_slices,
-            order_col="_commit_version",
-        )
+        versions = [v for v in self.source._list_versions() if v > cur]
+        if versions:
+            k = max(1, commits_per_batch)
+            vmin = min(versions)
+            n_slices = (max(versions) - vmin) // k + 1
+            stream = _rt.replayed_stream(
+                self.source.spark,
+                rows.withColumn(
+                    "__slice",
+                    ((F.col("_commit_version") - F.lit(vmin)) / F.lit(k))
+                    .cast("int"),
+                ),
+                n_slices=n_slices,
+                slice_col="__slice",
+            )
+        else:
+            stream = _rt.replayed_stream(
+                self.source.spark, rows, n_slices=1,
+                order_col="_commit_version",
+            )
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             changes = (

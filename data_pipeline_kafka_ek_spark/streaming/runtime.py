@@ -75,6 +75,7 @@ def replayed_stream(
     df: DataFrame,
     n_slices: int = 4,
     order_col: str | None = None,
+    slice_col: str | None = None,
 ) -> DataFrame:
     """Re-feed a batch DataFrame as a multi-micro-batch stream: write it as
     ``n_slices`` files and stream them one file per trigger. Used by the
@@ -86,26 +87,69 @@ def replayed_stream(
     ``order_col`` the slices are renamed into a fresh directory with
     strictly increasing mtimes, guaranteeing replay follows the range
     order. Without that, a later range landing first would advance the
-    watermark past the remaining slices and silently drop them as late."""
+    watermark past the remaining slices and silently drop them as late.
+
+    ``slice_col`` (mutually exclusive with ``order_col``) names an INT
+    column holding the exact slice index in ``[0, n_slices)`` — the
+    DETERMINISTIC grouping mode. ``repartitionByRange`` only guarantees
+    non-splitting and ordering of the range key; its sampled,
+    row-weight-balanced boundaries may merge two intended slices into
+    one partition on skewed slice sizes (1+3 instead of 2+2), so
+    callers whose contract is an EXACT batching (the ACID
+    ``commits_per_batch`` replay) derive the slice index themselves and
+    pass it here. One job: hash-repartition on the slice key (a key
+    lives entirely in one partition), then ``partitionBy`` the write —
+    exactly one file per non-empty slice, renamed into mtime order and
+    consumed by the column-less schema (``partitionBy`` strips the
+    key from file contents). An empty slice writes nothing and is
+    skipped — fewer micro-batches, never a merged or split one."""
     import glob as _glob
     import os as _os
 
     stage = tempfile.mkdtemp(prefix="replay_stage_")
     tmp = tempfile.mkdtemp(prefix="replay_")
+    base = _os.stat(stage).st_mtime
+    import shutil as _shutil
+
+    if slice_col is not None:
+        if order_col is not None:
+            raise ValueError("order_col and slice_col are exclusive")
+        out_schema = df.drop(slice_col).schema
+        (
+            df.repartition(max(1, n_slices), F.col(slice_col))
+            .write.mode("overwrite")
+            .partitionBy(slice_col)
+            .parquet(stage)
+        )
+        for i in range(n_slices):
+            parts = sorted(_glob.glob(f"{stage}/{slice_col}={i}/part-*"))
+            if not parts:
+                continue  # empty slice: no micro-batch
+            assert len(parts) == 1, (
+                f"slice {i} wrote {len(parts)} files — the slice key "
+                "must be hash-colocated before partitionBy"
+            )
+            dst = f"{tmp}/slice_{i:05d}.parquet"
+            _os.rename(parts[0], dst)
+            _os.utime(dst, (base + i, base + i))
+        _shutil.rmtree(stage, ignore_errors=True)
+        return (
+            spark.readStream.schema(out_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+
     out = df
     if order_col is not None:
         out = df.repartitionByRange(n_slices, F.col(order_col))
     else:
         out = df.repartition(n_slices)
     out.write.mode("overwrite").parquet(stage)
-    base = _os.stat(stage).st_mtime
     for i, part in enumerate(sorted(_glob.glob(f"{stage}/part-*"))):
         dst = f"{tmp}/slice_{i:05d}.parquet"
         _os.rename(part, dst)
         _os.utime(dst, (base + i, base + i))
     # the staging dir now holds only _SUCCESS/.crc droppings — remove it
-    import shutil as _shutil
-
     _shutil.rmtree(stage, ignore_errors=True)
     return (
         spark.readStream.schema(df.schema)

@@ -1574,3 +1574,34 @@ def test_containment_keep_resolution_semantics(spark):
     keep = {d for d, (_, s) in got.items()
             if s not in ("duplicate", "contained")}
     assert keep == {2, 3, 5}
+
+
+def test_containment_keep_repoints_duplicates_of_contained_min(spark):
+    """r14 ADVICE: when a mutual cluster's min-id member is itself
+    strictly contained in an OUTSIDE doc, the min drops as 'contained'
+    — and the cluster's duplicates must re-point to the min's container
+    (a live doc) instead of dangling at the dropped min. Cluster
+    content then survives the keep filter only via the container, and
+    every representative pointer of a dropped doc names the same
+    surviving doc."""
+    from data_pipeline_kafka_ek_spark.operators import dedup
+
+    twin_a = "one two three four five six seven eight nine ten"
+    twin_b = twin_a + " one"  # mutual: shared shingles / both >= 0.8
+    cont = twin_a + " " + " ".join(f"zz{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(10, twin_a), (11, twin_b), (12, cont)],
+        "doc_id long, text string",
+    )
+    pairs = dedup.containment_pairs(docs, threshold=0.8, ngram=3)
+    got = {r.doc_id: (r.representative, r.status)
+           for r in dedup.containment_keep(docs, pairs).collect()}
+    # the cluster min (10) is contained in 12 and drops
+    assert got[10] == (12, "contained")
+    # its duplicate re-points to the container, not the dropped min
+    assert got[11][1] == "duplicate"
+    assert got[11][0] == 12
+    assert got[12] == (12, "unique")
+    keep = {d for d, (_, s) in got.items()
+            if s not in ("duplicate", "contained")}
+    assert keep == {12}

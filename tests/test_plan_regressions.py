@@ -654,5 +654,23 @@ def test_spread_if_narrow_passes_through_post_shuffle_frames(spark, sf_dir):
         emb.select(F.col("vec_id").alias("vid")), F.col("vec_id") == F.col("vid")
     )
     assert spread_if_narrow(joined) is joined
+    # set operations shuffle too (r14 ADVICE): a post-shuffle
+    # intersect/except frame over a small scan must also pass through
+    ids = emb.select("vec_id")
+    inter = ids.intersect(ids.limit(5))
+    assert spread_if_narrow(inter) is inter
+    exc = ids.exceptAll(ids.limit(5))
+    assert spread_if_narrow(exc) is exc
+    dis = ids.distinct()
+    assert spread_if_narrow(dis) is dis
+    # a union of aggregates carries Aggregate nodes under the Union —
+    # the tree walk must find them at depth, not only at the root
+    agg2 = emb.groupBy("label").agg(F.sum(F.lit(1)).alias("n"))
+    uni = agg.union(agg2)
+    assert spread_if_narrow(uni) is uni
     # bare projection over the same small scan still spreads
     assert spread_if_narrow(emb.select("vec_id")) is not emb
+    # ...and so does an explode over it (Generate is narrow — it
+    # inherits the scan's single split, exactly the case to spread)
+    gen = emb.select("vec_id", F.explode("embedding").alias("x"))
+    assert spread_if_narrow(gen) is not gen

@@ -199,3 +199,59 @@ def test_canary_corrected_verdict_is_conservative_symmetric():
     assert q2["env"]["status"] == "stable"
     assert q2["realimp"]["status"] == "stable"
     assert out2["regressions"] == ["realreg"]
+
+
+def test_io_bound_queries_corrected_by_io_canary():
+    """r14 ADVICE (medium): io-bound queries (the ACID family) must be
+    corrected by the IO canary ratio, not the CPU one. On a
+    CPU-throttled box (CPU ratio 2.0, io healthy) a genuine 1.5x
+    io-bound regression CPU-"corrected" to 0.75 would be acquitted by
+    min(raw, corrected) — the exact family the io canary exists for.
+    And when the io canary is missing, an io-bound query gets a
+    raw-only verdict, never the CPU correction."""
+    lp = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32,
+          "canary_sec": 0.33, "canary_io_sec": 0.015}
+    # CPU-throttled current box, scratch fs healthy
+    lc = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32,
+          "canary_sec": 0.66, "canary_io_sec": 0.015}
+    prior = _bench(
+        {"x_acid_incremental_mv": 10.0, "cpu_q": 1.0}, load=lp
+    )
+    current = _bench(
+        # a GENUINE 1.5x regression in the io-bound query: io canary
+        # ratio is 1.0, so corrected == raw == 1.5 -> regressed (the
+        # old CPU correction would have acquitted it at 0.75)
+        {"x_acid_incremental_mv": 15.0, "cpu_q": 2.0}, load=lc
+    )
+    out = compare(prior, current, threshold=1.25)
+    q = out["queries"]
+    assert q["x_acid_incremental_mv"]["canary_family"] == "io"
+    assert q["x_acid_incremental_mv"]["ratio_canary_norm"] == 1.5
+    assert q["x_acid_incremental_mv"]["status"] == "regressed"
+    assert q["cpu_q"]["canary_family"] == "cpu"
+    assert q["cpu_q"]["status"] == "stable"  # 2x raw = the CPU throttle
+    assert out["canary_io_ratio"] == 1.0
+    # io-throttled box, CPU healthy: an untouched io-bound query reads
+    # raw 2x but io-corrected 1.0 -> stable (symmetric acquittal still
+    # works, now against the RIGHT canary)
+    lc_io = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32,
+             "canary_sec": 0.33, "canary_io_sec": 0.030}
+    out2 = compare(
+        prior,
+        _bench({"x_acid_incremental_mv": 20.0, "cpu_q": 1.0}, load=lc_io),
+        threshold=1.25,
+    )
+    assert out2["queries"]["x_acid_incremental_mv"]["status"] == "stable"
+    assert out2["regressions"] == []
+    # io canary missing on one side: io-bound query is raw-only (no
+    # ratio_canary_norm, no CPU fallback), so a 1.5x raw flags
+    lc_nocio = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32,
+                "canary_sec": 0.66}
+    out3 = compare(
+        prior,
+        _bench({"x_acid_incremental_mv": 15.0, "cpu_q": 1.0}, load=lc_nocio),
+        threshold=1.25,
+    )
+    q3 = out3["queries"]["x_acid_incremental_mv"]
+    assert "ratio_canary_norm" not in q3
+    assert q3["status"] == "regressed"

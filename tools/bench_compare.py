@@ -35,6 +35,14 @@ def load_bench(path_or_obj) -> dict:
     return obj
 
 
+def _is_io_bound(name: str) -> bool:
+    """The ACID feed twins are io-bound: their cost is commit-count ×
+    scratch-filesystem latency (the create+rename loops of the commit
+    protocol), which is exactly what bench.py's ``canary_io_sec``
+    measures and what the CPU canary does NOT track."""
+    return "acid" in name
+
+
 def compare(prior: dict, current: dict, threshold: float) -> dict:
     pq, cq = prior["queries"], current["queries"]
     # canary normalization (r13 verdict #8): when BOTH runs carry the
@@ -44,15 +52,29 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
     # clear the improvement bar. Rationale: a slower current box
     # inflates raw ratios (corrected acquits them), while a FASTER
     # current box deflates raw ratios and the correction then inflates
-    # non-CPU-bound queries (the ACID family tracks canary_io_sec, not
-    # this canary) — requiring both sides to agree means machine-speed
-    # swings in either direction can neither fake nor award a verdict.
-    # The cost is a miss when a real change is exactly cancelled by an
-    # opposite machine swing; both ratios are recorded for human review.
+    # non-CPU-bound queries — requiring both sides to agree means
+    # machine-speed swings in either direction can neither fake nor
+    # award a verdict. The cost is a miss when a real change is exactly
+    # cancelled by an opposite machine swing; both ratios are recorded
+    # for human review.
+    #
+    # PER-FAMILY canary (r14 ADVICE, medium): io-bound queries (the
+    # ACID family) are corrected by the IO canary ratio, never the CPU
+    # one — on a CPU-throttled box (CPU ratio 2.0, io healthy) a
+    # genuine 1.5x io-bound regression would be "corrected" to 0.75 and
+    # min(raw, corrected) would acquit it, a systematic false-negative
+    # window for exactly the family the io canary exists for. When an
+    # io-bound query lacks io-canary telemetry on either side, it gets
+    # NO correction (raw-only verdict) rather than the wrong canary.
     cp = (prior.get("load") or {}).get("canary_sec")
     cc = (current.get("load") or {}).get("canary_sec")
     canary_ratio = (
         round(float(cc) / float(cp), 3) if cp and cc else None
+    )
+    cip = (prior.get("load") or {}).get("canary_io_sec")
+    cic = (current.get("load") or {}).get("canary_io_sec")
+    canary_io_ratio = (
+        round(float(cic) / float(cip), 3) if cip and cic else None
     )
     deltas, regressions = {}, []
     for name in sorted(set(pq) | set(cq)):
@@ -66,9 +88,15 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
             ratio = round(cq[name] / pq[name], 3) if pq[name] else None
             corrected = ratio
             d = {"prior": pq[name], "now": cq[name], "ratio": ratio}
-            if ratio is not None and canary_ratio:
-                corrected = round(ratio / canary_ratio, 3)
+            family_ratio = (
+                canary_io_ratio if _is_io_bound(name) else canary_ratio
+            )
+            if ratio is not None and family_ratio:
+                corrected = round(ratio / family_ratio, 3)
                 d["ratio_canary_norm"] = corrected
+                d["canary_family"] = (
+                    "io" if _is_io_bound(name) else "cpu"
+                )
             status = (
                 "regressed"
                 if ratio is not None
@@ -102,6 +130,7 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
             else None
         ),
         "canary_ratio": canary_ratio,
+        "canary_io_ratio": canary_io_ratio,
         "file_totals": {
             "prior": prior.get("value"), "now": current.get("value"),
         },
