@@ -7601,6 +7601,187 @@ def t_streaming_markov_transitions(spark, sf_dir):
 
 
 @register(
+    "t_streaming_markov_buffered",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (
+      SELECT from_type, sum(n) AS row_total FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+           floor(t.n * 1000000.0 / x.row_total + 0.5) / 1000000.0 AS p
+    FROM trans t JOIN tot x USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    survey_ids=("T1", "T5", "EXT-streaming", "EXT-events"),
+    doc="the ENFORCED-ordering Markov automaton under an ADVERSARIAL "
+    "replay (r14 verdict #2): adjacent event-time ranges arrive "
+    "SWAPPED (batch order 1,0,3,2,... via "
+    "runtime.disordered_replayed_stream), so whole ranges of events "
+    "land a micro-batch after strictly later ones — a feed on which "
+    "the immediate automaton (t_streaming_markov_transitions' "
+    "machinery) emits provably wrong transitions "
+    "(tests/test_streaming.py pins that). The watermark-bounded "
+    "reorder buffer (markov_transitions_buffered) holds events inside "
+    "the horizon and folds only the strictly-expired prefix in "
+    "event-time order, so this hash can match the batch lead() oracle "
+    "ONLY because the buffer re-sorts across batch boundaries. A "
+    "high-ts null-typed sentinel drains the final horizon.",
+)
+def t_streaming_markov_buffered(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sentinel = e.limit(1).select(
+        F.lit(10**12).alias("user_id"),
+        F.col("ts"),
+        F.lit(10**12).alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    stream, wm = srt.disordered_replayed_stream(spark, e, sentinel)
+    emitted = srt.run_available_now(
+        srt.markov_transitions_buffered(stream, watermark=wm),
+        output_mode="append",
+    )
+    trans = (
+        emitted.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .persist()
+    )
+    # rename the self-join key: both branches descend from the one memory
+    # sink view (see t_streaming_markov_transitions)
+    totals = (
+        trans.select(F.col("from_type").alias("__ft"), "n")
+        .groupBy("__ft")
+        .agg(F.sum("n").alias("__row_total"))
+    )
+    return (
+        trans.join(
+            F.broadcast(totals), trans["from_type"] == totals["__ft"]
+        )
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (
+                F.floor(
+                    F.col("n") * F.lit(1000000.0) / F.col("__row_total")
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+@register(
+    "t_streaming_funnel_buffered",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type, CAST(ts AS TIMESTAMP) AS t FROM events
+    ),
+    s0 AS (
+      SELECT u, min(t) AS t0 FROM e WHERE event_type = 'signup' GROUP BY u
+    ),
+    s1 AS (
+      SELECT e.u, s0.t0, min(e.t) AS t_prev
+      FROM e JOIN s0 ON e.u = s0.u
+      WHERE e.event_type = 'view' AND e.t > s0.t0
+        AND e.t <= s0.t0 + INTERVAL 7 DAY
+      GROUP BY e.u, s0.t0
+    ),
+    s2 AS (
+      SELECT e.u, s1.t0, min(e.t) AS t_prev
+      FROM e JOIN s1 ON e.u = s1.u
+      WHERE e.event_type = 'purchase' AND e.t > s1.t_prev
+        AND e.t <= s1.t0 + INTERVAL 7 DAY
+      GROUP BY e.u, s1.t0
+    )
+    SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step, count(*) AS users FROM s0
+    UNION ALL
+    SELECT CAST(1 AS INT), 'view', count(*) FROM s1
+    UNION ALL
+    SELECT CAST(2 AS INT), 'purchase', count(*) FROM s2
+    """,
+    survey_ids=("T1", "T5", "EXT-streaming", "EXT-analytics"),
+    doc="the order-SENSITIVE funnel automaton under the same "
+    "adversarial swapped-range replay as t_streaming_markov_buffered: "
+    "step k must precede step k+1 in EVENT time, so the immediate "
+    "automaton misses or fakes conversions when ranges arrive out of "
+    "order; the buffered form (funnel_stateful_buffered) folds only "
+    "the watermark-expired prefix in event-time order and its step "
+    "counts hash-equal the batch funnel's SQL oracle only because the "
+    "buffer does its job. reached is monotone, so max revision per "
+    "user is the final state; the null-typed sentinel drains the tail.",
+)
+def t_streaming_funnel_buffered(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    steps = ["signup", "view", "purchase"]
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(steps)
+    ).select("user_id", "ts", "event_id", "event_type")
+    sentinel = e.limit(1).select(
+        F.lit(10**12).alias("user_id"),
+        F.col("ts"),
+        F.lit(10**12).alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+    stream, wm = srt.disordered_replayed_stream(spark, e, sentinel)
+    revisions = srt.run_available_now(
+        srt.funnel_stateful_buffered(
+            stream.drop("event_id"), steps, watermark=wm
+        ),
+        output_mode="update",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("reached"))
+    final = (
+        revisions.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("reached")
+    )
+    one_row = final.agg(
+        *[
+            F.coalesce(F.sum((F.col("reached") >= i + 1).cast("int")), F.lit(0))
+            .cast("long")
+            .alias(f"__c{i}")
+            for i in range(len(steps))
+        ]
+    )
+    return one_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"__c{i}").alias("users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.step_idx", "r.step", "r.users")
+
+
+@register(
     "x_dedup_containment",
     """
     WITH base AS (

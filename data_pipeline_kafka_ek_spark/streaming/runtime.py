@@ -158,6 +158,64 @@ def replayed_stream(
     )
 
 
+def disordered_replayed_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    sentinel: DataFrame,
+    ts_col: str = "ts",
+    n_pairs: int = 4,
+) -> "tuple[DataFrame, str]":
+    """Replay ``df`` as ``2 * n_pairs + 1`` micro-batches whose ARRIVAL
+    order swaps adjacent event-time ranges (ranges 1,0,3,2,5,4,...): a
+    whole range of events arrives one batch AFTER a strictly later
+    range, so every batch boundary delivers out-of-order data — the
+    adversarial feed the reorder-buffered automata
+    (:func:`markov_transitions_buffered`,
+    :func:`funnel_stateful_buffered`) exist for, and on which the
+    immediate automata emit wrong results. Returns ``(stream,
+    watermark_str)``; the watermark is sized to 3 range widths — wide
+    enough that no real event is ever watermark-late under the swap
+    (an early batch's max ts leads the following late range by at most
+    2 widths), narrow enough that expiry happens INCREMENTALLY across
+    the replay instead of one final flush, so the buffer's
+    hold-sort-drain cycle runs on every batch boundary.
+
+    ``sentinel`` is a one-row frame with ``df``'s schema whose ``ts`` is
+    OVERWRITTEN to past ``max(ts) + watermark`` and delivered as the
+    final micro-batch: it drives the closing watermark past all real
+    data so the provisional tail drains (callers give it a key and
+    payload that fold to nothing — a null event type, an unused key).
+    Slicing uses :func:`replayed_stream`'s deterministic ``slice_col``
+    mode, so the batch composition is exact on every run — this
+    function feeds oracle-checked catalog queries whose hashes must be
+    reproducible."""
+    b = df.agg(
+        F.min(F.col(ts_col).cast("double")).alias("lo"),
+        F.max(F.col(ts_col).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = float(b["lo"]), float(b["hi"])
+    n_slices = 2 * n_pairs
+    width = max(1.0, (hi - lo) / n_slices) + 1e-3
+    wm_s = int(3.0 * width) + 2
+    rng = F.least(
+        F.floor(
+            (F.col(ts_col).cast("double") - F.lit(lo)) / F.lit(width)
+        ).cast("int"),
+        F.lit(n_slices - 1),
+    )
+    data = df.withColumn("__slice", rng.bitwiseXOR(F.lit(1)))
+    sen = sentinel.withColumn(
+        ts_col, F.timestamp_seconds(F.lit(hi + 2.0 * wm_s + 1.0))
+    ).withColumn("__slice", F.lit(n_slices))
+    stream = replayed_stream(
+        spark,
+        data.unionByName(sen),
+        n_slices=n_slices + 1,
+        slice_col="__slice",
+    )
+    return stream, f"{wm_s} seconds"
+
+
 def run_available_now(
     stream_df: DataFrame,
     output_mode: str = "update",

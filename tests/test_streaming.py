@@ -1585,3 +1585,159 @@ def test_funnel_buffered_reorders_across_microbatch_boundaries(spark):
     for r in out2.collect():
         reached2[r.user_id] = max(reached2.get(r.user_id, 0), r.reached)
     assert reached2[1] < 3
+
+
+def test_disordered_replay_defeats_immediate_but_not_buffered(spark):
+    """The catalog's adversarial replay harness
+    (runtime.disordered_replayed_stream — swaps adjacent event-time
+    ranges, so whole ranges arrive a batch after strictly later ones)
+    is what the r15 driver-attested buffered twins ride. Pin both
+    halves of its contract here: the buffered Markov automaton over the
+    disordered feed reproduces the exact batch transition multiset
+    (nothing watermark-dropped, everything re-sorted), while the
+    IMMEDIATE automaton over the very same feed emits a different —
+    wrong — multiset, proving the replay really delivers cross-batch
+    disorder and the oracle hash can only match because of the
+    buffer."""
+    import datetime as dt
+    from collections import Counter
+
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    base = dt.datetime(2024, 1, 1)
+    # 32 events over 800s = 4 per swap range; the type ENCODES the
+    # range (s0..s7), so any cross-range arrival inversion fabricates a
+    # backward transition (e.g. s1->s0) the in-order truth cannot contain
+    rows = [
+        (
+            1 + (eid % 2),
+            base + dt.timedelta(seconds=25 * eid),
+            eid,
+            f"s{(25 * eid) // 100}",
+        )
+        for eid in range(32)
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    df = spark.createDataFrame(rows, schema)
+    sentinel = spark.createDataFrame([(99, base, 999, None)], schema)
+    stream, wm = srt.disordered_replayed_stream(spark, df, sentinel)
+
+    # batch truth, folded in plain Python
+    want = Counter()
+    for u in (1, 2):
+        seq = [t for (uu, _, _, t) in rows if uu == u]
+        want.update(zip(seq[:-1], seq[1:]))
+
+    out = srt.run_available_now(
+        srt.markov_transitions_buffered(stream, watermark=wm),
+        output_mode="append",
+    )
+    got = Counter((r.from_type, r.to_type) for r in out.collect())
+    assert got == want
+    out2 = srt.run_available_now(
+        srt.markov_transitions_stateful(stream, watermark=wm),
+        output_mode="append",
+    )
+    got2 = Counter((r.from_type, r.to_type) for r in out2.collect())
+    assert got2 != want
+
+
+def test_funnel_buffered_reached_is_monotone_under_late_data(spark):
+    """Property-pin for the buffered automata's emission contract (r14
+    verdict 'what's wrong #3'): the catalog selects a user's final
+    funnel state as max(reached) over update-mode revisions, which is
+    sound ONLY if reached is monotone per key across micro-batches —
+    an invariant that previously lived in a docstring. Drive randomized
+    event sets (types, event times, adversarial arrival permutations —
+    late but inside the watermark) through funnel_stateful_buffered,
+    capture every revision in batch order via foreachBatch, and assert
+    (a) reached never decreases for any key, (b) the final revision
+    equals the in-event-time-order batch fold."""
+    import datetime as dt
+    import random
+    import tempfile as tmpmod
+
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    steps = ["view", "click", "purchase"]
+    base = dt.datetime(2024, 1, 1)
+
+    def batch_fold(times_types):
+        reached, t0, tp = 0, None, None
+        for t, y in sorted(times_types, key=lambda e: (e[0], e[1] or "")):
+            if reached < len(steps) and y == steps[reached] and (
+                reached == 0 or (t > tp and t <= t0 + 7 * 86400)
+            ):
+                if reached == 0:
+                    t0 = t
+                tp = t
+                reached += 1
+        return reached
+
+    rng = random.Random(1509)
+    for trial in range(6):
+        n_users = rng.randint(1, 4)
+        rows, truth = [], {}
+        eid = 0
+        for u in range(1, n_users + 1):
+            n_ev = rng.randint(1, 10)
+            evs = []
+            for _ in range(n_ev):
+                t_s = rng.randint(0, 900)
+                y = rng.choice(steps + ["noise", "noise2"])
+                evs.append((t_s, y))
+                rows.append(
+                    (u, base + dt.timedelta(seconds=t_s), eid, y)
+                )
+                eid += 1
+            truth[u] = batch_fold(evs)
+        arrival = list(range(len(rows)))
+        rng.shuffle(arrival)  # adversarial: arbitrary arrival order
+        schema = (
+            "user_id long, ts timestamp, event_id long, "
+            "event_type string, arrival long"
+        )
+        df = spark.createDataFrame(
+            [r + (a,) for r, a in zip(rows, arrival)], schema
+        )
+        sentinel = spark.createDataFrame(
+            [(999, base + dt.timedelta(seconds=99999), 10**6, None,
+              len(rows))],
+            schema,
+        )
+        stream = srt.replayed_stream(
+            spark, df.unionByName(sentinel), n_slices=4,
+            order_col="arrival",
+        ).drop("arrival")
+        # watermark covers the whole span: every event is late-but-
+        # inside-watermark, the hardest legal disorder
+        revs = []
+
+        def sink(batch_df, batch_id):
+            revs.extend(
+                (batch_id, r.user_id, r.reached)
+                for r in batch_df.collect()
+            )
+
+        ckpt = tmpmod.mkdtemp(prefix="ckpt_monotone_")
+        q = (
+            srt.funnel_stateful_buffered(
+                stream, steps, watermark="2000 seconds"
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        seen = {}
+        for _, u, reached in sorted(revs, key=lambda r: r[0]):
+            assert reached >= seen.get(u, 0), (
+                f"trial {trial}: reached regressed for user {u}: {revs}"
+            )
+            seen[u] = reached
+        for u, want in truth.items():
+            assert seen.get(u, 0) == want, (
+                f"trial {trial}: user {u} final {seen.get(u)} != {want}"
+            )
