@@ -1095,6 +1095,105 @@ def h5(spark, sf_dir):
 #              All 31 are first in line for the r15 window. New r14
 #              registrations land in REGISTERED_AFTER_WINDOW (the window
 #              is fully subscribed by the stale tier).
+#   r15 window (this round): the 31 r14 WINDOW_OVERFLOW picks (last
+#              green r11, at their once-only overflow limit) + the three
+#              r14 REGISTERED_AFTER_WINDOW entries (never attested:
+#              x_ann_hard_negatives_bucketed, x_ann_hard_negatives_recall,
+#              x_dedup_containment_keep) + 16 of the 50-entry r12-green
+#              tier. Must-attest = 31 + 3 + 50 = 84 for 50 slots; genuine
+#              excess is exactly 34; the WINDOW_OVERFLOW picks (each last
+#              green exactly r12 = R-3, overflowing for the first and
+#              only time) are the 34 r12-tier entries with the strongest
+#              covering twins — the 16 kept in-window are the ones whose
+#              machinery changed this round (the ACID feed twins after
+#              commit-span batching, the replica after deterministic
+#              slicing) or whose twin case was weakest (the SQL-router
+#              scalar subquery, rollup Expand, iterative topic
+#              clustering, full outer join, salted hot-key collect,
+#              Q21's multi-exists, DSIR, embedding near-dup, z-score
+#              anomaly, rolling-hash spans, streaming ANN assign, exact
+#              cosine top-k, restore/time-travel). Overflow picks and
+#              their named twins (twin in the r15 window unless a round
+#              is given):
+#                a3_tumbling_1min_counts  <- a2_a3_windowed_collect
+#                  (r14-green; same tumbling windowed-agg machinery)
+#                a8_count_metric          <- h6_forecast_revenue
+#                  (r14-green; same single-row count/sum metric shape)
+#                h10_returned_item_revenue <- h9_product_profit
+#                  (r14-green; same join + grouped revenue rollup)
+#                h14_promo_revenue_share  <- h8_market_share
+#                  (r14-green; same conditional-share aggregation)
+#                h18_large_volume_customers <- h22_dormant_customers
+#                  (r14-green; same agg-subquery + join shape)
+#                h4_late_shipment_priority <- j_semi_join
+#                  (r14-green; same left-semi machinery)
+#                p1_project_columns       <- p3_computed_projection
+#                  (r14-green; same projection builder)
+#                p2_star_filter           <- p3_computed_projection
+#                  (r14-green; projection + the in-window F filters)
+#                t3_hopping_30m15m_counts <- t_streaming_hopping_counts
+#                  (r14-green; same hopping-window machinery)
+#                t4_session_5m_counts     <- t_streaming_session_append
+#                  (r14-green; same session-window machinery)
+#                t_streaming_funnel       <- x_events_funnel
+#                  (in-window; same funnel fold — twin suite asserts
+#                  streaming == batch; the buffered form is separately
+#                  oracle-checked as t_streaming_funnel_buffered)
+#                t_streaming_neardup      <- x_dedup_minhash_lsh
+#                  (r14-green; same banded-minhash machinery)
+#                t_streaming_quality_gate <- x_quality_threshold_sweep
+#                  (r14-green; same quality-signal columns)
+#                x_acid_stats_skipping    <- x_acid_dml_lifecycle
+#                  (in-window; same stats-pruned scan path)
+#                x_ann_recall_eval        <- x_dedup_recall_eval
+#                  (in-window; same bucketed-vs-exact recall harness)
+#                x_corpus_overlap_minhash <- x_dedup_minhash_lsh
+#                  (r14-green; same minhash signature machinery)
+#                x_dedup_semantic         <- x_dedup_semantic_keep
+#                  (r13-green; keep-policy projection over the same
+#                  SRP-bucketed pairs)
+#                x_events_heavy_hitters   <- a7_top_terms
+#                  (in-window; same terms top-N machinery)
+#                x_events_max_drawdown    <- x_window_running_total
+#                  (in-window; same running-window fold)
+#                x_multimodal_audio_stats <- x_multimodal_features
+#                  (in-window; same Arrow-batched mapInPandas path)
+#                x_multimodal_pixel_stats <- x_multimodal_stdlib_codecs
+#                  (r13-green; same decode machinery)
+#                x_multimodal_video_motion <- x_multimodal_features
+#                  (in-window; same Arrow-batched mapInPandas path)
+#                x_pipeline_bpe_encode    <- x_pipeline_encode
+#                  (in-window; same encode machinery)
+#                x_pipeline_bpe_merges    <- x_pipeline_vocab
+#                  (in-window; same vocab rollup that feeds merges)
+#                x_pipeline_corpus_prep_v3 <- x_pipeline_corpus_prep
+#                  (r13-green; same composed prep pipeline)
+#                x_pipeline_stratified_sample <- x_deterministic_sample
+#                  (r13-green; same deterministic hash sampling)
+#                x_pipeline_token_budget  <- x_pipeline_domain_quota
+#                  (r14-green; same two-phase rank/quota machinery)
+#                x_pipeline_tokenizer_fertility <- x_pipeline_encode
+#                  (in-window; same tokenizer application)
+#                x_quality_gopher_rules   <- x_quality_threshold_sweep
+#                  (r14-green; same quality-signal columns)
+#                x_quality_ppl_buckets    <- x_text_unigram_logprob
+#                  (in-window; same LM count/broadcast scoring)
+#                x_sketch_kmv_setops      <- x_sketch_kmv_rollup
+#                  (r13-green; same KMV merge machinery)
+#                x_text_bigram_logprob    <- x_text_unigram_logprob
+#                  (in-window; same LM scoring, bigram variant)
+#                x_text_remove_dup_spans  <- x_text_repeated_spans
+#                  (in-window; same rolling-hash span detection)
+#                x_window_sliding_stats   <- x_window_running_total
+#                  (in-window; same window-frame machinery)
+#              All 34 are first in line for the r16 window (with the
+#              two r15 registrations and the 50-entry r13 tier: 86
+#              must-attest for 50 slots — steady state holds). New r15
+#              registrations (the two buffered-automata twins) land in
+#              REGISTERED_AFTER_WINDOW. Registration headroom: N = 186
+#              driver-checkable + 1 rows-only; the r16 must-attest
+#              projection (86) leaves ~14 driver-facing registrations
+#              before the 100-entry cap binds.
 #
 # STEADY-STATE POLICY (formalized in r14, closing the r13 verdict's #2):
 # with N registered driver-checkable queries and a 50-slot window, the
@@ -1118,7 +1217,7 @@ def h5(spark, sf_dir):
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
 # promises for non-overflow entries), pinned here so evidence files landing
 # later don't shift the baseline under the test. Bump when re-authoring.
-DRIVER_ROTATION_ROUND = 14
+DRIVER_ROTATION_ROUND = 15
 
 # Queries registered AFTER this round's window was already committed to
 # re-attestation work. They sit in DRIVER_DEMOTED without a prior
@@ -1126,12 +1225,13 @@ DRIVER_ROTATION_ROUND = 14
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r14: the window is again oversubscribed by the stale tier
-# (81 must-attest for 50 slots), so every new r14 registration lands here.
+# sf0.01). r15: the window is again oversubscribed by the stale tier
+# (84 must-attest for 50 slots), so the two new r15 registrations (the
+# reorder-buffered automata under the adversarial out-of-order replay,
+# r14 verdict #2) land here.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
-    "x_ann_hard_negatives_bucketed",
-    "x_ann_hard_negatives_recall",
-    "x_dedup_containment_keep",
+    "t_streaming_markov_buffered",
+    "t_streaming_funnel_buffered",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact
@@ -1146,13 +1246,55 @@ ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
     "x_dedup_minhash_xxh",
 )
 
-# r14: must-attest = 17 never-attested + 14 prior-overflow (r10) + 50
-# r11-stale = 81 for 50 slots. Genuine excess 31; the overflow picks per
-# the policy (most trivial, transitively covered — twin named in the
-# window comment above). The rotation test enforces len(overflow) <=
-# genuine excess and last-green == R-3 exactly; prior overflow entries
-# (the r13 fourteen) are IN the window and cannot overflow twice.
+# r15: must-attest = 31 r14-overflow (r11) + 3 never-attested + 50
+# r12-stale = 84 for 50 slots. Genuine excess 34; the overflow picks per
+# the policy (strongest covering twins — named one-by-one in the window
+# comment above). The rotation test enforces len(overflow) <= genuine
+# excess and last-green == R-3 exactly; prior overflow entries (the r14
+# thirty-one) are IN the window and cannot overflow twice.
 WINDOW_OVERFLOW: tuple[str, ...] = (
+    "a3_tumbling_1min_counts",
+    "a8_count_metric",
+    "h10_returned_item_revenue",
+    "h14_promo_revenue_share",
+    "h18_large_volume_customers",
+    "h4_late_shipment_priority",
+    "p1_project_columns",
+    "p2_star_filter",
+    "t3_hopping_30m15m_counts",
+    "t4_session_5m_counts",
+    "t_streaming_funnel",
+    "t_streaming_neardup",
+    "t_streaming_quality_gate",
+    "x_acid_stats_skipping",
+    "x_ann_recall_eval",
+    "x_corpus_overlap_minhash",
+    "x_dedup_semantic",
+    "x_events_heavy_hitters",
+    "x_events_max_drawdown",
+    "x_multimodal_audio_stats",
+    "x_multimodal_pixel_stats",
+    "x_multimodal_video_motion",
+    "x_pipeline_bpe_encode",
+    "x_pipeline_bpe_merges",
+    "x_pipeline_corpus_prep_v3",
+    "x_pipeline_stratified_sample",
+    "x_pipeline_token_budget",
+    "x_pipeline_tokenizer_fertility",
+    "x_quality_gopher_rules",
+    "x_quality_ppl_buckets",
+    "x_sketch_kmv_setops",
+    "x_text_bigram_logprob",
+    "x_text_remove_dup_spans",
+    "x_window_sliding_stats",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # the 31 r14 WINDOW_OVERFLOW picks first (last green r11, at their
+    # once-only overflow limit — promised first in line), then the three
+    # never-attested r14 REGISTERED_AFTER_WINDOW entries, then the 16
+    # r12-tier picks kept in-window (machinery changed this round, or
+    # weakest twin case — see the r15 window comment above)
     "a1_count_by_group",
     "a6_date_histogram",
     "a7_top_terms",
@@ -1184,65 +1326,25 @@ WINDOW_OVERFLOW: tuple[str, ...] = (
     "x_text_langid",
     "x_text_unigram_logprob",
     "x_window_running_total",
-)
-
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-attested: the seventeen r13 REGISTERED_AFTER_WINDOW
-    # entries (nine TPC-H families, mining/whitening/quota/coverage,
-    # Markov batch+streaming, TF-IDF, containment), then the fourteen r13
-    # overflow picks (last green r10, promised first in line), then 19 of
-    # the r11-green tier (last driver row r11, three rounds stale at r14)
-    # — the tier minus the 31 WINDOW_OVERFLOW picks — alphabetical
-    "h6_forecast_revenue",
-    "h7_volume_shipping",
-    "h8_market_share",
-    "h9_product_profit",
-    "h2_min_acctbal_supplier",
-    "h11_important_parts",
-    "h15_top_supplier",
-    "h20_promotion_suppliers",
-    "h22_dormant_customers",
-    "x_ann_hard_negatives",
-    "x_embedding_whitening",
-    "x_pipeline_domain_quota",
-    "x_text_vocab_coverage",
-    "x_events_markov_transitions",
-    "x_text_tfidf_keywords",
-    "t_streaming_markov_transitions",
-    "x_dedup_containment",
-    "j_anti_join",
-    "j_semi_join",
-    "l2_limit_probe",
-    "p3_computed_projection",
-    "t_streaming_cms_freq",
-    "t_streaming_hll_distinct",
-    "t_streaming_hopping_counts",
-    "t_streaming_kmv_distinct",
-    "t_streaming_psi_drift",
-    "t_streaming_session_append",
-    "t_streaming_windowed_counts",
-    "x_ann_pq_topk",
-    "x_dedup_jaccard",
-    "x_dedup_minhash_lsh",
-    "a2_a3_windowed_collect",
-    "a5_median_by_group",
-    "f7_cast_then_compare",
-    "f8_dimension_equality",
-    "f9_window_time_predicate",
-    "set_except_intersect",
-    "set_union_roundtrip",
-    "t_streaming_stream_stream_join",
-    "x7_json_extract",
-    "x_asof_join",
-    "x_dedup_editdistance",
-    "x_events_cohort_retention",
-    "x_events_key_skew_profile",
-    "x_interval_join",
-    "x_pipeline_hash_split",
-    "x_quality_threshold_sweep",
-    "x_sketch_quantile_grid",
-    "x_text_bm25",
-    "x_text_redact_pii",
+    "x_ann_hard_negatives_bucketed",
+    "x_ann_hard_negatives_recall",
+    "x_dedup_containment_keep",
+    "a_rollup_revenue",
+    "h21_waiting_supplier",
+    "j_full_outer_join",
+    "q_sql_scalar_subquery",
+    "t_streaming_acid_changes",
+    "t_streaming_ann_assign",
+    "t_streaming_dml_replica",
+    "x_acid_restore_rewind",
+    "x_acid_time_travel_diff",
+    "x_ann_cosine_topk",
+    "x_cluster_topics",
+    "x_dedup_embedding",
+    "x_events_anomaly_zscore",
+    "x_pipeline_dsir_select",
+    "x_salted_hotkey_collect",
+    "x_text_repeated_spans",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
@@ -1252,60 +1354,11 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     *REGISTERED_AFTER_WINDOW,
     # permanently rows-only in driver files (local-UDF oracle only)
     *ROWS_ONLY_NO_ORACLE,
-    # every entry below carries an r12 or r13 driver-green hash row in the
+    # every entry below carries an r13 or r14 driver-green hash row in the
     # committed CORRECTNESS files — the invariant the rotation test
     # asserts from ground truth; all stay oracle-green in the per-round
-    # full-catalog local runs. r12 tier first, then the r13 tier.
-    "a3_tumbling_1min_counts",
-    "a8_count_metric",
-    "a_rollup_revenue",
-    "h10_returned_item_revenue",
-    "h14_promo_revenue_share",
-    "h18_large_volume_customers",
-    "h21_waiting_supplier",
-    "h4_late_shipment_priority",
-    "j_full_outer_join",
-    "p1_project_columns",
-    "p2_star_filter",
-    "q_sql_scalar_subquery",
-    "t3_hopping_30m15m_counts",
-    "t4_session_5m_counts",
-    "t_streaming_acid_changes",
-    "t_streaming_ann_assign",
-    "t_streaming_dml_replica",
-    "t_streaming_funnel",
-    "t_streaming_neardup",
-    "t_streaming_quality_gate",
-    "x_acid_restore_rewind",
-    "x_acid_stats_skipping",
-    "x_acid_time_travel_diff",
-    "x_ann_cosine_topk",
-    "x_ann_recall_eval",
-    "x_cluster_topics",
-    "x_corpus_overlap_minhash",
-    "x_dedup_embedding",
-    "x_dedup_semantic",
-    "x_events_anomaly_zscore",
-    "x_events_heavy_hitters",
-    "x_events_max_drawdown",
-    "x_multimodal_audio_stats",
-    "x_multimodal_pixel_stats",
-    "x_multimodal_video_motion",
-    "x_pipeline_bpe_encode",
-    "x_pipeline_bpe_merges",
-    "x_pipeline_corpus_prep_v3",
-    "x_pipeline_dsir_select",
-    "x_pipeline_stratified_sample",
-    "x_pipeline_token_budget",
-    "x_pipeline_tokenizer_fertility",
-    "x_quality_gopher_rules",
-    "x_quality_ppl_buckets",
-    "x_salted_hotkey_collect",
-    "x_sketch_kmv_setops",
-    "x_text_bigram_logprob",
-    "x_text_remove_dup_spans",
-    "x_text_repeated_spans",
-    "x_window_sliding_stats",
+    # full-catalog local runs. r13 tier first, then the r14 tier (last
+    # round's window).
     "a_count_distinct",
     "a_pivot_lang_quality",
     "f2_pattern_filter_positive",
@@ -1356,6 +1409,56 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_quality",
     "x_text_repetition",
     "x_text_token_stats",
+    "h6_forecast_revenue",
+    "h7_volume_shipping",
+    "h8_market_share",
+    "h9_product_profit",
+    "h2_min_acctbal_supplier",
+    "h11_important_parts",
+    "h15_top_supplier",
+    "h20_promotion_suppliers",
+    "h22_dormant_customers",
+    "x_ann_hard_negatives",
+    "x_embedding_whitening",
+    "x_pipeline_domain_quota",
+    "x_text_vocab_coverage",
+    "x_events_markov_transitions",
+    "x_text_tfidf_keywords",
+    "t_streaming_markov_transitions",
+    "x_dedup_containment",
+    "j_anti_join",
+    "j_semi_join",
+    "l2_limit_probe",
+    "p3_computed_projection",
+    "t_streaming_cms_freq",
+    "t_streaming_hll_distinct",
+    "t_streaming_hopping_counts",
+    "t_streaming_kmv_distinct",
+    "t_streaming_psi_drift",
+    "t_streaming_session_append",
+    "t_streaming_windowed_counts",
+    "x_ann_pq_topk",
+    "x_dedup_jaccard",
+    "x_dedup_minhash_lsh",
+    "a2_a3_windowed_collect",
+    "a5_median_by_group",
+    "f7_cast_then_compare",
+    "f8_dimension_equality",
+    "f9_window_time_predicate",
+    "set_except_intersect",
+    "set_union_roundtrip",
+    "t_streaming_stream_stream_join",
+    "x7_json_extract",
+    "x_asof_join",
+    "x_dedup_editdistance",
+    "x_events_cohort_retention",
+    "x_events_key_skew_profile",
+    "x_interval_join",
+    "x_pipeline_hash_split",
+    "x_quality_threshold_sweep",
+    "x_sketch_quantile_grid",
+    "x_text_bm25",
+    "x_text_redact_pii",
 )
 
 
