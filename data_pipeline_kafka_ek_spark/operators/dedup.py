@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_pipeline_kafka_ek_spark.operators.parallelism import spread
@@ -739,6 +739,67 @@ def corpus_overlap_minhash(
     )
 
 
+# Static size-class floors for the containing-side posting cap: class i
+# holds contained docs with |A| in [floor_i, floor_{i+1}). EXACTNESS never
+# depends on the boundaries (they only set how much the containing side
+# may prune), so the floors are fixed literals — no driver-side job at
+# plan-build time, no data-dependent nondeterminism.
+CONTAINMENT_SIZE_FLOORS: "tuple[int, ...]" = (1, 8, 64, 512, 4096)
+
+
+def _bounded_containing_postings(
+    ranked: DataFrame, threshold: float,
+    floors: "tuple[int, ...]" = CONTAINMENT_SIZE_FLOORS,
+) -> DataFrame:
+    """The containing side's CAPPED posting list (r14 verdict #4): one
+    posting generation per size class, keeping only tokens that can
+    still be the FIRST common token (global rarity order) of some
+    contained doc in that class. For a class with floor m, a qualifying
+    pair needs overlap o >= ceil(t*m), and B holds >= o-1 common tokens
+    AFTER the first one — so only B's first ``|B| - ceil(t*m) + 1``
+    tokens can open a match: posting rows per containing doc are capped
+    at that, per class (the exactness argument mirrors the contained
+    side's pigeonhole prefix; a B smaller than t*m is dropped outright
+    for that class). The ``- 1e-9`` guards double noise in ``t*m``
+    (ceil(0.8*5) evaluates as ceil(4.0000000000000002) = 5 in binary
+    doubles) in the CONSERVATIVE direction — never prunes a pair the
+    unbounded posting generates."""
+    classes = F.array(
+        *[
+            F.struct(F.lit(i).alias("__bkt"), F.lit(m).alias("__m"))
+            for i, m in enumerate(floors)
+        ]
+    )
+    return (
+        ranked.select(
+            "doc_id", "__n", "tok", "__pos",
+            F.explode(classes).alias("__c"),
+        )
+        .select(
+            "doc_id", "__n", "tok", "__pos",
+            F.col("__c.__bkt").alias("__bkt"),
+            F.col("__c.__m").alias("__m"),
+        )
+        .filter(
+            (F.col("__n") >= F.lit(threshold) * F.col("__m") - F.lit(1e-9))
+            & (
+                F.col("__pos")
+                <= F.col("__n")
+                - F.ceil(F.lit(threshold) * F.col("__m") - F.lit(1e-9))
+                + 1
+            )
+        )
+        .drop("__m")
+    )
+
+
+def _size_class(n_col: str, floors: "tuple[int, ...]") -> Column:
+    bkt = F.lit(0)
+    for i, m in enumerate(floors):
+        bkt = F.when(F.col(n_col) >= m, F.lit(i)).otherwise(bkt)
+    return bkt
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -746,6 +807,7 @@ def containment_pairs(
     text_col: str = "text",
     prefix_filter: bool = True,
     ngram: int = 3,
+    bound_containing: bool = True,
 ) -> DataFrame:
     """Directional set CONTAINMENT: all ordered pairs (a, b), a != b,
     with C(a in b) = |A∩B| / |A| >= threshold over distinct word-n-gram
@@ -756,49 +818,87 @@ def containment_pairs(
     must catch before mixing sources.
 
     Same inverted-index + verify architecture. Prefix filtering adapts
-    to the asymmetry: only the CONTAINED side can prefix-prune —
-    C >= t forces an overlap >= ceil(t*|A|), so by pigeonhole any
-    qualifying B holds at least one of A's |A| - ceil(t*|A|) + 1
-    globally-rarest shingles — while the containing side must post its
-    full set (it may cover A through any of its shingles). EXACT, like
-    the Jaccard prefix filter. The one admissible size filter is
-    one-sided: |B| >= t*|A| (a container cannot be t-fold smaller);
-    there is no upper bound on |B| by design. At 100 TB the full-set
-    posting of the containing side is the cost center — shingles are
-    vastly rarer than words, so posting lists stay short, and residual
-    hot-shingle skew is the same AQE skew-join problem as the Jaccard
-    path.
+    to the asymmetry: only the CONTAINED side can prefix-prune
+    unconditionally — C >= t forces an overlap >= ceil(t*|A|), so by
+    pigeonhole any qualifying B holds at least one of A's
+    |A| - ceil(t*|A|) + 1 globally-rarest shingles. EXACT, like the
+    Jaccard prefix filter. The one admissible size filter is one-sided:
+    |B| >= t*|A| (a container cannot be t-fold smaller); there is no
+    upper bound on |B| by design.
+
+    ``bound_containing`` (default, needs ``prefix_filter``) closes the
+    r14 verdict's last containment cost center — the containing side
+    posting its FULL shingle set. Contained docs are assigned a static
+    size class (``CONTAINMENT_SIZE_FLOORS``); per class with floor m,
+    the containing side posts only its first ``|B| - ceil(t*m) + 1``
+    tokens in global rarity order (``_bounded_containing_postings`` —
+    the first common token of any qualifying pair survives, so this is
+    exact), and the candidate join adds PPJoin's positional filter:
+    ``1 + min(|A| - pos_a, |B| - pos_b) >= ceil(t*|A|)`` must hold for
+    the first common token, killing candidate pairs whose remaining
+    suffixes cannot reach the required overlap before the expensive
+    verify. The trade: the containing side now pays the dfreq join +
+    per-doc rank window (one doc-keyed exchange) and one posting per
+    size class, in exchange for a capped per-doc posting volume and a
+    positionally-pruned pair explosion — the right side of the trade at
+    corpus scale, where the pair fanout of hot shingles on huge docs is
+    the term that blows up. Residual hot-shingle skew remains the same
+    AQE skew-join problem as the Jaccard path.
     """
     sets = _token_sets(docs, id_col, text_col, ngram).persist()
     posts = sets.select(
         "doc_id", F.size("toks").alias("__n"), F.explode("toks").alias("tok")
     )
-    posts_a = posts
+    posts_a, posts_b = posts, posts
+    bounded = False
     if prefix_filter and threshold > 0:
         from pyspark.sql import Window
 
         dfreq = posts.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
         order = Window.partitionBy("doc_id").orderBy("__df", "tok")
-        posts_a = (
+        ranked = (
             posts.join(dfreq, "tok")
-            .withColumn("__rn", F.row_number().over(order))
-            .filter(
-                F.col("__rn")
-                <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+            .withColumn("__pos", F.row_number().over(order))
+            .select("doc_id", "__n", "tok", "__pos")
+        )
+        if bound_containing:
+            # both sides derive from the ranked postings: materialize the
+            # dfreq join + rank window once, not per side
+            ranked = ranked.persist()
+            bounded = True
+        posts_a = ranked.filter(
+            F.col("__pos")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        if bounded:
+            posts_a = posts_a.withColumn(
+                "__bkt", _size_class("__n", CONTAINMENT_SIZE_FLOORS)
             )
-            .select("doc_id", "__n", "tok")
+            posts_b = _bounded_containing_postings(ranked, threshold)
+    a, b = posts_a.alias("a"), posts_b.alias("b")
+    cond = (
+        (F.col("a.tok") == F.col("b.tok"))
+        & (F.col("a.doc_id") != F.col("b.doc_id"))
+        & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
+    )
+    if bounded:
+        cond = (
+            cond
+            & (F.col("a.__bkt") == F.col("b.__bkt"))
+            & (
+                1
+                + F.least(
+                    F.col("a.__n") - F.col("a.__pos"),
+                    F.col("b.__n") - F.col("b.__pos"),
+                )
+                >= F.ceil(
+                    F.lit(threshold) * F.col("a.__n") - F.lit(1e-9)
+                )
+            )
         )
-    a, b = posts_a.alias("a"), posts.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    cand = a.join(b, cond).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
     cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
     isets = _int_token_sets(sets).persist()

@@ -1545,6 +1545,93 @@ def test_hard_negatives_bucketed_plan_is_equi_join(spark, sf_dir):
     ), plan
 
 
+def test_containment_bounded_posting_exact_and_capped(spark, sf_dir):
+    """r14 verdict #4: the containing side's posting list must be CAPPED
+    per doc (per size class: |B| - ceil(t*m) + 1 rows in global rarity
+    order) and the bounded candidate path must stay EXACT — identical
+    pair sets with and without the bound, on the real corpus plus
+    crafted boundary docs (threshold*size float edges, a doc contained
+    in a giant doc, mutual twins)."""
+    from pyspark.sql import Window
+
+    from data_pipeline_kafka_ek_spark.operators import dedup
+    from data_pipeline_kafka_ek_spark.operators.dedup import (
+        CONTAINMENT_SIZE_FLOORS,
+        _bounded_containing_postings,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    big = " ".join(f"w{i}" for i in range(900))
+    edge = spark.createDataFrame(
+        [
+            # 5-word doc: 3 shingles; ceil(0.8*3) hits the float edge
+            (100001, "alpha beta gamma delta epsilon"),
+            (100002, "alpha beta gamma delta epsilon zeta"),
+            (100003, big),
+            (100004, "w1 w2 w3 w4 w5 w6 w7"),  # contained in big
+        ],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(edge)
+    for t in (0.8, 0.5):
+        bounded = {
+            (r.doc_a, r.doc_b, r.containment)
+            for r in dedup.containment_pairs(
+                docs, threshold=t, ngram=3, bound_containing=True
+            ).collect()
+        }
+        full = {
+            (r.doc_a, r.doc_b, r.containment)
+            for r in dedup.containment_pairs(
+                docs, threshold=t, ngram=3, bound_containing=False
+            ).collect()
+        }
+        assert bounded == full, (
+            f"t={t}: bounded path diverged "
+            f"(only-bounded={bounded - full}, missed={full - bounded})"
+        )
+    # the cap itself: per (containing doc, size class) with floor m,
+    # posting rows <= |B| - ceil(t*m) + 1, and the giant doc posts only
+    # a sliver for the largest class instead of its full shingle set
+    t = 0.8
+    sets = dedup._token_sets(docs, "doc_id", "text", 3)
+    posts = sets.select(
+        "doc_id", F.size("toks").alias("__n"), F.explode("toks").alias("tok")
+    )
+    dfreq = posts.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        posts.join(dfreq, "tok")
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("__df", "tok")
+            ),
+        )
+        .select("doc_id", "__n", "tok", "__pos")
+    )
+    counts = (
+        _bounded_containing_postings(ranked, t)
+        .groupBy("doc_id", "__bkt", "__n")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    assert counts
+    import math
+
+    for r in counts:
+        m = CONTAINMENT_SIZE_FLOORS[r["__bkt"]]
+        cap = r["__n"] - math.ceil(t * m - 1e-9) + 1
+        assert r["rows"] <= cap, (r["doc_id"], r["__bkt"], r["rows"], cap)
+    # the 900-word doc (898 shingles): for the class with floor 512 it
+    # posts at most 898 - ceil(0.8*512) + 1 = 489 rows, not 898
+    giant = {
+        r["__bkt"]: r["rows"] for r in counts if r["doc_id"] == 100003
+    }
+    assert giant[3] <= 898 - math.ceil(0.8 * 512) + 1
+
+
 def test_containment_keep_resolution_semantics(spark):
     """The keep policy's four statuses on a constructed corpus: a strict
     subset doc drops as 'contained' pointing at its container; two
