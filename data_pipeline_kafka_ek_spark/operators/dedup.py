@@ -223,14 +223,23 @@ def jaccard_pairs(
             .withColumn("__rn", F.row_number().over(order))
             .filter(
                 F.col("__rn")
-                <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+                <= F.col("__n")
+                - F.ceil(
+                    # -1e-9: double noise in t*n can overshoot an exact
+                    # integer (0.07*100 = 7.000000000000001) and silently
+                    # over-prune a qualifying boundary pair; the guard
+                    # only ever widens the prefix (conservative)
+                    F.lit(threshold) * F.col("__n") - F.lit(1e-9)
+                )
+                + 1
             )
         )
     posts = posts.select("doc_id", "__n", "tok")
     a, b = posts.alias("a"), posts.alias("b")
     length_ok = (
-        F.col("a.__n") >= F.lit(threshold) * F.col("b.__n")
-    ) & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
+        # -1e-9 on both arms: double-noise guard, prune-side only
+        F.col("a.__n") >= F.lit(threshold) * F.col("b.__n") - F.lit(1e-9)
+    ) & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n") - F.lit(1e-9))
     cand = (
         a.join(
             b,
@@ -369,8 +378,9 @@ def minhash_lsh_pairs(
     # min(|a|,|b|) >= t*max(|a|,|b|) — prune inside the band join, before
     # the token arrays are ever joined
     length_ok = (
-        F.col("a.__n") >= F.lit(threshold) * F.col("b.__n")
-    ) & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
+        # -1e-9 on both arms: double-noise guard, prune-side only
+        F.col("a.__n") >= F.lit(threshold) * F.col("b.__n") - F.lit(1e-9)
+    ) & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n") - F.lit(1e-9))
     cand = (
         a.join(
             b,
@@ -761,7 +771,7 @@ def _bounded_containing_postings(
     at that, per class (the exactness argument mirrors the contained
     side's pigeonhole prefix; a B smaller than t*m is dropped outright
     for that class). The ``- 1e-9`` guards double noise in ``t*m``
-    (ceil(0.8*5) evaluates as ceil(4.0000000000000002) = 5 in binary
+    (ceil(0.07*100) evaluates as ceil(7.000000000000001) = 8 in binary
     doubles) in the CONSERVATIVE direction — never prunes a pair the
     unbounded posting generates."""
     classes = F.array(
@@ -868,7 +878,9 @@ def containment_pairs(
             bounded = True
         posts_a = ranked.filter(
             F.col("__pos")
-            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+            <= F.col("__n")
+            - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+            + 1
         )
         if bounded:
             posts_a = posts_a.withColumn(
@@ -879,7 +891,7 @@ def containment_pairs(
     cond = (
         (F.col("a.tok") == F.col("b.tok"))
         & (F.col("a.doc_id") != F.col("b.doc_id"))
-        & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n"))
+        & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n") - F.lit(1e-9))
     )
     if bounded:
         cond = (
@@ -940,7 +952,12 @@ def containment_keep(
       direction only): dropped, the container wins. representative =
       the BEST container (highest containment, then lowest id) —
       deterministic. A mutual-cluster minimum that is itself strictly
-      contained in an outside document is dropped the same way.
+      contained in an OUTSIDE document is dropped the same way; strict
+      edges between members of the same mutual component are excluded
+      from container resolution (the component machinery already
+      resolved them — otherwise a min "contained" by its own
+      cluster-mate would drop the whole cluster and leave duplicates
+      pointing at a dropped, even self-referential, doc).
     * ``representative`` — mutual-cluster minimum not contained
       elsewhere: kept.
     * ``unique`` — no containment edges: kept.
@@ -973,6 +990,28 @@ def containment_keep(
     mutual = directed.join(rev, ["doc_a", "doc_b"], "left_semi")
     strict = p.join(mutual, ["doc_a", "doc_b"], "left_anti")
     comp = connected_components(mutual).withColumnRenamed("node", "doc_id")
+    # strict edges INSIDE one mutual component are already resolved by
+    # the component machinery (near-identical members; min keeps) and
+    # must not feed the container resolution: a cluster min "contained"
+    # by its own cluster-mate would drop the whole cluster's content and
+    # leave duplicates pointing at a dropped (even self-referential)
+    # doc — the dangling-pointer bug this function's contract forbids.
+    ca = comp.select(
+        F.col("doc_id").alias("doc_a"), F.col("component").alias("__comp_a")
+    )
+    cb = comp.select(
+        F.col("doc_id").alias("doc_b"), F.col("component").alias("__comp_b")
+    )
+    strict = (
+        strict.join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .filter(
+            F.col("__comp_a").isNull()
+            | F.col("__comp_b").isNull()
+            | (F.col("__comp_a") != F.col("__comp_b"))
+        )
+        .select("doc_a", "doc_b", "containment")
+    )
     w = Window.partitionBy("doc_a").orderBy(
         F.desc("containment"), F.asc("doc_b")
     )

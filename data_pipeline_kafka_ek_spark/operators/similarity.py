@@ -78,12 +78,21 @@ def _guard_broadcast_side(queries: DataFrame, max_query_rows: "int | None",
     NOTE the probe is EAGER: it runs a (bounded) Spark job when the plan
     is BUILT, not when it executes — callers composing plans lazily pay
     that job up front; pass ``max_query_rows=None`` to skip it and keep
-    the build side-effect-free. A STREAMING query side is skipped
+    the build side-effect-free. A STREAMING query side is REFUSED
     outright (``count()`` is unsupported there, and an unbounded stream
-    can never satisfy a row-count budget anyway — route streaming query
-    sides through the bucketed twins, which never broadcast)."""
-    if max_query_rows is None or queries.isStreaming:
+    can never satisfy a row-count budget by definition): the curated
+    error below names the bucketed twin instead of letting the
+    broadcast-cross-join plan fail downstream with an opaque
+    unsupported-operation error — route streaming query sides through
+    the bucketed paths, which never broadcast."""
+    if max_query_rows is None:
         return
+    if queries.isStreaming:
+        raise ValueError(
+            f"{op} broadcasts the query side and a STREAMING query side "
+            f"is unbounded by definition — use {alternative} (the "
+            f"bucketed scale path, a plain equi-join that streams)"
+        )
     if queries.limit(max_query_rows + 1).count() > max_query_rows:
         raise ValueError(
             f"{op} broadcasts the query side and refuses query sets over "

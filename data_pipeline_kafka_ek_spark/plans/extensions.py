@@ -7857,13 +7857,20 @@ def x_dedup_containment(spark, sf_dir):
     comp AS (
       SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
     ),
+    xstrict AS (
+      SELECT s.* FROM strict s
+      LEFT JOIN comp pa ON s.doc_a = pa.doc_id
+      LEFT JOIN comp pb ON s.doc_b = pb.doc_id
+      WHERE pa.component IS NULL OR pb.component IS NULL
+         OR pa.component <> pb.component
+    ),
     best AS (
       SELECT doc_a AS doc_id, doc_b AS container FROM (
         SELECT doc_a, doc_b,
                row_number() OVER (
                  PARTITION BY doc_a ORDER BY c DESC, doc_b ASC
                ) AS rn
-        FROM strict
+        FROM xstrict
       ) WHERE rn = 1
     )
     SELECT d.doc_id,
@@ -7888,13 +7895,14 @@ def x_dedup_containment(spark, sf_dir):
     "Jaccard-dup case) routed through the same connected-components "
     "machinery as the symmetric dedup paths (min-id representative) "
     "and strict containment resolved to the best container (highest "
-    "containment, then lowest id — deterministic). A cluster min that "
-    "is itself contained drops as contained, and its duplicates "
-    "re-point one level to the min's container, never at a dropped "
-    "doc (r15). status NOT IN ('duplicate','contained') is the keep "
-    "filter. The mutual subgraph is tiny, so the recursive oracle "
-    "replays components exactly; the corpus pays one left join per "
-    "slim decision table.",
+    "containment, then lowest id — deterministic; strict edges inside "
+    "one mutual component are excluded — the component already "
+    "resolved them). A cluster min contained in an OUTSIDE doc drops "
+    "as contained, and its duplicates re-point one level to the min's "
+    "container, never at a dropped cluster-mate (r15). status NOT IN "
+    "('duplicate','contained') is the keep filter. The mutual "
+    "subgraph is tiny, so the recursive oracle replays components "
+    "exactly; the corpus pays one left join per slim decision table.",
 )
 def x_dedup_containment_keep(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")

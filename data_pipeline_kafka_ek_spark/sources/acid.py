@@ -2637,20 +2637,8 @@ class TxnLogTable:
 
         feed = self.read_changes(since_version)
         versions = [v for v in self._list_versions() if v > since_version]
-        if not versions:
-            return _rt.replayed_stream(
-                self.spark, feed, n_slices=1, order_col="_commit_version"
-            )
-        k = max(1, commits_per_batch)
-        vmin = min(versions)
-        n_slices = (max(versions) - vmin) // k + 1
-        sliced = feed.withColumn(
-            "__slice",
-            ((F.col("_commit_version") - F.lit(vmin)) / F.lit(k))
-            .cast("int"),
-        )
-        return _rt.replayed_stream(
-            self.spark, sliced, n_slices=n_slices, slice_col="__slice"
+        return _rt.commit_span_stream(
+            self.spark, feed, versions, commits_per_batch
         )
 
     def read_deltas(self, since_version: int = -1) -> DataFrame:

@@ -375,25 +375,9 @@ class TableReplicator:
         expect_box = {"cur": c0}
         rows = self.source.read_row_changes(cur)
         versions = [v for v in self.source._list_versions() if v > cur]
-        if versions:
-            k = max(1, commits_per_batch)
-            vmin = min(versions)
-            n_slices = (max(versions) - vmin) // k + 1
-            stream = _rt.replayed_stream(
-                self.source.spark,
-                rows.withColumn(
-                    "__slice",
-                    ((F.col("_commit_version") - F.lit(vmin)) / F.lit(k))
-                    .cast("int"),
-                ),
-                n_slices=n_slices,
-                slice_col="__slice",
-            )
-        else:
-            stream = _rt.replayed_stream(
-                self.source.spark, rows, n_slices=1,
-                order_col="_commit_version",
-            )
+        stream = _rt.commit_span_stream(
+            self.source.spark, rows, versions, commits_per_batch
+        )
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             changes = (

@@ -125,13 +125,30 @@ def replayed_stream(
             parts = sorted(_glob.glob(f"{stage}/{slice_col}={i}/part-*"))
             if not parts:
                 continue  # empty slice: no micro-batch
-            assert len(parts) == 1, (
-                f"slice {i} wrote {len(parts)} files — the slice key "
-                "must be hash-colocated before partitionBy"
-            )
+            if len(parts) != 1:
+                raise AssertionError(
+                    f"slice {i} wrote {len(parts)} files — the slice "
+                    "key must be hash-colocated before partitionBy"
+                )
             dst = f"{tmp}/slice_{i:05d}.parquet"
             _os.rename(parts[0], dst)
             _os.utime(dst, (base + i, base + i))
+        # rows whose slice value fell outside [0, n_slices) would be
+        # SILENTLY dropped from the replay (the loop above never visits
+        # their directory) — fail loudly instead: a replica converging
+        # to a state missing rows is the worst possible failure mode
+        leftovers = [
+            d
+            for d in _glob.glob(f"{stage}/{slice_col}=*")
+            if _glob.glob(f"{d}/part-*")
+        ]
+        if leftovers:
+            raise ValueError(
+                f"slice values outside [0, {n_slices}): "
+                f"{sorted(d.rsplit('/', 1)[-1] for d in leftovers)} — "
+                "n_slices and the slice column must come from the same "
+                "snapshot"
+            )
         _shutil.rmtree(stage, ignore_errors=True)
         return (
             spark.readStream.schema(out_schema)
@@ -155,6 +172,39 @@ def replayed_stream(
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(tmp)
+    )
+
+
+def commit_span_stream(
+    spark: SparkSession,
+    feed: DataFrame,
+    versions: "list[int]",
+    commits_per_batch: int = 1,
+    version_col: str = "_commit_version",
+) -> DataFrame:
+    """The shared commit-span batching idiom (one definition, consumed by
+    ``TxnLogTable.stream_changes`` and ``TableReplicator
+    .replicate_stream``): replay ``feed`` with one micro-batch per
+    ``commits_per_batch`` ADJACENT commit versions, sliced
+    DETERMINISTICALLY on ``(version - min(versions)) // k`` so a commit
+    never splits across batches, grouping is the exact ceil(n/k) the
+    contract states on contiguous version logs, and a re-run batches
+    identically (``repartitionByRange``'s sampled boundaries promise
+    neither). ``/`` + ``cast("int")`` is floor division here: versions
+    are >= the minimum, so truncation toward zero IS floor. An empty
+    ``versions`` list degrades to a single-slice ordered replay of the
+    (typed, empty) feed."""
+    if not versions:
+        return replayed_stream(spark, feed, n_slices=1, order_col=version_col)
+    k = max(1, commits_per_batch)
+    vmin = min(versions)
+    n_slices = (max(versions) - vmin) // k + 1
+    sliced = feed.withColumn(
+        "__slice",
+        ((F.col(version_col) - F.lit(vmin)) / F.lit(k)).cast("int"),
+    )
+    return replayed_stream(
+        spark, sliced, n_slices=n_slices, slice_col="__slice"
     )
 
 
@@ -193,6 +243,12 @@ def disordered_replayed_stream(
         F.min(F.col(ts_col).cast("double")).alias("lo"),
         F.max(F.col(ts_col).cast("double")).alias("hi"),
     ).first()
+    if b["lo"] is None:
+        raise ValueError(
+            "disordered_replayed_stream needs at least one non-null "
+            f"{ts_col!r} row to size its ranges and watermark — got an "
+            "empty frame (replay it with replayed_stream instead)"
+        )
     lo, hi = float(b["lo"]), float(b["hi"])
     n_slices = 2 * n_pairs
     width = max(1.0, (hi - lo) / n_slices) + 1e-3
@@ -800,26 +856,31 @@ def markov_transitions_buffered(
         frames = [f for f in pdfs if len(f)]
         if frames:
             pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
-            # unit-safe ms epoch: casting through datetime64[ms] works
-            # for ns- and us-backed pandas datetime columns alike
-            ts_ms = (
+            # unit-safe MICROSECOND epoch (casting through datetime64[us]
+            # works for ns- and us-backed pandas datetime columns alike):
+            # the buffer must sort at the column's real precision — a ms
+            # truncation would tie sub-ms-distinct events and fall back
+            # to event_id where the batch lead() oracle orders by the
+            # full timestamp first, a latent hash divergence on any
+            # fixture with opposing (ts, id) order inside one millisecond
+            ts_us = (
                 pd.to_datetime(pdf[ts_col])
-                .values.astype("datetime64[ms]")
+                .values.astype("datetime64[us]")
                 .astype("int64")
             )
-            for t_ms, i, ty in zip(
-                ts_ms, pdf[id_col].values, pdf[type_col].values
+            for t_us, i, ty in zip(
+                ts_us, pdf[id_col].values, pdf[type_col].values
             ):
                 buf.append(
-                    (int(t_ms), int(i), None if pd.isna(ty) else str(ty))
+                    (int(t_us), int(i), None if pd.isna(ty) else str(ty))
                 )
-        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = state.getCurrentWatermarkMs() * 1000
         # strictly-below: Spark's late-event filter only guarantees no
         # FUTURE row with ts < watermark, so ts == watermark must wait
         expired = sorted(
-            [e for e in buf if e[0] < wm_ms], key=lambda e: (e[0], e[1])
+            [e for e in buf if e[0] < wm_us], key=lambda e: (e[0], e[1])
         )
-        pending = [e for e in buf if e[0] >= wm_ms]
+        pending = [e for e in buf if e[0] >= wm_us]
         if expired:
             types = [ty for _, _, ty in expired]
             seq = ([last_type] if has_last else []) + types
@@ -845,7 +906,11 @@ def markov_transitions_buffered(
         )
         if pending:
             # fire as soon as the earliest buffered event CAN expire
-            state.setTimeoutTimestamp(min(e[0] for e in pending) + 1)
+            # timeout is set in MILLISECONDS: the earliest pending event's
+            # µs floor-divided to ms, +1 so the fire strictly passes it
+            state.setTimeoutTimestamp(
+                min(e[0] for e in pending) // 1000 + 1
+            )
 
     return (
         stream_df.withWatermark(ts_col, watermark)

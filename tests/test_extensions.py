@@ -1663,6 +1663,47 @@ def test_containment_keep_resolution_semantics(spark):
     assert keep == {2, 3, 5}
 
 
+def test_containment_keep_in_component_strict_edges_excluded(spark):
+    """Review finding (r15): a strict containment edge BETWEEN members
+    of one mutual component must not feed container resolution — the
+    component machinery already resolved those docs, and treating a
+    cluster-mate as a 'container' dropped the min as contained, made
+    every duplicate point at a dropped doc (one self-referentially),
+    and left the keep filter with no member of the cluster. Crafted
+    pair graph: A<->B and B<->C mutual (one component, min A), A->C
+    strict in-component. A must keep as representative; B and C are
+    duplicates pointing at A. With an OUTSIDE strict container D of A
+    added, A drops for D and the duplicates re-point to D."""
+    from data_pipeline_kafka_ek_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 1, 0.82), (2, 3, 1.0), (3, 2, 0.85), (1, 3, 0.9)],
+        "doc_a long, doc_b long, containment double",
+    )
+    got = {r.doc_id: (r.representative, r.status)
+           for r in dedup.containment_keep(docs, pairs).collect()}
+    assert got == {
+        1: (1, "representative"),
+        2: (1, "duplicate"),
+        3: (1, "duplicate"),
+    }
+    docs4 = spark.createDataFrame([(1,), (2,), (3,), (4,)], "doc_id long")
+    pairs4 = pairs.union(
+        spark.createDataFrame(
+            [(1, 4, 0.95)], "doc_a long, doc_b long, containment double"
+        )
+    )
+    got4 = {r.doc_id: (r.representative, r.status)
+            for r in dedup.containment_keep(docs4, pairs4).collect()}
+    assert got4 == {
+        1: (4, "contained"),
+        2: (4, "duplicate"),
+        3: (4, "duplicate"),
+        4: (4, "unique"),
+    }
+
+
 def test_containment_keep_repoints_duplicates_of_contained_min(spark):
     """r14 ADVICE: when a mutual cluster's min-id member is itself
     strictly contained in an OUTSIDE doc, the min drops as 'contained'

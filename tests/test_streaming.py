@@ -1642,6 +1642,37 @@ def test_disordered_replay_defeats_immediate_but_not_buffered(spark):
     assert got2 != want
 
 
+def test_markov_buffered_orders_submillisecond_events(spark):
+    """Review finding (r15): the reorder buffer must sort at the ts
+    column's REAL precision. events.ts is microsecond TimestampType, so
+    two same-user events 400µs apart inside one millisecond exist; a
+    ms-truncated buffer would tie them and fall back to event_id, while
+    the batch lead() oracle orders by the full timestamp — a latent
+    hash divergence. Construct exactly that: µs order OPPOSES event_id
+    order within one ms; the buffered automaton must emit the µs-order
+    transition."""
+    import datetime as dt
+
+    from data_pipeline_kafka_ek_spark.streaming import runtime as srt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # id order (3 < 9) opposes µs order (100µs < 500µs)
+        (1, base + dt.timedelta(seconds=1, microseconds=100), 9, "a"),
+        (1, base + dt.timedelta(seconds=1, microseconds=500), 3, "b"),
+        (99, base + dt.timedelta(seconds=500), 999, None),
+    ]
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    df = spark.createDataFrame(rows, schema)
+    stream = srt.replayed_stream(spark, df, n_slices=2, order_col="event_id")
+    out = srt.run_available_now(
+        srt.markov_transitions_buffered(stream, watermark="100 seconds"),
+        output_mode="append",
+    )
+    got = [(r.from_type, r.to_type) for r in out.collect()]
+    assert got == [("a", "b")], got
+
+
 def test_funnel_buffered_reached_is_monotone_under_late_data(spark):
     """Property-pin for the buffered automata's emission contract (r14
     verdict 'what's wrong #3'): the catalog selects a user's final
