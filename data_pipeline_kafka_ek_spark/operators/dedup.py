@@ -34,6 +34,58 @@ from pyspark.sql import functions as F
 from data_pipeline_kafka_ek_spark.operators.parallelism import spread
 
 # ---------------------------------------------------------------------------
+# global contiguous rank (range partitions + per-partition offsets)
+# ---------------------------------------------------------------------------
+
+
+def global_rank(
+    df: DataFrame, order_cols: "list[str]", out: str = "rank",
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Dense 1-based GLOBAL rank over ``order_cols`` without ever ranking
+    the full relation in one task (the single-partition window a bare
+    ``row_number() OVER (ORDER BY ...)`` plans): range-partition on the
+    order columns, rank WITHIN each partition, and add per-partition
+    offsets from a cumulative sum over the (tiny, one row per partition)
+    count table broadcast back in — the same two-phase shape as
+    ``_int_token_sets``'s salted ids, but ORDER-preserving because
+    ``repartitionByRange`` keys partition i strictly before partition
+    i+1. The rank is a pure function of the total order (``order_cols``
+    must be a unique key), so sampled range boundaries shifting between
+    runs cannot change it — only which partition computes it."""
+    from pyspark.sql import Window
+
+    cols = [F.col(c) for c in order_cols]
+    parts = df.repartitionByRange(n_partitions, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    offsets = (
+        parts.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off")
+    )
+    local = parts.withColumn(
+        "__r", F.row_number().over(Window.partitionBy("__pid").orderBy(*cols))
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, (F.col("__off") + F.col("__r")).cast("long"))
+        .drop("__pid", "__r", "__off", "__cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
 
@@ -262,6 +314,78 @@ def jaccard_pairs(
     jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     # the verify stage is CPU-bound on slim rows — pin its partition count
     # so AQE's byte-based coalescing can't serialize it (see parallelism.py)
+    return (
+        spread(cand, "doc_a")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_sim", jac)
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 10,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    key_prefix: int = 40,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-duplicate detection — the classic
+    record-linkage candidate generation (Hernández/Stolfo) the dedup
+    family was missing: sort the corpus by a cheap blocking key (here
+    the first ``key_prefix`` chars of the lowercased text — near-dups
+    overwhelmingly share a prefix), slide a window of ``window`` ranks,
+    and exact-Jaccard-verify only pairs within the window. Candidates
+    are O(n * window) REGARDLESS of token statistics — the complementary
+    failure mode to the inverted-index paths: posting-list methods
+    explode on hot shingles and miss nothing; SNM never explodes and
+    misses pairs whose keys sort far apart (a RECALL trade the window
+    parameter prices explicitly, standard practice is multiple passes
+    with different keys). Returns ``(doc_a, doc_b, jaccard_sim)`` where
+    ``doc_a`` is the LOWER-RANKED doc of the pair.
+
+    Scale shape: the global rank comes from :func:`global_rank` (range
+    partitions + broadcast offsets — never a single-task window);
+    neighborhood candidates come from a block equi-join (blocks of
+    ``window`` ranks; a within-window pair spans at most two adjacent
+    blocks, so the probe side posts each row to its own and its
+    previous block — exact); the verify stage is the same dense-int
+    set intersection as :func:`jaccard_pairs`. One range exchange + one
+    slim block join, no token posting lists at all.
+    """
+    sets = _token_sets(docs, id_col, text_col, ngram).persist()
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(F.lower(F.col(text_col)), 1, key_prefix).alias("__k"),
+    )
+    ranked = global_rank(keyed, ["__k", "doc_id"]).select("doc_id", "rank")
+    blk = F.floor((F.col("rank") - 1) / F.lit(window))
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("rank").alias("__ra"),
+        blk.alias("__blk"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("rank").alias("__rb"),
+        F.explode(F.array(blk, blk - 1)).alias("__blk"),
+    )
+    cand = (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("__rb") > F.col("__ra"))
+            & (F.col("__rb") - F.col("__ra") <= window)
+        )
+        .select("doc_a", "doc_b")
+    )
+    isets = _int_token_sets(sets).persist()
+    sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     return (
         spread(cand, "doc_a")
         .join(sa, "doc_a")

@@ -1663,6 +1663,63 @@ def test_containment_keep_resolution_semantics(spark):
     assert keep == {2, 3, 5}
 
 
+def test_global_rank_is_dense_and_partition_independent(spark):
+    """global_rank must equal the single-window row_number over the same
+    total order — computed WITHOUT a single-task window (that's its
+    whole point) — for any partition count, including more partitions
+    than rows."""
+    import random
+
+    from data_pipeline_kafka_ek_spark.operators.dedup import global_rank
+
+    rng = random.Random(15)
+    rows = [(i, f"k{rng.randint(0, 30):02d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    want = {
+        r: i + 1
+        for i, r in enumerate(sorted((k, d) for d, k in rows))
+    }
+    for nparts in (1, 7, 64, 512):
+        got = {
+            (r.k, r.doc_id): r.rank
+            for r in global_rank(df, ["k", "doc_id"], n_partitions=nparts)
+            .collect()
+        }
+        assert got == want, f"n_partitions={nparts}"
+
+
+def test_sorted_neighborhood_semantics_and_plan(spark, sf_dir):
+    """SNM pairs = exactly the within-window rank pairs that verify at
+    the Jaccard threshold (checked against a driver-side replay of the
+    definition), and the plan must contain neither a cartesian product
+    nor a single-task global sort for the rank."""
+    from data_pipeline_kafka_ek_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w, t = 5, 0.8
+    out = dedup.sorted_neighborhood_pairs(docs, window=w, threshold=t)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    got = {(r.doc_a, r.doc_b): r.jaccard_sim for r in out.collect()}
+    # driver-side truth on the small fixture
+    rows = docs.collect()
+    ranked = sorted(rows, key=lambda r: (r.text.lower()[:40], r.doc_id))
+    toks = {r.doc_id: set(r.text.split(" ")) for r in rows}
+    want = {}
+    for i, ra in enumerate(ranked):
+        for rb in ranked[i + 1 : i + 1 + w]:
+            a, b = toks[ra.doc_id], toks[rb.doc_id]
+            j = len(a & b) / len(a | b)
+            if j >= t:
+                want[(ra.doc_id, rb.doc_id)] = round(j, 4)
+    assert got == want
+
+
 def test_containment_keep_in_component_strict_edges_excluded(spark):
     """Review finding (r15): a strict containment edge BETWEEN members
     of one mutual component must not feed container resolution — the
