@@ -3263,6 +3263,53 @@ def test_commit_span_batching_groups_commits_and_converges(spark, tmp_path):
     assert rep_g.cursor() == src.latest_version()
 
 
+def test_commit_span_grouping_exact_under_skewed_commit_sizes(
+    spark, tmp_path
+):
+    """r14 ADVICE: repartitionByRange balances ROW WEIGHT, so a history
+    whose first commit dwarfs the rest could realize 1+3 instead of 2+2
+    micro-batches under sampled boundaries. The deterministic slicer
+    ((_commit_version - min) // k) must group exactly ceil(n/k) commits
+    per batch REGARDLESS of row skew: one 3000-row commit followed by
+    three 2-row commits, k=2, must replay as exactly {0,1} then {2,3}."""
+    src = TxnLogTable(
+        spark, str(tmp_path / "skew"), key="k", order_col="seq",
+        files_per_commit=1, change_feed=True,
+    )
+    src.append(
+        spark.createDataFrame(
+            [(i, 0, float(i)) for i in range(3000)],
+            "k long, seq long, x double",
+        )
+    )
+    for seq in (1, 2, 3):
+        src.merge(
+            spark.createDataFrame(
+                [(seq, seq, 100.0 * seq), (5000 + seq, seq, 0.5)],
+                "k long, seq long, x double",
+            )
+        )
+    seen: list[set] = []
+
+    def _collect(batch_df, batch_id):
+        vs = {r._commit_version for r in
+              batch_df.select("_commit_version").distinct().collect()}
+        if vs:
+            seen.append(vs)
+
+    import tempfile as _tf
+    ckpt = _tf.mkdtemp(prefix="span_skew_ckpt_")
+    q = (
+        src.stream_changes(-1, commits_per_batch=2)
+        .writeStream.foreachBatch(_collect)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen == [{0, 1}, {2, 3}], seen
+
+
 @pytest.mark.parametrize("seed", [11, 12])
 def test_span_batched_replication_fuzz_random_histories(spark, tmp_path, seed):
     """Randomized DML histories (append/merge-with-tombstones/predicate
