@@ -331,21 +331,33 @@ def sorted_neighborhood_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 1,
+    key_mode: str = "minhash",
     key_prefix: int = 40,
 ) -> DataFrame:
     """Sorted-neighborhood (SNM) near-duplicate detection — the classic
     record-linkage candidate generation (Hernández/Stolfo) the dedup
-    family was missing: sort the corpus by a cheap blocking key (here
-    the first ``key_prefix`` chars of the lowercased text — near-dups
-    overwhelmingly share a prefix), slide a window of ``window`` ranks,
-    and exact-Jaccard-verify only pairs within the window. Candidates
-    are O(n * window) REGARDLESS of token statistics — the complementary
-    failure mode to the inverted-index paths: posting-list methods
-    explode on hot shingles and miss nothing; SNM never explodes and
-    misses pairs whose keys sort far apart (a RECALL trade the window
-    parameter prices explicitly, standard practice is multiple passes
-    with different keys). Returns ``(doc_a, doc_b, jaccard_sim)`` where
-    ``doc_a`` is the LOWER-RANKED doc of the pair.
+    family was missing: sort the corpus by a cheap blocking key, slide
+    a window of ``window`` ranks, and exact-Jaccard-verify only pairs
+    within the window. Candidates are O(n * window) REGARDLESS of token
+    statistics — the complementary failure mode to the inverted-index
+    paths: posting-list methods explode on hot shingles and miss
+    nothing; SNM never explodes and misses pairs whose keys sort far
+    apart (a RECALL trade the window parameter prices explicitly —
+    ``x_dedup_snm_recall`` reads it as a number; standard practice is
+    multiple passes with different keys). Returns ``(doc_a, doc_b,
+    jaccard_sim)`` where ``doc_a`` is the LOWER-RANKED doc of the pair.
+
+    ``key_mode``:
+
+    * ``"minhash"`` (default) — the doc's minimum ``md5(token)``, i.e.
+      its first minhash component: two docs share the key with
+      probability equal to their Jaccard similarity, so qualifying
+      pairs (J >= t) sort adjacent with probability >= t — the right
+      key when near-dups differ ANYWHERE in the text (word swaps,
+      mid-document edits), where a text prefix fails.
+    * ``"prefix"`` — first ``key_prefix`` chars of the lowercased text;
+      the classic cheap key, right when near-dups share openings
+      (boilerplate headers, templated documents).
 
     Scale shape: the global rank comes from :func:`global_rank` (range
     partitions + broadcast offsets — never a single-task window);
@@ -357,10 +369,24 @@ def sorted_neighborhood_pairs(
     slim block join, no token posting lists at all.
     """
     sets = _token_sets(docs, id_col, text_col, ngram).persist()
-    keyed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.substring(F.lower(F.col(text_col)), 1, key_prefix).alias("__k"),
-    )
+    if key_mode == "minhash":
+        keyed = sets.select(
+            "doc_id",
+            F.array_min(F.transform("toks", lambda t: F.md5(t))).alias(
+                "__k"
+            ),
+        )
+    elif key_mode == "prefix":
+        keyed = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.substring(
+                F.lower(F.col(text_col)), 1, key_prefix
+            ).alias("__k"),
+        )
+    else:
+        raise ValueError(
+            f"key_mode {key_mode!r}: expected 'minhash' or 'prefix'"
+        )
     ranked = global_rank(keyed, ["__k", "doc_id"]).select("doc_id", "rank")
     blk = F.floor((F.col("rank") - 1) / F.lit(window))
     a = ranked.select(

@@ -1187,14 +1187,14 @@ def h5(spark, sf_dir):
 #                x_window_sliding_stats   <- x_window_running_total
 #                  (in-window; same window-frame machinery)
 #              All 34 are first in line for the r16 window (with the
-#              three r15 registrations and the 50-entry r13 tier: 87
+#              four r15 registrations and the 50-entry r13 tier: 88
 #              must-attest for 50 slots — steady state holds). New r15
 #              registrations (the two buffered-automata twins + the
-#              sorted-neighborhood dedup) land in
-#              REGISTERED_AFTER_WINDOW. Registration headroom: N = 187
-#              driver-checkable + 1 rows-only; the r16 must-attest
-#              projection (87) leaves ~13 driver-facing registrations
-#              before the 100-entry cap binds.
+#              sorted-neighborhood dedup and its recall monitor) land
+#              in REGISTERED_AFTER_WINDOW. Registration headroom:
+#              N = 188 driver-checkable + 1 rows-only; the r16
+#              must-attest projection (88) leaves ~12 driver-facing
+#              registrations before the 100-entry cap binds.
 #
 # STEADY-STATE POLICY (formalized in r14, closing the r13 verdict's #2):
 # with N registered driver-checkable queries and a 50-slot window, the
@@ -1227,13 +1227,15 @@ DRIVER_ROTATION_ROUND = 15
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
 # sf0.01). r15: the window is again oversubscribed by the stale tier
-# (84 must-attest for 50 slots), so the three new r15 registrations
+# (84 must-attest for 50 slots), so the four new r15 registrations
 # (the reorder-buffered automata under the adversarial out-of-order
-# replay, r14 verdict #2, and the sorted-neighborhood dedup) land here.
+# replay, r14 verdict #2, and the sorted-neighborhood dedup + its
+# recall monitor) land here.
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
     "t_streaming_markov_buffered",
     "t_streaming_funnel_buffered",
     "x_dedup_sorted_neighborhood",
+    "x_dedup_snm_recall",
 )
 
 # Queries whose driver row can NEVER be hash-green: their only exact

@@ -7918,9 +7918,10 @@ def x_dedup_containment_keep(spark, sf_dir):
     ),
     ranked AS (
       SELECT doc_id, row_number() OVER (
-        ORDER BY substr(lower(text), 1, 40), doc_id
+        ORDER BY list_aggregate(list_transform(s, x -> md5(x)), 'min'),
+                 doc_id
       ) AS r
-      FROM documents
+      FROM sets
     )
     SELECT ra.doc_id AS doc_a, rb.doc_id AS doc_b,
            round(len(list_intersect(sa.s, sb.s))*1.0
@@ -7935,17 +7936,161 @@ def x_dedup_containment_keep(spark, sf_dir):
     survey_ids=("EXT-dedup",),
     doc="sorted-neighborhood (SNM) near-dup detection — the classic "
     "record-linkage candidate generation the dedup family lacked: sort "
-    "by a cheap blocking key (first 40 chars of lowercased text), "
-    "slide a 10-rank window, exact-Jaccard-verify the O(n*w) "
-    "candidates. The complementary trade to the posting-list paths: "
-    "candidate count never depends on token statistics (no hot-shingle "
-    "explosion), at an explicit recall price the window parameter "
-    "names. Spark side gets the global rank from range partitions + "
-    "broadcast per-partition offsets (never a single-task ORDER BY "
-    "window) and the neighborhood from a 2-adjacent-blocks equi-join; "
-    "the oracle replays the rank with a plain window function.",
+    "by a cheap blocking key (the doc's min md5(token) — its first "
+    "minhash component, shared by a qualifying pair with probability "
+    ">= its Jaccard), slide a 10-rank window, exact-Jaccard-verify the "
+    "O(n*w) candidates. The complementary trade to the posting-list "
+    "paths: candidate count never depends on token statistics (no "
+    "hot-shingle explosion), at an explicit recall price the window "
+    "parameter names (x_dedup_snm_recall reads it). Spark side gets "
+    "the global rank from range partitions + broadcast per-partition "
+    "offsets (never a single-task ORDER BY window) and the "
+    "neighborhood from a 2-adjacent-blocks equi-join; the oracle "
+    "replays the rank with a plain window function.",
 )
 def x_dedup_sorted_neighborhood(spark, sf_dir):
     return dedup.sorted_neighborhood_pairs(
         _t(spark, sf_dir, "documents"), window=10, threshold=0.8
+    )
+
+
+@register(
+    "x_dedup_snm_recall",
+    """
+    WITH RECURSIVE sets AS (
+      SELECT doc_id, list_distinct(string_split(text,' ')) s FROM documents
+    ),
+    full_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s,b.s))*1.0
+            / len(list_distinct(list_concat(a.s,b.s))) >= 0.8
+    ),
+    ranked AS (
+      SELECT doc_id, row_number() OVER (
+        ORDER BY list_aggregate(list_transform(s, x -> md5(x)), 'min'),
+                 doc_id
+      ) AS r
+      FROM sets
+    ),
+    snm AS (
+      SELECT least(ra.doc_id, rb.doc_id) AS doc_a,
+             greatest(ra.doc_id, rb.doc_id) AS doc_b
+      FROM ranked ra JOIN ranked rb ON rb.r > ra.r AND rb.r - ra.r <= 10
+      JOIN sets sa ON sa.doc_id = ra.doc_id
+      JOIN sets sb ON sb.doc_id = rb.doc_id
+      WHERE len(list_intersect(sa.s, sb.s))*1.0
+            / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+    ),
+    fe AS (
+      SELECT doc_a AS u, doc_b AS v FROM full_pairs
+      UNION SELECT doc_b, doc_a FROM full_pairs
+    ),
+    freach AS (
+      SELECT u, v FROM fe
+      UNION SELECT r.u, e.v FROM freach r JOIN fe e ON r.v = e.u
+    ),
+    fdup AS (
+      SELECT u AS node FROM freach GROUP BY u HAVING min(v) < u
+    ),
+    se AS (
+      SELECT doc_a AS u, doc_b AS v FROM snm
+      UNION SELECT doc_b, doc_a FROM snm
+    ),
+    sreach AS (
+      SELECT u, v FROM se
+      UNION SELECT r.u, e.v FROM sreach r JOIN se e ON r.v = e.u
+    ),
+    sdup AS (
+      SELECT u AS node FROM sreach GROUP BY u HAVING min(v) < u
+    )
+    SELECT CAST((SELECT count(*) FROM full_pairs) AS BIGINT) AS n_full,
+           CAST((SELECT count(*) FROM snm) AS BIGINT) AS n_snm,
+           round((SELECT count(*) FROM snm f
+                  WHERE EXISTS (SELECT 1 FROM full_pairs p
+                                WHERE p.doc_a = f.doc_a
+                                  AND p.doc_b = f.doc_b)) * 1.0
+                 / greatest((SELECT count(*) FROM full_pairs), 1), 4)
+             AS pair_recall,
+           round((SELECT count(*) FROM sdup s
+                  WHERE EXISTS (SELECT 1 FROM fdup f
+                                WHERE f.node = s.node)) * 1.0
+                 / greatest(
+                     (SELECT count(*) FROM fdup)
+                     + (SELECT count(*) FROM sdup)
+                     - (SELECT count(*) FROM sdup s
+                        WHERE EXISTS (SELECT 1 FROM fdup f
+                                      WHERE f.node = s.node)), 1), 4)
+             AS dup_set_agreement
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="recall monitor for the explicitly-lossy sorted-neighborhood "
+    "path (the x_ann_hard_negatives_recall pattern: the trade is a "
+    "number you read, not a guess): SNM pairs at (window=10, t=0.8) "
+    "vs the exact inverted-index jaccard_pairs ground truth over the "
+    "same token sets — one row (n_full, n_snm, pair_recall, "
+    "dup_set_agreement). pair_recall is low BY CONSTRUCTION on "
+    "cliquey corpora (a rank window finds a CHAIN through a "
+    "near-dup cluster, ~w pairs per doc, never the full clique) — "
+    "the number that matters for the dedup ACTION is "
+    "dup_set_agreement: whether SNM chains reconstruct the same "
+    "min-id keep/drop partition through connected components that "
+    "the full pair set does (SNM edges are a subset of full edges, "
+    "so its dup set is a subset too — agreement is the Jaccard of "
+    "the two dup sets). The oracle replays both closures with "
+    "recursive CTEs; the engine runs the same pointer-jumping "
+    "components as every other dedup resolution.",
+)
+def x_dedup_snm_recall(spark, sf_dir):
+    from data_pipeline_kafka_ek_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    full = (
+        dedup.jaccard_pairs(docs, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    snm = (
+        dedup.sorted_neighborhood_pairs(docs, window=10, threshold=0.8)
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .persist()
+    )
+    hit = snm.join(full, ["doc_a", "doc_b"], "left_semi")
+    fdup = connected_components(full).filter(
+        F.col("component") != F.col("node")
+    ).select("node").persist()
+    sdup = connected_components(snm).filter(
+        F.col("component") != F.col("node")
+    ).select("node").persist()
+    dup_inter = sdup.join(fdup, "node", "left_semi")
+    return (
+        full.agg(F.count(F.lit(1)).cast("long").alias("n_full"))
+        .crossJoin(snm.agg(F.count(F.lit(1)).cast("long").alias("n_snm")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("__n_hit")))
+        .crossJoin(fdup.agg(F.count(F.lit(1)).alias("__n_fdup")))
+        .crossJoin(sdup.agg(F.count(F.lit(1)).alias("__n_sdup")))
+        .crossJoin(dup_inter.agg(F.count(F.lit(1)).alias("__n_dinter")))
+        .select(
+            "n_full",
+            "n_snm",
+            F.round(
+                F.col("__n_hit") / F.greatest(F.col("n_full"), F.lit(1)),
+                4,
+            ).alias("pair_recall"),
+            F.round(
+                F.col("__n_dinter")
+                / F.greatest(
+                    F.col("__n_fdup")
+                    + F.col("__n_sdup")
+                    - F.col("__n_dinter"),
+                    F.lit(1),
+                ),
+                4,
+            ).alias("dup_set_agreement"),
+        )
     )

@@ -1699,25 +1699,39 @@ def test_sorted_neighborhood_semantics_and_plan(spark, sf_dir):
         "doc_id", "text"
     )
     w, t = 5, 0.8
-    out = dedup.sorted_neighborhood_pairs(docs, window=w, threshold=t)
-    plan = out._sc._jvm.PythonSQLUtils.explainString(
-        out._jdf.queryExecution(), "simple"
-    )
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    got = {(r.doc_a, r.doc_b): r.jaccard_sim for r in out.collect()}
-    # driver-side truth on the small fixture
-    rows = docs.collect()
-    ranked = sorted(rows, key=lambda r: (r.text.lower()[:40], r.doc_id))
-    toks = {r.doc_id: set(r.text.split(" ")) for r in rows}
-    want = {}
-    for i, ra in enumerate(ranked):
-        for rb in ranked[i + 1 : i + 1 + w]:
-            a, b = toks[ra.doc_id], toks[rb.doc_id]
-            j = len(a & b) / len(a | b)
-            if j >= t:
-                want[(ra.doc_id, rb.doc_id)] = round(j, 4)
-    assert got == want
+    import hashlib
+
+    for mode in ("minhash", "prefix"):
+        out = dedup.sorted_neighborhood_pairs(
+            docs, window=w, threshold=t, key_mode=mode
+        )
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "simple"
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        got = {(r.doc_a, r.doc_b): r.jaccard_sim for r in out.collect()}
+        # driver-side truth on the small fixture
+        rows = docs.collect()
+        toks = {r.doc_id: set(r.text.split(" ")) for r in rows}
+
+        def key(r):
+            if mode == "prefix":
+                return r.text.lower()[:40]
+            return min(
+                hashlib.md5(tk.encode()).hexdigest()
+                for tk in toks[r.doc_id]
+            )
+
+        ranked = sorted(rows, key=lambda r: (key(r), r.doc_id))
+        want = {}
+        for i, ra in enumerate(ranked):
+            for rb in ranked[i + 1 : i + 1 + w]:
+                a, b = toks[ra.doc_id], toks[rb.doc_id]
+                j = len(a & b) / len(a | b)
+                if j >= t:
+                    want[(ra.doc_id, rb.doc_id)] = round(j, 4)
+        assert got == want, mode
 
 
 def test_containment_keep_in_component_strict_edges_excluded(spark):
