@@ -52,12 +52,22 @@ def global_rank(
     ``repartitionByRange`` keys partition i strictly before partition
     i+1. The rank is a pure function of the total order (``order_cols``
     must be a unique key), so sampled range boundaries shifting between
-    runs cannot change it — only which partition computes it."""
+    runs cannot change it — only which partition computes it.
+
+    ``parts`` is PERSISTED before fan-out: the offsets aggregate and the
+    per-partition window are two consumers of the range exchange, and
+    their ``__pid`` views must come from the SAME boundary evaluation —
+    without the cache that consistency rests on Spark's exchange-reuse
+    rule (canonicalized-plan equality), which a conf flip or a future
+    refactor could silently break into duplicated/missing ranks. The
+    cache makes the single evaluation structural, not incidental."""
     from pyspark.sql import Window
 
     cols = [F.col(c) for c in order_cols]
-    parts = df.repartitionByRange(n_partitions, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    parts = (
+        df.repartitionByRange(n_partitions, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     offsets = (
         parts.groupBy("__pid")
@@ -81,7 +91,7 @@ def global_rank(
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out, (F.col("__off") + F.col("__r")).cast("long"))
-        .drop("__pid", "__r", "__off", "__cnt")
+        .drop("__pid", "__r", "__off")
     )
 
 
@@ -233,6 +243,7 @@ def jaccard_pairs(
     text_col: str = "text",
     prefix_filter: bool = True,
     ngram: int = 1,
+    sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """All pairs with token-set Jaccard >= threshold (``ngram > 1``:
     Jaccard over distinct word n-gram/shingle sets).
@@ -260,8 +271,12 @@ def jaccard_pairs(
     # joins; persist them so the tokenize + array_distinct scan runs once
     # per query instead of three times (MEMORY_AND_DISK default — at
     # 100 TB the sets spill to executor-local disk, which is still far
-    # cheaper than re-tokenizing the corpus per consumer).
-    sets = _token_sets(docs, id_col, text_col, ngram).persist()
+    # cheaper than re-tokenizing the corpus per consumer). A caller that
+    # already built (and persisted) the same relation — the SNM recall
+    # monitor runs two dedup paths over one corpus — passes it via
+    # ``sets`` instead of tokenizing and dictionary-encoding twice.
+    if sets is None:
+        sets = _token_sets(docs, id_col, text_col, ngram).persist()
     posts = sets.select(
         "doc_id", F.size("toks").alias("__n"), F.explode("toks").alias("tok")
     )
@@ -333,6 +348,7 @@ def sorted_neighborhood_pairs(
     ngram: int = 1,
     key_mode: str = "minhash",
     key_prefix: int = 40,
+    sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """Sorted-neighborhood (SNM) near-duplicate detection — the classic
     record-linkage candidate generation (Hernández/Stolfo) the dedup
@@ -368,7 +384,8 @@ def sorted_neighborhood_pairs(
     set intersection as :func:`jaccard_pairs`. One range exchange + one
     slim block join, no token posting lists at all.
     """
-    sets = _token_sets(docs, id_col, text_col, ngram).persist()
+    if sets is None:
+        sets = _token_sets(docs, id_col, text_col, ngram).persist()
     if key_mode == "minhash":
         keyed = sets.select(
             "doc_id",
@@ -387,7 +404,14 @@ def sorted_neighborhood_pairs(
         raise ValueError(
             f"key_mode {key_mode!r}: expected 'minhash' or 'prefix'"
         )
-    ranked = global_rank(keyed, ["__k", "doc_id"]).select("doc_id", "rank")
+    # persisted: the rank relation feeds BOTH sides of the block
+    # self-join — without the cache the window sort + offset join over
+    # the full relation executes once per branch
+    ranked = (
+        global_rank(keyed, ["__k", "doc_id"])
+        .select("doc_id", "rank")
+        .persist()
+    )
     blk = F.floor((F.col("rank") - 1) / F.lit(window))
     a = ranked.select(
         F.col("doc_id").alias("doc_a"),

@@ -8047,13 +8047,18 @@ def x_dedup_snm_recall(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # one tokenize + dictionary-encode for BOTH dedup paths (they share
+    # the corpus and the token unit)
+    shared_sets = dedup._token_sets(docs, "doc_id", "text", 1).persist()
     full = (
-        dedup.jaccard_pairs(docs, threshold=0.8)
+        dedup.jaccard_pairs(docs, threshold=0.8, sets=shared_sets)
         .select("doc_a", "doc_b")
         .persist()
     )
     snm = (
-        dedup.sorted_neighborhood_pairs(docs, window=10, threshold=0.8)
+        dedup.sorted_neighborhood_pairs(
+            docs, window=10, threshold=0.8, sets=shared_sets
+        )
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),

@@ -3236,8 +3236,7 @@ def test_commit_span_batching_groups_commits_and_converges(spark, tmp_path):
         if vs:
             seen.append(vs)
 
-    import tempfile as _tf
-    ckpt = _tf.mkdtemp(prefix="span_ckpt_")
+    ckpt = str(tmp_path / "span_ckpt")
     q = (
         src.stream_changes(-1, commits_per_batch=2)
         .writeStream.foreachBatch(_collect)
@@ -3297,8 +3296,7 @@ def test_commit_span_grouping_exact_under_skewed_commit_sizes(
         if vs:
             seen.append(vs)
 
-    import tempfile as _tf
-    ckpt = _tf.mkdtemp(prefix="span_skew_ckpt_")
+    ckpt = str(tmp_path / "span_skew_ckpt")
     q = (
         src.stream_changes(-1, commits_per_batch=2)
         .writeStream.foreachBatch(_collect)
