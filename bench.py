@@ -12,8 +12,10 @@ attributed to the first query.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -24,8 +26,88 @@ from data_pipeline_kafka_ek_spark.plans.catalog import bench_queries
 from data_pipeline_kafka_ek_spark.session import get_spark
 from data_pipeline_kafka_ek_spark.sources.tables import TABLES, load_table
 
+# Canary-correction family per query, by EXPLICIT name (r15 ADVICE: a
+# substring heuristic like "'acid' in name" silently misclassifies
+# future registrations — t_streaming_dml_replica is an ACID feed twin
+# whose cost is commit-protocol scratch-fs latency despite its name).
+# Everything not listed here is corrected by the pure-CPU canary;
+# tools/bench_compare.py reads this from the emitted JSON
+# ("canary_families") and only falls back to its own pinned list for
+# pre-r16 bench files.
+IO_BOUND_QUERIES = frozenset({
+    "t_streaming_acid_changes",
+    "x_acid_incremental_mv",
+    "t_streaming_dml_replica",
+    "x_acid_dml_lifecycle",
+    "x_acid_merge_sql",
+    "x_acid_replica_convergence",
+    "x_acid_restore_rewind",
+    "x_acid_sized_compaction",
+    "x_acid_stats_skipping",
+    "x_acid_time_travel_diff",
+})
+
+# Named A/B families for --families (r15 verdict #8): re-run ONLY a
+# disputed family without the ~60-commit ACID replay dominating wall
+# time. Every benched query must belong to exactly one family
+# (tests/test_tools.py pins the partition against bench_queries()).
+QUERY_FAMILIES: dict[str, frozenset[str]] = {
+    "core": frozenset({
+        "j1_enrichment_join", "unhappy_vip_customers",
+        "a2_a3_windowed_collect", "t4_session_5m_counts",
+    }),
+    "tpch": frozenset({
+        "h1_pricing_summary", "h2_min_acctbal_supplier",
+        "h3_top_revenue_orders", "h4_late_shipment_priority",
+        "h5_nation_revenue", "h7_volume_shipping",
+        "h10_returned_item_revenue", "h14_promo_revenue_share",
+        "h16_supplier_part_breadth", "h18_large_volume_customers",
+        "h21_waiting_supplier", "h22_dormant_customers",
+        "h_window_cumulative_revenue",
+    }),
+    "dedup": frozenset({
+        "x_dedup_exact", "x_dedup_jaccard", "x_dedup_minhash_lsh",
+        "x_dedup_simhash", "x_dedup_embedding_lsh",
+    }),
+    "ann": frozenset({"x_ann_topk_blocked"}),
+    "acid": frozenset({"t_streaming_acid_changes", "x_acid_incremental_mv"}),
+    "sketch": frozenset({"x_sketch_kmv_setops", "x_sketch_kmv_rollup"}),
+    "curation": frozenset({
+        "x_text_quality", "x_quality_gopher_rules",
+        "x_text_bigram_logprob", "x_window_sliding_stats",
+        "x_multimodal_pixel_stats", "x_quality_threshold_sweep",
+        "x_events_key_skew_profile", "x_pipeline_domain_quota",
+    }),
+}
+
+
+def query_family(name: str) -> "str | None":
+    for fam, names in QUERY_FAMILIES.items():
+        if name in names:
+            return fam
+    return None
+
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument(
+        "--families",
+        default=None,
+        help="comma-separated QUERY_FAMILIES keys; run only those "
+        "queries (A/B on a disputed family without replaying the "
+        "whole headline set). The JSON records the filter so "
+        "bench_compare totals stay intersection-honest.",
+    )
+    args = ap.parse_args()
+    family_filter: "set[str] | None" = None
+    if args.families:
+        family_filter = {f.strip() for f in args.families.split(",") if f.strip()}
+        unknown = family_filter - set(QUERY_FAMILIES)
+        if unknown:
+            raise SystemExit(
+                f"unknown families {sorted(unknown)}; "
+                f"known: {sorted(QUERY_FAMILIES)}"
+            )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # machine-load telemetry: recorded into the JSON so a reviewer (and
@@ -61,7 +143,14 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return round(best, 3)
 
-    canary_sec = _canary()
+    # MULTI-SAMPLE canaries (r15 verdict #3): a single start-of-run
+    # sample under-resolves the box's intra-day throttle swings
+    # (0.48–1.68 observed within one r15 afternoon) — a sample landing
+    # in a fast window makes value_canary_norm INFLATE rather than
+    # correct. Sample at start, mid-run (between query families), and
+    # end; publish the samples and use the MEDIAN as canary_sec.
+    # bench_compare flags max/min > 1.3 as unadjudicatable.
+    canary_samples = [_canary()]
 
     # filesystem-metadata canary: the ACID-table queries' wall time is
     # dominated by commit-protocol latency (hundreds of tiny JSON/parquet
@@ -88,7 +177,7 @@ def main() -> None:
             _shutil.rmtree(d, ignore_errors=True)
         return round(best, 4)
 
-    canary_io_sec = _canary_io()
+    canary_io_samples = [_canary_io()]
 
     # warmup: JVM + parquet footers at the target SF, then one tiny-SF run of
     # each headline query so codegen/plan compilation is outside the timed
@@ -104,14 +193,25 @@ def main() -> None:
         # from parquet metadata
         df.write.format("noop").mode("overwrite").save()
 
-    for name, fn in bench_queries().items():
+    selected = {
+        name: fn
+        for name, fn in bench_queries().items()
+        if family_filter is None or query_family(name) in family_filter
+    }
+    for name, fn in selected.items():
         try:
             run_to_completion(fn(spark, warm_dir))
         except Exception as exc:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
-    for name, fn in bench_queries().items():
+    mid_at = max(1, len(selected) // 2)
+    for i, (name, fn) in enumerate(selected.items()):
+        if i == mid_at:
+            # mid-run canary sample, taken BETWEEN timed queries so it
+            # reads the box, not the bench's own load
+            canary_samples.append(_canary())
+            canary_io_samples.append(_canary_io())
         # min of 3: steady-state cost, robust to GC pauses between rounds
         best = float("inf")
         for _ in range(3):
@@ -120,6 +220,10 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    canary_samples.append(_canary())
+    canary_io_samples.append(_canary_io())
+    canary_sec = round(statistics.median(canary_samples), 3)
+    canary_io_sec = round(statistics.median(canary_io_samples), 4)
 
     # r4 widened the headline set with the two candidate-verify dedup plans
     # (x_dedup_jaccard, x_dedup_minhash_lsh) — report the prior cohort's
@@ -213,6 +317,17 @@ def main() -> None:
                 ),
                 "canary_baseline_sec": 0.33,
                 "queries": timings,
+                # canary-correction family per timed query, by explicit
+                # name (never substring): bench_compare corrects "io"
+                # queries by canary_io_sec and everything else by the
+                # CPU canary
+                "canary_families": {
+                    n: ("io" if n in IO_BOUND_QUERIES else "cpu")
+                    for n in timings
+                },
+                "families_filter": (
+                    sorted(family_filter) if family_filter else None
+                ),
                 "subtotals": subtotals,
                 "subtotals_canary_norm": {
                     k: round(v * norm, 3) for k, v in subtotals.items()
@@ -228,12 +343,18 @@ def main() -> None:
                     "end_5m": round(load_end[1], 2),
                     "cpus": os.cpu_count(),
                     # fixed pure-CPU microbenchmark (see _canary): the
-                    # machine-speed reference loadavg cannot provide
+                    # machine-speed reference loadavg cannot provide.
+                    # canary_sec = MEDIAN of the start/mid/end samples;
+                    # the samples are published so bench_compare can
+                    # flag high-variance (max/min > 1.3) runs as
+                    # unadjudicatable instead of trusting one draw
                     "canary_sec": canary_sec,
+                    "canary_samples_sec": canary_samples,
                     # fixed small-file create+rename loop (see
                     # _canary_io): the scratch-filesystem latency
                     # reference the ACID commit protocol depends on
                     "canary_io_sec": canary_io_sec,
+                    "canary_io_samples_sec": canary_io_samples,
                 },
             }
         )

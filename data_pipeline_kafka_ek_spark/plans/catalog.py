@@ -1195,6 +1195,139 @@ def h5(spark, sf_dir):
 #              N = 188 driver-checkable + 1 rows-only; the r16
 #              must-attest projection (88) leaves ~12 driver-facing
 #              registrations before the 100-entry cap binds.
+#   r16 window (this round): the 34 r15 WINDOW_OVERFLOW picks (last
+#              green r12, at their once-only overflow limit — promised
+#              first in line) + the four r15 REGISTERED_AFTER_WINDOW
+#              entries (never attested: t_streaming_markov_buffered,
+#              t_streaming_funnel_buffered, x_dedup_sorted_neighborhood,
+#              x_dedup_snm_recall) + 12 of the 50-entry r13-green tier.
+#              Must-attest = 34 + 4 + 50 = 88 for 50 slots; genuine
+#              excess is exactly 38; the WINDOW_OVERFLOW picks (each
+#              last green exactly r13 = R-3, overflowing for the first
+#              and only time) are the 38 r13-tier entries with the
+#              strongest covering twins — the 12 kept in-window are the
+#              ones whose machinery changes this round (the ACID write
+#              path after per-commit stats fusion: incremental_mv,
+#              merge_sql, sized_compaction; the trained ANN pair after
+#              the k-means||-style seeding replaces the sequential
+#              maximin collect loop: ivf_trained, pq_trained) or whose
+#              twin case was weakest (the pivot, the order-count
+#              distribution's grouped outer join, the disjunctive
+#              filter stack, the bucketed contamination n-gram join,
+#              SimHash banding, first-fit sequence packing, greedy text
+#              chunking). Overflow picks and their named twins (twin in
+#              the r16 window unless a round is given):
+#                a_count_distinct         <- h16_supplier_part_breadth
+#                  (r15-green; grouped COUNT DISTINCT machinery — the
+#                  r14 precedent pair, reversed)
+#                f2_pattern_filter_positive <- f1_pattern_filter_negated
+#                  (r15-green; identical LCASE+LIKE machinery — the
+#                  r12/r14 precedent pair)
+#                h17_small_quantity_revenue <- h2_min_acctbal_supplier
+#                  (r14-green; same agg-subquery + join shape)
+#                h1_pricing_summary       <- a_cascade_rollup
+#                  (r15-green; same multi-aggregate grouped rollup
+#                  over lineitem)
+#                h3_top_revenue_orders    <- l3_l4_sorted_topk
+#                  (r15-green; same TakeOrdered top-k machinery — the
+#                  r14 precedent pair, reversed)
+#                h5_nation_revenue        <- j1a_join_unfiltered_variant
+#                  (r15-green; broadcast equi-join machinery — the r14
+#                  precedent pair, reversed)
+#                h_window_cumulative_revenue <- x_window_running_total
+#                  (r15-green; same cumulative-sum window machinery —
+#                  the r14 precedent pair, reversed)
+#                q_sql_csas_unhappy       <- unhappy_vip_customers
+#                  (r15-green; the CSAS is the SQL-text form of this
+#                  exact query — same plan, engine-routed)
+#                q_sql_windowed_ctas      <- p4_time_format_projection
+#                  (r15-green; same TIMESTAMPTOSTRING formatting path —
+#                  the r14 precedent pair, reversed)
+#                s2_latest_per_key        <- j1_enrichment_join
+#                  (r15-green; the enrichment join builds its table
+#                  side through the same latest-per-key changelog
+#                  machinery)
+#                t_streaming_session_counts <- t_streaming_stateful_counts
+#                  (r15-green; same applyInPandasWithState runtime
+#                  path — the r14 precedent pair, reversed)
+#                x_ann_lsh_bucketed       <- x_ann_hard_negatives_bucketed
+#                  (r15-green; same SRP-bucketed candidate generation)
+#                x_ann_topk_blocked       <- x_ann_cosine_topk
+#                  (r15-green; same exact cosine scoring — the blocked
+#                  numpy-matmul twin of the same operator)
+#                x_corpus_source_scorecard <- x_corpus_length_histogram
+#                  (r15-green; same corpus-stats scan)
+#                x_corpus_stats           <- x_corpus_length_histogram
+#                  (r15-green; same corpus length-stats scan — the r14
+#                  precedent pair, reversed)
+#                x_dedup_components       <- x_dedup_keep_list
+#                  (r15-green; keep-list is the policy projection over
+#                  these exact connected components — the r14
+#                  precedent pair, reversed)
+#                x_dedup_embedding_lsh    <- x_dedup_embedding
+#                  (r15-green; same embedding near-dup verify,
+#                  SRP-bucketed candidate variant)
+#                x_dedup_exact            <- t_streaming_dedup
+#                  (r15-green; the twin suite asserts the streaming
+#                  keep set equals this batch keep set — the r14
+#                  precedent pair, reversed)
+#                x_dedup_jaccard_3gram    <- x_dedup_jaccard
+#                  (r14-green; same PPJoin prefix+length-filtered
+#                  join — the r12/r13 precedent pair)
+#                x_dedup_semantic_keep    <- x_dedup_containment_keep
+#                  (r15-green; same keep-policy resolution machinery
+#                  over candidate pairs)
+#                x_deterministic_sample   <- x_pipeline_epoch_shuffle
+#                  (r15-green; same deterministic hash-order
+#                  machinery — the r15 precedent pair, reversed)
+#                x_embedding_quantize     <- x_ann_pq_trained_topk
+#                  (in-window; same PQ codebook quantization machinery)
+#                x_events_distribution_drift <- t_streaming_psi_drift
+#                  (r14-green; PSI drift is the streaming twin over
+#                  the same per-type distribution machinery)
+#                x_explode_top_tokens     <- a7_top_terms
+#                  (r15-green; same explode→count→top-N machinery —
+#                  the r14 precedent pair, reversed)
+#                x_multimodal_stdlib_codecs <- x_multimodal_features
+#                  (r15-green; same Arrow-batched mapInPandas decode
+#                  path — the r14 precedent pair, reversed)
+#                x_pipeline_corpus_prep   <- x_quality_gopher_rules
+#                  (in-window; the prep pipeline composes these exact
+#                  quality signals)
+#                x_pipeline_corpus_prep_v2 <- x_quality_gopher_rules
+#                  (in-window; same composed quality+dedup prep stages)
+#                x_pipeline_mixture_sample <- x_pipeline_dsir_select
+#                  (r15-green; same importance-weighted sampling
+#                  machinery)
+#                x_quality_clf_score      <- x_quality_gopher_rules
+#                  (in-window; same quality-signal columns)
+#                x_sketch_countmin_freq   <- t_streaming_cms_freq
+#                  (r14-green; same CMS sketch machinery — streaming
+#                  twin)
+#                x_sketch_hll_distinct    <- t_streaming_hll_distinct
+#                  (r14-green; same HLL register machinery — streaming
+#                  twin)
+#                x_sketch_kmv_distinct    <- x_sketch_kmv_setops
+#                  (in-window; same KMV bottom-k merge machinery)
+#                x_sketch_kmv_rollup      <- x_sketch_kmv_setops
+#                  (in-window; same KMV merge machinery — the rollup
+#                  reuses the finest level)
+#                x_text_fingerprint       <- x_text_repeated_spans
+#                  (r15-green; same rolling-hash machinery)
+#                x_text_langid_confusion  <- x_text_langid
+#                  (r15-green; recomputes the same langid scoring —
+#                  the r10/r12 precedent pair, reversed)
+#                x_text_quality           <- x_quality_gopher_rules
+#                  (in-window; same quality-signal columns)
+#                x_text_repetition        <- x_text_repeated_spans
+#                  (r15-green; same span-repetition detection
+#                  machinery)
+#                x_text_token_stats       <- x_text_unigram_logprob
+#                  (r15-green; same tokenization/count machinery)
+#              All 38 are first in line for the r17 window (with the
+#              50-entry r14 tier: 88 must-attest for 50 slots — steady
+#              state holds unless the DRIVER_RETIRED tier drains it).
+#              New r16 registrations land in REGISTERED_AFTER_WINDOW.
 #
 # STEADY-STATE POLICY (formalized in r14, closing the r13 verdict's #2):
 # with N registered driver-checkable queries and a 50-slot window, the
@@ -1218,7 +1351,7 @@ def h5(spark, sf_dir):
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
 # promises for non-overflow entries), pinned here so evidence files landing
 # later don't shift the baseline under the test. Bump when re-authoring.
-DRIVER_ROTATION_ROUND = 15
+DRIVER_ROTATION_ROUND = 16
 
 # Queries registered AFTER this round's window was already committed to
 # re-attestation work. They sit in DRIVER_DEMOTED without a prior
@@ -1226,17 +1359,11 @@ DRIVER_ROTATION_ROUND = 15
 # test names one by one — and are first in line for the next window as
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
-# sf0.01). r15: the window is again oversubscribed by the stale tier
-# (84 must-attest for 50 slots), so the four new r15 registrations
-# (the reorder-buffered automata under the adversarial out-of-order
-# replay, r14 verdict #2, and the sorted-neighborhood dedup + its
-# recall monitor) land here.
-REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
-    "t_streaming_markov_buffered",
-    "t_streaming_funnel_buffered",
-    "x_dedup_sorted_neighborhood",
-    "x_dedup_snm_recall",
-)
+# sf0.01). r16: the four r15 entries moved into the window (their
+# never-attested debt is paid this round); any new r16 registration
+# lands here — the window is again fully subscribed by the stale tier
+# (88 must-attest for 50 slots).
+REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
 
 # Queries whose driver row can NEVER be hash-green: their only exact
 # oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's
@@ -1250,13 +1377,59 @@ ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
     "x_dedup_minhash_xxh",
 )
 
-# r15: must-attest = 31 r14-overflow (r11) + 3 never-attested + 50
-# r12-stale = 84 for 50 slots. Genuine excess 34; the overflow picks per
+# r16: must-attest = 34 r15-overflow (r12) + 4 never-attested + 50
+# r13-stale = 88 for 50 slots. Genuine excess 38; the overflow picks per
 # the policy (strongest covering twins — named one-by-one in the window
 # comment above). The rotation test enforces len(overflow) <= genuine
-# excess and last-green == R-3 exactly; prior overflow entries (the r14
-# thirty-one) are IN the window and cannot overflow twice.
+# excess and last-green == R-3 exactly; prior overflow entries (the r15
+# thirty-four) are IN the window and cannot overflow twice.
 WINDOW_OVERFLOW: tuple[str, ...] = (
+    "a_count_distinct",
+    "f2_pattern_filter_positive",
+    "h17_small_quantity_revenue",
+    "h1_pricing_summary",
+    "h3_top_revenue_orders",
+    "h5_nation_revenue",
+    "h_window_cumulative_revenue",
+    "q_sql_csas_unhappy",
+    "q_sql_windowed_ctas",
+    "s2_latest_per_key",
+    "t_streaming_session_counts",
+    "x_ann_lsh_bucketed",
+    "x_ann_topk_blocked",
+    "x_corpus_source_scorecard",
+    "x_corpus_stats",
+    "x_dedup_components",
+    "x_dedup_embedding_lsh",
+    "x_dedup_exact",
+    "x_dedup_jaccard_3gram",
+    "x_dedup_semantic_keep",
+    "x_deterministic_sample",
+    "x_embedding_quantize",
+    "x_events_distribution_drift",
+    "x_explode_top_tokens",
+    "x_multimodal_stdlib_codecs",
+    "x_pipeline_corpus_prep",
+    "x_pipeline_corpus_prep_v2",
+    "x_pipeline_mixture_sample",
+    "x_quality_clf_score",
+    "x_sketch_countmin_freq",
+    "x_sketch_hll_distinct",
+    "x_sketch_kmv_distinct",
+    "x_sketch_kmv_rollup",
+    "x_text_fingerprint",
+    "x_text_langid_confusion",
+    "x_text_quality",
+    "x_text_repetition",
+    "x_text_token_stats",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # the 34 r15 WINDOW_OVERFLOW picks first (last green r12, at their
+    # once-only overflow limit — promised first in line), then the four
+    # never-attested r15 REGISTERED_AFTER_WINDOW entries, then the 12
+    # r13-tier picks kept in-window (machinery changing this round, or
+    # weakest twin case — see the r16 window comment above)
     "a3_tumbling_1min_counts",
     "a8_count_metric",
     "h10_returned_item_revenue",
@@ -1291,178 +1464,136 @@ WINDOW_OVERFLOW: tuple[str, ...] = (
     "x_text_bigram_logprob",
     "x_text_remove_dup_spans",
     "x_window_sliding_stats",
-)
-
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # the 31 r14 WINDOW_OVERFLOW picks first (last green r11, at their
-    # once-only overflow limit — promised first in line), then the three
-    # never-attested r14 REGISTERED_AFTER_WINDOW entries, then the 16
-    # r12-tier picks kept in-window (machinery changed this round, or
-    # weakest twin case — see the r15 window comment above)
-    "a1_count_by_group",
-    "a6_date_histogram",
-    "a7_top_terms",
-    "a_cascade_rollup",
-    "f1_pattern_filter_negated",
-    "f5_conjunctive_filter",
-    "f6_left_join_null_reject",
-    "h16_supplier_part_breadth",
-    "j1_enrichment_join",
-    "j1a_join_unfiltered_variant",
-    "l3_l4_sorted_topk",
-    "p4_time_format_projection",
-    "t_streaming_dedup",
-    "t_streaming_stateful_counts",
-    "unhappy_vip_customers",
-    "x8_alert_template",
-    "x_acid_dml_lifecycle",
-    "x_acid_replica_convergence",
-    "x_ann_ivf_topk",
-    "x_corpus_length_histogram",
-    "x_dedup_keep_list",
-    "x_dedup_recall_eval",
-    "x_events_funnel",
-    "x_events_sessionize",
-    "x_multimodal_features",
-    "x_pipeline_encode",
-    "x_pipeline_epoch_shuffle",
-    "x_pipeline_vocab",
-    "x_text_langid",
-    "x_text_unigram_logprob",
-    "x_window_running_total",
-    "x_ann_hard_negatives_bucketed",
-    "x_ann_hard_negatives_recall",
-    "x_dedup_containment_keep",
-    "a_rollup_revenue",
-    "h21_waiting_supplier",
-    "j_full_outer_join",
-    "q_sql_scalar_subquery",
-    "t_streaming_acid_changes",
-    "t_streaming_ann_assign",
-    "t_streaming_dml_replica",
-    "x_acid_restore_rewind",
-    "x_acid_time_travel_diff",
-    "x_ann_cosine_topk",
-    "x_cluster_topics",
-    "x_dedup_embedding",
-    "x_events_anomaly_zscore",
-    "x_pipeline_dsir_select",
-    "x_salted_hotkey_collect",
-    "x_text_repeated_spans",
-)
-
-DRIVER_DEMOTED: tuple[str, ...] = (
-    # the 31 r14 overflow picks (one round past the bound, first in line
-    # for the r15 window) lead, then any post-window registrations
-    *WINDOW_OVERFLOW,
-    *REGISTERED_AFTER_WINDOW,
-    # permanently rows-only in driver files (local-UDF oracle only)
-    *ROWS_ONLY_NO_ORACLE,
-    # every entry below carries an r13 or r14 driver-green hash row in the
-    # committed CORRECTNESS files — the invariant the rotation test
-    # asserts from ground truth; all stay oracle-green in the per-round
-    # full-catalog local runs. r13 tier first, then the r14 tier (last
-    # round's window).
-    "a_count_distinct",
-    "a_pivot_lang_quality",
-    "f2_pattern_filter_positive",
-    "h13_order_count_distribution",
-    "h17_small_quantity_revenue",
-    "h19_disjunctive_revenue",
-    "h1_pricing_summary",
-    "h3_top_revenue_orders",
-    "h5_nation_revenue",
-    "h_window_cumulative_revenue",
-    "q_sql_csas_unhappy",
-    "q_sql_windowed_ctas",
-    "s2_latest_per_key",
-    "t_streaming_session_counts",
+    "t_streaming_markov_buffered",
+    "t_streaming_funnel_buffered",
+    "x_dedup_sorted_neighborhood",
+    "x_dedup_snm_recall",
     "x_acid_incremental_mv",
     "x_acid_merge_sql",
     "x_acid_sized_compaction",
     "x_ann_ivf_trained_topk",
-    "x_ann_lsh_bucketed",
     "x_ann_pq_trained_topk",
-    "x_ann_topk_blocked",
+    "a_pivot_lang_quality",
+    "h13_order_count_distribution",
+    "h19_disjunctive_revenue",
     "x_contamination_ngram",
-    "x_corpus_source_scorecard",
-    "x_corpus_stats",
-    "x_dedup_components",
-    "x_dedup_embedding_lsh",
-    "x_dedup_exact",
-    "x_dedup_jaccard_3gram",
-    "x_dedup_semantic_keep",
     "x_dedup_simhash",
-    "x_deterministic_sample",
-    "x_embedding_quantize",
-    "x_events_distribution_drift",
-    "x_explode_top_tokens",
-    "x_multimodal_stdlib_codecs",
-    "x_pipeline_corpus_prep",
-    "x_pipeline_corpus_prep_v2",
-    "x_pipeline_mixture_sample",
     "x_pipeline_seq_packing",
-    "x_quality_clf_score",
-    "x_sketch_countmin_freq",
-    "x_sketch_hll_distinct",
-    "x_sketch_kmv_distinct",
-    "x_sketch_kmv_rollup",
     "x_text_chunking",
-    "x_text_fingerprint",
-    "x_text_langid_confusion",
-    "x_text_quality",
-    "x_text_repetition",
-    "x_text_token_stats",
-    "h6_forecast_revenue",
-    "h7_volume_shipping",
-    "h8_market_share",
-    "h9_product_profit",
-    "h2_min_acctbal_supplier",
-    "h11_important_parts",
-    "h15_top_supplier",
-    "h20_promotion_suppliers",
-    "h22_dormant_customers",
-    "x_ann_hard_negatives",
-    "x_embedding_whitening",
-    "x_pipeline_domain_quota",
-    "x_text_vocab_coverage",
-    "x_events_markov_transitions",
-    "x_text_tfidf_keywords",
-    "t_streaming_markov_transitions",
-    "x_dedup_containment",
-    "j_anti_join",
-    "j_semi_join",
-    "l2_limit_probe",
-    "p3_computed_projection",
-    "t_streaming_cms_freq",
-    "t_streaming_hll_distinct",
-    "t_streaming_hopping_counts",
-    "t_streaming_kmv_distinct",
-    "t_streaming_psi_drift",
-    "t_streaming_session_append",
-    "t_streaming_windowed_counts",
-    "x_ann_pq_topk",
-    "x_dedup_jaccard",
-    "x_dedup_minhash_lsh",
+)
+
+DRIVER_DEMOTED: tuple[str, ...] = (
+    # the 38 r16 overflow picks (one round past the bound, first in line
+    # for the r17 window) lead, then any post-window registrations
+    *WINDOW_OVERFLOW,
+    *REGISTERED_AFTER_WINDOW,
+    # permanently rows-only in driver files (local-UDF oracle only)
+    *ROWS_ONLY_NO_ORACLE,
+    # every entry below carries an r14 or r15 driver-green hash row in the
+    # committed CORRECTNESS files — the invariant the rotation test
+    # asserts from ground truth; all stay oracle-green in the per-round
+    # full-catalog local runs. r14 tier first, then the r15 tier (last
+    # round's window).
     "a2_a3_windowed_collect",
     "a5_median_by_group",
     "f7_cast_then_compare",
     "f8_dimension_equality",
     "f9_window_time_predicate",
+    "h11_important_parts",
+    "h15_top_supplier",
+    "h20_promotion_suppliers",
+    "h22_dormant_customers",
+    "h2_min_acctbal_supplier",
+    "h6_forecast_revenue",
+    "h7_volume_shipping",
+    "h8_market_share",
+    "h9_product_profit",
+    "j_anti_join",
+    "j_semi_join",
+    "l2_limit_probe",
+    "p3_computed_projection",
     "set_except_intersect",
     "set_union_roundtrip",
+    "t_streaming_cms_freq",
+    "t_streaming_hll_distinct",
+    "t_streaming_hopping_counts",
+    "t_streaming_kmv_distinct",
+    "t_streaming_markov_transitions",
+    "t_streaming_psi_drift",
+    "t_streaming_session_append",
     "t_streaming_stream_stream_join",
+    "t_streaming_windowed_counts",
     "x7_json_extract",
+    "x_ann_hard_negatives",
+    "x_ann_pq_topk",
     "x_asof_join",
+    "x_dedup_containment",
     "x_dedup_editdistance",
+    "x_dedup_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_embedding_whitening",
     "x_events_cohort_retention",
     "x_events_key_skew_profile",
+    "x_events_markov_transitions",
     "x_interval_join",
+    "x_pipeline_domain_quota",
     "x_pipeline_hash_split",
     "x_quality_threshold_sweep",
     "x_sketch_quantile_grid",
     "x_text_bm25",
     "x_text_redact_pii",
+    "x_text_tfidf_keywords",
+    "x_text_vocab_coverage",
+    "a1_count_by_group",
+    "a6_date_histogram",
+    "a7_top_terms",
+    "a_cascade_rollup",
+    "a_rollup_revenue",
+    "f1_pattern_filter_negated",
+    "f5_conjunctive_filter",
+    "f6_left_join_null_reject",
+    "h16_supplier_part_breadth",
+    "h21_waiting_supplier",
+    "j1_enrichment_join",
+    "j1a_join_unfiltered_variant",
+    "j_full_outer_join",
+    "l3_l4_sorted_topk",
+    "p4_time_format_projection",
+    "q_sql_scalar_subquery",
+    "t_streaming_acid_changes",
+    "t_streaming_ann_assign",
+    "t_streaming_dedup",
+    "t_streaming_dml_replica",
+    "t_streaming_stateful_counts",
+    "unhappy_vip_customers",
+    "x8_alert_template",
+    "x_acid_dml_lifecycle",
+    "x_acid_replica_convergence",
+    "x_acid_restore_rewind",
+    "x_acid_time_travel_diff",
+    "x_ann_cosine_topk",
+    "x_ann_hard_negatives_bucketed",
+    "x_ann_hard_negatives_recall",
+    "x_ann_ivf_topk",
+    "x_cluster_topics",
+    "x_corpus_length_histogram",
+    "x_dedup_containment_keep",
+    "x_dedup_embedding",
+    "x_dedup_keep_list",
+    "x_dedup_recall_eval",
+    "x_events_anomaly_zscore",
+    "x_events_funnel",
+    "x_events_sessionize",
+    "x_multimodal_features",
+    "x_pipeline_dsir_select",
+    "x_pipeline_encode",
+    "x_pipeline_epoch_shuffle",
+    "x_pipeline_vocab",
+    "x_salted_hotkey_collect",
+    "x_text_langid",
+    "x_text_repeated_spans",
+    "x_text_unigram_logprob",
+    "x_window_running_total",
 )
 
 

@@ -255,3 +255,100 @@ def test_io_bound_queries_corrected_by_io_canary():
     q3 = out3["queries"]["x_acid_incremental_mv"]
     assert "ratio_canary_norm" not in q3
     assert q3["status"] == "regressed"
+
+
+def test_canary_median_selection_from_samples():
+    """r15 verdict #3: with start/mid/end canary samples published, the
+    comparison uses the MEDIAN, so one sample landing in a fast (or
+    slow) throttle window cannot set the correction factor. A prior at
+    0.33 vs current samples [0.264, 0.66, 0.66]: the one-point form
+    would read 0.8x (fast box) and inflate corrections; the median says
+    2x slow."""
+    lp = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32, "canary_sec": 0.33}
+    lc = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32,
+          # scalar disagrees with the samples on purpose: samples win
+          "canary_sec": 0.264,
+          "canary_samples_sec": [0.264, 0.66, 0.66]}
+    prior = _bench({"q": 1.0}, load=lp)
+    current = _bench({"q": 2.0}, load=lc)
+    out = compare(prior, current, threshold=1.25)
+    assert out["canary_ratio"] == 2.0           # median 0.66 / 0.33
+    assert out["queries"]["q"]["status"] == "stable"  # machine, not code
+    # even-length sample list: median is the midpoint average
+    lc2 = dict(lc, canary_samples_sec=[0.33, 0.99])
+    out2 = compare(prior, _bench({"q": 2.0}, load=lc2), threshold=1.25)
+    assert out2["canary_ratio"] == 2.0          # (0.33+0.99)/2 = 0.66
+
+
+def test_high_canary_variance_is_unadjudicatable():
+    """A run whose own canary samples swing more than 1.3x has no valid
+    single correction factor: the load note must say rerun, naming the
+    side, and record the spread."""
+    lp = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32,
+          "canary_sec": 0.33, "canary_samples_sec": [0.33, 0.33, 0.34]}
+    lc = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32,
+          "canary_sec": 0.6, "canary_samples_sec": [0.48, 0.6, 1.68]}
+    note = _load_note(_bench({}, load=lp), _bench({}, load=lc))
+    assert note["verdict"].startswith("unadjudicatable-high-canary-variance")
+    assert "current" in note["verdict"]
+    assert note["current_canary_spread"] == 3.5
+    assert note["prior_canary_spread"] == round(0.34 / 0.33, 3)
+    # tight samples on both sides: no false alarm
+    note2 = _load_note(_bench({}, load=lp), _bench({}, load=dict(
+        lc, canary_samples_sec=[0.6, 0.6, 0.62])))
+    assert "unadjudicatable" not in note2["verdict"]
+
+
+def test_io_bound_classification_is_explicit_not_substring():
+    """r15 ADVICE (medium): io-bound classification must come from the
+    bench files' own canary_families field (or the pinned fallback
+    list), never a substring match — t_streaming_dml_replica has no
+    'acid' in its name but is commit-protocol-bound, and a hypothetical
+    'x_acidity_score' query must NOT be io-corrected."""
+    lp = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32,
+          "canary_sec": 0.33, "canary_io_sec": 0.015}
+    lc = {"start_1m": 0.1, "end_5m": 0.1, "cpus": 32,
+          "canary_sec": 0.66, "canary_io_sec": 0.015}
+    prior = _bench({"t_streaming_dml_replica": 10.0, "x_acidity_score": 1.0},
+                   load=lp)
+    current = _bench({"t_streaming_dml_replica": 15.0, "x_acidity_score": 2.0},
+                     load=lc)
+    # fallback list path (files without canary_families): dml_replica is
+    # io-corrected (genuine 1.5x flags on the CPU-throttled box);
+    # the 'acid' SUBSTRING query tracks the CPU canary and is acquitted
+    out = compare(prior, current, threshold=1.25)
+    q = out["queries"]
+    assert q["t_streaming_dml_replica"]["canary_family"] == "io"
+    assert q["t_streaming_dml_replica"]["status"] == "regressed"
+    assert q["x_acidity_score"]["canary_family"] == "cpu"
+    assert q["x_acidity_score"]["status"] == "stable"
+    # in-band path: canary_families overrides the fallback entirely
+    current2 = dict(current)
+    current2["canary_families"] = {"t_streaming_dml_replica": "cpu",
+                                   "x_acidity_score": "io"}
+    out2 = compare(prior, current2, threshold=1.25)
+    assert out2["queries"]["t_streaming_dml_replica"]["canary_family"] == "cpu"
+    assert out2["queries"]["x_acidity_score"]["canary_family"] == "io"
+
+
+def test_bench_families_partition_and_io_list_sync():
+    """Every benched query belongs to exactly one --families group, and
+    the io-bound name lists in bench.py and bench_compare.py (the
+    fallback for pre-r16 files) are identical."""
+    import bench as bench_mod
+    import bench_compare
+
+    from data_pipeline_kafka_ek_spark.plans import extensions  # noqa: F401
+    from data_pipeline_kafka_ek_spark.plans.catalog import bench_queries
+
+    benched = set(bench_queries())
+    for name in benched:
+        fams = [f for f, names in bench_mod.QUERY_FAMILIES.items()
+                if name in names]
+        assert len(fams) == 1, f"{name} in {fams}"
+    # family members that are not benched would silently no-op a filter
+    grouped = set().union(*bench_mod.QUERY_FAMILIES.values())
+    assert grouped == benched, grouped ^ benched
+    assert bench_mod.IO_BOUND_QUERIES == bench_compare.IO_BOUND_FALLBACK
+    # the benched io-bound queries are exactly the 'acid' A/B family
+    assert bench_mod.IO_BOUND_QUERIES & benched == bench_mod.QUERY_FAMILIES["acid"]

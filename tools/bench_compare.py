@@ -35,12 +35,52 @@ def load_bench(path_or_obj) -> dict:
     return obj
 
 
-def _is_io_bound(name: str) -> bool:
+# Fallback io-bound classification for bench files that predate the
+# in-band ``canary_families`` field (r16): EXPLICIT names, never a
+# substring heuristic — "'acid' in name" misclassified
+# t_streaming_dml_replica, an ACID feed twin (it runs TxnLogTable
+# merges per micro-batch in foreachBatch) whose cost is commit-protocol
+# scratch-fs latency. Keep in sync with bench.py's IO_BOUND_QUERIES.
+IO_BOUND_FALLBACK = frozenset({
+    "t_streaming_acid_changes",
+    "x_acid_incremental_mv",
+    "t_streaming_dml_replica",
+    "x_acid_dml_lifecycle",
+    "x_acid_merge_sql",
+    "x_acid_replica_convergence",
+    "x_acid_restore_rewind",
+    "x_acid_sized_compaction",
+    "x_acid_stats_skipping",
+    "x_acid_time_travel_diff",
+})
+
+
+def _is_io_bound(name: str, families: dict) -> bool:
     """The ACID feed twins are io-bound: their cost is commit-count ×
     scratch-filesystem latency (the create+rename loops of the commit
     protocol), which is exactly what bench.py's ``canary_io_sec``
-    measures and what the CPU canary does NOT track."""
-    return "acid" in name
+    measures and what the CPU canary does NOT track. The classification
+    is read from the bench files' own ``canary_families`` (bench.py
+    emits it per timed query); the pinned name list only covers files
+    from rounds before the field existed."""
+    fam = families.get(name)
+    if fam is not None:
+        return fam == "io"
+    return name in IO_BOUND_FALLBACK
+
+
+def _median_canary(load: dict, key: str, samples_key: str):
+    """Prefer the median over the published multi-sample list (r15
+    verdict #3: a one-point canary under-resolves intra-day throttle
+    swings); fall back to the scalar for pre-r16 files."""
+    samples = (load or {}).get(samples_key)
+    if samples:
+        vals = sorted(float(s) for s in samples)
+        return vals[len(vals) // 2] if len(vals) % 2 else (
+            (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2
+        )
+    v = (load or {}).get(key)
+    return float(v) if v else None
 
 
 def compare(prior: dict, current: dict, threshold: float) -> dict:
@@ -66,16 +106,20 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
     # window for exactly the family the io canary exists for. When an
     # io-bound query lacks io-canary telemetry on either side, it gets
     # NO correction (raw-only verdict) rather than the wrong canary.
-    cp = (prior.get("load") or {}).get("canary_sec")
-    cc = (current.get("load") or {}).get("canary_sec")
-    canary_ratio = (
-        round(float(cc) / float(cp), 3) if cp and cc else None
+    cp = _median_canary(prior.get("load"), "canary_sec", "canary_samples_sec")
+    cc = _median_canary(current.get("load"), "canary_sec", "canary_samples_sec")
+    canary_ratio = round(cc / cp, 3) if cp and cc else None
+    cip = _median_canary(
+        prior.get("load"), "canary_io_sec", "canary_io_samples_sec"
     )
-    cip = (prior.get("load") or {}).get("canary_io_sec")
-    cic = (current.get("load") or {}).get("canary_io_sec")
-    canary_io_ratio = (
-        round(float(cic) / float(cip), 3) if cip and cic else None
+    cic = _median_canary(
+        current.get("load"), "canary_io_sec", "canary_io_samples_sec"
     )
+    canary_io_ratio = round(cic / cip, 3) if cip and cic else None
+    families = {
+        **(prior.get("canary_families") or {}),
+        **(current.get("canary_families") or {}),
+    }
     deltas, regressions = {}, []
     for name in sorted(set(pq) | set(cq)):
         if name not in pq:
@@ -88,15 +132,12 @@ def compare(prior: dict, current: dict, threshold: float) -> dict:
             ratio = round(cq[name] / pq[name], 3) if pq[name] else None
             corrected = ratio
             d = {"prior": pq[name], "now": cq[name], "ratio": ratio}
-            family_ratio = (
-                canary_io_ratio if _is_io_bound(name) else canary_ratio
-            )
+            io_bound = _is_io_bound(name, families)
+            family_ratio = canary_io_ratio if io_bound else canary_ratio
             if ratio is not None and family_ratio:
                 corrected = round(ratio / family_ratio, 3)
                 d["ratio_canary_norm"] = corrected
-                d["canary_family"] = (
-                    "io" if _is_io_bound(name) else "cpu"
-                )
+                d["canary_family"] = "io" if io_bound else "cpu"
             status = (
                 "regressed"
                 if ratio is not None
@@ -194,9 +235,10 @@ def _load_note(prior: dict, current: dict) -> "dict | None":
     # throttling/steal slowing the whole machine while it reads idle.
     # A canary mismatch overrides a loadavg-comparable verdict — every
     # per-query ratio is scaled by machine speed.
-    cp, cc = lp.get("canary_sec"), lc.get("canary_sec")
+    cp = _median_canary(lp, "canary_sec", "canary_samples_sec")
+    cc = _median_canary(lc, "canary_sec", "canary_samples_sec")
     if cp and cc:
-        cr = round(float(cc) / float(cp), 3)
+        cr = round(cc / cp, 3)
         out["canary_ratio"] = cr
         if cr > 1.25 or cr < 0.8:
             slow = "current" if cr > 1 else "prior"
@@ -206,6 +248,22 @@ def _load_note(prior: dict, current: dict) -> "dict | None":
                 "machine was slower): timing ratios are environmental "
                 "until rescaled"
             )
+    # intra-run throttle swings (r15: 0.48–1.68 within one afternoon):
+    # when a run's own start/mid/end canary samples disagree by more
+    # than 1.3x, no single correction factor is valid for that run —
+    # the comparison is unadjudicatable and must be rerun, overriding
+    # every verdict above.
+    for side, entry in (("prior", lp), ("current", lc)):
+        samples = [float(s) for s in (entry.get("canary_samples_sec") or [])]
+        if samples:
+            spread = round(max(samples) / min(samples), 3)
+            out[f"{side}_canary_spread"] = spread
+            if spread > 1.3:
+                out["verdict"] = (
+                    f"unadjudicatable-high-canary-variance (the {side} "
+                    f"run's CPU canary swung x{spread} within the run): "
+                    "rerun before trusting any per-query ratio"
+                )
     # the filesystem-metadata canary sees what BOTH the above cannot:
     # scratch-FS latency (page-cache pressure, writeback stalls) that
     # dominates the ACID-table queries' commit-protocol wall time while
