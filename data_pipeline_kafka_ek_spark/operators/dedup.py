@@ -41,6 +41,7 @@ from data_pipeline_kafka_ek_spark.operators.parallelism import spread
 def global_rank(
     df: DataFrame, order_cols: "list[str]", out: str = "rank",
     n_partitions: int = 64,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Dense 1-based GLOBAL rank over ``order_cols`` without ever ranking
     the full relation in one task (the single-partition window a bare
@@ -60,7 +61,11 @@ def global_rank(
     without the cache that consistency rests on Spark's exchange-reuse
     rule (canonicalized-plan equality), which a conf flip or a future
     refactor could silently break into duplicated/missing ranks. The
-    cache makes the single evaluation structural, not incidental."""
+    cache makes the single evaluation structural, not incidental.
+
+    ``caches``: callers that materialize the result and want the
+    intermediate cache released append-collect it here (the function
+    itself must stay lazy, so it cannot unpersist its own persist)."""
     from pyspark.sql import Window
 
     cols = [F.col(c) for c in order_cols]
@@ -69,6 +74,8 @@ def global_rank(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    if caches is not None:
+        caches.append(parts)
     offsets = (
         parts.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -244,6 +251,8 @@ def jaccard_pairs(
     prefix_filter: bool = True,
     ngram: int = 1,
     sets: "DataFrame | None" = None,
+    isets: "DataFrame | None" = None,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """All pairs with token-set Jaccard >= threshold (``ngram > 1``:
     Jaccard over distinct word n-gram/shingle sets).
@@ -272,11 +281,17 @@ def jaccard_pairs(
     # per query instead of three times (MEMORY_AND_DISK default — at
     # 100 TB the sets spill to executor-local disk, which is still far
     # cheaper than re-tokenizing the corpus per consumer). A caller that
-    # already built (and persisted) the same relation — the SNM recall
-    # monitor runs two dedup paths over one corpus — passes it via
-    # ``sets`` instead of tokenizing and dictionary-encoding twice.
+    # already built (and persisted) the same relations — the SNM recall
+    # monitor runs two dedup paths over one corpus — passes them via
+    # ``sets`` (tokenize) and ``isets`` (the salted dictionary-encode of
+    # ``_int_token_sets``) instead of building and caching either twice
+    # (r15 ADVICE: sharing only ``sets`` still ran the vocab-rank join
+    # once per path). ``caches`` collects this function's own persists
+    # for callers that materialize the result and release them.
     if sets is None:
         sets = _token_sets(docs, id_col, text_col, ngram).persist()
+        if caches is not None:
+            caches.append(sets)
     posts = sets.select(
         "doc_id", F.size("toks").alias("__n"), F.explode("toks").alias("tok")
     )
@@ -319,7 +334,10 @@ def jaccard_pairs(
     # candidate dedup is another CPU-dense slim-row stage: pin its exchange
     # (repartition-by-num satisfies dropDuplicates' clustering; AQE keeps it)
     cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
-    isets = _int_token_sets(sets).persist()
+    if isets is None:
+        isets = _int_token_sets(sets).persist()
+        if caches is not None:
+            caches.append(isets)
     sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     # |A∪B| = |A| + |B| - |A∩B| on distinct sets: one hash-set pass per
@@ -349,6 +367,8 @@ def sorted_neighborhood_pairs(
     key_mode: str = "minhash",
     key_prefix: int = 40,
     sets: "DataFrame | None" = None,
+    isets: "DataFrame | None" = None,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Sorted-neighborhood (SNM) near-duplicate detection — the classic
     record-linkage candidate generation (Hernández/Stolfo) the dedup
@@ -383,9 +403,14 @@ def sorted_neighborhood_pairs(
     previous block — exact); the verify stage is the same dense-int
     set intersection as :func:`jaccard_pairs`. One range exchange + one
     slim block join, no token posting lists at all.
+
+    ``sets``/``isets``/``caches``: see :func:`jaccard_pairs` — shared
+    prebuilt token relations in, this function's own persists out.
     """
     if sets is None:
         sets = _token_sets(docs, id_col, text_col, ngram).persist()
+        if caches is not None:
+            caches.append(sets)
     if key_mode == "minhash":
         keyed = sets.select(
             "doc_id",
@@ -408,10 +433,12 @@ def sorted_neighborhood_pairs(
     # self-join — without the cache the window sort + offset join over
     # the full relation executes once per branch
     ranked = (
-        global_rank(keyed, ["__k", "doc_id"])
+        global_rank(keyed, ["__k", "doc_id"], caches=caches)
         .select("doc_id", "rank")
         .persist()
     )
+    if caches is not None:
+        caches.append(ranked)
     blk = F.floor((F.col("rank") - 1) / F.lit(window))
     a = ranked.select(
         F.col("doc_id").alias("doc_a"),
@@ -431,7 +458,10 @@ def sorted_neighborhood_pairs(
         )
         .select("doc_a", "doc_b")
     )
-    isets = _int_token_sets(sets).persist()
+    if isets is None:
+        isets = _int_token_sets(sets).persist()
+        if caches is not None:
+            caches.append(isets)
     sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))

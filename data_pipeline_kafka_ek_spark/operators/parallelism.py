@@ -88,7 +88,26 @@ def _has_exchange_bearing_node(df: DataFrame) -> bool:
                 stack.append(children.apply(i))
         return False
     except Exception:
+        # A systematic walk failure (Spark Connect session, py4j API
+        # drift) would silently turn spread_if_narrow into a permanent
+        # no-op — make that visible once per process instead of never
+        # (r15 ADVICE). Still answer True: pass-through stays the
+        # conservative direction.
+        global _WALK_FAILURE_WARNED
+        if not _WALK_FAILURE_WARNED:
+            _WALK_FAILURE_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "JVM logical-plan walk failed; spread_if_narrow is "
+                "passing frames through unspread (narrow scans may run "
+                "serial). This warning prints once per process.",
+                exc_info=True,
+            )
         return True
+
+
+_WALK_FAILURE_WARNED = False
 
 
 def spread_if_narrow(df: DataFrame) -> DataFrame:

@@ -8047,17 +8047,25 @@ def x_dedup_snm_recall(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    # one tokenize + dictionary-encode for BOTH dedup paths (they share
-    # the corpus and the token unit)
+    # one tokenize AND one dictionary-encode for BOTH dedup paths (they
+    # share the corpus and the token unit; r15 ADVICE — sharing only
+    # ``sets`` still ran the salted vocab-rank encode once per path),
+    # with every intermediate persist collected for release below
+    caches: list = []
     shared_sets = dedup._token_sets(docs, "doc_id", "text", 1).persist()
+    shared_isets = dedup._int_token_sets(shared_sets).persist()
+    caches += [shared_sets, shared_isets]
     full = (
-        dedup.jaccard_pairs(docs, threshold=0.8, sets=shared_sets)
+        dedup.jaccard_pairs(
+            docs, threshold=0.8, sets=shared_sets, isets=shared_isets
+        )
         .select("doc_a", "doc_b")
         .persist()
     )
     snm = (
         dedup.sorted_neighborhood_pairs(
-            docs, window=10, threshold=0.8, sets=shared_sets
+            docs, window=10, threshold=0.8,
+            sets=shared_sets, isets=shared_isets, caches=caches,
         )
         .select(
             F.least("doc_a", "doc_b").alias("doc_a"),
@@ -8065,6 +8073,7 @@ def x_dedup_snm_recall(spark, sf_dir):
         )
         .persist()
     )
+    caches += [full, snm]
     hit = snm.join(full, ["doc_a", "doc_b"], "left_semi")
     fdup = connected_components(full).filter(
         F.col("component") != F.col("node")
@@ -8072,30 +8081,27 @@ def x_dedup_snm_recall(spark, sf_dir):
     sdup = connected_components(snm).filter(
         F.col("component") != F.col("node")
     ).select("node").persist()
+    caches += [fdup, sdup]
     dup_inter = sdup.join(fdup, "node", "left_semi")
-    return (
-        full.agg(F.count(F.lit(1)).cast("long").alias("n_full"))
-        .crossJoin(snm.agg(F.count(F.lit(1)).cast("long").alias("n_snm")))
-        .crossJoin(hit.agg(F.count(F.lit(1)).alias("__n_hit")))
-        .crossJoin(fdup.agg(F.count(F.lit(1)).alias("__n_fdup")))
-        .crossJoin(sdup.agg(F.count(F.lit(1)).alias("__n_sdup")))
-        .crossJoin(dup_inter.agg(F.count(F.lit(1)).alias("__n_dinter")))
-        .select(
-            "n_full",
-            "n_snm",
-            F.round(
-                F.col("__n_hit") / F.greatest(F.col("n_full"), F.lit(1)),
-                4,
-            ).alias("pair_recall"),
-            F.round(
-                F.col("__n_dinter")
-                / F.greatest(
-                    F.col("__n_fdup")
-                    + F.col("__n_sdup")
-                    - F.col("__n_dinter"),
-                    F.lit(1),
-                ),
-                4,
-            ).alias("dup_set_agreement"),
-        )
+    # materialize the six scalar counts NOW, then release every cached
+    # relation (r15 ADVICE: one monitor run pinned ~8 relations —
+    # including two full token-set encodes — in executor memory for the
+    # session lifetime). The result is rebuilt from the counted
+    # literals with the SAME Spark-side round() the lazy form used, so
+    # the oracle hash is unchanged.
+    n_full, n_snm, n_hit = full.count(), snm.count(), hit.count()
+    n_fdup, n_sdup, n_dinter = fdup.count(), sdup.count(), dup_inter.count()
+    for c in caches:
+        c.unpersist()
+    return spark.range(1).select(
+        F.lit(n_full).cast("long").alias("n_full"),
+        F.lit(n_snm).cast("long").alias("n_snm"),
+        F.round(
+            F.lit(n_hit) / F.greatest(F.lit(n_full), F.lit(1)), 4
+        ).alias("pair_recall"),
+        F.round(
+            F.lit(n_dinter)
+            / F.greatest(F.lit(n_fdup + n_sdup - n_dinter), F.lit(1)),
+            4,
+        ).alias("dup_set_agreement"),
     )

@@ -1804,3 +1804,22 @@ def test_containment_keep_repoints_duplicates_of_contained_min(spark):
     keep = {d for d, (_, s) in got.items()
             if s not in ("duplicate", "contained")}
     assert keep == {12}
+
+
+def test_snm_recall_monitor_releases_caches(spark, sf_dir):
+    """r15 ADVICE: one recall-monitor run pinned ~8 cached relations
+    (two full token-set encodes among them) for the session lifetime.
+    The query now materializes its six scalar counts eagerly and
+    unpersists every intermediate — Spark's CacheManager (which tracks
+    exactly the DataFrame persist() entries; localCheckpoint RDDs are
+    ContextCleaner-owned and excluded by design) must be empty after —
+    and shares ONE _int_token_sets encode across both dedup paths via
+    the isets parameter."""
+    import __spark_entry__ as em
+
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty()
+    out = em.queries()["x_dedup_snm_recall"](spark, sf_dir).collect()
+    assert len(out) == 1 and out[0].n_full >= out[0].n_snm
+    assert cache_mgr.isEmpty()
