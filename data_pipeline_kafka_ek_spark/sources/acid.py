@@ -254,6 +254,124 @@ def _canon_uri(p: str) -> str:
     return _canon(unquote(p))
 
 
+# rows buffered per parquet row group in the fused writer: large enough
+# that row-group min/max stats stay useful and dictionary pages amortize,
+# small enough that one buffered group never strains executor memory
+_FUSED_ROWGROUP_ROWS = 131_072
+
+
+def _fused_write_partitions(
+    clustered: DataFrame, commit_dir: str, key: str, skip_cols: "list[str]"
+) -> "list[dict]":
+    """The single write+stats job behind ``_write_data_files``: stream
+    every partition's Arrow batches into one parquet file while folding
+    the file's stats, and return the per-file stat records as the job
+    output. Uses ``pyarrow.fs.FileSystem.from_uri`` inside the task so
+    the same code path writes file:/, hdfs:/ or s3:/ commit dirs."""
+    import pyarrow as pa
+
+    def _write_one_partition(batches):
+        import json as _json
+        import uuid as _uuid
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+        from pyarrow import fs as _pafs
+        from pyspark import TaskContext
+
+        fsys, root = _pafs.FileSystem.from_uri(commit_dir)
+        writer = None
+        tmp = final = None
+        buf: list = []
+        buffered = 0
+        rows = 0
+        null_keys = 0
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {c: 0 for c in skip_cols}
+        key_lo = key_hi = None
+
+        def _fold(tbl: "_pa.Table") -> None:
+            nonlocal rows, null_keys, key_lo, key_hi
+            rows += tbl.num_rows
+            kc = tbl.column(key)
+            null_keys += kc.null_count
+            if kc.null_count < len(kc):
+                mm = _pc.min_max(kc)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                key_lo = lo if key_lo is None else min(key_lo, lo)
+                key_hi = hi if key_hi is None else max(key_hi, hi)
+            for c in skip_cols:
+                col = tbl.column(c)
+                nulls[c] += col.null_count
+                if col.null_count < len(col):
+                    mm = _pc.min_max(col)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    mins[c] = lo if c not in mins else min(mins[c], lo)
+                    maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+
+        def _flush() -> None:
+            nonlocal buf, buffered
+            if not buf:
+                return
+            tbl = _pa.Table.from_batches(buf)
+            writer.write_table(tbl)
+            _fold(tbl)
+            buf, buffered = [], 0
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                pid = TaskContext.get().partitionId()
+                final = f"{root}/part-{pid:05d}.parquet"
+                tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
+                writer = _pq.ParquetWriter(tmp, batch.schema, filesystem=fsys)
+            buf.append(batch)
+            buffered += batch.num_rows
+            if buffered >= _FUSED_ROWGROUP_ROWS:
+                _flush()
+        if writer is None:
+            return  # empty partition: no file, no stats row
+        _flush()
+        writer.close()
+        # atomic publish of the completed file (rename on local/HDFS);
+        # the deterministic final name makes task retries last-wins
+        fsys.move(tmp, final)
+        size = fsys.get_file_info(final).size
+        record = {
+            "path": final,
+            "min_key": key_lo,
+            "max_key": key_hi,
+            "rows": rows,
+            "null_keys": null_keys,
+            "bytes": int(size),
+            "stats": {
+                c: {
+                    # the <=64-char string rule (see caller docstring):
+                    # a long extreme records None, never a truncation
+                    "min": None
+                    if isinstance(mins.get(c), str) and len(mins[c]) > 64
+                    else mins.get(c),
+                    "max": None
+                    if isinstance(maxs.get(c), str) and len(maxs[c]) > 64
+                    else maxs.get(c),
+                    "nulls": int(nulls[c]),
+                }
+                for c in skip_cols
+            },
+        }
+        yield _pa.RecordBatch.from_arrays(
+            [_pa.array([_json.dumps(record)])], names=["stats"]
+        )
+
+    out = clustered.mapInArrow(_write_one_partition, "stats string").collect()
+    import json
+
+    return [json.loads(r["stats"]) for r in out]
+
+
 class TxnLogTable:
     """Delta-style ACID table over parquet + an ordered JSON commit log."""
 
@@ -614,10 +732,31 @@ class TxnLogTable:
         """Write ``df`` key-range clustered into a fresh immutable commit
         directory; return add actions carrying per-file [min,max] key
         stats (what MERGE prunes on) plus the file's on-disk ``bytes``
-        (what size-targeted compaction bins on). Stats come from ONE job
-        grouped by ``input_file_name()`` over the commit directory —
-        O(1) jobs per commit, not one scan per file; byte sizes come
-        from one driver-side directory listing of the same commit dir.
+        (what size-targeted compaction bins on).
+
+        ONE PASS, ONE JOB (r15 verdict #4): the write and the stats are
+        the SAME job — ``mapInArrow`` streams each range partition
+        through a pyarrow ``ParquetWriter`` (one file per non-empty
+        partition, named by partition id) while folding min/max/null
+        counts over the Arrow batches it writes, and the job's OUTPUT is
+        the per-file stats row. The previous shape wrote via Spark's
+        writer and then re-read the whole commit directory in a second
+        job grouped by ``input_file_name()`` — the data crossed the
+        scratch filesystem twice per commit, which the io canary showed
+        dominating the commit-COUNT-bound feed benchmarks. This is the
+        same design point as Delta's writer-side stats collection:
+        statistics are a byproduct of the write, never a rescan.
+
+        Task-retry safety: the final file name is a pure function of the
+        partition id inside a fresh-UUID commit dir; each attempt writes
+        an attempt-unique temp file and moves it into place (atomic
+        rename on local/HDFS — on object stores the move is copy+delete,
+        acceptable because the dir is unreferenced until the commit
+        publishes and partition contents are deterministic). Spark
+        surfaces only the committed attempt's output rows, so stats are
+        never duplicated. Empty partitions write nothing and yield
+        nothing — exactly the files a snapshot should not reference.
+
         ``cluster_expr`` overrides the default key-range clustering
         (used by Z-order optimize); files are additionally sorted within
         partitions on the cluster expression so parquet row-group
@@ -635,78 +774,37 @@ class TxnLogTable:
         clustered = clustered.drop(
             *[c for c in clustered.columns if c.startswith("__zorder_")]
         )
-        clustered.write.mode("overwrite").parquet(commit_dir)
         # per-column data-skipping stats (Delta's dataSkipping rule):
         # min/max/null-count for the first STATS_COLUMNS leaf columns of
-        # integral/floating/string type, folded into the SAME single
-        # grouped job as the merge-key range stats. Strings are recorded
-        # only when both extremes are short (<= 64 chars) — a truncated
-        # max understates the file's upper bound and would prune files
-        # that DO match, so long-string columns record None (= never
-        # pruned on) instead of lying. JSON-storable by construction.
-        skip_aggs = []
-        skip_cols = []
-        for fld in clustered.schema.fields[: self.STATS_COLUMNS]:
-            base = fld.dataType.simpleString().split("(")[0]
-            c = fld.name
-            if base in ("tinyint", "smallint", "int", "bigint",
-                        "float", "double"):
-                mn, mx = F.min(c), F.max(c)
-            elif base == "string":
-                mn = F.when(F.length(F.min(c)) <= 64, F.min(c))
-                mx = F.when(F.length(F.max(c)) <= 64, F.max(c))
-            else:
-                continue
-            skip_cols.append(c)
-            skip_aggs += [
-                mn.alias(f"__mn__{c}"),
-                mx.alias(f"__mx__{c}"),
-                F.sum(F.col(c).isNull().cast("long")).alias(f"__nu__{c}"),
-            ]
-        stats = (
-            # schema passed explicitly: skips the footer-inference job
-            self.spark.read.schema(clustered.schema).parquet(commit_dir)
-            .groupBy(F.input_file_name().alias("path"))
-            .agg(
-                F.min(self.key).alias("lo"),
-                F.max(self.key).alias("hi"),
-                F.count(F.lit(1)).alias("n"),
-                # min/max skip NULL keys, so NULL-key presence is its own
-                # stat: a file of only-NULL keys has lo=hi=None and would
-                # otherwise be unprunable/uncomparable
-                F.sum(F.col(self.key).isNull().cast("long")).alias("nk"),
-                *skip_aggs,
-            )
-            .collect()
-        )
-        # one listing of the commit dir: per-file byte sizes for the add
-        # actions (size-targeted compaction's binning input)
+        # integral/floating/string type. Strings are recorded only when
+        # both extremes are short (<= 64 chars) — a truncated max
+        # understates the file's upper bound and would prune files that
+        # DO match, so long-string columns record None (= never pruned
+        # on) instead of lying. JSON-storable by construction.
+        skip_cols = [
+            fld.name
+            for fld in clustered.schema.fields[: self.STATS_COLUMNS]
+            if fld.dataType.simpleString().split("(")[0]
+            in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                "string")
+        ]
         fs, jdir = self._fs(commit_dir)
-        sizes = {
-            _canon_uri(st.getPath().toString()): int(st.getLen())
-            for st in fs.listStatus(jdir)
-            if st.getPath().getName().endswith(".parquet")
-        }
-        # empty output files never appear in the group-by: exactly the
-        # files a snapshot should not reference
+        fs.mkdirs(jdir)
+        key = self.key
+        records = _fused_write_partitions(
+            clustered, commit_dir, key, skip_cols
+        )
         return [
             {
                 "path": _canon_uri(r["path"]),
-                "min_key": r["lo"],
-                "max_key": r["hi"],
-                "rows": r["n"],
-                "null_keys": r["nk"],
-                "bytes": sizes.get(_canon_uri(r["path"])),
-                "stats": {
-                    c: {
-                        "min": r[f"__mn__{c}"],
-                        "max": r[f"__mx__{c}"],
-                        "nulls": int(r[f"__nu__{c}"] or 0),
-                    }
-                    for c in skip_cols
-                },
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+                "rows": r["rows"],
+                "null_keys": r["null_keys"],
+                "bytes": r["bytes"],
+                "stats": r["stats"],
             }
-            for r in sorted(stats, key=lambda r: r["path"])
+            for r in sorted(records, key=lambda r: r["path"])
         ]
 
     def _widened_schema_json(

@@ -472,9 +472,12 @@ def test_txn_seen_reads_checkpoint_plus_tail_only(spark, tmp_path):
 
 
 def test_write_data_files_single_stats_job(spark, tmp_path):
-    """Per-commit file stats must come from ONE job over the commit
-    directory (grouped by input_file_name), not one scan per file: with 8
-    files the old shape was 1 write + 8 stat jobs."""
+    """Data files AND their stats must come from ONE fused pass (r15
+    verdict #4: mapInArrow writes each partition's file while folding
+    its stats, and the job output IS the stats) — the previous shape
+    re-read the whole commit directory in a second job, crossing the
+    scratch filesystem twice per commit. Job budget: the range
+    sampling job + the single write+stats job."""
     t = _table(spark, tmp_path, files_per_commit=8)
     df = spark.createDataFrame(
         [(k, 1, f"v{k}") for k in range(400)], "k long, seq long, v string"
@@ -486,10 +489,7 @@ def test_write_data_files_single_stats_job(spark, tmp_path):
     finally:
         sc.setJobGroup("acid-stats-probe-done", "")
     jobs = sc.statusTracker().getJobIdsForGroup("acid-stats-probe")
-    # repartitionByRange samples + write + one stats pass (AQE may split
-    # the agg into a couple of jobs); the old per-file loop added 2 jobs
-    # PER FILE (schema inference + agg), i.e. 16+ here
-    assert len(jobs) <= 6, jobs
+    assert len(jobs) <= 3, jobs
     assert len(adds) >= 6
     assert sum(a["rows"] for a in adds) == 400
     for a in adds:
