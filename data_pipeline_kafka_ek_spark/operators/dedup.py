@@ -411,6 +411,41 @@ def sorted_neighborhood_pairs(
         sets = _token_sets(docs, id_col, text_col, ngram).persist()
         if caches is not None:
             caches.append(sets)
+    cand = _snm_candidates(
+        docs, sets, window, key_mode, key_prefix, id_col, text_col, caches
+    )
+    if isets is None:
+        isets = _int_token_sets(sets).persist()
+        if caches is not None:
+            caches.append(isets)
+    sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
+    return (
+        spread(cand, "doc_a")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_sim", jac)
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+def _snm_candidates(
+    docs: DataFrame,
+    sets: DataFrame,
+    window: int,
+    key_mode: str,
+    key_prefix: int,
+    id_col: str,
+    text_col: str,
+    caches: "list[DataFrame] | None",
+) -> DataFrame:
+    """One SNM pass's candidate pairs (``doc_a`` = the lower-ranked doc):
+    blocking key per ``key_mode``, distributed global rank, 2-adjacent-
+    blocks equi-join. Split out so multi-pass SNM can union candidates
+    from several keys and pay the verify stage once."""
     if key_mode == "minhash":
         keyed = sets.select(
             "doc_id",
@@ -450,7 +485,7 @@ def sorted_neighborhood_pairs(
         F.col("rank").alias("__rb"),
         F.explode(F.array(blk, blk - 1)).alias("__blk"),
     )
-    cand = (
+    return (
         a.join(b, "__blk")
         .filter(
             (F.col("__rb") > F.col("__ra"))
@@ -458,6 +493,46 @@ def sorted_neighborhood_pairs(
         )
         .select("doc_a", "doc_b")
     )
+
+
+def sorted_neighborhood_pairs_multi(
+    docs: DataFrame,
+    window: int = 10,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+    key_modes: "tuple[str, ...]" = ("minhash", "prefix"),
+    key_prefix: int = 40,
+    sets: "DataFrame | None" = None,
+    isets: "DataFrame | None" = None,
+    caches: "list[DataFrame] | None" = None,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood: the standard mitigation for SNM's
+    single-key recall loss (Hernández/Stolfo's own prescription, quoted
+    in :func:`sorted_neighborhood_pairs` — near-dups whose ONE blocking
+    key sorts them far apart are found by a second pass under a
+    different key). Runs one rank+block candidate pass per entry of
+    ``key_modes``, unions the candidate pairs in canonical (lower id,
+    higher id) orientation, and pays the exact-Jaccard verify stage
+    ONCE over the deduplicated union — candidates are
+    O(n * window * len(key_modes)), still independent of token
+    statistics. Returns ``(doc_a, doc_b, jaccard_sim)`` with
+    ``doc_a < doc_b``."""
+    if sets is None:
+        sets = _token_sets(docs, id_col, text_col, ngram).persist()
+        if caches is not None:
+            caches.append(sets)
+    cand = None
+    for mode in key_modes:
+        c = _snm_candidates(
+            docs, sets, window, mode, key_prefix, id_col, text_col, caches
+        ).select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
     if isets is None:
         isets = _int_token_sets(sets).persist()
         if caches is not None:

@@ -428,11 +428,13 @@ def ivf_centroids_lloyd(
     vec_col: str = "embedding",
     round_dp: int = 6,
     max_cells: int = 1024,
+    oversample: int = 5,
 ) -> list[list[float]]:
     """Train the IVF coarse quantizer: DETERMINISTIC spherical k-means —
-    maximin (farthest-first) seeding from the lowest-id vector, then
-    ``n_iter`` fixed Lloyd iterations over the L2-normalized corpus, with
-    centroids rounded to ``round_dp`` decimals after every step.
+    oversampled-pool maximin (farthest-first) seeding from the lowest-id
+    vector, then ``n_iter`` fixed Lloyd iterations over the
+    L2-normalized corpus, with centroids rounded to ``round_dp``
+    decimals after every step.
 
     Determinism is the point: the same algorithm is replayable as plain
     SQL (unrolled CTEs — see plans/extensions.py::_lloyd_centroids_cte),
@@ -443,30 +445,35 @@ def ivf_centroids_lloyd(
     replacement when cross-engine determinism is not required; every other
     part of the IVF plumbing is unchanged either way.
 
-    Scale shape: seeding is ``n_cells`` scans with a running
-    best-similarity column (cached normalized corpus); each Lloyd
-    iteration is one assignment scan against broadcast centroid literals
-    plus one (cell, dim)-keyed partial-aggregated shuffle; only
-    ``n_cells x dim`` floats ever reach the driver. At 100 TB you train on
-    a bounded ``.sample()`` of the corpus — exactly how production IVF
-    quantizers are trained — and the same jobs run on the sample.
+    Scale shape: seeding is O(1) JOBS regardless of ``n_cells`` (the
+    k-means||-style shape, Bahmani et al., VLDB 2012): ONE distributed
+    job collects a deterministic oversampled candidate pool — the
+    ``oversample * n_cells`` vectors with the lowest ``md5(vec_id)``, a
+    seeded pseudo-random draw both engines can replay — and the
+    farthest-first maximin refinement then runs DRIVER-SIDE over that
+    pool (n_cells x pool_size float ops on ~n_cells*oversample*dim
+    floats). The r15 shape was one full-corpus argmin scan PER SEED —
+    the classic k-means-init scale trap: n_cells=1024 meant 1023
+    sequential corpus scans. Each Lloyd iteration is one assignment
+    scan against broadcast centroid literals plus one (cell, dim)-keyed
+    partial-aggregated shuffle; only ``n_cells x dim`` floats ever
+    reach the driver. At 100 TB you train on a bounded ``.sample()`` of
+    the corpus — exactly how production IVF quantizers are trained —
+    and the same jobs run on the sample.
 
-    COST CONTRACT: maximin seeding is SEQUENTIAL by definition — seed k
-    depends on seeds 1..k-1, so it is one Spark job (a 1-row argmin
-    collect over the cached corpus) per cell. ``max_cells`` (default
-    1024) is the hard ceiling; a caller wanting 10^4+ cells must raise
-    it deliberately AND train on a sample sized so n_cells scans of it
-    are acceptable — or seed differently (ivf_topk's lowest-id pivots
-    are one job total) and accept looser cluster coverage.
+    ``max_cells`` bounds the driver-side refinement (pool_size *
+    n_cells similarity evaluations) and the centroid-literal width of
+    the Lloyd scans, not a per-seed job count anymore.
     """
     import math
 
     if n_cells > max_cells:
         raise ValueError(
-            f"n_cells={n_cells} exceeds max_cells={max_cells}: maximin "
-            "seeding is one Spark job per cell (sequential by "
-            "definition) — raise max_cells deliberately and train on a "
-            "sample, or use the one-job lowest-id pivot seeding"
+            f"n_cells={n_cells} exceeds max_cells={max_cells}: the "
+            "driver-side maximin refinement is O(oversample * n_cells^2) "
+            "similarity evaluations and the Lloyd scans carry "
+            "n_cells x dim centroid literals — raise max_cells "
+            "deliberately and train on a sample"
         )
     nv = normalize_embeddings(corpus, vec_col, "__u").select(
         F.col(id_col).alias("__vid"), F.col("__u").alias("__u")
@@ -476,32 +483,53 @@ def ivf_centroids_lloyd(
         def unit_lit(vals: list[float]):
             return F.array(*[F.lit(v) for v in vals])
 
-        def cos_to(lit_arr) -> "F.Column":
-            u = F.col("__u")
-            return _cosine(lit_arr, u)
-
         def rounded(vals) -> list[float]:
             return [round(float(x), round_dp) for x in vals]
 
-        # --- maximin seeding: seed 0 = lowest-id vector; each next seed is
-        # the vector LEAST similar to its nearest chosen seed (ties: lowest
-        # id) — covers well-separated clusters one seed each, which plain
-        # lowest-id seeding does not
+        # --- oversampled maximin seeding: seed 0 = lowest-id vector;
+        # each next seed is the POOL vector least similar to its nearest
+        # chosen seed (ties: lowest id) — covers well-separated clusters
+        # one seed each, which plain lowest-id seeding does not. The
+        # pool (one job: the oversample*n_cells lowest-md5(vec_id)
+        # vectors — a deterministic pseudo-random draw DuckDB replays
+        # with the same expression) stands in for the full corpus the
+        # way k-means||'s oversampled pass does; the sequential
+        # farthest-first refinement then costs zero Spark jobs.
         seed_rows = nv.orderBy("__vid").limit(1).collect()
         if not seed_rows:
             raise ValueError("cannot train a quantizer on an empty corpus")
         first = seed_rows[0]
         cents: list[list[float]] = [rounded(first["__u"])]
-        best = cos_to(unit_lit(cents[0]))
+
+        def cos_py(a: "list[float]", b: "list[float]") -> float:
+            # mirrors _cosine / DuckDB list_dot_product bit-for-bit:
+            # left-to-right folds from 0.0, zero-norm guarded to 0.0
+            num = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(a, b):
+                num = num + x * y
+                na = na + x * x
+                nb = nb + y * y
+            den = math.sqrt(na) * math.sqrt(nb)
+            return num / den if den != 0.0 else 0.0
+
+        pool_rows = (
+            nv.orderBy(F.md5(F.col("__vid").cast("string")), "__vid")
+            .limit(oversample * n_cells)
+            .collect()
+        )
+        pool = [(r["__vid"], list(r["__u"])) for r in pool_rows]
+        best_py = {vid: cos_py(u, cents[0]) for vid, u in pool}
         for _ in range(1, n_cells):
-            pick = (
-                nv.select("__vid", "__u", best.alias("__best"))
-                .orderBy(F.asc("__best"), F.asc("__vid"))
-                .limit(1)
-                .collect()[0]
+            pick_vid, pick_u = min(
+                pool, key=lambda t: (best_py[t[0]], t[0])
             )
-            cents.append(rounded(pick["__u"]))
-            best = F.greatest(best, cos_to(unit_lit(cents[-1])))
+            cents.append(rounded(pick_u))
+            for vid, u in pool:
+                s = cos_py(u, cents[-1])
+                if s > best_py[vid]:
+                    best_py[vid] = s
 
         # --- fixed Lloyd iterations: assign to max-cosine centroid (ties:
         # lowest cell), recompute centroids as the normalized mean
@@ -678,6 +706,26 @@ def _l2(a, b):
     )
 
 
+class _NegOrd:
+    """Order-reversing wrapper: ``max(key=lambda t: (score, _NegOrd(id)))``
+    breaks score ties by the SMALLEST id — the engines' deterministic
+    ``ORDER BY best DESC, vec_id ASC`` pick, replayed driver-side."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __gt__(self, other):
+        return other.v > self.v
+
+
 def pq_codebooks_trained(
     corpus: DataFrame,
     m: int = 4,
@@ -687,23 +735,30 @@ def pq_codebooks_trained(
     dim: int = 64,
     n_iter: int = 2,
     round_dp: int = 6,
+    oversample: int = 5,
 ) -> list[list[list[float]]]:
     """TRAINED product-quantization codebooks: deterministic per-subspace
-    L2 k-means — maximin seeding from the lowest-id vector's subvectors,
-    then ``n_iter`` fixed Lloyd iterations with plain (unnormalized) means,
-    every codeword rounded to ``round_dp`` decimals after every step so
-    both engines stay bit-aligned. The same trainer recipe as
-    ``ivf_centroids_lloyd`` (cosine there, L2 here — PQ's encode metric),
-    so the DuckDB oracle can replay seeding + training as unrolled CTEs.
+    L2 k-means — oversampled-pool maximin seeding from the lowest-id
+    vector's subvectors, then ``n_iter`` fixed Lloyd iterations with
+    plain (unnormalized) means, every codeword rounded to ``round_dp``
+    decimals after every step so both engines stay bit-aligned. The same
+    trainer recipe as ``ivf_centroids_lloyd`` (cosine there, L2 here —
+    PQ's encode metric), so the DuckDB oracle can replay seeding +
+    training as unrolled CTEs.
 
-    Scale shape: all ``m`` subspaces train IN THE SAME JOBS on a long-form
-    ``(vec_id, subspace, subvector)`` relation — seeding is ``k_sub``
-    scans each collecting one row PER SUBSPACE (not per subspace x seed),
-    and each Lloyd iteration is one assignment scan against broadcast
-    codeword literals plus one (subspace, code, dim)-keyed partial-agg
-    shuffle; only ``m x k_sub x dim/m`` floats reach the driver. At
-    100 TB, train on a bounded ``.sample()`` — standard quantizer
-    practice — and keep this out of any per-query path (it is).
+    Scale shape: all ``m`` subspaces train IN THE SAME JOBS on a
+    long-form ``(vec_id, subspace, subvector)`` relation, and seeding is
+    O(1) jobs regardless of ``k_sub`` (the k-means||-style shape): ONE
+    job collects the subvectors of the ``oversample * k_sub``
+    lowest-md5(vec_id) vectors (a deterministic pseudo-random draw both
+    engines replay), and the per-subspace farthest-first refinement
+    runs driver-side over that pool — the r15 shape was one scan per
+    seed step. Each Lloyd iteration is one assignment scan against
+    broadcast codeword literals plus one (subspace, code, dim)-keyed
+    partial-agg shuffle; only ``m x k_sub x dim/m`` floats reach the
+    driver. At 100 TB, train on a bounded ``.sample()`` — standard
+    quantizer practice — and keep this out of any per-query path (it
+    is).
     """
     d = dim // m
     subs = (
@@ -731,12 +786,6 @@ def pq_codebooks_trained(
         def lit_vec(vals: list[float]):
             return F.array(*[F.lit(v) for v in vals])
 
-        def per_sid_lit(vecs: list[list[float]]):
-            # one literal per subspace, selected by the row's __sid
-            return F.element_at(
-                F.array(*[lit_vec(v) for v in vecs]), F.col("__sid") + 1
-            )
-
         w0 = Window.partitionBy("__sid").orderBy(F.asc("__vid"))
         first = (
             subs.withColumn("__rn", F.row_number().over(w0))
@@ -748,27 +797,54 @@ def pq_codebooks_trained(
         cents: list[list[list[float]]] = [None] * m  # type: ignore[list-item]
         for r in first:
             cents[int(r["__sid"])] = [rounded(r["__su"])]
-        best = _l2(F.col("__su"), per_sid_lit([c[0] for c in cents]))
 
-        # maximin: next seed per subspace = subvector FARTHEST from its
-        # nearest chosen seed (ties: lowest id) — one scan per seed step,
-        # all subspaces picked in the same job
-        wp = Window.partitionBy("__sid").orderBy(
-            F.desc("__best"), F.asc("__vid")
+        # oversampled maximin: next seed per subspace = POOL subvector
+        # FARTHEST from its nearest chosen seed (ties: lowest id). The
+        # pool is ONE job — the subvectors of the oversample*k_sub
+        # lowest-md5(vec_id) vectors (deterministic, oracle-replayable);
+        # the farthest-first refinement is then driver-side per
+        # subspace, zero further jobs (the r15 shape was one scan per
+        # seed step).
+        import math as _math
+
+        def l2_py(a: "list[float]", b: "list[float]") -> float:
+            # mirrors _l2 / DuckDB list_distance bit-for-bit:
+            # left-to-right fold of squared diffs from 0.0, one sqrt
+            s = 0.0
+            for x, y in zip(a, b):
+                d_ = x - y
+                s = s + d_ * d_
+            return _math.sqrt(s)
+
+        pool_ids = (
+            subs.select("__vid")
+            .distinct()
+            .orderBy(F.md5(F.col("__vid").cast("string")), "__vid")
+            .limit(oversample * k_sub)
         )
-        for j in range(1, k_sub):
-            picks = (
-                subs.select("__sid", "__vid", "__su", best.alias("__best"))
-                .withColumn("__rn", F.row_number().over(wp))
-                .filter(F.col("__rn") == 1)
-                .select("__sid", "__su")
-                .collect()
-            )
-            for r in picks:
-                cents[int(r["__sid"])].append(rounded(r["__su"]))
-            best = F.least(
-                best, _l2(F.col("__su"), per_sid_lit([c[j] for c in cents]))
-            )
+        pool_rows = (
+            subs.join(F.broadcast(pool_ids), "__vid")
+            .select("__vid", "__sid", "__su")
+            .collect()
+        )
+        pools: dict[int, list[tuple]] = {sid: [] for sid in range(m)}
+        for r in pool_rows:
+            pools[int(r["__sid"])].append((r["__vid"], list(r["__su"])))
+        best_py = {
+            sid: {vid: l2_py(su, cents[sid][0]) for vid, su in pools[sid]}
+            for sid in range(m)
+        }
+        for _ in range(1, k_sub):
+            for sid in range(m):
+                pick_vid, pick_su = max(
+                    pools[sid],
+                    key=lambda t: (best_py[sid][t[0]], _NegOrd(t[0])),
+                )
+                cents[sid].append(rounded(pick_su))
+                for vid, su in pools[sid]:
+                    d_ = l2_py(su, cents[sid][-1])
+                    if d_ < best_py[sid][vid]:
+                        best_py[sid][vid] = d_
 
         # fixed Lloyd iterations: assign to argmin-L2 codeword (ties:
         # lowest code), recompute codewords as plain rounded means

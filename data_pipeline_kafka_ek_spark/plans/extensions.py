@@ -2036,13 +2036,18 @@ def x_multimodal_stdlib(spark, sf_dir):
 _IVF_FIXED_PIV = "piv AS (SELECT vec_id AS pid, e AS pe FROM v WHERE vec_id < 8)"
 
 
-def _lloyd_centroids_cte(n_cells: int = 8, n_iter: int = 2, round_dp: int = 6) -> str:
+def _lloyd_centroids_cte(
+    n_cells: int = 8, n_iter: int = 2, round_dp: int = 6, oversample: int = 5
+) -> str:
     """Unrolled-CTE DuckDB replay of ``similarity.ivf_centroids_lloyd``:
-    maximin seeding from the lowest-id vector, then ``n_iter`` Lloyd
-    iterations, centroids rounded to ``round_dp`` decimals after every
-    step (the rounding pins both engines to identical centroids — raw
-    float64 means differ in the last ulps across engines). Produces the
-    ``piv (pid, pe)`` relation the shared probe/re-rank oracle consumes."""
+    oversampled-pool maximin seeding from the lowest-id vector (the pool
+    is the ``oversample * n_cells`` lowest-md5(vec_id) vectors — the
+    engine's one-job k-means||-style candidate draw, r15 verdict #5),
+    then ``n_iter`` Lloyd iterations, centroids rounded to ``round_dp``
+    decimals after every step (the rounding pins both engines to
+    identical centroids — raw float64 means differ in the last ulps
+    across engines). Produces the ``piv (pid, pe)`` relation the shared
+    probe/re-rank oracle consumes."""
     r = round_dp
     cos = (
         "list_dot_product({u}, {c}) / (sqrt(list_dot_product({u}, {u}))"
@@ -2062,9 +2067,14 @@ def _lloyd_centroids_cte(n_cells: int = 8, n_iter: int = 2, round_dp: int = 6) -
       SELECT 0 AS cid, list_transform(u, x -> round(x, {r})) AS c
       FROM nv ORDER BY vec_id LIMIT 1
     )""",
+        f"""spool AS MATERIALIZED (
+      SELECT vec_id, u FROM nv
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {oversample * n_cells}
+    )""",
         f"""m0 AS MATERIALIZED (
-      SELECT nv.vec_id, nv.u, {cos.format(u='nv.u', c='s.c')} AS best
-      FROM nv CROSS JOIN s0 s
+      SELECT spool.vec_id, spool.u, {cos.format(u='spool.u', c='s.c')} AS best
+      FROM spool CROSS JOIN s0 s
     )""",
     ]
     for j in range(1, n_cells):
@@ -2296,15 +2306,19 @@ def x_ann_pq(spark, sf_dir):
 
 
 def _pq_lloyd_cb_cte(
-    m: int = 4, k_sub: int = 8, n_iter: int = 2, round_dp: int = 6
+    m: int = 4, k_sub: int = 8, n_iter: int = 2, round_dp: int = 6,
+    oversample: int = 5,
 ) -> str:
     """Unrolled-CTE DuckDB replay of ``similarity.pq_codebooks_trained``:
-    long-form (vec_id, sid, su) subvectors, maximin L2 seeding from the
-    lowest-id vector, ``n_iter`` Lloyd iterations with rounded plain
-    means — every subspace trained in the same CTEs (grouped by sid), so
-    the chain length is k_sub + n_iter deep, independent of m. Produces
-    the ``cb (code, c0..c{m-1})`` relation the shared PQ encode/ADC
-    oracle consumes (it assumes the ``sub`` CTE is already defined)."""
+    long-form (vec_id, sid, su) subvectors, oversampled-pool maximin L2
+    seeding from the lowest-id vector (the pool is the subvectors of the
+    ``oversample * k_sub`` lowest-md5(vec_id) vectors — the engine's
+    one-job candidate draw, r15 verdict #5), ``n_iter`` Lloyd iterations
+    with rounded plain means — every subspace trained in the same CTEs
+    (grouped by sid), so the chain length is k_sub + n_iter deep,
+    independent of m. Produces the ``cb (code, c0..c{m-1})`` relation
+    the shared PQ encode/ADC oracle consumes (it assumes the ``sub``
+    CTE is already defined)."""
     r = round_dp
     subl_union = "\n      UNION ALL ".join(
         f"SELECT vec_id, {mi} AS sid, s{mi} AS su FROM sub" for mi in range(m)
@@ -2317,9 +2331,14 @@ def _pq_lloyd_cb_cte(
       SELECT sid, 0 AS cid, list_transform(su, x -> round(x, {r})) AS c
       FROM subl WHERE vec_id = (SELECT min(vec_id) FROM sub)
     )""",
+        f"""ppool AS MATERIALIZED (
+      SELECT vec_id FROM sub
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {oversample * k_sub}
+    )""",
         """pm0 AS MATERIALIZED (
       SELECT l.sid, l.vec_id, l.su, list_distance(l.su, s.c) AS best
-      FROM subl l JOIN ps0 s ON l.sid = s.sid
+      FROM subl l JOIN ppool USING (vec_id) JOIN ps0 s ON l.sid = s.sid
     )""",
     ]
     for j in range(1, k_sub):
@@ -8003,15 +8022,65 @@ def x_dedup_sorted_neighborhood(spark, sf_dir):
     ),
     sdup AS (
       SELECT u AS node FROM sreach GROUP BY u HAVING min(v) < u
+    ),
+    rpx AS (
+      SELECT doc_id, row_number() OVER (
+        ORDER BY substring(lower(text), 1, 40), doc_id
+      ) AS r
+      FROM documents
+    ),
+    snm_px AS (
+      SELECT least(ra.doc_id, rb.doc_id) AS doc_a,
+             greatest(ra.doc_id, rb.doc_id) AS doc_b
+      FROM rpx ra JOIN rpx rb ON rb.r > ra.r AND rb.r - ra.r <= 10
+      JOIN sets sa ON sa.doc_id = ra.doc_id
+      JOIN sets sb ON sb.doc_id = rb.doc_id
+      WHERE len(list_intersect(sa.s, sb.s))*1.0
+            / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+    ),
+    comb AS (
+      -- DISTINCT over UNION ALL, not a bare UNION: inside a WITH
+      -- RECURSIVE block DuckDB 1.0 gives ANY top-level UNION the
+      -- recursive-union treatment even without a self-reference,
+      -- which re-runs the second branch and DOUBLES the rows (the
+      -- fe/se closures above survive it only because their dups
+      -- wash out in GROUP BY)
+      SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b FROM snm
+        UNION ALL SELECT doc_a, doc_b FROM snm_px)
+    ),
+    ce AS (
+      SELECT doc_a AS u, doc_b AS v FROM comb
+      UNION SELECT doc_b, doc_a FROM comb
+    ),
+    creach AS (
+      SELECT u, v FROM ce
+      UNION SELECT r.u, e.v FROM creach r JOIN ce e ON r.v = e.u
+    ),
+    cdup AS (
+      SELECT u AS node FROM creach GROUP BY u HAVING min(v) < u
     )
     SELECT CAST((SELECT count(*) FROM full_pairs) AS BIGINT) AS n_full,
            CAST((SELECT count(*) FROM snm) AS BIGINT) AS n_snm,
+           CAST((SELECT count(*) FROM snm_px) AS BIGINT) AS n_snm_prefix,
            round((SELECT count(*) FROM snm f
                   WHERE EXISTS (SELECT 1 FROM full_pairs p
                                 WHERE p.doc_a = f.doc_a
                                   AND p.doc_b = f.doc_b)) * 1.0
                  / greatest((SELECT count(*) FROM full_pairs), 1), 4)
              AS pair_recall,
+           round((SELECT count(*) FROM snm_px f
+                  WHERE EXISTS (SELECT 1 FROM full_pairs p
+                                WHERE p.doc_a = f.doc_a
+                                  AND p.doc_b = f.doc_b)) * 1.0
+                 / greatest((SELECT count(*) FROM full_pairs), 1), 4)
+             AS pair_recall_prefix,
+           round((SELECT count(*) FROM comb f
+                  WHERE EXISTS (SELECT 1 FROM full_pairs p
+                                WHERE p.doc_a = f.doc_a
+                                  AND p.doc_b = f.doc_b)) * 1.0
+                 / greatest((SELECT count(*) FROM full_pairs), 1), 4)
+             AS pair_recall_combined,
            round((SELECT count(*) FROM sdup s
                   WHERE EXISTS (SELECT 1 FROM fdup f
                                 WHERE f.node = s.node)) * 1.0
@@ -8021,7 +8090,17 @@ def x_dedup_sorted_neighborhood(spark, sf_dir):
                      - (SELECT count(*) FROM sdup s
                         WHERE EXISTS (SELECT 1 FROM fdup f
                                       WHERE f.node = s.node)), 1), 4)
-             AS dup_set_agreement
+             AS dup_set_agreement,
+           round((SELECT count(*) FROM cdup s
+                  WHERE EXISTS (SELECT 1 FROM fdup f
+                                WHERE f.node = s.node)) * 1.0
+                 / greatest(
+                     (SELECT count(*) FROM fdup)
+                     + (SELECT count(*) FROM cdup)
+                     - (SELECT count(*) FROM cdup s
+                        WHERE EXISTS (SELECT 1 FROM fdup f
+                                      WHERE f.node = s.node)), 1), 4)
+             AS dup_set_agreement_combined
     """,
     survey_ids=("EXT-dedup",),
     doc="recall monitor for the explicitly-lossy sorted-neighborhood "
@@ -8029,7 +8108,12 @@ def x_dedup_sorted_neighborhood(spark, sf_dir):
     "number you read, not a guess): SNM pairs at (window=10, t=0.8) "
     "vs the exact inverted-index jaccard_pairs ground truth over the "
     "same token sets — one row (n_full, n_snm, pair_recall, "
-    "dup_set_agreement). pair_recall is low BY CONSTRUCTION on "
+    "dup_set_agreement), now with the standard multi-pass mitigation "
+    "priced alongside (r16): a second pass under the prefix key, "
+    "per-pass pair_recall_prefix and the union's pair_recall_combined "
+    ">= pair_recall (SNM's own prescription: different keys sort "
+    "different near-dups adjacent), plus dup_set_agreement_combined "
+    "for the dedup-action view. pair_recall is low BY CONSTRUCTION on "
     "cliquey corpora (a rank window finds a CHAIN through a "
     "near-dup cluster, ~w pairs per doc, never the full clique) — "
     "the number that matters for the dedup ACTION is "
@@ -8062,46 +8146,74 @@ def x_dedup_snm_recall(spark, sf_dir):
         .select("doc_a", "doc_b")
         .persist()
     )
-    snm = (
+    def _canon_pairs(df):
+        return df.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+
+    snm = _canon_pairs(
         dedup.sorted_neighborhood_pairs(
             docs, window=10, threshold=0.8,
             sets=shared_sets, isets=shared_isets, caches=caches,
         )
-        .select(
-            F.least("doc_a", "doc_b").alias("doc_a"),
-            F.greatest("doc_a", "doc_b").alias("doc_b"),
+    ).persist()
+    # second pass under the prefix key (r15 verdict #6 — the standard
+    # multi-pass mitigation the SNM docstring prescribes: near-dups
+    # whose minhash keys sort far apart often share openings, and vice
+    # versa), same shared token relations, canonical orientation
+    snm_px = _canon_pairs(
+        dedup.sorted_neighborhood_pairs(
+            docs, window=10, threshold=0.8, key_mode="prefix",
+            sets=shared_sets, isets=shared_isets, caches=caches,
         )
-        .persist()
+    ).persist()
+    combined = (
+        snm.unionByName(snm_px).dropDuplicates(["doc_a", "doc_b"]).persist()
     )
-    caches += [full, snm]
+    caches += [full, snm, snm_px, combined]
     hit = snm.join(full, ["doc_a", "doc_b"], "left_semi")
+    hit_px = snm_px.join(full, ["doc_a", "doc_b"], "left_semi")
+    hit_c = combined.join(full, ["doc_a", "doc_b"], "left_semi")
     fdup = connected_components(full).filter(
         F.col("component") != F.col("node")
     ).select("node").persist()
     sdup = connected_components(snm).filter(
         F.col("component") != F.col("node")
     ).select("node").persist()
-    caches += [fdup, sdup]
+    cdup = connected_components(combined).filter(
+        F.col("component") != F.col("node")
+    ).select("node").persist()
+    caches += [fdup, sdup, cdup]
     dup_inter = sdup.join(fdup, "node", "left_semi")
-    # materialize the six scalar counts NOW, then release every cached
+    cdup_inter = cdup.join(fdup, "node", "left_semi")
+    # materialize the scalar counts NOW, then release every cached
     # relation (r15 ADVICE: one monitor run pinned ~8 relations —
     # including two full token-set encodes — in executor memory for the
     # session lifetime). The result is rebuilt from the counted
     # literals with the SAME Spark-side round() the lazy form used, so
     # the oracle hash is unchanged.
     n_full, n_snm, n_hit = full.count(), snm.count(), hit.count()
+    n_snm_px, n_hit_px, n_hit_c = snm_px.count(), hit_px.count(), hit_c.count()
     n_fdup, n_sdup, n_dinter = fdup.count(), sdup.count(), dup_inter.count()
+    n_cdup, n_cinter = cdup.count(), cdup_inter.count()
     for c in caches:
         c.unpersist()
+
+    def _ratio(num: int, den: int):
+        return F.round(F.lit(num) / F.greatest(F.lit(den), F.lit(1)), 4)
+
     return spark.range(1).select(
         F.lit(n_full).cast("long").alias("n_full"),
         F.lit(n_snm).cast("long").alias("n_snm"),
-        F.round(
-            F.lit(n_hit) / F.greatest(F.lit(n_full), F.lit(1)), 4
-        ).alias("pair_recall"),
-        F.round(
-            F.lit(n_dinter)
-            / F.greatest(F.lit(n_fdup + n_sdup - n_dinter), F.lit(1)),
-            4,
-        ).alias("dup_set_agreement"),
+        F.lit(n_snm_px).cast("long").alias("n_snm_prefix"),
+        _ratio(n_hit, n_full).alias("pair_recall"),
+        _ratio(n_hit_px, n_full).alias("pair_recall_prefix"),
+        _ratio(n_hit_c, n_full).alias("pair_recall_combined"),
+        _ratio(n_dinter, n_fdup + n_sdup - n_dinter).alias(
+            "dup_set_agreement"
+        ),
+        _ratio(n_cinter, n_fdup + n_cdup - n_cinter).alias(
+            "dup_set_agreement_combined"
+        ),
     )

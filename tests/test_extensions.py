@@ -1354,14 +1354,30 @@ def test_bpe_trainer_cost_contract(spark, sf_dir):
 
 
 def test_ivf_lloyd_seeding_cost_contract(spark, sf_dir):
-    """Maximin seeding is one Spark job per cell by definition — the
-    max_cells ceiling turns a 10^4-cell surprise into an actionable
-    refusal instead of 10^4 sequential jobs."""
+    """Seeding is O(1) Spark jobs regardless of n_cells (r15 verdict #5:
+    the one-job oversampled pool replaced the per-seed argmin scans —
+    the k-means-init scale trap where n_cells=1024 meant 1023 sequential
+    corpus scans): training with twice the cells must launch EXACTLY the
+    same number of jobs. The max_cells ceiling still bounds the
+    driver-side refinement and the Lloyd literal width."""
     import pytest as _pytest
 
     from data_pipeline_kafka_ek_spark.operators import similarity as sim
 
     emb = load_table(spark, sf_dir, "embeddings")
+
+    def jobs_for(n_cells: int) -> int:
+        sc = spark.sparkContext
+        group = f"ivf-seed-probe-{n_cells}"
+        sc.setJobGroup(group, "seeding job count probe")
+        try:
+            cents = sim.ivf_centroids_lloyd(emb, n_cells=n_cells, n_iter=1)
+        finally:
+            sc.setJobGroup(f"{group}-done", "")
+        assert len(cents) == n_cells
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    assert jobs_for(4) == jobs_for(8)
     with _pytest.raises(ValueError, match="max_cells"):
         sim.ivf_centroids_lloyd(emb, n_cells=10, max_cells=4)
 
@@ -1823,3 +1839,35 @@ def test_snm_recall_monitor_releases_caches(spark, sf_dir):
     out = em.queries()["x_dedup_snm_recall"](spark, sf_dir).collect()
     assert len(out) == 1 and out[0].n_full >= out[0].n_snm
     assert cache_mgr.isEmpty()
+
+
+def test_snm_multi_pass_unions_candidates(spark, sf_dir):
+    """Multi-pass SNM == the canonical-orientation union of the single
+    passes (the verify threshold and token unit are shared), and the
+    union can only add recall: every single-pass pair appears in the
+    multi-pass output."""
+    from data_pipeline_kafka_ek_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w, t = 5, 0.8
+
+    def canon(df):
+        return {
+            (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.jaccard_sim
+            for r in df.collect()
+        }
+
+    mh = canon(dedup.sorted_neighborhood_pairs(docs, window=w, threshold=t))
+    px = canon(
+        dedup.sorted_neighborhood_pairs(
+            docs, window=w, threshold=t, key_mode="prefix"
+        )
+    )
+    multi = canon(
+        dedup.sorted_neighborhood_pairs_multi(docs, window=w, threshold=t)
+    )
+    assert set(multi) == set(mh) | set(px)
+    for k, sim in multi.items():
+        assert sim == (mh.get(k) or px.get(k))
