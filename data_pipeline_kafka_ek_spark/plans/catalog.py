@@ -1365,6 +1365,56 @@ DRIVER_ROTATION_ROUND = 16
 # (88 must-attest for 50 slots).
 REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
 
+# DRIVER-RETIRED TIER (r16, closing the r15 verdict's #7): the N <= 200
+# registration bound was ~11 registrations away, and the steady-state
+# window spends all 50 slots re-attesting machinery the TPC-H families
+# exercise every round anyway. A query RETIRES from the driver-checkable
+# rotation when (a) it has >= 3 driver-green rounds in the committed
+# CORRECTNESS ground truth, and (b) a named covering twin that REMAINS
+# driver-checkable exercises the same machinery (recorded in
+# RETIRED_TWINS; the rotation test enforces both from ground truth, and
+# that no retired name sits in any rotation list). Retired queries stay
+# registered: the per-round full-catalog local gates (pytest oracles at
+# sf0.001, check_correctness at sf0.01) still hash-check them every
+# round — retirement removes only the driver-window attestation claim,
+# shrinking future must-attest sets. They sort at the very END of
+# queries() so they can never re-enter the 50-entry window by accident;
+# un-retiring = moving the name back into the rotation lists.
+DRIVER_RETIRED: tuple[str, ...] = (
+    # r14-green tier retirees (would have gone stale at r17)
+    "p3_computed_projection",
+    "f7_cast_then_compare",
+    "f8_dimension_equality",
+    "l2_limit_probe",
+    "j_semi_join",
+    "j_anti_join",
+    # r15-green tier retirees (would have gone stale at r18)
+    "p4_time_format_projection",
+    "f6_left_join_null_reject",
+    "a1_count_by_group",
+    "a6_date_histogram",
+    "a7_top_terms",
+    "x8_alert_template",
+)
+
+# retired query -> the driver-checkable twin whose window attestation
+# keeps exercising the same machinery (the rotation test verifies the
+# twin is registered, non-retired, and hash-checkable)
+RETIRED_TWINS: dict[str, str] = {
+    "p3_computed_projection": "p1_project_columns",      # same projection builder
+    "f7_cast_then_compare": "f5_conjunctive_filter",     # same filter builder, numeric compare
+    "f8_dimension_equality": "f5_conjunctive_filter",    # same filter builder, string equality
+    "l2_limit_probe": "l3_l4_sorted_topk",               # limit / top-k machinery
+    "j_semi_join": "h4_late_shipment_priority",          # LeftSemi, plan-test-pinned
+    "j_anti_join": "h22_dormant_customers",              # NOT-EXISTS anti join
+    "p4_time_format_projection": "q_sql_windowed_ctas",  # TIMESTAMPTOSTRING path
+    "f6_left_join_null_reject": "j_full_outer_join",     # outer-join null-arm machinery
+    "a1_count_by_group": "a_cascade_rollup",             # grouped count/agg machinery
+    "a6_date_histogram": "a3_tumbling_1min_counts",      # date_trunc bucketed counts
+    "a7_top_terms": "x_events_heavy_hitters",            # explode -> count -> top-N
+    "x8_alert_template": "t_streaming_psi_drift",        # alert templating machinery
+}
+
 # Queries whose driver row can NEVER be hash-green: their only exact
 # oracle needs a Python UDF (DuckDB xxhash64 twin) that the driver's
 # oracle channel cannot execute. Permanently exempt from the staleness
@@ -1496,8 +1546,6 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     # round's window).
     "a2_a3_windowed_collect",
     "a5_median_by_group",
-    "f7_cast_then_compare",
-    "f8_dimension_equality",
     "f9_window_time_predicate",
     "h11_important_parts",
     "h15_top_supplier",
@@ -1508,10 +1556,6 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "h7_volume_shipping",
     "h8_market_share",
     "h9_product_profit",
-    "j_anti_join",
-    "j_semi_join",
-    "l2_limit_probe",
-    "p3_computed_projection",
     "set_except_intersect",
     "set_union_roundtrip",
     "t_streaming_cms_freq",
@@ -1544,21 +1588,16 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_redact_pii",
     "x_text_tfidf_keywords",
     "x_text_vocab_coverage",
-    "a1_count_by_group",
-    "a6_date_histogram",
-    "a7_top_terms",
     "a_cascade_rollup",
     "a_rollup_revenue",
     "f1_pattern_filter_negated",
     "f5_conjunctive_filter",
-    "f6_left_join_null_reject",
     "h16_supplier_part_breadth",
     "h21_waiting_supplier",
     "j1_enrichment_join",
     "j1a_join_unfiltered_variant",
     "j_full_outer_join",
     "l3_l4_sorted_topk",
-    "p4_time_format_projection",
     "q_sql_scalar_subquery",
     "t_streaming_acid_changes",
     "t_streaming_ann_assign",
@@ -1566,7 +1605,6 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "t_streaming_dml_replica",
     "t_streaming_stateful_counts",
     "unhappy_vip_customers",
-    "x8_alert_template",
     "x_acid_dml_lifecycle",
     "x_acid_replica_convergence",
     "x_acid_restore_rewind",
@@ -1594,6 +1632,10 @@ DRIVER_DEMOTED: tuple[str, ...] = (
     "x_text_repeated_spans",
     "x_text_unigram_logprob",
     "x_window_running_total",
+    # permanently retired from the driver window (policy above):
+    # local-gate-only, twin-covered, sorted last so they can never
+    # re-enter the 50-entry window
+    *DRIVER_RETIRED,
 )
 
 

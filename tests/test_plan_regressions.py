@@ -118,7 +118,8 @@ def test_driver_window_rotation_invariants():
     late = set(catalog.REGISTERED_AFTER_WINDOW)
     rows_only = set(catalog.ROWS_ONLY_NO_ORACLE)
     overflow = set(catalog.WINDOW_OVERFLOW)
-    exempt = late | rows_only | overflow
+    retired = set(catalog.DRIVER_RETIRED)
+    exempt = late | rows_only | overflow | retired
     stale = [
         n for n in demoted if last_green.get(n) not in fresh and n not in exempt
     ]
@@ -141,7 +142,10 @@ def test_driver_window_rotation_invariants():
     must_attest = [
         n
         for n in names
-        if last_green.get(n) not in fresh and n not in late and n not in rows_only
+        if last_green.get(n) not in fresh
+        and n not in late
+        and n not in rows_only
+        and n not in retired
     ]
     genuine_excess = max(0, len(must_attest) - 50)
     assert len(overflow) <= genuine_excess, (
@@ -173,6 +177,32 @@ def test_driver_window_rotation_invariants():
     head = list(catalog.DRIVER_DEMOTED)[: len(late) + len(overflow)]
     assert set(head) == late | overflow, (
         f"never/one-round-over entries must lead DRIVER_DEMOTED, got {head}"
+    )
+    # DRIVER_RETIRED tier (r16 policy): retirement is earned from ground
+    # truth — >= 3 driver-green rounds in the committed CORRECTNESS
+    # files — and priced by a named covering twin that REMAINS
+    # driver-checkable. Retired names sit at the very tail of queries()
+    # (they can never re-enter the window) and in no rotation list.
+    green_rounds: dict[str, int] = {}
+    for path in files:
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match"):
+                green_rounds[name] = green_rounds.get(name, 0) + 1
+    assert not retired & (set(catalog.DRIVER_PRIORITY) | overflow | late | rows_only)
+    under_earned = [n for n in retired if green_rounds.get(n, 0) < 3]
+    assert under_earned == [], (
+        f"retired without >=3 driver-green rounds: "
+        f"{[(n, green_rounds.get(n, 0)) for n in under_earned]}"
+    )
+    assert set(catalog.RETIRED_TWINS) == retired, (
+        "every retired query needs a named covering twin (and only they)"
+    )
+    for n, twin in catalog.RETIRED_TWINS.items():
+        assert twin in set(names), f"{n}: twin {twin} is not registered"
+        assert twin not in retired, f"{n}: twin {twin} is itself retired"
+        assert twin not in rows_only, f"{n}: twin {twin} is not hash-checkable"
+    assert names[-len(retired):] == list(catalog.DRIVER_RETIRED), (
+        "retired queries must be the tail of the registration order"
     )
 
 
