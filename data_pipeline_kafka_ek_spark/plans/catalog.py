@@ -1360,10 +1360,14 @@ DRIVER_ROTATION_ROUND = 16
 # never-attested. Until then they are oracle-checked every round by the
 # full-catalog local gates (pytest at sf0.001, check_correctness at
 # sf0.01). r16: the four r15 entries moved into the window (their
-# never-attested debt is paid this round); any new r16 registration
-# lands here — the window is again fully subscribed by the stale tier
-# (88 must-attest for 50 slots).
-REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
+# never-attested debt is paid this round); the one new r16
+# registration (the multi-pass SNM operator's direct pair query —
+# the recall monitor already attests its composition) lands here —
+# the window is again fully subscribed by the stale tier (88
+# must-attest for 50 slots).
+REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
+    "x_dedup_snm_multipass",
+)
 
 # DRIVER-RETIRED TIER (r16, closing the r15 verdict's #7): the N <= 200
 # registration bound was ~11 registrations away, and the steady-state

@@ -7974,6 +7974,62 @@ def x_dedup_sorted_neighborhood(spark, sf_dir):
 
 
 @register(
+    "x_dedup_snm_multipass",
+    """
+    WITH sets AS (
+      SELECT doc_id, list_distinct(string_split(text,' ')) s FROM documents
+    ),
+    rmh AS (
+      SELECT doc_id, row_number() OVER (
+        ORDER BY list_aggregate(list_transform(s, x -> md5(x)), 'min'),
+                 doc_id
+      ) AS r
+      FROM sets
+    ),
+    rpx AS (
+      SELECT doc_id, row_number() OVER (
+        ORDER BY substring(lower(text), 1, 40), doc_id
+      ) AS r
+      FROM documents
+    ),
+    cand AS (
+      SELECT least(ra.doc_id, rb.doc_id) AS doc_a,
+             greatest(ra.doc_id, rb.doc_id) AS doc_b
+      FROM rmh ra JOIN rmh rb ON rb.r > ra.r AND rb.r - ra.r <= 10
+      UNION
+      SELECT least(ra.doc_id, rb.doc_id), greatest(ra.doc_id, rb.doc_id)
+      FROM rpx ra JOIN rpx rb ON rb.r > ra.r AND rb.r - ra.r <= 10
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.s, sb.s))*1.0
+                 / len(list_distinct(list_concat(sa.s, sb.s))), 4)
+             AS jaccard_sim
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.s, sb.s))*1.0
+          / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.8
+    """,
+    survey_ids=("EXT-dedup",),
+    doc="multi-pass sorted-neighborhood dedup (r16): one rank+block "
+    "candidate pass per blocking key — the minhash key catches "
+    "near-dups that differ anywhere in the text, the 40-char "
+    "lowercased prefix key catches shared openings the minhash sorts "
+    "apart — candidates unioned in canonical (low id, high id) "
+    "orientation and exact-Jaccard-verified ONCE over the deduplicated "
+    "union (Hernandez/Stolfo's own multi-pass prescription; "
+    "x_dedup_snm_recall prices the recall each pass buys). Candidates "
+    "stay O(n * window * passes), independent of token statistics. "
+    "The oracle unions the two rank-window joins in plain SQL "
+    "(top-level UNION is safe here: no WITH RECURSIVE in this query).",
+)
+def x_dedup_snm_multipass(spark, sf_dir):
+    return dedup.sorted_neighborhood_pairs_multi(
+        _t(spark, sf_dir, "documents"), window=10, threshold=0.8
+    )
+
+
+@register(
     "x_dedup_snm_recall",
     """
     WITH RECURSIVE sets AS (
