@@ -3370,3 +3370,43 @@ def test_span_batched_replication_fuzz_random_histories(spark, tmp_path, seed):
 
     assert snap(rep.target) == snap(src), f"cpb={cpb}"
     assert rep.cursor() == src.latest_version()
+
+
+def test_fused_write_stats_edge_cases(spark, tmp_path):
+    """The fused mapInArrow writer must reproduce the stats contract the
+    rescan path pinned: long-string extremes record None (never a
+    truncation), an all-NULL-key file records lo=hi=None with its
+    null_keys count, all-NULL stats columns record min=max=None, byte
+    sizes are real on-disk sizes, and the files read back through Spark
+    with the written schema."""
+    t = _table(spark, tmp_path, files_per_commit=2)
+    long_v = "z" * 100
+    df = spark.createDataFrame(
+        [
+            (None, 1, long_v, None),
+            (None, 2, long_v, None),
+            (5, 3, "short", None),
+            (6, 4, "short", None),
+        ],
+        "k long, seq long, v string, w string",
+    )
+    # cluster on seq so the NULL keys land together deterministically
+    import pyspark.sql.functions as F
+    import os
+
+    adds = t._write_data_files(df, cluster_expr=F.col("seq"), n_files=2)
+    assert len(adds) == 2
+    null_file = [a for a in adds if a["null_keys"] == 2]
+    assert len(null_file) == 1
+    assert null_file[0]["min_key"] is None and null_file[0]["max_key"] is None
+    keyed = [a for a in adds if a["null_keys"] == 0][0]
+    assert (keyed["min_key"], keyed["max_key"]) == (5, 6)
+    for a in adds:
+        assert a["bytes"] == os.path.getsize(a["path"])
+        # long-string column: extremes suppressed, nulls exact
+        assert a["stats"]["v"]["min"] is None or len(a["stats"]["v"]["min"]) <= 64
+        # all-NULL string column: no extremes, full null count
+        assert a["stats"]["w"] == {"min": None, "max": None, "nulls": a["rows"]}
+    assert {r["k"] for r in spark.read.parquet(*[a["path"] for a in adds]).collect()} == {None, 5, 6}
+    long_stats = [a for a in adds if a["rows"] == 2 and a["null_keys"] == 2][0]
+    assert long_stats["stats"]["v"] == {"min": None, "max": None, "nulls": 0}
