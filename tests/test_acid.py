@@ -3410,3 +3410,22 @@ def test_fused_write_stats_edge_cases(spark, tmp_path):
     assert {r["k"] for r in spark.read.parquet(*[a["path"] for a in adds]).collect()} == {None, 5, 6}
     long_stats = [a for a in adds if a["rows"] == 2 and a["null_keys"] == 2][0]
     assert long_stats["stats"]["v"] == {"min": None, "max": None, "nulls": 0}
+
+
+def test_fused_write_timestamp_date_roundtrip(spark, tmp_path):
+    """Temporal types must survive the pyarrow write path with their
+    Spark types intact: TimestampType arrives in the Arrow batches with
+    a session timezone, parquet records it adjusted-to-UTC, and Spark
+    reads TimestampType (not NTZ) back; DateType likewise."""
+    import datetime
+
+    t = _table(spark, tmp_path)
+    df = spark.createDataFrame(
+        [(1, 1, datetime.datetime(2024, 5, 1, 12, 0, 0),
+          datetime.date(2024, 5, 1))],
+        "k long, seq long, ts timestamp, d date",
+    )
+    adds = t._write_data_files(df)
+    back = spark.read.parquet(adds[0]["path"])
+    assert back.dtypes == df.dtypes
+    assert back.collect() == df.collect()
