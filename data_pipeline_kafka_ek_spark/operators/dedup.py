@@ -650,13 +650,28 @@ def minhash_lsh_pairs(
             for h in hs[1:]:
                 val = F.concat(val, F.lit("|"), h)
             band_val = F.md5(val)
-        band_cols.append(
-            F.struct(F.lit(bidx).alias("band_idx"), band_val.alias("band_val"))
-        )
-    bands = sig.select(
-        "doc_id", "__n", F.explode(F.array(*band_cols)).alias("b")
+        band_cols.append(band_val.alias(f"bv{bidx}"))
+    # every band value rides along as a column so the join can decide
+    # per candidate whether THIS band is the pair's FIRST agreeing band
+    sigb = sig.select("doc_id", "__n", *band_cols)
+    bands = sigb.select(
+        "doc_id",
+        "__n",
+        *[f"bv{j}" for j in range(NUM_BANDS)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"bv{i}").alias("band_val"),
+                    )
+                    for i in range(NUM_BANDS)
+                ]
+            )
+        ).alias("b"),
     ).select(
-        "doc_id", "__n", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val")
+        "doc_id", "__n", *[f"bv{j}" for j in range(NUM_BANDS)],
+        F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     # exact length filter (see jaccard_pairs): J >= t forces
@@ -666,17 +681,35 @@ def minhash_lsh_pairs(
         # -1e-9 on both arms: double-noise guard, prune-side only
         F.col("a.__n") >= F.lit(threshold) * F.col("b.__n") - F.lit(1e-9)
     ) & (F.col("b.__n") >= F.lit(threshold) * F.col("a.__n") - F.lit(1e-9))
+    # FIRST-AGREEING-BAND dedup (guide §2.4 — remove shuffles outright):
+    # a pair agreeing on k bands used to be emitted k times and collapsed
+    # by a dropDuplicates whose exchange + aggregate carried EVERY
+    # duplicate candidate row (4x the pair count here). Emitting a pair
+    # only from its lowest agreeing band is a map-side filter INSIDE the
+    # join — exactly one row per qualifying pair, same pair set, and the
+    # dedup shuffle disappears. Unrolled per band (no HOF): band i emits
+    # only when bands 0..i-1 all disagree.
+    first_band = F.lit(True)
+    for i in range(1, NUM_BANDS):
+        earlier_differ = F.lit(True)
+        for j in range(i):
+            earlier_differ = earlier_differ & (
+                F.col(f"a.bv{j}") != F.col(f"b.bv{j}")
+            )
+        first_band = F.when(
+            F.col("a.band_idx") == i, earlier_differ
+        ).otherwise(first_band)
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & length_ok,
+            & length_ok
+            & first_band,
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
     isets = _int_token_sets(sets).persist()
     sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -867,44 +900,81 @@ def simhash_pairs(
     base, rem = divmod(64, n_chunks)
     widths = [base + 1 if i < rem else base for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
-    sh = simhash_column(docs, text_col).select(
-        F.col(id_col).alias("doc_id"), "simhash"
+    # materialize (doc_id, simhash) ONCE before the self-join (guide §4.4
+    # + §2.4): without it the optimizer duplicates the ArrowEvalPython
+    # subtree under each pushed-down isnotnull filter AND under each join
+    # side — the corpus was simhashed FOUR times per query (4
+    # ArrowEvalPython nodes in the captured plan). The checkpointed
+    # relation is two longs per doc; everything downstream is JVM-side.
+    sh = (
+        simhash_column(docs, text_col)
+        .select(F.col(id_col).alias("doc_id"), "simhash")
+        .localCheckpoint(eager=True)
     )
-    chunks = sh.select(
+
+    def _chunk_val(i: int):
+        return (
+            F.col("simhash")
+            if widths[i] == 64
+            else F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+        )
+
+    # chunk values ride along as columns (cv0..cvN) so the join can emit
+    # each pair from its FIRST agreeing chunk only — the same
+    # dedup-shuffle removal as minhash_lsh_pairs' first-agreeing-band
+    # trick (the .distinct() that used to collapse multi-chunk agreements
+    # shuffled every duplicate candidate row)
+    chunked = sh.select(
         "doc_id",
         "simhash",
+        *[_chunk_val(i).alias(f"cv{i}") for i in range(n_chunks)],
+    )
+    chunks = chunked.select(
+        "doc_id",
+        "simhash",
+        *[f"cv{j}" for j in range(n_chunks)],
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        (
-                            F.col("simhash")
-                            if widths[i] == 64
-                            else F.shiftrightunsigned(F.col("simhash"), offsets[i])
-                            .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                        ).alias("chunk_val"),
+                        F.col(f"cv{i}").alias("chunk_val"),
                     )
                     for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
-    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    ).select(
+        "doc_id", "simhash", *[f"cv{j}" for j in range(n_chunks)],
+        "c.chunk_idx", "c.chunk_val",
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    first_chunk = F.lit(True)
+    for i in range(1, n_chunks):
+        earlier_differ = F.lit(True)
+        for j in range(i):
+            earlier_differ = earlier_differ & (
+                F.col(f"a.cv{j}") != F.col(f"b.cv{j}")
+            )
+        first_chunk = F.when(
+            F.col("a.chunk_idx") == i, earlier_differ
+        ).otherwise(first_chunk)
     return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & first_chunk,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
 

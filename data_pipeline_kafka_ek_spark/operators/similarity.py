@@ -292,34 +292,62 @@ def cosine_pairs_lsh(
     reproduces it exactly.
     """
     all_planes = srp_planes(n_bands * planes_per_band, dim, seed)
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band_idx"),
-            _bucket_expr(
-                F.col(vec_col),
-                all_planes[i * planes_per_band : (i + 1) * planes_per_band],
-            ).alias("band_val"),
-        )
+    band_vals = [
+        _bucket_expr(
+            F.col(vec_col),
+            all_planes[i * planes_per_band : (i + 1) * planes_per_band],
+        ).alias(f"bv{i}")
         for i in range(n_bands)
     ]
-    # candidates stay SLIM (id pairs only): the band self-join and the
-    # dedup shuffle never carry the vectors — payloads re-join after dedup.
+    # candidates stay SLIM (id pairs only): the band self-join never
+    # carries the vectors — payloads re-join after candidate generation.
     # At scale this is the difference between shuffling id pairs (~16 B)
-    # and shuffling two embeddings (~0.5 KB) per candidate.
+    # and shuffling two embeddings (~0.5 KB) per candidate. Every band's
+    # bucket string rides along so the join can emit each pair from its
+    # FIRST agreeing band only (guide §2.4 — the dropDuplicates exchange
+    # + aggregate that used to collapse multi-band agreements carried
+    # every duplicate candidate row; the first-band rule is a map-side
+    # filter inside the join with the identical pair set).
     banded = vectors.select(
-        F.col(id_col).alias("vid"),
-        F.explode(F.array(*band_structs)).alias("b"),
-    ).select("vid", "b.band_idx", "b.band_val")
+        F.col(id_col).alias("vid"), *band_vals
+    ).select(
+        "vid",
+        *[f"bv{j}" for j in range(n_bands)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"bv{i}").alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "vid", *[f"bv{j}" for j in range(n_bands)],
+        "b.band_idx", "b.band_val",
+    )
     a, b = banded.alias("a"), banded.alias("b")
+    first_band = F.lit(True)
+    for i in range(1, n_bands):
+        earlier_differ = F.lit(True)
+        for j in range(i):
+            earlier_differ = earlier_differ & (
+                F.col(f"a.bv{j}") != F.col(f"b.bv{j}")
+            )
+        first_band = F.when(
+            F.col("a.band_idx") == i, earlier_differ
+        ).otherwise(first_band)
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.vid") < F.col("b.vid")),
+            & (F.col("a.vid") < F.col("b.vid"))
+            & first_band,
         )
         .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
     )
     va = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va"))
     vb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb"))

@@ -81,6 +81,10 @@ def kmv_distinct(
         .filter(F.col("v").isNotNull())
         .distinct()
     )
+    if with_exact:
+        # sketch build + exact counts both read vals: one scan + one
+        # distinct shuffle, not two (guide §2.4)
+        vals = vals.persist()
     hashed = vals.select("grp", F.md5(F.col("v").cast("string")).alias("h"))
 
     # two-phase k-smallest (same construction as kmv_set_ops): a salted
@@ -202,6 +206,9 @@ def kmv_set_ops(
         .filter(F.col("v").isNotNull() & F.col("grp").isin(ga, gb))
         .distinct()
     )
+    if with_exact:
+        # sketch build + exact counts both read vals (guide §2.4)
+        vals = vals.persist()
     hashed = vals.select("grp", F.md5(F.col("v").cast("string")).alias("h"))
     salted = hashed.withColumn(
         "__s", F.pmod(F.xxhash64("h"), F.lit(n_salt))
@@ -308,6 +315,12 @@ def kmv_rollup(
         )
         .filter(F.col("v").isNotNull())
         .distinct()
+        # the distinct (g1, g2, v) relation feeds BOTH the sketch build
+        # and the with_exact cube — persist so the raw scan + distinct
+        # shuffle run once per query, not once per consumer (guide §2.4;
+        # at 100 TB this spills to executor disk, still far cheaper than
+        # a second full scan + exchange of the raw table)
+        .persist()
     )
     hashed = vals.select(
         "g1", "g2", F.md5(F.col("v").cast("string")).alias("h")

@@ -1093,6 +1093,11 @@ def t_streaming_acid_changes(spark, sf_dir):
         revisions = srt.run_available_now(
             srt.running_counts_stateful(feed, watermark="3650 days"),
             output_mode="update",
+            # fixed-width (count, total) per key: the memory-backed
+            # provider is the right state backend until keys ~ executor
+            # memory; RocksDB's per-partition instances were pure fixed
+            # cost here (see runtime.run_available_now docstring)
+            small_state=True,
         )
     finally:
         # the streaming run completed inside this call and the memory-sink
