@@ -1040,6 +1040,7 @@ def bigram_logprob(
     scoring join; scoring explodes adjacent pairs map-side and aggregates
     per doc — one doc-keyed shuffle of slim rows, no UDF.
     """
+    shared = lm_docs is None or lm_docs is docs
     if lm_docs is None:
         lm_docs = docs
 
@@ -1057,15 +1058,27 @@ def bigram_logprob(
             *extra, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
         )
 
-    lm_big = bigrams(lm_docs).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c2")
-    )
+    doc_big = bigrams(docs, F.col(id_col).alias("doc_id"))
+    if shared:
+        # scoring corpus == LM corpus (the common single-corpus shape):
+        # one persisted tokenize+explode pass feeds BOTH the LM count
+        # table and the scoring join, instead of re-tokenizing the whole
+        # corpus for each (guide §2.4 — the doc_id column is dropped by
+        # the groupBy, so the counts are identical)
+        doc_big = doc_big.persist()
+        lm_big = doc_big.groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c2")
+        )
+    else:
+        lm_big = bigrams(lm_docs).groupBy("w1", "w2").agg(
+            F.count(F.lit(1)).alias("c2")
+        )
     ctx = lm_big.groupBy("w1").agg(F.sum("c2").alias("ctx"))
     vocab = lm_docs.select(
         F.explode(_tokens(F.col(text_col))).alias("token")
     ).agg(F.countDistinct("token").alias("vocab"))
     scored = (
-        bigrams(docs, F.col(id_col).alias("doc_id"))
+        doc_big
         .join(F.broadcast(lm_big), ["w1", "w2"], "left")
         .join(F.broadcast(ctx), "w1", "left")
         .crossJoin(F.broadcast(vocab))

@@ -1080,7 +1080,10 @@ def t_streaming_acid_changes(spark, sf_dir):
         # whose row-level change files the feed replays
         t.append(upserts.filter(F.col("__b") == 0))
         for b in (1, 2):
-            t.merge(upserts.filter(F.col("__b") == b))
+            # changes_stable: a filter over the eagerly-checkpointed
+            # upserts is deterministic and cheap to recompute — merge's
+            # defensive per-commit checkpoint is pure fixed cost here
+            t.merge(upserts.filter(F.col("__b") == b), changes_stable=True)
         # commit-span batching (r13 verdict #5): the three commits replay
         # as TWO micro-batches — still a real multi-batch incremental run
         # (state folds across the batch boundary), but per-batch fixed
@@ -1209,7 +1212,9 @@ def x_acid_incremental_mv(spark, sf_dir):
         src.append(upserts.filter(F.col("__b") == 0))
         mv.refresh()
         for b in (1, 2):
-            src.merge(upserts.filter(F.col("__b") == b))
+            # changes_stable: filter over the checkpointed upserts (see
+            # t_streaming_acid_changes)
+            src.merge(upserts.filter(F.col("__b") == b), changes_stable=True)
         # one refresh folds BOTH merge commits in a single multi-commit
         # span scan (r13 verdict #5: group adjacent commits where the
         # cursor allows) — this exercises the span path the per-commit

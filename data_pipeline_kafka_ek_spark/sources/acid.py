@@ -1298,6 +1298,7 @@ class TxnLogTable:
         delete_col: "str | None" = None,
         txn: "dict | None" = None,
         max_retries: int = 5,
+        changes_stable: bool = False,
     ) -> int:
         """Upsert (and optionally delete) by key — the MERGE statement's
         semantics: latest row per key wins by ``order_col`` (changes beat
@@ -1320,7 +1321,18 @@ class TxnLogTable:
         changes = self._align_void_columns(
             changes, st0["schema"] if st0 else None
         )
-        changes = changes.localCheckpoint(eager=True)
+        # the change set is consumed by several jobs (bounds, constraint
+        # check, the rewrite union, cdc writes): checkpoint ONCE so a
+        # non-deterministic input (rand(), a re-read of a moving source)
+        # cannot pass one evaluation and write different rows in the
+        # next. ``changes_stable=True`` is the caller's contract that
+        # the frame is deterministic and cheap to recompute (the common
+        # feed shape: a filter over an already-checkpointed batch) — the
+        # defensive checkpoint is then a pure fixed cost per commit and
+        # is skipped (Delta's MERGE makes the same assumption about its
+        # source by default).
+        if not changes_stable:
+            changes = changes.localCheckpoint(eager=True)
         to_check = changes
         if delete_col is not None and delete_col in changes.columns:
             # tombstones delete rows — their payload values never

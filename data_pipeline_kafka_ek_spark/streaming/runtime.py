@@ -335,6 +335,14 @@ def run_available_now(
             else:
                 spark_.conf.set(conf_key, prior)
     q.awaitTermination()
+    # the query is terminated and the memory sink holds the result rows
+    # in memory — the per-query checkpoint dir (offsets/commits/state
+    # files) is dead weight; sweeping it keeps long sessions (bench
+    # min-of-3, the 190-query gate) from accumulating thousands of small
+    # scratch files
+    import shutil as _shutil
+
+    _shutil.rmtree(ckpt, ignore_errors=True)
     spark = stream_df.sparkSession
     result = spark.table(name)
     if output_mode == "update":
