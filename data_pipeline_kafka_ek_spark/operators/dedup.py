@@ -322,6 +322,24 @@ def jaccard_pairs(
                 + 1
             )
         )
+        # materialize the prefix-filtered postings ONCE before the
+        # self-join (guide §2.4): the relation feeds both join sides, and
+        # without it the optimizer plans the whole posting build —
+        # document-frequency aggregate, frequency join and prefix window —
+        # once PER SIDE (two identical subtrees in the captured plan, the
+        # dfreq aggregate running twice over the full posting explode).
+        # persist, NOT localCheckpoint: a checkpointed RDD has no size
+        # statistics, which demoted the candidate self-join from broadcast
+        # to sort-merge (two full tok-keyed exchanges of the posting list —
+        # measured 3.7 s → 9.8 s); the InMemoryRelation keeps the child's
+        # estimates so the planner's join choice is unchanged. Rows are
+        # slim (doc id, set size, token), already cut ~(1-t)x by the
+        # prefix rule. The unfiltered branch stays lazy: a plain explode
+        # over the already-persisted token sets, cheaper to recompute
+        # than to materialize.
+        posts = posts.select("doc_id", "__n", "tok").persist()
+        if caches is not None:
+            caches.append(posts)
     posts = posts.select("doc_id", "__n", "tok")
     a, b = posts.alias("a"), posts.alias("b")
     length_ok = (
@@ -652,8 +670,19 @@ def minhash_lsh_pairs(
             band_val = F.md5(val)
         band_cols.append(band_val.alias(f"bv{bidx}"))
     # every band value rides along as a column so the join can decide
-    # per candidate whether THIS band is the pair's FIRST agreeing band
-    sigb = sig.select("doc_id", "__n", *band_cols)
+    # per candidate whether THIS band is the pair's FIRST agreeing band.
+    # Materialize the banded signatures ONCE before the self-join (guide
+    # §2.4; the same duplicated-subtree fix as simhash_pairs' checkpoint):
+    # the relation feeds BOTH join sides, and without it the optimizer
+    # plans the whole signature aggregation — NUM_HASHES md5 minhashes
+    # over every token occurrence — once PER SIDE (two identical
+    # SortAggregate+Exchange subtrees in the captured plan, each a full
+    # pass over the exploded corpus). persist, not localCheckpoint, so
+    # the InMemoryRelation keeps the child's size estimates and the band
+    # self-join's broadcast strategy survives (see jaccard_pairs — a
+    # checkpointed RDD has no stats and demotes the join to sort-merge).
+    # Cached rows are slim: id, set size and NUM_BANDS band values/doc.
+    sigb = sig.select("doc_id", "__n", *band_cols).persist()
     bands = sigb.select(
         "doc_id",
         "__n",

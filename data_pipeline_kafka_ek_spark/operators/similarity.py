@@ -308,9 +308,19 @@ def cosine_pairs_lsh(
     # + aggregate that used to collapse multi-band agreements carried
     # every duplicate candidate row; the first-band rule is a map-side
     # filter inside the join with the identical pair set).
-    banded = vectors.select(
+    # materialize the per-vector band buckets ONCE before the self-join
+    # (guide §2.4; same duplicated-subtree fix as minhash_lsh_pairs /
+    # simhash_pairs): without it the optimizer plans the SRP signature
+    # projection — n_bands·planes_per_band dot products over every
+    # embedding — once PER JOIN SIDE. persist, not localCheckpoint, so
+    # the InMemoryRelation keeps the child's size estimates and the
+    # band self-join's broadcast choice is unchanged (see jaccard_pairs).
+    # Rows are slim: id + n_bands bucket strings per vector, exploded
+    # only afterwards.
+    sig = vectors.select(
         F.col(id_col).alias("vid"), *band_vals
-    ).select(
+    ).persist()
+    banded = sig.select(
         "vid",
         *[f"bv{j}" for j in range(n_bands)],
         F.explode(

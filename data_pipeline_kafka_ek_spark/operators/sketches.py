@@ -345,35 +345,6 @@ def kmv_rollup(
         .localCheckpoint(eager=True)
     )
 
-    def _topk(rows: DataFrame, part_cols: "list[str]") -> DataFrame:
-        # salted two-phase, same construction as the base-cell phase: the
-        # marginal/grand-total merges rank the deduped union of cell
-        # sketch rows, which is (#cells × k) rows for the 'all' level —
-        # a single-task funnel at high cell cardinality if ranked flat.
-        # Phase 1 ranks each salt slice locally; phase 2 ranks the
-        # ≤ n_salt·k survivors (bounded regardless of cell count). The
-        # global window partitions on a constant when part_cols is empty
-        # so no WindowExec in the plan is ever partition-less.
-        dedup = rows.dropDuplicates(part_cols + ["h"])
-        salted = dedup.withColumn(
-            "__s", F.pmod(F.xxhash64("h"), F.lit(n_salt))
-        )
-        w_local = Window.partitionBy(*(part_cols + ["__s"])).orderBy("h")
-        local = (
-            salted.withColumn("__rn", F.row_number().over(w_local))
-            .filter(F.col("__rn") <= k)
-        )
-        if not part_cols:
-            # grand-total level: global top-k of the ≤ n_salt·k survivors
-            # as TakeOrderedAndProject — no partition-less window
-            return local.orderBy("h").limit(k).select("h")
-        w_global = Window.partitionBy(*part_cols).orderBy("h")
-        return (
-            local.withColumn("__rg", F.row_number().over(w_global))
-            .filter(F.col("__rg") <= k)
-            .select(*part_cols, "h")
-        )
-
     def _estimate(sketch: DataFrame, part_cols: "list[str]", gset, key_expr):
         agg = sketch.groupBy(*part_cols).agg(
             F.count("*").alias("n_sketch"), F.max("h").alias("hk")
@@ -387,6 +358,51 @@ def kmv_rollup(
             F.lit(gset).alias("gset"),
             key_expr.alias("key"),
             F.col("n_sketch").cast("long").alias("n_sketch"),
+            est.alias("kmv_estimate"),
+        )
+
+    def _merge_estimate(part_cols: "list[str]", gset, key_expr):
+        # Marginal/grand-total sketch merge in TWO exchanges (guide §2.4;
+        # previously three — dropDuplicates, salted local window, global
+        # window — plus a separate estimate aggregate). Phase 1 keeps each
+        # salt slice's k smallest DISTINCT hashes with a dense_rank group
+        # limit: duplicates of a hash share a rank, so the former dedup
+        # exchange is unnecessary, and Spark's WindowGroupLimit keeps
+        # per-task state at k ranks (never a full-group buffer). The same
+        # h always lands in the same slice (the salt is a hash of h), so
+        # slices dedup independently and their union is duplicate-free
+        # ACROSS slices by construction. Phase 2 merges the ≤ n_salt
+        # bounded survivor sets per group with collect_set (bounded:
+        # ≤ n_salt·k distinct values per group buffer) and the estimate
+        # reads the merged sketch array directly — size(hs) is n_sketch
+        # and the last element is the k-th smallest hash — so the former
+        # per-level estimate aggregate collapses into a projection.
+        # Exactly the same sketch as the window chain: the k smallest
+        # distinct values of a set are among the k smallest distinct of
+        # any hash-partition of it.
+        salted = cell.withColumn(
+            "__s", F.pmod(F.xxhash64("h"), F.lit(n_salt))
+        )
+        w_local = Window.partitionBy(*(part_cols + ["__s"])).orderBy("h")
+        local = salted.withColumn(
+            "__dr", F.dense_rank().over(w_local)
+        ).filter(F.col("__dr") <= k)
+        merged = local.groupBy(*part_cols).agg(
+            F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("hs")
+        )
+        n_sk = F.size("hs")
+        est = F.round(
+            F.when(n_sk < k, n_sk.cast("double")).otherwise(
+                # element_at is 1-indexed and only evaluated when the
+                # sketch filled (n_sk == k >= 1), so the index is valid
+                F.lit(float(k - 1))
+                / _hash_frac(F.element_at("hs", n_sk))
+            )
+        ).cast("long")
+        return merged.select(
+            F.lit(gset).alias("gset"),
+            key_expr.alias("key"),
+            n_sk.cast("long").alias("n_sketch"),
             est.alias("kmv_estimate"),
         )
 
@@ -413,9 +429,9 @@ def kmv_rollup(
     cell_key = F.concat_ws("|", _ks("g1"), _ks("g2"))
     parts = [
         _estimate(cell, ["g1", "g2"], "cell", cell_key),
-        _estimate(_topk(cell, ["g1"]), ["g1"], d1, _ks("g1")),
-        _estimate(_topk(cell, ["g2"]), ["g2"], d2, _ks("g2")),
-        _estimate(_topk(cell, []), [], "all", F.lit("*")),
+        _merge_estimate(["g1"], d1, _ks("g1")),
+        _merge_estimate(["g2"], d2, _ks("g2")),
+        _merge_estimate([], "all", F.lit("*")),
     ]
     out = parts[0]
     for p in parts[1:]:

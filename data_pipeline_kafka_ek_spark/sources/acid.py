@@ -1455,22 +1455,18 @@ class TxnLogTable:
                 keys = changes.select(F.col(self.key).alias("__mk")).distinct()
                 match = F.col(self.key).eqNullSafe(F.col("__mk"))
                 untouched_rows = old.join(keys, match, "left_anti")
-                contested = old.join(keys, match, "left_semi")
-                if self.change_feed:
-                    # materialize the contested rows ONCE: the change-file
-                    # writer reads them three more times (old-count info +
-                    # pre-image joins) — without this the touched-file
-                    # scan and semi-join re-run per consumer
-                    contested = contested.localCheckpoint(eager=True)
+                contested_src = old.join(keys, match, "left_semi")
             else:
                 untouched_rows = None
-                contested = None
+                contested_src = None
             ranked = changes.withColumn("__src", F.lit(1))
-            if contested is not None:
-                base_side = contested
+            tomb_added = False
+            if contested_src is not None:
+                base_side = contested_src
                 if delete_col is not None and delete_col not in base_side.columns:
                     # stored rows carry no tombstone column: align schemas
                     base_side = base_side.withColumn(delete_col, F.lit(False))
+                    tomb_added = True
                 # allowMissingColumns = schema evolution: a change set
                 # with NEW columns widens the table (old rows read NULL);
                 # a change row MISSING a column upserts NULL there — the
@@ -1481,15 +1477,37 @@ class TxnLogTable:
             w = Window.partitionBy(self.key).orderBy(
                 F.desc(self.order_col), F.desc("__src")
             )
-            winners = (
-                ranked.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
+            # ONE eager checkpoint of the ranked contested∪changes frame
+            # replaces the former two (contested, then winners on top of
+            # it — two sequential materialization jobs per commit): every
+            # consumer — the winner rows feeding the data write, the
+            # contested pre-images and old-count info feeding the change
+            # files, and both passes of the data write's range exchange —
+            # is now a FILTER over this one materialization, so the
+            # touched-file scan, the broadcast semi-join and the rank
+            # window each run exactly once per commit (guide §2.4).
+            # Untouched keys' rows never enter the window (the broadcast
+            # anti-join keeps them on the scan side), so the rank shuffle
+            # stays O(changed rows) at scale exactly as before. The
+            # checkpoint also pins the row_number assignment, so winner
+            # choice among exact (key, order_col, __src) ties is decided
+            # once and every consumer sees the same decision.
+            ranked = ranked.withColumn(
+                "__rn", F.row_number().over(w)
+            ).localCheckpoint(eager=True)
+            winners = ranked.filter(F.col("__rn") == 1).drop("__rn")
+            contested = (
+                # the cdc pre-image frames must carry exactly the stored
+                # rows' columns: strip the rank/source scaffolding and the
+                # tombstone column when the schema alignment above added
+                # it (a genuinely stored column of that name stays, as it
+                # always did)
+                ranked.filter(F.col("__src") == 0).drop(
+                    "__rn", "__src", *([delete_col] if tomb_added else [])
+                )
+                if contested_src is not None
+                else None
             )
-            if self.change_feed:
-                # the winner frame feeds BOTH the data write and the four
-                # change-image branches: rank once, not five times
-                winners = winners.localCheckpoint(eager=True)
             merged = winners.drop("__src")
             if delete_col is not None:
                 merged = merged.filter(~F.coalesce(F.col(delete_col), F.lit(False)))

@@ -500,6 +500,68 @@ def test_kmv_rollup_preserves_null_dimension_groups(spark):
     assert all(r.kmv_estimate == r.n_exact for r in rows.values())
 
 
+def test_kmv_rollup_merge_levels_match_bruteforce_when_full(spark):
+    """r16 optimization: the marginal/grand-total levels moved from the
+    3-exchange dropDuplicates + double-window chain to a 2-exchange
+    dense_rank group-limit + collect_set merge. The sketch CONTENT must
+    be unchanged — for every level, n_sketch and the estimate must equal
+    a brute-force k-smallest-distinct-md5 computation, including when the
+    sketches FILL (the estimator branch that reads the k-th hash)."""
+    import hashlib
+
+    from data_pipeline_kafka_ek_spark.operators.sketches import kmv_rollup
+
+    k = 8
+    # 3 g1 values x 4 g2 values x values 0..39 with per-cell offsets:
+    # every level holds far more than k distinct values, so all sketches
+    # fill and the (k-1)/frac(h_k) branch is exercised everywhere
+    rows = [
+        (f"a{i}", f"b{j}", (i * 131 + j * 17 + v) % 97)
+        for i in range(3)
+        for j in range(4)
+        for v in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v long")
+    got = {
+        (r.gset, r.key): r
+        for r in kmv_rollup(df, ["g1", "g2"], "v", k=k).collect()
+    }
+
+    def expected(values):
+        hs = sorted({hashlib.md5(str(v).encode()).hexdigest() for v in values})
+        sk = hs[:k]
+        n_sketch = len(sk)
+        if n_sketch < k:
+            return n_sketch, n_sketch
+        frac = int(sk[-1][:15], 16) / float(16**15)
+        return n_sketch, int(round((k - 1) / frac))
+
+    by_g1: dict = {}
+    by_g2: dict = {}
+    allv: set = set()
+    for g1, g2, v in rows:
+        by_g1.setdefault(g1, set()).add(v)
+        by_g2.setdefault(g2, set()).add(v)
+        allv.add(v)
+    for g1, vals in by_g1.items():
+        n_sk, est = expected(vals)
+        assert (got[("g1", g1)].n_sketch, got[("g1", g1)].kmv_estimate) == (
+            n_sk, est,
+        ), f"g1={g1}"
+    for g2, vals in by_g2.items():
+        n_sk, est = expected(vals)
+        assert (got[("g2", g2)].n_sketch, got[("g2", g2)].kmv_estimate) == (
+            n_sk, est,
+        ), f"g2={g2}"
+    n_sk, est = expected(allv)
+    assert (got[("all", "*")].n_sketch, got[("all", "*")].kmv_estimate) == (
+        n_sk, est,
+    )
+    # exact counts still ride along and the sketches genuinely filled
+    assert got[("all", "*")].n_exact == len(allv)
+    assert got[("all", "*")].n_sketch == k
+
+
 def test_kmv_rollup_escapes_sentinel_and_separator_collisions(spark):
     """A literal "<null>" string and a real NULL are DISTINCT groups, and
     a literal '|' inside a dimension value cannot shift the cell-key
