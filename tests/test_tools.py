@@ -157,6 +157,46 @@ def test_io_canary_flags_scratch_fs_mismatch():
     assert note3["canary_io_ratio"] == 3.0
 
 
+def test_bulk_write_canary_flags_bandwidth_starvation():
+    """A box can pass BOTH existing canaries (CPU healthy, metadata
+    create+rename healthy) while sustained write bandwidth sits at
+    4-15 MB/s, starving every shuffle write (observed r16) — the
+    bulk-write canary must flag it. Note the inverted direction: the
+    bulk canary is a THROUGHPUT (MB/s), so the slow side is the one
+    with the SMALLER number."""
+    quiet = _load(2.0, 3.0)
+    prior = dict(
+        quiet, canary_sec=1.0, canary_io_sec=0.01, canary_io_bulk_mbps=400.0
+    )
+    starved = dict(
+        quiet, canary_sec=1.0, canary_io_sec=0.012, canary_io_bulk_mbps=14.0
+    )
+    note = _load_note(_bench({}, load=prior), _bench({}, load=starved))
+    assert note["canary_io_bulk_ratio"] == 0.035
+    assert note["verdict"].startswith("write-bandwidth-mismatch")
+    assert note["loaded_side"] == "current"
+    # a starved PRIOR box is named too (ratio > 2 the other way)
+    note2 = _load_note(_bench({}, load=starved), _bench({}, load=prior))
+    assert note2["loaded_side"] == "prior"
+    # in-band bandwidth keeps the verdict; absent telemetry adds nothing
+    ok = dict(quiet, canary_sec=1.0, canary_io_sec=0.012,
+              canary_io_bulk_mbps=350.0)
+    assert _load_note(
+        _bench({}, load=prior), _bench({}, load=ok)
+    )["verdict"] == "comparable"
+    legacy = dict(quiet, canary_sec=1.0, canary_io_sec=0.012)
+    note3 = _load_note(_bench({}, load=prior), _bench({}, load=legacy))
+    assert "canary_io_bulk_ratio" not in note3
+    assert note3["verdict"] == "comparable"
+    # an existing mismatch verdict (here: scratch metadata io) is never
+    # overwritten by the bulk note — advisory ratio still recorded
+    slow_meta = dict(quiet, canary_sec=1.0, canary_io_sec=0.03,
+                     canary_io_bulk_mbps=14.0)
+    note4 = _load_note(_bench({}, load=prior), _bench({}, load=slow_meta))
+    assert note4["verdict"].startswith("scratch-io-mismatch")
+    assert note4["canary_io_bulk_ratio"] == 0.035
+
+
 def test_canary_corrected_verdict_is_conservative_symmetric():
     """r14: with canaries on both sides a verdict needs BOTH the raw and
     the canary-corrected ratio to agree — a 2x-slower box can neither

@@ -281,6 +281,24 @@ def _load_note(prior: dict, current: dict) -> "dict | None":
                 "filesystem was slower): commit-latency-bound query "
                 "ratios are environmental until rescaled"
             )
+    # sustained-write-bandwidth canary (r16): a box can pass BOTH
+    # canaries above while bulk write sits at 4-15 MB/s (observed: the
+    # metadata loop read 0.014 s — healthy — on a box whose fsync'd
+    # 128 MB probe did 4 MB/s), starving every shuffle write and
+    # inflating shuffle-heavy queries 3-7x. Ratio > 2x either way makes
+    # shuffle-heavy comparisons environmental.
+    bp, bc = lp.get("canary_io_bulk_mbps"), lc.get("canary_io_bulk_mbps")
+    if bp and bc:
+        br = round(float(bc) / float(bp), 3)
+        out["canary_io_bulk_ratio"] = br
+        if (br < 0.5 or br > 2.0) and out["verdict"] == "comparable":
+            slow = "current" if br < 1 else "prior"
+            out["loaded_side"] = slow
+            out["verdict"] = (
+                f"write-bandwidth-mismatch (bulk-write canary x{br}: the "
+                f"{slow} run's disk was slower): shuffle-heavy query "
+                "ratios are environmental until rescaled"
+            )
     return out
 
 
