@@ -8207,7 +8207,10 @@ def x_dedup_snm_recall(spark, sf_dir):
     caches += [shared_sets, shared_isets]
     full = (
         dedup.jaccard_pairs(
-            docs, threshold=0.8, sets=shared_sets, isets=shared_isets
+            docs, threshold=0.8, sets=shared_sets, isets=shared_isets,
+            # caches: jaccard_pairs persists its prefix-filtered posting
+            # relation (r16) — route it into the release list below
+            caches=caches,
         )
         .select("doc_a", "doc_b")
         .persist()
