@@ -1496,18 +1496,6 @@ class TxnLogTable:
                 "__rn", F.row_number().over(w)
             ).localCheckpoint(eager=True)
             winners = ranked.filter(F.col("__rn") == 1).drop("__rn")
-            contested = (
-                # the cdc pre-image frames must carry exactly the stored
-                # rows' columns: strip the rank/source scaffolding and the
-                # tombstone column when the schema alignment above added
-                # it (a genuinely stored column of that name stays, as it
-                # always did)
-                ranked.filter(F.col("__src") == 0).drop(
-                    "__rn", "__src", *([delete_col] if tomb_added else [])
-                )
-                if contested_src is not None
-                else None
-            )
             merged = winners.drop("__src")
             if delete_col is not None:
                 merged = merged.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
@@ -1519,7 +1507,8 @@ class TxnLogTable:
             if self.change_feed:
                 cdc_files, adds = self._write_commit_files(
                     lambda: self._write_change_files(
-                        winners, contested, delete_col
+                        ranked, delete_col, tomb_added,
+                        contested_src is not None,
                     ),
                     lambda: self._write_data_files(merged),
                 )
@@ -1835,14 +1824,15 @@ class TxnLogTable:
 
     def _write_change_files(
         self,
-        winners: DataFrame,
-        contested: "DataFrame | None",
+        ranked: DataFrame,
         delete_col: "str | None",
+        tomb_added: bool,
+        has_contested: bool,
     ) -> "list[str]":
         """Materialize this merge's ROW-LEVEL change images (Delta CDF's
         ``_change_type`` convention: insert / update_preimage /
-        update_postimage / delete) from the per-key winner frame the
-        merge has already computed. Only keys whose table state actually
+        update_postimage / delete) from the checkpointed ranked
+        contested∪changes frame. Only keys whose table state actually
         moves appear: keys the change set won, plus keys whose stored
         duplicates collapse (a blind-append table can hold several rows
         per key; the merge keeps one winner, so ALL stored rows are the
@@ -1851,7 +1841,23 @@ class TxnLogTable:
         untouched rows of rewritten files never enter the frame — so
         the files are O(changed rows), the
         property that lets a merge touching 1% of a file's rows move 1%
-        of the rows through a downstream incremental refresh. Returns
+        of the rows through a downstream incremental refresh.
+
+        Shape: ONE ``Window.partitionBy(key)`` over the ranked
+        checkpoint computes everything the classification needs as
+        per-group flags — ``__oldn`` (stored-row count: a key moves
+        materially when the change set won it OR its duplicates
+        collapse), the winner's source side and tombstone — and the
+        four image types are plain filters over that. The former shape
+        derived the same answers through a groupBy + three joins
+        (old-count left join for the post images, two semi-joins keying
+        the pre-images/deletes), whose initial plan carried the
+        aggregate three times and planned one semi-join as a
+        SortMergeJoin with two extra O(changed rows) exchanges because
+        the checkpointed build side has no size statistics; the window
+        form needs exactly one exchange, reused across the union's
+        branches. Row multiset proven identical against the old shape
+        on the sf0.1 feed commit before the swap. Returns
         the written part-file paths (referenced from the commit as
         ``cdc`` actions; attempt files orphaned by a lost commit race
         are swept by vacuum's change-file pass)."""
@@ -1861,57 +1867,60 @@ class TxnLogTable:
             if delete_col is not None
             else F.lit(False)
         )
-        winner = winners.withColumn("__gone", tomb)
-        if delete_col is not None:
-            winner = winner.drop(delete_col)
-        if contested is not None:
-            # per-key stored-row count: a blind-append table can hold
-            # SEVERAL rows per key, and the merge collapses all of them
-            # to the single winner — so a key changes materially when the
-            # change set won it OR when duplicates collapse (even under a
-            # stored winner), and its pre-images are ALL stored rows
-            old_info = contested.groupBy(F.col(k).alias("__ok")).agg(
-                F.count(F.lit(1)).alias("__oldn")
+        win = Window.partitionBy(k)
+        one_win = F.when(F.col("__rn") == 1, F.lit(1))
+        aug = (
+            ranked.withColumn(
+                "__oldn",
+                F.sum(
+                    F.when(F.col("__src") == 0, F.lit(1)).otherwise(F.lit(0))
+                ).over(win),
             )
-            winner = winner.join(
-                old_info, F.col(k).eqNullSafe(F.col("__ok")), "left"
-            ).drop("__ok")
-        else:
-            winner = winner.withColumn("__oldn", F.lit(None).cast("long"))
-        winner = winner.withColumn(
-            "__oldn", F.coalesce(F.col("__oldn"), F.lit(0))
+            # exactly one __rn==1 row per group: max() over the
+            # when-guarded expression reads the winner's attribute from
+            # every row of its group
+            .withColumn(
+                "__wsrc",
+                F.max(one_win * F.col("__src")).over(win),
+            )
+            .withColumn(
+                "__wgone",
+                F.max(one_win * tomb.cast("int")).over(win),
+            )
         )
-        material = winner.filter(
-            (F.col("__src") == 1) | (F.col("__oldn") > 1)
+        material = (F.col("__wsrc") == 1) | (F.col("__oldn") > 1)
+        meta_cols = ["__rn", "__src", "__oldn", "__wsrc", "__wgone"]
+        # post images carry the winner row WITHOUT the tombstone column
+        # (it is consumed into the delete classification); pre-images
+        # must carry exactly the stored rows' columns, so they strip it
+        # only when the schema alignment added it (a genuinely stored
+        # column of that name stays, as it always did)
+        post_drop = meta_cols + ([delete_col] if delete_col is not None else [])
+        post = aug.filter(
+            (F.col("__rn") == 1) & material & (F.col("__wgone") == 0)
         )
-        meta_cols = ["__src", "__gone", "__oldn"]
-        post = material.filter(~F.col("__gone"))
         parts = [
             post.filter(F.col("__oldn") == 0)
-            .drop(*meta_cols)
+            .drop(*post_drop)
             .withColumn("_change_type", F.lit("insert")),
             post.filter(F.col("__oldn") > 0)
-            .drop(*meta_cols)
+            .drop(*post_drop)
             .withColumn("_change_type", F.lit("update_postimage")),
         ]
-        if contested is not None:
-            upd_keys = (
-                material.filter(~F.col("__gone") & (F.col("__oldn") > 0))
-                .select(F.col(k).alias("__uk"))
-            )
-            del_keys = (
-                material.filter(F.col("__gone") & (F.col("__oldn") > 0))
-                .select(F.col(k).alias("__dk"))
+        if has_contested:
+            pre_drop = meta_cols + ([delete_col] if tomb_added else [])
+            # any stored (__src==0) row implies __oldn >= 1, so the old
+            # shape's `__oldn > 0` key conditions are implied here
+            stored = aug.filter((F.col("__src") == 0) & material)
+            parts.append(
+                stored.filter(F.col("__wgone") == 0)
+                .drop(*pre_drop)
+                .withColumn("_change_type", F.lit("update_preimage"))
             )
             parts.append(
-                contested.join(
-                    upd_keys, F.col(k).eqNullSafe(F.col("__uk")), "left_semi"
-                ).withColumn("_change_type", F.lit("update_preimage"))
-            )
-            parts.append(
-                contested.join(
-                    del_keys, F.col(k).eqNullSafe(F.col("__dk")), "left_semi"
-                ).withColumn("_change_type", F.lit("delete"))
+                stored.filter(F.col("__wgone") == 1)
+                .drop(*pre_drop)
+                .withColumn("_change_type", F.lit("delete"))
             )
         return self._write_cdc(parts)
 
