@@ -21,6 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from data_pipeline_kafka_ek_spark.caching import release_pending_caches
 from data_pipeline_kafka_ek_spark.plans import extensions  # noqa: F401  (registers bench-flagged extension queries)
 from data_pipeline_kafka_ek_spark.plans.catalog import bench_queries
 from data_pipeline_kafka_ek_spark.session import get_spark
@@ -230,6 +231,9 @@ def main() -> None:
             run_to_completion(fn(spark, warm_dir))
         except Exception as exc:
             print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+        finally:
+            release_pending_caches()
+            spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     mid_at = max(1, len(selected) // 2)
@@ -240,12 +244,24 @@ def main() -> None:
             canary_samples.append(_canary())
             canary_io_samples.append(_canary_io())
             canary_io_bulk_samples.append(_canary_io_bulk())
-        # min of 3: steady-state cost, robust to GC pauses between rounds
+        # min of 3: steady-state cost, robust to GC pauses between rounds.
+        # CACHES ARE RELEASED BETWEEN ITERATIONS (r17 measurement-honesty
+        # fix, declared in the JSON as cache_cleared_between_iterations):
+        # the query paths persist slim intermediates (token sets, posting
+        # lists, banded signatures) that feed several consumers inside one
+        # query; Spark's CacheManager substitutes a still-persisted
+        # relation into any structurally-equal plan, so without the drain
+        # iterations 2-3 read iteration 1's caches and min-of-3 reported
+        # the warm-cache build as if it were computed. Every iteration
+        # now recomputes from the parquet inputs; the drain itself runs
+        # OUTSIDE the timed region (session hygiene, not query cost).
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             run_to_completion(fn(spark, sf_dir))
             best = min(best, time.time() - t0)
+            release_pending_caches()
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
     canary_samples.append(_canary())
@@ -358,6 +374,15 @@ def main() -> None:
                 "families_filter": (
                     sorted(family_filter) if family_filter else None
                 ),
+                # r17 methodology bit: persisted query-path intermediates
+                # are unpersisted between the min-of-3 iterations (see the
+                # timed loop) — every iteration computes from the parquet
+                # inputs instead of iterations 2-3 reading iteration 1's
+                # still-persisted relations. Absent/false in pre-r17
+                # bench files; dedup/sketch/text numbers RISE under the
+                # honest methodology (they previously excluded the cached
+                # build from the min).
+                "cache_cleared_between_iterations": True,
                 "subtotals": subtotals,
                 "subtotals_canary_norm": {
                     k: round(v * norm, 3) for k, v in subtotals.items()

@@ -31,6 +31,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_kafka_ek_spark.caching import track
 from data_pipeline_kafka_ek_spark.operators.parallelism import spread
 
 # ---------------------------------------------------------------------------
@@ -69,13 +70,12 @@ def global_rank(
     from pyspark.sql import Window
 
     cols = [F.col(c) for c in order_cols]
-    parts = (
+    parts = track(
         df.repartitionByRange(n_partitions, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .persist(),
+        caches,
     )
-    if caches is not None:
-        caches.append(parts)
     offsets = (
         parts.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -295,9 +295,7 @@ def jaccard_pairs(
     # once per path). ``caches`` collects this function's own persists
     # for callers that materialize the result and release them.
     if sets is None:
-        sets = _token_sets(docs, id_col, text_col, ngram).persist()
-        if caches is not None:
-            caches.append(sets)
+        sets = track(_token_sets(docs, id_col, text_col, ngram).persist(), caches)
     posts = sets.select(
         "doc_id", F.size("toks").alias("__n"), F.explode("toks").alias("tok")
     )
@@ -337,9 +335,7 @@ def jaccard_pairs(
         # prefix rule. The unfiltered branch stays lazy: a plain explode
         # over the already-persisted token sets, cheaper to recompute
         # than to materialize.
-        posts = posts.select("doc_id", "__n", "tok").persist()
-        if caches is not None:
-            caches.append(posts)
+        posts = track(posts.select("doc_id", "__n", "tok").persist(), caches)
     posts = posts.select("doc_id", "__n", "tok")
     a, b = posts.alias("a"), posts.alias("b")
     length_ok = (
@@ -359,9 +355,7 @@ def jaccard_pairs(
     # (repartition-by-num satisfies dropDuplicates' clustering; AQE keeps it)
     cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
     if isets is None:
-        isets = _int_token_sets(sets).persist()
-        if caches is not None:
-            caches.append(isets)
+        isets = track(_int_token_sets(sets).persist(), caches)
     sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     # |A∪B| = |A| + |B| - |A∩B| on distinct sets: one hash-set pass per
@@ -432,16 +426,12 @@ def sorted_neighborhood_pairs(
     prebuilt token relations in, this function's own persists out.
     """
     if sets is None:
-        sets = _token_sets(docs, id_col, text_col, ngram).persist()
-        if caches is not None:
-            caches.append(sets)
+        sets = track(_token_sets(docs, id_col, text_col, ngram).persist(), caches)
     cand = _snm_candidates(
         docs, sets, window, key_mode, key_prefix, id_col, text_col, caches
     )
     if isets is None:
-        isets = _int_token_sets(sets).persist()
-        if caches is not None:
-            caches.append(isets)
+        isets = track(_int_token_sets(sets).persist(), caches)
     sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -491,13 +481,12 @@ def _snm_candidates(
     # persisted: the rank relation feeds BOTH sides of the block
     # self-join — without the cache the window sort + offset join over
     # the full relation executes once per branch
-    ranked = (
+    ranked = track(
         global_rank(keyed, ["__k", "doc_id"], caches=caches)
         .select("doc_id", "rank")
-        .persist()
+        .persist(),
+        caches,
     )
-    if caches is not None:
-        caches.append(ranked)
     blk = F.floor((F.col("rank") - 1) / F.lit(window))
     a = ranked.select(
         F.col("doc_id").alias("doc_a"),
@@ -544,9 +533,7 @@ def sorted_neighborhood_pairs_multi(
     statistics. Returns ``(doc_a, doc_b, jaccard_sim)`` with
     ``doc_a < doc_b``."""
     if sets is None:
-        sets = _token_sets(docs, id_col, text_col, ngram).persist()
-        if caches is not None:
-            caches.append(sets)
+        sets = track(_token_sets(docs, id_col, text_col, ngram).persist(), caches)
     cand = None
     for mode in key_modes:
         c = _snm_candidates(
@@ -558,9 +545,7 @@ def sorted_neighborhood_pairs_multi(
         cand = c if cand is None else cand.unionByName(c)
     cand = cand.dropDuplicates(["doc_a", "doc_b"])
     if isets is None:
-        isets = _int_token_sets(sets).persist()
-        if caches is not None:
-            caches.append(isets)
+        isets = track(_int_token_sets(sets).persist(), caches)
     sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -637,6 +622,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     ngram: int = 1,
     hash_fn: str = "md5",
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """MinHash banding: docs agreeing on any band are candidates; candidates
     are verified with exact token-set Jaccard >= threshold.
@@ -651,7 +637,7 @@ def minhash_lsh_pairs(
     """
     # one persisted tokenize scan shared by the signature stage and the
     # exact-Jaccard verify joins (see jaccard_pairs for the 100 TB note)
-    sets = _token_sets(docs, id_col, text_col, ngram).persist()
+    sets = track(_token_sets(docs, id_col, text_col, ngram).persist(), caches)
     sig = minhash_signatures(
         docs, id_col, text_col, ngram, token_sets=sets, hash_fn=hash_fn
     )
@@ -682,7 +668,7 @@ def minhash_lsh_pairs(
     # self-join's broadcast strategy survives (see jaccard_pairs — a
     # checkpointed RDD has no stats and demotes the join to sort-merge).
     # Cached rows are slim: id, set size and NUM_BANDS band values/doc.
-    sigb = sig.select("doc_id", "__n", *band_cols).persist()
+    sigb = track(sig.select("doc_id", "__n", *band_cols).persist(), caches)
     bands = sigb.select(
         "doc_id",
         "__n",
@@ -739,7 +725,7 @@ def minhash_lsh_pairs(
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    isets = _int_token_sets(sets).persist()
+    isets = track(_int_token_sets(sets).persist(), caches)
     sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     # single-pass Jaccard over dense-int sets (see jaccard_pairs /
@@ -1015,6 +1001,7 @@ def corpus_overlap_minhash(
     n_hashes: int = 32,
     shingle: int = 3,
     with_exact: bool = True,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Pairwise corpus-overlap matrix between document GROUPS (sources,
     dumps, crawl snapshots): each group's distinct ``shingle``-gram set
@@ -1061,10 +1048,11 @@ def corpus_overlap_minhash(
     # persisted: the signature build and both exact-side aggregates read
     # the distinct (group, shingle) set — one materialization, not three
     # scans (the semantic_dedup_pairs pattern)
-    sets = (
+    sets = track(
         docs.select(F.col(group_col).alias("grp"), F.explode(grams).alias("sh"))
         .distinct()
-        .persist()
+        .persist(),
+        caches,
     )
     slots = F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("i")
     sigs = (
@@ -1202,6 +1190,7 @@ def containment_pairs(
     prefix_filter: bool = True,
     ngram: int = 3,
     bound_containing: bool = True,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Directional set CONTAINMENT: all ordered pairs (a, b), a != b,
     with C(a in b) = |A∩B| / |A| >= threshold over distinct word-n-gram
@@ -1239,7 +1228,7 @@ def containment_pairs(
     the term that blows up. Residual hot-shingle skew remains the same
     AQE skew-join problem as the Jaccard path.
     """
-    sets = _token_sets(docs, id_col, text_col, ngram).persist()
+    sets = track(_token_sets(docs, id_col, text_col, ngram).persist(), caches)
     posts = sets.select(
         "doc_id", F.size("toks").alias("__n"), F.explode("toks").alias("tok")
     )
@@ -1258,7 +1247,7 @@ def containment_pairs(
         if bound_containing:
             # both sides derive from the ranked postings: materialize the
             # dfreq join + rank window once, not per side
-            ranked = ranked.persist()
+            ranked = track(ranked.persist(), caches)
             bounded = True
         posts_a = ranked.filter(
             F.col("__pos")
@@ -1297,7 +1286,7 @@ def containment_pairs(
         F.col("b.doc_id").alias("doc_b"),
     )
     cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
-    isets = _int_token_sets(sets).persist()
+    isets = track(_int_token_sets(sets).persist(), caches)
     sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     containment = F.size(F.array_intersect("toks_a", "toks_b")) / F.size("toks_a")

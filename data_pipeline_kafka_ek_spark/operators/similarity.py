@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_kafka_ek_spark.caching import track
+
 from data_pipeline_kafka_ek_spark.operators.parallelism import spread, spread_if_narrow
 
 
@@ -276,6 +278,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Embedding near-dup at scale: banded sign-random-projection LSH.
 
@@ -317,9 +320,10 @@ def cosine_pairs_lsh(
     # band self-join's broadcast choice is unchanged (see jaccard_pairs).
     # Rows are slim: id + n_bands bucket strings per vector, exploded
     # only afterwards.
-    sig = vectors.select(
-        F.col(id_col).alias("vid"), *band_vals
-    ).persist()
+    sig = track(
+        vectors.select(F.col(id_col).alias("vid"), *band_vals).persist(),
+        caches,
+    )
     banded = sig.select(
         "vid",
         *[f"bv{j}" for j in range(n_bands)],
@@ -1139,7 +1143,7 @@ def semantic_dedup_pairs(
     # persisted: both sides of the pair self-join read the assignment, so
     # without this the corpus would be scanned and assigned twice (the
     # same one-materialization pattern the token-set dedup ops use)
-    assign = (
+    assign = track(
         corpus.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
         .persist()
     )

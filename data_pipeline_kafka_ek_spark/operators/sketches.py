@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from data_pipeline_kafka_ek_spark.caching import track
+
 # 15 hex chars = 60 bits: fits a signed 64-bit long in both engines,
 # and the (0,1) mapping divides by 16**15 exactly (a power of two, so
 # the double division is exact and cross-engine stable).
@@ -57,6 +59,7 @@ def kmv_distinct(
     value_col: str,
     k: int = 64,
     with_exact: bool = True,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate plus a merged ``__all__`` row.
 
@@ -84,7 +87,7 @@ def kmv_distinct(
     if with_exact:
         # sketch build + exact counts both read vals: one scan + one
         # distinct shuffle, not two (guide §2.4)
-        vals = vals.persist()
+        vals = track(vals.persist(), caches)
     hashed = vals.select("grp", F.md5(F.col("v").cast("string")).alias("h"))
 
     # two-phase k-smallest (same construction as kmv_set_ops): a salted
@@ -178,6 +181,7 @@ def kmv_set_ops(
     gb,
     k: int = 64,
     with_exact: bool = True,
+    caches: "list[DataFrame] | None" = None,
     n_salt: int = 32,
 ) -> DataFrame:
     """KMV sketch SET OPERATIONS between the two groups ``ga``/``gb``:
@@ -208,7 +212,7 @@ def kmv_set_ops(
     )
     if with_exact:
         # sketch build + exact counts both read vals (guide §2.4)
-        vals = vals.persist()
+        vals = track(vals.persist(), caches)
     hashed = vals.select("grp", F.md5(F.col("v").cast("string")).alias("h"))
     salted = hashed.withColumn(
         "__s", F.pmod(F.xxhash64("h"), F.lit(n_salt))
@@ -284,6 +288,7 @@ def kmv_rollup(
     k: int = 64,
     with_exact: bool = True,
     n_salt: int = 32,
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Grouping-sets distinct-count sketches from ONE raw pass: build a
     KMV sketch per base cell ``(d1, d2)``, then derive the per-``d1``,
@@ -322,6 +327,7 @@ def kmv_rollup(
         # a second full scan + exchange of the raw table)
         .persist()
     )
+    vals = track(vals, caches)
     hashed = vals.select(
         "g1", "g2", F.md5(F.col("v").cast("string")).alias("h")
     )
@@ -797,7 +803,7 @@ def hll_distinct(
     # the exact counts are the computation the sketch REPLACES — kept only
     # for the oracle/self-attestation path. Persist the slim distinct
     # (grp, v) set so the per-group and global counts share one scan.
-    vals = (
+    vals = track(
         df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("v"))
         .filter(F.col("v").isNotNull())
         .distinct()

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_kafka_ek_spark.caching import track
+
 # a small English stopword set (public-domain list prefix)
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
@@ -323,6 +325,7 @@ def unigram_logprob(
     lm_docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability under a corpus-trained
     unigram LM — the deterministic stand-in for the KenLM-style
@@ -1022,6 +1025,7 @@ def bigram_logprob(
     lm_docs: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    caches: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Per-document mean bigram conditional log-probability under a
     corpus-trained add-one-smoothed bigram LM — one order up from
@@ -1065,7 +1069,7 @@ def bigram_logprob(
         # table and the scoring join, instead of re-tokenizing the whole
         # corpus for each (guide §2.4 — the doc_id column is dropped by
         # the groupBy, so the counts are identical)
-        doc_big = doc_big.persist()
+        doc_big = track(doc_big.persist(), caches)
         lm_big = doc_big.groupBy("w1", "w2").agg(
             F.count(F.lit(1)).alias("c2")
         )

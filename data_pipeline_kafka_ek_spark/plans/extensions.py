@@ -24,6 +24,7 @@ from data_pipeline_kafka_ek_spark.operators import (
     temporal,
     text,
 )
+from data_pipeline_kafka_ek_spark.caching import track
 from data_pipeline_kafka_ek_spark.plans.catalog import _t, register
 
 
@@ -6846,11 +6847,11 @@ def h11_important_parts(spark, sf_dir):
             ).alias("raw_value")
         )
         # returned-plan persist (same convention as dedup.py's token
-        # sets): the caller materializes the returned frame, and the
-        # blocks are reclaimed by Spark's ContextCleaner when the frame
-        # is dropped — repeated bench invocations don't accumulate
+        # sets): tracked for release — the consumer that materializes
+        # the query drains the pending-cache list (caching.py)
         .persist()
     )
+    per_part = track(per_part)
     cap = per_part.agg(
         (F.sum("raw_value") * F.lit(0.005)).alias("__cap")
     )
@@ -6907,6 +6908,7 @@ def h15_top_supplier(spark, sf_dir):
         )
         .persist()
     )
+    revenue = track(revenue)
     top = revenue.agg(F.max("raw_revenue").alias("__max_rev"))
     return (
         revenue.crossJoin(F.broadcast(top))
@@ -7360,6 +7362,7 @@ def x_text_vocab_coverage(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
         .persist()
     )
+    counts = track(counts)
     total = counts.agg(F.sum("c").alias("__t"))
     slices = None
     for k in (10, 100, 1000):
@@ -7440,6 +7443,7 @@ def x_events_markov_transitions(spark, sf_dir):
         # the matrix instead of re-scanning the event log
         .persist()
     )
+    trans = track(trans)
     totals = trans.groupBy("from_type").agg(
         F.sum("n").alias("__row_total")
     )
@@ -7515,6 +7519,7 @@ def x_text_tfidf_keywords(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .persist()
     )
+    tf = track(tf)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n = d.agg(
         F.countDistinct("source").cast("long").alias("__n_sources")
@@ -7601,6 +7606,7 @@ def t_streaming_markov_transitions(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .persist()
     )
+    trans = track(trans)
     # rename the self-join key: both branches descend from the one memory
     # sink view, whose reused expr-ids trip Spark's conflicting-reference
     # check if the totals side keeps the same attribute
@@ -7691,6 +7697,7 @@ def t_streaming_markov_buffered(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .persist()
     )
+    trans = track(trans)
     # rename the self-join key: both branches descend from the one memory
     # sink view (see t_streaming_markov_transitions)
     totals = (

@@ -1873,6 +1873,43 @@ def test_snm_recall_monitor_releases_caches(spark, sf_dir):
     assert cache_mgr.isEmpty()
 
 
+def test_benched_query_paths_release_caches(spark, sf_dir):
+    """r16 verdict #1 (guide §5): the benched dedup/sketch/text paths
+    persist slim intermediates (token sets, posting lists, banded
+    signatures, distinct value sets) that feed several consumers inside
+    one query, but had no release path — a session running them
+    back-to-back pinned every relation in executor storage forever, and
+    bench.py's min-of-3 read iterations 2-3 from the warm caches. Every
+    persist is now registered on the caching.py pending list; draining
+    it after the query materializes must leave Spark's CacheManager
+    empty (so the next bench iteration recomputes from parquet). The
+    `released > 0` arm proves the path really persists (a refactor that
+    silently drops the persist would re-plan the build once per
+    consumer — the duplicated-subtree pathology the persist fixes)."""
+    import __spark_entry__ as em
+    from data_pipeline_kafka_ek_spark.caching import release_pending_caches
+
+    spark.catalog.clearCache()
+    release_pending_caches()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    assert cache_mgr.isEmpty()
+    qs = em.queries()
+    for name in (
+        "x_dedup_jaccard",
+        "x_dedup_minhash_lsh",
+        "x_dedup_embedding_lsh",
+        "x_sketch_kmv_setops",
+        "x_sketch_kmv_rollup",
+        "x_text_bigram_logprob",
+    ):
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        released = release_pending_caches()
+        assert released > 0, f"{name}: expected tracked persists"
+        assert cache_mgr.isEmpty(), f"{name}: caches leaked past release"
+
+
 def test_snm_multi_pass_unions_candidates(spark, sf_dir):
     """Multi-pass SNM == the canonical-orientation union of the single
     passes (the verify threshold and token unit are shared), and the

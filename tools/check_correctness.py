@@ -216,11 +216,17 @@ def main() -> int:
         )
         return out, bool(problems)
 
+    from data_pipeline_kafka_ek_spark.caching import release_pending_caches
+
     todo = [(n, f) for n, f in qs.items() if not only or n in only]
     failures = []
     if jobs == 1:
         for name, fn in todo:
             lines, failed = check_one(name, fn)
+            # sequential mode: drain the query's persisted intermediates
+            # now that its rows are collected (caching.py — a 190-query
+            # run must not pin every token-set/posting relation at once)
+            release_pending_caches()
             print("\n".join(lines))
             if failed:
                 failures.append(name)
@@ -229,6 +235,10 @@ def main() -> int:
 
         with ThreadPoolExecutor(max_workers=jobs) as pool:
             results = list(pool.map(lambda nf: check_one(*nf), todo))
+        # concurrent mode: draining mid-run could unpersist a cache an
+        # in-flight sibling is still reading (safe but wasteful — it
+        # would recompute); drain once after the pool joins
+        release_pending_caches()
         for (name, _), (lines, failed) in zip(todo, results):
             print("\n".join(lines))
             if failed:
