@@ -1329,6 +1329,94 @@ def h5(spark, sf_dir):
 #              state holds unless the DRIVER_RETIRED tier drains it).
 #              New r16 registrations land in REGISTERED_AFTER_WINDOW.
 #
+#   r17 window (this round): the 38 r16 WINDOW_OVERFLOW picks (last
+#              green r13, at their once-only overflow limit — promised
+#              first in line) + the never-attested r16 registration
+#              (x_dedup_snm_multipass, closing the r16 verdict's #8) +
+#              11 of the 44 r14-green tier entries. The 11 kept
+#              in-window are the r14-tier queries whose machinery this
+#              optimization round touches (the cache-lifecycle rework
+#              threads every persisted dedup/sketch/text intermediate
+#              through caching.py: x_dedup_jaccard, x_dedup_minhash_lsh,
+#              x_dedup_containment, t_streaming_markov_transitions,
+#              x_events_markov_transitions, x_text_tfidf_keywords,
+#              x_text_vocab_coverage, h11_important_parts,
+#              h15_top_supplier) plus the two weakest-attested r14
+#              entries (x_ann_hard_negatives, x_embedding_whitening —
+#              one green round each). The other 33 r14-green entries
+#              overflow ONCE (exactly the genuine excess: 83
+#              must-attest for 50 slots), each with a named covering
+#              twin:
+#                a2_a3_windowed_collect   <- a3_tumbling_1min_counts
+#                  (r16-green; same tumbling-window count machinery, collect variant)
+#                a5_median_by_group       <- h13_order_count_distribution
+#                  (r16-green; same single-shuffle grouped aggregate (exact percentile is a builtin over it))
+#                f9_window_time_predicate <- t3_hopping_30m15m_counts
+#                  (r16-green; same window-pseudocolumn machinery)
+#                h20_promotion_suppliers  <- h4_late_shipment_priority
+#                  (r16-green; same EXISTS-semi-join shape)
+#                h22_dormant_customers    <- q_sql_scalar_subquery
+#                  (r15-green; same scalar-subquery + anti-join machinery)
+#                h2_min_acctbal_supplier  <- h15_top_supplier
+#                  (in-window; same scalar-subquery window decorrelation)
+#                h6_forecast_revenue      <- h19_disjunctive_revenue
+#                  (r16-green; same exchange-free filter+aggregate over lineitem)
+#                h7_volume_shipping       <- h10_returned_item_revenue
+#                  (r16-green; same fact-to-broadcast-dimensions revenue rollup)
+#                h8_market_share          <- h14_promo_revenue_share
+#                  (r16-green; same conditional revenue-share aggregation)
+#                h9_product_profit        <- h10_returned_item_revenue
+#                  (r16-green; same multi-dimension broadcast profit rollup)
+#                set_except_intersect     <- f2_pattern_filter_positive
+#                  (in-window; the live/test split predicates these set ops compose)
+#                set_union_roundtrip      <- f2_pattern_filter_positive
+#                  (in-window; same split predicates, union round-trip)
+#                t_streaming_cms_freq     <- x_sketch_countmin_freq
+#                  (in-window; same CMS sketch machinery — the batch twin)
+#                t_streaming_hll_distinct <- x_sketch_hll_distinct
+#                  (in-window; same HLL register machinery — the batch twin)
+#                t_streaming_hopping_counts <- t3_hopping_30m15m_counts
+#                  (r16-green; same hopping-window machinery)
+#                t_streaming_kmv_distinct <- x_sketch_kmv_distinct
+#                  (in-window; same KMV bottom-k machinery — the batch twin)
+#                t_streaming_psi_drift    <- x_events_distribution_drift
+#                  (in-window; same PSI distribution machinery)
+#                t_streaming_session_append <- t4_session_5m_counts
+#                  (r16-green; same session-window machinery)
+#                t_streaming_stream_stream_join <- t_streaming_session_counts
+#                  (in-window; same watermarked stateful runtime path)
+#                t_streaming_windowed_counts <- t3_hopping_30m15m_counts
+#                  (r16-green; same windowed count machinery)
+#                x7_json_extract          <- p2_star_filter
+#                  (r16-green; same projection/filter scan (JSON getters are Catalyst builtins))
+#                x_ann_pq_topk            <- x_ann_pq_trained_topk
+#                  (r16-green; same PQ encode/score machinery, trained-codebook variant)
+#                x_asof_join              <- s2_latest_per_key
+#                  (in-window; same latest-at-or-before-per-key window machinery)
+#                x_dedup_editdistance     <- x_dedup_jaccard
+#                  (in-window; same candidate-join + verify machinery, Levenshtein verify)
+#                x_events_cohort_retention <- x_events_sessionize
+#                  (r15-green; same user-keyed single-pass event aggregation)
+#                x_events_key_skew_profile <- x_events_heavy_hitters
+#                  (r16-green; same hot-key share machinery)
+#                x_interval_join          <- x_events_funnel
+#                  (r15-green; same time-bounded per-user event matching)
+#                x_pipeline_domain_quota  <- x_pipeline_token_budget
+#                  (r16-green; same two-phase rank/quota machinery)
+#                x_pipeline_hash_split    <- x_deterministic_sample
+#                  (in-window; same md5/hash-threshold split machinery)
+#                x_quality_threshold_sweep <- x_quality_clf_score
+#                  (in-window; same hashed-classifier scoring)
+#                x_sketch_quantile_grid   <- x_corpus_length_histogram
+#                  (r15-green; same fixed-bin histogram machinery)
+#                x_text_bm25              <- x_text_bigram_logprob
+#                  (r16-green; same broadcast-LM-constants scoring machinery)
+#                x_text_redact_pii        <- x_text_chunking
+#                  (r16-green; same pure-expression text-transform scan)
+#              All 33 are first in line for the r18 window. No new
+#              queries were registered this round (optimization round —
+#              REGISTERED_AFTER_WINDOW is empty).
+#
 # STEADY-STATE POLICY (formalized in r14, closing the r13 verdict's #2):
 # with N registered driver-checkable queries and a 50-slot window, the
 # original R-2 staleness bound is arithmetically reachable only while
@@ -1351,7 +1439,7 @@ def h5(spark, sf_dir):
 # rounds preceding this one ((R-1, R-2) — the staleness bound the policy
 # promises for non-overflow entries), pinned here so evidence files landing
 # later don't shift the baseline under the test. Bump when re-authoring.
-DRIVER_ROTATION_ROUND = 16
+DRIVER_ROTATION_ROUND = 17
 
 # Queries registered AFTER this round's window was already committed to
 # re-attestation work. They sit in DRIVER_DEMOTED without a prior
@@ -1365,9 +1453,7 @@ DRIVER_ROTATION_ROUND = 16
 # the recall monitor already attests its composition) lands here —
 # the window is again fully subscribed by the stale tier (88
 # must-attest for 50 slots).
-REGISTERED_AFTER_WINDOW: tuple[str, ...] = (
-    "x_dedup_snm_multipass",
-)
+REGISTERED_AFTER_WINDOW: tuple[str, ...] = ()
 
 # DRIVER-RETIRED TIER (r16, closing the r15 verdict's #7): the N <= 200
 # registration bound was ~11 registrations away, and the steady-state
@@ -1431,13 +1517,54 @@ ROWS_ONLY_NO_ORACLE: tuple[str, ...] = (
     "x_dedup_minhash_xxh",
 )
 
-# r16: must-attest = 34 r15-overflow (r12) + 4 never-attested + 50
-# r13-stale = 88 for 50 slots. Genuine excess 38; the overflow picks per
+# r17: must-attest = 38 r16-overflow (r13) + 1 never-attested + 44
+# r14-stale = 83 for 50 slots. Genuine excess 33; the overflow picks per
 # the policy (strongest covering twins — named one-by-one in the window
 # comment above). The rotation test enforces len(overflow) <= genuine
-# excess and last-green == R-3 exactly; prior overflow entries (the r15
-# thirty-four) are IN the window and cannot overflow twice.
+# excess and last-green == R-3 exactly; prior overflow entries (the r16
+# thirty-eight) are IN the window and cannot overflow twice.
 WINDOW_OVERFLOW: tuple[str, ...] = (
+    "a2_a3_windowed_collect",
+    "a5_median_by_group",
+    "f9_window_time_predicate",
+    "h20_promotion_suppliers",
+    "h22_dormant_customers",
+    "h2_min_acctbal_supplier",
+    "h6_forecast_revenue",
+    "h7_volume_shipping",
+    "h8_market_share",
+    "h9_product_profit",
+    "set_except_intersect",
+    "set_union_roundtrip",
+    "t_streaming_cms_freq",
+    "t_streaming_hll_distinct",
+    "t_streaming_hopping_counts",
+    "t_streaming_kmv_distinct",
+    "t_streaming_psi_drift",
+    "t_streaming_session_append",
+    "t_streaming_stream_stream_join",
+    "t_streaming_windowed_counts",
+    "x7_json_extract",
+    "x_ann_pq_topk",
+    "x_asof_join",
+    "x_dedup_editdistance",
+    "x_events_cohort_retention",
+    "x_events_key_skew_profile",
+    "x_interval_join",
+    "x_pipeline_domain_quota",
+    "x_pipeline_hash_split",
+    "x_quality_threshold_sweep",
+    "x_sketch_quantile_grid",
+    "x_text_bm25",
+    "x_text_redact_pii",
+)
+
+DRIVER_PRIORITY: tuple[str, ...] = (
+    # the 38 r16 WINDOW_OVERFLOW picks first (last green r13, at their
+    # once-only overflow limit — promised first in line), then the
+    # never-attested r16 registration, then the 11 r14-tier picks kept
+    # in-window (machinery changing this round, or weakest-attested —
+    # see the r17 window comment above)
     "a_count_distinct",
     "f2_pattern_filter_positive",
     "h17_small_quantity_revenue",
@@ -1476,166 +1603,125 @@ WINDOW_OVERFLOW: tuple[str, ...] = (
     "x_text_quality",
     "x_text_repetition",
     "x_text_token_stats",
-)
-
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # the 34 r15 WINDOW_OVERFLOW picks first (last green r12, at their
-    # once-only overflow limit — promised first in line), then the four
-    # never-attested r15 REGISTERED_AFTER_WINDOW entries, then the 12
-    # r13-tier picks kept in-window (machinery changing this round, or
-    # weakest twin case — see the r16 window comment above)
-    "a3_tumbling_1min_counts",
-    "a8_count_metric",
-    "h10_returned_item_revenue",
-    "h14_promo_revenue_share",
-    "h18_large_volume_customers",
-    "h4_late_shipment_priority",
-    "p1_project_columns",
-    "p2_star_filter",
-    "t3_hopping_30m15m_counts",
-    "t4_session_5m_counts",
-    "t_streaming_funnel",
-    "t_streaming_neardup",
-    "t_streaming_quality_gate",
-    "x_acid_stats_skipping",
-    "x_ann_recall_eval",
-    "x_corpus_overlap_minhash",
-    "x_dedup_semantic",
-    "x_events_heavy_hitters",
-    "x_events_max_drawdown",
-    "x_multimodal_audio_stats",
-    "x_multimodal_pixel_stats",
-    "x_multimodal_video_motion",
-    "x_pipeline_bpe_encode",
-    "x_pipeline_bpe_merges",
-    "x_pipeline_corpus_prep_v3",
-    "x_pipeline_stratified_sample",
-    "x_pipeline_token_budget",
-    "x_pipeline_tokenizer_fertility",
-    "x_quality_gopher_rules",
-    "x_quality_ppl_buckets",
-    "x_sketch_kmv_setops",
-    "x_text_bigram_logprob",
-    "x_text_remove_dup_spans",
-    "x_window_sliding_stats",
-    "t_streaming_markov_buffered",
-    "t_streaming_funnel_buffered",
-    "x_dedup_sorted_neighborhood",
-    "x_dedup_snm_recall",
-    "x_acid_incremental_mv",
-    "x_acid_merge_sql",
-    "x_acid_sized_compaction",
-    "x_ann_ivf_trained_topk",
-    "x_ann_pq_trained_topk",
-    "a_pivot_lang_quality",
-    "h13_order_count_distribution",
-    "h19_disjunctive_revenue",
-    "x_contamination_ngram",
-    "x_dedup_simhash",
-    "x_pipeline_seq_packing",
-    "x_text_chunking",
+    "x_dedup_snm_multipass",
+    "x_dedup_jaccard",
+    "x_dedup_minhash_lsh",
+    "x_dedup_containment",
+    "t_streaming_markov_transitions",
+    "x_events_markov_transitions",
+    "x_text_tfidf_keywords",
+    "x_text_vocab_coverage",
+    "h11_important_parts",
+    "h15_top_supplier",
+    "x_ann_hard_negatives",
+    "x_embedding_whitening",
 )
 
 DRIVER_DEMOTED: tuple[str, ...] = (
-    # the 38 r16 overflow picks (one round past the bound, first in line
-    # for the r17 window) lead, then any post-window registrations
+    # the 33 r17 overflow picks (one round past the bound, first in line
+    # for the r18 window) lead, then any post-window registrations
     *WINDOW_OVERFLOW,
     *REGISTERED_AFTER_WINDOW,
     # permanently rows-only in driver files (local-UDF oracle only)
     *ROWS_ONLY_NO_ORACLE,
-    # every entry below carries an r14 or r15 driver-green hash row in the
-    # committed CORRECTNESS files — the invariant the rotation test
+    # every entry below carries an r15 or r16 driver-green hash row in
+    # the committed CORRECTNESS files — the invariant the rotation test
     # asserts from ground truth; all stay oracle-green in the per-round
-    # full-catalog local runs. r14 tier first, then the r15 tier (last
-    # round's window).
-    "a2_a3_windowed_collect",
-    "a5_median_by_group",
-    "f9_window_time_predicate",
-    "h11_important_parts",
-    "h15_top_supplier",
-    "h20_promotion_suppliers",
-    "h22_dormant_customers",
-    "h2_min_acctbal_supplier",
-    "h6_forecast_revenue",
-    "h7_volume_shipping",
-    "h8_market_share",
-    "h9_product_profit",
-    "set_except_intersect",
-    "set_union_roundtrip",
-    "t_streaming_cms_freq",
-    "t_streaming_hll_distinct",
-    "t_streaming_hopping_counts",
-    "t_streaming_kmv_distinct",
-    "t_streaming_markov_transitions",
-    "t_streaming_psi_drift",
-    "t_streaming_session_append",
-    "t_streaming_stream_stream_join",
-    "t_streaming_windowed_counts",
-    "x7_json_extract",
-    "x_ann_hard_negatives",
-    "x_ann_pq_topk",
-    "x_asof_join",
-    "x_dedup_containment",
-    "x_dedup_editdistance",
-    "x_dedup_jaccard",
-    "x_dedup_minhash_lsh",
-    "x_embedding_whitening",
-    "x_events_cohort_retention",
-    "x_events_key_skew_profile",
-    "x_events_markov_transitions",
-    "x_interval_join",
-    "x_pipeline_domain_quota",
-    "x_pipeline_hash_split",
-    "x_quality_threshold_sweep",
-    "x_sketch_quantile_grid",
-    "x_text_bm25",
-    "x_text_redact_pii",
-    "x_text_tfidf_keywords",
-    "x_text_vocab_coverage",
+    # full-catalog local runs.
+    "a3_tumbling_1min_counts",
+    "a8_count_metric",
     "a_cascade_rollup",
+    "a_pivot_lang_quality",
     "a_rollup_revenue",
     "f1_pattern_filter_negated",
     "f5_conjunctive_filter",
+    "h10_returned_item_revenue",
+    "h13_order_count_distribution",
+    "h14_promo_revenue_share",
     "h16_supplier_part_breadth",
+    "h18_large_volume_customers",
+    "h19_disjunctive_revenue",
     "h21_waiting_supplier",
+    "h4_late_shipment_priority",
     "j1_enrichment_join",
     "j1a_join_unfiltered_variant",
     "j_full_outer_join",
     "l3_l4_sorted_topk",
+    "p1_project_columns",
+    "p2_star_filter",
     "q_sql_scalar_subquery",
+    "t3_hopping_30m15m_counts",
+    "t4_session_5m_counts",
     "t_streaming_acid_changes",
     "t_streaming_ann_assign",
     "t_streaming_dedup",
     "t_streaming_dml_replica",
+    "t_streaming_funnel",
+    "t_streaming_funnel_buffered",
+    "t_streaming_markov_buffered",
+    "t_streaming_neardup",
+    "t_streaming_quality_gate",
     "t_streaming_stateful_counts",
     "unhappy_vip_customers",
     "x_acid_dml_lifecycle",
+    "x_acid_incremental_mv",
+    "x_acid_merge_sql",
     "x_acid_replica_convergence",
     "x_acid_restore_rewind",
+    "x_acid_sized_compaction",
+    "x_acid_stats_skipping",
     "x_acid_time_travel_diff",
     "x_ann_cosine_topk",
     "x_ann_hard_negatives_bucketed",
     "x_ann_hard_negatives_recall",
     "x_ann_ivf_topk",
+    "x_ann_ivf_trained_topk",
+    "x_ann_pq_trained_topk",
+    "x_ann_recall_eval",
     "x_cluster_topics",
+    "x_contamination_ngram",
     "x_corpus_length_histogram",
+    "x_corpus_overlap_minhash",
     "x_dedup_containment_keep",
     "x_dedup_embedding",
     "x_dedup_keep_list",
     "x_dedup_recall_eval",
+    "x_dedup_semantic",
+    "x_dedup_simhash",
+    "x_dedup_snm_recall",
+    "x_dedup_sorted_neighborhood",
     "x_events_anomaly_zscore",
     "x_events_funnel",
+    "x_events_heavy_hitters",
+    "x_events_max_drawdown",
     "x_events_sessionize",
+    "x_multimodal_audio_stats",
     "x_multimodal_features",
+    "x_multimodal_pixel_stats",
+    "x_multimodal_video_motion",
+    "x_pipeline_bpe_encode",
+    "x_pipeline_bpe_merges",
+    "x_pipeline_corpus_prep_v3",
     "x_pipeline_dsir_select",
     "x_pipeline_encode",
     "x_pipeline_epoch_shuffle",
+    "x_pipeline_seq_packing",
+    "x_pipeline_stratified_sample",
+    "x_pipeline_token_budget",
+    "x_pipeline_tokenizer_fertility",
     "x_pipeline_vocab",
+    "x_quality_gopher_rules",
+    "x_quality_ppl_buckets",
     "x_salted_hotkey_collect",
+    "x_sketch_kmv_setops",
+    "x_text_bigram_logprob",
+    "x_text_chunking",
     "x_text_langid",
+    "x_text_remove_dup_spans",
     "x_text_repeated_spans",
     "x_text_unigram_logprob",
     "x_window_running_total",
+    "x_window_sliding_stats",
     # permanently retired from the driver window (policy above):
     # local-gate-only, twin-covered, sorted last so they can never
     # re-enter the 50-entry window
