@@ -20,6 +20,13 @@ import sys
 
 import pytest
 
+# every test here is an adversarial-input FUZZ of machinery the
+# deterministic gates (tests/test_catalog_oracle.py at sf0.001,
+# tools/check_correctness.py at sf0.01, the driver's own oracle) check
+# every round — multi-minute by construction, so the whole module rides
+# the slow lane (see conftest.pytest_collection_modifyitems)
+pytestmark = pytest.mark.slow
+
 sys.path.insert(
     0,
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),

@@ -53,6 +53,7 @@ def test_events_ts_is_timestamp_after_normalization(spark, sf_dir):
     )
 
 
+@pytest.mark.slow
 def test_every_registered_query_analyzes(spark, sf_dir):
     """.schema forces Catalyst analysis (resolution + type checking) for
     every registered query without executing a single job — milliseconds

@@ -66,6 +66,7 @@ def test_aggregates_shuffle_at_most_once_per_grouping(plans):
     assert plans["h5_nation_revenue"].count("BroadcastHashJoin") >= 3
 
 
+@pytest.mark.slow
 def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
     """Arrow-batched Python (ArrowEvalPython/MapInPandas) is allowed on
     the designated slow paths; row-at-a-time BatchEvalPython is banned
