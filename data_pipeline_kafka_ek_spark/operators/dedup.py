@@ -249,6 +249,89 @@ def _int_token_sets(sets: DataFrame) -> DataFrame:
     )
 
 
+def _intersect_counts_arrow(batches):
+    """mapInArrow kernel for the candidate-verify stage: per pair of
+    SORTED dense-int token arrays, the exact intersection size — pure
+    integer math, so the engine-identical float fold the oracle hash
+    depends on stays in Spark SQL (only the final division/round runs
+    there). Vectorized per batch (guide §4.2): both list columns flatten
+    to (row, value)-packed int64 keys — rows ascending, values ascending
+    within a row because ``_int_token_sets`` array_sorts — so each side
+    is one SORTED numpy array and the per-row intersection sizes come
+    from one ``searchsorted`` + one ``bincount``, never a Python loop
+    over pairs. Packing needs value < 2^32 and batch rows < 2^31; the
+    dense ids are vocabulary-ordinal so this holds far past bench scale,
+    and the kernel asserts it rather than silently mis-counting (at a
+    +4G-token vocabulary, widen the packing or shard the dictionary)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _flat(arr):
+        off = arr.offsets.to_numpy().astype(np.int64)
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
+        )
+        counts = np.diff(off)
+        rows = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        return vals[off[0]: off[-1]], rows, counts
+
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        va, ra, ca = _flat(batch.column("toks_a"))
+        vb, rb, cb = _flat(batch.column("toks_b"))
+        if len(va) or len(vb):
+            hi = max(va.max() if len(va) else 0, vb.max() if len(vb) else 0)
+            assert 0 <= hi < (1 << 32), "dense token id overflows packing"
+        ka = (ra << 32) | va
+        kb = (rb << 32) | vb
+        idx = np.searchsorted(kb, ka)
+        idx_c = np.minimum(idx, len(kb) - 1) if len(kb) else idx
+        hit = (
+            (kb[idx_c] == ka) & (idx < len(kb))
+            if len(kb)
+            else np.zeros(len(ka), dtype=bool)
+        )
+        inter = np.bincount(ra[hit], minlength=n).astype(np.int64)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_a"),
+                batch.column("doc_b"),
+                pa.array(ca, type=pa.int64()),
+                pa.array(cb, type=pa.int64()),
+                pa.array(inter, type=pa.int64()),
+            ],
+            names=["doc_a", "doc_b", "__na", "__nb", "__inter"],
+        )
+
+
+def _verify_counts(cand: DataFrame, isets: DataFrame) -> DataFrame:
+    """Attach each candidate pair's exact set sizes and intersection
+    size: the broadcast verify joins (unchanged — both isets sides stay
+    broadcast, plan-pinned by test_candidate_self_joins_read_\
+    materialized_inputs) feed the Arrow intersection kernel, and the
+    caller finishes Jaccard/containment as plain SQL over the three
+    ints. Replaces the codegen ``array_intersect`` projection, which
+    built a per-row hash set per pair AND re-ran once more inside the
+    threshold filter for every surviving pair (guide §4.2: hand whole
+    batches to vectorized native code)."""
+    sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    joined = (
+        spread(cand, "doc_a")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        # only what the kernel needs crosses the Python boundary
+        .select("doc_a", "doc_b", "toks_a", "toks_b")
+    )
+    id_t = dict(isets.dtypes)["doc_id"]
+    return joined.mapInArrow(
+        _intersect_counts_arrow,
+        f"doc_a {id_t}, doc_b {id_t}, __na long, __nb long, __inter long",
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.9,
@@ -356,20 +439,17 @@ def jaccard_pairs(
     cand = spread(cand, "doc_a", "doc_b").dropDuplicates(["doc_a", "doc_b"])
     if isets is None:
         isets = track(_int_token_sets(sets).persist(), caches)
-    sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    # |A∪B| = |A| + |B| - |A∩B| on distinct sets: one hash-set pass per
-    # pair instead of two, over dense-int sets instead of strings (see
-    # _int_token_sets) — the verify stage is pure CPU on millions of pairs
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
-    # the verify stage is CPU-bound on slim rows — pin its partition count
-    # so AQE's byte-based coalescing can't serialize it (see parallelism.py)
+    # |A∪B| = |A| + |B| - |A∩B| on distinct sets: the intersection SIZE
+    # is exact integer math computed batch-vectorized in the Arrow kernel
+    # (see _verify_counts / _intersect_counts_arrow — guide §4.2); only
+    # the division below is float, and it stays in Spark SQL so the
+    # engine-identical fold the oracle hash depends on is unchanged
+    counted = _verify_counts(cand, isets)
+    jac = F.col("__inter") / (
+        F.col("__na") + F.col("__nb") - F.col("__inter")
+    )
     return (
-        spread(cand, "doc_a")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard_sim", jac)
+        counted.withColumn("jaccard_sim", jac)
         .filter(F.col("jaccard_sim") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )
@@ -726,18 +806,16 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
     isets = track(_int_token_sets(sets).persist(), caches)
-    sa = isets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    sb = isets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    # single-pass Jaccard over dense-int sets (see jaccard_pairs /
-    # _int_token_sets): |A∪B| = |A| + |B| - |A∩B|
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
-    # pin the CPU-bound verify stage's partition count (see parallelism.py)
+    # single-pass exact Jaccard over dense-int sets via the Arrow
+    # intersection kernel (see jaccard_pairs): the former codegen
+    # array_intersect additionally re-ran inside the threshold filter
+    # for every surviving pair; the kernel counts once per pair
+    counted = _verify_counts(cand, isets)
+    jac = F.col("__inter") / (
+        F.col("__na") + F.col("__nb") - F.col("__inter")
+    )
     return (
-        spread(cand, "doc_a")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
+        counted.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard_sim"))
     )
 

@@ -254,6 +254,100 @@ def _canon_uri(p: str) -> str:
     return _canon(unquote(p))
 
 
+def _murmur3_hash_int32(x: int, seed: int = 42) -> int:
+    """Murmur3 x86 32-bit of one 4-byte int, exactly as Spark's
+    ``Murmur3Hash`` expression computes it for an IntegerType column
+    (``hashInt`` with Spark's fixed seed 42) — the hash behind
+    ``HashPartitioning``'s ``pmod(hash(col), n)`` routing. Public
+    algorithm (Austin Appleby's MurmurHash3, as in Spark's
+    ``sql/catalyst`` hash expressions); pinned against ``F.hash`` by
+    test_murmur3_preimages_match_spark_hash."""
+    mask = 0xFFFFFFFF
+    k = (x * 0xCC9E2D51) & mask
+    k = ((k << 15) | (k >> 17)) & mask
+    k = (k * 0x1B873593) & mask
+    h = (seed ^ k) & mask
+    h = ((h << 13) | (h >> 19)) & mask
+    h = (h * 5 + 0xE6546B64) & mask
+    # finalization mix, length = 4 bytes
+    h ^= 4
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & mask
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & mask
+    h ^= h >> 16
+    # Spark reads the result as a SIGNED 32-bit int
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _partition_preimages(n: int) -> "list[int]":
+    """For each partition id p in [0, n): the smallest non-negative int
+    x with ``pmod(murmur3(x), n) == p``. Routing rows through
+    ``repartition(n, element_at(<these literals>, pid + 1))`` places a
+    row with computed partition id ``pid`` EXACTLY in shuffle partition
+    ``pid`` — deterministic range routing with no sampling job and no
+    hash-collision skew (guide §2.5's warning about hashing a
+    small-cardinality synthetic key does not apply because every bucket
+    value routes to its own distinct partition by construction)."""
+    out: "list[int | None]" = [None] * n
+    found, x = 0, 0
+    while found < n:
+        p = _murmur3_hash_int32(x) % n  # Python % == pmod for n > 0
+        if out[p] is None:
+            out[p] = x
+            found += 1
+        x += 1
+    return out  # type: ignore[return-value]
+
+
+def _stats_range_boundaries(
+    sources: "list[tuple]", n_parts: int
+) -> "list[float] | None":
+    """Equi-depth range boundaries derived from per-source key stats —
+    the zero-job replacement for ``repartitionByRange``'s sampling pass
+    (r16 deferral #3). ``sources`` is ``[(lo, hi, rows), ...]`` (a
+    touched file's non-null key span, or the change set's bounds);
+    the key distribution is modeled piecewise-uniform per source and
+    the mixture CDF is inverted at i/n quantiles by bisection. The
+    boundaries only steer FILE SIZING — bucketing is monotone in the
+    key, so files stay key-range disjoint (exact, what stats pruning
+    needs) regardless of how good the uniform approximation is.
+    Returns ``n_parts - 1`` ascending (possibly repeated) boundaries,
+    or None when there is nothing to model."""
+    src = [
+        (float(lo), float(hi), int(rows))
+        for lo, hi, rows in sources
+        if lo is not None and hi is not None and rows
+    ]
+    if not src or n_parts <= 1:
+        return None if not src else []
+    total = sum(r for _, _, r in src)
+
+    def cdf(x: float) -> float:
+        acc = 0.0
+        for lo, hi, r in src:
+            if x >= hi:
+                acc += r
+            elif x > lo:
+                acc += r * (x - lo) / (hi - lo)
+        return acc
+
+    lo_all = min(lo for lo, _, _ in src)
+    hi_all = max(hi for _, hi, _ in src)
+    bounds: "list[float]" = []
+    for i in range(1, n_parts):
+        target = total * i / n_parts
+        a, b = lo_all, hi_all
+        for _ in range(64):
+            m = (a + b) / 2
+            if cdf(m) < target:
+                a = m
+            else:
+                b = m
+        bounds.append((a + b) / 2)
+    return bounds
+
+
 # rows buffered per parquet row group in the fused writer: large enough
 # that row-group min/max stats stay useful and dictionary pages amortize,
 # small enough that one buffered group never strains executor memory
@@ -364,6 +458,168 @@ def _fused_write_partitions(
         }
         yield _pa.RecordBatch.from_arrays(
             [_pa.array([_json.dumps(record)])], names=["stats"]
+        )
+
+    out = clustered.mapInArrow(_write_one_partition, "stats string").collect()
+    import json
+
+    return [json.loads(r["stats"]) for r in out]
+
+
+def _fused_write_commit_partitions(
+    clustered: DataFrame,
+    commit_dir: str,
+    cdc_dir: str,
+    key: str,
+    skip_cols: "list[str]",
+    data_cols: "list[str]",
+    cdc_cols: "list[str]",
+) -> "tuple[list[dict], list[str]]":
+    """The single job behind a change-feed commit's writes: each range
+    partition's task streams its Arrow batches ONCE, splitting every
+    batch on the ``__ct`` tag — rows with a NULL tag are table data
+    (written key-range-clustered into ``commit_dir`` with the same
+    stats fold as :func:`_fused_write_partitions`), rows with a tag are
+    this commit's change images (written into ``cdc_dir`` with ``__ct``
+    restored to CDF's ``_change_type`` name). One row never crosses the
+    scratch filesystem twice and the commit pays ONE write job instead
+    of the former concurrent pair (max(cdc, data) wall-clock plus two
+    scans of the ranked checkpoint). Returns ``(data stat records,
+    cdc part-file paths)``; task-retry safety is the same
+    deterministic-name + attempt-unique-temp + atomic-move protocol as
+    the data-only writer."""
+    # cdc columns as they sit in the fused frame: the CDF tag column
+    # rides as __ct (a table column legitimately named _change_type
+    # would collide inside the union otherwise is not supported today
+    # either — _write_cdc appends the same name)
+    cdc_in_cols = [c if c != "_change_type" else "__ct" for c in cdc_cols]
+
+    def _write_one_partition(batches):
+        import json as _json
+        import uuid as _uuid
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+        from pyarrow import fs as _pafs
+        from pyspark import TaskContext
+
+        dwriter = cwriter = None
+        dtmp = dfinal = ctmp = cfinal = None
+        dfs = cfs = None
+        buf: list = []
+        buffered = 0
+        rows = 0
+        null_keys = 0
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {c: 0 for c in skip_cols}
+        key_lo = key_hi = None
+
+        def _fold(tbl: "_pa.Table") -> None:
+            nonlocal rows, null_keys, key_lo, key_hi
+            rows += tbl.num_rows
+            kc = tbl.column(key)
+            null_keys += kc.null_count
+            if kc.null_count < len(kc):
+                mm = _pc.min_max(kc)
+                lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                key_lo = lo if key_lo is None else min(key_lo, lo)
+                key_hi = hi if key_hi is None else max(key_hi, hi)
+            for c in skip_cols:
+                col = tbl.column(c)
+                nulls[c] += col.null_count
+                if col.null_count < len(col):
+                    mm = _pc.min_max(col)
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    mins[c] = lo if c not in mins else min(mins[c], lo)
+                    maxs[c] = hi if c not in maxs else max(maxs[c], hi)
+
+        def _flush() -> None:
+            nonlocal buf, buffered
+            if not buf:
+                return
+            tbl = _pa.concat_tables(buf)
+            dwriter.write_table(tbl)
+            _fold(tbl)
+            buf, buffered = [], 0
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            tbl = _pa.Table.from_batches([batch])
+            is_cdc = _pc.is_valid(tbl.column("__ct"))
+            dpart = tbl.filter(_pc.invert(is_cdc)).select(data_cols)
+            cpart = (
+                tbl.filter(is_cdc)
+                .select(cdc_in_cols)
+                .rename_columns(cdc_cols)
+            )
+            if dpart.num_rows:
+                if dwriter is None:
+                    dfs, droot = _pafs.FileSystem.from_uri(commit_dir)
+                    pid = TaskContext.get().partitionId()
+                    dfinal = f"{droot}/part-{pid:05d}.parquet"
+                    dtmp = f"{dfinal}.{_uuid.uuid4().hex}.tmp"
+                    dwriter = _pq.ParquetWriter(
+                        dtmp, dpart.schema, filesystem=dfs
+                    )
+                buf.append(dpart)
+                buffered += dpart.num_rows
+                if buffered >= _FUSED_ROWGROUP_ROWS:
+                    _flush()
+            if cpart.num_rows:
+                if cwriter is None:
+                    cfs, croot = _pafs.FileSystem.from_uri(cdc_dir)
+                    pid = TaskContext.get().partitionId()
+                    cfinal = f"{croot}/part-{pid:05d}.parquet"
+                    ctmp = f"{cfinal}.{_uuid.uuid4().hex}.tmp"
+                    cwriter = _pq.ParquetWriter(
+                        ctmp, cpart.schema, filesystem=cfs
+                    )
+                cwriter.write_table(cpart)
+        out = []
+        if dwriter is not None:
+            _flush()
+            dwriter.close()
+            dfs.move(dtmp, dfinal)
+            size = dfs.get_file_info(dfinal).size
+            out.append(
+                {
+                    "kind": "add",
+                    "path": dfinal,
+                    "min_key": key_lo,
+                    "max_key": key_hi,
+                    "rows": rows,
+                    "null_keys": null_keys,
+                    "bytes": int(size),
+                    "stats": {
+                        c: {
+                            # <=64-char string rule: a long extreme
+                            # records None, never a truncation (see
+                            # _write_data_files)
+                            "min": None
+                            if isinstance(mins.get(c), str)
+                            and len(mins[c]) > 64
+                            else mins.get(c),
+                            "max": None
+                            if isinstance(maxs.get(c), str)
+                            and len(maxs[c]) > 64
+                            else maxs.get(c),
+                            "nulls": int(nulls[c]),
+                        }
+                        for c in skip_cols
+                    },
+                }
+            )
+        if cwriter is not None:
+            cwriter.close()
+            cfs.move(ctmp, cfinal)
+            out.append({"kind": "cdc", "path": cfinal})
+        if not out:
+            return  # empty partition: no files, no records
+        yield _pa.RecordBatch.from_arrays(
+            [_pa.array([_json.dumps(r) for r in out])], names=["stats"]
         )
 
     out = clustered.mapInArrow(_write_one_partition, "stats string").collect()
@@ -726,8 +982,67 @@ class TxnLogTable:
 
     # -- data-file writing --------------------------------------------------
 
+    def _stats_boundaries_for(
+        self, df: DataFrame, n_files: int, range_sources
+    ) -> "list | None":
+        """Driver-derived range boundaries for a commit write, or None
+        to fall back to ``repartitionByRange``'s sampling job.
+        ``range_sources`` is the caller's zero-cost knowledge of the
+        incoming key distribution — the touched files' recorded
+        (min_key, max_key, rows) stats plus the change set's bounds+count
+        (already computed for file pruning) — so deriving the boundaries
+        costs NO job. Only numeric keys interpolate; anything else keeps
+        the sampled path (string quantiles cannot be modeled from
+        min/max)."""
+        if range_sources is None or n_files <= 1:
+            return None
+        t = df.schema[self.key].dataType.simpleString()
+        if t not in (
+            "tinyint", "smallint", "int", "bigint", "float", "double"
+        ):
+            return None
+        bounds = _stats_range_boundaries(range_sources, n_files)
+        if bounds is None:
+            return None
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            import math
+
+            bounds = [int(math.floor(b)) for b in bounds]
+        return bounds
+
+    def _cluster_by_key(
+        self, df: DataFrame, n_files: int, cluster, boundaries
+    ) -> DataFrame:
+        """Key-range clustering for a commit write. With driver-derived
+        ``boundaries`` (see ``_stats_boundaries_for``) the partition id
+        is a pure row-local expression — count of boundaries below the
+        key, NULLs first like ``repartitionByRange`` — routed EXACTLY to
+        its shuffle partition via the murmur3 preimage literals
+        (``_partition_preimages``), killing the extra range-sampling job
+        per write (guide §2.4; r16 deferral #3). Bucketing stays
+        monotone in the key either way, so the written files are
+        key-range DISJOINT exactly as before — stats-pruning correctness
+        never depends on how well the boundaries balance file sizes.
+        Without boundaries: the classic sampled range partitioning."""
+        if boundaries is None:
+            return df.repartitionByRange(
+                n_files, cluster
+            ).sortWithinPartitions(cluster)
+        n = len(boundaries) + 1
+        pid = None
+        for b in boundaries:
+            term = (cluster > F.lit(b)).cast("int")
+            pid = term if pid is None else pid + term
+        pid = F.coalesce(pid, F.lit(0)) if pid is not None else F.lit(0)
+        route = F.element_at(
+            F.array(*[F.lit(x) for x in _partition_preimages(n)]),
+            pid + 1,
+        )
+        return df.repartition(n, route).sortWithinPartitions(cluster)
+
     def _write_data_files(
-        self, df: DataFrame, cluster_expr=None, n_files: "int | None" = None
+        self, df: DataFrame, cluster_expr=None, n_files: "int | None" = None,
+        range_sources=None,
     ) -> "list[dict]":
         """Write ``df`` key-range clustered into a fresh immutable commit
         directory; return add actions carrying per-file [min,max] key
@@ -765,9 +1080,16 @@ class TxnLogTable:
         ~target-size outputs)."""
         commit_dir = f"{self.path}/files/c-{uuid.uuid4().hex}"
         cluster = cluster_expr if cluster_expr is not None else F.col(self.key)
-        clustered = df.repartitionByRange(
-            n_files or self.files_per_commit, cluster
-        ).sortWithinPartitions(cluster)
+        boundaries = (
+            self._stats_boundaries_for(
+                df, n_files or self.files_per_commit, range_sources
+            )
+            if cluster_expr is None
+            else None
+        )
+        clustered = self._cluster_by_key(
+            df, n_files or self.files_per_commit, cluster, boundaries
+        )
         # __zorder_* are clustering scaffolding (bucket ids + z-value),
         # projected away after the range partition + sort consumed them —
         # they never land in the data files
@@ -1359,6 +1681,11 @@ class TxnLogTable:
             # semantics), not an absence — track it separately so an
             # all-NULL change set is not mistaken for an empty one
             F.max(F.col(self.key).isNull().cast("int")).alias("has_null"),
+            # row count rides the same job: with the touched files'
+            # recorded key stats it models the merged key distribution,
+            # so the data write derives its range boundaries driver-side
+            # instead of paying repartitionByRange's sampling job
+            F.count(F.lit(1)).alias("n_changes"),
         ).collect()[0]
         null_changes = bool(bounds["has_null"])
         if bounds["lo"] is None and not null_changes:
@@ -1435,6 +1762,17 @@ class TxnLogTable:
                 else None
             )
             touched = [a for a in live if _overlaps(a)]
+            # zero-job key-distribution model for the data write's range
+            # boundaries: every touched file's recorded non-null key span
+            # + the change set's bounds and count (all already in hand)
+            range_sources = [
+                (
+                    a["min_key"],
+                    a["max_key"],
+                    int(a["rows"]) - int(a.get("null_keys") or 0),
+                )
+                for a in touched
+            ] + [(bounds["lo"], bounds["hi"], int(bounds["n_changes"]))]
             if touched:
                 # read touched files under the RECORDED schema, not footer
                 # inference: after schema evolution the touched set can mix
@@ -1505,16 +1843,19 @@ class TxnLogTable:
             if untouched_rows is not None:
                 merged = merged.unionByName(untouched_rows, allowMissingColumns=True)
             if self.change_feed:
-                cdc_files, adds = self._write_commit_files(
-                    lambda: self._write_change_files(
+                cdc_files, adds = self._write_fused_commit_files(
+                    merged,
+                    self._change_frames(
                         ranked, delete_col, tomb_added,
                         contested_src is not None,
                     ),
-                    lambda: self._write_data_files(merged),
+                    range_sources=range_sources,
                 )
             else:
                 cdc_files = []
-                adds = self._write_data_files(merged)
+                adds = self._write_data_files(
+                    merged, range_sources=range_sources
+                )
             actions = (
                 [{"add": a} for a in adds]
                 + [{"remove": {"path": a["path"]}} for a in touched]
@@ -1768,14 +2109,26 @@ class TxnLogTable:
                     if self.change_feed
                     else []
                 )
+            # the rewrite keeps/updates rows of exactly the touched
+            # files: their recorded key stats model the write's key
+            # distribution with no extra job
+            range_sources = [
+                (
+                    a["min_key"],
+                    a["max_key"],
+                    int(a["rows"]) - int(a.get("null_keys") or 0),
+                )
+                for a in touched
+            ]
             if cdc_frames:
-                cdc_files, adds = self._write_commit_files(
-                    lambda: self._write_cdc(cdc_frames),
-                    lambda: self._write_data_files(new_df),
+                cdc_files, adds = self._write_fused_commit_files(
+                    new_df, cdc_frames, range_sources=range_sources
                 )
             else:
                 cdc_files = []
-                adds = self._write_data_files(new_df)
+                adds = self._write_data_files(
+                    new_df, range_sources=range_sources
+                )
             actions = (
                 [{"add": a} for a in adds]
                 + [{"remove": {"path": a["path"]}} for a in touched]
@@ -1798,37 +2151,13 @@ class TxnLogTable:
             f"{op} lost the commit race {max_retries} times"
         )
 
-    def _write_commit_files(self, cdc_thunk, data_thunk) -> tuple:
-        """Run a commit's change-file and data-file writes CONCURRENTLY
-        (two driver threads submitting independent Spark jobs — the
-        classic PySpark scheduler is designed for exactly this): both
-        plans read the same eagerly-checkpointed winner/contested
-        frames and neither depends on the other's output, so the commit
-        pays max(cdc write, data write) wall-clock instead of their sum.
-        Commit-COUNT-bound fixed cost is the dominant term of the
-        transactional feed benchmarks (per the recorded adjudications:
-        the same at sf0.01 and sf0.1), so halving the write serial
-        chain is the honest lever — results are byte-identical because
-        the two writes land in independent fresh-UUID directories and
-        are only referenced if the commit publishes. Returns
-        ``(cdc_files, adds)``; a failure in either write is re-raised
-        after both threads have finished (no half-submitted state —
-        orphaned attempt files are vacuum's normal sweep)."""
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            cdc_future = pool.submit(cdc_thunk)
-            data_future = pool.submit(data_thunk)
-            # the with-block joins both threads even when result() raises
-            return cdc_future.result(), data_future.result()
-
-    def _write_change_files(
+    def _change_frames(
         self,
         ranked: DataFrame,
         delete_col: "str | None",
         tomb_added: bool,
         has_contested: bool,
-    ) -> "list[str]":
+    ) -> "list[DataFrame]":
         """Materialize this merge's ROW-LEVEL change images (Delta CDF's
         ``_change_type`` convention: insert / update_preimage /
         update_postimage / delete) from the checkpointed ranked
@@ -1857,10 +2186,11 @@ class TxnLogTable:
         the checkpointed build side has no size statistics; the window
         form needs exactly one exchange, reused across the union's
         branches. Row multiset proven identical against the old shape
-        on the sf0.1 feed commit before the swap. Returns
-        the written part-file paths (referenced from the commit as
-        ``cdc`` actions; attempt files orphaned by a lost commit race
-        are swept by vacuum's change-file pass)."""
+        on the sf0.1 feed commit before the swap. Returns the
+        ``_change_type``-tagged frames; the fused commit writer
+        (``_write_fused_commit_files``) rides them through the data
+        write's range exchange and materializes them alongside the
+        data files in one job."""
         k = self.key
         tomb = (
             F.coalesce(F.col(delete_col), F.lit(False))
@@ -1868,7 +2198,15 @@ class TxnLogTable:
             else F.lit(False)
         )
         win = Window.partitionBy(k)
-        one_win = F.when(F.col("__rn") == 1, F.lit(1))
+        def _winner(attr):
+            # exactly one __rn==1 row per group: max() over the
+            # when-guarded expression (NULL for non-winners — when
+            # without otherwise) reads the winner's attribute from
+            # every row of its group, with no dependence on arithmetic
+            # NULL propagation (r16 ADVICE: the former one_win * attr
+            # form silently misclassifies if attr ever becomes nullable)
+            return F.max(F.when(F.col("__rn") == 1, attr)).over(win)
+
         aug = (
             ranked.withColumn(
                 "__oldn",
@@ -1876,17 +2214,8 @@ class TxnLogTable:
                     F.when(F.col("__src") == 0, F.lit(1)).otherwise(F.lit(0))
                 ).over(win),
             )
-            # exactly one __rn==1 row per group: max() over the
-            # when-guarded expression reads the winner's attribute from
-            # every row of its group
-            .withColumn(
-                "__wsrc",
-                F.max(one_win * F.col("__src")).over(win),
-            )
-            .withColumn(
-                "__wgone",
-                F.max(one_win * tomb.cast("int")).over(win),
-            )
+            .withColumn("__wsrc", _winner(F.col("__src")))
+            .withColumn("__wgone", _winner(tomb.cast("int")))
         )
         material = (F.col("__wsrc") == 1) | (F.col("__oldn") > 1)
         meta_cols = ["__rn", "__src", "__oldn", "__wsrc", "__wgone"]
@@ -1922,7 +2251,100 @@ class TxnLogTable:
                 .drop(*pre_drop)
                 .withColumn("_change_type", F.lit("delete"))
             )
-        return self._write_cdc(parts)
+        return parts
+
+    def _write_fused_commit_files(
+        self, data_df: DataFrame, cdc_frames: "list[DataFrame]",
+        range_sources=None,
+    ) -> "tuple[list[str], list[dict]]":
+        """Write a change-feed commit's data files AND change files in
+        ONE Spark job (guide §2.4 — the r16 deferral #1): the cdc union
+        rides the data frame through the SAME key-range exchange, tagged
+        by ``__ct`` (NULL = table data, else the CDF ``_change_type``),
+        and each range partition's task splits its batches into the two
+        parquet writers (:func:`_fused_write_commit_partitions`). The
+        former shape ran the two writes as concurrent jobs — the commit
+        paid max(cdc, data) wall-clock plus a second scan of the ranked
+        checkpoint and a separate coalesce exchange for the cdc rows.
+        Row multisets of both outputs are unchanged: the data rows are
+        exactly ``data_df`` (the __ct filter is a partition-local split,
+        order within a sorted partition preserved), the change rows are
+        exactly the ``_write_cdc`` union. Change files now land
+        key-range-partitioned (<= files_per_commit, one per non-empty
+        partition) instead of coalesced — readers consume change rows as
+        a multiset, so the file-count shape is free to follow the data
+        write's. Returns ``(cdc part paths, add actions)``."""
+        cdc = cdc_frames[0]
+        for p in cdc_frames[1:]:
+            cdc = cdc.unionByName(p, allowMissingColumns=True)
+        data_cols = list(data_df.columns)
+        cdc_cols = list(cdc.columns)
+        fused = data_df.unionByName(
+            cdc.withColumnRenamed("_change_type", "__ct"),
+            allowMissingColumns=True,
+        )
+        commit_dir = f"{self.path}/files/c-{uuid.uuid4().hex}"
+        cdc_dir = f"{self.path}/changes/c-{uuid.uuid4().hex}"
+        boundaries = self._stats_boundaries_for(
+            data_df, self.files_per_commit, range_sources
+        )
+        clustered = self._cluster_by_key(
+            fused, self.files_per_commit, F.col(self.key), boundaries
+        )
+        # per-column data-skipping stats over the DATA columns (same
+        # rule as _write_data_files; the fused frame's extra cdc-only
+        # columns sit past the data prefix and never enter the stats)
+        skip_cols = [
+            fld.name
+            for fld in data_df.schema.fields[: self.STATS_COLUMNS]
+            if fld.dataType.simpleString().split("(")[0]
+            in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                "string")
+        ]
+        fs, jdir = self._fs(commit_dir)
+        fs.mkdirs(jdir)
+        cfs, cjdir = self._fs(cdc_dir)
+        cfs.mkdirs(cjdir)
+        records = _fused_write_commit_partitions(
+            clustered, commit_dir, cdc_dir, self.key, skip_cols,
+            data_cols, cdc_cols,
+        )
+        adds = [
+            {
+                "path": _canon_uri(r["path"]),
+                "min_key": r["min_key"],
+                "max_key": r["max_key"],
+                "rows": r["rows"],
+                "null_keys": r["null_keys"],
+                "bytes": r["bytes"],
+                "stats": r["stats"],
+            }
+            for r in records
+            if r["kind"] == "add"
+        ]
+        cdc_paths = sorted(
+            _canon_uri(r["path"]) for r in records if r["kind"] == "cdc"
+        )
+        if not cdc_paths:
+            # a change-feed commit ALWAYS records change files, even when
+            # this merge produced zero change rows (every change row lost
+            # to a stored winner): downstream cursors read "cdc actions
+            # present, zero rows" as a replayable empty span, while a
+            # commit with NO cdc actions is indistinguishable from a
+            # legacy pre-change-feed merge — the typed feed's fidelity
+            # guard refuses those. One empty file, written driver-side
+            # (no job; the rare shape never occurs on row-moving commits).
+            import pyarrow.parquet as _pq
+            from pyarrow import fs as _pafs
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            fsys, root = _pafs.FileSystem.from_uri(cdc_dir)
+            p = f"{root}/part-00000.parquet"
+            _pq.write_table(
+                to_arrow_schema(cdc.schema).empty_table(), p, filesystem=fsys
+            )
+            cdc_paths = [_canon_uri(p)]
+        return cdc_paths, sorted(adds, key=lambda a: a["path"])
 
     def _write_cdc(self, frames: "list[DataFrame]") -> "list[str]":
         """Union ``_change_type``-tagged frames and materialize them as

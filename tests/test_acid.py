@@ -496,6 +496,125 @@ def test_write_data_files_single_stats_job(spark, tmp_path):
         assert a["min_key"] <= a["max_key"]
 
 
+def test_fused_commit_single_write_job(spark, tmp_path):
+    """A change-feed commit's data files AND change files come from ONE
+    write job (r16 verdict #3 / the r16 deferral #1): the cdc union
+    rides the data frame through the same key-range exchange and each
+    partition's task feeds two parquet writers. The former shape ran
+    two concurrent jobs (max(cdc, data) wall-clock, a second scan of
+    the ranked checkpoint, a separate cdc coalesce exchange). Job
+    budget: the range sampling job + the fused write (AQE splits it
+    into its shuffle-map and result jobs) — the same budget the
+    data-only writer gets in test_write_data_files_single_stats_job,
+    now covering BOTH outputs."""
+    import pyspark.sql.functions as F
+
+    t = _table(spark, tmp_path, files_per_commit=4, change_feed=True)
+    data = spark.createDataFrame(
+        [(k, 1, f"v{k}") for k in range(200)], "k long, seq long, v string"
+    )
+    cdc_frames = [
+        data.filter(F.col("k") < 50).withColumn(
+            "_change_type", F.lit("insert")
+        ),
+        data.filter(F.col("k") >= 150).withColumn(
+            "_change_type", F.lit("update_postimage")
+        ),
+    ]
+    sc = spark.sparkContext
+    sc.setJobGroup("acid-fused-probe", "fused commit write probe")
+    try:
+        cdc_paths, adds = t._write_fused_commit_files(data, cdc_frames)
+    finally:
+        sc.setJobGroup("acid-fused-probe-done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("acid-fused-probe")
+    assert len(jobs) <= 3, jobs
+    # data side: same stats contract as _write_data_files
+    assert sum(a["rows"] for a in adds) == 200
+    assert all(a["min_key"] <= a["max_key"] for a in adds)
+    assert len(adds) <= 4
+    # data files hold exactly the data rows, key-range disjoint
+    got = spark.read.parquet(*[a["path"] for a in adds])
+    assert sorted(r.k for r in got.collect()) == list(range(200))
+    assert sorted(got.columns) == ["k", "seq", "v"]
+    spans = sorted((a["min_key"], a["max_key"]) for a in adds)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # range clustering preserved
+    # cdc side: exactly the union of the tagged frames, schema intact
+    assert cdc_paths and len(cdc_paths) <= 4
+    changes = spark.read.parquet(*cdc_paths)
+    assert sorted(changes.columns) == ["_change_type", "k", "seq", "v"]
+    rows = [(r.k, r._change_type) for r in changes.collect()]
+    want = [(k, "insert") for k in range(50)] + [
+        (k, "update_postimage") for k in range(150, 200)
+    ]
+    assert sorted(rows) == sorted(want)
+
+
+def test_murmur3_preimages_match_spark_hash(spark):
+    """The stats-derived range clustering routes rows to exact shuffle
+    partitions through murmur3 preimage literals — valid only if the
+    Python murmur3 reimplementation is bit-identical to the
+    Murmur3Hash expression behind Spark's HashPartitioning. Pin it
+    against F.hash over a range of ints, and pin the preimage property
+    itself for several partition counts."""
+    from data_pipeline_kafka_ek_spark.sources.acid import (
+        _murmur3_hash_int32,
+        _partition_preimages,
+    )
+
+    xs = list(range(256)) + [2**31 - 1, -5]
+    got = (
+        spark.range(1)
+        .select(*[F.hash(F.lit(x).cast("int")).alias(f"h{i}") for i, x in enumerate(xs)])
+        .first()
+    )
+    for i, x in enumerate(xs):
+        assert got[f"h{i}"] == _murmur3_hash_int32(x), x
+    for n in (1, 2, 4, 7, 16):
+        pre = _partition_preimages(n)
+        assert len(pre) == n
+        assert [_murmur3_hash_int32(p) % n for p in pre] == list(range(n))
+
+
+def test_stats_boundary_clustering_skips_sample_job(spark, tmp_path):
+    """With range_sources (touched-file stats + change bounds, all free
+    at merge time) the fused commit write derives its range boundaries
+    driver-side: NO repartitionByRange sampling job — only the shuffle
+    map and result jobs remain — and the written files stay key-range
+    DISJOINT with every row present (bucketing is monotone in the key,
+    so stats-pruning exactness never depended on the sampled
+    boundaries)."""
+    import pyspark.sql.functions as F
+
+    t = _table(spark, tmp_path, files_per_commit=4, change_feed=True)
+    data = spark.createDataFrame(
+        [(k, 1, f"v{k}") for k in range(1000)], "k long, seq long, v string"
+    )
+    cdc_frames = [data.withColumn("_change_type", F.lit("insert"))]
+    sc = spark.sparkContext
+    sc.setJobGroup("acid-bound-probe", "stats boundary probe")
+    try:
+        cdc_paths, adds = t._write_fused_commit_files(
+            data, cdc_frames, range_sources=[(0, 999, 1000)]
+        )
+    finally:
+        sc.setJobGroup("acid-bound-probe-done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("acid-bound-probe")
+    assert len(jobs) <= 2, jobs  # no sampling job
+    assert len(adds) == 4  # uniform model splits a uniform key space evenly
+    assert sum(a["rows"] for a in adds) == 1000
+    spans = sorted((a["min_key"], a["max_key"]) for a in adds)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans
+    got = spark.read.parquet(*[a["path"] for a in adds])
+    assert sorted(r.k for r in got.collect()) == list(range(1000))
+    # rough balance under the uniform model: no file more than 2x fair share
+    assert max(a["rows"] for a in adds) <= 500
+    changes = spark.read.parquet(*cdc_paths)
+    assert changes.count() == 1000
+
+
 def test_vacuum_retention_and_watermark(spark, tmp_path):
     """vacuum(retain_versions=k) deletes data files only pre-retention
     snapshots reference, keeps shared files, sweeps aged temp debris, and
@@ -2463,11 +2582,11 @@ def test_constraint_added_concurrently_blocks_append_and_merge(spark, tmp_path):
     real_write = t1._write_data_files
     fired = {"n": 0}
 
-    def inject_alter(df, cluster_expr=None):
+    def inject_alter(df, cluster_expr=None, **kw):
         if fired["n"] == 0:
             fired["n"] += 1
             t2.add_constraint("x_nonneg", "x >= 0")
-        return real_write(df, cluster_expr)
+        return real_write(df, cluster_expr, **kw)
 
     t1._write_data_files = inject_alter
     head = t1.latest_version()
@@ -2484,11 +2603,11 @@ def test_constraint_added_concurrently_blocks_append_and_merge(spark, tmp_path):
     t2.drop_constraint("x_nonneg")
     fired["n"] = 0
 
-    def inject_alter_merge(df, cluster_expr=None):
+    def inject_alter_merge(df, cluster_expr=None, **kw):
         if fired["n"] == 0:
             fired["n"] += 1
             t2.add_constraint("x_pos", "x > 0")
-        return real_write(df, cluster_expr)
+        return real_write(df, cluster_expr, **kw)
 
     t1._write_data_files = inject_alter_merge
     head = t1.latest_version()
