@@ -29,6 +29,28 @@ META_FIELDS = "mime string, width int, height int, duration_ms long"
 ASSET_SCHEMA = f"asset_id long, modality string, payload binary, meta struct<{META_FIELDS}>"
 
 
+
+def _spread_ids(docs: "DataFrame") -> "DataFrame":
+    """The synthesis input: just the ids, spread over a modest width
+    when the scan is a single split (bench fixtures are one small
+    parquet file, so the WHOLE synth+decode pipeline inherits ONE task;
+    at production scale the scan has >= parallelism splits and this is
+    a no-op). Spreading happens BEFORE synthesis so the repartition
+    carries 8-byte ids, never encoded payloads — the r16 attempt spread
+    AFTER synthesis, paid a payload shuffle plus 32-way Python dispatch,
+    and measured SLOWER; at the scan, width cores/4 measured ~2x faster
+    than serial and ~35% faster than full-width on the pixel path
+    (Python worker dispatch has a per-task fixed cost that needs rows
+    to amortize, guide §4.5)."""
+    from data_pipeline_kafka_ek_spark.operators.parallelism import (
+        spread_if_narrow,
+    )
+
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    return spread_if_narrow(
+        docs.select("doc_id"), max_n=max(2, target // 4)
+    )
+
 def documents_as_assets(docs: DataFrame) -> DataFrame:
     """Adapter used by tests/fixtures: treat each document's UTF-8 bytes as
     an opaque payload (the fixture set has no real image/audio bytes)."""
@@ -540,7 +562,7 @@ def synthetic_png_assets(docs: DataFrame, size: int = 4) -> DataFrame:
                 payloads.append(png_encode_pixels(pix))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(run, schema=out_schema)
+    return _spread_ids(docs).mapInPandas(run, schema=out_schema)
 
 
 def wav_encode_samples(
@@ -672,7 +694,7 @@ def synthetic_wav_assets(
                 payloads.append(wav_encode_samples(samples, sample_rate))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(run, schema=out_schema)
+    return _spread_ids(docs).mapInPandas(run, schema=out_schema)
 
 
 @_decode_guard
@@ -738,7 +760,7 @@ def synthetic_video_assets(
                 payloads.append(b"".join(frames))
             yield pd.DataFrame({"asset_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(run, schema=out_schema)
+    return _spread_ids(docs).mapInPandas(run, schema=out_schema)
 
 
 def video_motion_features(assets: DataFrame) -> DataFrame:
